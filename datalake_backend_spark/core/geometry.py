@@ -1,0 +1,81 @@
+"""Geometry column helpers: bbox expansion, centers, grid keys, motion.
+
+Covers SURVEY §2.3 F6-F8 and the per-step trajectory math that the
+reference computes on the driver after ``collect()``
+(``advanced_preprocessing_vehicle.py:122-139``,
+``advanced_preprocessing_safety.py:100-111``) — here they are plain
+column expressions usable inside window frames, so trajectory metrics
+stay distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BBOX_FIELDS = ("bbox_x1", "bbox_y1", "bbox_x2", "bbox_y2")
+
+
+def expand_bbox(df: DataFrame, bbox_col: str = "bbox", drop: bool = False) -> DataFrame:
+    """``bbox: array<double>[4]`` → four scalar columns bbox_x1..bbox_y2.
+
+    F6 (``basic_preprocessing_vehicle.py:90-97``, repeated in all 8
+    processors). ``element_at`` is 1-indexed and null-safe on short or
+    null arrays.
+    """
+    out = df.select(
+        "*",
+        *[
+            F.element_at(F.col(bbox_col).cast("array<double>"), i + 1).alias(name)
+            for i, name in enumerate(BBOX_FIELDS)
+        ],
+    )
+    return out.drop(bbox_col) if drop else out
+
+
+def center_x(x1: Column, x2: Column) -> Column:
+    """Bbox center (F7 — ``advanced_preprocessing_animal.py:58-65``)."""
+    return (x1 + x2) / F.lit(2.0)
+
+
+def center_y(y1: Column, y2: Column) -> Column:
+    return (y1 + y2) / F.lit(2.0)
+
+
+def with_centers(df: DataFrame) -> DataFrame:
+    """Add center_x / center_y from expanded bbox columns."""
+    return df.withColumns(
+        {
+            "center_x": center_x(F.col("bbox_x1"), F.col("bbox_x2")),
+            "center_y": center_y(F.col("bbox_y1"), F.col("bbox_y2")),
+        }
+    )
+
+
+def grid_key(
+    class_name: Column, cx: Column, cy: Column, cell: float = 10.0
+) -> Column:
+    """Spatial-bucket surrogate id ``<class>_<⌊cx/cell⌋>_<⌊cy/cell⌋>``.
+
+    F8 — the proximity grouping the reference uses as a stand-in for a
+    tracker id on untracked domains (``advanced_preprocessing_animal.py:17-28``,
+    ``advanced_preprocessing_common.py:18-28``). A pure hash-partitionable
+    key: grouping on it scales like any hash aggregate.
+    """
+    return F.concat_ws(
+        "_",
+        class_name,
+        F.floor(cx / F.lit(cell)).cast("long").cast("string"),
+        F.floor(cy / F.lit(cell)).cast("long").cast("string"),
+    )
+
+
+def step_distance(prev_x: Column, prev_y: Column, x: Column, y: Column) -> Column:
+    """Euclidean distance between consecutive centers (W4)."""
+    return F.hypot(x - prev_x, y - prev_y)
+
+
+def step_angle(prev_x: Column, prev_y: Column, x: Column, y: Column) -> Column:
+    """Movement angle in degrees between consecutive centers (W4 —
+    driver-side ``math.atan2`` at ``advanced_preprocessing_vehicle.py:131-135``)."""
+    return F.degrees(F.atan2(y - prev_y, x - prev_x))

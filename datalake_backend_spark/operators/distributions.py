@@ -1,0 +1,63 @@
+"""Distribution / histogram statistics (SURVEY §2.6 A13, O4/W8 top-k).
+
+The reference's splitters download refined JSON with boto3 and build
+attribute histograms in pure Python (``split_vehicle_data/split_vehicle.py:113-137``
+and five siblings, ~30 LoC each). Each is a second-level hash aggregate
+here; the global stats are a single-row aggregate over the same silver
+table, sharing the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def value_distribution(
+    df: DataFrame, attr_col: str, weight_col: str | None = None
+) -> DataFrame:
+    """Histogram of ``attr_col`` values: ``(value, n, pct)`` — the
+    splitter's gender/class/lane distributions, plus the share-of-total
+    the Kibana pie charts display."""
+    n = F.sum(F.col(weight_col)) if weight_col else F.count("*")
+    counted = df.groupBy(F.col(attr_col).alias("value")).agg(n.cast("long").alias("n"))
+    total = Window.partitionBy()
+    return counted.withColumn(
+        "pct", F.col("n") / F.sum("n").over(total) * 100.0
+    )
+
+
+def numeric_summary(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Single-row global summary: avg/min/max/sum per numeric column
+    (the splitters' statistics blocks —
+    ``split_people_data/split_people.py:137-159``)."""
+    aggs: list[Column] = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.avg(c).alias(f"avg_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.sum(c).alias(f"sum_{c}"),
+        ]
+    return df.agg(*aggs)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tie_break: list[str] | None = None,
+) -> DataFrame:
+    """Top-k rows per group via ``row_number`` (W8 — the Kibana
+    "per-vehicle max speed" visualizations; deterministic with explicit
+    tie-break columns)."""
+    ordering = [F.col(order_col).desc() if descending else F.col(order_col).asc()]
+    ordering += [F.col(c).asc() for c in (tie_break or [])]
+    w = Window.partitionBy(*group_cols).orderBy(*ordering)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .withColumnRenamed("_rn", "rank")
+    )

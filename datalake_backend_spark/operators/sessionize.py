@@ -1,0 +1,169 @@
+"""Sessionization — the flagship window workload (SURVEY §2.7 W7).
+
+The reference's parking-slot analyzer runs ONE SPARK JOB PER SLOT: a
+Python loop filters the frame table to each slot_id, collects it, and
+walks transitions on the driver (``advanced_preprocessing_parkingLot.py:46-123``).
+That is O(slots) full scans and unbounded driver memory.
+
+Here sessionization is the classic distributed idiom, generalized over
+any (entity, time, state) long table:
+
+1. ``lag(state)`` over ``Window.partitionBy(entity).orderBy(time)``
+   → per-row transition flags;
+2. a running ``sum`` of "session-opening" transitions over the same
+   window → monotone session ids;
+3. one hash aggregate per (entity, session) → session spans;
+4. one hash aggregate per entity → summary (counts, occupied/free
+   seconds, percentages, final state).
+
+Cost: a single shuffle on the entity key (both windows and both
+aggregates share the partitioning, so Spark plans ONE Exchange), after
+which everything is WindowExec + partial aggregation. Skewed entities
+(one hot parking lot) are bounded by frames-per-video; at 100 TB the
+entity key should include the video/file id, keeping partitions small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    entity_cols: list[str],
+    time_col: str,
+    state_col: str,
+    active_value: object = True,
+) -> DataFrame:
+    """Per-entity sessions of ``state_col == active_value``.
+
+    Returns one row per session: entity cols, ``session_id`` (1-based in
+    time order), ``entry_time``, ``exit_time`` (null while still active
+    at end of data — the reference's tail-closing path,
+    ``advanced_preprocessing_parkingLot.py:89-95``, closes with the last
+    timestamp; we expose both via ``last_seen``), ``duration_seconds``.
+    """
+    w = Window.partitionBy(*entity_cols).orderBy(time_col)
+    active = F.col(state_col) == F.lit(active_value)
+    prev_active = F.lag(active).over(w)
+    opens = (active & (prev_active.isNull() | ~prev_active)).cast("long")
+    tsec = F.col(time_col).cast("double")
+
+    flagged = df.select(
+        *entity_cols,
+        tsec.alias("_t"),
+        active.alias("_a"),
+        opens.alias("_open"),
+    )
+    w2 = Window.partitionBy(*entity_cols).orderBy("_t")
+    flagged = flagged.withColumn(
+        "_sid", F.sum("_open").over(w2.rowsBetween(Window.unboundedPreceding, 0))
+    )
+
+    # rows before the first active session have _sid = 0; inactive rows
+    # inside a session's span belong to the *previous* session id but are
+    # not part of it — keep only active rows for session assembly, then
+    # attach each session's exit as the first timestamp AFTER it ends.
+    sessions = (
+        flagged.where(F.col("_a") & (F.col("_sid") > 0))
+        .groupBy(*entity_cols, F.col("_sid").alias("session_id"))
+        .agg(
+            F.min("_t").alias("entry_time"),
+            F.max("_t").alias("last_seen"),
+        )
+    )
+    # exit = first inactive timestamp after the session opened (i.e. the
+    # transition-out sample). A session still active at end-of-data gets
+    # exit_time = null; duration then uses last_seen (tail-closing).
+    ends = (
+        flagged.where(~F.col("_a") & (F.col("_sid") > 0))
+        .groupBy(*entity_cols, F.col("_sid").alias("session_id"))
+        .agg(F.min("_t").alias("exit_time"))
+    )
+    out = (
+        sessions.join(ends, [*entity_cols, "session_id"], "left")
+        .withColumn(
+            "duration_seconds",
+            F.coalesce(F.col("exit_time"), F.col("last_seen")) - F.col("entry_time"),
+        )
+    )
+    return out
+
+
+def session_summary(
+    df: DataFrame,
+    entity_cols: list[str],
+    time_col: str,
+    state_col: str,
+    active_value: object = True,
+) -> DataFrame:
+    """Per-entity state-transition summary (the reference's slot summary,
+    ``advanced_preprocessing_parkingLot.py:96-123``): transition counts
+    in both directions, total active/inactive seconds (Δt attributed to
+    the previous sample's state), percentage inactive, and final state
+    at the latest timestamp. One shuffle on the entity key.
+    """
+    w = Window.partitionBy(*entity_cols).orderBy(time_col)
+    active = (F.col(state_col) == F.lit(active_value))
+    prev_active = F.lag(active).over(w)
+    tsec = F.col(time_col).cast("double")
+    delta = tsec - F.lag(tsec).over(w)
+
+    stepped = df.select(
+        *entity_cols,
+        tsec.alias("_t"),
+        active.alias("_a"),
+        prev_active.alias("_pa"),
+        delta.alias("_dt"),
+    )
+    became_active = (F.col("_a") & ~F.col("_pa")).cast("long")
+    became_inactive = (~F.col("_a") & F.col("_pa")).cast("long")
+    active_secs = F.sum(F.when(F.col("_pa"), F.col("_dt")).otherwise(0.0))
+    inactive_secs = F.sum(F.when(~F.col("_pa"), F.col("_dt")).otherwise(0.0))
+    return stepped.groupBy(*entity_cols).agg(
+        F.coalesce(F.sum(became_active), F.lit(0)).alias("became_active"),
+        F.coalesce(F.sum(became_inactive), F.lit(0)).alias("became_inactive"),
+        F.coalesce(active_secs, F.lit(0.0)).alias("active_seconds"),
+        F.coalesce(inactive_secs, F.lit(0.0)).alias("inactive_seconds"),
+        F.max_by(F.col("_a"), F.col("_t")).alias("final_active"),
+        F.count("*").alias("sample_count"),
+    ).withColumn(
+        "inactive_percentage",
+        F.when(
+            (F.col("active_seconds") + F.col("inactive_seconds")) > 0,
+            F.col("inactive_seconds")
+            / (F.col("active_seconds") + F.col("inactive_seconds"))
+            * 100.0,
+        ).otherwise(0.0),
+    )
+
+
+def sessionize_by_gap(
+    df: DataFrame,
+    entity_cols: list[str],
+    time_col: str,
+    gap_seconds: float,
+) -> DataFrame:
+    """Gap-based sessions: a new session starts when Δt > gap_seconds.
+
+    Not in the reference (its sessions are state-driven), but the
+    canonical form for event streams; used by the events-table oracle
+    queries and the streaming layer (``session_window`` is the streaming
+    twin). Same single-shuffle structure as :func:`sessionize`.
+    """
+    w = Window.partitionBy(*entity_cols).orderBy(time_col)
+    tsec = F.col(time_col).cast("double")
+    gap = tsec - F.lag(tsec).over(w)
+    opens = (gap.isNull() | (gap > F.lit(gap_seconds))).cast("long")
+    flagged = df.select(*entity_cols, tsec.alias("_t"), opens.alias("_open"))
+    w2 = Window.partitionBy(*entity_cols).orderBy("_t")
+    flagged = flagged.withColumn(
+        "_sid", F.sum("_open").over(w2.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return flagged.groupBy(*entity_cols, F.col("_sid").alias("session_id")).agg(
+        F.min("_t").alias("session_start"),
+        F.max("_t").alias("session_end"),
+        (F.max("_t") - F.min("_t")).alias("duration_seconds"),
+        F.count("*").alias("n_events"),
+    )

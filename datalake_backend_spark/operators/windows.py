@@ -1,0 +1,171 @@
+"""Adjacent-row window metrics (SURVEY §2.7 W1-W6, W9).
+
+The reference collects per-track arrays to the driver and walks
+consecutive elements in Python (``advanced_preprocessing_vehicle.py:97-140``).
+Here each metric is a ``lag`` over ``Window.partitionBy(entity).orderBy(time)``
+followed by a hash aggregate — one shuffle on the entity key, executed
+as WindowExec + partial aggregation, no driver involvement. The window
+frames needed are only ``lag(1)`` and unbounded min/max, exactly the
+reference's access pattern, so no rows-between frames appear anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from datalake_backend_spark.core.geometry import step_angle, step_distance
+
+
+def _w(entity_cols: list[str], order_cols: list[str]):
+    return Window.partitionBy(*entity_cols).orderBy(*order_cols)
+
+
+def change_count(
+    df: DataFrame,
+    entity_cols: list[str],
+    order_cols: list[str],
+    state_col: str,
+    out_col: str = "changes",
+) -> DataFrame:
+    """Count of adjacent-row state changes per entity (W1 — lane /
+    direction change count, ``advanced_preprocessing_vehicle.py:104-106``).
+    Null states are treated as "no observation" (no change counted),
+    matching the reference's list-walk over collected non-null values.
+    """
+    w = _w(entity_cols, order_cols)
+    prev = F.lag(F.col(state_col)).over(w)
+    changed = (
+        F.col(state_col).isNotNull()
+        & prev.isNotNull()
+        & (F.col(state_col) != prev)
+    ).cast("long")
+    return (
+        df.select(*entity_cols, changed.alias("_chg"))
+        .groupBy(*entity_cols)
+        .agg(F.sum("_chg").alias(out_col))
+    )
+
+
+def time_in_state(
+    df: DataFrame,
+    entity_cols: list[str],
+    time_col: str,
+    state_col: str,
+    out_col: str = "seconds_in_state",
+) -> DataFrame:
+    """Σ Δt between consecutive timestamps attributed to the *previous*
+    row's state (W2 — time-spent-per-direction,
+    ``advanced_preprocessing_vehicle.py:109-115``). Returns one row per
+    (entity, state)."""
+    w = _w(entity_cols, [time_col])
+    tsec = F.col(time_col).cast("double")
+    delta = tsec - F.lag(tsec).over(w)
+    prev_state = F.lag(F.col(state_col)).over(w)
+    return (
+        df.select(*entity_cols, delta.alias("_dt"), prev_state.alias("_st"))
+        .where(F.col("_dt").isNotNull() & F.col("_st").isNotNull())
+        .groupBy(*entity_cols, F.col("_st").alias(state_col))
+        .agg(F.sum("_dt").alias(out_col))
+    )
+
+
+def conditional_duration(
+    df: DataFrame,
+    entity_cols: list[str],
+    time_col: str,
+    flag_col: str,
+    out_col: str = "flagged_seconds",
+) -> DataFrame:
+    """Σ Δt over intervals whose *previous* row has ``flag_col`` true
+    (W3 — stopped duration, ``advanced_preprocessing_vehicle.py:117-119``)."""
+    w = _w(entity_cols, [time_col])
+    tsec = F.col(time_col).cast("double")
+    delta = tsec - F.lag(tsec).over(w)
+    prev_flag = F.lag(F.col(flag_col)).over(w)
+    return (
+        df.select(*entity_cols, delta.alias("_dt"), prev_flag.alias("_pf"))
+        .groupBy(*entity_cols)
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_pf"), F.col("_dt"))), F.lit(0.0)
+            ).alias(out_col)
+        )
+    )
+
+
+def trajectory_metrics(
+    df: DataFrame,
+    entity_cols: list[str],
+    order_cols: list[str],
+    x_col: str = "center_x",
+    y_col: str = "center_y",
+) -> DataFrame:
+    """Total path distance + per-step movement angles per entity (W4 —
+    ``advanced_preprocessing_vehicle.py:122-139``,
+    ``advanced_preprocessing_safety.py:100-111``). Emits
+    ``total_distance``, ``avg_movement_angle``, ``movement_angles``
+    (step angles in time order, reproducing the reference's list)."""
+    w = _w(entity_cols, order_cols)
+    px, py = F.lag(F.col(x_col)).over(w), F.lag(F.col(y_col)).over(w)
+    dist = step_distance(px, py, F.col(x_col), F.col(y_col))
+    ang = step_angle(px, py, F.col(x_col), F.col(y_col))
+    stepped = df.select(
+        *entity_cols,
+        *[F.col(c) for c in order_cols],
+        dist.alias("_dist"),
+        ang.alias("_ang"),
+    )
+    return stepped.groupBy(*entity_cols).agg(
+        F.coalesce(F.sum("_dist"), F.lit(0.0)).alias("total_distance"),
+        F.avg("_ang").alias("avg_movement_angle"),
+        F.array_compact(
+            F.collect_list(
+                F.struct(*[F.col(c) for c in order_cols], F.col("_ang").alias("a"))
+            )
+        ).alias("_angs"),
+    ).withColumn(
+        "movement_angles",
+        F.filter(
+            F.transform(F.array_sort(F.col("_angs")), lambda s: s.getField("a")),
+            lambda a: a.isNotNull(),
+        ),
+    ).drop("_angs")
+
+
+def first_event_time(
+    df: DataFrame,
+    entity_cols: list[str],
+    time_col: str,
+    flag: Column,
+    out_col: str = "first_flag_time",
+) -> DataFrame:
+    """Earliest timestamp where ``flag`` holds, per entity (W5 — first
+    restricted-area entry, ``advanced_preprocessing_people.py:126-133``):
+    ``min(when(flag, ts))`` — a plain hash aggregate, no window needed."""
+    return df.groupBy(*entity_cols).agg(
+        F.min(F.when(flag, F.col(time_col))).alias(out_col)
+    )
+
+
+def frame_gap_durations(
+    df: DataFrame,
+    entity_cols: list[str],
+    frame_col: str = "frame_number",
+    frame_seconds: float = 1.0 / 30.0,
+    out_col: str = "duration_seconds",
+) -> DataFrame:
+    """Per-entity duration from frame counts with gap awareness (W9 —
+    ``split_pose_data/split_pose.py:80-86``): each frame contributes
+    ``frame_seconds`` unless the previous frame is missing (gap > 1),
+    in which case the gap contributes a single frame's time."""
+    w = _w(entity_cols, [frame_col])
+    gap = F.col(frame_col) - F.lag(F.col(frame_col)).over(w)
+    contrib = F.when(gap.isNull() | (gap > 1), F.lit(frame_seconds)).otherwise(
+        gap.cast("double") * F.lit(frame_seconds)
+    )
+    return (
+        df.select(*entity_cols, contrib.alias("_dur"))
+        .groupBy(*entity_cols)
+        .agg(F.sum("_dur").alias(out_col))
+    )

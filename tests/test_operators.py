@@ -1,0 +1,206 @@
+"""Operator-library unit tests (SURVEY §2.6-2.9) with hand-computed goldens."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalake_backend_spark.operators.distributions import (
+    numeric_summary,
+    top_k_per_group,
+    value_distribution,
+)
+from datalake_backend_spark.operators.mode import mode_agg
+from datalake_backend_spark.operators.renest import renest_frames
+from datalake_backend_spark.operators.rollup import count_if, track_rollup
+from datalake_backend_spark.operators.sessionize import (
+    session_summary,
+    sessionize,
+    sessionize_by_gap,
+)
+from datalake_backend_spark.operators.windows import (
+    change_count,
+    conditional_duration,
+    first_event_time,
+    frame_gap_durations,
+    time_in_state,
+)
+
+
+def _events(spark):
+    # (entity, t, state, flag)
+    rows = [
+        ("a", 0.0, "L", False),
+        ("a", 1.0, "L", True),
+        ("a", 2.0, "R", True),
+        ("a", 4.0, "L", False),
+        ("b", 0.0, "L", False),
+    ]
+    return spark.createDataFrame(rows, ["id", "t", "state", "flag"])
+
+
+def test_mode_tie_break(spark):
+    df = spark.createDataFrame(
+        [("u", "x"), ("u", "x"), ("u", "y"), ("u", "y"), ("u", "z")],
+        ["id", "v"],
+    )
+    out = mode_agg(df, ["id"], "v").collect()
+    # tie between x(2) and y(2) → smallest value wins
+    assert out[0].v_mode == "x"
+
+
+def test_mode_exclude(spark):
+    df = spark.createDataFrame(
+        [("u", "Unknown"), ("u", "Unknown"), ("u", "y")], ["id", "v"]
+    )
+    out = mode_agg(df, ["id"], "v", exclude=["Unknown"]).collect()
+    assert out[0].v_mode == "y"
+
+
+def test_change_count(spark):
+    out = {
+        r.id: r.changes
+        for r in change_count(_events(spark), ["id"], ["t"], "state").collect()
+    }
+    assert out == {"a": 2, "b": 0}  # L→L→R→L
+
+
+def test_time_in_state(spark):
+    out = {
+        (r.id, r.state): r.seconds_in_state
+        for r in time_in_state(_events(spark), ["id"], "t", "state").collect()
+    }
+    # Δts: (0→1]=1s in L, (1→2]=1s in L, (2→4]=2s in R
+    assert out == {("a", "L"): 2.0, ("a", "R"): 2.0}
+
+
+def test_conditional_duration(spark):
+    out = {
+        r.id: r.flagged_seconds
+        for r in conditional_duration(_events(spark), ["id"], "t", "flag").collect()
+    }
+    # prev-flag-true intervals: (1→2]=1s, (2→4]=2s
+    assert out == {"a": 3.0, "b": 0.0}
+
+
+def test_first_event_time(spark):
+    out = {
+        r.id: r.first_flag_time
+        for r in first_event_time(
+            _events(spark), ["id"], "t", F.col("flag")
+        ).collect()
+    }
+    assert out == {"a": 1.0, "b": None}
+
+
+def test_sessionize_state_transitions(spark):
+    # slot occupied pattern incl. tail-open session (occupied at end)
+    rows = [
+        ("s1", 0.0, False),
+        ("s1", 1.0, True),
+        ("s1", 2.0, True),
+        ("s1", 3.0, False),
+        ("s1", 4.0, True),  # still occupied at end → open session
+        ("s2", 0.0, False),  # never occupied
+    ]
+    df = spark.createDataFrame(rows, ["slot", "t", "occupied"])
+    sess = {
+        (r.slot, r.session_id): (r.entry_time, r.exit_time, r.duration_seconds)
+        for r in sessionize(df, ["slot"], "t", "occupied").collect()
+    }
+    assert sess[("s1", 1)] == (1.0, 3.0, 2.0)
+    assert sess[("s1", 2)] == (4.0, None, 0.0)  # tail-closing at last_seen
+    assert ("s2", 1) not in sess
+
+
+def test_session_summary(spark):
+    rows = [
+        ("s1", 0.0, False),
+        ("s1", 1.0, True),
+        ("s1", 2.0, True),
+        ("s1", 3.0, False),
+    ]
+    df = spark.createDataFrame(rows, ["slot", "t", "occupied"])
+    s = session_summary(df, ["slot"], "t", "occupied").collect()[0]
+    assert s.became_active == 1 and s.became_inactive == 1
+    # Δt attributed to previous state: (0,1]=free, (1,2]=occ, (2,3]=occ
+    assert s.active_seconds == 2.0 and s.inactive_seconds == 1.0
+    assert s.final_active is False
+    assert abs(s.inactive_percentage - 100.0 / 3.0) < 1e-9
+
+
+def test_sessionize_by_gap(spark):
+    rows = [("u", 0.0), ("u", 10.0), ("u", 100.0), ("u", 105.0)]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = sessionize_by_gap(df, ["id"], "t", gap_seconds=30.0).collect()
+    spans = sorted((r.session_start, r.session_end, r.n_events) for r in out)
+    assert spans == [(0.0, 10.0, 2), (100.0, 105.0, 2)]
+
+
+def test_renest_deterministic_order(spark):
+    rows = [(1, 3, "c"), (1, 1, "a"), (1, 2, "b"), (2, 1, "z")]
+    df = spark.createDataFrame(rows, ["frame", "seq", "val"])
+    out = {
+        r.frame: [d.seq for d in r.detections]
+        for r in renest_frames(df, ["frame"], ["seq", "val"], ["seq"]).collect()
+    }
+    assert out == {1: [1, 2, 3], 2: [1]}
+
+
+def test_track_rollup(spark):
+    rows = [
+        (1, 1.0, 10.0, "L", True),
+        (1, 2.0, 20.0, "R", False),
+        (1, 3.0, 30.0, "R", True),
+    ]
+    df = spark.createDataFrame(rows, ["tid", "t", "speed", "lane", "viol"])
+    r = track_rollup(
+        df,
+        ["tid"],
+        time_col="t",
+        numeric_cols=["speed"],
+        attr_cols=["lane"],
+        bool_count_cols=["viol"],
+    ).collect()[0]
+    assert r.frame_count == 3
+    assert r.duration_seconds == 2.0
+    assert r.avg_speed == 20.0 and r.max_speed == 30.0 and r.min_speed == 10.0
+    assert abs(r.stddev_speed - 10.0) < 1e-9  # sample stddev of 10,20,30
+    assert r.initial_lane == "L" and r.final_lane == "R"
+    assert r.viol_count == 2
+
+
+def test_count_if_empty_group(spark):
+    df = spark.createDataFrame([(1, False)], ["k", "b"])
+    r = df.groupBy("k").agg(count_if(F.col("b")).alias("n")).collect()[0]
+    assert r.n == 0
+
+
+def test_value_distribution(spark):
+    df = spark.createDataFrame([("x",), ("x",), ("y",)], ["v"])
+    out = {r.value: (r.n, r.pct) for r in value_distribution(df, "v").collect()}
+    assert out["x"][0] == 2 and abs(out["x"][1] - 200.0 / 3) < 1e-9
+
+
+def test_numeric_summary(spark):
+    df = spark.createDataFrame([(1.0,), (3.0,)], ["v"])
+    r = numeric_summary(df, ["v"]).collect()[0]
+    assert (r.n_rows, r.avg_v, r.min_v, r.max_v, r.sum_v) == (2, 2.0, 1.0, 3.0, 4.0)
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 5.0), ("g", 2, 9.0), ("g", 3, 9.0), ("g", 4, 1.0)],
+        ["g", "id", "v"],
+    )
+    out = top_k_per_group(df, ["g"], "v", k=2, tie_break=["id"]).collect()
+    got = sorted((r.rank, r.id) for r in out)
+    assert got == [(1, 2), (2, 3)]  # tie on 9.0 broken by id
+
+
+def test_frame_gap_durations(spark):
+    df = spark.createDataFrame(
+        [("p", 1), ("p", 2), ("p", 10)], ["id", "frame_number"]
+    )
+    r = frame_gap_durations(df, ["id"], frame_seconds=0.1).collect()[0]
+    # first frame 0.1, gap=1 → 0.1, gap=8>1 → 0.1
+    assert abs(r.duration_seconds - 0.3) < 1e-9
