@@ -53,7 +53,7 @@ def mode_agg(
     )
 
 
-def mode_expr(value_col: str, out_col: str):
+def mode_expr(value_col: str, out_col: str, exclude: list[str] | None = None):
     """Window-free mode for use inside a single ``groupBy().agg()`` when
     the caller already aggregates other columns: collect counts via a
     map and pick deterministically. Prefer :func:`mode_agg` (no array
@@ -65,13 +65,33 @@ def mode_expr(value_col: str, out_col: str):
     one group's values in memory; fine for per-track attribute lists
     (bounded by frames-per-video), not for unbounded groups.
     """
-    values = F.array_compact(F.collect_list(value_col))
+    source = F.col(value_col)
+    if exclude:
+        source = F.when(~F.col(value_col).isin(exclude), F.col(value_col))
+    values = F.array_compact(F.collect_list(source))
     distinct = F.array_distinct(values)
     counts = F.transform(
         distinct,
         lambda v: F.struct(
             (-F.aggregate(
                 values, F.lit(0), lambda acc, x: acc + F.when(x == v, 1).otherwise(0)
+            )).cast("long").alias("n"),
+            v.alias("v"),
+        ),
+    )
+    return F.array_min(counts).getField("v").alias(out_col)
+
+
+def mode_of_array(values, out_col: str):
+    """Mode of an already-collected array column (same tie-break)."""
+    distinct = F.array_distinct(F.array_compact(values))
+    counts = F.transform(
+        distinct,
+        lambda v: F.struct(
+            (-F.aggregate(
+                F.array_compact(values),
+                F.lit(0),
+                lambda acc, x: acc + F.when(x == v, 1).otherwise(0),
             )).cast("long").alias("n"),
             v.alias("v"),
         ),

@@ -65,6 +65,23 @@ def read_raw_json(
     )
 
 
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined) split of a bronze frame.
+
+    Spark forbids projecting ONLY ``_corrupt_record`` straight off a
+    JSON scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), so
+    the quarantine side caches the parsed batch first — correct for the
+    per-file ingest batches this mirrors (reference processes one
+    document per request). At lake scale the medallion flow materializes
+    bronze to parquet before this split, which lifts the restriction and
+    keeps the split fully distributed.
+    """
+    cached = df.cache()
+    corrupt = cached.where(F.col(CORRUPT_COL).isNotNull())
+    clean = cached.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    return clean, corrupt
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic testdata table (columnar parquet scan —
     filter/column pushdown verified in tests via ``explain``).
