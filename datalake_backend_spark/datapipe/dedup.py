@@ -1,0 +1,260 @@
+"""Deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of each algorithm at 100 TB):
+
+* **Exact** — one hash aggregate on ``md5(text)``; the shuffle carries
+  (hash, doc_id), never the text.
+* **MinHash+LSH** — per-doc signatures are a map stage; banding turns
+  the quadratic all-pairs problem into an equi-join on (band, hash)
+  bucket keys, so candidate generation is a self-join that only
+  materializes same-bucket pairs. Signature params are fixed constants:
+  deterministic across runs and clusters.
+* **SimHash** — 64-bit signature per doc (map stage); near-dup candidates
+  bucket on 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 of 4 chunks
+  equal), verified with ``bit_count(xor)``.
+* **n-gram Jaccard** — exact verification on candidate pairs only
+  (array_intersect/array_union on distinct shingle sets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datalake_backend_spark.datapipe.text import tokens
+
+#: Mersenne prime 2^31-1: modulus for the MinHash permutation family.
+#: It must sit just above the reduced hash universe (h < 2^31) so that
+#: a*h wraps the modulus ~2^31 times — that's what makes
+#: (a*h + b) mod p a universal family. (A larger prime like 2^61-1
+#: with a*h+b < 2^62 wraps at most once, stays order-preserving in h,
+#: and every "permutation" then picks the same min element.)
+#: a*h < 2^62 also never overflows a signed 64-bit long.
+MINHASH_P = 2147483647
+
+#: Fixed (a, b) parameters, a ∈ [1, p-1], b ∈ [0, p-1] — deterministic
+#: across runs and clusters.
+MINHASH_PARAMS = [
+    ((2 * i + 1) * 2654435761 % MINHASH_P or 1, (i * 40503 + 2654435769) % MINHASH_P)
+    for i in range(128)
+]
+
+
+def shingles(col: Column | str, n: int = 1) -> Column:
+    """Distinct sorted token n-gram shingle set."""
+    toks = tokens(col)
+    if n == 1:
+        return F.array_sort(F.array_distinct(toks))
+    seq = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
+    grams = F.transform(seq, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_sort(F.array_distinct(grams))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical doc per exact-content cluster: (content_hash,
+    canonical_id = min id, dup_count). Keep rows where
+    ``dup_count == 1`` or join back on canonical_id to drop dupes."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 1,
+    k: int = 128,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """k-permutation MinHash signature over token n-gram shingles."""
+    sh = shingles(F.col(text_col), n)
+    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_P)))
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in MINHASH_PARAMS[:k]
+        ]
+    )
+    sig = F.transform(
+        params,
+        lambda p: F.array_min(
+            F.transform(
+                hashed,
+                lambda h: F.pmod(p.getField("a") * h + p.getField("b"), F.lit(MINHASH_P)),
+            )
+        ),
+    )
+    return df.withColumn(out_col, sig)
+
+
+def lsh_candidates(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 32,
+) -> DataFrame:
+    """LSH banding → candidate pairs (id_a < id_b), deduplicated.
+
+    Explodes each signature into ``bands`` bucket keys and self-joins on
+    (band, bucket_hash): the shuffle key is the bucket, so only docs
+    sharing a band collide — the all-pairs comparison never happens.
+    """
+    k = len(MINHASH_PARAMS)
+    rows_per_band = max(1, k // bands)
+    banded = sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given candidate (id_a, id_b) pairs."""
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), n).alias("_sh")
+    )
+    out = (
+        pairs.join(sh.withColumnsRenamed({id_col: "id_a", "_sh": "_sha"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "_sh": "_shb"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sha", "_shb")).cast("double")
+            / F.size(F.array_union("_sha", "_shb")),
+        )
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def near_dup_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    threshold: float = 0.8,
+    bands: int = 32,
+) -> DataFrame:
+    """End-to-end MinHash near-dup: signature → LSH candidates → exact
+    Jaccard verify ≥ threshold."""
+    sig = minhash_signature(df, text_col, n)
+    cands = lsh_candidates(sig, id_col)
+    verified = jaccard_pairs(df, cands, text_col, id_col, n)
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash over whitespace tokens (charikar bit-vote)."""
+    token_hashes = F.transform(tokens(col), lambda t: F.xxhash64(t))
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda b: F.struct(
+            b.alias("bit"),
+            F.aggregate(
+                token_hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(
+                    F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            ).alias("vote"),
+        ),
+    )
+    return F.aggregate(
+        bits,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.when(
+            s.getField("vote") > 0,
+            F.call_function("shiftleft", F.lit(1).cast("long"), s.getField("bit")),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def near_dup_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming ≤ max_hamming.
+
+    Candidates bucket on the 4 16-bit chunks (pigeonhole for ≤3 bit
+    flips), verified with bit_count(xor) — no all-pairs stage.
+    """
+    sigs = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+    chunks = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda i: F.struct(
+                    i.alias("chunk"),
+                    F.call_function("shiftright", F.col("simhash"), i * 16)
+                    .bitwiseAND(F.lit(65535))
+                    .alias("val"),
+                ),
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk", "c.val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.simhash").alias("_sb"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    ).where(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

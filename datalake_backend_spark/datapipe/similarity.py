@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* :func:`cosine_to` — exact cosine against a broadcast query vector:
+  one map stage (``zip_with`` + left-fold in double), no shuffle.
+* :func:`brute_force_topk` — the exact baseline: map + global top-k
+  (Spark's ``orderBy().limit(k)`` is a per-partition top-k followed by
+  a k-row merge on the driver — O(n) work, O(k) result).
+* :func:`lsh_assign` / :func:`lsh_topk` — the scale path: random
+  hyperplane signs give a deterministic bucket key; search touches only
+  the query's bucket. Recall trades with ``n_planes``.
+* :func:`near_dup_pairs` — embedding near-dup: bucket self-join +
+  exact cosine verify, same shape as MinHash-LSH candidates.
+
+Hyperplanes are generated from a fixed LCG seed (pure Python, no
+numpy dependency in the hot path) and inlined as literals — identical
+plan on every run and cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _lcg(seed: int):
+    """Deterministic minimal-standard LCG yielding floats in [-1, 1)."""
+    state = seed % 2147483647 or 1
+    while True:
+        state = (state * 48271) % 2147483647
+        yield state / 1073741823.5 - 1.0
+
+
+def random_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    gen = _lcg(seed)
+    return [[next(gen) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _as_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(col: Column, query: list[float]) -> Column:
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    return F.aggregate(
+        F.zip_with(col, qlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(col: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(col, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine_to(
+    df: DataFrame,
+    query: list[float],
+    vec_col: str = "embedding",
+    out_col: str = "cosine",
+) -> DataFrame:
+    """Exact cosine similarity of every row's vector to ``query``."""
+    v = _as_double_array(vec_col)
+    qn = sum(float(x) * float(x) for x in query) ** 0.5
+    return df.withColumn(out_col, dot(v, query) / (norm(v) * F.lit(qn)))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine (deterministic tie-break on id)."""
+    scored = cosine_to(df, query, vec_col).select(id_col, "cosine")
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def lsh_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Sign-of-projection LSH bucket id (0 .. 2^n_planes-1)."""
+    v = _as_double_array(vec_col)
+    planes = random_hyperplanes(n_planes, dim, seed)
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        bucket = bucket + F.when(
+            dot(v, p) >= 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return df.withColumn(out_col, bucket)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only the query's LSH bucket.
+
+    At 100 TB the bucketed table is written partitioned by ``bucket``,
+    so this prunes to one partition's files before scanning.
+    """
+    dim = len(query)
+    planes = random_hyperplanes(n_planes, dim, seed)
+    qbucket = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query, p)) >= 0:
+            qbucket |= 1 << i
+    assigned = lsh_assign(df, vec_col, n_planes, dim, seed)
+    return brute_force_topk(
+        assigned.where(F.col("bucket") == qbucket), query, k, vec_col, id_col
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: same-bucket self-join + exact
+    cosine verification ≥ threshold."""
+    v = _as_double_array(vec_col)
+    assigned = lsh_assign(df, vec_col, n_planes, dim, seed).select(
+        F.col(id_col), F.col("bucket"), v.alias("_v"), norm(v).alias("_n")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        (
+            F.aggregate(
+                F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (F.col("a._n") * F.col("b._n"))
+        ).alias("cosine"),
+    )
+    return pairs.where(F.col("cosine") >= threshold)

@@ -1,0 +1,123 @@
+"""Text analysis: tokenization, quality scoring, language-ID, fingerprints.
+
+All pure column expressions (JVM-side, codegen'd) — a 100 TB corpus pays
+one map stage, no shuffle, for every per-document metric here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: whitespace tokenizer shared by every operator (and by the DuckDB
+#: oracles — keep in sync with regexp_split_to_array(trim(x), '\s+')).
+TOKEN_RE = r"\s+"
+
+#: BPE-ish subword splitter: word pieces, numbers, punctuation runs —
+#: approximates tokenizer token counts without a vocab file.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+PUNCT_CHARS = ".,!?;:'\"()-"
+
+#: Minimal stopword lists per language for the n-gram/stopword
+#: language-ID heuristic (top function words; public knowledge).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "fr": ["le", "la", "les", "et", "de", "des", "un", "une", "est", "que"],
+    "es": ["el", "la", "los", "las", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "eine", "nicht", "mit"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), TOKEN_RE)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Approximate subword token count via the BPE-ish regex."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_RE), F.lit(0)))
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.translate(c, PUNCT_CHARS, "")
+    return F.length(c) - F.length(stripped)
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    toks = tokens(col)
+    hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS[lang]))
+    )
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features (the length/punct/stopword family
+    used by C4/Gopher-style filters): token count, mean token length,
+    punctuation ratio, stopword ratio, uppercase ratio."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "mean_token_len": F.length(F.trim(c)).cast("double")
+            / F.greatest(n_tok, F.lit(1)),
+            "punct_ratio": punct_count(c).cast("double")
+            / F.greatest(F.length(c), F.lit(1)),
+            "stopword_ratio_en": stopword_ratio(c, "en"),
+            "upper_ratio": F.length(F.regexp_replace(c, r"[^A-Z]", "")).cast("double")
+            / F.greatest(F.length(c), F.lit(1)),
+        }
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: CJK script detection first, else the
+    stopword-hit argmax across known languages (deterministic tie-break
+    by language code). A real deployment swaps in fastText/CLD3 behind
+    the same column contract."""
+    c = F.col(text_col)
+    toks = F.transform(tokens(c), F.lower)
+    scores = [
+        F.struct(
+            (-F.size(F.filter(toks, lambda t: t.isin(*words)))).cast("long").alias("n"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(STOPWORDS.items())
+    ]
+    best = F.array_min(F.array(*scores))
+    cjk = F.length(F.regexp_replace(c, r"[^一-鿿぀-ヿ]", ""))
+    return df.withColumn(
+        out_col,
+        F.when(cjk > F.length(c) * 0.2, F.lit("zh"))
+        .when(-best.getField("n") > 0, best.getField("lang"))
+        .otherwise(F.lit("unknown")),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Exact-content fingerprint (md5 of the raw text)."""
+    return df.withColumn(out_col, F.md5(F.col(text_col)))
+
+
+def rolling_fingerprints(
+    df: DataFrame, text_col: str = "text", window: int = 8, out_col: str = "chunk_fps"
+) -> DataFrame:
+    """Rolling token-window fingerprints (document-chunk hashes for
+    partial-overlap detection): xxhash64 of each ``window``-token
+    shingle, distinct + sorted for set semantics."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))),
+    )
+    return df.withColumn(out_col, F.array_sort(F.array_distinct(shingles)))

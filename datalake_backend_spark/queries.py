@@ -646,6 +646,235 @@ FROM lineitem GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# q20-q29 — LLM-data-pipeline operators (dedup, text analysis, similarity)
+# on the documents/embeddings tables. Token/shingle/punct definitions are
+# kept in lock-step with the DuckDB dialect (see datapipe.text docstrings).
+# ---------------------------------------------------------------------------
+def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_backend_spark.datapipe.dedup import exact_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+Q20_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q21_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_backend_spark.datapipe.text import token_count
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("fingerprint"),
+        token_count("text").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+    )
+
+
+Q21_SQL = r"""
+SELECT doc_id, md5(text) AS fingerprint,
+  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars_calc
+FROM documents
+"""
+
+
+def q22_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_backend_spark.datapipe.text import (
+        STOPWORDS,
+        punct_count,
+        tokens,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (
+            F.length(F.trim("text")).cast("double") / F.greatest(n_tok, F.lit(1))
+        ).alias("mean_token_len"),
+        (
+            punct_count(F.col("text")).cast("double")
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("punct_ratio"),
+        (
+            F.size(
+                F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS["en"]))
+            ).cast("double")
+            / F.greatest(n_tok, F.lit(1))
+        ).alias("stopword_ratio"),
+    )
+
+
+Q22_SQL = r"""
+SELECT doc_id,
+  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+  CAST(length(trim(text)) AS DOUBLE)
+    / GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1) AS mean_token_len,
+  CAST(length(text) - length(translate(text, '.,!?;:''"()-', '')) AS DOUBLE)
+    / GREATEST(length(text), 1) AS punct_ratio,
+  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        t -> lower(t) IN ('the','and','of','to','in','is','that','it','was','for'))) AS DOUBLE)
+    / GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1) AS stopword_ratio
+FROM documents
+"""
+
+
+def q23_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return value_distribution(docs, "lang")
+
+
+Q23_SQL = """
+SELECT lang AS value, COUNT(*) AS n,
+  CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () * 100.0 AS pct
+FROM documents GROUP BY lang
+"""
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q24_cosine_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_backend_spark.datapipe.similarity import cosine_to
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 0)
+    return (
+        cosine_to(emb, q)
+        .where(F.col("cosine") >= 0.2)
+        .select("vec_id", F.round("cosine", 4).alias("cosine_r"))
+    )
+
+
+Q24_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+    list_reduce(list_transform(list_zip(CAST(embedding AS DOUBLE[]), qv), x -> x[1]*x[2]), (a,b) -> a+b)
+    / (sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x), (a,b) -> a+b))
+       * sqrt(list_reduce(list_transform(qv, x -> x*x), (a,b) -> a+b))) AS cosine
+  FROM embeddings, q
+)
+SELECT vec_id, ROUND(cosine, 4) AS cosine_r FROM scored WHERE cosine >= 0.2
+"""
+
+
+def q25_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_backend_spark.datapipe.dedup import jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 25)
+    ids = docs.select(F.col("doc_id"))
+    a, b = ids.alias("a"), ids.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    )
+    out = jaccard_pairs(docs, pairs, n=1)
+    return out.where(F.col("jaccard") >= 0.8).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r")
+    )
+
+
+Q25_SQL = r"""
+WITH t AS (
+  SELECT doc_id, list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS toks
+  FROM documents WHERE doc_id < 25
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard_r
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+"""
+
+
+def q26_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup, exact-Jaccard-verified at 0.95.
+
+    Oracle-checkable because verification is exact: LSH candidate recall
+    at j ≥ 0.95 with 32 bands × 4 rows is 1 - (1 - 0.95^4)^32 ≈ 1-1e-23,
+    so the verified output equals the all-pairs answer. Doc subset capped
+    (this synthetic corpus is pathologically self-similar — every doc
+    pair shares vocabulary, which would make candidate generation
+    quadratic; real corpora bucket sparsely).
+    """
+    from datalake_backend_spark.datapipe.dedup import near_dup_minhash
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    out = near_dup_minhash(docs, n=1, threshold=0.95)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
+
+
+Q26_SQL = r"""
+WITH t AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+  FROM documents WHERE doc_id < 400
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard_r
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95
+"""
+
+
+def q27_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only: xxhash64 has no DuckDB twin)."""
+    from datalake_backend_spark.datapipe.dedup import near_dup_simhash
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    return near_dup_simhash(docs, max_hamming=3)
+
+
+def q28_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_backend_spark.datapipe.similarity import brute_force_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 0)
+    out = brute_force_topk(emb, q, k=10)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
+
+
+Q28_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+    list_reduce(list_transform(list_zip(CAST(embedding AS DOUBLE[]), qv), x -> x[1]*x[2]), (a,b) -> a+b)
+    / (sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x), (a,b) -> a+b))
+       * sqrt(list_reduce(list_transform(qv, x -> x*x), (a,b) -> a+b))) AS cosine
+  FROM embeddings, q
+)
+SELECT vec_id, ROUND(cosine, 4) AS cosine_r FROM scored
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q29_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via hyperplane LSH bucket (rows-only:
+    approximate by design — compare recall against q28 offline)."""
+    from datalake_backend_spark.datapipe.similarity import lsh_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 0)
+    return lsh_topk(emb, q, k=10, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QuerySpec] = {
@@ -668,6 +897,16 @@ QUERIES: dict[str, QuerySpec] = {
     "q17_renest_lineitems": QuerySpec(q17_renest_lineitems, Q17_SQL, "E5,A7,O1"),
     "q18_numeric_summary": QuerySpec(q18_numeric_summary, Q18_SQL, "A13,A8"),
     "q19_grid_buckets": QuerySpec(q19_grid_buckets, Q19_SQL, "F8,A4"),
+    "q20_exact_dedup": QuerySpec(q20_exact_dedup, Q20_SQL, "dedup-exact,U3"),
+    "q21_doc_fingerprint": QuerySpec(q21_doc_fingerprint, Q21_SQL, "text-fingerprint"),
+    "q22_text_quality": QuerySpec(q22_text_quality, Q22_SQL, "text-quality"),
+    "q23_lang_distribution": QuerySpec(q23_lang_distribution, Q23_SQL, "text-langid,A13"),
+    "q24_cosine_threshold": QuerySpec(q24_cosine_threshold, Q24_SQL, "similarity-cosine"),
+    "q25_jaccard_pairs": QuerySpec(q25_jaccard_pairs, Q25_SQL, "dedup-ngram-jaccard"),
+    "q26_minhash_near_dup": QuerySpec(q26_minhash_near_dup, Q26_SQL, "dedup-minhash-lsh"),
+    "q27_simhash_near_dup": QuerySpec(q27_simhash_near_dup, None, "dedup-simhash"),
+    "q28_ann_topk": QuerySpec(q28_ann_topk, Q28_SQL, "similarity-topk"),
+    "q29_lsh_topk": QuerySpec(q29_lsh_topk, None, "similarity-lsh"),
 }
 
 

@@ -1,0 +1,183 @@
+"""LLM-data-pipeline operator tests: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_backend_spark.datapipe.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_signature,
+    near_dup_minhash,
+    near_dup_simhash,
+    simhash64,
+)
+from datalake_backend_spark.datapipe.similarity import (
+    brute_force_topk,
+    cosine_to,
+    lsh_assign,
+    near_dup_pairs,
+)
+from datalake_backend_spark.datapipe.text import (
+    bpe_token_count,
+    language_id,
+    quality_metrics,
+    rolling_fingerprints,
+    token_count,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),  # near dup (1 token)
+        (4, "completely different content about spark engines"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    out = {r.canonical_id: r.dup_count for r in exact_dedup(_docs(spark)).collect()}
+    assert out[1] == 2  # docs 1,2 identical
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_minhash_estimates_jaccard(spark):
+    sig = {
+        r.doc_id: r.minhash
+        for r in minhash_signature(_docs(spark), n=1).collect()
+    }
+    agree_near = sum(a == b for a, b in zip(sig[1], sig[3])) / 128
+    agree_far = sum(a == b for a, b in zip(sig[1], sig[4])) / 128
+    assert sig[1] == sig[2]  # identical docs → identical signatures
+    # true unigram jaccard(1,3) = 7/9 ≈ 0.778; estimator within ±0.15
+    assert abs(agree_near - 7 / 9) < 0.15
+    assert agree_far < 0.2
+
+
+def test_near_dup_minhash_end_to_end(spark):
+    out = near_dup_minhash(_docs(spark), threshold=0.75).collect()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert pairs[(1, 2)] == 1.0
+    assert abs(pairs[(1, 3)] - 7 / 9) < 1e-9  # 7 shared of 9 distinct
+    assert (1, 4) not in pairs
+
+
+def test_jaccard_pairs_exact(spark):
+    pairs = spark.createDataFrame([(1, 3)], ["id_a", "id_b"])
+    r = jaccard_pairs(_docs(spark), pairs).collect()[0]
+    # 7 shared of 9 distinct tokens
+    assert abs(r.jaccard - 7 / 9) < 1e-9
+
+
+def test_simhash_near_identical_close(spark):
+    sigs = {
+        r.doc_id: r.sh
+        for r in _docs(spark).select("doc_id", simhash64(F.col("text")).alias("sh")).collect()
+    }
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert sigs[1] == sigs[2]
+    assert ham(sigs[1], sigs[3]) < ham(sigs[1], sigs[4])
+
+
+def test_near_dup_simhash(spark):
+    out = near_dup_simhash(_docs(spark), max_hamming=10).collect()
+    ids = {(r.id_a, r.id_b) for r in out}
+    assert (1, 2) in ids
+
+
+def test_cosine_and_topk(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0]), (4, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    scored = {r.vec_id: r.cosine for r in cosine_to(df, [1.0, 0.0]).collect()}
+    assert abs(scored[1] - 1.0) < 1e-9
+    assert abs(scored[2]) < 1e-9
+    assert abs(scored[3] - 2**-0.5) < 1e-9
+    top = [r.vec_id for r in brute_force_topk(df, [1.0, 0.0], k=2).collect()]
+    assert top == [1, 3]
+
+
+def test_lsh_bucket_consistency(spark):
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.01, 0.0]), (3, [-1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    b = {r.vec_id: r.bucket for r in lsh_assign(df, n_planes=6, dim=3).collect()}
+    assert b[1] == b[2]  # near-identical vectors share a bucket
+    assert b[1] != b[3]  # opposite vector does not
+
+
+def test_embedding_near_dup_pairs(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.999, 0.001]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = near_dup_pairs(df, threshold=0.99, n_planes=4, dim=2).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("hello world, it's 42 degrees",)], ["text"])
+    r = df.select(
+        token_count("text").alias("ws"), bpe_token_count("text").alias("bpe")
+    ).collect()[0]
+    assert r.ws == 5
+    # hello|world|,|it|'|s|42|degrees
+    assert r.bpe == 8
+
+
+def test_quality_metrics(spark):
+    df = spark.createDataFrame([("The cat and the dog.",)], ["text"])
+    r = quality_metrics(df).collect()[0]
+    assert r.n_tokens == 5
+    assert abs(r.punct_ratio - 1 / 20) < 1e-9
+    assert abs(r.stopword_ratio_en - 3 / 5) < 1e-9  # The, and, the
+    assert abs(r.upper_ratio - 1 / 20) < 1e-9
+
+
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("the cat is on the mat and it was fine", "en"),
+        ("le chat est sur le tapis et la porte", "fr"),
+        ("el gato es de la casa y en un lugar", "es"),
+        ("der hund und die katze ist nicht mit ein", "de"),
+        ("今天天气很好我们去公园散步吧这是中文文本", "zh"),
+        ("zzz qqq xxx", "unknown"),
+    ],
+)
+def test_language_id(spark, text, expected):
+    df = spark.createDataFrame([(text,)], ["text"])
+    assert language_id(df).collect()[0].lang_pred == expected
+
+
+def test_rolling_fingerprints_detect_overlap(spark):
+    a = "one two three four five six seven eight nine ten eleven twelve"
+    b = "zero " + a  # shares all 8-grams of a's tail
+    c = "totally different words appear in this other document here now"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    fps = {r.doc_id: set(r.chunk_fps) for r in rolling_fingerprints(df).collect()}
+    assert fps[1] & fps[2]
+    assert not fps[1] & fps[3]
+
+
+def test_multimodal_plumbing(spark):
+    from datalake_backend_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        extract_image_features,
+        sample_frames,
+    )
+
+    rows = [
+        (1, b"\x89PNGfake", ("image/png", 4, 4, None, None)),
+        (2, b"\x00\x00vid", ("video/mp4", 640, 480, 3500, "h264")),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r.features for r in extract_image_features(df).collect()}
+    assert len(feats[1]) == 16 and all(0 <= v < 1 for v in feats[1])
+    # deterministic: same payload → same features
+    feats2 = {r.media_id: r.features for r in extract_image_features(df).collect()}
+    assert feats == feats2
+    frames = sample_frames(df.where("media_id = 2"), every_ms=1000).collect()
+    assert [r.frame_ms for r in frames] == [0, 1000, 2000, 3000]
+    with pytest.raises(NotImplementedError):
+        decode_image(b"abc")
