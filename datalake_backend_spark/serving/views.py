@@ -1,0 +1,121 @@
+"""Serving views: the Kibana dashboard aggregations as Spark SQL.
+
+The reference serves analytics from Elasticsearch indices whose mappings
+are its de-facto gold schema
+(``Send_Data_To_DataLake/Documentations/*_Dev_Tool.txt``), queried by
+dashboards (``create_vehicle_dashboard_steps.md`` viz 1-7,
+``create_parking_dashboard_steps.md`` viz 1-7): total counts, term
+pies/histograms, per-ID max/avg metrics, and date-bucketed time series.
+
+Here the gold tables ARE the index (flat, one row per track/slot), and
+each dashboard visualization is a SQL view over them — same numbers,
+no per-document HTTP indexing loop (S11 anti-pattern,
+``processing_vehicle.py:153-155``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: view name → (source gold view it selects from, SQL)
+DASHBOARD_VIEWS: dict[str, str] = {
+    # vehicle dashboard (viz 1: total vehicles)
+    "serving_vehicle_totals": """
+        SELECT COUNT(*) AS total_vehicles,
+               AVG(avg_speed) AS fleet_avg_speed,
+               SUM(red_light_violation_count) AS total_red_light_violations,
+               SUM(line_crossing_count) AS total_line_crossings
+        FROM gold_vehicle
+    """,
+    # viz 2/6: vehicle-type and color distributions (term pies)
+    "serving_vehicle_type_dist": """
+        SELECT vehicle_type AS term, COUNT(*) AS n
+        FROM gold_vehicle GROUP BY vehicle_type
+    """,
+    "serving_vehicle_color_dist": """
+        SELECT vehicle_color AS term, COUNT(*) AS n
+        FROM gold_vehicle GROUP BY vehicle_color
+    """,
+    # viz 3/4: per-vehicle max speed / top speeders (per-ID max metric)
+    "serving_vehicle_top_speed": """
+        SELECT tracker_id, max_speed, direction, most_common_lane
+        FROM gold_vehicle ORDER BY max_speed DESC, tracker_id ASC LIMIT 10
+    """,
+    # viz 5: lane distribution
+    "serving_vehicle_lane_dist": """
+        SELECT most_common_lane AS term, COUNT(*) AS n
+        FROM gold_vehicle GROUP BY most_common_lane
+    """,
+    # viz 7: detections time series (date-bucketed)
+    "serving_vehicle_timeseries": """
+        SELECT date_trunc('minute', first_detection) AS bucket,
+               COUNT(*) AS vehicles_entering
+        FROM gold_vehicle GROUP BY 1
+    """,
+    # parking dashboard: occupancy + per-slot metrics
+    "serving_parking_totals": """
+        SELECT COUNT(*) AS total_slots,
+               SUM(CASE WHEN slot_status = 'occupied' THEN 1 ELSE 0 END) AS occupied_now,
+               AVG(free_percentage) AS avg_free_percentage,
+               SUM(became_occupied) AS total_parking_events
+        FROM gold_parking
+    """,
+    "serving_parking_slot_metrics": """
+        SELECT slot_id, slot_status, became_occupied, became_free,
+               total_occupied_seconds, total_free_seconds, free_percentage,
+               size(parking_sessions) AS n_sessions
+        FROM gold_parking
+    """,
+    # people dashboard equivalents
+    "serving_people_totals": """
+        SELECT COUNT(*) AS total_people,
+               SUM(CASE WHEN entered_restricted_area THEN 1 ELSE 0 END) AS restricted_entries,
+               AVG(duration_seconds) AS avg_dwell_seconds
+        FROM gold_people
+    """,
+    "serving_people_gender_dist": """
+        SELECT gender AS term, COUNT(*) AS n
+        FROM gold_people WHERE gender IS NOT NULL GROUP BY gender
+    """,
+    # safety dashboard equivalents
+    "serving_safety_violations": """
+        SELECT SUM(hardhat_violations) AS hardhat,
+               SUM(mask_violations) AS mask,
+               SUM(safety_vest_violations) AS safety_vest,
+               SUM(total_unsafe_frames) AS unsafe_frames
+        FROM gold_safety
+    """,
+}
+
+#: which gold view each serving view reads (for registration checks)
+VIEW_SOURCES: dict[str, str] = {
+    name: (
+        "gold_vehicle"
+        if "vehicle" in name
+        else "gold_parking"
+        if "parking" in name
+        else "gold_people"
+        if "people" in name
+        else "gold_safety"
+    )
+    for name in DASHBOARD_VIEWS
+}
+
+
+def register_gold(spark: SparkSession, domain: str, gold_df: DataFrame) -> None:
+    """Expose a gold DataFrame as ``gold_<domain>`` for the SQL layer."""
+    gold_df.createOrReplaceTempView(f"gold_{domain}")
+
+
+def register_serving_views(spark: SparkSession, domains: list[str] | None = None) -> list[str]:
+    """Create every dashboard view whose gold source is registered.
+    Returns the view names created."""
+    available = {
+        t.name for t in spark.catalog.listTables() if t.name.startswith("gold_")
+    }
+    created = []
+    for name, sql in DASHBOARD_VIEWS.items():
+        if VIEW_SOURCES[name] in available:
+            spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
+            created.append(name)
+    return created

@@ -1,0 +1,138 @@
+"""Streaming ingest + windowed/sessionized aggregations.
+
+Design notes for scale:
+
+* File-source ingest lists only NEW files per micro-batch (checkpointed
+  log); with ``availableNow`` it drains the backlog and stops — the
+  streaming twin of the reference's upload-triggered batch, but with
+  exactly-once bookkeeping instead of its latest-file heuristics
+  (``Send_Data_To_DataLake/main.py:98-99``).
+* Watermarks bound state: aggregation state for windows older than the
+  watermark is dropped, so long-running streams don't accumulate
+  unbounded hash state.
+* ``session_window`` is the streaming twin of the batch gap
+  sessionization (operators/sessionize.py) — same semantics, incremental
+  state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from datalake_backend_spark.schemas import DOMAIN_SCHEMAS
+
+
+def read_raw_stream(
+    spark: SparkSession,
+    path: str,
+    domain: str | None = None,
+    schema: T.StructType | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming bronze scan over a landing directory of JSON documents."""
+    if schema is None:
+        if domain is None:
+            raise ValueError("pass either domain or schema")
+        schema = DOMAIN_SCHEMAS[domain]
+    reader = (
+        spark.readStream.schema(schema)
+        .option("multiLine", "true")
+        .option("mode", "PERMISSIVE")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(path)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Streaming scan over a parquet event feed (the `events` shape)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts + value sums."""
+    win = (
+        F.window(time_col, window, slide) if slide else F.window(time_col, window)
+    )
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(win.alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_aggregate(
+    events: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap sessions (twin of sessionize_by_gap)."""
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(time_col, gap).alias("s"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def start_to_memory(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> StreamingQuery:
+    """Memory-sink runner for tests/smoke: drain with
+    ``q.processAllAvailable()`` then query ``SELECT * FROM <name>``."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_silver_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    transform=None,
+) -> StreamingQuery:
+    """Exactly-once parquet sink via foreachBatch: applies the domain's
+    silver transform per micro-batch (per-file batch semantics, like the
+    reference's per-upload preprocessing, but checkpointed)."""
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        out = transform(batch) if transform else batch
+        out.write.mode("append").parquet(path)
+
+    return (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,160 @@
+"""Streaming surface, JSON sinks, and serving-view tests."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datalake_backend_spark.pipelines import get_pipeline
+from datalake_backend_spark.serving.views import (
+    register_gold,
+    register_serving_views,
+)
+from datalake_backend_spark.sources.readers import read_raw_json
+from datalake_backend_spark.sources.writers import (
+    json_array_document,
+    single_row_json,
+    wrapped_json_document,
+    write_json_document,
+)
+from datalake_backend_spark.streaming.pipeline import (
+    read_raw_stream,
+    session_aggregate,
+    start_silver_sink,
+    start_to_memory,
+    windowed_counts,
+)
+from tests.fixtures import write_fixture
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _event_rows(spark, tmp_path):
+    rows = [
+        ("2024-01-01 10:00:00", 1, "view", 1.0),
+        ("2024-01-01 10:02:00", 1, "view", 2.0),
+        ("2024-01-01 10:50:00", 1, "purchase", 5.0),  # new session (>30m gap)
+        ("2024-01-01 10:01:00", 2, "view", 3.0),
+    ]
+    df = spark.createDataFrame(
+        [(F.lit(None),)] * 0 or rows, ["ts", "user_id", "event_type", "value"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "events_parquet")
+    df.write.parquet(path)
+    return path
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    """Append mode emits only windows the watermark has closed: the
+    10:00 view window closes (watermark = 10:50 - 1m), the 10:50
+    purchase window is still open and must be withheld — late data
+    could still join it."""
+    path = _event_rows(spark, tmp_path)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    agg = windowed_counts(stream, window="5 minutes", watermark="1 minute")
+    q = start_to_memory(agg, "win_counts", output_mode="append")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM win_counts").collect()
+    got = {
+        (str(r.window_start), r.event_type): (r.n, r.sum_value) for r in rows
+    }
+    assert got[("2024-01-01 10:00:00", "view")] == (3, 6.0)
+    assert ("2024-01-01 10:50:00", "purchase") not in got  # still open
+
+
+def test_streaming_session_window(spark, tmp_path):
+    path = _event_rows(spark, tmp_path)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    agg = session_aggregate(stream, gap="30 minutes", watermark="1 minute")
+    q = start_to_memory(agg, "sess", output_mode="append")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM sess").collect()
+    got = {(r.user_id, r.n_events) for r in rows}
+    # user 1's first session (2 events) closed 10:32 < watermark 10:49;
+    # the 10:50 purchase session is open → withheld; user 2's closed.
+    assert got == {(1, 2), (2, 1)}
+
+
+def test_streaming_file_ingest_to_silver(spark, tmp_path):
+    """availableNow file-source drains a landing dir through the domain
+    silver transform into parquet — the per-upload batch contract."""
+    land = tmp_path / "landing"
+    land.mkdir()
+    write_fixture(land, "safety")
+    stream = read_raw_stream(spark, str(land), domain="safety")
+    out = str(tmp_path / "silver")
+    ck = str(tmp_path / "ck")
+    q = start_silver_sink(
+        stream, out, ck, transform=get_pipeline("safety").silver
+    )
+    q.awaitTermination(60)
+    result = spark.read.parquet(out)
+    assert result.count() == 4  # 4 people rows across 3 frames
+    assert "tracker_id" in result.columns
+    # second drain with no new files appends nothing (checkpointed)
+    q2 = start_silver_sink(
+        read_raw_stream(spark, str(land), domain="safety"), out, ck,
+        transform=get_pipeline("safety").silver,
+    )
+    q2.awaitTermination(60)
+    assert spark.read.parquet(out).count() == 4
+
+
+def test_json_document_sinks(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(2, "b"), (1, "a")], ["frame_number", "val"]
+    )
+    doc = json_array_document(df, sort_cols=["frame_number"]).collect()[0].json
+    parsed = json.loads(doc)
+    assert [d["frame_number"] for d in parsed] == [1, 2]
+
+    wrapped = wrapped_json_document(df, "frame_detections", ["frame_number"])
+    parsed2 = json.loads(wrapped.collect()[0].json)
+    assert list(parsed2) == ["frame_detections"]
+    assert len(parsed2["frame_detections"]) == 2
+
+    single = json.loads(single_row_json(df.orderBy("frame_number")).collect()[0].json)
+    assert single == {"frame_number": 1, "val": "a"}
+
+    out = str(tmp_path / "doc_out")
+    write_json_document(wrapped, out)
+    text = spark.read.text(out).collect()[0].value
+    assert json.loads(text) == parsed2
+
+
+def test_serving_views(spark, tmp_path):
+    for domain in ("vehicle", "parking", "people", "safety"):
+        path = write_fixture(tmp_path, domain)
+        raw = read_raw_json(spark, path, domain=domain)
+        pipe = get_pipeline(domain)
+        register_gold(spark, domain, pipe.gold(pipe.silver(raw)))
+    created = register_serving_views(spark)
+    assert len(created) == 11
+
+    totals = spark.sql("SELECT * FROM serving_vehicle_totals").collect()[0]
+    assert totals.total_vehicles == 1
+    assert totals.total_red_light_violations == 1
+
+    slots = {
+        r.slot_id: r for r in spark.sql(
+            "SELECT * FROM serving_parking_slot_metrics"
+        ).collect()
+    }
+    assert slots["A"].n_sessions == 1 and slots["C"].n_sessions == 0
+
+    viol = spark.sql("SELECT * FROM serving_safety_violations").collect()[0]
+    assert viol.mask == 2 and viol.hardhat == 1
+
+    people = spark.sql("SELECT * FROM serving_people_totals").collect()[0]
+    assert people.total_people == 2 and people.restricted_entries == 1
