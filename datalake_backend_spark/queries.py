@@ -875,6 +875,144 @@ def q29_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q30-q34 — restructure, pivot, grouping sets, explode, as-of join.
+# ---------------------------------------------------------------------------
+def q30_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/F19: parse the events.props JSON map and aggregate a field."""
+    from pyspark.sql import types as T
+
+    from datalake_backend_spark.core.restructure import parse_json_map
+
+    ev = table(spark, sf_dir, "events")
+    k = parse_json_map(F.col("props"), T.LongType()).getItem("k")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("n_with_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+Q30_SQL = """
+SELECT event_type,
+  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+  COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q31_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot events: per user, one column of counts per event type."""
+    ev = table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
+Q31_SQL = """
+SELECT user_id,
+  COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS n_click,
+  COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS n_error,
+  COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS n_purchase,
+  COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS n_signup,
+  COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def q32_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: (flag, status), (flag), () subtotals."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dec_sum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+Q32_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q33_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 explode: top-20 corpus tokens with deterministic tie-break."""
+    from datalake_backend_spark.datapipe.text import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+Q33_SQL = r"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents) t
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+"""
+
+
+def q34_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event gets the latest at-or-before order of the
+    matching customer (events.user_id ≡ orders.o_custkey)."""
+    from datalake_backend_spark.operators.asof import asof_join
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
+        .where(F.col("event_id") < 2000)
+    )
+    # dedupe to one order per (customer, date) — as-of ties in the right
+    # time are otherwise unordered in ANY engine; pick max orderkey.
+    orders = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.unix_micros("o_orderdate").alias("odate_us"),
+        )
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    out = asof_join(
+        ev,
+        orders,
+        on="user_id",
+        left_time="ts_us",
+        right_time="odate_us",
+        payload_cols=["o_orderkey", "o_totalprice"],
+    )
+    return out.select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
+Q34_SQL = """
+WITH o AS (
+  SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS odate_us,
+         arg_max(o_orderkey, o_orderkey) AS o_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY o_custkey, epoch_us(o_orderdate)
+)
+SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_id < 2000) e
+ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts_us >= o.odate_us
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QuerySpec] = {
@@ -907,6 +1045,11 @@ QUERIES: dict[str, QuerySpec] = {
     "q27_simhash_near_dup": QuerySpec(q27_simhash_near_dup, None, "dedup-simhash"),
     "q28_ann_topk": QuerySpec(q28_ann_topk, Q28_SQL, "similarity-topk"),
     "q29_lsh_topk": QuerySpec(q29_lsh_topk, None, "similarity-lsh"),
+    "q30_json_extract": QuerySpec(q30_json_extract, Q30_SQL, "F9,F19"),
+    "q31_pivot": QuerySpec(q31_pivot, Q31_SQL, "A13-pivot"),
+    "q32_rollup_totals": QuerySpec(q32_rollup_totals, Q32_SQL, "A8-rollup"),
+    "q33_token_explode": QuerySpec(q33_token_explode, Q33_SQL, "E1,E2"),
+    "q34_asof_join": QuerySpec(q34_asof_join, Q34_SQL, "J-asof (custom operator)"),
 }
 
 
