@@ -14,6 +14,7 @@ from datalake_backend_spark.pipelines import (
     retail,
     safety,
     school,
+    tracking,
     vehicle,
 )
 
@@ -28,6 +29,7 @@ PIPELINES: dict[str, ModuleType] = {
     "common": common,
     "school": school,
     "retail": retail,
+    "tracking": tracking,
 }
 
 

@@ -806,7 +806,7 @@ def q26_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup, exact-Jaccard-verified at 0.95.
 
     Oracle-checkable because verification is exact: LSH candidate recall
-    at j ≥ 0.95 with 32 bands × 4 rows is 1 - (1 - 0.95^4)^32 ≈ 1-1e-23,
+    at j ≥ 0.95 with 16 bands × 4 rows is 1 - (1 - 0.95^4)^16 ≈ 1-3e-12,
     so the verified output equals the all-pairs answer. Doc subset capped
     (this synthetic corpus is pathologically self-similar — every doc
     pair shares vocabulary, which would make candidate generation
@@ -815,7 +815,7 @@ def q26_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_backend_spark.datapipe.dedup import near_dup_minhash
 
     docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
-    out = near_dup_minhash(docs, n=1, threshold=0.95)
+    out = near_dup_minhash(docs, n=1, threshold=0.95, k=64, bands=16)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
 
 

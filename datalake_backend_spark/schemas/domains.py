@@ -355,6 +355,36 @@ RETAIL_RAW = T.StructType(
     ]
 )
 
+# ---------------------------------------------------------------------------
+# tracking — Preprocess_Json_Data/preprocessing/tracking_data.py:8-21.
+# The producer emits `detections` as a JSON object keyed by tracker id;
+# the reference hardcodes the key list (tracking_data.py:50, silently
+# dropping unknown ids). Declaring MapType makes every id a data value.
+# ---------------------------------------------------------------------------
+TRACKING_DETAIL = T.StructType(
+    [
+        T.StructField("gender", T.StringType()),
+        T.StructField("age", T.IntegerType()),
+        T.StructField("carrying", T.StringType()),
+        T.StructField("confidence", T.DoubleType()),
+        T.StructField("entry_time", T.StringType()),
+        T.StructField("exit_time", T.StringType()),
+        T.StructField("entry_frame", T.IntegerType()),
+        T.StructField("exit_frame", T.IntegerType()),
+    ]
+)
+
+TRACKING_RAW = T.StructType(
+    [
+        T.StructField("video_metadata", T.StringType()),
+        T.StructField("processing_time", T.StringType()),
+        T.StructField("summary", T.StringType()),
+        T.StructField(
+            "detections", T.MapType(T.StringType(), TRACKING_DETAIL), False
+        ),
+    ]
+)
+
 #: domain → raw (bronze) schema
 DOMAIN_SCHEMAS: dict[str, T.StructType] = {
     "vehicle": VEHICLE_RAW,
@@ -367,6 +397,7 @@ DOMAIN_SCHEMAS: dict[str, T.StructType] = {
     "common": COMMON_RAW,
     "school": SCHOOL_RAW,
     "retail": RETAIL_RAW,
+    "tracking": TRACKING_RAW,
 }
 
 #: Null-default dictionaries applied on the exploded (one row per
@@ -444,6 +475,13 @@ NULL_DEFAULTS: dict[str, dict[str, object]] = {
         "picked_by_customer": False,
     },
     "parking": {},
+    # tracking_data.py:29-34
+    "tracking": {
+        "age": -1,
+        "confidence": 0.5,
+        "gender": "Unknown",
+        "carrying": "Unknown",
+    },
 }
 
 #: Producer column name → engine canonical name, applied in silver.

@@ -249,6 +249,25 @@ def retail_doc() -> list[dict]:
     ]
 
 
+def tracking_doc() -> dict:
+    def det(gender, age, entry, exit_, ef, xf):
+        return {"gender": gender, "age": age, "carrying": "Unknown",
+                "confidence": 0.9, "entry_time": entry, "exit_time": exit_,
+                "entry_frame": ef, "exit_frame": xf}
+
+    return {
+        "video_metadata": "v.mp4",
+        "processing_time": "2024-05-01 12:00:00 UTC",
+        "summary": "2 tracks",
+        "detections": {
+            # dynamic ids incl. one ("99") outside the reference's
+            # hardcoded list — must survive here
+            "2": det("male", 30, "2024-05-01 12:00:00", "2024-05-01 12:00:10", 1, 300),
+            "99": det("female", None, "2024-05-01 12:00:05 UTC", None, 150, None),
+        },
+    }
+
+
 DOCS = {
     "vehicle": vehicle_doc,
     "people": people_doc,
@@ -260,6 +279,7 @@ DOCS = {
     "common": common_doc,
     "school": school_doc,
     "retail": retail_doc,
+    "tracking": tracking_doc,
 }
 
 

@@ -186,6 +186,23 @@ def test_retail_gold(spark, tmp_path):
     assert rows["y1"].expiry_dates == []
 
 
+def test_tracking_dynamic_ids(spark, tmp_path):
+    """Tracker ids are data, not code: id '99' (absent from the
+    reference's hardcoded list, tracking_data.py:50) must survive."""
+    silver, gold = _run(spark, tmp_path, "tracking")
+    rows = {r.tracker_id: r for r in gold.collect()}
+    assert set(rows) == {"2", "99"}
+    t2 = rows["2"]
+    assert t2.gender == "male" and t2.duration_seconds == 10.0
+    assert t2.frame_span == 299
+    t99 = rows["99"]
+    assert t99.gender == "female"
+    assert t99.age == -1  # null default applied
+    assert t99.duration_seconds is None  # open track
+    # " UTC" suffix stripped and parsed
+    assert str(rows["99"].entry_time) == "2024-05-01 12:00:05"
+
+
 @pytest.mark.parametrize("domain", sorted(DOCS))
 def test_all_pipelines_run(spark, tmp_path, domain):
     """Every registered pipeline executes end-to-end on its fixture."""

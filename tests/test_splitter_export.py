@@ -1,0 +1,75 @@
+"""Feature splitter (A13) + bulk index export (S11) tests."""
+
+from __future__ import annotations
+
+import json
+
+from datalake_backend_spark.pipelines import get_pipeline
+from datalake_backend_spark.pipelines.splitter import SPLIT_SPECS, run_splitter
+from datalake_backend_spark.serving.export import bulk_index_lines, write_bulk_export
+from datalake_backend_spark.sources.readers import read_raw_json
+from tests.fixtures import write_fixture
+
+
+def _gold(spark, tmp_path, domain):
+    path = write_fixture(tmp_path, domain)
+    raw = read_raw_json(spark, path, domain=domain)
+    pipe = get_pipeline(domain)
+    return pipe.gold(pipe.silver(raw))
+
+
+def test_vehicle_splitter(spark, tmp_path):
+    gold = _gold(spark, tmp_path, "vehicle")
+    outputs = run_splitter(gold, "vehicle")
+    assert set(outputs) >= {
+        "identity", "movement", "lanes", "violations", "presence",
+        "dist_vehicle_type", "summary",
+    }
+    ident = outputs["identity"].collect()[0]
+    assert ident.tracker_id == 1 and ident.vehicle_type == "car"
+    lanes = outputs["lanes"].collect()[0]
+    assert lanes.lane_changes == 1
+    dist = {r.value: r.n for r in outputs["dist_vehicle_type"].collect()}
+    assert dist == {"car": 1}
+    summary = outputs["summary"].collect()[0]
+    assert summary.n_rows == 1 and summary.avg_avg_speed == 20.0
+
+
+def test_parking_splitter(spark, tmp_path):
+    gold = _gold(spark, tmp_path, "parking")
+    outputs = run_splitter(gold, "parking")
+    occ = {r.slot_id: r.slot_status for r in outputs["occupancy"].collect()}
+    assert occ == {"A": "free", "B": "occupied", "C": "free"}
+    dist = {r.value: r.n for r in outputs["dist_slot_status"].collect()}
+    assert dist == {"free": 2, "occupied": 1}
+
+
+def test_all_split_specs_run(spark, tmp_path):
+    for domain in SPLIT_SPECS:
+        outputs = run_splitter(_gold(spark, tmp_path, domain), domain)
+        for name, df in outputs.items():
+            assert df.count() >= 1, f"{domain}/{name}"
+
+
+def test_bulk_export_format(spark, tmp_path):
+    gold = _gold(spark, tmp_path, "vehicle")
+    lines = bulk_index_lines(
+        gold.select("tracker_id", "vehicle_type", "max_speed"),
+        index="datalake-vehicle-data",
+        id_col="tracker_id",
+    ).collect()
+    action, source = lines[0].value.split("\n")
+    a = json.loads(action)
+    assert a["index"]["_index"] == "datalake-vehicle-data"
+    assert a["index"]["_id"] == "1"
+    s = json.loads(source)
+    assert s["vehicle_type"] == "car" and "@timestamp" in s
+
+    out = str(tmp_path / "bulk")
+    write_bulk_export(
+        gold.select("tracker_id", "vehicle_type"), out, "idx", "tracker_id"
+    )
+    text = [r.value for r in spark.read.text(out).collect()]
+    # text source splits the embedded \n: action and source alternate
+    assert json.loads(text[0])["index"]["_id"] == "1"
+    assert json.loads(text[1])["vehicle_type"] == "car"
