@@ -1,0 +1,138 @@
+"""Engine facade — the reference's per-upload lifecycle, Spark-first.
+
+A user of the reference drives it via ``POST /upload_2_<domain>``
+(``Send_Data_To_DataLake/main.py:38-151``): land raw JSON → basic
+preprocessing → write ``processed`` → advanced preprocessing → write
+``refine`` → split feature files → index into the search tier. This
+facade is that lifecycle with the same zone names and status protocol
+(``1`` ok, ``-1`` empty/skip — ``Preprocess_Json_Data/main.py:70,147-149``)
+— minus the anti-patterns: one long-lived session, no driver-side
+enrichment, JSON document shapes rendered on the cluster, columnar gold
+zone alongside the compatibility JSON.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datalake_backend_spark.config import get_spark
+from datalake_backend_spark.core.cleaning import non_empty
+from datalake_backend_spark.operators.renest import renest_frames
+from datalake_backend_spark.pipelines import get_pipeline
+from datalake_backend_spark.pipelines.splitter import SPLIT_SPECS, run_splitter
+from datalake_backend_spark.serving.export import write_bulk_export
+from datalake_backend_spark.serving.views import register_gold, register_serving_views
+from datalake_backend_spark.sources.readers import read_raw_json, split_corrupt
+from datalake_backend_spark.sources.writers import (
+    json_array_document,
+    write_json_document,
+    write_table,
+)
+
+#: frame-level columns per domain for processed-zone re-nesting
+FRAME_COLS: dict[str, list[str]] = {
+    "vehicle": ["frame_number", "congestion_level", "traffic_light"],
+    "people": ["frame_number", "timestamp"],
+    "safety": ["frame_number"],
+    "pose": ["frame_number"],
+    "animal": ["frame_number_frame", "timestamp_frame"],
+    "parking": ["video_source", "frame_number", "timestamp_sec"],
+    "geolocation": ["frame_number"],
+    "common": ["frame_number"],
+    "school": ["frame_number", "frame_timestamp"],
+    "retail": ["frame_number", "frame_timestamp"],
+    "tracking": ["video_metadata", "processing_time", "summary"],
+}
+
+STATUS_OK = 1
+STATUS_EMPTY = -1
+
+
+@dataclass
+class ProcessResult:
+    status: int
+    domain: str
+    silver_rows: int = 0
+    gold_rows: int = 0
+    corrupt_docs: int = 0
+    outputs: dict[str, str] = field(default_factory=dict)
+
+
+class Engine:
+    """Long-lived engine instance over one SparkSession."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or get_spark()
+
+    def process_document(
+        self,
+        path: str,
+        domain: str,
+        out_dir: str,
+        export_index: bool = False,
+    ) -> ProcessResult:
+        """Full lifecycle for one raw detection document (or a glob of
+        them): bronze → silver parquet + processed JSON → gold parquet +
+        refined JSON → feature splits → optional bulk index export.
+        """
+        pipe = get_pipeline(domain)
+        raw = read_raw_json(self.spark, path, domain=domain)
+        clean, corrupt = split_corrupt(raw)
+        n_corrupt = corrupt.count()
+        silver = pipe.silver(clean)
+        if not non_empty(silver):
+            return ProcessResult(STATUS_EMPTY, domain, corrupt_docs=n_corrupt)
+
+        result = ProcessResult(STATUS_OK, domain, corrupt_docs=n_corrupt)
+        zones = {
+            "silver": os.path.join(out_dir, "silver", domain),
+            "processed": os.path.join(out_dir, "processed", domain),
+            "gold": os.path.join(out_dir, "gold", domain),
+            "refine": os.path.join(out_dir, "refine", domain),
+        }
+
+        write_table(silver, zones["silver"])
+        result.silver_rows = self.spark.read.parquet(zones["silver"]).count()
+
+        # processed zone: re-nested frame JSON (the reference's shape)
+        frame_cols = [c for c in FRAME_COLS[domain] if c in silver.columns]
+        detail_cols = [c for c in silver.columns if c not in frame_cols]
+        nested = renest_frames(
+            silver, frame_cols, detail_cols, sort_cols=detail_cols[:1]
+        )
+        write_json_document(
+            json_array_document(nested, sort_cols=frame_cols[:1]),
+            zones["processed"],
+        )
+
+        gold = pipe.gold(silver)
+        write_table(gold, zones["gold"])
+        gold_df = self.spark.read.parquet(zones["gold"])
+        result.gold_rows = gold_df.count()
+        write_json_document(json_array_document(gold_df), zones["refine"])
+
+        if domain in SPLIT_SPECS:
+            for name, df in run_splitter(gold_df, domain).items():
+                split_path = os.path.join(out_dir, "split", domain, name)
+                write_table(df, split_path)
+                result.outputs[f"split/{name}"] = split_path
+
+        if export_index:
+            idx_path = os.path.join(out_dir, "index", domain)
+            id_col = gold_df.columns[0]
+            write_bulk_export(gold_df, idx_path, f"datalake-{domain}-data", id_col)
+            result.outputs["index"] = idx_path
+
+        register_gold(self.spark, domain, gold_df)
+        result.outputs.update(zones)
+        return result
+
+    def refresh_serving_views(self) -> list[str]:
+        """(Re)create dashboard views over every registered gold table."""
+        return register_serving_views(self.spark)
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)

@@ -35,13 +35,20 @@ def write_table(
 
 def json_array_document(df: DataFrame, sort_cols: list[str] | None = None) -> DataFrame:
     """S2 equivalent: the whole frame as ONE ``[{...}, ...]`` JSON string
-    (single-row DataFrame, column ``json``). Ordering is deterministic
-    via array_sort over structs when ``sort_cols`` lead the struct."""
+    (single-row DataFrame, column ``json``). With ``sort_cols`` the
+    array is deterministically ordered via array_sort over structs whose
+    leading fields are the sort keys; without them the rows are packed
+    as-is (struct ordering is undefined for map-typed fields, so we
+    don't attempt it)."""
     cols = list(df.columns)
     if sort_cols:
         cols = [*sort_cols, *[c for c in cols if c not in sort_cols]]
-    packed = F.collect_list(F.struct(*[F.col(c).alias(c) for c in cols]))
-    return df.agg(F.to_json(F.array_sort(packed)).alias("json"))
+        packed = F.array_sort(
+            F.collect_list(F.struct(*[F.col(c).alias(c) for c in cols]))
+        )
+    else:
+        packed = F.collect_list(F.struct(*[F.col(c).alias(c) for c in cols]))
+    return df.agg(F.to_json(packed).alias("json"))
 
 
 def wrapped_json_document(

@@ -1,0 +1,69 @@
+"""Engine facade E2E: the reference's upload lifecycle on one session."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from datalake_backend_spark.engine import STATUS_EMPTY, STATUS_OK, Engine
+from tests.fixtures import DOCS, write_fixture
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark)
+
+
+def test_vehicle_lifecycle(engine, spark, tmp_path):
+    path = write_fixture(tmp_path, "vehicle")
+    out = str(tmp_path / "lake")
+    res = engine.process_document(path, "vehicle", out, export_index=True)
+    assert res.status == STATUS_OK
+    assert res.silver_rows == 4 and res.gold_rows == 1
+    assert res.corrupt_docs == 0
+
+    # zones exist and carry the right shapes
+    silver = spark.read.parquet(res.outputs["silver"])
+    assert "bbox_x1" in silver.columns
+    processed = json.loads(spark.read.text(res.outputs["processed"]).collect()[0].value)
+    # frame 4 has no detections → dropped, matching the reference's
+    # plain-explode vehicle path (people preserves empties instead)
+    assert [f["frame_number"] for f in processed] == [1, 2, 3]
+    assert len(processed[0]["detections"]) == 2
+    refined = json.loads(spark.read.text(res.outputs["refine"]).collect()[0].value)
+    assert refined[0]["vehicle_type"] == "car"
+    # splits + index export landed
+    assert any(k.startswith("split/") for k in res.outputs)
+    idx = [r.value for r in spark.read.text(res.outputs["index"]).collect()]
+    assert json.loads(idx[0])["index"]["_index"] == "datalake-vehicle-data"
+
+    # serving views work after registration
+    views = engine.refresh_serving_views()
+    assert "serving_vehicle_totals" in views
+    assert engine.sql("SELECT total_vehicles FROM serving_vehicle_totals").collect()[
+        0
+    ].total_vehicles == 1
+
+
+def test_empty_document_status(engine, tmp_path):
+    p = tmp_path / "empty.json"
+    p.write_text(json.dumps([]))
+    res = engine.process_document(str(p), "vehicle", str(tmp_path / "lake2"))
+    assert res.status == STATUS_EMPTY
+
+
+def test_corrupt_document_counted(engine, tmp_path):
+    p = tmp_path / "bad.json"
+    p.write_text("{definitely not json")
+    res = engine.process_document(str(p), "safety", str(tmp_path / "lake3"))
+    assert res.status == STATUS_EMPTY
+    assert res.corrupt_docs == 1
+
+
+@pytest.mark.parametrize("domain", sorted(DOCS))
+def test_every_domain_lifecycle(engine, tmp_path, domain):
+    path = write_fixture(tmp_path, domain)
+    res = engine.process_document(path, domain, str(tmp_path / "lake"))
+    assert res.status == STATUS_OK, domain
+    assert res.gold_rows > 0
