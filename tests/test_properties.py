@@ -1,0 +1,80 @@
+"""Property tests (SURVEY §5.2 item 4) via hypothesis.
+
+Driven on driver-side generated rows, executed on Spark: idempotence of
+the cleaning kernel, explode∘re-nest identity, sessionization
+conservation laws.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from datalake_backend_spark.core.cleaning import apply_null_defaults, clean_strings
+from datalake_backend_spark.operators.renest import renest_frames
+from datalake_backend_spark.operators.sessionize import session_summary, sessionize
+
+# hypothesis drives a local SparkSession — keep examples few and shapes
+# small: each example is a Spark job.
+FAST = settings(max_examples=10, deadline=None)
+
+texts = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Zs")), max_size=12
+    ),
+)
+
+
+@FAST
+@given(st.lists(st.tuples(texts, st.integers(-5, 5)), min_size=1, max_size=8))
+def test_cleaning_idempotent_property(spark, rows):
+    df = spark.createDataFrame(rows, "s string, n int")
+    clean = lambda d: apply_null_defaults(clean_strings(d), {"s": "dflt"})
+    once = sorted(map(tuple, clean(df).collect()))
+    twice = sorted(map(tuple, clean(clean(df)).collect()))
+    assert once == twice
+
+
+@FAST
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(-99, 99)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_renest_explode_roundtrip(spark, rows):
+    """explode(renest(df)) returns exactly the original rows."""
+    df = spark.createDataFrame(rows, "frame int, seq int, val int")
+    nested = renest_frames(df, ["frame"], ["seq", "val"], ["seq"])
+    back = nested.select("frame", F.explode("detections").alias("d")).select(
+        "frame", "d.seq", "d.val"
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+@FAST
+@given(
+    st.lists(st.booleans(), min_size=2, max_size=14),
+)
+def test_sessionize_conservation(spark, states):
+    """Session count == number of inactive→active transitions; active +
+    inactive seconds == total span (Δt attribution is a partition of
+    the timeline)."""
+    rows = [("e", float(i), s) for i, s in enumerate(states)]
+    df = spark.createDataFrame(rows, "id string, t double, a boolean")
+    sessions = sessionize(df, ["id"], "t", "a").collect()
+    expected_sessions = sum(
+        1
+        for i, s in enumerate(states)
+        if s and (i == 0 or not states[i - 1])
+    )
+    assert len(sessions) == expected_sessions
+
+    summary = session_summary(df, ["id"], "t", "a").collect()[0]
+    span = float(len(states) - 1)
+    assert abs(summary.active_seconds + summary.inactive_seconds - span) < 1e-9
+    assert summary.became_active == expected_sessions - (1 if states[0] else 0)
