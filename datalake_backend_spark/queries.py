@@ -11,12 +11,20 @@ orders ⟕ lineitem.
 
 Cross-engine exactness rules (validated bit-for-bit on testdata):
 
-* **Float sums** go through ``DECIMAL(18,4)`` accumulation and a final
-  cast to double — decimal arithmetic is exact and the decimal→double
-  conversion is IEEE round-to-nearest in both engines, so results are
-  bit-identical regardless of partitioning/summation order. Averages
-  divide that exact double by the exact count; stddev uses the
-  sum-of-squares identity over decimal sums.
+* **Float sums over raw columns** go through ``DECIMAL(18,4)``
+  accumulation and a final cast to double — decimal arithmetic is exact
+  and the decimal→double conversion is IEEE round-to-nearest in both
+  engines, so results are bit-identical regardless of partitioning or
+  summation order. Averages divide that exact double by the exact
+  count; stddev uses the sum-of-squares identity over decimal sums.
+* **Float sums over COMPUTED expressions** (price products etc.) use
+  :func:`scaled_sum` instead: Spark's double→decimal cast rounds the
+  double's shortest string representation (``BigDecimal.valueOf``)
+  while DuckDB converts the exact binary value, so full-mantissa
+  products can round one step apart per row (first seen as a one-ulp
+  ``sum_charge`` divergence at sf0.1). ``floor(x * 10^s)`` sidesteps
+  rounding entirely: identical doubles → identical integers → exact
+  integer sums.
 * **Timestamps** compare as ``unix_micros`` (Spark) == ``epoch_us``
   (DuckDB); the events table's nanosecond column is truncated to
   microseconds identically by both readers.
@@ -63,9 +71,28 @@ class QuerySpec:
 
 
 def dec_sum(col: str | Column, scale: int = 4) -> Column:
-    """Order-independent exact sum of a double column (see module doc)."""
+    """Order-independent exact sum of a RAW double column (see module
+    doc). Safe for columns whose values are decimal-short by
+    construction (the synthetic data's prices/quantities); for computed
+    expressions use :func:`scaled_sum` — Spark's double→decimal cast
+    rounds via the shortest string representation (BigDecimal.valueOf)
+    while DuckDB converts the exact binary value, so full-mantissa
+    products can land one 10^-scale step apart per row."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def scaled_sum(expr: Column, scale: int = 4) -> Column:
+    """Exact cross-engine sum of a COMPUTED double expression:
+    ``floor(x * 10^scale)`` of bit-identical doubles is an identical
+    integer in any engine; integer sums are exact; the final division
+    of identical doubles is identical. SQL twin:
+    ``CAST(SUM(CAST(FLOOR(x * 10^s) AS BIGINT)) AS DOUBLE) / 10^s``."""
+    factor = 10**scale
+    return (
+        F.sum(F.floor(expr * F.lit(factor)).cast("long")).cast("double")
+        / F.lit(float(factor))
+    )
 
 
 def dec_avg(col: str | Column, scale: int = 4) -> Column:
@@ -102,8 +129,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dec_sum("l_quantity").alias("sum_qty"),
             dec_sum("l_extendedprice").alias("sum_base_price"),
-            dec_sum(disc_price, 6).alias("sum_disc_price"),
-            dec_sum(charge, 8).alias("sum_charge"),
+            scaled_sum(disc_price, 6).alias("sum_disc_price"),
+            scaled_sum(charge, 6).alias("sum_charge"),
             dec_avg("l_quantity").alias("avg_qty"),
             dec_avg("l_extendedprice").alias("avg_price"),
             dec_avg("l_discount", 6).alias("avg_disc"),
@@ -116,8 +143,8 @@ Q01_SQL = """
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,8))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_disc_price,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_charge,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
   CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
@@ -149,7 +176,7 @@ def q02_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dec_sum(revenue, 6).alias("revenue"))
+        .agg(scaled_sum(revenue, 6).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -163,7 +190,7 @@ def q02_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q02_SQL = """
 SELECT l_orderkey,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS revenue,
   epoch_us(o_orderdate) AS o_orderdate_us,
   o_orderpriority
 FROM lineitem
@@ -200,13 +227,13 @@ def q03_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(dec_sum(revenue, 6).alias("revenue"))
+        .agg(scaled_sum(revenue, 6).alias("revenue"))
     )
 
 
 Q03_SQL = """
 SELECT n_name,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1013,6 +1040,70 @@ ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts_us >= o.odate_us
 
 
 # ---------------------------------------------------------------------------
+# q35-q37 — semi/anti joins and set ops (completing the join surface).
+# ---------------------------------------------------------------------------
+def q35_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left-semi: orders having any high-quantity lineitem."""
+    orders = table(spark, sf_dir, "orders")
+    big = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+Q35_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+"""
+
+
+def q36_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left-anti: customers with no orders since 2000."""
+    cust = table(spark, sf_dir, "customer")
+    recent = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+Q36_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+"""
+
+
+def q37_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName + distinct: ids active as buyers or erroring users."""
+    ev = table(spark, sf_dir, "events")
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    errorers = ev.where(F.col("event_type") == "error").select("user_id")
+    return (
+        buyers.unionByName(errorers)
+        .distinct()
+        .withColumn("source_count", F.lit(1))
+        .groupBy()
+        .agg(F.count("*").alias("n_union_users"))
+    )
+
+
+Q37_SQL = """
+SELECT COUNT(*) AS n_union_users FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  UNION
+  SELECT user_id FROM events WHERE event_type = 'error'
+) t
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QuerySpec] = {
@@ -1050,6 +1141,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q32_rollup_totals": QuerySpec(q32_rollup_totals, Q32_SQL, "A8-rollup"),
     "q33_token_explode": QuerySpec(q33_token_explode, Q33_SQL, "E1,E2"),
     "q34_asof_join": QuerySpec(q34_asof_join, Q34_SQL, "J-asof (custom operator)"),
+    "q35_semi_join": QuerySpec(q35_semi_join, Q35_SQL, "J-semi"),
+    "q36_anti_join": QuerySpec(q36_anti_join, Q36_SQL, "J-anti"),
+    "q37_union_distinct": QuerySpec(q37_union_distinct, Q37_SQL, "U-union,U1"),
 }
 
 
