@@ -1,0 +1,92 @@
+"""MERGE INTO / upsert emulation without a table format that supports it.
+
+Delta/Iceberg expose ``MERGE INTO``; on plain parquet the engine
+emulates the two lakehouse staples:
+
+* :func:`upsert` — last-writer-wins merge of an updates frame into a
+  base frame by key (anti-join keeps unmatched base rows, union brings
+  the updates; one broadcast-able anti-join, no driver involvement).
+* :func:`scd2_apply` — slowly-changing-dimension type 2: close current
+  versions that changed and append the new version rows with validity
+  ranges.
+
+Both are deterministic and idempotent for identical inputs — the
+foundation for the gold-zone "reprocess the same upload" semantics the
+reference gets implicitly by overwriting whole objects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def upsert(base: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Last-writer-wins upsert: update rows replace matching base rows,
+    new keys append. Updates deduped by key first (latest by all-column
+    struct max) so the result has one row per key from the update side."""
+    deduped = (
+        updates.groupBy(*key_cols)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in updates.columns]),
+                F.struct(*[F.col(c) for c in updates.columns if c not in key_cols]),
+            ).alias("_r")
+        )
+        .select("_r.*")
+    )
+    untouched = base.join(deduped.select(*key_cols), key_cols, "left_anti")
+    return untouched.unionByName(deduped)
+
+
+def scd2_apply(
+    current: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+    effective_col: str = "effective_from",
+    end_col: str = "effective_to",
+    ts=None,
+) -> DataFrame:
+    """SCD2 merge: rows in ``changes`` whose compare-columns differ from
+    the current open version close that version (``effective_to = ts``)
+    and append a new open version. ``current`` must carry the validity
+    columns; open versions have null ``effective_to``.
+    """
+    ts = ts if ts is not None else F.current_timestamp()
+    open_rows = current.where(F.col(end_col).isNull())
+    closed_rows = current.where(F.col(end_col).isNotNull())
+
+    joined = open_rows.alias("o").join(
+        changes.alias("c"), key_cols, "left"
+    )
+    # close open versions whose attributes changed
+    was_changed = F.lit(False)
+    for c in compare_cols:
+        was_changed = was_changed | ~(
+            F.coalesce(F.col(f"o.{c}") == F.col(f"c.{c}"), F.lit(False))
+            | (F.col(f"o.{c}").isNull() & F.col(f"c.{c}").isNull())
+        )
+    still_open = joined.where(F.col(f"c.{compare_cols[0]}").isNull() | ~was_changed).select("o.*")
+    closed_now = (
+        joined.where(F.col(f"c.{compare_cols[0]}").isNotNull() & was_changed)
+        .select("o.*")
+        .withColumn(end_col, ts)
+    )
+    # new versions: changed keys + brand-new keys
+    new_versions = (
+        changes.join(open_rows.select(*key_cols, *compare_cols).alias("oo"), key_cols, "left")
+    )
+    is_new_or_changed = F.lit(False)
+    for c in compare_cols:
+        is_new_or_changed = is_new_or_changed | ~(
+            F.coalesce(changes[c] == F.col(f"oo.{c}"), F.lit(False))
+            | (changes[c].isNull() & F.col(f"oo.{c}").isNull())
+        )
+    fresh = (
+        new_versions.where(is_new_or_changed)
+        .select(*[changes[c] for c in changes.columns])
+        .withColumn(effective_col, ts)
+        .withColumn(end_col, F.lit(None).cast("timestamp"))
+    )
+    return closed_rows.unionByName(still_open).unionByName(closed_now).unionByName(fresh)

@@ -1104,6 +1104,76 @@ SELECT COUNT(*) AS n_union_users FROM (
 
 
 # ---------------------------------------------------------------------------
+# q38-q40 — percentiles, time-series bucketing, salted aggregation.
+# ---------------------------------------------------------------------------
+def q38_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (the serving tier's
+    latency-quantile shape). Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the linear-interpolation definition; inputs
+    are identical doubles, so outputs match bit-for-bit."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+
+
+Q38_SQL = """
+SELECT event_type,
+  quantile_cont(value, 0.5) AS p50,
+  quantile_cont(value, 0.9) AS p90,
+  quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def q39_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly time-series buckets (the Kibana date-histogram shape)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        dec_sum("value").alias("sum_value"),
+    )
+
+
+Q39_SQL = """
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q40_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation — same numbers as a plain
+    groupBy (the oracle is the plain form), sharded across salts."""
+    from datalake_backend_spark.operators.skew import salted_agg
+
+    ev = table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        sum_cols=[],
+        count=True,
+        max_cols=["value"],
+        min_cols=["value"],
+        n_salts=8,
+        salt_source=F.col("event_id"),
+    )
+    return out.select("event_type", "count", "max_value", "min_value")
+
+
+Q40_SQL = """
+SELECT event_type, COUNT(*) AS count, MAX(value) AS max_value, MIN(value) AS min_value
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QuerySpec] = {
@@ -1144,6 +1214,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q35_semi_join": QuerySpec(q35_semi_join, Q35_SQL, "J-semi"),
     "q36_anti_join": QuerySpec(q36_anti_join, Q36_SQL, "J-anti"),
     "q37_union_distinct": QuerySpec(q37_union_distinct, Q37_SQL, "U-union,U1"),
+    "q38_percentiles": QuerySpec(q38_percentiles, Q38_SQL, "A13-quantiles"),
+    "q39_timeseries": QuerySpec(q39_timeseries, Q39_SQL, "W8-timeseries,A13"),
+    "q40_salted_agg": QuerySpec(q40_salted_agg, Q40_SQL, "A-skew-salting"),
 }
 
 

@@ -1,0 +1,74 @@
+"""Salted aggregation and MERGE/SCD2 emulation tests."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from datalake_backend_spark.operators.merge import scd2_apply, upsert
+from datalake_backend_spark.operators.skew import salted_agg
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(100)] + [("cold", 1.0)],
+        "k string, v double",
+    )
+    salted = {
+        r["k"]: (r["count"], r["sum_v"], r["max_v"])
+        for r in salted_agg(
+            df, ["k"], sum_cols=["v"], max_cols=["v"], n_salts=4,
+            salt_source=F.col("v"),
+        ).collect()
+    }
+    plain = {
+        r.k: (r.c, r.s, r.m)
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("c"), F.sum("v").alias("s"), F.max("v").alias("m"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_upsert_last_writer_wins(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id int, name string, v int"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 21), (3, "c", 30)], "id int, name string, v int"
+    )
+    out = {r.id: (r.name, r.v) for r in upsert(base, updates, ["id"]).collect()}
+    assert out == {1: ("a", 10), 2: ("b2", 21), 3: ("c", 30)}
+
+
+def test_upsert_idempotent(spark):
+    base = spark.createDataFrame([(1, "a")], "id int, name string")
+    updates = spark.createDataFrame([(1, "a2")], "id int, name string")
+    once = upsert(base, updates, ["id"])
+    twice = upsert(once, updates, ["id"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_scd2_closes_and_appends(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 6, 1)
+    current = spark.createDataFrame(
+        [(1, "x", t0, None), (2, "y", t0, None)],
+        "id int, attr string, effective_from timestamp, effective_to timestamp",
+    )
+    changes = spark.createDataFrame(
+        [(1, "x2"), (2, "y"), (3, "z")], "id int, attr string"
+    )
+    out = scd2_apply(
+        current, changes, ["id"], ["attr"], ts=F.lit(t1)
+    ).collect()
+    rows = sorted((r.id, r.attr, r.effective_to) for r in out)
+    # id 1: old version closed at t1 + new open version
+    assert (1, "x", t1) in rows and (1, "x2", None) in rows
+    # id 2: unchanged → still one open version
+    assert (2, "y", None) in rows and len([r for r in rows if r[0] == 2]) == 1
+    # id 3: brand new open version
+    assert (3, "z", None) in rows
+    # closed v1 of id1, open v2 of id1, unchanged id2, new id3
+    assert len(rows) == 4
