@@ -94,7 +94,15 @@ class Engine:
             "refine": os.path.join(out_dir, "refine", domain),
         }
 
-        write_table(silver, zones["silver"])
+        # zone layout at scale: partition by ingest date so time-bounded
+        # reprocessing and retention prune at the directory level
+        from pyspark.sql import functions as F
+
+        write_table(
+            silver.withColumn("ingest_date", F.current_date()),
+            zones["silver"],
+            partition_by=["ingest_date"],
+        )
         result.silver_rows = self.spark.read.parquet(zones["silver"]).count()
 
         # processed zone: re-nested frame JSON (the reference's shape)

@@ -85,19 +85,59 @@ DASHBOARD_VIEWS: dict[str, str] = {
                SUM(total_unsafe_frames) AS unsafe_frames
         FROM gold_safety
     """,
+    # pose: action distribution + durations
+    "serving_pose_actions": """
+        SELECT action AS term, frame_count, avg_confidence, duration_seconds
+        FROM gold_pose
+    """,
+    # animal / common: per-object counts by class
+    "serving_animal_class_dist": """
+        SELECT class_name AS term, COUNT(*) AS n_objects,
+               SUM(detection_count) AS n_detections
+        FROM gold_animal GROUP BY class_name
+    """,
+    "serving_common_class_dist": """
+        SELECT class_name AS term, COUNT(*) AS n_objects,
+               SUM(detection_count) AS n_detections
+        FROM gold_common GROUP BY class_name
+    """,
+    # geolocation: spatial bounding boxes per class
+    "serving_geolocation_extents": """
+        SELECT class_name, detection_count,
+               min_latitude, max_latitude, min_longitude, max_longitude
+        FROM gold_geolocation
+    """,
+    # school: alert rollups
+    "serving_school_alerts": """
+        SELECT alert_level AS term, COUNT(*) AS n_events,
+               SUM(occurrence_count) AS n_detections,
+               SUM(CASE WHEN response_required THEN 1 ELSE 0 END) AS responses_required
+        FROM gold_school GROUP BY alert_level
+    """,
+    # retail: category stock/pick metrics
+    "serving_retail_categories": """
+        SELECT category AS term, COUNT(*) AS n_products,
+               AVG(avg_price) AS avg_price,
+               SUM(CASE WHEN picked_by_customer THEN 1 ELSE 0 END) AS picked
+        FROM gold_retail GROUP BY category
+    """,
+    # tracking: presence summary
+    "serving_tracking_presence": """
+        SELECT COUNT(*) AS n_tracks,
+               AVG(duration_seconds) AS avg_duration,
+               AVG(confidence) AS avg_confidence
+        FROM gold_tracking
+    """,
 }
+
+_DOMAINS = (
+    "vehicle", "parking", "people", "safety", "pose", "animal", "common",
+    "geolocation", "school", "retail", "tracking",
+)
 
 #: which gold view each serving view reads (for registration checks)
 VIEW_SOURCES: dict[str, str] = {
-    name: (
-        "gold_vehicle"
-        if "vehicle" in name
-        else "gold_parking"
-        if "parking" in name
-        else "gold_people"
-        if "people" in name
-        else "gold_safety"
-    )
+    name: next(f"gold_{d}" for d in _DOMAINS if d in name)
     for name in DASHBOARD_VIEWS
 }
 

@@ -140,7 +140,14 @@ def test_serving_views(spark, tmp_path):
         pipe = get_pipeline(domain)
         register_gold(spark, domain, pipe.gold(pipe.silver(raw)))
     created = register_serving_views(spark)
-    assert len(created) == 11
+    # at least every view over the four domains registered above (other
+    # tests may have registered more gold views in this shared session)
+    assert {
+        "serving_vehicle_totals", "serving_vehicle_type_dist",
+        "serving_parking_totals", "serving_parking_slot_metrics",
+        "serving_people_totals", "serving_people_gender_dist",
+        "serving_safety_violations",
+    } <= set(created)
 
     totals = spark.sql("SELECT * FROM serving_vehicle_totals").collect()[0]
     assert totals.total_vehicles == 1
