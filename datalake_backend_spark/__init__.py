@@ -16,5 +16,16 @@ hot paths), broadcast-able joins, AQE-friendly shuffles.
 
 from datalake_backend_spark.config import get_spark, stop_spark
 
-__all__ = ["get_spark", "stop_spark"]
+
+def __getattr__(name: str):
+    # lazy import: `from datalake_backend_spark import Engine` without
+    # paying the pipeline-module import cost for pure-operator users
+    if name == "Engine":
+        from datalake_backend_spark.engine import Engine
+
+        return Engine
+    raise AttributeError(name)
+
+
+__all__ = ["get_spark", "stop_spark", "Engine"]
 __version__ = "0.1.0"

@@ -48,6 +48,10 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # ~128 MB split targets keep scan tasks right-sized at any SF.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # Kryo for shuffle/broadcast serialization (the reference also used
+    # it — spark_config.py:49); matters for collect_list-of-struct
+    # shuffles in the re-nesting and rollup paths.
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     # Quieter, faster local runs; harmless on a cluster.
     "spark.ui.showConsoleProgress": "false",
 }

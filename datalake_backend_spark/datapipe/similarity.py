@@ -18,6 +18,10 @@ plan on every run and cluster.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # noqa: F401 — needed at module scope so pandas_udf
+# type hints (stringified by the future import) resolve at decoration time
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -63,10 +67,43 @@ def cosine_to(
     vec_col: str = "embedding",
     out_col: str = "cosine",
 ) -> DataFrame:
-    """Exact cosine similarity of every row's vector to ``query``."""
+    """Exact cosine similarity of every row's vector to ``query``.
+
+    JVM-side left fold — right for modest dims (≤ a few hundred) and
+    when bit-exact cross-engine reproducibility matters. For
+    high-dimensional embeddings (768/1536+) prefer
+    :func:`cosine_to_pandas`: Arrow-vectorized numpy is ~10-50× faster
+    per element at those widths (at the cost of summation-order float
+    differences in the last ulp)."""
     v = _as_double_array(vec_col)
     qn = sum(float(x) * float(x) for x in query) ** 0.5
     return df.withColumn(out_col, dot(v, query) / (norm(v) * F.lit(qn)))
+
+
+def cosine_to_pandas(
+    df: DataFrame,
+    query: list[float],
+    vec_col: str = "embedding",
+    out_col: str = "cosine",
+) -> DataFrame:
+    """Arrow-batched cosine via a Pandas UDF — the high-dim fast path.
+
+    The query vector travels inside the serialized UDF (small, constant);
+    each batch does one matmul. Results differ from :func:`cosine_to`
+    only by float summation order (pairwise vs sequential)."""
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    @pandas_udf("double")
+    def _cos(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        dots = m @ q
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pd.Series(dots / (norms * qn))
+
+    return df.withColumn(out_col, _cos(F.col(vec_col)))
 
 
 def brute_force_topk(

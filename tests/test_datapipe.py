@@ -99,6 +99,18 @@ def test_cosine_and_topk(spark):
     assert top == [1, 3]
 
 
+def test_cosine_pandas_matches_jvm(spark):
+    from datalake_backend_spark.datapipe.similarity import cosine_to_pandas
+
+    rows = [(i, [float(i), 1.0, -0.5]) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = [0.3, -1.2, 0.7]
+    jvm = {r.vec_id: r.cosine for r in cosine_to(df, q).collect()}
+    pnd = {r.vec_id: r.cosine for r in cosine_to_pandas(df, q).collect()}
+    for k in jvm:
+        assert abs(jvm[k] - pnd[k]) < 1e-12
+
+
 def test_lsh_bucket_consistency(spark):
     rows = [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.01, 0.0]), (3, [-1.0, 0.0, 0.0])]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
