@@ -1174,6 +1174,118 @@ FROM events GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# q41-q44 — correlated-subquery, HAVING, CUBE, running-window shapes.
+# ---------------------------------------------------------------------------
+def q41_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue of lineitems under 50% of their part's
+    average quantity (correlated scalar subquery → window-avg form)."""
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    flagged = li.withColumn("_avg_qty", F.avg("l_quantity").over(w))
+    return (
+        flagged.where(F.col("l_quantity") < 0.5 * F.col("_avg_qty"))
+        .agg(
+            scaled_sum(F.col("l_extendedprice"), 4).alias("small_qty_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q41_SQL = """
+SELECT
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS small_qty_revenue,
+  COUNT(*) AS n_lines
+FROM lineitem l
+WHERE l_quantity < 0.5 * (
+  SELECT AVG(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey)
+"""
+
+
+def q42_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    joined back to customers (HAVING + join)."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dec_sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+Q42_SQL = """
+SELECT c_name, o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+       o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 150
+) b
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q43_cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (returnflag, linestatus)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dec_sum("l_quantity").alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+Q43_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q44_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative value per user in event order (unbounded-
+    preceding window — the only frame type §2.7 lacks coverage for)."""
+    ev = table(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = (
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        running.alias("running_value"),
+        F.count("*").over(w).alias("running_n"),
+    )
+
+
+Q44_SQL = """
+SELECT user_id, event_id,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_value,
+  COUNT(*) OVER w AS running_n
+FROM events WHERE user_id < 10
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QuerySpec] = {
@@ -1217,6 +1329,14 @@ QUERIES: dict[str, QuerySpec] = {
     "q38_percentiles": QuerySpec(q38_percentiles, Q38_SQL, "A13-quantiles"),
     "q39_timeseries": QuerySpec(q39_timeseries, Q39_SQL, "W8-timeseries,A13"),
     "q40_salted_agg": QuerySpec(q40_salted_agg, Q40_SQL, "A-skew-salting"),
+    "q41_small_quantity_revenue": QuerySpec(
+        q41_small_quantity_revenue, Q41_SQL, "correlated-subquery,W6"
+    ),
+    "q42_large_volume_customers": QuerySpec(
+        q42_large_volume_customers, Q42_SQL, "A1-having,J1"
+    ),
+    "q43_cube_totals": QuerySpec(q43_cube_totals, Q43_SQL, "A8-cube"),
+    "q44_running_total": QuerySpec(q44_running_total, Q44_SQL, "W-running"),
 }
 
 
