@@ -1286,6 +1286,64 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 
 
 # ---------------------------------------------------------------------------
+# q45 — bucketized range join (point-in-interval).
+# ---------------------------------------------------------------------------
+def q45_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event joins the 7-day windows opened by the same customer's
+    orders that contain it (events.user_id ≡ orders.o_custkey; synthetic
+    overlap via modulo of the order year → meaningful at every SF).
+    Oracle is DuckDB's native inequality join."""
+    from datalake_backend_spark.operators.range_join import range_join
+
+    day_us = 86_400_000_000
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_id") < 1000)
+        .select("event_id", F.col("user_id"), F.unix_micros("ts").alias("t_us"))
+    )
+    # shift order dates into the events' epoch so windows actually
+    # overlap: keep day-of-year, re-base to 2024-01 (the events month)
+    base = F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
+    odate = F.unix_micros(F.col("o_orderdate"))
+    shifted = base + F.pmod(odate / F.lit(1_000_000), F.lit(30 * 86400)).cast(
+        "long"
+    ) * F.lit(1_000_000)
+    iv = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 2000)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderkey",
+            shifted.alias("start_us"),
+            (shifted + F.lit(7 * day_us)).alias("end_us"),
+        )
+    )
+    out = range_join(
+        ev, iv, on="user_id", point_time="t_us",
+        start_col="start_us", end_col="end_us",
+        bucket_width=float(7 * day_us),
+    )
+    return out.select("event_id", "user_id", "o_orderkey", "start_us")
+
+
+Q45_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us
+  FROM events WHERE event_id < 1000
+), iv AS (
+  SELECT o_custkey AS user_id, o_orderkey,
+         epoch_us(TIMESTAMP '2024-01-01')
+           + (CAST(epoch_us(o_orderdate) / 1000000 AS BIGINT) % (30*86400)) * 1000000 AS start_us
+  FROM orders WHERE o_orderkey < 2000
+)
+SELECT ev.event_id, ev.user_id, iv.o_orderkey, iv.start_us
+FROM ev JOIN iv ON ev.user_id = iv.user_id
+  AND ev.t_us >= iv.start_us
+  AND ev.t_us < iv.start_us + CAST(604800000000 AS BIGINT)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QuerySpec] = {
@@ -1337,6 +1395,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q43_cube_totals": QuerySpec(q43_cube_totals, Q43_SQL, "A8-cube"),
     "q44_running_total": QuerySpec(q44_running_total, Q44_SQL, "W-running"),
+    "q45_range_join": QuerySpec(q45_range_join, Q45_SQL, "J-range (custom operator)"),
 }
 
 

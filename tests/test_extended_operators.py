@@ -49,6 +49,49 @@ def test_asof_join_same_timestamp_inclusive(spark):
     assert out[0].price == 100.0  # <= semantics
 
 
+def test_range_join_point_in_interval(spark):
+    from datalake_backend_spark.operators.range_join import range_join
+
+    points = spark.createDataFrame(
+        [(1, "k", 5.0), (2, "k", 15.0), (3, "k", 25.0), (4, "x", 5.0)],
+        ["pid", "key", "t"],
+    )
+    intervals = spark.createDataFrame(
+        [("k", 0.0, 10.0, "a"), ("k", 4.0, 6.0, "b"), ("k", 20.0, 30.0, "c")],
+        ["key", "s", "e", "label"],
+    )
+    out = range_join(
+        points, intervals, on="key", point_time="t",
+        start_col="s", end_col="e", bucket_width=5.0,
+    ).collect()
+    got = sorted((r.pid, r.label) for r in out)
+    # t=5 ∈ [0,10) and [4,6); t=15 matches nothing; t=25 ∈ [20,30)
+    assert got == [(1, "a"), (1, "b"), (3, "c")]
+
+    left = range_join(
+        points, intervals, on="key", point_time="t",
+        start_col="s", end_col="e", bucket_width=5.0, how="left",
+    ).collect()
+    unmatched = [(r.pid, r.label) for r in left if r.label is None]
+    assert sorted(unmatched) == [(2, None), (4, None)]
+
+
+def test_range_join_boundary_semantics(spark):
+    from datalake_backend_spark.operators.range_join import range_join
+
+    points = spark.createDataFrame([(1, "k", 10.0)], ["pid", "key", "t"])
+    intervals = spark.createDataFrame(
+        [("k", 0.0, 10.0, "closed"), ("k", 10.0, 20.0, "open")],
+        ["key", "s", "e", "label"],
+    )
+    out = range_join(
+        points, intervals, on="key", point_time="t",
+        start_col="s", end_col="e", bucket_width=100.0,
+    ).collect()
+    # [start, end): t=10 excluded from [0,10), included in [10,20)
+    assert [r.label for r in out] == ["open"]
+
+
 def test_struct_to_map_and_explode_object(spark):
     """F19: dynamic keys survive without any hardcoded key list (the
     reference drops ids absent from its literal list, tracking_data.py:50)."""
