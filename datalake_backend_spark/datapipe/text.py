@@ -103,6 +103,36 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
     )
 
 
+#: scrub patterns for normalize_text (applied in order)
+_SCRUB_PATTERNS = [
+    (r"https?://\S+", " "),          # URLs
+    (r"[\w.+-]+@[\w-]+\.[\w.-]+", " "),  # emails
+    (r"[\x00-\x08\x0b\x0c\x0e-\x1f]", ""),  # control chars (keep \t\n\r)
+]
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    lowercase: bool = True,
+    scrub: bool = True,
+) -> DataFrame:
+    """Training-data text normalization: optional URL/email/control-char
+    scrubbing, whitespace collapse, trim, optional lowercasing — one
+    codegen'd projection, the standard pre-dedup canonicalization so
+    near-identical documents hash together."""
+    out_col = out_col or text_col
+    c = F.col(text_col)
+    if scrub:
+        for pat, repl in _SCRUB_PATTERNS:
+            c = F.regexp_replace(c, pat, repl)
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    if lowercase:
+        c = F.lower(c)
+    return df.withColumn(out_col, c)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """Exact-content fingerprint (md5 of the raw text)."""
     return df.withColumn(out_col, F.md5(F.col(text_col)))

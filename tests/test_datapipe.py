@@ -171,6 +171,30 @@ def test_rolling_fingerprints_detect_overlap(spark):
     assert not fps[1] & fps[3]
 
 
+def test_normalize_text(spark):
+    from datalake_backend_spark.datapipe.text import normalize_text
+
+    rows = [
+        (1, "  Visit https://example.com/x?y=1  NOW!\n\nMail me@test.org  "),
+        (2, "plain\ttext\x07with\x07bells"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.text for r in normalize_text(df).collect()}
+    assert out[1] == "visit now! mail"
+    assert out[2] == "plain textwithbells"  # bells stripped, words join
+    # canonicalization makes trivially-different dups hash together
+    dup = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world\n")], ["doc_id", "text"]
+    )
+    hashes = (
+        normalize_text(dup)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .count()
+    )
+    assert hashes == 1
+
+
 def test_multimodal_plumbing(spark):
     from datalake_backend_spark.datapipe.multimodal import (
         MEDIA_SCHEMA,
