@@ -163,6 +163,56 @@ def lsh_topk(
     )
 
 
+def ivf_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF index: KMeans centroids over the corpus + per-vector list
+    assignment. Returns (assigned_df with ``ivf_list`` column, centroids).
+
+    The scale path writes ``assigned`` partitioned by ``ivf_list`` so a
+    query scans only its probed lists' files. Training is distributed
+    (pyspark.ml KMeans, deterministic seed); assignment is one map
+    stage through the model.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.withColumn("_fv", array_to_vector(_as_double_array(vec_col)))
+    model = KMeans(
+        k=n_lists, seed=seed, featuresCol="_fv", predictionCol="ivf_list"
+    ).fit(feat)
+    assigned = model.transform(feat).drop("_fv")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: exact cosine over only the ``nprobe`` IVF
+    lists whose centroids are closest to the query."""
+    def cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    probed = sorted(
+        range(len(centroids)), key=lambda i: -cos(centroids[i], query)
+    )[:nprobe]
+    subset = assigned.where(F.col("ivf_list").isin(probed))
+    return brute_force_topk(subset, query, k, vec_col, id_col)
+
+
 def near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -119,6 +119,26 @@ def test_lsh_bucket_consistency(spark):
     assert b[1] != b[3]  # opposite vector does not
 
 
+def test_ivf_topk_recall(spark):
+    """IVF with enough probes recovers the exact top-k on testdata."""
+    from datalake_backend_spark.datapipe.similarity import ivf_index, ivf_topk
+    from datalake_backend_spark.sources.readers import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    q_row = emb.where(F.col("vec_id") == 0).first()
+    q = [float(x) for x in q_row["embedding"]]
+    exact = [r.vec_id for r in brute_force_topk(emb, q, k=5).collect()]
+    assigned, centroids = ivf_index(emb, n_lists=8)
+    assert len(centroids) == 8
+    # full probe == exact search
+    full = [r.vec_id for r in ivf_topk(assigned, centroids, q, k=5, nprobe=8).collect()]
+    assert full == exact
+    # small probe finds the query vector itself and mostly-overlapping top-k
+    approx = [r.vec_id for r in ivf_topk(assigned, centroids, q, k=5, nprobe=3).collect()]
+    assert approx[0] == 0
+    assert len(set(approx) & set(exact)) >= 3
+
+
 def test_embedding_near_dup_pairs(spark):
     rows = [(1, [1.0, 0.0]), (2, [0.999, 0.001]), (3, [0.0, 1.0])]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
