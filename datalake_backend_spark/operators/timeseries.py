@@ -1,0 +1,77 @@
+"""Hierarchical time-bucket rollups (hypertable-style continuous aggregates).
+
+A metrics table queried at minute/hour/day granularities should not
+re-scan raw events per level: compute the finest level once, then fold
+each coarser level FROM the next finer one. Algebraic aggregates
+(count/sum/min/max) compose exactly — bit-exact for integer/decimal
+value columns; double sums can drift by float summation order
+(~1e-12 relative), so cast the value to decimal first when continuous
+aggregates must reconcile exactly against direct aggregation. Averages
+derive from sum/count at read time. At 100 TB the finest rollup is a one-pass shuffle over the
+events and every coarser level aggregates a table that is orders of
+magnitude smaller.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: supported granularities, finest → coarsest (date_trunc units)
+LEVELS = ("minute", "hour", "day", "week", "month")
+
+
+def rollup_level(
+    events: DataFrame,
+    level: str,
+    time_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Finest-level rollup straight from events (one shuffle)."""
+    key_cols = key_cols or []
+    return events.groupBy(
+        F.date_trunc(level, F.col(time_col)).alias("bucket"), *key_cols
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(value_col).alias("sum_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )
+
+
+def fold_up(finer: DataFrame, level: str, key_cols: list[str] | None = None) -> DataFrame:
+    """Coarser rollup computed FROM a finer one (algebraic re-aggregation
+    — never touches the raw events)."""
+    key_cols = key_cols or []
+    return finer.groupBy(
+        F.date_trunc(level, F.col("bucket")).alias("bucket"), *key_cols
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
+def hierarchical_rollup(
+    events: DataFrame,
+    levels: tuple[str, ...] = ("minute", "hour", "day"),
+    time_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "value",
+) -> dict[str, DataFrame]:
+    """All requested levels, finest computed once from events and each
+    coarser level folded from the previous. ``levels`` must be ordered
+    finest → coarsest (subset of :data:`LEVELS`)."""
+    order = [lv for lv in LEVELS if lv in levels]
+    if order != list(levels):
+        raise ValueError(f"levels must be finest→coarsest, a subset of {LEVELS}")
+    out: dict[str, DataFrame] = {}
+    finest = rollup_level(events, levels[0], time_col, key_cols, value_col)
+    out[levels[0]] = finest
+    prev = finest
+    for lv in levels[1:]:
+        prev = fold_up(prev, lv, key_cols)
+        out[lv] = prev
+    return out

@@ -1344,6 +1344,41 @@ FROM ev JOIN iv ON ev.user_id = iv.user_id
 
 
 # ---------------------------------------------------------------------------
+# q46 — hierarchical (hypertable-style) rollup: the daily level folded
+# from the hourly one; oracle recomputes daily straight from events, so
+# the match proves algebraic re-aggregation is lossless.
+# ---------------------------------------------------------------------------
+def q46_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_backend_spark.operators.timeseries import hierarchical_rollup
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,4)")
+    )
+    levels = hierarchical_rollup(
+        ev, ("hour", "day"), key_cols=["event_type"], value_col="value_dec"
+    )
+    daily = levels["day"]
+    return daily.select(
+        F.unix_micros("bucket").alias("day_us"),
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
+
+
+Q46_SQL = """
+SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+  CAST(MIN(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS min_value,
+  CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QuerySpec] = {
@@ -1396,6 +1431,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q43_cube_totals": QuerySpec(q43_cube_totals, Q43_SQL, "A8-cube"),
     "q44_running_total": QuerySpec(q44_running_total, Q44_SQL, "W-running"),
     "q45_range_join": QuerySpec(q45_range_join, Q45_SQL, "J-range (custom operator)"),
+    "q46_hierarchical_rollup": QuerySpec(
+        q46_hierarchical_rollup, Q46_SQL, "hypertable-rollup,A13"
+    ),
 }
 
 

@@ -1,0 +1,53 @@
+"""Hierarchical time-rollup: fold-up equals direct aggregation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_backend_spark.operators.timeseries import (
+    hierarchical_rollup,
+    rollup_level,
+)
+
+
+def _events(spark):
+    rows = [
+        ("2024-01-01 10:05:00", "a", 1.0),
+        ("2024-01-01 10:55:00", "a", 2.0),
+        ("2024-01-01 11:05:00", "a", 4.0),
+        ("2024-01-02 09:00:00", "b", 8.0),
+    ]
+    return spark.createDataFrame(rows, ["ts", "k", "value"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def test_fold_up_equals_direct(spark):
+    ev = _events(spark)
+    levels = hierarchical_rollup(ev, ("minute", "hour", "day"), key_cols=["k"])
+    direct_day = rollup_level(ev, "day", key_cols=["k"])
+    folded = sorted(map(tuple, levels["day"].collect()))
+    direct = sorted(map(tuple, direct_day.collect()))
+    assert folded == direct
+
+
+def test_level_values(spark):
+    ev = _events(spark)
+    levels = hierarchical_rollup(ev, ("hour", "day"), key_cols=["k"])
+    hours = {
+        (str(r.bucket), r.k): (r.n, r.sum_value) for r in levels["hour"].collect()
+    }
+    assert hours[("2024-01-01 10:00:00", "a")] == (2, 3.0)
+    assert hours[("2024-01-01 11:00:00", "a")] == (1, 4.0)
+    days = {
+        (str(r.bucket), r.k): (r.n, r.sum_value, r.max_value)
+        for r in levels["day"].collect()
+    }
+    assert days[("2024-01-01 00:00:00", "a")] == (3, 7.0, 4.0)
+    assert days[("2024-01-02 00:00:00", "b")] == (1, 8.0, 8.0)
+
+
+def test_levels_must_be_ordered(spark):
+    with pytest.raises(ValueError):
+        hierarchical_rollup(_events(spark), ("day", "hour"))
