@@ -355,8 +355,8 @@ def q07_change_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q07_SQL = """
 SELECT user_id,
-  COALESCE(SUM(CASE WHEN prev IS NOT NULL AND event_type IS NOT NULL
-                     AND event_type <> prev THEN 1 ELSE 0 END), 0) AS changes
+  CAST(COALESCE(SUM(CASE WHEN prev IS NOT NULL AND event_type IS NOT NULL
+                     AND event_type <> prev THEN 1 ELSE 0 END), 0) AS BIGINT) AS changes
 FROM (
   SELECT user_id, event_type,
          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -446,8 +446,8 @@ SELECT user_id, session_id,
   COUNT(*) AS n_events
 FROM (
   SELECT user_id, ts_us,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM (
     SELECT user_id, epoch_us(ts) AS ts_us,
            CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
@@ -476,7 +476,7 @@ def q11_session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q11_SQL = f"""
 WITH sessions AS ({Q10_SQL})
 SELECT user_id, COUNT(*) AS n_sessions,
-  SUM(duration_us) AS total_session_us,
+  CAST(SUM(duration_us) AS BIGINT) AS total_session_us,
   MAX(n_events) AS max_session_events,
   CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_session_events
 FROM sessions GROUP BY user_id
@@ -921,7 +921,7 @@ def q30_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q30_SQL = """
 SELECT event_type,
-  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
   MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
@@ -945,11 +945,11 @@ def q31_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q31_SQL = """
 SELECT user_id,
-  COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS n_click,
-  COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS n_error,
-  COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS n_purchase,
-  COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS n_signup,
-  COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS n_view
+  CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS n_click,
+  CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS n_error,
+  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS n_purchase,
+  CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS n_signup,
+  CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS n_view
 FROM events GROUP BY user_id
 """
 

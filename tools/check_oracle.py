@@ -56,6 +56,23 @@ def main() -> int:
             if sql is None:
                 status = f"ROWS-ONLY ({len(spark_rows)} rows)"
             else:
+                # Driver-hash trap guard: DuckDB HUGEINT (uncast SUM of an
+                # integer column) fetches into pandas/Arrow as float64, so the
+                # driver's typed hash diverges even when values are identical.
+                # Flag it loudly before the repr-level comparison can mask it.
+                hugeints = [
+                    (c, str(t))
+                    for c, t in zip(con.sql(sql).columns, con.sql(sql).types)
+                    if "HUGEINT" in str(t).upper()
+                ]
+                if hugeints:
+                    status, detail = (
+                        "FAIL",
+                        f"oracle emits HUGEINT (wrap in CAST(.. AS BIGINT)): {hugeints}",
+                    )
+                    failures += 1
+                    print(f"{name:32s} {status} {detail[:300]}")
+                    continue
                 duck = con.execute(sql)
                 duck_cols_raw = [d[0] for d in duck.description]
                 duck_cols = sorted(duck_cols_raw)
