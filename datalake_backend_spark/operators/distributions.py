@@ -18,12 +18,20 @@ def value_distribution(
 ) -> DataFrame:
     """Histogram of ``attr_col`` values: ``(value, n, pct)`` — the
     splitter's gender/class/lane distributions, plus the share-of-total
-    the Kibana pie charts display."""
+    the Kibana pie charts display.
+
+    The share-of-total is a broadcast scalar cross-join, NOT a
+    partition-less window: ``OVER ()`` funnels every group through one
+    WindowExec partition, a serializer at token-distribution
+    cardinality; the single-row total broadcast keeps the plan fully
+    parallel at any group count."""
     n = F.sum(F.col(weight_col)) if weight_col else F.count("*")
     counted = df.groupBy(F.col(attr_col).alias("value")).agg(n.cast("long").alias("n"))
-    total = Window.partitionBy()
-    return counted.withColumn(
-        "pct", F.col("n") / F.sum("n").over(total) * 100.0
+    total = counted.agg(F.sum("n").alias("_total"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .withColumn("pct", F.col("n") / F.col("_total") * 100.0)
+        .drop("_total")
     )
 
 

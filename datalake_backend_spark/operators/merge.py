@@ -57,34 +57,42 @@ def scd2_apply(
     open_rows = current.where(F.col(end_col).isNull())
     closed_rows = current.where(F.col(end_col).isNotNull())
 
-    joined = open_rows.alias("o").join(
-        changes.alias("c"), key_cols, "left"
-    )
-    # close open versions whose attributes changed
+    # join-match detection uses a literal marker column, NEVER the
+    # nullness of a data column: a change row whose compare columns are
+    # legitimately NULL must still register as a match.
+    changes_m = changes.withColumn("_matched", F.lit(1))
+    joined = open_rows.alias("o").join(changes_m.alias("c"), key_cols, "left")
+    matched = F.col("c._matched").isNotNull()
+    # close open versions whose attributes changed (null-safe compare)
     was_changed = F.lit(False)
     for c in compare_cols:
         was_changed = was_changed | ~(
             F.coalesce(F.col(f"o.{c}") == F.col(f"c.{c}"), F.lit(False))
             | (F.col(f"o.{c}").isNull() & F.col(f"c.{c}").isNull())
         )
-    still_open = joined.where(F.col(f"c.{compare_cols[0]}").isNull() | ~was_changed).select("o.*")
+    still_open = joined.where(~matched | ~was_changed).select("o.*")
     closed_now = (
-        joined.where(F.col(f"c.{compare_cols[0]}").isNotNull() & was_changed)
+        joined.where(matched & was_changed)
         .select("o.*")
         .withColumn(end_col, ts)
     )
-    # new versions: changed keys + brand-new keys
-    new_versions = (
-        changes.join(open_rows.select(*key_cols, *compare_cols).alias("oo"), key_cols, "left")
+    # new versions: changed keys + brand-new keys (marker again — a new
+    # key whose compare columns are all NULL must not be dropped)
+    open_marked = (
+        open_rows.select(*key_cols, *compare_cols)
+        .withColumn("_omatched", F.lit(1))
+        .alias("oo")
     )
-    is_new_or_changed = F.lit(False)
+    new_versions = changes.join(open_marked, key_cols, "left")
+    is_new = F.col("oo._omatched").isNull()
+    is_changed = F.lit(False)
     for c in compare_cols:
-        is_new_or_changed = is_new_or_changed | ~(
+        is_changed = is_changed | ~(
             F.coalesce(changes[c] == F.col(f"oo.{c}"), F.lit(False))
             | (changes[c].isNull() & F.col(f"oo.{c}").isNull())
         )
     fresh = (
-        new_versions.where(is_new_or_changed)
+        new_versions.where(is_new | is_changed)
         .select(*[changes[c] for c in changes.columns])
         .withColumn(effective_col, ts)
         .withColumn(end_col, F.lit(None).cast("timestamp"))

@@ -143,9 +143,11 @@ def sessionize_by_gap(
     df: DataFrame,
     entity_cols: list[str],
     time_col: str,
-    gap_seconds: float,
+    gap: float,
 ) -> DataFrame:
-    """Gap-based sessions: a new session starts when Δt > gap_seconds.
+    """Gap-based sessions: a new session starts when Δt > ``gap``.
+    ``gap`` is in the SAME UNIT as ``time_col`` (seconds for epoch
+    seconds, microseconds for epoch micros — the operator never converts).
 
     Not in the reference (its sessions are state-driven), but the
     canonical form for event streams; used by the events-table oracle
@@ -154,8 +156,8 @@ def sessionize_by_gap(
     """
     w = Window.partitionBy(*entity_cols).orderBy(time_col)
     tsec = F.col(time_col).cast("double")
-    gap = tsec - F.lag(tsec).over(w)
-    opens = (gap.isNull() | (gap > F.lit(gap_seconds))).cast("long")
+    delta = tsec - F.lag(tsec).over(w)
+    opens = (delta.isNull() | (delta > F.lit(gap))).cast("long")
     flagged = df.select(*entity_cols, tsec.alias("_t"), opens.alias("_open"))
     w2 = Window.partitionBy(*entity_cols).orderBy("_t")
     flagged = flagged.withColumn(

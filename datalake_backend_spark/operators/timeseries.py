@@ -71,7 +71,21 @@ def hierarchical_rollup(
     finest = rollup_level(events, levels[0], time_col, key_cols, value_col)
     out[levels[0]] = finest
     prev = finest
-    for lv in levels[1:]:
-        prev = fold_up(prev, lv, key_cols)
+    for i, lv in enumerate(levels[1:], start=1):
+        src = prev
+        if lv == "month" and levels[i - 1] == "week":
+            # ISO weeks straddle month boundaries, so a month folded from
+            # week buckets mis-assigns boundary-crossing weeks wholly to
+            # their start month. Fold month from the finest sub-week
+            # level instead (still a rollup over a tiny table).
+            sub_week = [x for x in levels[:i] if x != "week"]
+            if not sub_week:
+                raise ValueError(
+                    "month cannot be folded from week buckets (ISO weeks "
+                    "straddle month boundaries); include a sub-week level "
+                    "(e.g. day) in the chain"
+                )
+            src = out[sub_week[-1]]
+        prev = fold_up(src, lv, key_cols)
         out[lv] = prev
     return out

@@ -427,7 +427,7 @@ GAP_US = 30 * 60 * 1_000_000
 
 def q10_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").withColumn("ts_us", _micros())
-    out = sessionize_by_gap(ev, ["user_id"], "ts_us", gap_seconds=GAP_US)
+    out = sessionize_by_gap(ev, ["user_id"], "ts_us", gap=GAP_US)
     return out.select(
         "user_id",
         "session_id",

@@ -122,13 +122,26 @@ def start_silver_sink(
     checkpoint: str,
     transform=None,
 ) -> StreamingQuery:
-    """Exactly-once parquet sink via foreachBatch: applies the domain's
+    """Idempotent parquet sink via foreachBatch: applies the domain's
     silver transform per micro-batch (per-file batch semantics, like the
-    reference's per-upload preprocessing, but checkpointed)."""
+    reference's per-upload preprocessing, but checkpointed).
+
+    foreachBatch alone is at-least-once — a micro-batch replayed after a
+    crash would double-append. Idempotence comes from partitioning the
+    output by the (checkpointed, replay-stable) ``epoch_id`` and
+    dynamically overwriting ONLY that partition: a retry rewrites its own
+    epoch directory instead of appending a duplicate. Readers see an
+    extra ``_epoch`` partition column (prune or drop it downstream)."""
 
     def _write(batch: DataFrame, epoch_id: int) -> None:
         out = transform(batch) if transform else batch
-        out.write.mode("append").parquet(path)
+        (
+            out.withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(path)
+        )
 
     return (
         df.writeStream.foreachBatch(_write)

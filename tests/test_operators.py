@@ -131,7 +131,7 @@ def test_session_summary(spark):
 def test_sessionize_by_gap(spark):
     rows = [("u", 0.0), ("u", 10.0), ("u", 100.0), ("u", 105.0)]
     df = spark.createDataFrame(rows, ["id", "t"])
-    out = sessionize_by_gap(df, ["id"], "t", gap_seconds=30.0).collect()
+    out = sessionize_by_gap(df, ["id"], "t", gap=30.0).collect()
     spans = sorted((r.session_start, r.session_end, r.n_events) for r in out)
     assert spans == [(0.0, 10.0, 2), (100.0, 105.0, 2)]
 

@@ -65,6 +65,19 @@ def test_q02_broadcasts_dimension(spark):
     assert "EqualTo(c_mktsegment,BUILDING)" in plan  # filter pushed to scan
 
 
+def test_value_distribution_no_global_window(spark):
+    """The share-of-total must be a broadcast scalar, never a
+    partition-less WindowExec (single-partition serializer at high
+    group cardinality)."""
+    from datalake_backend_spark.operators.distributions import value_distribution
+
+    df = spark.createDataFrame([(str(i % 5),) for i in range(50)], "v string")
+    out = value_distribution(df, "v")
+    plan = plan_of(out)
+    assert "Window" not in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
 def test_bucketed_join_skips_exchange(spark, tmp_path):
     """A join between two tables bucketed on the key plans no Exchange —
     the 100 TB co-location story, verified on the actual plan."""

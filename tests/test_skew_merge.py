@@ -72,3 +72,43 @@ def test_scd2_closes_and_appends(spark):
     assert (3, "z", None) in rows
     # closed v1 of id1, open v2 of id1, unchanged id2, new id3
     assert len(rows) == 4
+
+
+def test_scd2_null_compare_columns(spark):
+    """Match detection must not key off data-column nullness: a change
+    row whose first compare column is legitimately NULL still closes the
+    open version, and a brand-new key with all-NULL compare columns is
+    still appended."""
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 6, 1)
+    current = spark.createDataFrame(
+        [(1, "x", t0, None), (2, None, t0, None)],
+        "id int, attr string, effective_from timestamp, effective_to timestamp",
+    )
+    changes = spark.createDataFrame(
+        [(1, None), (2, None), (3, None)], "id int, attr string"
+    )
+    out = scd2_apply(current, changes, ["id"], ["attr"], ts=F.lit(t1)).collect()
+    rows = {(r.id, r.attr, r.effective_to) for r in out}
+    # id 1: x → NULL is a change — old version closed, new NULL version open
+    assert (1, "x", t1) in rows and (1, None, None) in rows
+    # id 2: NULL → NULL is NOT a change — single open version survives
+    assert (2, None, None) in rows
+    assert len([r for r in rows if r[0] == 2]) == 1
+    # id 3: brand-new key with all-NULL compare columns is appended
+    assert (3, None, None) in rows
+    assert len(rows) == 4
+
+
+def test_scd2_idempotent_reapply(spark):
+    """Re-applying the same changes to the merged result is a no-op."""
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 6, 1)
+    current = spark.createDataFrame(
+        [(1, "x", t0, None)],
+        "id int, attr string, effective_from timestamp, effective_to timestamp",
+    )
+    changes = spark.createDataFrame([(1, "x2")], "id int, attr string")
+    once = scd2_apply(current, changes, ["id"], ["attr"], ts=F.lit(t1))
+    twice = scd2_apply(once, changes, ["id"], ["attr"], ts=F.lit(t1))
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))

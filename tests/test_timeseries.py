@@ -51,3 +51,24 @@ def test_level_values(spark):
 def test_levels_must_be_ordered(spark):
     with pytest.raises(ValueError):
         hierarchical_rollup(_events(spark), ("day", "hour"))
+
+
+def test_month_not_folded_from_week(spark):
+    """ISO weeks straddle month boundaries: the week of 2024-01-29 spans
+    Jan 29 – Feb 4, so folding month from week would book Feb 1-2 events
+    into January. The chain must fold month from day instead."""
+    rows = [
+        ("2024-01-30 10:00:00", "a", 1.0),  # week of Jan 29
+        ("2024-02-01 10:00:00", "a", 2.0),  # same ISO week, next month
+        ("2024-02-02 10:00:00", "a", 4.0),
+    ]
+    ev = spark.createDataFrame(rows, ["ts", "k", "value"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    levels = hierarchical_rollup(ev, ("day", "week", "month"), key_cols=["k"])
+    months = {str(r.bucket): (r.n, r.sum_value) for r in levels["month"].collect()}
+    assert months["2024-01-01 00:00:00"] == (1, 1.0)
+    assert months["2024-02-01 00:00:00"] == (2, 6.0)
+    # week-only chain cannot produce a month level
+    with pytest.raises(ValueError):
+        hierarchical_rollup(ev, ("week", "month"), key_cols=["k"])
