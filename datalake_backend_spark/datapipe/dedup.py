@@ -192,9 +192,26 @@ def near_dup_minhash(
     return verified.where(F.col("jaccard") >= threshold)
 
 
-def simhash64(col: Column | str) -> Column:
-    """64-bit SimHash over whitespace tokens (charikar bit-vote)."""
-    token_hashes = F.transform(tokens(col), lambda t: F.xxhash64(t))
+def portable_hash60(col: Column) -> Column:
+    """Cross-engine 60-bit token hash: first 15 hex chars of md5, parsed
+    as a non-negative BIGINT (top 4 bits always zero, so it never
+    overflows a signed long). DuckDB twin:
+    ``('0x' || substr(md5(t), 1, 15))::BIGINT``. xxhash64 is ~2-3×
+    faster per token but has no public twin in other engines — this
+    keeps every simhash pipeline oracle-checkable bit-for-bit."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash64(col: Column | str, token_hash=portable_hash60) -> Column:
+    """64-bit SimHash over whitespace tokens (charikar bit-vote).
+
+    ``token_hash`` maps a token to a BIGINT; the default
+    :func:`portable_hash60` is reproducible in any SQL engine (its top
+    4 bits are zero, so the signature is effectively 60-bit — the
+    chunk-pigeonhole candidate logic is unaffected). Pass
+    ``F.xxhash64`` for maximum throughput when cross-engine
+    reproducibility doesn't matter."""
+    token_hashes = F.transform(tokens(col), token_hash)
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(63)),
         lambda b: F.struct(

@@ -861,11 +861,50 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 
 
 def q27_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only: xxhash64 has no DuckDB twin)."""
+    """SimHash near-dup pairs, fully oracle-checked: the token hash is
+    the cross-engine portable_hash60 (md5-based), so DuckDB reproduces
+    the bit-vote signature, the 16-bit chunk buckets, and the hamming
+    verify bit-for-bit."""
     from datalake_backend_spark.datapipe.dedup import near_dup_simhash
 
     docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
-    return near_dup_simhash(docs, max_hamming=3)
+    out = near_dup_simhash(docs, max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+Q27_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE doc_id < 400
+),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+),
+votes AS (
+  SELECT doc_id, bits.b AS bit,
+         SUM(CASE WHEN (h >> CAST(bits.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM th, (SELECT unnest(range(0, 64)) AS b) bits
+  GROUP BY doc_id, bits.b
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, simhash, cs.c AS chunk,
+         (simhash >> CAST(cs.c * 16 AS INT)) & 65535 AS val
+  FROM sig, (SELECT unnest(range(0, 4)) AS c) cs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS sa, b.simhash AS sb
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
 
 
 def q28_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -892,13 +931,55 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 
 
 def q29_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via hyperplane LSH bucket (rows-only:
-    approximate by design — compare recall against q28 offline)."""
+    """Approximate top-k via hyperplane LSH bucket, fully oracle-checked:
+    the hyperplanes are deterministic LCG literals
+    (``similarity.random_hyperplanes``), inlined verbatim into the DuckDB
+    twin, so bucket assignment and the in-bucket cosine top-k reproduce
+    bit-for-bit."""
     from datalake_backend_spark.datapipe.similarity import lsh_topk
 
     emb = table(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir, 0)
-    return lsh_topk(emb, q, k=10, n_planes=8)
+    out = lsh_topk(emb, q, k=10, n_planes=8)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
+
+
+def _q29_sql(n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB twin of q29: same LCG hyperplanes as SQL literals, same
+    left-fold dot products (list_reduce's first-element seed equals the
+    Spark fold's 0.0 + x1), same bucket bit order."""
+    from datalake_backend_spark.datapipe.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(n_planes, dim, seed)
+
+    def dot_sql(vec_expr: str, plane: list[float]) -> str:
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return (
+            f"list_reduce(list_transform(list_zip({vec_expr}, {lit}), "
+            "p -> p[1] * p[2]), (acc, x) -> acc + x)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_sql('v', p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    cos = (
+        "list_reduce(list_transform(list_zip(b.v, q.qv), p -> p[1] * p[2]),"
+        " (acc, x) -> acc + x)"
+        " / (sqrt(list_reduce(list_transform(b.v, x -> x * x), (acc, x) -> acc + x))"
+        " * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (acc, x) -> acc + x)))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+SELECT b.vec_id, ROUND({cos}, 4) AS cosine_r
+FROM b, q WHERE b.bucket = q.qbucket
+ORDER BY {cos} DESC, b.vec_id ASC LIMIT 10
+"""
+
+
+Q29_SQL = _q29_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -1408,9 +1489,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q24_cosine_threshold": QuerySpec(q24_cosine_threshold, Q24_SQL, "similarity-cosine"),
     "q25_jaccard_pairs": QuerySpec(q25_jaccard_pairs, Q25_SQL, "dedup-ngram-jaccard"),
     "q26_minhash_near_dup": QuerySpec(q26_minhash_near_dup, Q26_SQL, "dedup-minhash-lsh"),
-    "q27_simhash_near_dup": QuerySpec(q27_simhash_near_dup, None, "dedup-simhash"),
+    "q27_simhash_near_dup": QuerySpec(q27_simhash_near_dup, Q27_SQL, "dedup-simhash"),
     "q28_ann_topk": QuerySpec(q28_ann_topk, Q28_SQL, "similarity-topk"),
-    "q29_lsh_topk": QuerySpec(q29_lsh_topk, None, "similarity-lsh"),
+    "q29_lsh_topk": QuerySpec(q29_lsh_topk, Q29_SQL, "similarity-lsh"),
     "q30_json_extract": QuerySpec(q30_json_extract, Q30_SQL, "F9,F19"),
     "q31_pivot": QuerySpec(q31_pivot, Q31_SQL, "A13-pivot"),
     "q32_rollup_totals": QuerySpec(q32_rollup_totals, Q32_SQL, "A8-rollup"),
