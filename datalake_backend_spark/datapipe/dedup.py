@@ -66,6 +66,40 @@ def exact_dedup(
     )
 
 
+def minhash_of_shingles(shingle_col: Column | str, k: int = 128) -> Column:
+    """k-permutation MinHash signature expression over an existing
+    shingle-array column (lets callers compute shingles ONCE and share
+    the projection between signature and verify stages).
+
+    One fold over the hashed shingle array, accumulating all k running
+    minima at once — the permutation-outer shape (k ``array_min`` calls
+    over the same hashed array) re-evaluates the hash ``transform``
+    under every permutation, since higher-order lambdas are interpreted
+    with no subexpression elimination."""
+    sh = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_P)))
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in MINHASH_PARAMS[:k]
+        ]
+    )
+    # init = p (strictly above every pmod value) so the first element
+    # always replaces it; shingle arrays are never empty (tokens('') is
+    # ['']) so the result equals the true per-permutation minimum.
+    return F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(MINHASH_P).cast("long"), k),
+        lambda acc, h: F.zip_with(
+            acc,
+            params,
+            lambda m, p: F.least(
+                m, F.pmod(p.getField("a") * h + p.getField("b"), F.lit(MINHASH_P))
+            ),
+        ),
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
@@ -74,24 +108,7 @@ def minhash_signature(
     out_col: str = "minhash",
 ) -> DataFrame:
     """k-permutation MinHash signature over token n-gram shingles."""
-    sh = shingles(F.col(text_col), n)
-    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_P)))
-    params = F.array(
-        *[
-            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for a, b in MINHASH_PARAMS[:k]
-        ]
-    )
-    sig = F.transform(
-        params,
-        lambda p: F.array_min(
-            F.transform(
-                hashed,
-                lambda h: F.pmod(p.getField("a") * h + p.getField("b"), F.lit(MINHASH_P)),
-            )
-        ),
-    )
-    return df.withColumn(out_col, sig)
+    return df.withColumn(out_col, minhash_of_shingles(shingles(F.col(text_col), n), k))
 
 
 def lsh_candidates(
@@ -145,17 +162,11 @@ def lsh_candidates(
     )
 
 
-def jaccard_pairs(
-    df: DataFrame,
-    pairs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 1,
+def _jaccard_on_shingles(
+    sh: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Exact n-gram Jaccard for given candidate (id_a, id_b) pairs."""
-    sh = df.select(
-        F.col(id_col), shingles(F.col(text_col), n).alias("_sh")
-    )
+    """Exact Jaccard for candidate pairs given a precomputed shingle
+    projection ``sh = (id_col, _sh)``."""
     out = (
         pairs.join(sh.withColumnsRenamed({id_col: "id_a", "_sh": "_sha"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "_sh": "_shb"}), "id_b")
@@ -166,6 +177,18 @@ def jaccard_pairs(
         )
     )
     return out.select("id_a", "id_b", "jaccard")
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given candidate (id_a, id_b) pairs."""
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("_sh"))
+    return _jaccard_on_shingles(sh, pairs, id_col)
 
 
 def near_dup_minhash(
@@ -185,10 +208,22 @@ def near_dup_minhash(
     target threshold is ≈ 1 (e.g. k=64, bands=16 → rows-per-band 4,
     recall 1-3e-12 at j=0.95) — then the verified output equals the
     exact all-pairs answer at half the signature cost of k=128.
+
+    The tokenize→shingle projection is computed ONCE and persisted
+    (memory-and-disk, spills at corpus scale), then shared by the
+    signature stage and the candidate-verify stage — previously each
+    stage re-tokenized the full corpus.
     """
-    sig = minhash_signature(df, text_col, n, k=k)
+    from pyspark import StorageLevel
+
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), n).alias("_sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = sh.select(
+        F.col(id_col), minhash_of_shingles("_sh", k).alias("minhash")
+    )
     cands = lsh_candidates(sig, id_col, bands=bands, k=k)
-    verified = jaccard_pairs(df, cands, text_col, id_col, n)
+    verified = _jaccard_on_shingles(sh, cands, id_col)
     return verified.where(F.col("jaccard") >= threshold)
 
 
@@ -210,25 +245,33 @@ def simhash64(col: Column | str, token_hash=portable_hash60) -> Column:
     4 bits are zero, so the signature is effectively 60-bit — the
     chunk-pigeonhole candidate logic is unaffected). Pass
     ``F.xxhash64`` for maximum throughput when cross-engine
-    reproducibility doesn't matter."""
+    reproducibility doesn't matter.
+
+    Structured as ONE fold over the token-hash array accumulating all
+    64 bit-votes at once. The per-bit-outer formulation (64 separate
+    ``aggregate`` calls over the same hashed array) re-evaluates the
+    token-hash ``transform`` under every aggregate — higher-order
+    lambdas are interpreted and get no subexpression elimination, so
+    that shape costs 64 hash computations per token."""
     token_hashes = F.transform(tokens(col), token_hash)
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda b: F.struct(
-            b.alias("bit"),
-            F.aggregate(
-                token_hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + F.when(
-                    F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1),
-                ).otherwise(F.lit(-1)),
-            ).alias("vote"),
+    seq64 = F.sequence(F.lit(0), F.lit(63))
+    votes = F.aggregate(
+        token_hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            seq64,
+            lambda a, b: a
+            + F.when(
+                F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
         ),
     )
     return F.aggregate(
-        bits,
+        F.zip_with(
+            votes, seq64, lambda v, b: F.struct(v.alias("vote"), b.alias("bit"))
+        ),
         F.lit(0).cast("long"),
         lambda acc, s: acc
         + F.when(
