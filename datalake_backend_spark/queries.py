@@ -1460,6 +1460,219 @@ FROM events GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# q47 — the reference-parity flagship: vehicle bronze→silver→gold through
+# the ACTUAL domain pipeline (pipelines/vehicle.py), driver-checked.
+# Raw nested frames are synthesized deterministically from `events`
+# (each event → one frame of 1-2 detections), so the DuckDB oracle can
+# rebuild the same detection rows and recompute every gold metric:
+# explode E1, renames P2, ts-parse+suffix-strip F4/F5, bbox F6/F7,
+# mode A10, stddev A11, lane/direction changes W1, stopped duration W3,
+# trajectory W4, deterministic first/last W6.
+# Mirrors /root/reference/Preprocess_Json_Data/preprocessing/
+# basic_preprocessing_vehicle.py + advanced_preprocessing_vehicle.py:55-140.
+# ---------------------------------------------------------------------------
+_DIRS = ["N", "E", "S", "W"]
+_COLORS = ["red", "blue", "white", "black", "silver"]
+_LIGHTS = ["red", "green", "yellow"]
+
+
+def _vehicle_raw_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic raw vehicle frames: one frame per event, 1-2
+    detections (detection j of frame e exists iff j <= event_id % 2),
+    every attribute a pure function of (event_id, user_id, ts, value)."""
+    ev = table(spark, sf_dir, "events")
+    dets = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.pmod(F.col("event_id"), F.lit(2)))
+        ).alias("j"),
+    )
+    eid_j = F.col("event_id") + F.col("j")
+    x1 = F.pmod(F.col("event_id"), F.lit(97)).cast("double")
+    y1 = F.pmod(F.col("user_id"), F.lit(89)).cast("double")
+    ts_str = F.date_format(F.date_trunc("second", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    # confidence and speed are DYADIC rationals (denominators 128 / 4):
+    # every partial float sum is exactly representable, so avg/min/max
+    # compare bit-for-bit cross-engine regardless of summation order.
+    det = F.struct(
+        (F.col("user_id") * 2 + F.col("j")).cast("int").alias("tracker_id"),
+        (F.lit(0.5) + F.pmod(eid_j, F.lit(50)) / F.lit(128.0)).alias("confidence"),
+        F.array(x1, y1, x1 + F.lit(5) + F.col("j"), y1 + F.lit(7)).alias("bbox"),
+        F.col("j").cast("int").alias("class_id"),
+        F.col("event_type").alias("vehicle_type"),
+        F.element_at(
+            F.array(*[F.lit(d) for d in _DIRS]), (F.pmod(eid_j, F.lit(4)) + 1).cast("int")
+        ).alias("vehicle_direction"),
+        F.concat(F.lit("lane_"), F.pmod(eid_j, F.lit(3)).cast("string")).alias(
+            "vehicle_lane"
+        ),
+        F.element_at(
+            F.array(*[F.lit(c) for c in _COLORS]),
+            (F.pmod(F.col("event_id") * 7 + F.col("j"), F.lit(5)) + 1).cast("int"),
+        ).alias("vehicle_color"),
+        (F.pmod(eid_j, F.lit(5)) == 0).alias("stopped"),
+        (F.floor(F.col("value") * 4) / F.lit(4.0) + F.col("j")).alias("vehicle_speed"),
+        (F.pmod(eid_j, F.lit(11)) == 0).alias("red_light_violation"),
+        F.lit(None).cast("string").alias("red_light_violation_time"),
+        (F.pmod(eid_j, F.lit(7)) == 0).alias("line_crossing"),
+        F.lit(None).cast("string").alias("line_crossing_violation_time"),
+        ts_str.alias("vehicle_entry_time"),
+        # exercises the F5 TZ-suffix strip in parse_timestamps
+        F.concat(ts_str, F.lit(" UTC")).alias("vehicle_exit_time"),
+    )
+    return (
+        dets.select("event_id", det.alias("d"))
+        .groupBy("event_id")
+        .agg(F.array_sort(F.collect_list("d")).alias("detections"))
+        .select(
+            F.col("event_id").cast("int").alias("frame_number"),
+            F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("congestion_level"),
+            F.element_at(
+                F.array(*[F.lit(t) for t in _LIGHTS]),
+                (F.pmod(F.col("event_id"), F.lit(3)) + 1).cast("int"),
+            ).alias("traffic_light"),
+            "detections",
+        )
+    )
+
+
+def q47_vehicle_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vehicle domain pipeline end-to-end: raw frames → silver → gold.
+
+    Exact columns (modes, counts, min/max, integral-second durations,
+    integer-ratio frequency) pass through unrounded; float-summed
+    metrics (avg/stddev/trajectory) are rounded to 4dp on both sides —
+    the values are order-of-summation sensitive at the last ulp."""
+    from datalake_backend_spark.pipelines import vehicle
+
+    raw = _vehicle_raw_from_events(spark, sf_dir)
+    gold = vehicle.gold(vehicle.silver(raw))
+    return gold.select(
+        "tracker_id",
+        "vehicle_type",
+        "vehicle_color",
+        "most_common_lane",
+        "direction",
+        "confidence_avg",
+        F.unix_micros("first_detection").alias("first_us"),
+        F.unix_micros("last_detection").alias("last_us"),
+        F.col("duration_seconds").cast("long").alias("duration_s"),
+        F.col("stopped_duration").cast("long").alias("stopped_s"),
+        "frame_count",
+        "avg_speed",
+        "max_speed",
+        "min_speed",
+        F.round("speed_variation", 4).alias("speed_var_r"),
+        "lane_changes",
+        "initial_lane",
+        "final_lane",
+        "line_crossing_count",
+        "direction_changes",
+        "red_light_violation_count",
+        F.round("total_distance", 4).alias("total_distance_r"),
+        "lane_change_frequency",
+        F.round("avg_movement_angle", 4).alias("avg_angle_r"),
+    )
+
+
+Q47_SQL = """
+WITH det AS (
+  SELECT
+    CAST(e.event_id AS INT) AS frame_number,
+    CAST(e.user_id * 2 + j.j AS INT) AS tracker_id,
+    e.event_type AS class_name,
+    0.5 + ((e.event_id + j.j) % 50) / 128.0 AS confidence,
+    ['N','E','S','W'][CAST((e.event_id + j.j) % 4 AS INT) + 1] AS direction,
+    'lane_' || CAST((e.event_id + j.j) % 3 AS VARCHAR) AS lane,
+    ['red','blue','white','black','silver'][CAST((e.event_id * 7 + j.j) % 5 AS INT) + 1] AS vehicle_color,
+    ((e.event_id + j.j) % 5 = 0) AS stopped,
+    FLOOR(e.value * 4) / 4.0 + j.j AS speed,
+    ((e.event_id + j.j) % 11 = 0) AS red_light_violation,
+    ((e.event_id + j.j) % 7 = 0) AS line_crossing,
+    date_trunc('second', e.ts) AS dts,
+    (CAST(e.event_id % 97 AS DOUBLE) + (CAST(e.event_id % 97 AS DOUBLE) + 5 + j.j)) / 2.0 AS cx,
+    (CAST(e.user_id % 89 AS DOUBLE) + (CAST(e.user_id % 89 AS DOUBLE) + 7)) / 2.0 AS cy
+  FROM events e JOIN (SELECT unnest(range(0, 2)) AS j) j ON j.j <= e.event_id % 2
+),
+stepped AS (
+  SELECT det.*,
+    epoch_us(dts) / 1000000.0 AS tsec,
+    lag(lane) OVER w AS prev_lane,
+    lag(direction) OVER w AS prev_dir,
+    lag(stopped) OVER w AS prev_stopped,
+    lag(cx) OVER w AS pcx,
+    lag(cy) OVER w AS pcy,
+    epoch_us(dts) / 1000000.0 - lag(epoch_us(dts) / 1000000.0) OVER w AS dt
+  FROM det
+  WINDOW w AS (PARTITION BY tracker_id ORDER BY frame_number)
+),
+base AS (
+  SELECT tracker_id,
+    AVG(confidence) AS confidence_avg,
+    epoch_us(MIN(dts)) AS first_us,
+    epoch_us(MAX(dts)) AS last_us,
+    CAST(MAX(tsec) - MIN(tsec) AS BIGINT) AS duration_s,
+    CAST(COALESCE(SUM(CASE WHEN prev_stopped THEN dt END), 0) AS BIGINT) AS stopped_s,
+    COUNT(*) AS frame_count,
+    AVG(speed) AS avg_speed,
+    MAX(speed) AS max_speed,
+    MIN(speed) AS min_speed,
+    ROUND(stddev_samp(speed), 4) AS speed_var_r,
+    CAST(SUM(CASE WHEN prev_lane IS NOT NULL AND lane <> prev_lane THEN 1 ELSE 0 END) AS BIGINT) AS lane_changes,
+    arg_min(lane, frame_number) AS initial_lane,
+    arg_max(lane, frame_number) AS final_lane,
+    CAST(SUM(CASE WHEN line_crossing THEN 1 ELSE 0 END) AS BIGINT) AS line_crossing_count,
+    CAST(SUM(CASE WHEN prev_dir IS NOT NULL AND direction <> prev_dir THEN 1 ELSE 0 END) AS BIGINT) AS direction_changes,
+    CAST(SUM(CASE WHEN red_light_violation THEN 1 ELSE 0 END) AS BIGINT) AS red_light_violation_count,
+    ROUND(COALESCE(SUM(sqrt((cx - pcx) * (cx - pcx) + (cy - pcy) * (cy - pcy))), 0.0), 4) AS total_distance_r,
+    ROUND(AVG(degrees(atan2(cy - pcy, cx - pcx))), 4) AS avg_angle_r
+  FROM stepped GROUP BY tracker_id
+),
+m_type AS (
+  SELECT tracker_id, class_name AS vehicle_type FROM (
+    SELECT tracker_id, class_name,
+           row_number() OVER (PARTITION BY tracker_id ORDER BY COUNT(*) DESC, class_name ASC) AS rn
+    FROM det GROUP BY tracker_id, class_name) t WHERE rn = 1
+),
+m_color AS (
+  SELECT tracker_id, vehicle_color FROM (
+    SELECT tracker_id, vehicle_color,
+           row_number() OVER (PARTITION BY tracker_id ORDER BY COUNT(*) DESC, vehicle_color ASC) AS rn
+    FROM det GROUP BY tracker_id, vehicle_color) t WHERE rn = 1
+),
+m_lane AS (
+  SELECT tracker_id, lane AS most_common_lane FROM (
+    SELECT tracker_id, lane,
+           row_number() OVER (PARTITION BY tracker_id ORDER BY COUNT(*) DESC, lane ASC) AS rn
+    FROM det GROUP BY tracker_id, lane) t WHERE rn = 1
+),
+m_dir AS (
+  SELECT tracker_id, direction FROM (
+    SELECT tracker_id, direction,
+           row_number() OVER (PARTITION BY tracker_id ORDER BY COUNT(*) DESC, direction ASC) AS rn
+    FROM det GROUP BY tracker_id, direction) t WHERE rn = 1
+)
+SELECT b.tracker_id, m_type.vehicle_type, m_color.vehicle_color,
+       m_lane.most_common_lane, m_dir.direction,
+       b.confidence_avg, b.first_us, b.last_us, b.duration_s, b.stopped_s,
+       b.frame_count, b.avg_speed, b.max_speed, b.min_speed, b.speed_var_r,
+       b.lane_changes, b.initial_lane, b.final_lane, b.line_crossing_count,
+       b.direction_changes, b.red_light_violation_count, b.total_distance_r,
+       CAST(b.lane_changes AS DOUBLE) / b.frame_count AS lane_change_frequency,
+       b.avg_angle_r
+FROM base b
+JOIN m_type USING (tracker_id)
+JOIN m_color USING (tracker_id)
+JOIN m_lane USING (tracker_id)
+JOIN m_dir USING (tracker_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QuerySpec] = {
@@ -1514,6 +1727,11 @@ QUERIES: dict[str, QuerySpec] = {
     "q45_range_join": QuerySpec(q45_range_join, Q45_SQL, "J-range (custom operator)"),
     "q46_hierarchical_rollup": QuerySpec(
         q46_hierarchical_rollup, Q46_SQL, "hypertable-rollup,A13"
+    ),
+    "q47_vehicle_pipeline": QuerySpec(
+        q47_vehicle_pipeline,
+        Q47_SQL,
+        "pipeline-vehicle,E1,P2,F2,F4,F5,F6,F7,A1,A10,A11,W1,W3,W4,W6",
     ),
 }
 
