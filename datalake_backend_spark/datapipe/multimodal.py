@@ -65,6 +65,43 @@ def decode_image(payload: bytes) -> object:
     raise NotImplementedError
 
 
+def media_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mime: str = "image/png",
+) -> DataFrame:
+    """Deterministic media table from a documents frame: payload is the
+    UTF-8 bytes of the text (an opaque stand-in for real image bytes),
+    metadata derived from its length — the MEDIA_SCHEMA contract used by
+    every multimodal operator, reproducible in any engine."""
+    n = F.octet_length(F.col(text_col).cast("binary"))
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.col(text_col).cast("binary").alias("payload"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.pmod(n, F.lit(1920)).cast("int").alias("width"),
+            F.pmod(n, F.lit(1080)).cast("int").alias("height"),
+            (n * 10).cast("long").alias("duration_ms"),
+            F.lit("raw").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def media_fingerprint(
+    df: DataFrame, payload_col: str = "payload", out_col: str = "content_sha"
+) -> DataFrame:
+    """Exact media dedup key: sha256 of the payload bytes + byte count
+    (the multimodal twin of text exact_dedup — one map stage)."""
+    return df.withColumns(
+        {
+            out_col: F.sha2(F.col(payload_col), 256),
+            "n_bytes": F.octet_length(F.col(payload_col)).cast("long"),
+        }
+    )
+
+
 def extract_image_features(
     df: DataFrame,
     payload_col: str = "payload",

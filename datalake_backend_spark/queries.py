@@ -1673,6 +1673,159 @@ JOIN m_dir USING (tracker_id)
 
 
 # ---------------------------------------------------------------------------
+# q48/q50 — STATE sessionization (W7 proper, the reference's parking-slot
+# occupied/free analyzer): per-entity sessions of state==active with
+# entry/exit/duration, plus the per-entity transition summary. State here
+# is `event_type == 'error'` over events. Semantics of
+# /root/reference/Preprocess_Json_Data/preprocessing/
+# advanced_preprocessing_parkingLot.py:46-123, distributed (one shuffle).
+# ---------------------------------------------------------------------------
+def q48_state_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_backend_spark.operators.sessionize import sessionize
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .withColumn("ts_us", _micros())
+        .withColumn("is_error", F.col("event_type") == "error")
+    )
+    out = sessionize(ev, ["user_id"], "ts_us", "is_error", active_value=True)
+    return out.select(
+        "user_id",
+        "session_id",
+        F.col("entry_time").cast("long").alias("entry_us"),
+        F.col("exit_time").cast("long").alias("exit_us"),
+        F.col("last_seen").cast("long").alias("last_seen_us"),
+        F.col("duration_seconds").cast("long").alias("duration_us"),
+    )
+
+
+Q48_SQL = """
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS t, (event_type = 'error') AS a FROM events
+),
+flagged AS (
+  SELECT user_id, t, a,
+    CASE WHEN a AND NOT COALESCE(lag(a) OVER (PARTITION BY user_id ORDER BY t), FALSE)
+         THEN 1 ELSE 0 END AS opens
+  FROM base
+),
+sid AS (
+  SELECT user_id, t, a,
+    SUM(opens) OVER (PARTITION BY user_id ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, s, MIN(t) AS entry_us, MAX(t) AS last_seen_us
+  FROM sid WHERE a AND s > 0 GROUP BY user_id, s
+),
+ends AS (
+  SELECT user_id, s, MIN(t) AS exit_us
+  FROM sid WHERE NOT a AND s > 0 GROUP BY user_id, s
+)
+SELECT se.user_id, CAST(se.s AS BIGINT) AS session_id,
+       se.entry_us, en.exit_us, se.last_seen_us,
+       COALESCE(en.exit_us, se.last_seen_us) - se.entry_us AS duration_us
+FROM sessions se LEFT JOIN ends en ON se.user_id = en.user_id AND se.s = en.s
+"""
+
+
+def q50_state_session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_backend_spark.operators.sessionize import session_summary
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .withColumn("ts_us", _micros())
+        .withColumn("is_error", F.col("event_type") == "error")
+    )
+    out = session_summary(ev, ["user_id"], "ts_us", "is_error", active_value=True)
+    return out.select(
+        "user_id",
+        "became_active",
+        "became_inactive",
+        F.col("active_seconds").cast("long").alias("active_us"),
+        F.col("inactive_seconds").cast("long").alias("inactive_us"),
+        "inactive_percentage",
+        "final_active",
+        "sample_count",
+    )
+
+
+Q50_SQL = """
+WITH stepped AS (
+  SELECT user_id, epoch_us(ts) AS t, (event_type = 'error') AS a,
+    lag(event_type = 'error') OVER w AS pa,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+)
+SELECT user_id,
+  CAST(COALESCE(SUM(CASE WHEN a AND NOT pa THEN 1 ELSE 0 END), 0) AS BIGINT) AS became_active,
+  CAST(COALESCE(SUM(CASE WHEN NOT a AND pa THEN 1 ELSE 0 END), 0) AS BIGINT) AS became_inactive,
+  CAST(COALESCE(SUM(CASE WHEN pa THEN CAST(dt AS DOUBLE) ELSE 0.0 END), 0.0) AS BIGINT) AS active_us,
+  CAST(COALESCE(SUM(CASE WHEN NOT pa THEN CAST(dt AS DOUBLE) ELSE 0.0 END), 0.0) AS BIGINT) AS inactive_us,
+  CASE WHEN COALESCE(SUM(CASE WHEN pa THEN CAST(dt AS DOUBLE) ELSE 0.0 END), 0.0)
+          + COALESCE(SUM(CASE WHEN NOT pa THEN CAST(dt AS DOUBLE) ELSE 0.0 END), 0.0) > 0
+       THEN COALESCE(SUM(CASE WHEN NOT pa THEN CAST(dt AS DOUBLE) ELSE 0.0 END), 0.0)
+            / (COALESCE(SUM(CASE WHEN pa THEN CAST(dt AS DOUBLE) ELSE 0.0 END), 0.0)
+               + COALESCE(SUM(CASE WHEN NOT pa THEN CAST(dt AS DOUBLE) ELSE 0.0 END), 0.0)) * 100.0
+       ELSE 0.0 END AS inactive_percentage,
+  arg_max(a, t) AS final_active,
+  COUNT(*) AS sample_count
+FROM stepped GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q49 — multimodal: binary payloads + typed metadata through the REAL
+# Spark plumbing (media_table → sha2 fingerprint → Arrow mapInPandas
+# feature extraction → dedup rollup). The feature stub is the documented
+# deterministic sha256 fake, so DuckDB reproduces feature[0] exactly
+# (byte 0 of the digest / 256).
+# ---------------------------------------------------------------------------
+def q49_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_backend_spark.datapipe.multimodal import (
+        extract_image_features,
+        media_fingerprint,
+        media_table,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    media = media_table(docs)
+    fp = media_fingerprint(media)
+    feats = extract_image_features(media)
+    joined = fp.join(feats, "media_id").select(
+        "media_id",
+        "content_sha",
+        "n_bytes",
+        F.col("meta.width").alias("width"),
+        F.element_at("features", 1).cast("double").alias("feat0"),
+    )
+    return joined.groupBy("content_sha").agg(
+        F.min("media_id").alias("canonical_id"),
+        F.count("*").alias("n_copies"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("width").alias("width"),
+        F.min("feat0").alias("feat0"),
+    )
+
+
+Q49_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id, sha256(text) AS content_sha,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+         CAST(octet_length(CAST(text AS BLOB)) % 1920 AS INT) AS width,
+         ('0x' || substr(sha256(text), 1, 2))::INT / 256.0 AS feat0
+  FROM documents
+)
+SELECT content_sha, MIN(media_id) AS canonical_id, COUNT(*) AS n_copies,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       MIN(width) AS width, MIN(feat0) AS feat0
+FROM media GROUP BY content_sha
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QuerySpec] = {
@@ -1732,6 +1885,13 @@ QUERIES: dict[str, QuerySpec] = {
         q47_vehicle_pipeline,
         Q47_SQL,
         "pipeline-vehicle,E1,P2,F2,F4,F5,F6,F7,A1,A10,A11,W1,W3,W4,W6",
+    ),
+    "q48_state_sessions": QuerySpec(q48_state_sessions, Q48_SQL, "W7-state"),
+    "q49_media_dedup": QuerySpec(
+        q49_media_dedup, Q49_SQL, "multimodal,dedup-exact"
+    ),
+    "q50_state_session_summary": QuerySpec(
+        q50_state_session_summary, Q50_SQL, "W7-state,A13"
     ),
 }
 
