@@ -10,9 +10,16 @@ measured). ``value`` is the wall-clock seconds for the whole suite;
 per-query entries are each query's own duration (they overlap — their
 sum exceeds the total by design).
 
+A second, SEQUENTIAL pass (concurrency 1) runs after the concurrent one
+and is reported as ``sequential_seconds`` / ``queries_sequential``:
+sequential per-query times measure plan changes in isolation, while the
+concurrent total measures scheduler-overlapped steady-state throughput —
+round-over-round deltas should be read from the sequential numbers.
+
 Env: SPARK_GRAFT_SF_DIR            (default /root/testdata/sf0.1)
      SPARK_GRAFT_CPUS              (default 32)
-     SPARK_GRAFT_BENCH_CONCURRENCY (default 6; 1 = sequential)
+     SPARK_GRAFT_BENCH_CONCURRENCY (default 6; 1 = sequential only)
+     SPARK_GRAFT_BENCH_SEQUENTIAL  (default 1; 0 skips the second pass)
 """
 
 from __future__ import annotations
@@ -56,18 +63,22 @@ def main() -> None:
         timings = dict(map(run, QUERIES.items()))
     total = round(time.perf_counter() - t0, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "concurrency": workers,
-            }
-        )
-    )
+    result = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "concurrency": workers,
+    }
+
+    if workers > 1 and os.environ.get("SPARK_GRAFT_BENCH_SEQUENTIAL", "1") == "1":
+        t0 = time.perf_counter()
+        seq = dict(map(run, QUERIES.items()))
+        result["sequential_seconds"] = round(time.perf_counter() - t0, 3)
+        result["queries_sequential"] = seq
+
+    print(json.dumps(result))
     spark.stop()
 
 

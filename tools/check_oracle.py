@@ -60,9 +60,10 @@ def main() -> int:
                 # integer column) fetches into pandas/Arrow as float64, so the
                 # driver's typed hash diverges even when values are identical.
                 # Flag it loudly before the repr-level comparison can mask it.
+                rel = con.sql(sql)
                 hugeints = [
                     (c, str(t))
-                    for c, t in zip(con.sql(sql).columns, con.sql(sql).types)
+                    for c, t in zip(rel.columns, rel.types)
                     if "HUGEINT" in str(t).upper()
                 ]
                 if hugeints:
@@ -70,34 +71,32 @@ def main() -> int:
                         "FAIL",
                         f"oracle emits HUGEINT (wrap in CAST(.. AS BIGINT)): {hugeints}",
                     )
-                    failures += 1
-                    print(f"{name:32s} {status} {detail[:300]}")
-                    continue
-                duck = con.execute(sql)
-                duck_cols_raw = [d[0] for d in duck.description]
-                duck_cols = sorted(duck_cols_raw)
-                idx = [duck_cols_raw.index(c) for c in duck_cols]
-                duck_rows = [
-                    row_key([row[i] for i in idx]) for row in duck.fetchall()
-                ]
-                if spark_cols != duck_cols:
-                    status, detail = "FAIL", f"cols {spark_cols} != {duck_cols}"
-                elif len(spark_rows) != len(duck_rows):
-                    status, detail = (
-                        "FAIL",
-                        f"rowcount {len(spark_rows)} != {len(duck_rows)}",
-                    )
-                elif Counter(spark_rows) != Counter(duck_rows):
-                    diff = Counter(spark_rows) - Counter(duck_rows)
-                    sample = list(diff.items())[:2]
-                    rdiff = Counter(duck_rows) - Counter(spark_rows)
-                    rsample = list(rdiff.items())[:2]
-                    status, detail = (
-                        "FAIL",
-                        f"values differ; spark-only={sample} duck-only={rsample}",
-                    )
                 else:
-                    status = f"OK ({len(spark_rows)} rows)"
+                    duck = con.execute(sql)
+                    duck_cols_raw = [d[0] for d in duck.description]
+                    duck_cols = sorted(duck_cols_raw)
+                    idx = [duck_cols_raw.index(c) for c in duck_cols]
+                    duck_rows = [
+                        row_key([row[i] for i in idx]) for row in duck.fetchall()
+                    ]
+                    if spark_cols != duck_cols:
+                        status, detail = "FAIL", f"cols {spark_cols} != {duck_cols}"
+                    elif len(spark_rows) != len(duck_rows):
+                        status, detail = (
+                            "FAIL",
+                            f"rowcount {len(spark_rows)} != {len(duck_rows)}",
+                        )
+                    elif Counter(spark_rows) != Counter(duck_rows):
+                        diff = Counter(spark_rows) - Counter(duck_rows)
+                        sample = list(diff.items())[:2]
+                        rdiff = Counter(duck_rows) - Counter(spark_rows)
+                        rsample = list(rdiff.items())[:2]
+                        status, detail = (
+                            "FAIL",
+                            f"values differ; spark-only={sample} duck-only={rsample}",
+                        )
+                    else:
+                        status = f"OK ({len(spark_rows)} rows)"
         except Exception as e:  # noqa: BLE001
             status, detail = "ERROR", f"{type(e).__name__}: {e}"
         if status.startswith(("FAIL", "ERROR")):
