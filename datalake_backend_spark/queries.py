@@ -1826,6 +1826,288 @@ FROM media GROUP BY content_sha
 
 
 # ---------------------------------------------------------------------------
+# q51 — people pipeline end-to-end: double-nested raw → silver
+# (explode_outer keeps empty frames) → gold (Unknown-excluded modes A10,
+# restricted-area first-entry W5, coalesce-cascade timestamps F16 with
+# the reference's sentinel semantics). Mirrors
+# /root/reference/Preprocess_Json_Data/preprocessing/
+# basic_preprocessing_people.py + advanced_preprocessing_people.py.
+# ---------------------------------------------------------------------------
+_GENDERS = ["Male", "Female", "Unknown"]
+_AGES = ["20-30", "30-40", "40-50", "Unknown"]
+_CARRY = ["bag", "nothing", "Unknown"]
+_SENTINEL = "2101-01-29 17:53:46"
+
+
+def _people_raw_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One frame per event with 0-2 detections (n = event_id % 3; empty
+    frames exercise the explode_outer path). Entry/exit times carry the
+    reference's sentinel on a deterministic subset so the gold
+    coalesce-cascade has to branch."""
+    ev = table(spark, sf_dir, "events")
+    ts_trunc = F.date_trunc("second", F.col("ts"))
+    fmt = "yyyy-MM-dd HH:mm:ss"
+
+    def det(j: int) -> Column:
+        eid_j = F.col("event_id") + F.lit(j)
+        x1 = F.pmod(F.col("event_id"), F.lit(97)).cast("double")
+        y1 = F.pmod(F.col("user_id"), F.lit(89)).cast("double")
+        entry = F.when(
+            F.pmod(eid_j, F.lit(7)) == 0, F.lit(_SENTINEL)
+        ).otherwise(F.date_format(ts_trunc + F.expr("INTERVAL 1 SECOND"), fmt))
+        exit_ = F.when(
+            F.pmod(eid_j, F.lit(11)) == 0, F.lit(_SENTINEL)
+        ).otherwise(F.date_format(ts_trunc + F.expr("INTERVAL 2 SECOND"), fmt))
+        return F.struct(
+            (F.col("user_id") * 2 + F.lit(j)).cast("int").alias("tracker_id"),
+            F.lit(0).alias("class_id"),
+            F.lit("person").alias("class_name"),
+            (F.lit(0.5) + F.pmod(eid_j, F.lit(50)) / F.lit(128.0)).alias("confidence"),
+            F.array(x1, y1, x1 + F.lit(5 + j), y1 + F.lit(7)).alias("bbox"),
+            (F.pmod(eid_j, F.lit(2)) == 0).alias("in_area1"),
+            (F.pmod(eid_j, F.lit(3)) == 0).alias("in_area2"),
+            (F.pmod(eid_j, F.lit(5)) == 0).alias("in_restricted_area"),
+            F.element_at(
+                F.array(*[F.lit(g) for g in _GENDERS]),
+                (F.pmod(eid_j, F.lit(3)) + 1).cast("int"),
+            ).alias("gender"),
+            F.element_at(
+                F.array(*[F.lit(a) for a in _AGES]),
+                (F.pmod(eid_j, F.lit(4)) + 1).cast("int"),
+            ).alias("age"),
+            F.element_at(
+                F.array(*[F.lit(c) for c in _CARRY]),
+                (F.pmod(eid_j + 1, F.lit(3)) + 1).cast("int"),
+            ).alias("carrying"),
+            entry.alias("entry_time"),
+            exit_.alias("exit_time"),
+            F.col("event_id").cast("int").alias("first_seen_frame"),
+            F.col("event_id").cast("int").alias("last_seen_frame"),
+            (F.pmod(eid_j, F.lit(5)) == 0).alias("entered_restricted"),
+        )
+
+    n_det = F.pmod(F.col("event_id"), F.lit(3)).cast("int")
+    return ev.select(
+        F.array(
+            F.struct(
+                F.col("event_id").cast("int").alias("frame_number"),
+                F.date_format(ts_trunc, fmt).alias("timestamp"),
+                F.slice(F.array(det(0), det(1)), 1, n_det).alias("detections"),
+            )
+        ).alias("frame_detections")
+    )
+
+
+def q51_people_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_backend_spark.pipelines import people
+
+    raw = _people_raw_from_events(spark, sf_dir)
+    gold = people.gold(people.silver(raw))
+    return gold.select(
+        "tracker_id",
+        "age",
+        "gender",
+        "carrying",
+        "confidence_avg",
+        "entered_restricted_area",
+        F.unix_micros("restricted_area_entry_time").alias("restricted_entry_us"),
+        F.unix_micros("first_detection").alias("first_us"),
+        F.unix_micros("last_detection").alias("last_us"),
+        F.col("duration_seconds").cast("long").alias("duration_s"),
+        "frame_count",
+    )
+
+
+Q51_SQL = """
+WITH det AS (
+  SELECT
+    CAST(e.user_id * 2 + j.j AS INT) AS tracker_id,
+    0.5 + ((e.event_id + j.j) % 50) / 128.0 AS confidence,
+    ((e.event_id + j.j) % 5 = 0) AS in_restricted_area,
+    ['Male','Female','Unknown'][CAST((e.event_id + j.j) % 3 AS INT) + 1] AS gender,
+    ['20-30','30-40','40-50','Unknown'][CAST((e.event_id + j.j) % 4 AS INT) + 1] AS age,
+    ['bag','nothing','Unknown'][CAST((e.event_id + j.j + 1) % 3 AS INT) + 1] AS carrying,
+    CASE WHEN (e.event_id + j.j) % 7 <> 0
+         THEN date_trunc('second', e.ts) + INTERVAL 1 SECOND
+         WHEN (e.event_id + j.j) % 11 <> 0
+         THEN date_trunc('second', e.ts) + INTERVAL 2 SECOND
+         ELSE date_trunc('second', e.ts) END AS t
+  FROM events e JOIN (SELECT unnest(range(0, 2)) AS j) j ON j.j < e.event_id % 3
+),
+base AS (
+  SELECT tracker_id,
+    AVG(confidence) AS confidence_avg,
+    MAX(in_restricted_area) AS entered_restricted_area,
+    epoch_us(MIN(CASE WHEN in_restricted_area THEN t END)) AS restricted_entry_us,
+    epoch_us(MIN(t)) AS first_us,
+    epoch_us(MAX(t)) AS last_us,
+    CAST(epoch_us(MAX(t)) / 1000000.0 - epoch_us(MIN(t)) / 1000000.0 AS BIGINT) AS duration_s,
+    COUNT(*) AS frame_count
+  FROM det GROUP BY tracker_id
+),
+m_age AS (
+  SELECT tracker_id, age FROM (
+    SELECT tracker_id, age,
+           row_number() OVER (PARTITION BY tracker_id ORDER BY COUNT(*) DESC, age ASC) AS rn
+    FROM det WHERE age <> 'Unknown' GROUP BY tracker_id, age) t WHERE rn = 1
+),
+m_gender AS (
+  SELECT tracker_id, gender FROM (
+    SELECT tracker_id, gender,
+           row_number() OVER (PARTITION BY tracker_id ORDER BY COUNT(*) DESC, gender ASC) AS rn
+    FROM det WHERE gender <> 'Unknown' GROUP BY tracker_id, gender) t WHERE rn = 1
+),
+m_carry AS (
+  SELECT tracker_id, carrying FROM (
+    SELECT tracker_id, carrying,
+           row_number() OVER (PARTITION BY tracker_id ORDER BY COUNT(*) DESC, carrying ASC) AS rn
+    FROM det WHERE carrying <> 'Unknown' GROUP BY tracker_id, carrying) t WHERE rn = 1
+)
+SELECT b.tracker_id, m_age.age, m_gender.gender, m_carry.carrying,
+       b.confidence_avg, b.entered_restricted_area, b.restricted_entry_us,
+       b.first_us, b.last_us, b.duration_s, b.frame_count
+FROM base b
+LEFT JOIN m_age USING (tracker_id)
+LEFT JOIN m_gender USING (tracker_id)
+LEFT JOIN m_carry USING (tracker_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q52 — parking pipeline end-to-end: MapType slots → silver long table →
+# gold per-slot occupancy summary + session rollup (the reference's
+# one-job-per-slot driver loop, distributed into one shuffle). Mirrors
+# /root/reference/Preprocess_Json_Data/preprocessing/
+# basic_preprocessing_parkingLot.py + advanced_preprocessing_parkingLot.py:46-123.
+# ---------------------------------------------------------------------------
+def _parking_raw_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One frame per event, one camera per user, 3 map-keyed slots whose
+    occupancy flips deterministically over (event_id, slot)."""
+    ev = table(spark, sf_dir, "events")
+
+    def slot(s: int) -> Column:
+        return F.struct(
+            (F.pmod(F.col("event_id") + F.lit(s * 7), F.lit(3)) == 0).alias("occupied"),
+            F.array(
+                F.lit(float(s * 10)), F.lit(0.0), F.lit(float(s * 10 + 8)), F.lit(6.0)
+            ).alias("bbox"),
+            F.pmod(F.col("event_id") + F.lit(s), F.lit(500)).cast("int").alias(
+                "pixel_count"
+            ),
+        )
+
+    slots = F.map_from_arrays(
+        F.array(*[F.lit(f"slot_{s}") for s in range(3)]),
+        F.array(*[slot(s) for s in range(3)]),
+    )
+    return ev.select(
+        F.concat(F.lit("cam_"), F.col("user_id").cast("string")).alias("video_source"),
+        F.array(
+            F.struct(
+                F.col("event_id").cast("int").alias("frame_number"),
+                F.unix_micros("ts").cast("double").alias("timestamp_sec"),
+                slots.alias("slots"),
+            )
+        ).alias("frame_detections"),
+    )
+
+
+def q52_parking_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_backend_spark.pipelines import parking
+
+    raw = _parking_raw_from_events(spark, sf_dir)
+    gold = parking.gold(parking.silver(raw))
+    return gold.select(
+        "video_source",
+        "slot_id",
+        "became_free",
+        "became_occupied",
+        F.col("total_occupied_seconds").cast("long").alias("occupied_us"),
+        F.col("total_free_seconds").cast("long").alias("free_us"),
+        "free_percentage",
+        "slot_status",
+        "sample_count",
+        F.size("parking_sessions").alias("n_sessions"),
+        F.aggregate(
+            "parking_sessions",
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("duration"),
+        )
+        .cast("long")
+        .alias("sessions_total_us"),
+    )
+
+
+Q52_SQL = """
+WITH slotrows AS (
+  SELECT 'cam_' || CAST(e.user_id AS VARCHAR) AS video_source,
+         'slot_' || CAST(s.s AS VARCHAR) AS slot_id,
+         CAST(epoch_us(e.ts) AS DOUBLE) AS t,
+         ((e.event_id + s.s * 7) % 3 = 0) AS a
+  FROM events e, (SELECT unnest(range(0, 3)) AS s) s
+),
+stepped AS (
+  SELECT video_source, slot_id, t, a,
+         lag(a) OVER w AS pa,
+         t - lag(t) OVER w AS dt
+  FROM slotrows
+  WINDOW w AS (PARTITION BY video_source, slot_id ORDER BY t)
+),
+summary AS (
+  SELECT video_source, slot_id,
+    CAST(COALESCE(SUM(CASE WHEN NOT a AND pa THEN 1 ELSE 0 END), 0) AS BIGINT) AS became_free,
+    CAST(COALESCE(SUM(CASE WHEN a AND NOT pa THEN 1 ELSE 0 END), 0) AS BIGINT) AS became_occupied,
+    CAST(COALESCE(SUM(CASE WHEN pa THEN dt ELSE 0.0 END), 0.0) AS BIGINT) AS occupied_us,
+    CAST(COALESCE(SUM(CASE WHEN NOT pa THEN dt ELSE 0.0 END), 0.0) AS BIGINT) AS free_us,
+    CASE WHEN COALESCE(SUM(CASE WHEN pa THEN dt ELSE 0.0 END), 0.0)
+            + COALESCE(SUM(CASE WHEN NOT pa THEN dt ELSE 0.0 END), 0.0) > 0
+         THEN COALESCE(SUM(CASE WHEN NOT pa THEN dt ELSE 0.0 END), 0.0)
+              / (COALESCE(SUM(CASE WHEN pa THEN dt ELSE 0.0 END), 0.0)
+                 + COALESCE(SUM(CASE WHEN NOT pa THEN dt ELSE 0.0 END), 0.0)) * 100.0
+         ELSE 0.0 END AS free_percentage,
+    CASE WHEN arg_max(a, t) THEN 'occupied' ELSE 'free' END AS slot_status,
+    COUNT(*) AS sample_count
+  FROM stepped GROUP BY video_source, slot_id
+),
+flagged AS (
+  SELECT video_source, slot_id, t, a,
+    CASE WHEN a AND NOT COALESCE(lag(a) OVER (PARTITION BY video_source, slot_id ORDER BY t), FALSE)
+         THEN 1 ELSE 0 END AS opens
+  FROM slotrows
+),
+sid AS (
+  SELECT video_source, slot_id, t, a,
+    SUM(opens) OVER (PARTITION BY video_source, slot_id ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM flagged
+),
+sess AS (
+  SELECT video_source, slot_id, s, MIN(t) AS entry, MAX(t) AS last_seen
+  FROM sid WHERE a AND s > 0 GROUP BY video_source, slot_id, s
+),
+ends AS (
+  SELECT video_source, slot_id, s, MIN(t) AS ex
+  FROM sid WHERE NOT a AND s > 0 GROUP BY video_source, slot_id, s
+),
+sess_agg AS (
+  SELECT se.video_source, se.slot_id,
+         COUNT(*) AS n_sessions,
+         CAST(SUM(COALESCE(en.ex, se.last_seen) - se.entry) AS BIGINT) AS sessions_total_us
+  FROM sess se LEFT JOIN ends en
+    ON se.video_source = en.video_source AND se.slot_id = en.slot_id AND se.s = en.s
+  GROUP BY se.video_source, se.slot_id
+)
+SELECT su.video_source, su.slot_id, su.became_free, su.became_occupied,
+       su.occupied_us, su.free_us, su.free_percentage, su.slot_status,
+       su.sample_count,
+       CAST(COALESCE(sa.n_sessions, 0) AS INT) AS n_sessions,
+       CAST(COALESCE(sa.sessions_total_us, 0) AS BIGINT) AS sessions_total_us
+FROM summary su LEFT JOIN sess_agg sa
+  ON su.video_source = sa.video_source AND su.slot_id = sa.slot_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QuerySpec] = {
@@ -1892,6 +2174,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q50_state_session_summary": QuerySpec(
         q50_state_session_summary, Q50_SQL, "W7-state,A13"
+    ),
+    "q51_people_pipeline": QuerySpec(
+        q51_people_pipeline, Q51_SQL, "pipeline-people,E2,E3,A10,W5,F16"
+    ),
+    "q52_parking_pipeline": QuerySpec(
+        q52_parking_pipeline, Q52_SQL, "pipeline-parking,F10,F11,J2,W7,A9"
     ),
 }
 
