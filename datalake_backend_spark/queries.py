@@ -1887,6 +1887,10 @@ def _people_raw_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     n_det = F.pmod(F.col("event_id"), F.lit(3)).cast("int")
+    # repartition = materialization boundary: without it, generator
+    # nested-column aliasing re-evaluates the full detection-struct
+    # expression once per extracted field downstream of the explode
+    # (measured 2× slower at sf0.1). Construction-fixture cost only.
     return ev.select(
         F.array(
             F.struct(
@@ -1895,7 +1899,7 @@ def _people_raw_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.slice(F.array(det(0), det(1)), 1, n_det).alias("detections"),
             )
         ).alias("frame_detections")
-    )
+    ).repartition(32)
 
 
 def q51_people_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2000,6 +2004,7 @@ def _parking_raw_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(f"slot_{s}") for s in range(3)]),
         F.array(*[slot(s) for s in range(3)]),
     )
+    # repartition = materialization boundary (see _people_raw_from_events)
     return ev.select(
         F.concat(F.lit("cam_"), F.col("user_id").cast("string")).alias("video_source"),
         F.array(
@@ -2009,7 +2014,7 @@ def _parking_raw_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 slots.alias("slots"),
             )
         ).alias("frame_detections"),
-    )
+    ).repartition(32)
 
 
 def q52_parking_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
