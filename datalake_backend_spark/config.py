@@ -57,6 +57,63 @@ ENGINE_CONF: dict[str, str] = {
 }
 
 
+def object_store_conf(
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    path_style: bool = True,
+    ssl: bool = False,
+) -> dict[str, str]:
+    """S3A settings for an S3-compatible object store (MinIO/S3) — the
+    deployment twin of the reference's hardcoded MinIO wiring
+    (``Preprocess_Json_Data/config/spark_config.py:15-31``,
+    ``connectors/minio_connector.py:36-43``), as config instead of code.
+
+    Credentials/endpoint come from arguments or the standard
+    ``AWS_ACCESS_KEY_ID`` / ``AWS_SECRET_ACCESS_KEY`` /
+    ``AWS_ENDPOINT_URL`` environment variables; nothing is baked in.
+
+    Committer notes for 100 TB writes: the **magic committer** makes
+    task commits O(1) metadata operations instead of the rename-based
+    FileOutputCommitter (renames are copies on object stores — a
+    terabyte-scale job can spend longer committing than computing).
+    ``fast.upload`` streams multipart uploads as blocks fill instead of
+    buffering whole files on local disk. Pass the result as
+    ``get_spark(extra_conf=object_store_conf(...))``.
+    """
+    endpoint = endpoint or os.environ.get("AWS_ENDPOINT_URL", "")
+    access_key = access_key or os.environ.get("AWS_ACCESS_KEY_ID", "")
+    secret_key = secret_key or os.environ.get("AWS_SECRET_ACCESS_KEY", "")
+    conf = {
+        # magic committer: no rename-based commit on object stores
+        "spark.hadoop.fs.s3a.committer.name": "magic",
+        "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+        "spark.sql.sources.commitProtocolClass": (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        ),
+        "spark.sql.parquet.output.committer.class": (
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+        ),
+        # streaming multipart upload, no local whole-file buffering
+        "spark.hadoop.fs.s3a.fast.upload": "true",
+        "spark.hadoop.fs.s3a.fast.upload.buffer": "disk",
+        "spark.hadoop.fs.s3a.multipart.size": "67108864",  # 64 MB parts
+        "spark.hadoop.fs.s3a.connection.maximum": "96",
+        "spark.hadoop.fs.s3a.threads.max": "64",
+        "spark.hadoop.fs.s3a.connection.ssl.enabled": str(ssl).lower(),
+        "spark.hadoop.fs.s3a.path.style.access": str(path_style).lower(),
+        # vectored / readahead defaults suit parquet footer+column reads
+        "spark.hadoop.fs.s3a.experimental.input.fadvise": "random",
+    }
+    if endpoint:
+        conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+    if access_key:
+        conf["spark.hadoop.fs.s3a.access.key"] = access_key
+    if secret_key:
+        conf["spark.hadoop.fs.s3a.secret.key"] = secret_key
+    return conf
+
+
 def get_spark(
     app_name: str = "datalake_backend_spark",
     master: str | None = None,

@@ -67,3 +67,32 @@ def test_every_domain_lifecycle(engine, tmp_path, domain):
     res = engine.process_document(path, domain, str(tmp_path / "lake"))
     assert res.status == STATUS_OK, domain
     assert res.gold_rows > 0
+
+
+def test_object_store_conf_shape(monkeypatch):
+    """S3A conf: magic committer on, no credentials invented, env and
+    argument sources respected."""
+    from datalake_backend_spark.config import object_store_conf
+
+    monkeypatch.delenv("AWS_ENDPOINT_URL", raising=False)
+    monkeypatch.delenv("AWS_ACCESS_KEY_ID", raising=False)
+    monkeypatch.delenv("AWS_SECRET_ACCESS_KEY", raising=False)
+    conf = object_store_conf()
+    assert conf["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert conf["spark.hadoop.fs.s3a.fast.upload"] == "true"
+    # no endpoint/credentials unless provided
+    assert "spark.hadoop.fs.s3a.endpoint" not in conf
+    assert "spark.hadoop.fs.s3a.access.key" not in conf
+
+    monkeypatch.setenv("AWS_ENDPOINT_URL", "http://minio:9000")
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "k")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "s")
+    conf = object_store_conf()
+    assert conf["spark.hadoop.fs.s3a.endpoint"] == "http://minio:9000"
+    assert conf["spark.hadoop.fs.s3a.access.key"] == "k"
+    assert conf["spark.hadoop.fs.s3a.secret.key"] == "s"
+    assert conf["spark.hadoop.fs.s3a.path.style.access"] == "true"
+
+    explicit = object_store_conf(endpoint="http://other:9000", ssl=True)
+    assert explicit["spark.hadoop.fs.s3a.endpoint"] == "http://other:9000"
+    assert explicit["spark.hadoop.fs.s3a.connection.ssl.enabled"] == "true"
