@@ -17,9 +17,10 @@ AQE-enabled session. Tuning philosophy:
 * **UTC session timezone** — timestamps compare bit-exactly against
   external oracles and across clusters.
 
-Object-store credentials / S3A committer settings from the reference
-are deliberately absent: storage endpoints are deployment config, not
-engine code. Pass extra ``spark.*`` settings via ``extra_conf``.
+Object-store settings are deployment config, not engine code:
+:func:`object_store_conf` builds the S3A/MinIO conf (magic committer,
+multipart upload, env-sourced credentials) to pass via ``extra_conf`` —
+nothing is baked into the engine defaults.
 """
 
 from __future__ import annotations

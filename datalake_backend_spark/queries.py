@@ -2113,6 +2113,747 @@ FROM summary su LEFT JOIN sess_agg sa
 
 
 # ---------------------------------------------------------------------------
+# q53/q54 — school and retail pipelines end-to-end: flattened role lists
+# (F13), distinct sets (A14/U3), exact decimal stddev (A11), expiry-date
+# cast (F18). Mirrors /root/reference/New_System_ToUpload_Json/
+# process_scripts/{school,retail}/*.py.
+# ---------------------------------------------------------------------------
+_ROLES = ["student", "teacher", "visitor", "staff"]
+_ALERTS = ["low", "medium", "high"]
+
+
+def _school_raw_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ts_str = F.date_format(F.date_trunc("second", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+
+    def det(j: int) -> Column:
+        eid_j = F.col("event_id") + F.lit(j)
+        roles = F.array(*[F.lit(r) for r in _ROLES])
+        return F.struct(
+            F.concat(F.lit("ev_"), (F.col("user_id") * 2 + F.lit(j)).cast("string")).alias(
+                "event_id"
+            ),
+            F.col("event_type").alias("event_type"),
+            ts_str.alias("timestamp"),
+            F.concat(F.lit("room_"), F.pmod(eid_j, F.lit(6)).cast("string")).alias(
+                "location"
+            ),
+            (F.lit(0.5) + F.pmod(eid_j, F.lit(50)) / F.lit(128.0)).alias("confidence"),
+            F.concat(F.lit("p_"), F.pmod(eid_j, F.lit(20)).cast("string")).alias(
+                "involved_person_id"
+            ),
+            (F.floor(F.col("value") * 4) / F.lit(4.0)).alias("duration_seconds"),
+            F.lit(None).cast("string").alias("notes"),
+            F.element_at(
+                F.array(*[F.lit(a) for a in _ALERTS]),
+                (F.pmod(eid_j, F.lit(3)) + 1).cast("int"),
+            ).alias("alert_level"),
+            (F.pmod(eid_j, F.lit(4)) == 0).alias("response_required"),
+            (F.pmod(eid_j, F.lit(6)) == 0).alias("multiple_persons_involved"),
+            F.array(
+                F.element_at(roles, (F.pmod(eid_j, F.lit(4)) + 1).cast("int")),
+                F.element_at(roles, (F.pmod(eid_j + 1, F.lit(4)) + 1).cast("int")),
+            ).alias("person_roles"),
+        )
+
+    n_det = (F.pmod(F.col("event_id"), F.lit(2)) + 1).cast("int")
+    # materialization barrier — see _people_raw_from_events
+    return ev.select(
+        F.col("event_id").cast("int").alias("frame_number"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss").alias("timestamp"),
+        F.slice(F.array(det(0), det(1)), 1, n_det).alias("detections"),
+    ).repartition(32)
+
+
+def q53_school_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_backend_spark.pipelines import school
+
+    raw = _school_raw_from_events(spark, sf_dir)
+    gold = school.gold(school.silver(raw))
+    return gold.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("first_seen").alias("first_us"),
+        F.unix_micros("last_seen").alias("last_us"),
+        F.col("span_seconds").cast("long").alias("span_s"),
+        "occurrence_count",
+        "avg_confidence",
+        "location",
+        "response_required",
+        "multiple_persons_involved",
+        F.to_json("persons_involved").alias("persons_json"),
+        "alert_level",
+        "avg_duration",
+        F.round("duration_stddev", 6).alias("duration_stddev_r"),
+        F.to_json("person_roles").alias("roles_json"),
+    )
+
+
+Q53_SQL = """
+WITH det AS (
+  SELECT
+    CAST(e.event_id AS INT) AS frame_number,
+    'ev_' || CAST(e.user_id * 2 + j.j AS VARCHAR) AS sid,
+    e.event_type AS event_type,
+    date_trunc('second', e.ts) AS t,
+    'room_' || CAST((e.event_id + j.j) % 6 AS VARCHAR) AS location,
+    0.5 + ((e.event_id + j.j) % 50) / 128.0 AS confidence,
+    'p_' || CAST((e.event_id + j.j) % 20 AS VARCHAR) AS person,
+    FLOOR(e.value * 4) / 4.0 AS dur,
+    ['low','medium','high'][CAST((e.event_id + j.j) % 3 AS INT) + 1] AS alert_level,
+    ((e.event_id + j.j) % 4 = 0) AS response_required,
+    ((e.event_id + j.j) % 6 = 0) AS multiple_persons_involved,
+    [['student','teacher','visitor','staff'][CAST((e.event_id + j.j) % 4 AS INT) + 1],
+     ['student','teacher','visitor','staff'][CAST((e.event_id + j.j + 1) % 4 AS INT) + 1]] AS roles
+  FROM events e JOIN (SELECT unnest(range(0, 2)) AS j) j ON j.j <= e.event_id % 2
+),
+m_alert AS (
+  SELECT sid, alert_level FROM (
+    SELECT sid, alert_level,
+           row_number() OVER (PARTITION BY sid ORDER BY COUNT(*) DESC, alert_level ASC) AS rn
+    FROM det GROUP BY sid, alert_level) t WHERE rn = 1
+),
+rolled AS (
+  SELECT sid,
+    arg_min(event_type, frame_number) AS event_type,
+    epoch_us(MIN(t)) AS first_us,
+    epoch_us(MAX(t)) AS last_us,
+    CAST(epoch_us(MAX(t)) / 1000000.0 - epoch_us(MIN(t)) / 1000000.0 AS BIGINT) AS span_s,
+    COUNT(*) AS occurrence_count,
+    AVG(confidence) AS avg_confidence,
+    arg_min(location, frame_number) AS location,
+    MAX(response_required) AS response_required,
+    MAX(multiple_persons_involved) AS multiple_persons_involved,
+    to_json(list_sort(list_distinct(list(person)))) AS persons_json,
+    AVG(dur) AS avg_duration,
+    CASE WHEN COUNT(dur) > 1 THEN ROUND(sqrt(
+      (CAST(SUM(CAST(dur AS DECIMAL(18,4)) * CAST(dur AS DECIMAL(18,4))) AS DOUBLE)
+       - CAST(SUM(CAST(dur AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST(dur AS DECIMAL(18,4))) AS DOUBLE)
+         / CAST(COUNT(dur) AS DOUBLE))
+      / (CAST(COUNT(dur) AS DOUBLE) - 1.0)), 6) END AS duration_stddev_r,
+    to_json(list_sort(list_distinct(flatten(list(roles))))) AS roles_json
+  FROM det GROUP BY sid
+)
+SELECT r.sid AS event_id, r.event_type, r.first_us, r.last_us, r.span_s,
+       r.occurrence_count, r.avg_confidence, r.location, r.response_required,
+       r.multiple_persons_involved, r.persons_json, m.alert_level,
+       r.avg_duration, r.duration_stddev_r, r.roles_json
+FROM rolled r JOIN m_alert m ON r.sid = m.sid
+"""
+
+
+def _retail_raw_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+
+    def det(j: int) -> Column:
+        eid_j = F.col("event_id") + F.lit(j)
+        return F.struct(
+            F.concat(F.lit("prod_"), (F.col("user_id") * 2 + F.lit(j)).cast("string")).alias(
+                "product_id"
+            ),
+            F.concat(F.lit("name_"), F.pmod(eid_j, F.lit(9)).cast("string")).alias(
+                "product_name"
+            ),
+            F.concat(F.lit("cat_"), F.pmod(eid_j, F.lit(4)).cast("string")).alias(
+                "category"
+            ),
+            F.concat(F.lit("aisle_"), F.pmod(eid_j, F.lit(7)).cast("string")).alias(
+                "location"
+            ),
+            F.pmod(eid_j, F.lit(50)).cast("int").alias("stock_level"),
+            (F.floor(F.col("value") * 4) / F.lit(4.0)).alias("price"),
+            (F.pmod(eid_j, F.lit(3)) == 0).alias("picked_by_customer"),
+            F.date_format(
+                F.date_add(F.to_date("ts"), F.pmod(eid_j, F.lit(30)).cast("int")),
+                "yyyy-MM-dd",
+            ).alias("expiry_date"),
+        )
+
+    n_det = (F.pmod(F.col("event_id"), F.lit(2)) + 1).cast("int")
+    # materialization barrier — see _people_raw_from_events
+    return ev.select(
+        F.col("event_id").cast("int").alias("frame_number"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss").alias("timestamp"),
+        F.slice(F.array(det(0), det(1)), 1, n_det).alias("detections"),
+    ).repartition(32)
+
+
+def q54_retail_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_backend_spark.pipelines import retail
+
+    raw = _retail_raw_from_events(spark, sf_dir)
+    gold = retail.gold(retail.silver(raw))
+    return gold.select(
+        "product_id",
+        "product_name",
+        "category",
+        "location",
+        "avg_price",
+        "avg_stock_level",
+        "picked_by_customer",
+        F.to_json("expiry_dates").alias("expiry_json"),
+        "detection_count",
+    )
+
+
+Q54_SQL = """
+WITH det AS (
+  SELECT
+    CAST(e.event_id AS INT) AS frame_number,
+    'prod_' || CAST(e.user_id * 2 + j.j AS VARCHAR) AS product_id,
+    'name_' || CAST((e.event_id + j.j) % 9 AS VARCHAR) AS product_name,
+    'cat_' || CAST((e.event_id + j.j) % 4 AS VARCHAR) AS category,
+    'aisle_' || CAST((e.event_id + j.j) % 7 AS VARCHAR) AS location,
+    CAST((e.event_id + j.j) % 50 AS INT) AS stock_level,
+    FLOOR(e.value * 4) / 4.0 AS price,
+    ((e.event_id + j.j) % 3 = 0) AS picked,
+    CAST(e.ts AS DATE) + CAST((e.event_id + j.j) % 30 AS INT) AS expiry
+  FROM events e JOIN (SELECT unnest(range(0, 2)) AS j) j ON j.j <= e.event_id % 2
+)
+SELECT product_id,
+  arg_min(product_name, frame_number) AS product_name,
+  arg_min(category, frame_number) AS category,
+  arg_min(location, frame_number) AS location,
+  AVG(price) AS avg_price,
+  AVG(CAST(stock_level AS DOUBLE)) AS avg_stock_level,
+  MAX(picked) AS picked_by_customer,
+  to_json(list_sort(list_distinct(list(strftime(expiry, '%Y-%m-%d'))))) AS expiry_json,
+  COUNT(frame_number) AS detection_count
+FROM det GROUP BY product_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q55 — tracking pipeline: dynamic map-keyed tracker objects (F19 —
+# NO hardcoded id list), TZ-suffix strip, duration from entry/exit.
+# Mirrors /root/reference/Preprocess_Json_Data/preprocessing/
+# tracking_data.py:23-110.
+# ---------------------------------------------------------------------------
+def _tracking_raw_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One document per event with 1-2 dynamically-keyed trackers; the
+    exit_time carries the reference's +05:30 offset suffix so the strip
+    path (F5) is exercised on a non-UTC marker."""
+    ev = table(spark, sf_dir, "events")
+    ts_trunc = F.date_trunc("second", F.col("ts"))
+    fmt = "yyyy-MM-dd HH:mm:ss"
+
+    def tracker(j: int) -> Column:
+        eid_j = F.col("event_id") + F.lit(j)
+        return F.struct(
+            F.element_at(
+                F.array(F.lit("Male"), F.lit("Female"), F.lit("Unknown")),
+                (F.pmod(eid_j, F.lit(3)) + 1).cast("int"),
+            ).alias("gender"),
+            F.pmod(eid_j, F.lit(60)).cast("int").alias("age"),
+            F.element_at(
+                F.array(F.lit("bag"), F.lit("nothing")),
+                (F.pmod(eid_j, F.lit(2)) + 1).cast("int"),
+            ).alias("carrying"),
+            (F.lit(0.5) + F.pmod(eid_j, F.lit(50)) / F.lit(128.0)).alias("confidence"),
+            F.date_format(ts_trunc, fmt).alias("entry_time"),
+            F.concat(
+                F.date_format(
+                    ts_trunc + F.expr(f"INTERVAL {10 + j} SECONDS"), fmt
+                ),
+                F.lit("+05:30"),
+            ).alias("exit_time"),
+            F.col("event_id").cast("int").alias("entry_frame"),
+            (F.col("event_id") + F.lit(30 * (j + 1))).cast("int").alias("exit_frame"),
+        )
+
+    n_det = (F.pmod(F.col("event_id"), F.lit(2)) + 1).cast("int")
+    keys = F.slice(
+        F.array(
+            F.concat(F.lit("trk_"), (F.col("user_id") * 2).cast("string")),
+            F.concat(F.lit("trk_"), (F.col("user_id") * 2 + 1).cast("string")),
+        ),
+        1,
+        n_det,
+    )
+    vals = F.slice(F.array(tracker(0), tracker(1)), 1, n_det)
+    # materialization barrier — see _people_raw_from_events
+    return ev.select(
+        F.lit("video.mp4").alias("video_metadata"),
+        F.date_format(ts_trunc, fmt).alias("processing_time"),
+        F.lit("summary").alias("summary"),
+        F.map_from_arrays(keys, vals).alias("detections"),
+    ).repartition(32)
+
+
+def q55_tracking_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_backend_spark.pipelines import tracking
+
+    raw = _tracking_raw_from_events(spark, sf_dir)
+    gold = tracking.gold(tracking.silver(raw))
+    out = gold.groupBy("tracker_id").agg(
+        F.count("*").alias("n_docs"),
+        dec_avg("confidence").alias("avg_conf"),
+        F.min(F.unix_micros("entry_time")).alias("first_entry_us"),
+        F.max(F.unix_micros("exit_time")).alias("last_exit_us"),
+        F.sum(F.col("duration_seconds").cast("long")).alias("total_duration_s"),
+        F.sum("frame_span").alias("total_frame_span"),
+        F.max("age").alias("max_age"),
+    )
+    return out
+
+
+Q55_SQL = """
+WITH det AS (
+  SELECT 'trk_' || CAST(e.user_id * 2 + j.j AS VARCHAR) AS tracker_id,
+    0.5 + ((e.event_id + j.j) % 50) / 128.0 AS confidence,
+    CAST((e.event_id + j.j) % 60 AS INT) AS age,
+    date_trunc('second', e.ts) AS entry_t,
+    date_trunc('second', e.ts) + to_seconds(10 + j.j) AS exit_t,
+    CAST(30 * (j.j + 1) AS INT) AS frame_span
+  FROM events e JOIN (SELECT unnest(range(0, 2)) AS j) j ON j.j <= e.event_id % 2
+)
+SELECT tracker_id,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CAST(confidence AS DECIMAL(18,4))) AS DOUBLE) / COUNT(confidence) AS avg_conf,
+  MIN(epoch_us(entry_t)) AS first_entry_us,
+  MAX(epoch_us(exit_t)) AS last_exit_us,
+  CAST(SUM((epoch_us(exit_t) - epoch_us(entry_t)) / 1000000) AS BIGINT) AS total_duration_s,
+  CAST(SUM(frame_span) AS BIGINT) AS total_frame_span,
+  MAX(age) AS max_age
+FROM det GROUP BY tracker_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q56 — safety pipeline: PPE gear rollups where NULL gear counts as a
+# violation (false-or-null semantics), most-common-missing-item mode
+# over flattened arrays, bbox movement. Mirrors
+# /root/reference/Preprocess_Json_Data/preprocessing/
+# basic_preprocessing_safety.py + advanced_preprocessing_safety.py.
+# ---------------------------------------------------------------------------
+_STATUSES = ["Safe", "Unsafe", "Unknown"]
+_GEAR = ["hardhat", "mask", "safety_vest"]
+
+
+def _safety_raw_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+
+    def person(j: int) -> Column:
+        eid_j = F.col("event_id") + F.lit(j)
+        x1 = F.pmod(F.col("event_id"), F.lit(97)).cast("double")
+        y1 = F.pmod(F.col("user_id"), F.lit(89)).cast("double")
+        null_b = F.lit(None).cast("boolean")
+        return F.struct(
+            # NULL on a deterministic subset: null gear counts as a violation
+            F.when(F.pmod(eid_j, F.lit(13)) == 0, null_b)
+            .otherwise(F.pmod(eid_j, F.lit(2)) == 0)
+            .alias("hardhat"),
+            F.when(F.pmod(eid_j, F.lit(17)) == 0, null_b)
+            .otherwise(F.pmod(eid_j, F.lit(3)) == 0)
+            .alias("mask"),
+            (F.pmod(eid_j, F.lit(5)) == 0).alias("safety_vest"),
+            (F.col("user_id") * 2 + F.lit(j)).cast("int").alias("tracker_id"),
+            F.element_at(
+                F.array(*[F.lit(s) for s in _STATUSES]),
+                (F.pmod(eid_j, F.lit(3)) + 1).cast("int"),
+            ).alias("safety_status"),
+            F.slice(
+                F.array(*[F.lit(g) for g in _GEAR]),
+                (F.pmod(eid_j, F.lit(3)) + 1).cast("int"),
+                F.pmod(eid_j, F.lit(2)).cast("int"),
+            ).alias("missing_items"),
+            F.array(x1, y1, x1 + F.lit(5 + j), y1 + F.lit(7)).alias("bbox"),
+        )
+
+    n_det = (F.pmod(F.col("event_id"), F.lit(2)) + 1).cast("int")
+    # materialization barrier — see _people_raw_from_events
+    return ev.select(
+        F.col("event_id").cast("int").alias("frame_number"),
+        F.slice(F.array(person(0), person(1)), 1, n_det).alias("people"),
+    ).repartition(32)
+
+
+def q56_safety_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_backend_spark.pipelines import safety
+
+    raw = _safety_raw_from_events(spark, sf_dir)
+    gold = safety.gold(safety.silver(raw))
+    return gold.select(
+        "tracker_id",
+        "first_frame",
+        "last_frame",
+        "frame_count",
+        "initial_safety_status",
+        "final_safety_status",
+        "had_hardhat",
+        "had_mask",
+        "had_safety_vest",
+        "hardhat_violations",
+        "mask_violations",
+        "safety_vest_violations",
+        "total_unsafe_frames",
+        "most_common_missing_item",
+        "bbox_count",
+        F.round("bbox_movement_estimate", 4).alias("bbox_movement_r"),
+    )
+
+
+Q56_SQL = """
+WITH det AS (
+  SELECT
+    CAST(e.event_id AS INT) AS frame_number,
+    CAST(e.user_id * 2 + j.j AS INT) AS tracker_id,
+    CASE WHEN (e.event_id + j.j) % 13 = 0 THEN NULL
+         ELSE (e.event_id + j.j) % 2 = 0 END AS hardhat,
+    CASE WHEN (e.event_id + j.j) % 17 = 0 THEN NULL
+         ELSE (e.event_id + j.j) % 3 = 0 END AS mask,
+    ((e.event_id + j.j) % 5 = 0) AS safety_vest,
+    ['Safe','Unsafe','Unknown'][CAST((e.event_id + j.j) % 3 AS INT) + 1] AS safety_status,
+    CASE WHEN (e.event_id + j.j) % 2 = 1
+         THEN [['hardhat','mask','safety_vest'][CAST((e.event_id + j.j) % 3 AS INT) + 1]]
+         ELSE [] END AS missing_items,
+    (CAST(e.event_id % 97 AS DOUBLE) + (CAST(e.event_id % 97 AS DOUBLE) + 5 + j.j)) / 2.0 AS cx,
+    (CAST(e.user_id % 89 AS DOUBLE) + (CAST(e.user_id % 89 AS DOUBLE) + 7)) / 2.0 AS cy
+  FROM events e JOIN (SELECT unnest(range(0, 2)) AS j) j ON j.j <= e.event_id % 2
+),
+stepped AS (
+  SELECT det.*,
+    lag(cx) OVER w AS pcx, lag(cy) OVER w AS pcy
+  FROM det WINDOW w AS (PARTITION BY tracker_id ORDER BY frame_number)
+),
+m_missing AS (
+  SELECT tracker_id, item AS most_common_missing_item FROM (
+    SELECT tracker_id, item,
+           row_number() OVER (PARTITION BY tracker_id ORDER BY COUNT(*) DESC, item ASC) AS rn
+    FROM (SELECT tracker_id, unnest(missing_items) AS item FROM det) u
+    GROUP BY tracker_id, item) t WHERE rn = 1
+),
+base AS (
+  SELECT tracker_id,
+    MIN(frame_number) AS first_frame,
+    MAX(frame_number) AS last_frame,
+    COUNT(*) AS frame_count,
+    arg_min(safety_status, frame_number) AS initial_safety_status,
+    arg_max(safety_status, frame_number) AS final_safety_status,
+    MAX(COALESCE(hardhat, FALSE)) AS had_hardhat,
+    MAX(COALESCE(mask, FALSE)) AS had_mask,
+    MAX(COALESCE(safety_vest, FALSE)) AS had_safety_vest,
+    CAST(SUM(CASE WHEN NOT COALESCE(hardhat, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS hardhat_violations,
+    CAST(SUM(CASE WHEN NOT COALESCE(mask, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS mask_violations,
+    CAST(SUM(CASE WHEN NOT COALESCE(safety_vest, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS safety_vest_violations,
+    CAST(SUM(CASE WHEN safety_status = 'Unsafe' THEN 1 ELSE 0 END) AS BIGINT) AS total_unsafe_frames,
+    COUNT(*) AS bbox_count,
+    ROUND(COALESCE(SUM(sqrt((cx - pcx) * (cx - pcx) + (cy - pcy) * (cy - pcy))), 0.0), 4) AS bbox_movement_r
+  FROM stepped GROUP BY tracker_id
+)
+SELECT b.tracker_id, b.first_frame, b.last_frame, b.frame_count,
+       b.initial_safety_status, b.final_safety_status,
+       b.had_hardhat, b.had_mask, b.had_safety_vest,
+       b.hardhat_violations, b.mask_violations, b.safety_vest_violations,
+       b.total_unsafe_frames, m.most_common_missing_item,
+       b.bbox_count, b.bbox_movement_r
+FROM base b LEFT JOIN m_missing m USING (tracker_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q57 — pose pipeline: keypoint arrays, confidence floor (P4), per-action
+# stats with gap-aware frame durations (W9). Mirrors
+# /root/reference/Preprocess_Json_Data/preprocessing/
+# basic_preprocessing_pose.py + split_pose_data/split_pose.py:80-86.
+# ---------------------------------------------------------------------------
+def _pose_raw_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+
+    def pose(j: int) -> Column:
+        eid_j = F.col("event_id") + F.lit(j)
+        kps = F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda k: F.struct(
+                k.cast("double").alias("landmark_id"),
+                (F.pmod(eid_j + k, F.lit(97))).cast("double").alias("x"),
+                (F.pmod(eid_j + k * 3, F.lit(89))).cast("double").alias("y"),
+                F.lit(0.0).alias("z"),
+                # dyadic (k/128): per-row visibility means sum exactly
+                (F.pmod(eid_j + k * 7, F.lit(128)) / F.lit(128.0)).alias("visibility"),
+            ),
+        )
+        return F.struct(
+            kps.alias("keypoints"),
+            # action unique per (user, j): frame_number stays unique per group
+            F.concat(F.lit("act_"), (F.col("user_id") * 2 + F.lit(j)).cast("string")).alias(
+                "action"
+            ),
+            # dyadic confidence k/128; the > 0.1 floor drops k <= 12
+            (F.pmod(eid_j, F.lit(128)) / F.lit(128.0)).alias("confidence"),
+        )
+
+    n_det = (F.pmod(F.col("event_id"), F.lit(2)) + 1).cast("int")
+    # materialization barrier — see _people_raw_from_events
+    return ev.select(
+        F.col("event_id").cast("int").alias("frame_number"),
+        F.lit(None).cast("int").alias("frame"),
+        F.slice(F.array(pose(0), pose(1)), 1, n_det).alias("pose_data"),
+    ).repartition(32)
+
+
+def q57_pose_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_backend_spark.pipelines import pose
+
+    raw = _pose_raw_from_events(spark, sf_dir)
+    # fps=4 → frame_seconds=0.25 (dyadic): duration sums are exact
+    gold = pose.gold(pose.silver(raw), fps=4.0)
+    return gold.select(
+        "action",
+        "frame_count",
+        "avg_confidence",
+        "first_frame",
+        "last_frame",
+        "avg_visibility",
+        "duration_seconds",
+    )
+
+
+Q57_SQL = """
+WITH det AS (
+  SELECT
+    CAST(e.event_id AS INT) AS frame_number,
+    'act_' || CAST(e.user_id * 2 + j.j AS VARCHAR) AS action,
+    ((e.event_id + j.j) % 128) / 128.0 AS confidence,
+    (((e.event_id + j.j) % 128) / 128.0
+     + ((e.event_id + j.j + 7) % 128) / 128.0
+     + ((e.event_id + j.j + 14) % 128) / 128.0
+     + ((e.event_id + j.j + 21) % 128) / 128.0) / 4.0 AS vis_mean
+  FROM events e JOIN (SELECT unnest(range(0, 2)) AS j) j ON j.j <= e.event_id % 2
+  WHERE ((e.event_id + j.j) % 128) / 128.0 > 0.1
+),
+durs AS (
+  SELECT action,
+    SUM(CASE WHEN gap IS NULL OR gap > 1 THEN CAST(0.25 AS DOUBLE)
+             ELSE gap * CAST(0.25 AS DOUBLE) END) AS duration_seconds
+  FROM (
+    SELECT action,
+           frame_number - lag(frame_number) OVER (PARTITION BY action ORDER BY frame_number) AS gap
+    FROM det
+  ) g GROUP BY action
+)
+SELECT d.action,
+  COUNT(*) AS frame_count,
+  AVG(d.confidence) AS avg_confidence,
+  MIN(d.frame_number) AS first_frame,
+  MAX(d.frame_number) AS last_frame,
+  AVG(d.vis_mean) AS avg_visibility,
+  MIN(du.duration_seconds) AS duration_seconds
+FROM det d JOIN durs du USING (action)
+GROUP BY d.action
+"""
+
+
+# ---------------------------------------------------------------------------
+# q58 — animal pipeline: untracked detections, null-row drop (P8),
+# spatial-grid proximity grouping (F8/A4) with ordered position arrays.
+# Mirrors /root/reference/Preprocess_Json_Data/preprocessing/
+# basic_preprocessing_animal.py + advanced_preprocessing_animal.py.
+# ---------------------------------------------------------------------------
+_SPECIES = ["dog", "cat", "bird", "deer"]
+
+
+def _animal_raw_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    tsec = F.unix_micros("ts") / F.lit(1_000_000.0)
+
+    def det(j: int) -> Column:
+        eid_j = F.col("event_id") + F.lit(j)
+        # grid cells cluster detections of the same user into few keys
+        x1 = (F.pmod(F.col("user_id"), F.lit(8)) * 20 + F.pmod(eid_j, F.lit(10))).cast(
+            "double"
+        )
+        y1 = (F.pmod(F.col("user_id"), F.lit(6)) * 20).cast("double")
+        return F.struct(
+            # NULL class_id on a deterministic subset → row dropped (P8)
+            F.when(
+                F.pmod(eid_j, F.lit(19)) == 0, F.lit(None).cast("int")
+            ).otherwise(F.pmod(eid_j, F.lit(4)).cast("int")).alias("class_id"),
+            F.element_at(
+                F.array(*[F.lit(s) for s in _SPECIES]),
+                (F.pmod(eid_j, F.lit(4)) + 1).cast("int"),
+            ).alias("class_name"),
+            (F.lit(0.5) + F.pmod(eid_j, F.lit(50)) / F.lit(128.0)).alias("confidence"),
+            F.array(x1, y1, x1 + F.lit(4), y1 + F.lit(6)).alias("bbox"),
+            F.struct(
+                (x1 + F.lit(2.0)).alias("x"), (y1 + F.lit(3.0)).alias("y")
+            ).alias("center"),
+            F.pmod(eid_j, F.lit(900)).cast("int").alias("area"),
+            F.col("event_id").cast("int").alias("frame_number"),
+            tsec.alias("timestamp"),
+        )
+
+    n_det = (F.pmod(F.col("event_id"), F.lit(2)) + 1).cast("int")
+    # materialization barrier — see _people_raw_from_events
+    return ev.select(
+        F.col("event_id").cast("int").alias("frame_number"),
+        tsec.alias("timestamp"),
+        F.slice(F.array(det(0), det(1)), 1, n_det).alias("detections"),
+    ).repartition(32)
+
+
+def q58_animal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_backend_spark.pipelines import animal
+
+    raw = _animal_raw_from_events(spark, sf_dir)
+    gold = animal.gold(animal.silver(raw), cell=10.0)
+    return gold.select(
+        "object_id",
+        "class_name",
+        "first_frame",
+        "last_frame",
+        "detection_count",
+        "avg_confidence",
+        F.col("avg_area"),
+        # raw double epoch seconds: identical in both engines, no cast
+        "first_timestamp",
+        "last_timestamp",
+        F.to_json("positions").alias("positions_json"),
+    )
+
+
+Q58_SQL = """
+WITH det AS (
+  SELECT
+    CAST(e.event_id AS INT) AS frame_number,
+    ['dog','cat','bird','deer'][CAST((e.event_id + j.j) % 4 AS INT) + 1] AS class_name,
+    0.5 + ((e.event_id + j.j) % 50) / 128.0 AS confidence,
+    CAST((e.event_id + j.j) % 900 AS INT) AS area,
+    epoch_us(e.ts) / 1000000.0 AS t,
+    CAST(e.user_id % 8 AS DOUBLE) * 20 + CAST((e.event_id + j.j) % 10 AS DOUBLE) + 2.0 AS cx,
+    CAST(e.user_id % 6 AS DOUBLE) * 20 + 3.0 AS cy
+  FROM events e JOIN (SELECT unnest(range(0, 2)) AS j) j ON j.j <= e.event_id % 2
+  WHERE (e.event_id + j.j) % 19 <> 0
+),
+keyed AS (
+  SELECT det.*,
+    class_name || '_' || CAST(CAST(FLOOR(cx / 10.0) AS BIGINT) AS VARCHAR)
+               || '_' || CAST(CAST(FLOOR(cy / 10.0) AS BIGINT) AS VARCHAR) AS object_id
+  FROM det
+)
+SELECT object_id,
+  arg_min(class_name, frame_number) AS class_name,
+  MIN(frame_number) AS first_frame,
+  MAX(frame_number) AS last_frame,
+  COUNT(*) AS detection_count,
+  AVG(confidence) AS avg_confidence,
+  AVG(CAST(area AS DOUBLE)) AS avg_area,
+  MIN(t) AS first_timestamp,
+  MAX(t) AS last_timestamp,
+  to_json(list_sort(list(struct_pack(frame_number := frame_number, x := cx, y := cy))))
+    AS positions_json
+FROM keyed GROUP BY object_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q59/q60 — geolocation and common pipelines (flat detections): renames
+# P2, confidence floor P4, lat/lon struct extraction P1, and the
+# tracker-or-grid fallback key. With these, ALL 11 reference domain
+# pipelines are driver-checked end-to-end.
+# ---------------------------------------------------------------------------
+def _geo_raw_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    x1 = F.pmod(eid, F.lit(97)).cast("double")
+    y1 = F.pmod(F.col("user_id"), F.lit(89)).cast("double")
+    # dyadic lat/lon (k/128): spatial averages sum exactly cross-engine
+    lat = (F.pmod(F.col("user_id"), F.lit(170)) - 85 + F.pmod(eid, F.lit(128)) / F.lit(128.0)).cast("double")
+    lon = (F.pmod(F.col("user_id") * 3, F.lit(340)) - 170 + F.pmod(eid * 5, F.lit(128)) / F.lit(128.0)).cast("double")
+    return ev.select(
+        eid.cast("int").alias("frame"),
+        F.col("event_type").alias("class"),
+        (F.pmod(eid, F.lit(128)) / F.lit(128.0)).alias("confidence"),
+        F.array(x1, y1, x1 + F.lit(5), y1 + F.lit(7)).alias("bbox"),
+        F.struct(lat.alias("latitude"), lon.alias("longitude")).alias("geolocation"),
+    )
+
+
+def q59_geolocation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_backend_spark.pipelines import geolocation
+
+    raw = _geo_raw_from_events(spark, sf_dir)
+    return geolocation.gold(geolocation.silver(raw))
+
+
+Q59_SQL = """
+WITH det AS (
+  SELECT event_type AS class_name,
+    (event_id % 128) / 128.0 AS confidence,
+    (user_id % 170) - 85 + (event_id % 128) / 128.0 AS latitude,
+    ((user_id * 3) % 340) - 170 + ((event_id * 5) % 128) / 128.0 AS longitude
+  FROM events
+  WHERE (event_id % 128) / 128.0 > 0.1
+)
+SELECT class_name,
+  COUNT(*) AS detection_count,
+  AVG(confidence) AS avg_confidence,
+  AVG(latitude) AS avg_latitude,
+  AVG(longitude) AS avg_longitude,
+  MIN(latitude) AS min_latitude,
+  MAX(latitude) AS max_latitude,
+  MIN(longitude) AS min_longitude,
+  MAX(longitude) AS max_longitude
+FROM det GROUP BY class_name
+"""
+
+
+def _common_raw_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    x1 = (F.pmod(F.col("user_id"), F.lit(8)) * 20).cast("double")
+    y1 = (F.pmod(F.col("user_id"), F.lit(6)) * 20).cast("double")
+    return ev.select(
+        eid.cast("int").alias("frame_number"),
+        # -1 on a subset → grid-key fallback branch
+        F.when(F.pmod(eid, F.lit(4)) == 0, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .cast("int")
+        .alias("tracker_id"),
+        F.pmod(eid, F.lit(5)).cast("int").alias("class_id"),
+        F.col("event_type").alias("class_name"),
+        (F.lit(0.5) + F.pmod(eid, F.lit(50)) / F.lit(128.0)).alias("confidence"),
+        F.array(x1, y1, x1 + F.lit(4), y1 + F.lit(6)).alias("bbox"),
+    )
+
+
+def q60_common_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_backend_spark.pipelines import common
+
+    raw = _common_raw_from_events(spark, sf_dir)
+    return common.gold(common.silver(raw), cell=10.0)
+
+
+Q60_SQL = """
+WITH det AS (
+  SELECT CAST(event_id AS INT) AS frame_number,
+    CASE WHEN event_id % 4 = 0 THEN -1 ELSE CAST(user_id AS INT) END AS tracker_id,
+    event_type AS class_name,
+    0.5 + (event_id % 50) / 128.0 AS confidence,
+    CAST(user_id % 8 AS DOUBLE) * 20 + 2.0 AS cx,
+    CAST(user_id % 6 AS DOUBLE) * 20 + 3.0 AS cy
+  FROM events
+),
+keyed AS (
+  SELECT det.*,
+    CASE WHEN tracker_id IS NOT NULL AND tracker_id <> -1
+         THEN CAST(tracker_id AS VARCHAR)
+         ELSE class_name || '_' || CAST(CAST(FLOOR(cx / 10.0) AS BIGINT) AS VARCHAR)
+                         || '_' || CAST(CAST(FLOOR(cy / 10.0) AS BIGINT) AS VARCHAR)
+         END AS object_id
+  FROM det
+)
+SELECT object_id,
+  arg_min(class_name, frame_number) AS class_name,
+  MIN(frame_number) AS first_frame,
+  MAX(frame_number) AS last_frame,
+  COUNT(*) AS detection_count,
+  AVG(confidence) AS avg_confidence
+FROM keyed GROUP BY object_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QuerySpec] = {
@@ -2185,6 +2926,30 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q52_parking_pipeline": QuerySpec(
         q52_parking_pipeline, Q52_SQL, "pipeline-parking,F10,F11,J2,W7,A9"
+    ),
+    "q53_school_pipeline": QuerySpec(
+        q53_school_pipeline, Q53_SQL, "pipeline-school,F13,A10,A11,A14"
+    ),
+    "q54_retail_pipeline": QuerySpec(
+        q54_retail_pipeline, Q54_SQL, "pipeline-retail,F18,A14,U3"
+    ),
+    "q55_tracking_pipeline": QuerySpec(
+        q55_tracking_pipeline, Q55_SQL, "pipeline-tracking,F19,F5,A1"
+    ),
+    "q56_safety_pipeline": QuerySpec(
+        q56_safety_pipeline, Q56_SQL, "pipeline-safety,A12,A10,W4,F13"
+    ),
+    "q57_pose_pipeline": QuerySpec(
+        q57_pose_pipeline, Q57_SQL, "pipeline-pose,P4,W9,A13"
+    ),
+    "q58_animal_pipeline": QuerySpec(
+        q58_animal_pipeline, Q58_SQL, "pipeline-animal,P8,F7,F8,A4"
+    ),
+    "q59_geolocation_pipeline": QuerySpec(
+        q59_geolocation_pipeline, Q59_SQL, "pipeline-geolocation,P1,P2,P4,A13"
+    ),
+    "q60_common_pipeline": QuerySpec(
+        q60_common_pipeline, Q60_SQL, "pipeline-common,F8,A4,A1"
     ),
 }
 
