@@ -24,7 +24,10 @@ def value_distribution(
     partition-less window: ``OVER ()`` funnels every group through one
     WindowExec partition, a serializer at token-distribution
     cardinality; the single-row total broadcast keeps the plan fully
-    parallel at any group count."""
+    parallel at any group count. The input is still scanned ONCE —
+    both branches consume the same hash exchange, which AQE reuses at
+    runtime (``ReusedExchange`` in the final adaptive plan; pinned by
+    ``tests/test_plan_shape.py``)."""
     n = F.sum(F.col(weight_col)) if weight_col else F.count("*")
     counted = df.groupBy(F.col(attr_col).alias("value")).agg(n.cast("long").alias("n"))
     total = counted.agg(F.sum("n").alias("_total"))

@@ -76,6 +76,11 @@ def test_value_distribution_no_global_window(spark):
     plan = plan_of(out)
     assert "Window" not in plan, plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    # single scan: AQE reuses the hash exchange between the counted
+    # branch and the scalar-total branch at runtime
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final, final
 
 
 def test_bucketed_join_skips_exchange(spark, tmp_path):
