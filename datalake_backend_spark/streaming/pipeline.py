@@ -116,6 +116,20 @@ def start_to_memory(
     )
 
 
+def idempotent_epoch_write(batch: DataFrame, path: str, epoch_id: int) -> None:
+    """Replay-safe micro-batch parquet write: partition by the
+    (checkpointed, replay-stable) ``epoch_id`` and dynamically overwrite
+    ONLY that partition — a retried epoch rewrites its own directory
+    instead of double-appending. An empty batch touches no partitions."""
+    (
+        batch.withColumn("_epoch", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_epoch")
+        .parquet(path)
+    )
+
+
 def start_silver_sink(
     df: DataFrame,
     path: str,
@@ -127,21 +141,13 @@ def start_silver_sink(
     reference's per-upload preprocessing, but checkpointed).
 
     foreachBatch alone is at-least-once — a micro-batch replayed after a
-    crash would double-append. Idempotence comes from partitioning the
-    output by the (checkpointed, replay-stable) ``epoch_id`` and
-    dynamically overwriting ONLY that partition: a retry rewrites its own
-    epoch directory instead of appending a duplicate. Readers see an
-    extra ``_epoch`` partition column (prune or drop it downstream)."""
+    crash would double-append. :func:`idempotent_epoch_write` makes the
+    retry rewrite its own epoch partition. Readers see an extra
+    ``_epoch`` partition column (prune or drop it downstream)."""
 
     def _write(batch: DataFrame, epoch_id: int) -> None:
         out = transform(batch) if transform else batch
-        (
-            out.withColumn("_epoch", F.lit(epoch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_epoch")
-            .parquet(path)
-        )
+        idempotent_epoch_write(out, path, epoch_id)
 
     return (
         df.writeStream.foreachBatch(_write)

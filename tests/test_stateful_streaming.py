@@ -72,3 +72,21 @@ def test_state_accumulates_across_batches(spark, tmp_path):
     assert r2.free_seconds == 10.0
     assert not r2.occupied
     assert r2.late_rows == 1
+
+
+def test_idempotent_epoch_write_replay(spark, tmp_path):
+    """A replayed micro-batch (same epoch_id) overwrites its own
+    partition instead of double-appending; other epochs are untouched."""
+    from datalake_backend_spark.streaming.pipeline import idempotent_epoch_write
+
+    out = str(tmp_path / "sink")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    b2 = spark.createDataFrame([(3, "c")], "id int, v string")
+    idempotent_epoch_write(b1, out, epoch_id=0)
+    idempotent_epoch_write(b2, out, epoch_id=1)
+    assert spark.read.parquet(out).count() == 3
+    # crash-replay of epoch 1: same data rewritten, no duplicates
+    idempotent_epoch_write(b2, out, epoch_id=1)
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert {r.id for r in got.collect()} == {1, 2, 3}
