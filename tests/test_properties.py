@@ -78,3 +78,53 @@ def test_sessionize_conservation(spark, states):
     span = float(len(states) - 1)
     assert abs(summary.active_seconds + summary.inactive_seconds - span) < 1e-9
     assert summary.became_active == expected_sessions - (1 if states[0] else 0)
+
+
+@FAST
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.one_of(st.none(), st.sampled_from("abc"))),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 7), st.one_of(st.none(), st.sampled_from("abc"))),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_scd2_invariants_property(spark, current_rows, change_rows):
+    """SCD2 invariants under arbitrary (incl. NULL) compare values:
+    every change key ends with exactly one open version carrying the
+    change's value; re-applying the same changes is a no-op."""
+    import datetime
+
+    from datalake_backend_spark.operators.merge import scd2_apply
+
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 6, 1)
+    current = spark.createDataFrame(
+        [(k, v, t0, None) for k, v in current_rows],
+        "id int, attr string, effective_from timestamp, effective_to timestamp",
+    )
+    changes = spark.createDataFrame(change_rows, "id int, attr string")
+    merged = scd2_apply(current, changes, ["id"], ["attr"], ts=F.lit(t1))
+    rows = merged.collect()
+    open_by_key = {}
+    for r in rows:
+        if r.effective_to is None:
+            open_by_key.setdefault(r.id, []).append(r.attr)
+    for k, v in change_rows:
+        assert open_by_key.get(k) == [v], (k, v, open_by_key.get(k))
+    # keys only in current keep exactly one open version
+    change_keys = {k for k, _ in change_rows}
+    for k, v in current_rows:
+        if k not in change_keys:
+            assert open_by_key.get(k) == [v]
+    # idempotent re-apply
+    again = scd2_apply(merged, changes, ["id"], ["attr"], ts=F.lit(t1))
+    assert sorted(map(tuple, again.collect()), key=repr) == sorted(
+        map(tuple, rows), key=repr
+    )
