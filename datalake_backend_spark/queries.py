@@ -1844,7 +1844,7 @@ def _people_raw_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames exercise the explode_outer path). Entry/exit times carry the
     reference's sentinel on a deterministic subset so the gold
     coalesce-cascade has to branch."""
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") < 25000)
     ts_trunc = F.date_trunc("second", F.col("ts"))
     fmt = "yyyy-MM-dd HH:mm:ss"
 
@@ -1936,7 +1936,8 @@ WITH det AS (
          WHEN (e.event_id + j.j) % 11 <> 0
          THEN date_trunc('second', e.ts) + INTERVAL 2 SECOND
          ELSE date_trunc('second', e.ts) END AS t
-  FROM events e JOIN (SELECT unnest(range(0, 2)) AS j) j ON j.j < e.event_id % 3
+  FROM (SELECT * FROM events WHERE event_id < 25000) e
+       JOIN (SELECT unnest(range(0, 2)) AS j) j ON j.j < e.event_id % 3
 ),
 base AS (
   SELECT tracker_id,
@@ -1987,7 +1988,7 @@ LEFT JOIN m_carry USING (tracker_id)
 def _parking_raw_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One frame per event, one camera per user, 3 map-keyed slots whose
     occupancy flips deterministically over (event_id, slot)."""
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") < 25000)
 
     def slot(s: int) -> Column:
         return F.struct(
@@ -2049,7 +2050,7 @@ WITH slotrows AS (
          'slot_' || CAST(s.s AS VARCHAR) AS slot_id,
          CAST(epoch_us(e.ts) AS DOUBLE) AS t,
          ((e.event_id + s.s * 7) % 3 = 0) AS a
-  FROM events e, (SELECT unnest(range(0, 3)) AS s) s
+  FROM (SELECT * FROM events WHERE event_id < 25000) e, (SELECT unnest(range(0, 3)) AS s) s
 ),
 stepped AS (
   SELECT video_source, slot_id, t, a,
@@ -2123,7 +2124,7 @@ _ALERTS = ["low", "medium", "high"]
 
 
 def _school_raw_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") < 25000)
     ts_str = F.date_format(F.date_trunc("second", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
 
     def det(j: int) -> Column:
@@ -2205,7 +2206,8 @@ WITH det AS (
     ((e.event_id + j.j) % 6 = 0) AS multiple_persons_involved,
     [['student','teacher','visitor','staff'][CAST((e.event_id + j.j) % 4 AS INT) + 1],
      ['student','teacher','visitor','staff'][CAST((e.event_id + j.j + 1) % 4 AS INT) + 1]] AS roles
-  FROM events e JOIN (SELECT unnest(range(0, 2)) AS j) j ON j.j <= e.event_id % 2
+  FROM (SELECT * FROM events WHERE event_id < 25000) e
+       JOIN (SELECT unnest(range(0, 2)) AS j) j ON j.j <= e.event_id % 2
 ),
 m_alert AS (
   SELECT sid, alert_level FROM (
@@ -2243,7 +2245,7 @@ FROM rolled r JOIN m_alert m ON r.sid = m.sid
 
 
 def _retail_raw_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") < 25000)
 
     def det(j: int) -> Column:
         eid_j = F.col("event_id") + F.lit(j)
@@ -2308,7 +2310,8 @@ WITH det AS (
     FLOOR(e.value * 4) / 4.0 AS price,
     ((e.event_id + j.j) % 3 = 0) AS picked,
     CAST(e.ts AS DATE) + CAST((e.event_id + j.j) % 30 AS INT) AS expiry
-  FROM events e JOIN (SELECT unnest(range(0, 2)) AS j) j ON j.j <= e.event_id % 2
+  FROM (SELECT * FROM events WHERE event_id < 25000) e
+       JOIN (SELECT unnest(range(0, 2)) AS j) j ON j.j <= e.event_id % 2
 )
 SELECT product_id,
   arg_min(product_name, frame_number) AS product_name,
@@ -2333,7 +2336,7 @@ def _tracking_raw_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One document per event with 1-2 dynamically-keyed trackers; the
     exit_time carries the reference's +05:30 offset suffix so the strip
     path (F5) is exercised on a non-UTC marker."""
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") < 25000)
     ts_trunc = F.date_trunc("second", F.col("ts"))
     fmt = "yyyy-MM-dd HH:mm:ss"
 
@@ -2405,7 +2408,8 @@ WITH det AS (
     date_trunc('second', e.ts) AS entry_t,
     date_trunc('second', e.ts) + to_seconds(10 + j.j) AS exit_t,
     CAST(30 * (j.j + 1) AS INT) AS frame_span
-  FROM events e JOIN (SELECT unnest(range(0, 2)) AS j) j ON j.j <= e.event_id % 2
+  FROM (SELECT * FROM events WHERE event_id < 25000) e
+       JOIN (SELECT unnest(range(0, 2)) AS j) j ON j.j <= e.event_id % 2
 )
 SELECT tracker_id,
   COUNT(*) AS n_docs,
@@ -2431,7 +2435,7 @@ _GEAR = ["hardhat", "mask", "safety_vest"]
 
 
 def _safety_raw_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") < 25000)
 
     def person(j: int) -> Column:
         eid_j = F.col("event_id") + F.lit(j)
@@ -2509,7 +2513,8 @@ WITH det AS (
          ELSE [] END AS missing_items,
     (CAST(e.event_id % 97 AS DOUBLE) + (CAST(e.event_id % 97 AS DOUBLE) + 5 + j.j)) / 2.0 AS cx,
     (CAST(e.user_id % 89 AS DOUBLE) + (CAST(e.user_id % 89 AS DOUBLE) + 7)) / 2.0 AS cy
-  FROM events e JOIN (SELECT unnest(range(0, 2)) AS j) j ON j.j <= e.event_id % 2
+  FROM (SELECT * FROM events WHERE event_id < 25000) e
+       JOIN (SELECT unnest(range(0, 2)) AS j) j ON j.j <= e.event_id % 2
 ),
 stepped AS (
   SELECT det.*,
@@ -2558,7 +2563,7 @@ FROM base b LEFT JOIN m_missing m USING (tracker_id)
 # basic_preprocessing_pose.py + split_pose_data/split_pose.py:80-86.
 # ---------------------------------------------------------------------------
 def _pose_raw_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") < 25000)
 
     def pose(j: int) -> Column:
         eid_j = F.col("event_id") + F.lit(j)
@@ -2619,7 +2624,8 @@ WITH det AS (
      + ((e.event_id + j.j + 7) % 128) / 128.0
      + ((e.event_id + j.j + 14) % 128) / 128.0
      + ((e.event_id + j.j + 21) % 128) / 128.0) / 4.0 AS vis_mean
-  FROM events e JOIN (SELECT unnest(range(0, 2)) AS j) j ON j.j <= e.event_id % 2
+  FROM (SELECT * FROM events WHERE event_id < 25000) e
+       JOIN (SELECT unnest(range(0, 2)) AS j) j ON j.j <= e.event_id % 2
   WHERE ((e.event_id + j.j) % 128) / 128.0 > 0.1
 ),
 durs AS (
@@ -2654,7 +2660,7 @@ _SPECIES = ["dog", "cat", "bird", "deer"]
 
 
 def _animal_raw_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") < 25000)
     tsec = F.unix_micros("ts") / F.lit(1_000_000.0)
 
     def det(j: int) -> Column:
@@ -2722,7 +2728,8 @@ WITH det AS (
     epoch_us(e.ts) / 1000000.0 AS t,
     CAST(e.user_id % 8 AS DOUBLE) * 20 + CAST((e.event_id + j.j) % 10 AS DOUBLE) + 2.0 AS cx,
     CAST(e.user_id % 6 AS DOUBLE) * 20 + 3.0 AS cy
-  FROM events e JOIN (SELECT unnest(range(0, 2)) AS j) j ON j.j <= e.event_id % 2
+  FROM (SELECT * FROM events WHERE event_id < 25000) e
+       JOIN (SELECT unnest(range(0, 2)) AS j) j ON j.j <= e.event_id % 2
   WHERE (e.event_id + j.j) % 19 <> 0
 ),
 keyed AS (
