@@ -2860,6 +2860,318 @@ FROM keyed GROUP BY object_id
 """
 
 
+def q61_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge driver check (lakehouse MERGE INTO emulation,
+    `dbs.operators.merge.scd2_apply`): customers are the dimension,
+    a deterministic change set flips market segments through NULL on
+    both sides (NULLIF on different values in current vs changes) and
+    shifts balances, plus brand-new keys whose compare columns are all
+    NULL — the exact edge the literal `_matched` marker exists for.
+    Validity timestamps compare cross-engine as epoch micros."""
+    from datalake_backend_spark.operators.merge import scd2_apply
+
+    cust = table(spark, sf_dir, "customer")
+    current = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("segment"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("effective_from"),
+        F.lit(None).cast("timestamp").alias("effective_to"),
+    )
+    changed = cust.where(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("key"),
+        F.nullif(F.col("c_mktsegment"), F.lit("AUTOMOBILE")).alias("segment"),
+        F.when(F.col("c_custkey") % 4 == 0, F.col("c_acctbal") + 50)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    brand_new = cust.where(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("key"),
+        F.lit(None).cast("string").alias("segment"),
+        F.lit(None).cast("double").alias("bal"),
+    )
+    changes = changed.unionByName(brand_new)
+    merged = scd2_apply(
+        current,
+        changes,
+        key_cols=["key"],
+        compare_cols=["segment", "bal"],
+        ts=F.lit("2024-06-01 00:00:00").cast("timestamp"),
+    )
+    return merged.select(
+        "key",
+        "segment",
+        "bal",
+        F.unix_micros(F.col("effective_from")).alias("eff_from_us"),
+        F.unix_micros(F.col("effective_to")).alias("eff_to_us"),
+    )
+
+
+Q61_SQL = """
+WITH cur AS (
+  SELECT c_custkey AS key, NULLIF(c_mktsegment, 'BUILDING') AS segment, c_acctbal AS bal,
+         TIMESTAMP '2024-01-01 00:00:00' AS eff_from, CAST(NULL AS TIMESTAMP) AS eff_to
+  FROM customer
+),
+chg AS (
+  SELECT c_custkey AS key, NULLIF(c_mktsegment, 'AUTOMOBILE') AS segment,
+         CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 50 ELSE c_acctbal END AS bal
+  FROM customer WHERE c_custkey % 2 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000 AS key, CAST(NULL AS VARCHAR) AS segment, CAST(NULL AS DOUBLE) AS bal
+  FROM customer WHERE c_custkey % 7 = 0
+),
+open_rows AS (SELECT * FROM cur WHERE eff_to IS NULL),
+j AS (
+  SELECT o.key, o.segment, o.bal, o.eff_from, o.eff_to,
+         c.key IS NOT NULL AS matched,
+         (NOT (o.segment IS NOT DISTINCT FROM c.segment))
+           OR (NOT (o.bal IS NOT DISTINCT FROM c.bal)) AS changed
+  FROM open_rows o LEFT JOIN chg c ON o.key = c.key
+),
+merged AS (
+  SELECT key, segment, bal, eff_from, eff_to FROM j WHERE (NOT matched) OR (NOT changed)
+  UNION ALL
+  SELECT key, segment, bal, eff_from, TIMESTAMP '2024-06-01 00:00:00' AS eff_to
+  FROM j WHERE matched AND changed
+  UNION ALL
+  SELECT c.key, c.segment, c.bal,
+         TIMESTAMP '2024-06-01 00:00:00' AS eff_from, CAST(NULL AS TIMESTAMP) AS eff_to
+  FROM chg c LEFT JOIN open_rows o ON c.key = o.key
+  WHERE o.key IS NULL
+     OR (NOT (o.segment IS NOT DISTINCT FROM c.segment))
+     OR (NOT (o.bal IS NOT DISTINCT FROM c.bal))
+)
+SELECT key, segment, bal, epoch_us(eff_from) AS eff_from_us, epoch_us(eff_to) AS eff_to_us
+FROM merged
+"""
+
+
+def q62_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs
+    (`dbs.datapipe.similarity.near_dup_pairs`): 8-plane hyperplane-LSH
+    bucket self-join for candidates, exact cosine verify. The DuckDB
+    twin inlines the deterministic LCG hyperplanes (as q29 does), so
+    the bucket assignment AND the verified pair set reproduce
+    bit-for-bit. Threshold 0.35 is calibrated to the synthetic
+    embedding corpus (max all-pairs cosine ≈ 0.51); production corpora
+    with planted duplicates run 0.9+."""
+    from datalake_backend_spark.datapipe.similarity import near_dup_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = near_dup_pairs(emb, threshold=0.35, n_planes=8, dim=64)
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine_r")
+    )
+
+
+def _q62_sql(threshold: float = 0.35, n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB twin of q62: same hyperplane literals and fold order as
+    `_q29_sql` (list_reduce's first-element seed == Spark's 0.0 + x1)."""
+    from datalake_backend_spark.datapipe.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(n_planes, dim, seed)
+
+    def dot_sql(vec_expr: str, plane: list[float]) -> str:
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return (
+            f"list_reduce(list_transform(list_zip({vec_expr}, {lit}), "
+            "p -> p[1] * p[2]), (acc, x) -> acc + x)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_sql('v', p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM embeddings
+),
+b AS (SELECT vec_id, v, nrm, {bucket} AS bucket FROM n),
+pairs AS (
+  SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+    list_reduce(list_transform(list_zip(a.v, bb.v), p -> p[1] * p[2]), (acc, x) -> acc + x)
+      / (a.nrm * bb.nrm) AS cosine
+  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+)
+SELECT id_a, id_b, ROUND(cosine, 4) AS cosine_r FROM pairs WHERE cosine >= {threshold!r}
+"""
+
+
+def q63_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate-nearest-neighbor driver check
+    (`dbs.datapipe.similarity.ivf_index`/`ivf_topk`): distributed
+    KMeans trains the coarse quantizer, then the query probes ALL
+    lists (nprobe == n_lists), which is exactly the brute-force top-k
+    regardless of where the centroids landed — so the DuckDB oracle is
+    the exact scan. Partial-probe recall is covered by pytest
+    (tests assert full-probe == exact and recall@nprobe bounds); the
+    scale path writes `assigned` partitioned by ivf_list so a real
+    query scans only probed lists' files."""
+    from datalake_backend_spark.datapipe.similarity import ivf_index, ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 1)
+    assigned, centroids = ivf_index(emb, n_lists=8)
+    out = ivf_topk(assigned, centroids, q, k=12, nprobe=8)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
+
+
+Q63_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),
+scored AS (
+  SELECT vec_id,
+    list_reduce(list_transform(list_zip(CAST(embedding AS DOUBLE[]), qv), x -> x[1]*x[2]), (a,b) -> a+b)
+    / (sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x), (a,b) -> a+b))
+       * sqrt(list_reduce(list_transform(qv, x -> x*x), (a,b) -> a+b))) AS cosine
+  FROM embeddings, q
+)
+SELECT vec_id, ROUND(cosine, 4) AS cosine_r FROM scored
+ORDER BY cosine DESC, vec_id ASC LIMIT 12
+"""
+
+
+def q64_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins upsert driver check
+    (`dbs.operators.merge.upsert`): two update waves collide on
+    key % 4 == 0 (same segment, different balances) so the
+    dedup-by-max-struct picks the larger balance; key % 7 == 0 appends
+    brand-new keys. The DuckDB twin resolves the collision with the
+    same (segment, bal) lexicographic order via row_number."""
+    from datalake_backend_spark.operators.merge import upsert
+
+    cust = table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    wave_a = base.where(F.col("key") % 2 == 0).withColumn("bal", F.col("bal") + 10)
+    wave_b = base.where(F.col("key") % 4 == 0).withColumn("bal", F.col("bal") + 20)
+    brand_new = base.where(F.col("key") % 7 == 0).select(
+        (F.col("key") + 1000000).alias("key"),
+        F.lit("NEWSEG").alias("segment"),
+        F.lit(0.0).alias("bal"),
+    )
+    updates = wave_a.unionByName(wave_b).unionByName(brand_new)
+    return upsert(base, updates, ["key"])
+
+
+Q64_SQL = """
+WITH base AS (SELECT c_custkey AS key, c_mktsegment AS segment, c_acctbal AS bal FROM customer),
+updates AS (
+  SELECT key, segment, bal + 10 AS bal FROM base WHERE key % 2 = 0
+  UNION ALL
+  SELECT key, segment, bal + 20 AS bal FROM base WHERE key % 4 = 0
+  UNION ALL
+  SELECT key + 1000000 AS key, 'NEWSEG' AS segment, CAST(0.0 AS DOUBLE) AS bal
+  FROM base WHERE key % 7 = 0
+),
+dedup AS (
+  SELECT key, segment, bal FROM (
+    SELECT *, row_number() OVER (PARTITION BY key ORDER BY segment DESC, bal DESC) AS rn
+    FROM updates
+  ) WHERE rn = 1
+)
+SELECT key, segment, bal FROM base WHERE key NOT IN (SELECT key FROM dedup)
+UNION ALL
+SELECT key, segment, bal FROM dedup
+"""
+
+
+def q65_normalized_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-normalization + content-fingerprint driver check
+    (`dbs.datapipe.text.normalize_text`/`fingerprint`): URL/email/
+    control-char scrub, whitespace collapse, trim, lowercase, then md5
+    — the standard pre-dedup canonicalization. Regex classes are
+    chosen to mean the same thing in Java regex and RE2 (the \\x0b
+    divergence in \\s is scrubbed away before the collapse)."""
+    from datalake_backend_spark.datapipe.text import fingerprint, normalize_text
+
+    docs = table(spark, sf_dir, "documents")
+    normed = normalize_text(docs, "text", out_col="norm_text")
+    return fingerprint(normed, "norm_text", out_col="fp").select("doc_id", "fp")
+
+
+Q65_SQL = r"""
+SELECT doc_id,
+  md5(lower(trim(regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, 'https?://\S+', ' ', 'g'),
+        '[\w.+-]+@[\w-]+\.[\w.-]+', ' ', 'g'),
+      '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+    '\s+', ' ', 'g')))) AS fp
+FROM documents
+"""
+
+
+def q66_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming gap-sessionization driver check
+    (`dbs.streaming.pipeline.session_aggregate`): the events parquet is
+    replayed as a stream (availableNow), session_window(30 min) groups
+    it, and the per-user session/event counts land in a memory sink.
+    session_window semantics — a new session starts when the gap is
+    >= 30 min (windows are [start, last+gap)) — are reproduced in the
+    DuckDB twin with a lag-based >= boundary, so streaming output is
+    fully oracle-checked, not rows-only."""
+    from datalake_backend_spark.streaming.pipeline import (
+        read_event_stream,
+        session_aggregate,
+        start_to_memory,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    # batch `table()` pins nanosAsLong + UTC session TZ — required before
+    # the raw schema sniff below can read the TIMESTAMP(NANOS) column
+    table(spark, sf_dir, "events")
+    # the streaming file source needs a directory basePath; a glob makes
+    # Spark resolve the parent dir as base (events.parquet is one file)
+    stream = read_event_stream(
+        spark, f"{sf_dir}/events.parquet*", spark.read.parquet(path).schema
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sessions = session_aggregate(stream, time_col="ts", key_col="user_id", gap="30 minutes")
+    q = start_to_memory(sessions, "q66_sessions", output_mode="complete")
+    q.awaitTermination()
+    return (
+        spark.table("q66_sessions")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("total_events"),
+        )
+    )
+
+
+Q66_SQL = """
+WITH lagged AS (
+  SELECT user_id, ts,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts,
+    CASE WHEN prev_ts IS NULL
+           OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM lagged
+),
+sess AS (
+  SELECT user_id,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+per_session AS (
+  SELECT user_id, sid, COUNT(*) AS n_events FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS total_events
+FROM per_session GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2957,6 +3269,18 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q60_common_pipeline": QuerySpec(
         q60_common_pipeline, Q60_SQL, "pipeline-common,F8,A4,A1"
+    ),
+    "q61_scd2_merge": QuerySpec(q61_scd2_merge, Q61_SQL, "merge-scd2"),
+    "q62_embedding_near_dup": QuerySpec(
+        q62_embedding_near_dup, _q62_sql(), "dedup-embedding,similarity-lsh"
+    ),
+    "q63_ivf_ann": QuerySpec(q63_ivf_ann, Q63_SQL, "similarity-ivf,A15"),
+    "q64_upsert_merge": QuerySpec(q64_upsert_merge, Q64_SQL, "merge-upsert"),
+    "q65_normalized_fingerprint": QuerySpec(
+        q65_normalized_fingerprint, Q65_SQL, "text-normalize,text-fingerprint"
+    ),
+    "q66_streaming_sessions": QuerySpec(
+        q66_streaming_sessions, Q66_SQL, "streaming-sessions,W7"
     ),
 }
 
