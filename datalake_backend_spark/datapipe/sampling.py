@@ -1,0 +1,104 @@
+"""Deterministic sampling & dataset splitting for training-data curation.
+
+Random sampling (``df.sample``/``sampleBy``) is nondeterministic across
+runs, partitionings, and engines — useless for reproducible dataset
+builds. These operators derive a uniform [0, 1) fraction from a
+portable 60-bit md5 hash of (key, salt) instead:
+
+* identical results on every run, any partitioning, any cluster size;
+* membership is a pure map-stage projection (no shuffle, no state);
+* any SQL engine reproduces the exact row set
+  (``('0x' || substr(md5(key || salt), 1, 15))::BIGINT / 2^60``);
+* re-running on a grown corpus keeps prior decisions stable — a row's
+  fate depends only on its own key, the leakage-safe property that
+  train/test splits need (same key never straddles the split).
+
+The salt namespaces independent decisions: sampling with one salt and
+splitting with another gives independent uniform draws from the same
+key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datalake_backend_spark.datapipe.dedup import portable_hash60
+
+#: 2^60 — portable_hash60 is uniform on [0, 2^60).
+_HASH_SPACE = float(1 << 60)
+
+
+def hash_fraction(key_col: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform [0, 1) fraction from a key column.
+
+    The hash input is ``CAST(key AS STRING) || salt`` so any engine can
+    reproduce it; the division by 2^60 is exact-input identical in
+    every IEEE-754 implementation.
+    """
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    h = portable_hash60(F.concat(c.cast("string"), F.lit(salt)))
+    return h / F.lit(_HASH_SPACE)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows.
+
+    Strata absent from ``fractions`` are dropped (fraction 0.0) — the
+    curation default, where unlisted languages/sources are excluded.
+    Pure projection + filter: no shuffle, fully pushdown-friendly.
+    """
+    frac = F.lit(0.0)
+    for value, p in fractions.items():
+        frac = F.when(F.col(strata_col) == value, F.lit(float(p))).otherwise(frac)
+    return df.where(hash_fraction(key_col, salt) < frac)
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by cumulative hash-fraction
+    thresholds (e.g. ``{"train": 0.8, "val": 0.1, "test": 0.1}``).
+
+    The same (key, salt) always lands in the same split — across runs
+    AND across engine re-implementations — so a document can never
+    leak between train and test when the corpus is rebuilt. Fractions
+    must sum to ~1.0; the final split absorbs the remainder so float
+    accumulation can't leave rows unassigned.
+    """
+    names = list(fractions)
+    bounds: list[float] = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += float(fractions[name])
+        bounds.append(acc)
+    frac = hash_fraction(key_col, salt)
+    # nested WHENs, first matching bound wins (ascending thresholds)
+    expr: Column = F.lit(names[-1])
+    for name, bound in reversed(list(zip(names[:-1], bounds))):
+        expr = F.when(frac < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def split_bounds(fractions: dict[str, float]) -> list[tuple[str, float]]:
+    """(name, upper_bound) pairs for all but the last split — exposed so
+    SQL twins can inline the EXACT cumulative float literals Python
+    computed (0.8 + 0.1 is 0.9000000000000001 in binary; the oracle
+    must compare against that same double, not a fresh 0.9)."""
+    names = list(fractions)
+    out: list[tuple[str, float]] = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += float(fractions[name])
+        out.append((name, acc))
+    return out

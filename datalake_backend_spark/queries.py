@@ -3172,6 +3172,99 @@ FROM per_session GROUP BY user_id
 """
 
 
+def q67_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap / containment detection
+    (`dbs.datapipe.dedup.chunk_overlap_pairs`): documents sharing >= 2
+    distinct rolling 8-token chunk fingerprints. Catches a short doc
+    embedded verbatim in a long one, which whole-document MinHash
+    misses (low global Jaccard). The frequency cap (max_df=50) drops
+    boilerplate hot-key chunks before the self-join; the DuckDB twin
+    models the same cap, the same portable 60-bit md5 hash, and the
+    same distinct-per-doc chunk sets, so the pair list and shared
+    counts reproduce exactly."""
+    from datalake_backend_spark.datapipe.dedup import chunk_overlap_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return chunk_overlap_pairs(docs, window=8, min_shared=2, max_df=50)
+
+
+Q67_SQL = r"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i FROM toks
+),
+fps AS (
+  SELECT DISTINCT doc_id,
+    ('0x' || substr(md5(array_to_string(t[i : i + 7], ' ')), 1, 15))::BIGINT AS fp
+  FROM idx
+),
+kept AS (
+  SELECT doc_id, fp FROM fps
+  WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_chunks
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
+#: q68 corpus-curation parameters (shared by Spark impl and SQL twin)
+Q68_SAMPLE_RATES = {"en": 0.5, "fr": 0.25, "de": 0.25, "es": 0.1, "zh": 1.0}
+Q68_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q68_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus curation
+    (`dbs.datapipe.sampling`): per-language stratified sampling then
+    leakage-safe train/val/test assignment, both derived from the
+    portable 60-bit md5 hash of (doc_id, salt) — reproducible across
+    runs, partitionings, and engines (df.sample/sampleBy are none of
+    those). The DuckDB twin inlines the SAME cumulative float
+    thresholds Python computed (0.8 + 0.1 is 0.9000000000000001 in
+    binary — a fresh 0.9 literal would misplace boundary rows)."""
+    from datalake_backend_spark.datapipe.sampling import (
+        deterministic_split,
+        stratified_sample,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        docs, "lang", Q68_SAMPLE_RATES, key_col="doc_id", salt="s1"
+    )
+    split = deterministic_split(sampled, "doc_id", Q68_SPLIT_FRACS, salt="cv0")
+    return split.groupBy("lang", "split").agg(F.count("*").alias("n"))
+
+
+def _q68_sql() -> str:
+    """DuckDB twin of q68, generated from the same rate/fraction dicts
+    so every float literal is bit-identical to the Spark plan's."""
+    from datalake_backend_spark.datapipe.sampling import split_bounds
+
+    def frac(salt: str) -> str:
+        return (
+            f"(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 15))::BIGINT"
+            " / 1152921504606846976.0)"
+        )
+
+    rate = "CASE lang " + " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in Q68_SAMPLE_RATES.items()
+    ) + " ELSE 0.0 END"
+    names = list(Q68_SPLIT_FRACS)
+    cases = " ".join(
+        f"WHEN {frac('cv0')} < {bound!r} THEN '{name}'"
+        for name, bound in split_bounds(Q68_SPLIT_FRACS)
+    )
+    split = f"CASE {cases} ELSE '{names[-1]}' END"
+    return f"""
+WITH sampled AS (
+  SELECT doc_id, lang FROM documents WHERE {frac('s1')} < {rate}
+),
+assigned AS (SELECT lang, {split} AS split FROM sampled)
+SELECT lang, split, COUNT(*) AS n FROM assigned GROUP BY lang, split
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3281,6 +3374,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q66_streaming_sessions": QuerySpec(
         q66_streaming_sessions, Q66_SQL, "streaming-sessions,W7"
+    ),
+    "q67_chunk_overlap": QuerySpec(
+        q67_chunk_overlap, Q67_SQL, "dedup-containment,text-fingerprint"
+    ),
+    "q68_stratified_split": QuerySpec(
+        q68_stratified_split, _q68_sql(), "sampling-stratified,split-deterministic"
     ),
 }
 

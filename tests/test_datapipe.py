@@ -191,6 +191,39 @@ def test_rolling_fingerprints_detect_overlap(spark):
     assert not fps[1] & fps[3]
 
 
+def test_chunk_overlap_pairs_containment(spark):
+    """A short doc embedded verbatim in a long one is caught by chunk
+    overlap even though global Jaccard is low; the max_df cap drops
+    boilerplate chunks shared by every doc."""
+    from datalake_backend_spark.datapipe.dedup import chunk_overlap_pairs
+
+    core = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    filler = " ".join(f"w{i}" for i in range(60))
+    boiler = "this license header appears in every single document verbatim"
+    rows = [
+        (1, core),                          # the contained doc
+        (2, filler + " " + core),           # contains doc 1 verbatim
+        (3, "unrelated " + " ".join(f"x{i}" for i in range(40))),
+        (4, boiler + " completely different tail content follows here one"),
+        (5, boiler + " another unrelated continuation of words goes here two"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b): r.shared_chunks
+        for r in chunk_overlap_pairs(df, window=4, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # boilerplate pair found without cap...
+    assert (4, 5) in pairs
+    # ...and suppressed when the cap excludes chunks present in >1 doc
+    capped = {
+        (r.id_a, r.id_b)
+        for r in chunk_overlap_pairs(df, window=4, min_shared=2, max_df=1).collect()
+    }
+    assert capped == set()
+
+
 def test_normalize_text(spark):
     from datalake_backend_spark.datapipe.text import normalize_text
 
@@ -237,3 +270,70 @@ def test_multimodal_plumbing(spark):
     assert [r.frame_ms for r in frames] == [0, 1000, 2000, 3000]
     with pytest.raises(NotImplementedError):
         decode_image(b"abc")
+
+
+def test_stratified_sample_deterministic(spark):
+    """Same (key, salt) always keeps/drops the same rows, regardless of
+    partitioning; per-stratum keep rates track the requested fractions;
+    unlisted strata are dropped."""
+    from datalake_backend_spark.datapipe.sampling import stratified_sample
+
+    rows = [(i, ["en", "fr", "xx"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept1 = {
+        r.doc_id
+        for r in stratified_sample(
+            df, "lang", {"en": 0.5, "fr": 0.1}, key_col="doc_id", salt="s"
+        ).collect()
+    }
+    kept2 = {
+        r.doc_id
+        for r in stratified_sample(
+            df.repartition(7, "lang"),
+            "lang",
+            {"en": 0.5, "fr": 0.1},
+            key_col="doc_id",
+            salt="s",
+        ).collect()
+    }
+    assert kept1 == kept2
+    langs = {r.doc_id: r.lang for r in df.collect()}
+    by_lang = {"en": 0, "fr": 0, "xx": 0}
+    for k in kept1:
+        by_lang[langs[k]] += 1
+    assert by_lang["xx"] == 0  # unlisted stratum dropped entirely
+    assert 400 < by_lang["en"] < 600  # ~0.5 of 1000
+    assert 50 < by_lang["fr"] < 150  # ~0.1 of 1000
+    # a different salt is an independent draw
+    kept3 = {
+        r.doc_id
+        for r in stratified_sample(
+            df, "lang", {"en": 0.5, "fr": 0.1}, key_col="doc_id", salt="other"
+        ).collect()
+    }
+    assert kept3 != kept1
+
+
+def test_deterministic_split_leakage_safe(spark):
+    """Every row gets exactly one split; assignment is a pure function
+    of (key, salt) — re-running on a GROWN corpus never moves a
+    previously-assigned key between splits (leakage safety)."""
+    from datalake_backend_spark.datapipe.sampling import (
+        deterministic_split,
+        split_bounds,
+    )
+
+    fracs = {"train": 0.8, "val": 0.1, "test": 0.1}
+    small = spark.createDataFrame([(i,) for i in range(1000)], ["doc_id"])
+    grown = spark.createDataFrame([(i,) for i in range(2500)], ["doc_id"])
+    s1 = {r.doc_id: r.split for r in deterministic_split(small, "doc_id", fracs).collect()}
+    s2 = {r.doc_id: r.split for r in deterministic_split(grown, "doc_id", fracs).collect()}
+    assert len(s2) == 2500  # nothing unassigned
+    for k, v in s1.items():
+        assert s2[k] == v  # growth never reassigns
+    from collections import Counter
+
+    c = Counter(s2.values())
+    assert 1850 < c["train"] < 2150 and 150 < c["val"] < 350 and 150 < c["test"] < 350
+    # cumulative bounds exposed for SQL twins match the float math used
+    assert [b for _, b in split_bounds(fracs)] == [0.8, 0.8 + 0.1]
