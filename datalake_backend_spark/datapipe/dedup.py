@@ -412,3 +412,59 @@ def chunk_overlap_pairs(
         .agg(F.count("*").alias("shared_chunks"))
     )
     return shared.where(F.col("shared_chunks") >= min_shared)
+
+
+def contamination(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark-decontamination scan: for each training document, the
+    number of distinct rolling ``window``-token chunk fingerprints it
+    shares with ANY evaluation document. Non-zero = the training doc
+    quotes benchmark material and would inflate eval scores.
+
+    Scale shape: the eval side reduces to a distinct fingerprint set —
+    benchmarks are tiny next to a 100 TB corpus, so it broadcasts
+    (``broadcast_eval``) and the train side never shuffles: explode →
+    broadcast-hash-join → partial-agg on the already-exploded rows.
+    Set ``broadcast_eval=False`` only if the eval set itself is huge.
+    """
+    from datalake_backend_spark.datapipe.text import chunk_fingerprint_projection
+
+    tr = chunk_fingerprint_projection(
+        train_df, text_col, id_col, window=window, hash_fn=portable_hash60
+    ).select(F.col(id_col), F.explode_outer("chunk_fps").alias("fp"))
+    ev = (
+        chunk_fingerprint_projection(
+            eval_df, text_col, id_col, window=window, hash_fn=portable_hash60
+        )
+        .select(F.explode_outer("chunk_fps").alias("fp"))
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    joined = tr.join(ev, "fp")
+    # chunk_fps is distinct per doc, so plain count == distinct count
+    return joined.groupBy(id_col).agg(F.count("*").alias("n_shared_chunks"))
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    max_shared: int = 0,
+) -> DataFrame:
+    """Drop training documents sharing more than ``max_shared`` chunk
+    fingerprints with the eval set (left-anti join against the
+    :func:`contamination` hit list — train rows pass through
+    untouched, no re-tokenization of survivors)."""
+    hits = contamination(train_df, eval_df, text_col, id_col, window).where(
+        F.col("n_shared_chunks") > max_shared
+    )
+    return train_df.join(hits.select(id_col), id_col, "left_anti")

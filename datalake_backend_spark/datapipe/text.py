@@ -138,6 +138,132 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerpri
     return df.withColumn(out_col, F.md5(F.col(text_col)))
 
 
+#: PII patterns, applied in declaration order (email first: once its
+#: token is gone the digit patterns can't partially re-match it; SSN
+#: before phone so 3-2-4 never half-matches 3-3-4). Regex subset chosen
+#: to behave identically under Java regex and RE2 (ASCII \w and \b, no
+#: backreferences/lookaround) so SQL-engine twins reproduce the output.
+PII_PATTERNS = {
+    "email": r"[\w.+-]+@[\w-]+\.[\w.-]+",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    count_prefix: str = "n_",
+) -> DataFrame:
+    """Redact emails / SSNs / phone numbers / IPv4s with typed
+    placeholders (``<EMAIL>`` etc.) and count matches per type — the
+    mandatory scrub before any corpus leaves the lake. One codegen'd
+    projection per row: counts read the ORIGINAL text (each pattern
+    independent), then replacements apply in PII_PATTERNS order.
+    """
+    out_col = out_col or text_col
+    c = F.col(text_col)
+    counts = {
+        f"{count_prefix}{name}": F.size(
+            F.regexp_extract_all(c, F.lit(pat), F.lit(0))
+        )
+        for name, pat in PII_PATTERNS.items()
+    }
+    red = c
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return df.withColumns({**counts, out_col: red})
+
+
+def _ngram_array(toks: Column, n: int) -> Column:
+    """Overlapping token n-grams (space-joined), empty array when the
+    document has fewer than ``n`` tokens."""
+    cnt = F.size(toks)
+    seq = F.sequence(F.lit(1), cnt - n + 1)
+    grams = F.transform(seq, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _run_length_stats(sorted_arr: Column) -> Column:
+    """struct(best, dup) over a SORTED array: ``best`` = the highest
+    frequency of any element, ``dup`` = total count of elements whose
+    frequency > 1. Single O(n) fold after the sort — map-only, so a
+    100 TB corpus pays zero shuffle for per-document repetition stats
+    (the explode→groupBy alternative shuffles every n-gram)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = x == acc.getField("prev")
+        new_run = F.when(same, acc.getField("run") + 1).otherwise(F.lit(1).cast("long"))
+        # a run closes when the element changes; fold its length into
+        # dup only if it repeated
+        closed = F.when(
+            ~F.coalesce(same, F.lit(False)) & (acc.getField("run") > 1),
+            acc.getField("run"),
+        ).otherwise(F.lit(0).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc.getField("best"), new_run).alias("best"),
+            (acc.getField("dup") + closed).alias("dup"),
+        )
+
+    def finish(acc: Column) -> Column:
+        tail = F.when(acc.getField("run") > 1, acc.getField("run")).otherwise(
+            F.lit(0).cast("long")
+        )
+        return F.struct(
+            acc.getField("best").alias("best"),
+            (acc.getField("dup") + tail).alias("dup"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, finish)
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style per-document repetition features (Rae et al. 2021
+    §A1.1): duplicate-token fraction, top/duplicate 2-gram share, top
+    3-gram share. High values mark boilerplate and degenerate repeated
+    text that dedup misses because the repetition is *within* one doc.
+
+    Pure projection: tokens bound once per row (see
+    :func:`chunk_fingerprint_projection` for why the bind must be its
+    own step), then sorted-run folds — no shuffle, no UDF.
+    """
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    toks = F.col("_t")
+    n_tok = F.size(toks)
+    g2 = _run_length_stats(F.array_sort(_ngram_array(toks, 2)))
+    g3 = _run_length_stats(F.array_sort(_ngram_array(toks, 3)))
+    n_g2 = F.greatest(n_tok - 1, F.lit(0))
+    n_g3 = F.greatest(n_tok - 2, F.lit(0))
+    return staged.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        ((n_tok - F.size(F.array_distinct(toks))).cast("double") / n_tok).alias(
+            "dup_token_frac"
+        ),
+        (g2.getField("best").cast("double") / F.greatest(n_g2, F.lit(1))).alias(
+            "top_2gram_share"
+        ),
+        (g2.getField("dup").cast("double") / F.greatest(n_g2, F.lit(1))).alias(
+            "dup_2gram_frac"
+        ),
+        (g3.getField("best").cast("double") / F.greatest(n_g3, F.lit(1))).alias(
+            "top_3gram_share"
+        ),
+    )
+
+
 def chunk_fingerprint_projection(
     df: DataFrame,
     text_col: str = "text",

@@ -3265,6 +3265,176 @@ SELECT lang, split, COUNT(*) AS n FROM assigned GROUP BY lang, split
 """
 
 
+def q69_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition features
+    (`dbs.datapipe.text.repetition_metrics`): duplicate-token fraction,
+    top/duplicate 2-gram share, top 3-gram share. Map-only — the
+    per-doc n-gram frequency stats come from a sorted-run fold, not an
+    explode→groupBy shuffle; the DuckDB twin computes the same counts
+    the relational way (unnest + GROUP BY) and must agree exactly
+    (integer counts, one exact double division each)."""
+    from datalake_backend_spark.datapipe.text import repetition_metrics
+
+    docs = table(spark, sf_dir, "documents")
+    return repetition_metrics(docs)
+
+
+Q69_SQL = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id, array_to_string(t[i : i + 1], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, n - 1)) AS i
+        FROM base WHERE n >= 2)
+),
+c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+s2 AS (SELECT doc_id, MAX(c) AS best, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+       FROM c2 GROUP BY 1),
+g3 AS (
+  SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, n - 2)) AS i
+        FROM base WHERE n >= 3)
+),
+c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+s3 AS (SELECT doc_id, MAX(c) AS best FROM c3 GROUP BY 1)
+SELECT b.doc_id,
+  b.n AS n_tokens,
+  CAST(b.n - len(list_distinct(b.t)) AS DOUBLE) / b.n AS dup_token_frac,
+  CAST(COALESCE(s2.best, 0) AS DOUBLE) / greatest(b.n - 1, 1) AS top_2gram_share,
+  CAST(COALESCE(s2.dup, 0) AS DOUBLE) / greatest(b.n - 1, 1) AS dup_2gram_frac,
+  CAST(COALESCE(s3.best, 0) AS DOUBLE) / greatest(b.n - 2, 1) AS top_3gram_share
+FROM base b
+LEFT JOIN s2 ON b.doc_id = s2.doc_id
+LEFT JOIN s3 ON b.doc_id = s3.doc_id
+"""
+
+
+def q70_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (`dbs.datapipe.text.redact_pii`): the corpus is salted
+    with deterministic doc_id-derived emails / phones / IPs / SSNs
+    (the synthetic documents carry none), then redacted with typed
+    placeholders. The check hashes the REDACTED text — a
+    half-replaced or over-replaced string changes the md5 — and
+    compares per-type match counts. Java-regex and RE2 agree because
+    PII_PATTERNS sticks to the common subset (ASCII \\b and \\w, no
+    lookaround)."""
+    from datalake_backend_spark.datapipe.text import redact_pii
+
+    docs = table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                d % 2 == 0,
+                F.concat(
+                    F.lit(" call 555-123-"),
+                    F.lpad((d % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" from 192.168."),
+                    (d % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit(" ssn 123-45-"),
+                    F.lpad((d % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    red = redact_pii(injected)
+    return red.select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_phone",
+        "n_ipv4",
+        F.md5("text").alias("redacted_md5"),
+    )
+
+
+Q70_SQL = r"""
+WITH injected AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      || CASE WHEN doc_id % 2 = 0
+              THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+              ELSE '' END
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text, '[\w.+-]+@[\w-]+\.[\w.-]+')) AS n_email,
+  len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+  len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+  md5(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, '[\w.+-]+@[\w-]+\.[\w.-]+', '<EMAIL>', 'g'),
+          '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g')
+  ) AS redacted_md5
+FROM injected
+"""
+
+
+def q71_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (`dbs.datapipe.dedup.contamination`):
+    every 11th document plays the held-out eval set; the scan counts,
+    per training doc, the distinct 4-token chunk fingerprints shared
+    with any eval doc (window 4 because the synthetic corpus draws
+    from a small vocabulary — real corpora use 8-13-gram windows).
+    The eval fingerprint set is broadcast — the 100 TB train side
+    joins map-side and never shuffles text. Portable 60-bit hash →
+    exact DuckDB twin."""
+    from datalake_backend_spark.datapipe.dedup import contamination
+
+    docs = table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 11 == 0)
+    tr = docs.where(F.col("doc_id") % 11 != 0)
+    return contamination(tr, ev, window=4)
+
+
+Q71_SQL = r"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 3, 1))) AS i FROM toks
+),
+fps AS (
+  SELECT DISTINCT doc_id,
+    ('0x' || substr(md5(array_to_string(t[i : i + 3], ' ')), 1, 15))::BIGINT AS fp
+  FROM idx
+),
+ev AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 11 = 0),
+tr AS (SELECT doc_id, fp FROM fps WHERE doc_id % 11 <> 0)
+SELECT tr.doc_id, COUNT(*) AS n_shared_chunks
+FROM tr JOIN ev USING (fp)
+GROUP BY tr.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3380,6 +3550,15 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q68_stratified_split": QuerySpec(
         q68_stratified_split, _q68_sql(), "sampling-stratified,split-deterministic"
+    ),
+    "q69_repetition_metrics": QuerySpec(
+        q69_repetition_metrics, Q69_SQL, "quality-repetition,gopher-filters"
+    ),
+    "q70_pii_redaction": QuerySpec(
+        q70_pii_redaction, Q70_SQL, "pii-redaction,text-scrub"
+    ),
+    "q71_decontamination": QuerySpec(
+        q71_decontamination, Q71_SQL, "dedup-decontamination,eval-overlap"
     ),
 }
 

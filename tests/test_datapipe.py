@@ -337,3 +337,72 @@ def test_deterministic_split_leakage_safe(spark):
     assert 1850 < c["train"] < 2150 and 150 < c["val"] < 350 and 150 < c["test"] < 350
     # cumulative bounds exposed for SQL twins match the float math used
     assert [b for _, b in split_bounds(fracs)] == [0.8, 0.8 + 0.1]
+
+
+def test_repetition_metrics(spark):
+    """Hand-checked Gopher repetition features: degenerate repeated text
+    scores high, diverse text scores zero."""
+    from datalake_backend_spark.datapipe.text import repetition_metrics
+
+    rows = [
+        (1, "a b a b a b"),        # 6 toks, 2 distinct; 2-grams: ab x3, ba x2
+        (2, "one two three four"),  # all distinct
+        (3, "solo"),               # 1 token: no 2-grams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    m = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    r1 = m[1]
+    assert r1.n_tokens == 6
+    assert r1.dup_token_frac == (6 - 2) / 6
+    # 5 bigrams: "a b" x3 + "b a" x2 -> best 3, all 5 duplicated
+    assert r1.top_2gram_share == 3 / 5
+    assert r1.dup_2gram_frac == 5 / 5
+    # 4 trigrams: "a b a" x2, "b a b" x2 -> best 2
+    assert r1.top_3gram_share == 2 / 4
+    r2 = m[2]
+    assert r2.dup_token_frac == 0.0
+    assert r2.top_2gram_share == 1 / 3 and r2.dup_2gram_frac == 0.0
+    r3 = m[3]
+    assert r3.n_tokens == 1
+    assert r3.top_2gram_share == 0.0 and r3.top_3gram_share == 0.0
+
+
+def test_redact_pii(spark):
+    from datalake_backend_spark.datapipe.text import redact_pii
+
+    rows = [
+        (1, "mail a.b+c@test-site.org and b@x.io, call 555-123-4567 "
+            "or 555.987.6543, ssn 123-45-6789, host 10.0.255.7"),
+        (2, "clean text with plain numbers 12345 and 1.5 ratios"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    r1 = out[1]
+    assert (r1.n_email, r1.n_ssn, r1.n_phone, r1.n_ipv4) == (2, 1, 2, 1)
+    assert r1.text == (
+        "mail <EMAIL> and <EMAIL>, call <PHONE> or <PHONE>, "
+        "ssn <SSN>, host <IPV4>"
+    )
+    r2 = out[2]
+    assert (r2.n_email, r2.n_ssn, r2.n_phone, r2.n_ipv4) == (0, 0, 0, 0)
+    assert r2.text == rows[1][1]
+
+
+def test_contamination_and_decontaminate(spark):
+    """A training doc quoting an eval doc verbatim is flagged with the
+    right chunk count and removed; clean docs survive untouched."""
+    from datalake_backend_spark.datapipe.dedup import contamination, decontaminate
+
+    bench = "what is the capital of france the answer is paris obviously"
+    train_rows = [
+        (10, "intro words here " + bench + " closing words"),  # quotes bench
+        (11, "totally unrelated training text " + " ".join(f"t{i}" for i in range(20))),
+    ]
+    eval_rows = [(900, bench)]
+    tr = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    ev = spark.createDataFrame(eval_rows, ["doc_id", "text"])
+    hits = {r.doc_id: r.n_shared_chunks for r in contamination(tr, ev, window=4).collect()}
+    # bench has 11 tokens -> 8 distinct 4-gram chunks, all inside doc 10
+    assert hits == {10: 8}
+    clean = {r.doc_id for r in decontaminate(tr, ev, window=4).collect()}
+    assert clean == {11}
