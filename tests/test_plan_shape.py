@@ -103,3 +103,56 @@ def test_bucketed_join_skips_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bl")
         spark.sql("DROP TABLE IF EXISTS br")
+
+
+def test_repetition_metrics_map_only(spark):
+    """Per-doc repetition stats must stay a pure projection — the
+    relational alternative shuffles every n-gram of a 100 TB corpus."""
+    from datalake_backend_spark.datapipe.text import repetition_metrics
+
+    df = spark.createDataFrame([(1, "a b a b c")], ["doc_id", "text"])
+    plan = plan_of(repetition_metrics(df))
+    assert shuffle_count(plan) == 0, plan
+    assert "BroadcastExchange" not in plan
+
+
+def test_sampling_map_only(spark):
+    """Deterministic sampling/splitting is a filter/projection — no
+    shuffle, no window, so it composes under any upstream partitioning."""
+    from datalake_backend_spark.datapipe.sampling import (
+        deterministic_split,
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame([(1, "en")], ["doc_id", "lang"])
+    s = stratified_sample(df, "lang", {"en": 0.5}, key_col="doc_id")
+    plan = plan_of(deterministic_split(s, "doc_id", {"a": 0.5, "b": 0.5}))
+    assert shuffle_count(plan) == 0, plan
+    assert "Window" not in plan
+
+
+def test_contamination_broadcasts_eval(spark):
+    """The eval fingerprint set must broadcast: the train side feeds a
+    BroadcastHashJoin with no sort-merge and no text shuffle before the
+    final per-doc aggregate."""
+    from datalake_backend_spark.datapipe.dedup import contamination
+
+    tr = spark.createDataFrame(
+        [(i, "w x y z a b c d e f") for i in range(20)], ["doc_id", "text"]
+    )
+    ev = spark.createDataFrame([(100, "a b c d e f")], ["doc_id", "text"])
+    plan = plan_of(contamination(tr, ev, window=4))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_chunk_overlap_no_cartesian(spark):
+    """Containment candidates come from the fingerprint equi-join —
+    never a nested-loop/cartesian stage."""
+    from datalake_backend_spark.datapipe.dedup import chunk_overlap_pairs
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(5)], ["doc_id", "text"]
+    )
+    plan = plan_of(chunk_overlap_pairs(df, window=4))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
