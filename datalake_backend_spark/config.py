@@ -53,6 +53,13 @@ ENGINE_CONF: dict[str, str] = {
     # it — spark_config.py:49); matters for collect_list-of-struct
     # shuffles in the re-nesting and rollup paths.
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # Align Spark's whole-stage-codegen fallback with the JVM JIT's
+    # HugeMethodLimit (8000 bytecodes). The default (65535) lets Spark
+    # emit methods HotSpot refuses to compile, so wide-projection stages
+    # (many-field nested structs) silently run as INTERPRETED bytecode —
+    # measured 6x slower than the expression-codegen fallback this
+    # threshold switches to.
+    "spark.sql.codegen.hugeMethodLimit": "8000",
     # Quieter, faster local runs; harmless on a cluster.
     "spark.ui.showConsoleProgress": "false",
 }

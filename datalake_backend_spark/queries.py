@@ -1479,65 +1479,67 @@ _LIGHTS = ["red", "green", "yellow"]
 def _vehicle_raw_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic raw vehicle frames: one frame per event, 1-2
     detections (detection j of frame e exists iff j <= event_id % 2),
-    every attribute a pure function of (event_id, user_id, ts, value)."""
+    every attribute a pure function of (event_id, user_id, ts, value).
+
+    Built map-side — the detection array is a slice of literal structs,
+    not an explode→groupBy round-trip, so fixture construction costs
+    zero shuffles (it used to be q47's dominant stage)."""
     ev = table(spark, sf_dir, "events")
-    dets = ev.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        "value",
-        "ts",
-        F.explode(
-            F.sequence(F.lit(0).cast("long"), F.pmod(F.col("event_id"), F.lit(2)))
-        ).alias("j"),
-    )
-    eid_j = F.col("event_id") + F.col("j")
-    x1 = F.pmod(F.col("event_id"), F.lit(97)).cast("double")
-    y1 = F.pmod(F.col("user_id"), F.lit(89)).cast("double")
     ts_str = F.date_format(F.date_trunc("second", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
-    # confidence and speed are DYADIC rationals (denominators 128 / 4):
-    # every partial float sum is exactly representable, so avg/min/max
-    # compare bit-for-bit cross-engine regardless of summation order.
-    det = F.struct(
-        (F.col("user_id") * 2 + F.col("j")).cast("int").alias("tracker_id"),
-        (F.lit(0.5) + F.pmod(eid_j, F.lit(50)) / F.lit(128.0)).alias("confidence"),
-        F.array(x1, y1, x1 + F.lit(5) + F.col("j"), y1 + F.lit(7)).alias("bbox"),
-        F.col("j").cast("int").alias("class_id"),
-        F.col("event_type").alias("vehicle_type"),
-        F.element_at(
-            F.array(*[F.lit(d) for d in _DIRS]), (F.pmod(eid_j, F.lit(4)) + 1).cast("int")
-        ).alias("vehicle_direction"),
-        F.concat(F.lit("lane_"), F.pmod(eid_j, F.lit(3)).cast("string")).alias(
-            "vehicle_lane"
-        ),
-        F.element_at(
-            F.array(*[F.lit(c) for c in _COLORS]),
-            (F.pmod(F.col("event_id") * 7 + F.col("j"), F.lit(5)) + 1).cast("int"),
-        ).alias("vehicle_color"),
-        (F.pmod(eid_j, F.lit(5)) == 0).alias("stopped"),
-        (F.floor(F.col("value") * 4) / F.lit(4.0) + F.col("j")).alias("vehicle_speed"),
-        (F.pmod(eid_j, F.lit(11)) == 0).alias("red_light_violation"),
-        F.lit(None).cast("string").alias("red_light_violation_time"),
-        (F.pmod(eid_j, F.lit(7)) == 0).alias("line_crossing"),
-        F.lit(None).cast("string").alias("line_crossing_violation_time"),
-        ts_str.alias("vehicle_entry_time"),
-        # exercises the F5 TZ-suffix strip in parse_timestamps
-        F.concat(ts_str, F.lit(" UTC")).alias("vehicle_exit_time"),
-    )
-    return (
-        dets.select("event_id", det.alias("d"))
-        .groupBy("event_id")
-        .agg(F.array_sort(F.collect_list("d")).alias("detections"))
-        .select(
-            F.col("event_id").cast("int").alias("frame_number"),
-            F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("congestion_level"),
+
+    def det(j: int) -> Column:
+        eid_j = F.col("event_id") + F.lit(j)
+        x1 = F.pmod(F.col("event_id"), F.lit(97)).cast("double")
+        y1 = F.pmod(F.col("user_id"), F.lit(89)).cast("double")
+        # confidence and speed are DYADIC rationals (denominators
+        # 128 / 4): every partial float sum is exactly representable, so
+        # avg/min/max compare bit-for-bit cross-engine regardless of
+        # summation order.
+        return F.struct(
+            (F.col("user_id") * 2 + F.lit(j)).cast("int").alias("tracker_id"),
+            (F.lit(0.5) + F.pmod(eid_j, F.lit(50)) / F.lit(128.0)).alias("confidence"),
+            F.array(x1, y1, x1 + F.lit(5 + j), y1 + F.lit(7)).alias("bbox"),
+            F.lit(j).cast("int").alias("class_id"),
+            F.col("event_type").alias("vehicle_type"),
             F.element_at(
-                F.array(*[F.lit(t) for t in _LIGHTS]),
-                (F.pmod(F.col("event_id"), F.lit(3)) + 1).cast("int"),
-            ).alias("traffic_light"),
-            "detections",
+                F.array(*[F.lit(d) for d in _DIRS]),
+                (F.pmod(eid_j, F.lit(4)) + 1).cast("int"),
+            ).alias("vehicle_direction"),
+            F.concat(F.lit("lane_"), F.pmod(eid_j, F.lit(3)).cast("string")).alias(
+                "vehicle_lane"
+            ),
+            F.element_at(
+                F.array(*[F.lit(c) for c in _COLORS]),
+                (F.pmod(F.col("event_id") * 7 + F.lit(j), F.lit(5)) + 1).cast("int"),
+            ).alias("vehicle_color"),
+            (F.pmod(eid_j, F.lit(5)) == 0).alias("stopped"),
+            (F.floor(F.col("value") * 4) / F.lit(4.0) + F.lit(j)).alias(
+                "vehicle_speed"
+            ),
+            (F.pmod(eid_j, F.lit(11)) == 0).alias("red_light_violation"),
+            F.lit(None).cast("string").alias("red_light_violation_time"),
+            (F.pmod(eid_j, F.lit(7)) == 0).alias("line_crossing"),
+            F.lit(None).cast("string").alias("line_crossing_violation_time"),
+            ts_str.alias("vehicle_entry_time"),
+            # exercises the F5 TZ-suffix strip in parse_timestamps
+            F.concat(ts_str, F.lit(" UTC")).alias("vehicle_exit_time"),
         )
-    )
+
+    # det(0) sorts before det(1) (tracker_id = user_id*2 + j), so slice
+    # order equals the sorted order the old collect_list fixture forced.
+    n_det = (F.pmod(F.col("event_id"), F.lit(2)) + 1).cast("int")
+    return ev.select(
+        F.col("event_id").cast("int").alias("frame_number"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("congestion_level"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in _LIGHTS]),
+            (F.pmod(F.col("event_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("traffic_light"),
+        F.slice(F.array(det(0), det(1)), 1, n_det).alias("detections"),
+        # repartition = materialization boundary (see
+        # _people_raw_from_events): prevents generator nested-column
+        # aliasing from re-evaluating the struct per extracted field.
+    ).repartition(32)
 
 
 def q47_vehicle_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
