@@ -3437,6 +3437,40 @@ GROUP BY tr.doc_id
 """
 
 
+def q72_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (`dbs.datapipe.packing`): documents laid out as
+    one global token stream in doc_id order and chunked into
+    2048-token training sequences. The global running offset is
+    computed with the two-phase plan (range partition → per-partition
+    totals → broadcast prefix offsets → local window) — the oracle's
+    `SUM() OVER (ORDER BY doc_id)` is the single-task formulation the
+    operator exists to avoid, and both must agree token-for-token."""
+    from datalake_backend_spark.datapipe.packing import pack_sequences
+
+    docs = table(spark, sf_dir, "documents")
+    return pack_sequences(docs, max_len=2048)
+
+
+Q72_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+  CAST(start_offset // 2048 AS BIGINT) AS seq_id,
+  CAST(start_offset % 2048 AS BIGINT) AS offset_in_seq,
+  CAST(((start_offset + n_tokens - 1) // 2048) - (start_offset // 2048) + 1 AS BIGINT) AS n_seqs_spanned
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3561,6 +3595,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q71_decontamination": QuerySpec(
         q71_decontamination, Q71_SQL, "dedup-decontamination,eval-overlap"
+    ),
+    "q72_sequence_packing": QuerySpec(
+        q72_sequence_packing, Q72_SQL, "packing-sequences,global-offsets"
     ),
 }
 

@@ -406,3 +406,39 @@ def test_contamination_and_decontaminate(spark):
     assert hits == {10: 8}
     clean = {r.doc_id for r in decontaminate(tr, ev, window=4).collect()}
     assert clean == {11}
+
+
+def test_token_stream_offsets_match_naive(spark):
+    """The two-phase distributed offsets equal the naive global cumsum,
+    regardless of input partitioning."""
+    from datalake_backend_spark.datapipe.packing import token_stream_offsets
+
+    rows = [(i, " ".join(f"w{j}" for j in range((i * 7) % 13 + 1))) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    expected, acc = {}, 0
+    for i, text in rows:
+        expected[i] = acc
+        acc += len(text.split())
+    for parts in (1, 7):
+        got = {
+            r.doc_id: r.start_offset
+            for r in token_stream_offsets(df.repartition(parts)).collect()
+        }
+        assert got == expected
+
+
+def test_pack_sequences_boundaries(spark):
+    """Chunk assignment: ids, in-window offsets, and boundary spans."""
+    from datalake_backend_spark.datapipe.packing import pack_sequences
+
+    rows = [(1, 6), (2, 4), (3, 3), (4, 10)]  # offsets 0, 6, 10, 13
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * n), n) for i, n in rows], ["doc_id", "text", "n"]
+    )
+    out = {r.doc_id: r for r in pack_sequences(df, max_len=8, token_count_col="n").collect()}
+    assert (out[1].seq_id, out[1].offset_in_seq, out[1].n_seqs_spanned) == (0, 0, 1)
+    # doc 2 starts at 6, runs to 9 -> crosses the 8-token boundary
+    assert (out[2].seq_id, out[2].offset_in_seq, out[2].n_seqs_spanned) == (0, 6, 2)
+    assert (out[3].seq_id, out[3].offset_in_seq, out[3].n_seqs_spanned) == (1, 2, 1)
+    # doc 4: starts 13, ends 22 -> spans windows 1 and 2
+    assert (out[4].seq_id, out[4].n_seqs_spanned) == (1, 2)

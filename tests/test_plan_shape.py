@@ -156,3 +156,28 @@ def test_chunk_overlap_no_cartesian(spark):
     )
     plan = plan_of(chunk_overlap_pairs(df, window=4))
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_sequence_packing_no_global_data_window(spark):
+    """The global offset must come from the two-phase plan: the only
+    partition-less window runs over per-partition TOTALS (metadata),
+    the per-row running sum is partitioned by _pid, and the offsets
+    come back via broadcast — never a whole-corpus single-task sort."""
+    from datalake_backend_spark.datapipe.packing import token_stream_offsets
+
+    df = spark.createDataFrame(
+        [(i, "a b c") for i in range(100)], ["doc_id", "text"]
+    )
+    plan = plan_of(token_stream_offsets(df))
+    assert "BroadcastExchange" in plan, plan
+    windows = [
+        b for b in plan.split("\n\n") if b.strip().startswith("(") and
+        b.strip().splitlines()[0].endswith("Window")
+    ]
+    assert len(windows) == 2, plan
+    for b in windows:
+        if "text#" in b:  # the data-path window carries the text column
+            # partitioned spec renders as "..., [_pid#N], [doc_id#N ASC..."
+            assert re.search(r", \[_pid#\d+\], \[doc_id#\d+L? ASC", b), b
+        else:  # totals window: input is (_pid, _pt) only — metadata-sized
+            assert "_pt#" in b, b
