@@ -84,6 +84,25 @@ def exact_dedup(
     )
 
 
+def dedup_keep_canonical(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop exact-content duplicates, keeping the min-id row per
+    cluster, in ONE pass: rank within content-hash partitions instead
+    of computing the canon set and semi-joining back (which evaluates
+    the upstream plan twice — costly when the input is itself a
+    computed projection, e.g. normalized text). One shuffle, on the
+    16-byte hash."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def minhash_of_shingles(shingle_col: Column | str, k: int = 128) -> Column:
     """k-permutation MinHash signature expression over an existing
     shingle-array column (lets callers compute shingles ONCE and share

@@ -90,6 +90,9 @@ def pack_sequences(
     ``max_len``-token training sequence its first token lands in),
     ``offset_in_seq``, and ``n_seqs_spanned`` (how many windows the
     document crosses — the boundary-split accounting a loader needs).
+    Input columns other than ``text_col`` pass through, so downstream
+    stages never re-join (re-joining would re-evaluate the whole
+    upstream plan on the build side).
 
     Integer ``div``/``%`` arithmetic throughout — exact at any corpus
     size (a double-precision floor would silently wobble past 2^53
@@ -102,13 +105,19 @@ def pack_sequences(
         else F.col(token_count_col).cast("long")
     )
     ml = int(max_len)
+    carry = [
+        c
+        for c in df.columns
+        if c not in (key_col, text_col, token_count_col, "start_offset")
+    ]
     staged = d.select(
-        F.col(key_col), n_tok.alias("n_tokens"), F.col("start_offset")
+        F.col(key_col), *carry, n_tok.alias("n_tokens"), F.col("start_offset")
     )
     # `div` is Spark's exact integer division (`//` in DuckDB); operands
     # are non-negative longs so div == floor division in both engines
     return staged.select(
         F.col(key_col),
+        *carry,
         "n_tokens",
         "start_offset",
         F.expr(f"start_offset div {ml}").alias("seq_id"),

@@ -3447,7 +3447,7 @@ def q72_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator exists to avoid, and both must agree token-for-token."""
     from datalake_backend_spark.datapipe.packing import pack_sequences
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     return pack_sequences(docs, max_len=2048)
 
 
@@ -3468,6 +3468,92 @@ SELECT doc_id, n_tokens, start_offset,
   CAST(start_offset % 2048 AS BIGINT) AS offset_in_seq,
   CAST(((start_offset + n_tokens - 1) // 2048) - (start_offset // 2048) + 1 AS BIGINT) AS n_seqs_spanned
 FROM c
+"""
+
+
+#: q73 per-language sampling rates (shared by Spark impl and SQL twin)
+Q73_RATES = {"en": 0.5, "fr": 0.8, "de": 0.8, "es": 0.6, "zh": 0.3}
+
+
+def q73_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composition the individual
+    driver rows prove piecewise: normalize (q65 semantics) → exact
+    dedup on normalized text (q20) → quality gate (length + Gopher
+    dup-token fraction, q22/q69) → deterministic stratified sample
+    (q68) → sequence packing (q72), reported as per-language doc /
+    token / training-sequence counts. Every stage is map-only or a
+    hash-key shuffle; the oracle replays the identical pipeline in
+    SQL, so a drift in ANY stage breaks the hash."""
+    from datalake_backend_spark.datapipe.dedup import dedup_keep_canonical
+    from datalake_backend_spark.datapipe.packing import pack_sequences
+    from datalake_backend_spark.datapipe.sampling import stratified_sample
+    from datalake_backend_spark.datapipe.text import normalize_text, tokens
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    norm = normalize_text(docs)
+    # single-pass dedup (rank within content-hash) — the canon-set +
+    # semi-join formulation evaluates the normalize regexes twice
+    kept = dedup_keep_canonical(norm)
+    staged = kept.select(
+        "doc_id", "lang", tokens(F.col("text")).alias("_t")
+    )
+    n_tok = F.size("_t")
+    dup_frac = (n_tok - F.size(F.array_distinct("_t"))).cast("double") / n_tok
+    filtered = staged.where((n_tok >= 25) & (dup_frac <= 0.6)).select(
+        "doc_id", "lang", n_tok.cast("long").alias("n_tokens")
+    )
+    sampled = stratified_sample(filtered, "lang", Q73_RATES, key_col="doc_id", salt="cur")
+    # pack_sequences carries lang through — no re-join, upstream
+    # evaluated exactly once
+    packed = pack_sequences(sampled, max_len=1024, token_count_col="n_tokens")
+    return packed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("seq_id").alias("n_seqs"),
+    )
+
+
+def _q73_sql() -> str:
+    """DuckDB twin generated from the same rate dict (bit-identical
+    float literals, like q68)."""
+    rate = "CASE lang " + " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in Q73_RATES.items()
+    ) + " ELSE 0.0 END"
+    frac = (
+        "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'cur'), 1, 15))::BIGINT"
+        " / 1152921504606846976.0)"
+    )
+    return rf"""
+WITH norm AS (
+  SELECT doc_id, lang,
+    lower(trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, 'https?://\S+', ' ', 'g'),
+          '[\w.+-]+@[\w-]+\.[\w.-]+', ' ', 'g'),
+        '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+      '\s+', ' ', 'g'))) AS text
+  FROM documents
+),
+canon AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY md5(text)),
+kept AS (SELECT * FROM norm WHERE doc_id IN (SELECT doc_id FROM canon)),
+tok AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t FROM kept),
+q AS (
+  SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t) AS dupf
+  FROM tok
+),
+filt AS (SELECT doc_id, lang, n_tokens FROM q WHERE n_tokens >= 25 AND dupf <= 0.6),
+samp AS (SELECT * FROM filt WHERE {frac} < {rate}),
+off AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+  FROM samp
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       COUNT(DISTINCT s // 1024) AS n_seqs
+FROM off GROUP BY lang
 """
 
 
@@ -3598,6 +3684,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q72_sequence_packing": QuerySpec(
         q72_sequence_packing, Q72_SQL, "packing-sequences,global-offsets"
+    ),
+    "q73_curation_pipeline": QuerySpec(
+        q73_curation_pipeline, _q73_sql(), "curation-composite,normalize-dedup-sample-pack"
     ),
 }
 

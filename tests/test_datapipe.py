@@ -442,3 +442,12 @@ def test_pack_sequences_boundaries(spark):
     assert (out[3].seq_id, out[3].offset_in_seq, out[3].n_seqs_spanned) == (1, 2, 1)
     # doc 4: starts 13, ends 22 -> spans windows 1 and 2
     assert (out[4].seq_id, out[4].n_seqs_spanned) == (1, 2)
+
+
+def test_dedup_keep_canonical(spark):
+    from datalake_backend_spark.datapipe.dedup import dedup_keep_canonical
+
+    rows = [(3, "same text"), (1, "same text"), (2, "other"), (4, "same text")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = {(r.doc_id, r.text) for r in dedup_keep_canonical(df).collect()}
+    assert kept == {(1, "same text"), (2, "other")}
