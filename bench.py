@@ -44,15 +44,26 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark("bench")
 
-    # warmup: JVM/codegen/parquet-footer caches
-    QUERIES["q01_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # warmup: JVM/codegen/parquet-footer caches (isolated like the suite)
+    try:
+        QUERIES["q01_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: warmup failed: {type(e).__name__}: {e}", file=sys.stderr)
 
-    def run(item: tuple) -> tuple[str, float]:
+    def run(item: tuple) -> tuple[str, float | str]:
+        """Per-query isolation: one query's failure must not abort the
+        suite (round 3's official bench died at a single crashing query
+        with no number recorded). Errors land as "ERR:<type>" entries;
+        correctness is the oracle gate's job, not the bench's."""
         name, spec = item
         t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            return name, f"ERR:{type(e).__name__}"
         return name, round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()

@@ -50,8 +50,23 @@ def read_raw_stream(
 def read_event_stream(
     spark: SparkSession, path: str, schema: T.StructType
 ) -> DataFrame:
-    """Streaming scan over a parquet event feed (the `events` shape)."""
-    return spark.readStream.schema(schema).parquet(path)
+    """Streaming scan over a parquet event feed (the `events` shape).
+
+    Parquet µs timestamps with ``isAdjustedToUTC=false`` infer as
+    ``TIMESTAMP_NTZ`` in Spark 4, and ``withWatermark`` rejects NTZ
+    event-time columns (``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE``). The
+    batch reader normalizes NTZ → session-TZ timestamp
+    (sources/readers.py ``table``); mirror that here so every streaming
+    consumer gets watermark-able columns."""
+    stream = spark.readStream.schema(schema).parquet(path)
+    ntz = [
+        f.name
+        for f in stream.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    if ntz:
+        stream = stream.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    return stream
 
 
 def windowed_counts(

@@ -72,12 +72,11 @@ def main() -> int:
                         f"oracle emits HUGEINT (wrap in CAST(.. AS BIGINT)): {hugeints}",
                     )
                 else:
-                    duck = con.execute(sql)
-                    duck_cols_raw = [d[0] for d in duck.description]
+                    duck_cols_raw = rel.columns
                     duck_cols = sorted(duck_cols_raw)
                     idx = [duck_cols_raw.index(c) for c in duck_cols]
                     duck_rows = [
-                        row_key([row[i] for i in idx]) for row in duck.fetchall()
+                        row_key([row[i] for i in idx]) for row in rel.fetchall()
                     ]
                     if spark_cols != duck_cols:
                         status, detail = "FAIL", f"cols {spark_cols} != {duck_cols}"
