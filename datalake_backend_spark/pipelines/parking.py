@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datalake_backend_spark.operators.sessionize import session_summary, sessionize
+from datalake_backend_spark.operators.sessionize import (
+    session_summary,
+    sessionize,
+    sessionized_summary,
+)
 
 
 def silver(raw: DataFrame) -> DataFrame:
@@ -66,14 +70,21 @@ def slot_sessions(silver_df: DataFrame) -> DataFrame:
 def gold(silver_df: DataFrame) -> DataFrame:
     """Per-slot summary matching the reference's refined shape:
     state transitions, occupied/free seconds + free %, final status,
-    and the ordered parking-session array."""
-    summary = session_summary(
+    and the ordered parking-session array.
+
+    One fused pass (:func:`sessionized_summary`): running summary +
+    session assembly as separate branches re-scanned silver per branch
+    and joined entity-sized sides back (8 exchanges at the q52 driver
+    check; ~3 after the fusion)."""
+    agg = sessionized_summary(
         silver_df,
         ["video_source", "slot_id"],
         "timestamp_sec",
         "occupied",
         active_value=True,
-    ).select(
+        sessions_col="parking_sessions",
+    )
+    return agg.select(
         "video_source",
         "slot_id",
         F.col("became_inactive").alias("became_free"),
@@ -85,29 +96,5 @@ def gold(silver_df: DataFrame) -> DataFrame:
         .otherwise(F.lit("free"))
         .alias("slot_status"),
         "sample_count",
-    )
-    sessions = (
-        slot_sessions(silver_df)
-        .groupBy("video_source", "slot_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("session_id").alias("session_id"),
-                        F.col("entry_time").alias("entry_time"),
-                        F.coalesce(F.col("exit_time"), F.col("last_seen")).alias(
-                            "exit_time"
-                        ),
-                        F.col("duration_seconds").alias("duration"),
-                    )
-                )
-            ).alias("parking_sessions")
-        )
-    )
-    return summary.join(sessions, ["video_source", "slot_id"], "left").withColumn(
         "parking_sessions",
-        F.coalesce(
-            F.col("parking_sessions"),
-            F.array().cast(sessions.schema["parking_sessions"].dataType),
-        ),
     )

@@ -11,7 +11,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datalake_backend_spark.operators.windows import frame_gap_durations
 from datalake_backend_spark.schemas import NULL_DEFAULTS
 from datalake_backend_spark.core.cleaning import apply_null_defaults
 
@@ -33,11 +32,26 @@ def silver(raw: DataFrame) -> DataFrame:
 
 
 def gold(silver_df: DataFrame, fps: float = 30.0) -> DataFrame:
-    """Per-action summary with gap-aware duration (W9)."""
-    durations = frame_gap_durations(
-        silver_df, ["action"], frame_seconds=1.0 / fps, out_col="duration_seconds"
+    """Per-action summary with gap-aware duration (W9).
+
+    The W9 gap contribution (operators/windows.py
+    ``frame_gap_durations``) is computed in the same projection that
+    feeds the stats aggregate — a separate durations branch + join
+    re-scans silver (different column pruning defeats exchange reuse)
+    and added two exchanges at the q57 driver check. The groupBy
+    reuses the window's ``action`` partitioning: one Exchange."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("action").orderBy("frame_number")
+    gap = F.col("frame_number") - F.lag(F.col("frame_number")).over(w)
+    frame_seconds = 1.0 / fps
+    contrib = F.when(gap.isNull() | (gap > 1), F.lit(frame_seconds)).otherwise(
+        gap.cast("double") * F.lit(frame_seconds)
     )
-    stats = silver_df.groupBy("action").agg(
+    enriched = silver_df.select(
+        "action", "frame_number", "confidence", "keypoints", contrib.alias("_dur")
+    )
+    return enriched.groupBy("action").agg(
         F.count("*").alias("frame_count"),
         F.avg("confidence").alias("avg_confidence"),
         F.min("frame_number").alias("first_frame"),
@@ -50,5 +64,5 @@ def gold(silver_df: DataFrame, fps: float = 30.0) -> DataFrame:
             )
             / F.greatest(F.size("keypoints"), F.lit(1))
         ).alias("avg_visibility"),
+        F.sum("_dur").alias("duration_seconds"),
     )
-    return stats.join(durations, "action", "left")
