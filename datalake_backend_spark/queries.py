@@ -40,6 +40,7 @@ Cross-engine exactness rules (validated bit-for-bit on testdata):
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from typing import Callable
 
@@ -3557,6 +3558,111 @@ FROM off GROUP BY lang
 """
 
 
+def q74_stateful_slot_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch stateful streaming driver check
+    (`dbs.streaming.stateful.track_slot_state`,
+    ``applyInPandasWithState``): the events table is split at its time
+    midpoint into two parquet files replayed as two micro-batches
+    (``maxFilesPerTrigger=1``, mtimes pinned so the file source drains
+    them oldest-first). Per-slot occupancy state — last flag, last ts,
+    occupied/free time, transition counts — must carry across the batch
+    boundary; the DuckDB twin computes the same walk over the full
+    ordered history, so a tracker that resets state between batches
+    breaks the hash. Timestamps flow as integral micros-in-double, so
+    every accumulated sum is exact cross-engine. The incremental
+    version of the reference's per-slot driver loop
+    (``advanced_preprocessing_parkingLot.py:46-123``)."""
+    import glob as globmod
+    import shutil
+
+    from datalake_backend_spark.streaming.stateful import track_slot_state
+    from datalake_backend_spark.streaming.pipeline import start_to_memory
+
+    ev = table(spark, sf_dir, "events")
+    long = ev.select(
+        F.col("user_id").cast("string").alias("slot_id"),
+        F.unix_micros("ts").cast("double").alias("timestamp_sec"),
+        (F.pmod(F.col("event_id"), F.lit(3)) == 0).alias("occupied"),
+    )
+    lo, hi = long.agg(F.min("timestamp_sec"), F.max("timestamp_sec")).first()
+    mid = (lo + hi) / 2.0
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = os.path.join(
+        repo_root, "spark-warehouse", f"q74_src_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    long.where(F.col("timestamp_sec") <= mid).coalesce(1).write.parquet(f"{base}/b1")
+    long.where(F.col("timestamp_sec") > mid).coalesce(1).write.parquet(f"{base}/b2")
+    for i, d in enumerate(["b1", "b2"]):
+        for f in globmod.glob(f"{base}/{d}/part-*.parquet"):
+            os.utime(f, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+    stream = (
+        spark.readStream.schema(long.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{base}/b*")
+    )
+    q = start_to_memory(
+        track_slot_state(stream), "q74_slots", output_mode="update"
+    )
+    q.awaitTermination()
+    # update mode emits one row per slot per batch it appeared in; the
+    # final state is the row with the greatest last_ts (strictly
+    # increasing per slot — (user, ts) is unique in events).
+    latest = F.max_by(
+        F.struct(
+            "occupied",
+            "occupied_seconds",
+            "free_seconds",
+            "became_occupied",
+            "became_free",
+            "late_rows",
+        ),
+        "last_ts",
+    )
+    return (
+        spark.table("q74_slots")
+        .groupBy("slot_id")
+        .agg(F.max("last_ts").alias("_last"), latest.alias("_s"))
+        .select(
+            "slot_id",
+            F.col("_s.occupied").alias("occupied"),
+            F.col("_last").cast("long").alias("last_us"),
+            F.col("_s.occupied_seconds").cast("long").alias("occupied_us"),
+            F.col("_s.free_seconds").cast("long").alias("free_us"),
+            F.col("_s.became_occupied").alias("became_occupied"),
+            F.col("_s.became_free").alias("became_free"),
+            F.col("_s.late_rows").alias("late_rows"),
+        )
+    )
+
+
+Q74_SQL = """
+WITH src AS (
+  SELECT CAST(user_id AS VARCHAR) AS slot_id,
+         CAST(epoch_us(ts) AS DOUBLE) AS t,
+         (event_id % 3 = 0) AS occ
+  FROM events
+),
+stepped AS (
+  SELECT slot_id, t, occ,
+         lag(occ) OVER w AS pocc,
+         t - lag(t) OVER w AS dt
+  FROM src WINDOW w AS (PARTITION BY slot_id ORDER BY t)
+)
+SELECT slot_id,
+  arg_max(occ, t) AS occupied,
+  CAST(MAX(t) AS BIGINT) AS last_us,
+  CAST(COALESCE(SUM(CASE WHEN pocc THEN dt END), 0.0) AS BIGINT) AS occupied_us,
+  CAST(COALESCE(SUM(CASE WHEN NOT pocc THEN dt END), 0.0) AS BIGINT) AS free_us,
+  CAST(COALESCE(SUM(CASE WHEN occ AND NOT pocc THEN 1 END), 0) AS BIGINT)
+    AS became_occupied,
+  CAST(COALESCE(SUM(CASE WHEN NOT occ AND pocc THEN 1 END), 0) AS BIGINT)
+    AS became_free,
+  CAST(0 AS BIGINT) AS late_rows
+FROM stepped GROUP BY slot_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3687,6 +3793,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q73_curation_pipeline": QuerySpec(
         q73_curation_pipeline, _q73_sql(), "curation-composite,normalize-dedup-sample-pack"
+    ),
+    "q74_stateful_slot_tracker": QuerySpec(
+        q74_stateful_slot_tracker, Q74_SQL, "streaming-stateful,W7-state"
     ),
 }
 
