@@ -3663,6 +3663,52 @@ FROM stepped GROUP BY slot_id
 """
 
 
+def q75_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-decode driver check (`dbs.datapipe.multimodal`):
+    every document becomes a genuine binary P6 PPM (Arrow-batched
+    encode), then `image_stats` byte-parses the header and raster with
+    the dependency-free decoder and emits dims + exact per-channel
+    sums/means. The fixture's pixels are a closed-form function of the
+    id, so the DuckDB twin recomputes the same sums with
+    generate_series — a decoder that misparses the header, drops a
+    row of raster, or reorders channels breaks the hash."""
+    from datalake_backend_spark.datapipe.multimodal import (
+        image_stats,
+        synthetic_ppm_table,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return image_stats(synthetic_ppm_table(docs))
+
+
+Q75_SQL = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(4 + doc_id % 5 AS INT) AS width,
+         CAST(3 + doc_id % 4 AS INT) AS height
+  FROM documents
+),
+rws AS (SELECT media_id, width, height, unnest(range(0, height)) AS r FROM dims),
+cls AS (SELECT media_id, width, height, r, unnest(range(0, width)) AS c FROM rws),
+px AS (
+  SELECT media_id, width, height,
+         (media_id * 31 + r * 7 + c * 3) % 256 AS v_r,
+         (media_id * 31 + r * 7 + c * 3 + 11) % 256 AS v_g,
+         (media_id * 31 + r * 7 + c * 3 + 22) % 256 AS v_b
+  FROM cls
+)
+SELECT media_id, width, height, CAST(3 AS INT) AS channels,
+  CAST(width * height AS BIGINT) AS n_pixels,
+  CAST(SUM(v_r) AS BIGINT) AS sum_r,
+  CAST(SUM(v_g) AS BIGINT) AS sum_g,
+  CAST(SUM(v_b) AS BIGINT) AS sum_b,
+  CAST(SUM(v_r) AS BIGINT) / CAST(width * height AS DOUBLE) AS mean_r,
+  CAST(SUM(v_g) AS BIGINT) / CAST(width * height AS DOUBLE) AS mean_g,
+  CAST(SUM(v_b) AS BIGINT) / CAST(width * height AS DOUBLE) AS mean_b
+FROM px GROUP BY media_id, width, height
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3796,6 +3842,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q74_stateful_slot_tracker": QuerySpec(
         q74_stateful_slot_tracker, Q74_SQL, "streaming-stateful,W7-state"
+    ),
+    "q75_image_decode_stats": QuerySpec(
+        q75_image_decode_stats, Q75_SQL, "multimodal-decode,image-codec"
     ),
 }
 

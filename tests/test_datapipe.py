@@ -268,8 +268,77 @@ def test_multimodal_plumbing(spark):
     assert feats == feats2
     frames = sample_frames(df.where("media_id = 2"), every_ms=1000).collect()
     assert [r.frame_ms for r in frames] == [0, 1000, 2000, 3000]
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image(b"abc")
+
+
+def test_ppm_codec_roundtrip():
+    """Real byte-level codec: encode → decode is the identity, header
+    comments/whitespace are tolerated, malformed input raises."""
+    import numpy as np
+
+    from datalake_backend_spark.datapipe.multimodal import (
+        decode_image,
+        encode_ppm,
+    )
+
+    img = (np.arange(5 * 4 * 3) * 7 % 256).astype(np.uint8).reshape(5, 4, 3)
+    assert (decode_image(encode_ppm(img)) == img).all()
+    # comments + extra whitespace in header
+    raw = b"P6\n# a comment\n 4  5\n# more\n255\n" + img.tobytes()
+    assert (decode_image(raw) == img).all()
+    with pytest.raises(ValueError):
+        decode_image(encode_ppm(img)[:-1])  # truncated raster
+    with pytest.raises(ValueError):
+        decode_image(b"P6\n4 5\n65535\n" + b"\x00" * 120)  # 16-bit
+
+
+def test_image_stats_decodes_real_ppm(spark):
+    """image_stats parses real PPM payloads; sums/means match a direct
+    numpy computation on the same pixels."""
+    import numpy as np
+
+    from datalake_backend_spark.datapipe.multimodal import (
+        image_stats,
+        synthetic_ppm_table,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    got = {r.media_id: r for r in image_stats(synthetic_ppm_table(docs)).collect()}
+    for i in range(7):
+        w, h = 4 + i % 5, 3 + i % 4
+        r = np.arange(h).reshape(h, 1, 1)
+        c = np.arange(w).reshape(1, w, 1)
+        ch = np.arange(3).reshape(1, 1, 3)
+        img = (i * 31 + r * 7 + c * 3 + ch * 11) % 256
+        row = got[i]
+        assert (row.width, row.height, row.channels) == (w, h, 3)
+        sums = img.reshape(-1, 3).sum(axis=0)
+        assert (row.sum_r, row.sum_g, row.sum_b) == tuple(int(s) for s in sums)
+        assert row.mean_r == int(sums[0]) / (w * h)
+
+
+def test_extract_features_real_decode_path(spark):
+    """Decodable payloads get pooled-pixel features (global channel
+    means at positions 12-14), non-images fall back to hash features."""
+    import numpy as np
+
+    from datalake_backend_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA,
+        encode_ppm,
+        extract_image_features,
+    )
+
+    img = np.full((4, 4, 3), 128, dtype=np.uint8)
+    rows = [
+        (1, encode_ppm(img), ("image/x-portable-pixmap", 4, 4, None, "ppm")),
+        (2, b"not an image", ("application/octet-stream", None, None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r.features for r in extract_image_features(df).collect()}
+    # uniform 128 image → every pooled mean is exactly 0.5
+    assert all(abs(v - 0.5) < 1e-6 for v in feats[1][:15])
+    assert len(feats[2]) == 16 and feats[2] != feats[1]
 
 
 def test_stratified_sample_deterministic(spark):
