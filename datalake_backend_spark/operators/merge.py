@@ -24,19 +24,36 @@ from pyspark.sql import functions as F
 def upsert(base: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
     """Last-writer-wins upsert: update rows replace matching base rows,
     new keys append. Updates deduped by key first (latest by all-column
-    struct max) so the result has one row per key from the update side."""
-    deduped = (
-        updates.groupBy(*key_cols)
-        .agg(
-            F.max_by(
-                F.struct(*[F.col(c) for c in updates.columns]),
-                F.struct(*[F.col(c) for c in updates.columns if c not in key_cols]),
-            ).alias("_r")
-        )
-        .select("_r.*")
+    struct max) so the result has one row per key from the update side.
+
+    Shaped as ONE full-outer join on the key instead of
+    anti-join + union: the two-branch form evaluates the deduped
+    updates twice and re-scans base for the union — at 100 TB that is
+    an extra pass over both sides. The update side arrives
+    key-partitioned from its dedup aggregate, so the join adds one
+    exchange for base only. A present update row wins wholesale (its
+    struct is non-null) — update columns that are legitimately NULL
+    still overwrite."""
+    value_cols = [c for c in updates.columns if c not in key_cols]
+    deduped = updates.groupBy(*key_cols).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in updates.columns]),
+            F.struct(*[F.col(c) for c in value_cols]),
+        ).alias("_r")
     )
-    untouched = base.join(deduped.select(*key_cols), key_cols, "left_anti")
-    return untouched.unionByName(deduped)
+    joined = base.alias("b").join(deduped.alias("u"), key_cols, "full_outer")
+    take_update = F.col("u._r").isNotNull()
+    # the list-form USING join already coalesces the key columns
+    return joined.select(
+        *[
+            F.col(c)
+            if c in key_cols
+            else F.when(take_update, F.col(f"u._r.{c}"))
+            .otherwise(F.col(f"b.{c}"))
+            .alias(c)
+            for c in base.columns
+        ]
+    )
 
 
 def scd2_apply(
