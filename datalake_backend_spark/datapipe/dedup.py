@@ -487,3 +487,61 @@ def decontaminate(
         F.col("n_shared_chunks") > max_shared
     )
     return train_df.join(hits.select(id_col), id_col, "left_anti")
+
+
+def cluster_near_dups(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → cluster ids.
+
+    Pair detection (MinHash / SimHash / embedding buckets) yields edges;
+    canonical-keep needs COMPONENTS (a~b, b~c ⇒ keep one of {a,b,c} even
+    though (a,c) was never emitted as a pair). This is iterative
+    min-label propagation: each round every node adopts the smallest
+    label among itself and its neighbors, converging in O(component
+    diameter) rounds. Near-dup components are duplicate clusters — tiny
+    diameter in practice — so a handful of rounds suffices even at
+    100 TB; each round is one shuffle on the node id (the join reuses
+    the aggregate's partitioning). ``localCheckpoint`` cuts the lineage
+    so the plan doesn't grow exponentially with iterations, and the
+    per-round convergence probe is a COUNT scalar, not a collect.
+
+    Returns ``(node, cluster_id)`` for every node that appears in a
+    pair; ``cluster_id`` is the component's minimum node id (the same
+    canonical-min rule ``dedup_keep_canonical`` uses for exact dups).
+    Raises if ``max_iter`` rounds don't converge (pathological graph —
+    at that point switch to large-star/small-star, O(log n) rounds).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("nbr_min"))
+        .select("node", F.least("node", "nbr_min").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = (
+            und.join(labels, und.src == labels.node)
+            .select(F.col("dst").alias("node"), "cluster_id")
+            .unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            prop.join(labels.withColumnRenamed("cluster_id", "old"), "node")
+            .where(F.col("cluster_id") != F.col("old"))
+            .count()
+        )
+        labels = prop
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"cluster_near_dups did not converge in {max_iter} rounds"
+    )

@@ -20,7 +20,7 @@ key.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from datalake_backend_spark.datapipe.dedup import portable_hash60
@@ -102,3 +102,58 @@ def split_bounds(fractions: dict[str, float]) -> list[tuple[str, float]]:
         acc += float(fractions[name])
         out.append((name, acc))
     return out
+
+
+def assign_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    salt: str = "",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Deterministic training-export shard assignment:
+    ``shard = portable_hash60(key || salt) % n_shards``.
+
+    The properties a training-data writer needs, none of which
+    ``repartition`` gives you: stable across runs/partitionings/engines
+    (any SQL engine reproduces the set), uniform (hash-balanced, no
+    hot shard), and a pure projection (no shuffle at assignment time —
+    the one shuffle happens at ``partitionBy(out_col)`` write time).
+    Pairs with :func:`hash_fraction` under a different salt for
+    shuffle-within-shard ordering.
+    """
+    h = portable_hash60(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    return df.withColumn(out_col, F.pmod(h, F.lit(n_shards)).cast("int"))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    key_col: str,
+    salt: str = "",
+    buckets: int = 16,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically by
+    the portable (key, salt) hash order — RefinedWeb-style per-domain
+    balancing (no domain may dominate the corpus).
+
+    Skew-safe two-phase top-k: a single ``row_number`` window over a hot
+    domain puts the whole domain in one task. Phase 1 ranks within
+    (group, hash-bucket) — partitions ≤ group/``buckets``; phase 2
+    re-ranks only the ≤ ``cap``·``buckets`` phase-1 survivors. The
+    global top-``cap`` by hash is always contained in the union of
+    per-bucket top-``cap``s, so the result is identical to the
+    single-window form a SQL oracle uses.
+    """
+    h = portable_hash60(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    bucket = F.pmod(h, F.lit(buckets))
+    w1 = Window.partitionBy(F.col(group_col), bucket).orderBy(h, F.col(key_col))
+    w2 = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("_rn1", F.row_number().over(w1))
+        .where(F.col("_rn1") <= cap)
+        .withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn1", "_rn")
+    )

@@ -3709,6 +3709,106 @@ FROM px GROUP BY media_id, width, height
 """
 
 
+def q76_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation driver check
+    (`dbs.datapipe.dedup.cluster_near_dups`): MinHash pair detection
+    (q26's exact-verified pairs) feeds iterative min-label propagation;
+    a~b and b~c must land in one cluster even though (a,c) was never a
+    pair. The DuckDB twin computes components with a recursive CTE over
+    the same pair set, so a propagation that stops early or loses
+    transitivity breaks the hash."""
+    from datalake_backend_spark.datapipe.dedup import (
+        cluster_near_dups,
+        near_dup_minhash,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    pairs = near_dup_minhash(docs, n=1, threshold=0.95, k=64, bands=16)
+    return cluster_near_dups(pairs)
+
+
+Q76_SQL = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+  FROM documents WHERE doc_id < 400
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95
+),
+und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.node
+)
+SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+def q77_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment driver check
+    (`dbs.datapipe.sampling.assign_shards`): every document lands in a
+    hash-chosen shard, reproducible in any engine; the check compares
+    per-shard counts and id checksums, so a drifting hash, a modulo
+    bias, or partition-dependent assignment all break it."""
+    from datalake_backend_spark.datapipe.sampling import assign_shards
+
+    docs = table(spark, sf_dir, "documents")
+    sharded = assign_shards(docs, "doc_id", n_shards=8, salt="sh")
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+        F.min("doc_id").alias("id_min"),
+        F.max("doc_id").alias("id_max"),
+    )
+
+
+Q77_SQL = """
+WITH sharded AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'sh'), 1, 15))::BIGINT
+         % 8 AS INT) AS shard
+  FROM documents
+)
+SELECT shard, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       MIN(doc_id) AS id_min, MAX(doc_id) AS id_max
+FROM sharded GROUP BY shard
+"""
+
+
+def q78_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap driver check
+    (`dbs.datapipe.sampling.cap_per_group`): at most 15 documents per
+    source, chosen by portable hash order (RefinedWeb-style domain
+    balancing). The Spark side runs the skew-safe two-phase top-k; the
+    oracle the plain single-window form — they must pick the IDENTICAL
+    row set, which is the operator's correctness claim."""
+    from datalake_backend_spark.datapipe.sampling import cap_per_group
+
+    docs = table(spark, sf_dir, "documents")
+    return cap_per_group(docs, "source", cap=15, key_col="doc_id", salt="cap").select(
+        "doc_id", "source"
+    )
+
+
+Q78_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'cap'), 1, 15))::BIGINT,
+               doc_id
+    ) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rn <= 15
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry — two tiers.
 #
@@ -3828,6 +3928,17 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q75_image_decode_stats": QuerySpec(
         q75_image_decode_stats, Q75_SQL, "multimodal-decode,image-codec"
+    ),
+    # q76+ land AFTER the 50-entry driver window (names sort past q75)
+    # but are fully oracle-checked locally, like the reserve tier.
+    "q76_dedup_clusters": QuerySpec(
+        q76_dedup_clusters, Q76_SQL, "dedup-clusters,connected-components"
+    ),
+    "q77_training_shards": QuerySpec(
+        q77_training_shards, Q77_SQL, "sharding-deterministic,export"
+    ),
+    "q78_source_caps": QuerySpec(
+        q78_source_caps, Q78_SQL, "sampling-domain-caps,topk-per-group"
     ),
     # ----- reserve tier (rNN was qNN; see the registry comment) -----
     "r02_shipping_priority": QuerySpec(q02_shipping_priority, Q02_SQL, "J1,A1,O1"),

@@ -520,3 +520,59 @@ def test_dedup_keep_canonical(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     kept = {(r.doc_id, r.text) for r in dedup_keep_canonical(df).collect()}
     assert kept == {(1, "same text"), (2, "other")}
+
+
+def test_cluster_near_dups_transitive(spark):
+    """A chain a-b, b-c, c-d collapses into ONE cluster labelled by the
+    min node; disjoint edges stay separate; convergence needs multiple
+    propagation rounds (diameter 3)."""
+    from datalake_backend_spark.datapipe.dedup import cluster_near_dups
+
+    pairs = spark.createDataFrame(
+        [(3, 4), (2, 3), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.node: r.cluster_id for r in cluster_near_dups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_assign_shards_deterministic_and_balanced(spark):
+    from datalake_backend_spark.datapipe.sampling import assign_shards
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    a = {r.k: r.shard for r in assign_shards(df, "k", 16, salt="x").collect()}
+    b = {
+        r.k: r.shard
+        for r in assign_shards(df.repartition(7), "k", 16, salt="x").collect()
+    }
+    assert a == b  # partition-independent
+    assert set(a.values()) == set(range(16))
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert max(counts.values()) < 2 * min(counts.values())  # hash-balanced
+
+
+def test_cap_per_group_matches_single_window(spark):
+    """The skew-safe two-phase top-k must pick the IDENTICAL row set as
+    the naive single-window form."""
+    from pyspark.sql import Window
+
+    from datalake_backend_spark.datapipe.dedup import portable_hash60
+    from datalake_backend_spark.datapipe.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(300)], "k long, g string"
+    )
+    two_phase = {
+        (r.k, r.g) for r in cap_per_group(df, "g", 7, "k", salt="s").collect()
+    }
+    h = portable_hash60(F.concat(F.col("k").cast("string"), F.lit("s")))
+    w = Window.partitionBy("g").orderBy(h, F.col("k"))
+    naive = {
+        (r.k, r.g)
+        for r in df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 7)
+        .drop("_rn")
+        .collect()
+    }
+    assert two_phase == naive and len(naive) == 21

@@ -30,7 +30,9 @@ def test_primary_tier_fills_driver_window():
     assert keys == sorted(keys)
     primary = keys[:PRIMARY_TIER_SIZE]
     assert all(k.startswith("q") for k in primary)
-    assert all(k.startswith("r") for k in keys[PRIMARY_TIER_SIZE:])
+    # outside the window: post-q75 overflow queries (q76+) and the
+    # rNN reserve tier — both oracle-checked locally, not by the driver
+    assert all(k > "q75" for k in keys[PRIMARY_TIER_SIZE:])
     must_have = (
         [f"q{n}" for n in range(51, 61)]  # domain pipelines
         + ["q47", "q66", "q73", "q74", "q75"]
