@@ -3809,6 +3809,111 @@ SELECT doc_id, source FROM ranked WHERE rn <= 15
 """
 
 
+def q79_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window streaming aggregation driver check
+    (`dbs.streaming.pipeline.windowed_counts`): the events parquet is
+    replayed as a stream, grouped into 15-minute tumbling windows per
+    event_type, and drained to a memory sink. Spark's `window()` aligns
+    to the 1970 epoch, so the DuckDB twin floors epoch micros to the
+    window length; `value` is summed as DECIMAL(18,4) on both sides so
+    the float total is order-independent (the stream's accumulation
+    order is not the batch engine's)."""
+    from datalake_backend_spark.streaming.pipeline import (
+        read_event_stream,
+        start_to_memory,
+        windowed_counts,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    table(spark, sf_dir, "events")  # pins nanosAsLong + UTC session TZ
+    stream = read_event_stream(
+        spark, f"{sf_dir}/events.parquet*", spark.read.parquet(path).schema
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream.withColumn("value", F.col("value").cast("decimal(18,4)"))
+    win = windowed_counts(
+        stream, time_col="ts", key_col="event_type", window="15 minutes"
+    )
+    q = start_to_memory(win, "q79_windows", output_mode="complete")
+    q.awaitTermination()
+    return spark.table("q79_windows").select(
+        F.unix_micros("window_start").alias("w_start_us"),
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+Q79_SQL = """
+SELECT
+  CAST(epoch_us(ts) - epoch_us(ts) % 900000000 AS BIGINT) AS w_start_us,
+  event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q80_streaming_silver_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming silver sink driver check
+    (`dbs.streaming.pipeline.start_silver_sink` →
+    `idempotent_epoch_write`): the events stream is drained through
+    foreachBatch with a silver transform (filter + projection) into an
+    epoch-partitioned parquet zone, then the ZONE IS READ BACK and
+    aggregated — so the check covers the write path (epoch partition
+    layout, dynamic overwrite, schema) not just the transform. The
+    DuckDB twin applies the same transform/aggregate to the source
+    table directly; any dropped/duplicated micro-batch changes the
+    counts."""
+    import shutil
+
+    from datalake_backend_spark.streaming.pipeline import (
+        read_event_stream,
+        start_silver_sink,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    table(spark, sf_dir, "events")
+    stream = read_event_stream(
+        spark, f"{sf_dir}/events.parquet*", spark.read.parquet(path).schema
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    def silver(batch: DataFrame) -> DataFrame:
+        return batch.where(F.col("value") > 0).select(
+            "event_id", "user_id", "event_type",
+            F.col("value").cast("decimal(18,4)").alias("value_dec"),
+        )
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = os.path.join(
+        repo_root, "spark-warehouse", f"q80_zone_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    q = start_silver_sink(
+        stream, f"{base}/silver", f"{base}/ck", transform=silver
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{base}/silver")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("event_id").alias("id_sum"),
+            F.sum("value_dec").cast("double").alias("value_sum"),
+        )
+    )
+
+
+Q80_SQL = """
+SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events WHERE value > 0 GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry — two tiers.
 #
@@ -3939,6 +4044,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q78_source_caps": QuerySpec(
         q78_source_caps, Q78_SQL, "sampling-domain-caps,topk-per-group"
+    ),
+    "q79_streaming_window_counts": QuerySpec(
+        q79_streaming_window_counts, Q79_SQL, "streaming-windows,watermark"
+    ),
+    "q80_streaming_silver_sink": QuerySpec(
+        q80_streaming_silver_sink, Q80_SQL, "streaming-sink,exactly-once-epochs"
     ),
     # ----- reserve tier (rNN was qNN; see the registry comment) -----
     "r02_shipping_priority": QuerySpec(q02_shipping_priority, Q02_SQL, "J1,A1,O1"),
