@@ -128,3 +128,43 @@ def test_scd2_invariants_property(spark, current_rows, change_rows):
     assert sorted(map(tuple, again.collect()), key=repr) == sorted(
         map(tuple, rows), key=repr
     )
+
+
+@FAST
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_cluster_near_dups_matches_union_find(spark, edges):
+    """Min-label propagation equals a reference union-find on random
+    edge lists: same node set, same component partition, cluster_id is
+    the component minimum."""
+    from datalake_backend_spark.datapipe.dedup import cluster_near_dups
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    expected: dict[int, int] = {}
+    for n in parent:
+        root = find(n)
+        expected[root] = min(expected.get(root, n), n)
+    want = {n: expected[find(n)] for n in parent}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.cluster_id for r in cluster_near_dups(df).collect()}
+    assert got == want
