@@ -181,3 +181,54 @@ def test_sequence_packing_no_global_data_window(spark):
             assert re.search(r", \[_pid#\d+\], \[doc_id#\d+L? ASC", b), b
         else:  # totals window: input is (_pid, _pt) only — metadata-sized
             assert "_pt#" in b, b
+
+
+def test_sessionized_summary_single_shuffle(spark):
+    """The fused summary+sessions operator must keep ONE exchange:
+    window → groupBy(entity, sid) → groupBy(entity) all share the
+    entity hash partitioning (the round-4 q52 fix: 8 → 2 exchanges)."""
+    from datalake_backend_spark.operators.sessionize import sessionized_summary
+
+    ev = spark.createDataFrame(
+        [("s", float(i), i % 3 == 0) for i in range(12)],
+        "id string, t double, occ boolean",
+    )
+    plan = plan_of(sessionized_summary(ev, ["id"], "t", "occ", True))
+    assert shuffle_count(plan) == 1, plan
+
+
+def test_sessionize_no_join(spark):
+    """sessionize is a single windowed pass + one conditional aggregate
+    — the old two-branch groupBy + join re-evaluated the input."""
+    from datalake_backend_spark.operators.sessionize import sessionize
+
+    ev = spark.createDataFrame(
+        [("s", float(i), i % 3 == 0) for i in range(12)],
+        "id string, t double, occ boolean",
+    )
+    plan = plan_of(sessionize(ev, ["id"], "t", "occ", True))
+    assert shuffle_count(plan) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_upsert_scans_each_side_once(spark, tmp_path):
+    """The full-outer upsert evaluates base and updates ONCE each; the
+    anti-join + union form scanned the deduped updates twice and base
+    twice (7 parquet scans in the old q64 plan)."""
+    from datalake_backend_spark.operators.merge import upsert
+
+    base_p, upd_p = str(tmp_path / "base"), str(tmp_path / "upd")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "key long, seg string, bal double"
+    ).write.parquet(base_p)
+    spark.createDataFrame(
+        [(2, "b", 9.0), (3, "c", 3.0)], "key long, seg string, bal double"
+    ).write.parquet(upd_p)
+    out = upsert(
+        spark.read.parquet(base_p), spark.read.parquet(upd_p), ["key"]
+    )
+    plan = plan_of(out)
+    # node-list entries only — the formatted detail section repeats them
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 2, plan
+    got = {r.key: (r.seg, r.bal) for r in out.collect()}
+    assert got == {1: ("a", 1.0), 2: ("b", 9.0), 3: ("c", 3.0)}
