@@ -545,3 +545,48 @@ def cluster_near_dups(
     raise RuntimeError(
         f"cluster_near_dups did not converge in {max_iter} rounds"
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Corpus-global line/paragraph dedup (the MassiveText / Dolma
+    exact-paragraph rule): every line keeps only its FIRST occurrence
+    — ordered by (doc, position) — across the whole corpus; documents
+    are reassembled with surviving lines in original order, and docs
+    whose every line was a duplicate disappear.
+
+    Scale shape: explode to (id, pos, line), group on the md5 line hash
+    to find each line's canonical (doc, pos) via ``min(struct)`` (one
+    hash-key shuffle with map-side partial min — never a sort of the
+    corpus), then an equi-join on the hash filters survivors and one
+    aggregate per doc rebuilds the text. Returns
+    ``(id, text, n_lines)`` with only surviving docs.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "line"),
+    ).withColumn("_lh", F.md5("line"))
+    canon = lines.groupBy("_lh").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("_c")
+    )
+    kept = (
+        lines.join(canon, "_lh")
+        .where((F.col(id_col) == F.col("_c.d")) & (F.col("pos") == F.col("_c.p")))
+        .select(id_col, "pos", "line")
+    )
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            line_sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda s: s.getField("line"),
+            ),
+        ).alias(text_col),
+        F.count("*").alias("n_lines"),
+    )

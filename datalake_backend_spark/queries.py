@@ -3914,6 +3914,63 @@ FROM events WHERE value > 0 GROUP BY event_type
 """
 
 
+def q81_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global line-dedup driver check
+    (`dbs.datapipe.dedup.dedup_lines`, the MassiveText/Dolma
+    exact-paragraph rule): documents are first given deterministic
+    8-token lines (the corpus has no newlines), then every line keeps
+    only its first (doc, position) occurrence corpus-wide and docs are
+    reassembled in order. The oracle replays the same chunking and a
+    row_number-over-line window; the md5 of the REASSEMBLED text is
+    compared, so dropping the wrong occurrence, reordering lines, or
+    losing empty-doc elimination all break the hash."""
+    from datalake_backend_spark.datapipe.dedup import dedup_lines
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+            ),
+        ).alias("text"),
+    )
+    out = dedup_lines(lined)
+    return out.select("doc_id", F.md5("text").alias("text_md5"), "n_lines")
+
+
+Q81_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+lined AS (
+  SELECT doc_id,
+    list_transform(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT)),
+                   i -> array_to_string(t[i*8+1 : i*8+8], ' ')) AS lines
+  FROM toks
+),
+lines AS (
+  SELECT doc_id, unnest(range(0, len(lines))) AS pos, unnest(lines) AS line
+  FROM lined
+),
+kept AS (
+  SELECT doc_id, pos, line FROM (
+    SELECT doc_id, pos, line,
+           row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+    FROM lines
+  ) WHERE rn = 1
+)
+SELECT doc_id,
+       md5(string_agg(line, chr(10) ORDER BY pos)) AS text_md5,
+       COUNT(*) AS n_lines
+FROM kept GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry — two tiers.
 #
@@ -4050,6 +4107,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q80_streaming_silver_sink": QuerySpec(
         q80_streaming_silver_sink, Q80_SQL, "streaming-sink,exactly-once-epochs"
+    ),
+    "q81_line_dedup": QuerySpec(
+        q81_line_dedup, Q81_SQL, "dedup-lines,paragraph-dedup"
     ),
     # ----- reserve tier (rNN was qNN; see the registry comment) -----
     "r02_shipping_priority": QuerySpec(q02_shipping_priority, Q02_SQL, "J1,A1,O1"),

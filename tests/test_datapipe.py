@@ -576,3 +576,21 @@ def test_cap_per_group_matches_single_window(spark):
         .collect()
     }
     assert two_phase == naive and len(naive) == 21
+
+
+def test_dedup_lines_keeps_first_occurrence(spark):
+    """A line keeps only its first (doc, pos) occurrence corpus-wide;
+    docs reassemble in order; fully-duplicated docs disappear."""
+    from datalake_backend_spark.datapipe.dedup import dedup_lines
+
+    rows = [
+        (1, "alpha\nbeta\ngamma"),
+        (2, "beta\ndelta"),      # beta drops (first seen in doc 1)
+        (3, "alpha\nbeta"),      # both drop -> doc 3 disappears
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.n_lines) for r in dedup_lines(df).collect()}
+    assert got == {
+        1: ("alpha\nbeta\ngamma", 3),
+        2: ("delta", 1),
+    }
