@@ -246,3 +246,44 @@ def near_dup_pairs(
         ).alias("cosine"),
     )
     return pairs.where(F.col("cosine") >= threshold)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bits: int = 8,
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Per-vector scalar quantization (the FAISS/ScaNN storage trick):
+    each float vector becomes ``2^bits - 1``-level integer codes plus a
+    (lo, scale) pair — int8 cuts vector storage and scan IO 4× at
+    100 TB, which is usually the ANN bottleneck, at a small recall
+    cost. Map-only; fully closed-form, so any engine reproduces the
+    codes bit-for-bit (``round`` of identical doubles half-away-from-
+    zero in both Spark and DuckDB for non-negative inputs).
+
+    Constant vectors (lo == hi) get scale 0 and all-zero codes;
+    :func:`dequantize_embeddings` maps those back to the constant."""
+    levels = float(2**bits - 1)
+    v = _as_double_array(F.col(vec_col))
+    lo, hi = F.array_min(v), F.array_max(v)
+    scale = (hi - lo) / F.lit(levels)
+    codes = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.round((x - lo) / scale).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.withColumns({codes_col: codes, "q_lo": lo, "q_scale": scale})
+
+
+def dequantize_embeddings(
+    df: DataFrame, codes_col: str = "codes", out_col: str = "dequant"
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`:
+    ``x' = lo + code * scale`` (exact double arithmetic, map-only)."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(codes_col),
+            lambda c: F.col("q_lo") + c.cast("double") * F.col("q_scale"),
+        ),
+    )

@@ -3971,6 +3971,73 @@ FROM kept GROUP BY doc_id
 """
 
 
+def q82_quantized_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding-quantization driver check
+    (`dbs.datapipe.similarity.quantize_embeddings`/`dequantize_embeddings`):
+    every vector is scalar-quantized to 255 levels and dequantized, and
+    the check compares the code checksum plus the cosine between the
+    original and reconstructed vector (the quantization-fidelity
+    metric ANN recall rides on). All closed-form double arithmetic —
+    the DuckDB twin reproduces codes and cosines bit-for-bit."""
+    from datalake_backend_spark.datapipe.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = dequantize_embeddings(quantize_embeddings(emb))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = F.col("dequant")
+    dot = F.aggregate(
+        F.zip_with(v, d, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nv = F.sqrt(
+        F.aggregate(F.transform(v, lambda a: a * a), F.lit(0.0), lambda a, x: a + x)
+    )
+    nd = F.sqrt(
+        F.aggregate(F.transform(d, lambda a: a * a), F.lit(0.0), lambda a, x: a + x)
+    )
+    return q.select(
+        "vec_id",
+        F.aggregate("codes", F.lit(0).cast("long"), lambda a, c: a + c).alias(
+            "code_sum"
+        ),
+        F.round(dot / (nv * nd), 6).alias("fidelity_r"),
+    )
+
+
+Q82_SQL = """
+WITH q AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_min(CAST(embedding AS DOUBLE[])) AS lo,
+         (list_max(CAST(embedding AS DOUBLE[]))
+          - list_min(CAST(embedding AS DOUBLE[]))) / 255.0 AS scale
+  FROM embeddings
+),
+coded AS (
+  SELECT vec_id, v, lo, scale,
+    CASE WHEN scale > 0
+         THEN list_transform(v, x -> CAST(round((x - lo) / scale) AS INT))
+         ELSE list_transform(v, x -> 0) END AS codes
+  FROM q
+),
+deq AS (
+  SELECT vec_id, v, codes,
+    list_transform(codes, c -> lo + CAST(c AS DOUBLE) * scale) AS d
+  FROM coded
+)
+SELECT vec_id,
+  CAST(list_reduce(list_transform(codes, c -> CAST(c AS BIGINT)), (a, b) -> a + b)
+       AS BIGINT) AS code_sum,
+  ROUND(
+    list_reduce(list_transform(list_zip(v, d), p -> p[1] * p[2]), (a, b) -> a + b)
+    / (sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b))
+       * sqrt(list_reduce(list_transform(d, x -> x * x), (a, b) -> a + b))),
+    6) AS fidelity_r
+FROM deq
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry — two tiers.
 #
@@ -4110,6 +4177,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q81_line_dedup": QuerySpec(
         q81_line_dedup, Q81_SQL, "dedup-lines,paragraph-dedup"
+    ),
+    "q82_quantized_cosine": QuerySpec(
+        q82_quantized_cosine, Q82_SQL, "embedding-quantization,ann-storage"
     ),
     # ----- reserve tier (rNN was qNN; see the registry comment) -----
     "r02_shipping_priority": QuerySpec(q02_shipping_priority, Q02_SQL, "J1,A1,O1"),

@@ -594,3 +594,25 @@ def test_dedup_lines_keeps_first_occurrence(spark):
         1: ("alpha\nbeta\ngamma", 3),
         2: ("delta", 1),
     }
+
+
+def test_quantize_roundtrip_fidelity(spark):
+    """8-bit scalar quantization reconstructs within half a level per
+    component; constant vectors survive exactly (scale-0 path)."""
+    from datalake_backend_spark.datapipe.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    rows = [(1, [0.0, 1.0, 0.25, -1.0]), (2, [0.5, 0.5, 0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: (r.embedding, r.dequant, r.codes)
+        for r in dequantize_embeddings(quantize_embeddings(df)).collect()
+    }
+    orig, deq, codes = out[1]
+    half_level = (1.0 - (-1.0)) / 255 / 2
+    assert all(abs(a - b) <= half_level + 1e-12 for a, b in zip(orig, deq))
+    assert max(codes) == 255 and min(codes) == 0
+    orig2, deq2, codes2 = out[2]
+    assert deq2 == orig2 and codes2 == [0, 0, 0, 0]
