@@ -322,3 +322,52 @@ def rolling_fingerprints(
     return staged.withColumn(
         out_col, F.array_sort(F.array_distinct(shingles))
     ).drop("_rf_toks")
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus TF-IDF with the smoothed sklearn idf
+    (``ln((N+1)/(df+1)) + 1``): top-``k`` terms per document by
+    (score DESC, term ASC) — the classic keyword-extraction /
+    relevance-feature step.
+
+    Scale shape: explode → (doc, term) counts → per-term document
+    frequency; the corpus size N joins back as a broadcast single-row
+    scalar (never a partition-less window), the DF table joins on the
+    term key, and the final top-k is one window per doc partition.
+    Terms tie-break lexicographically so the selection is total-order
+    deterministic; equal (tf, df) pairs score bit-identically in any
+    engine, so ranking is reproducible (the ln of identical doubles
+    agrees across libm implementations to well below the 6dp the
+    oracle compares).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    total = df.select(F.count("*").alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (
+                F.log((F.col("_n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(id_col, "term", "tfidf")
+    )

@@ -4038,6 +4038,42 @@ FROM deq
 """
 
 
+def q83_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF driver check (`dbs.datapipe.text.tfidf_top_terms`):
+    top-3 terms per document under the smoothed sklearn idf. The
+    oracle recomputes tf, df, and N relationally and applies the same
+    score; results compare at 6dp (integer tf × a shared-formula
+    double), and the (score DESC, term ASC) tie-break makes the
+    selected term set deterministic."""
+    from datalake_backend_spark.datapipe.text import tfidf_top_terms
+
+    docs = table(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, k=3)
+    return out.select("doc_id", "term", F.round("tfidf", 6).alias("tfidf_r"))
+
+
+Q83_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term,
+         t.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0) AS s
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, ROUND(s, 6) AS tfidf_r FROM ranked WHERE rn <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry — two tiers.
 #
@@ -4180,6 +4216,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q82_quantized_cosine": QuerySpec(
         q82_quantized_cosine, Q82_SQL, "embedding-quantization,ann-storage"
+    ),
+    "q83_tfidf_terms": QuerySpec(
+        q83_tfidf_terms, Q83_SQL, "text-tfidf,keyword-extraction"
     ),
     # ----- reserve tier (rNN was qNN; see the registry comment) -----
     "r02_shipping_priority": QuerySpec(q02_shipping_priority, Q02_SQL, "J1,A1,O1"),

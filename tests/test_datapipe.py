@@ -616,3 +616,26 @@ def test_quantize_roundtrip_fidelity(spark):
     assert max(codes) == 255 and min(codes) == 0
     orig2, deq2, codes2 = out[2]
     assert deq2 == orig2 and codes2 == [0, 0, 0, 0]
+
+
+def test_tfidf_ranks_distinctive_terms(spark):
+    """A term unique to one doc outranks corpus-wide terms; ties break
+    lexicographically so the top-k set is deterministic."""
+    import math
+
+    from datalake_backend_spark.datapipe.text import tfidf_top_terms
+
+    rows = [
+        (1, "common common rare"),
+        (2, "common other"),
+        (3, "common other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.term, r.tfidf)
+        for r in tfidf_top_terms(df, k=2).where("doc_id = 1").collect()
+    ]
+    # rare: tf=1, df=1 -> ln(4/2)+1 ; common: tf=2, df=3 -> 2*(ln(4/4)+1)=2
+    assert [t for t, _ in got] == ["common", "rare"]
+    assert abs(dict(got)["rare"] - (math.log(2.0) + 1.0)) < 1e-12
+    assert abs(dict(got)["common"] - 2.0) < 1e-12
