@@ -4074,6 +4074,62 @@ SELECT doc_id, term, ROUND(s, 6) AS tfidf_r FROM ranked WHERE rn <= 3
 """
 
 
+def q84_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval-join driver check
+    (`dbs.streaming.pipeline.stream_stream_interval_join`): click and
+    purchase sub-streams of the events feed are joined per user with
+    purchases in ``(click_ts, click_ts + 30 min]`` — the attribution
+    shape, with watermarks on BOTH sides so join state expires. The
+    joined pairs land in a memory sink and are summarized per user;
+    the DuckDB twin is the equivalent batch interval join, so dropped
+    or duplicated matches break the count/checksum hashes."""
+    from datalake_backend_spark.streaming.pipeline import (
+        read_event_stream,
+        start_to_memory,
+        stream_stream_interval_join,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    table(spark, sf_dir, "events")
+    stream = read_event_stream(
+        spark, f"{sf_dir}/events.parquet*", spark.read.parquet(path).schema
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    clicks = stream.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = stream.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = stream_stream_interval_join(
+        clicks, purchases, "user_id", "ts", "ts", max_delay="30 minutes"
+    )
+    q = start_to_memory(joined, "q84_pairs", output_mode="append")
+    q.awaitTermination()
+    return (
+        spark.table("q84_pairs")
+        .groupBy(F.col("l_key").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("l_event_id").alias("click_id_sum"),
+            F.sum("r_event_id").alias("purchase_id_sum"),
+        )
+    )
+
+
+Q84_SQL = """
+WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, COUNT(*) AS n_pairs,
+  CAST(SUM(c.event_id) AS BIGINT) AS click_id_sum,
+  CAST(SUM(p.event_id) AS BIGINT) AS purchase_id_sum
+FROM c JOIN p ON c.user_id = p.user_id
+  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+GROUP BY c.user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry — two tiers.
 #
@@ -4219,6 +4275,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q83_tfidf_terms": QuerySpec(
         q83_tfidf_terms, Q83_SQL, "text-tfidf,keyword-extraction"
+    ),
+    "q84_stream_stream_join": QuerySpec(
+        q84_stream_stream_join, Q84_SQL, "streaming-join,interval-join"
     ),
     # ----- reserve tier (rNN was qNN; see the registry comment) -----
     "r02_shipping_priority": QuerySpec(q02_shipping_priority, Q02_SQL, "J1,A1,O1"),

@@ -170,3 +170,46 @@ def start_silver_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_time: str,
+    right_time: str,
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: right-side events that occur within
+    ``(left_time, left_time + max_delay]`` of a left event with the
+    same key (the click→purchase attribution shape).
+
+    Both sides carry a watermark and the join condition bounds event
+    time on both ends, so Spark can expire join state — without the
+    interval condition state grows unboundedly. Columns are
+    prefixed ``l_``/``r_`` to keep the output schema unambiguous."""
+    l = left.withWatermark(left_time, watermark).select(
+        F.col(key_col).alias("l_key"),
+        F.col(left_time).alias("l_ts"),
+        *[
+            F.col(c).alias(f"l_{c}")
+            for c in left.columns
+            if c not in (key_col, left_time)
+        ],
+    )
+    r = right.withWatermark(right_time, watermark).select(
+        F.col(key_col).alias("r_key"),
+        F.col(right_time).alias("r_ts"),
+        *[
+            F.col(c).alias(f"r_{c}")
+            for c in right.columns
+            if c not in (key_col, right_time)
+        ],
+    )
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}")),
+    )
