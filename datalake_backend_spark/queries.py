@@ -4130,6 +4130,60 @@ GROUP BY c.user_id
 """
 
 
+def q85_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window streaming aggregation driver check
+    (`dbs.streaming.pipeline.windowed_counts` with ``slide``): 30-minute
+    windows sliding every 10 minutes, so each event lands in exactly 3
+    overlapping windows. Spark assigns windows by epoch-aligned slide
+    steps; the DuckDB twin unnests the 3 candidate window starts per
+    event (floor to the slide, minus 0/1/2 slides, keeping those whose
+    [start, start+30min) covers the event). Decimal value sums keep
+    the floats order-independent."""
+    from datalake_backend_spark.streaming.pipeline import (
+        read_event_stream,
+        start_to_memory,
+        windowed_counts,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    table(spark, sf_dir, "events")
+    stream = read_event_stream(
+        spark, f"{sf_dir}/events.parquet*", spark.read.parquet(path).schema
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream.withColumn("value", F.col("value").cast("decimal(18,4)"))
+    win = windowed_counts(
+        stream,
+        time_col="ts",
+        key_col="event_type",
+        window="30 minutes",
+        slide="10 minutes",
+        watermark="1 hour",
+    )
+    q = start_to_memory(win, "q85_windows", output_mode="complete")
+    q.awaitTermination()
+    return spark.table("q85_windows").select(
+        F.unix_micros("window_start").alias("w_start_us"),
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+Q85_SQL = """
+WITH starts AS (
+  SELECT event_type, value,
+    epoch_us(ts) - epoch_us(ts) % 600000000 - s.k * 600000000 AS w_start_us
+  FROM events, (SELECT unnest(range(0, 3)) AS k) s
+)
+SELECT CAST(w_start_us AS BIGINT) AS w_start_us, event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM starts GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry — two tiers.
 #
@@ -4278,6 +4332,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q84_stream_stream_join": QuerySpec(
         q84_stream_stream_join, Q84_SQL, "streaming-join,interval-join"
+    ),
+    "q85_sliding_window_counts": QuerySpec(
+        q85_sliding_window_counts, Q85_SQL, "streaming-sliding-windows"
     ),
     # ----- reserve tier (rNN was qNN; see the registry comment) -----
     "r02_shipping_priority": QuerySpec(q02_shipping_priority, Q02_SQL, "J1,A1,O1"),
