@@ -165,3 +165,61 @@ def test_serving_views(spark, tmp_path):
 
     people = spark.sql("SELECT * FROM serving_people_totals").collect()[0]
     assert people.total_people == 2 and people.restricted_entries == 1
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Pairs emitted by the watermarked stream-stream join equal the
+    batch interval join on the same rows (strict lower bound, inclusive
+    upper bound, per-key)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datalake_backend_spark.streaming.pipeline import (
+        stream_stream_interval_join,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    base = "2024-01-01 00:"
+    rows = [
+        (1, f"{base}00:00", 10),  # click
+        (1, f"{base}20:00", 11),  # click
+        (2, f"{base}00:00", 12),  # click
+    ]
+    buys = [
+        (1, f"{base}25:00", 20),  # joins both clicks of user 1
+        (1, f"{base}31:00", 21),  # joins only the 20:00 click (>30m after first)
+        (2, f"{base}00:00", 22),  # same instant: strict > excludes it
+    ]
+    clicks_df = spark.createDataFrame(
+        [(u, __import__("datetime").datetime.fromisoformat(t), e) for u, t, e in rows],
+        schema,
+    )
+    buys_df = spark.createDataFrame(
+        [(u, __import__("datetime").datetime.fromisoformat(t), e) for u, t, e in buys],
+        schema,
+    )
+    cdir, bdir = str(tmp_path / "c"), str(tmp_path / "b")
+    clicks_df.write.parquet(cdir)
+    buys_df.write.parquet(bdir)
+    cs = spark.readStream.schema(schema).parquet(cdir)
+    bs = spark.readStream.schema(schema).parquet(bdir)
+    joined = stream_stream_interval_join(cs, bs, "user_id", "ts", "ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.l_event_id, r.r_event_id)
+        for r in spark.table("ssj_test").collect()
+    }
+    assert got == {(10, 20), (11, 20), (11, 21)}
