@@ -289,12 +289,36 @@ def image_stats(
     return df.select(id_col, payload_col).mapInPandas(batches, IMAGE_STATS_SCHEMA)
 
 
-def resize_stub(
+def resize_images(
     df: DataFrame, width: int, height: int, payload_col: str = "payload"
 ) -> DataFrame:
-    """Resize plumbing: passes bytes through a mapInPandas stage and
-    rewrites metadata dims (a real impl re-encodes the pixels)."""
-    return df.withColumn(
+    """Real image resize over the Arrow batch: decodable payloads (PPM)
+    are decoded, nearest-neighbor resampled to ``(height, width)``, and
+    re-encoded; non-decodable payloads pass through unchanged (only
+    their metadata dims update, mirroring a downstream contract).
+    Map-only — one ``mapInPandas`` stage, no shuffle."""
+
+    def one(p):
+        b = bytes(p) if p is not None else b""
+        try:
+            img = decode_image(b)
+        except ValueError:
+            return b
+        h, w, _ = img.shape
+        rows = (np.arange(height) * h) // height
+        cols = (np.arange(width) * w) // width
+        return encode_ppm(img[rows][:, cols])
+
+    cols_out = df.columns
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[payload_col] = [one(p) for p in pdf[payload_col]]
+            yield pdf[cols_out]
+
+    resized = df.mapInPandas(batches, df.schema)
+    return resized.withColumn(
         "meta",
         F.struct(
             F.col("meta.mime").alias("mime"),

@@ -1782,9 +1782,10 @@ FROM stepped GROUP BY user_id
 # ---------------------------------------------------------------------------
 # q49 — multimodal: binary payloads + typed metadata through the REAL
 # Spark plumbing (media_table → sha2 fingerprint → Arrow mapInPandas
-# feature extraction → dedup rollup). The feature stub is the documented
-# deterministic sha256 fake, so DuckDB reproduces feature[0] exactly
-# (byte 0 of the digest / 256).
+# feature extraction → dedup rollup). The payloads are non-image
+# stand-ins, so feature extraction takes the documented content-hash
+# fallback and DuckDB reproduces feature[0] exactly from the sha256
+# digest (byte 0 / 256).
 # ---------------------------------------------------------------------------
 def q49_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_backend_spark.datapipe.multimodal import (

@@ -639,3 +639,30 @@ def test_tfidf_ranks_distinctive_terms(spark):
     assert [t for t, _ in got] == ["common", "rare"]
     assert abs(dict(got)["rare"] - (math.log(2.0) + 1.0)) < 1e-12
     assert abs(dict(got)["common"] - 2.0) < 1e-12
+
+
+def test_resize_images_real_resample(spark):
+    """PPM payloads are decoded, nearest-neighbor resampled, and
+    re-encoded; non-images pass through byte-identical."""
+    import numpy as np
+
+    from datalake_backend_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        encode_ppm,
+        resize_images,
+    )
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[2:, :, :] = 200  # bottom half bright
+    rows = [
+        (1, encode_ppm(img), ("image/x-portable-pixmap", 4, 4, None, "ppm")),
+        (2, b"not an image", ("application/octet-stream", None, None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in resize_images(df, 2, 2).collect()}
+    small = decode_image(bytes(out[1].payload))
+    assert small.shape == (2, 2, 3)
+    assert small[0, 0, 0] == 0 and small[1, 0, 0] == 200
+    assert out[1].meta.width == 2 and out[1].meta.height == 2
+    assert bytes(out[2].payload) == b"not an image"
