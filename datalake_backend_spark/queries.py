@@ -3589,7 +3589,11 @@ def q74_stateful_slot_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = (lo + hi) / 2.0
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     base = os.path.join(
-        repo_root, "spark-warehouse", f"q74_src_{os.path.basename(sf_dir.rstrip('/'))}"
+        repo_root,
+        "spark-warehouse",
+        # pid-scoped: concurrent processes running this query must not
+        # race on the replay fixture
+        f"q74_src_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     shutil.rmtree(base, ignore_errors=True)
     long.where(F.col("timestamp_sec") <= mid).coalesce(1).write.parquet(f"{base}/b1")
@@ -3890,7 +3894,10 @@ def q80_streaming_silver_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     base = os.path.join(
-        repo_root, "spark-warehouse", f"q80_zone_{os.path.basename(sf_dir.rstrip('/'))}"
+        repo_root,
+        "spark-warehouse",
+        # pid-scoped: see q74
+        f"q80_zone_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     shutil.rmtree(base, ignore_errors=True)
     q = start_silver_sink(
