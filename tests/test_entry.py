@@ -46,3 +46,37 @@ def test_queries_run_on_smoke_sf(spark):
     for name in ("q05_track_rollup_events", "r10_sessionize", "q13_orders_left_join"):
         df = qs[name](spark, "/root/testdata/sf0.001")
         assert df.count() > 0, name
+
+
+def test_bench_emits_one_json_line():
+    """The driver parses bench.py's stdout as ONE JSON line with the
+    contract keys; run it at the smoke SF with concurrency 1 and no
+    sequential pass to keep the test fast, and check the shape."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_CONCURRENCY="1",
+        SPARK_GRAFT_BENCH_SEQUENTIAL="0",
+    )
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd="/root/repo",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    d = json.loads(line)
+    assert {"metric", "value", "unit", "queries", "sf"} <= set(d)
+    from datalake_backend_spark.queries import QUERIES
+
+    assert set(d["queries"]) == set(QUERIES)
+    errs = {k: v for k, v in d["queries"].items() if isinstance(v, str)}
+    assert not errs, errs
