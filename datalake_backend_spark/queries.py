@@ -4192,6 +4192,82 @@ FROM starts GROUP BY 1, 2
 """
 
 
+def q86_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel (view → click → purchase): per
+    user, the earliest view, the earliest click strictly after that
+    view, the earliest purchase strictly after that click — one
+    conditional-aggregation pass per stage (three chained hash
+    aggregates on the user key, which all reuse one partitioning; no
+    self-joins, no windows over the full event stream). The funnel
+    stage counts drive conversion dashboards; the oracle computes the
+    same three-stage min cascade."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    c = (
+        ev.join(v, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("t_view").alias("t_view"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click"),
+        )
+    )
+    p = (
+        ev.join(c, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("t_view").alias("t_view"),
+            F.min("t_click").alias("t_click"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase"),
+        )
+    )
+    return p.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_after_view"),
+        F.count("t_purchase").alias("n_purchased_after_click"),
+    )
+
+
+Q86_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(v.t_view) AS t_view,
+         MIN(CASE WHEN e.event_type = 'click' AND e.ts > v.t_view THEN e.ts END)
+           AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(c.t_view) AS t_view, MIN(c.t_click) AS t_click,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > c.t_click THEN e.ts END)
+           AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  GROUP BY e.user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_view) AS n_viewed,
+       COUNT(t_click) AS n_clicked_after_view,
+       COUNT(t_purchase) AS n_purchased_after_click
+FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry — two tiers.
 #
@@ -4343,6 +4419,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q85_sliding_window_counts": QuerySpec(
         q85_sliding_window_counts, Q85_SQL, "streaming-sliding-windows"
+    ),
+    "q86_event_funnel": QuerySpec(
+        q86_event_funnel, Q86_SQL, "funnel-analysis,conditional-min-cascade"
     ),
     # ----- reserve tier (rNN was qNN; see the registry comment) -----
     "r02_shipping_priority": QuerySpec(q02_shipping_priority, Q02_SQL, "J1,A1,O1"),
