@@ -89,7 +89,36 @@ def main() -> None:
         result["sequential_seconds"] = round(time.perf_counter() - t0, 3)
         result["queries_sequential"] = seq
 
-    print(json.dumps(result))
+    # The driver records only the TAIL of stdout, and the full result
+    # map (~6 KB with 86 queries × two passes) gets truncated mid-JSON
+    # (BENCH_r04.json had parsed:null). So: persist the complete record
+    # to BENCH_FULL.json in-repo, then print a compact (<~1.2 KB)
+    # summary as the LAST stdout line — same contract keys, per-query
+    # times under shortened keys (q01_pricing_summary → q01; prefixes
+    # are unique by construction), values rounded to centiseconds.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+
+    def shorten(qmap: dict) -> dict:
+        return {
+            k.split("_")[0]: (round(v, 2) if isinstance(v, float) else v)
+            for k, v in qmap.items()
+        }
+
+    compact = {
+        "metric": result["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": shorten(timings),
+        "sf": sf,
+        "concurrency": workers,
+        "errors": sorted(k for k, v in timings.items() if isinstance(v, str)),
+        "full": "BENCH_FULL.json",
+    }
+    if "sequential_seconds" in result:
+        compact["sequential_seconds"] = result["sequential_seconds"]
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 

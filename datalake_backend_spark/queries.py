@@ -4271,40 +4271,35 @@ FROM p
 # ---------------------------------------------------------------------------
 # Registry — two tiers.
 #
-# PRIMARY (q01–q75, 50 entries): the driver's correctness sweep records
+# PRIMARY (q01–q86, 50 entries): the driver's correctness sweep records
 # exactly 50 rows, so the primary tier is curated to put every
 # highest-value surface inside that window — all 11 domain pipelines,
-# every curation/LLM operator, streaming (batch-replay + stateful),
+# every curation/LLM operator, streaming (batch-replay, stateful,
+# watermarked tumbling/sliding windows, stream-stream join, idempotent
+# sink), near-dup cluster formation, line dedup, quantization, TF-IDF,
 # the custom joins, and the real-codec path. Keys keep their original
 # numbers (gaps are intentional).
 #
-# RESERVE (r02–r50, 25 entries): queries whose SURVEY §2 operators are
+# RESERVE (r02–r68, 36 entries): queries whose SURVEY §2 operators are
 # ALSO exercised by a primary row (e.g. r07 change-count → W1 inside
-# q47; r10/r11 sessionize → q48/q52). Renamed q→r so they sort after
-# the primary tier under BOTH insertion and lexicographic order; they
+# q47; r10/r11 sessionize → q48/q52; r20 exact dedup → q49/q73; r24/
+# r28 cosine/top-k → q29/q63/q82). Renamed q→r so they sort after the
+# primary tier under BOTH insertion and lexicographic order; they
 # remain fully oracle-checked by tools/check_oracle.py and the local
-# test suite. Mapping: rNN was qNN in rounds 1–3.
+# test suite. Mapping: rNN was qNN in earlier rounds (r65/r68 etc.
+# were primary through round 4 and rotated out in round 5).
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_SQL, "A8,A13,F17,S-scan"),
     "q04_order_rollup": QuerySpec(q04_order_rollup, Q04_SQL, "A1,W6"),
-    "q05_track_rollup_events": QuerySpec(q05_track_rollup_events, Q05_SQL, "A1,A2,A11,W6"),
     "q08_time_in_state": QuerySpec(q08_time_in_state, Q08_SQL, "W2"),
-    "q13_orders_left_join": QuerySpec(q13_orders_left_join, Q13_SQL, "J1,J2,F2"),
     "q15_top_orders_per_segment": QuerySpec(q15_top_orders_per_segment, Q15_SQL, "W8,O4"),
     "q17_renest_lineitems": QuerySpec(q17_renest_lineitems, Q17_SQL, "E5,A7,O1"),
-    "q20_exact_dedup": QuerySpec(q20_exact_dedup, Q20_SQL, "dedup-exact,U3"),
-    "q22_text_quality": QuerySpec(q22_text_quality, Q22_SQL, "text-quality"),
     "q23_lang_distribution": QuerySpec(q23_lang_distribution, Q23_SQL, "text-langid,A13"),
-    "q24_cosine_threshold": QuerySpec(q24_cosine_threshold, Q24_SQL, "similarity-cosine"),
     "q26_minhash_near_dup": QuerySpec(q26_minhash_near_dup, Q26_SQL, "dedup-minhash-lsh"),
     "q27_simhash_near_dup": QuerySpec(q27_simhash_near_dup, Q27_SQL, "dedup-simhash"),
-    "q28_ann_topk": QuerySpec(q28_ann_topk, Q28_SQL, "similarity-topk"),
     "q29_lsh_topk": QuerySpec(q29_lsh_topk, Q29_SQL, "similarity-lsh"),
-    "q30_json_extract": QuerySpec(q30_json_extract, Q30_SQL, "F9,F19"),
     "q34_asof_join": QuerySpec(q34_asof_join, Q34_SQL, "J-asof (custom operator)"),
-    "q38_percentiles": QuerySpec(q38_percentiles, Q38_SQL, "A13-quantiles"),
-    "q39_timeseries": QuerySpec(q39_timeseries, Q39_SQL, "W8-timeseries,A13"),
     "q40_salted_agg": QuerySpec(q40_salted_agg, Q40_SQL, "A-skew-salting"),
     "q45_range_join": QuerySpec(q45_range_join, Q45_SQL, "J-range (custom operator)"),
     "q46_hierarchical_rollup": QuerySpec(
@@ -4355,17 +4350,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q63_ivf_ann": QuerySpec(q63_ivf_ann, Q63_SQL, "similarity-ivf,A15"),
     "q64_upsert_merge": QuerySpec(q64_upsert_merge, Q64_SQL, "merge-upsert"),
-    "q65_normalized_fingerprint": QuerySpec(
-        q65_normalized_fingerprint, Q65_SQL, "text-normalize,text-fingerprint"
-    ),
     "q66_streaming_sessions": QuerySpec(
         q66_streaming_sessions, Q66_SQL, "streaming-sessions,W7"
     ),
     "q67_chunk_overlap": QuerySpec(
         q67_chunk_overlap, Q67_SQL, "dedup-containment,text-fingerprint"
-    ),
-    "q68_stratified_split": QuerySpec(
-        q68_stratified_split, _q68_sql(), "sampling-stratified,split-deterministic"
     ),
     "q69_repetition_metrics": QuerySpec(
         q69_repetition_metrics, Q69_SQL, "quality-repetition,gopher-filters"
@@ -4388,8 +4377,10 @@ QUERIES: dict[str, QuerySpec] = {
     "q75_image_decode_stats": QuerySpec(
         q75_image_decode_stats, Q75_SQL, "multimodal-decode,image-codec"
     ),
-    # q76+ land AFTER the 50-entry driver window (names sort past q75)
-    # but are fully oracle-checked locally, like the reserve tier.
+    # Round 5: q76–q86 rotated INTO the 50-entry driver window; eleven
+    # long-stable rows whose operators are redundantly covered by a
+    # remaining primary or reserve twin (r05/r13/r20/r22/r24/r28/r30/
+    # r38/r39/r65/r68 below) moved to the reserve tier to make room.
     "q76_dedup_clusters": QuerySpec(
         q76_dedup_clusters, Q76_SQL, "dedup-clusters,connected-components"
     ),
@@ -4426,24 +4417,33 @@ QUERIES: dict[str, QuerySpec] = {
     # ----- reserve tier (rNN was qNN; see the registry comment) -----
     "r02_shipping_priority": QuerySpec(q02_shipping_priority, Q02_SQL, "J1,A1,O1"),
     "r03_local_supplier_volume": QuerySpec(q03_local_supplier_volume, Q03_SQL, "J1,J2"),
+    "r05_track_rollup_events": QuerySpec(q05_track_rollup_events, Q05_SQL, "A1,A2,A11,W6"),
     "r06_mode_event_type": QuerySpec(q06_mode_event_type, Q06_SQL, "A10,O4"),
     "r07_change_count": QuerySpec(q07_change_count, Q07_SQL, "W1"),
     "r09_error_duration": QuerySpec(q09_error_duration, Q09_SQL, "W3"),
     "r10_sessionize": QuerySpec(q10_sessionize, Q10_SQL, "W7"),
     "r11_session_summary": QuerySpec(q11_session_summary, Q11_SQL, "W7,A13"),
     "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),
+    "r13_orders_left_join": QuerySpec(q13_orders_left_join, Q13_SQL, "J1,J2,F2"),
     "r14_event_distribution": QuerySpec(q14_event_distribution, Q14_SQL, "A13"),
     "r16_distinct_users": QuerySpec(q16_distinct_users, Q16_SQL, "U1,U2,A14"),
     "r18_numeric_summary": QuerySpec(q18_numeric_summary, Q18_SQL, "A13,A8"),
     "r19_grid_buckets": QuerySpec(q19_grid_buckets, Q19_SQL, "F8,A4"),
+    "r20_exact_dedup": QuerySpec(q20_exact_dedup, Q20_SQL, "dedup-exact,U3"),
     "r21_doc_fingerprint": QuerySpec(q21_doc_fingerprint, Q21_SQL, "text-fingerprint"),
+    "r22_text_quality": QuerySpec(q22_text_quality, Q22_SQL, "text-quality"),
+    "r24_cosine_threshold": QuerySpec(q24_cosine_threshold, Q24_SQL, "similarity-cosine"),
     "r25_jaccard_pairs": QuerySpec(q25_jaccard_pairs, Q25_SQL, "dedup-ngram-jaccard"),
+    "r28_ann_topk": QuerySpec(q28_ann_topk, Q28_SQL, "similarity-topk"),
+    "r30_json_extract": QuerySpec(q30_json_extract, Q30_SQL, "F9,F19"),
     "r31_pivot": QuerySpec(q31_pivot, Q31_SQL, "A13-pivot"),
     "r32_rollup_totals": QuerySpec(q32_rollup_totals, Q32_SQL, "A8-rollup"),
     "r33_token_explode": QuerySpec(q33_token_explode, Q33_SQL, "E1,E2"),
     "r35_semi_join": QuerySpec(q35_semi_join, Q35_SQL, "J-semi"),
     "r36_anti_join": QuerySpec(q36_anti_join, Q36_SQL, "J-anti"),
     "r37_union_distinct": QuerySpec(q37_union_distinct, Q37_SQL, "U-union,U1"),
+    "r38_percentiles": QuerySpec(q38_percentiles, Q38_SQL, "A13-quantiles"),
+    "r39_timeseries": QuerySpec(q39_timeseries, Q39_SQL, "W8-timeseries,A13"),
     "r41_small_quantity_revenue": QuerySpec(
         q41_small_quantity_revenue, Q41_SQL, "correlated-subquery,W6"
     ),
@@ -4454,6 +4454,12 @@ QUERIES: dict[str, QuerySpec] = {
     "r44_running_total": QuerySpec(q44_running_total, Q44_SQL, "W-running"),
     "r50_state_session_summary": QuerySpec(
         q50_state_session_summary, Q50_SQL, "W7-state,A13"
+    ),
+    "r65_normalized_fingerprint": QuerySpec(
+        q65_normalized_fingerprint, Q65_SQL, "text-normalize,text-fingerprint"
+    ),
+    "r68_stratified_split": QuerySpec(
+        q68_stratified_split, _q68_sql(), "sampling-stratified,split-deterministic"
     ),
 }
 

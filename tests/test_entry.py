@@ -30,12 +30,13 @@ def test_primary_tier_fills_driver_window():
     assert keys == sorted(keys)
     primary = keys[:PRIMARY_TIER_SIZE]
     assert all(k.startswith("q") for k in primary)
-    # outside the window: post-q75 overflow queries (q76+) and the
-    # rNN reserve tier — both oracle-checked locally, not by the driver
-    assert all(k > "q75" for k in keys[PRIMARY_TIER_SIZE:])
+    # outside the window: the rNN reserve tier — oracle-checked
+    # locally (tools/check_oracle.py), not by the driver
+    assert all(k.startswith("r") for k in keys[PRIMARY_TIER_SIZE:])
     must_have = (
         [f"q{n}" for n in range(51, 61)]  # domain pipelines
         + ["q47", "q66", "q73", "q74", "q75"]
+        + [f"q{n}" for n in range(76, 87)]  # round-5 rotation: new ops
     )
     for prefix in must_have:
         assert any(k.startswith(prefix + "_") for k in primary), prefix
@@ -43,7 +44,7 @@ def test_primary_tier_fills_driver_window():
 
 def test_queries_run_on_smoke_sf(spark):
     qs = entrymod.queries()
-    for name in ("q05_track_rollup_events", "r10_sessionize", "q13_orders_left_join"):
+    for name in ("r05_track_rollup_events", "r10_sessionize", "r13_orders_left_join"):
         df = qs[name](spark, "/root/testdata/sf0.001")
         assert df.count() > 0, name
 
@@ -73,10 +74,18 @@ def test_bench_emits_one_json_line():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     line = out.stdout.strip().splitlines()[-1]
+    # the driver captures only the tail of stdout: the LAST line must be
+    # complete JSON and small enough to survive tail-truncation
+    assert len(line.encode()) < 2000, len(line.encode())
     d = json.loads(line)
     assert {"metric", "value", "unit", "queries", "sf"} <= set(d)
     from datalake_backend_spark.queries import QUERIES
 
-    assert set(d["queries"]) == set(QUERIES)
+    assert set(d["queries"]) == {k.split("_")[0] for k in QUERIES}
     errs = {k: v for k, v in d["queries"].items() if isinstance(v, str)}
     assert not errs, errs
+    assert d["errors"] == []
+    # the complete per-query record (full names, sequential pass) is
+    # persisted in-repo for the judge
+    full = json.load(open("/root/repo/BENCH_FULL.json"))
+    assert set(full["queries"]) == set(QUERIES)
