@@ -489,18 +489,101 @@ def decontaminate(
     return train_df.join(hits.select(id_col), id_col, "left_anti")
 
 
+def _cluster_star(und: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    converges in O(log² n) rounds REGARDLESS of component diameter —
+    the scale path for pathological pair graphs (long chains) where
+    min-label propagation's O(diameter) rounds would be too many.
+
+    large-star links every strictly-larger neighbor of a node to its
+    neighborhood minimum; small-star links the smaller neighbors (and
+    the node) to that minimum. At the fixed point the edge set is a
+    union of stars centered on each component's min node. Convergence
+    is detected by an (edge-count, hash-sum) checksum — one cheap
+    aggregate per round instead of a set-difference join; a false
+    stall needs a 64-bit hash-sum collision on the same edge count.
+
+    ``und`` is the bidirectional edge list ``(src, dst)``; returns
+    ``(node, cluster_id)`` for every node with at least one non-self
+    edge (callers re-attach self-only nodes)."""
+    e = (
+        und.where(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def checksum(df: DataFrame):
+        # decimal(38,0) accumulator: a long sum of 64-bit hashes would
+        # overflow under ANSI mode
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return row.n, row.h
+
+    prev = checksum(e)
+    for _ in range(max_rounds):
+        # large-star: (b, min(N(a) ∪ {a})) for every neighbor b > a
+        nbrs = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("m"))
+            .select("u", F.least("u", "m").alias("m"))
+        )
+        e = (
+            nbrs.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star: link each node and its smaller neighbors to the min
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            e.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"_cluster_star did not converge in {max_rounds} rounds")
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("cluster_id")))
+        .groupBy("node")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+
+
 def cluster_near_dups(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    star_after: int = 5,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → cluster ids.
 
     Pair detection (MinHash / SimHash / embedding buckets) yields edges;
     canonical-keep needs COMPONENTS (a~b, b~c ⇒ keep one of {a,b,c} even
-    though (a,c) was never emitted as a pair). This is iterative
-    min-label propagation: each round every node adopts the smallest
+    though (a,c) was never emitted as a pair). Fast path: iterative
+    min-label propagation — each round every node adopts the smallest
     label among itself and its neighbors, converging in O(component
     diameter) rounds. Near-dup components are duplicate clusters — tiny
     diameter in practice — so a handful of rounds suffices even at
@@ -509,11 +592,17 @@ def cluster_near_dups(
     so the plan doesn't grow exponentially with iterations, and the
     per-round convergence probe is a COUNT scalar, not a collect.
 
+    If propagation hasn't converged after ``star_after`` rounds (a
+    pathological high-diameter graph — e.g. a chain of pairwise
+    near-dups), it automatically switches to the large-star/small-star
+    algorithm (:func:`_cluster_star`), which converges in O(log² n)
+    rounds independent of diameter — a valid-but-nasty graph degrades
+    gracefully instead of failing the job. This also bounds the number
+    of driver-blocking convergence probes at ``star_after``.
+
     Returns ``(node, cluster_id)`` for every node that appears in a
     pair; ``cluster_id`` is the component's minimum node id (the same
     canonical-min rule ``dedup_keep_canonical`` uses for exact dups).
-    Raises if ``max_iter`` rounds don't converge (pathological graph —
-    at that point switch to large-star/small-star, O(log n) rounds).
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     und = edges.union(
@@ -525,7 +614,7 @@ def cluster_near_dups(
         .select("node", F.least("node", "nbr_min").alias("cluster_id"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for _ in range(min(max_iter, star_after)):
         prop = (
             und.join(labels, und.src == labels.node)
             .select(F.col("dst").alias("node"), "cluster_id")
@@ -542,8 +631,16 @@ def cluster_near_dups(
         labels = prop
         if changed == 0:
             return labels
-    raise RuntimeError(
-        f"cluster_near_dups did not converge in {max_iter} rounds"
+    # star labels cover nodes with ≥1 non-self edge; nodes appearing
+    # only in self-pairs keep themselves as cluster id
+    star = _cluster_star(und)
+    all_nodes = und.select(F.col("src").alias("node")).distinct()
+    return (
+        star.unionByName(
+            all_nodes.select("node", F.col("node").alias("cluster_id"))
+        )
+        .groupBy("node")
+        .agg(F.min("cluster_id").alias("cluster_id"))
     )
 
 
@@ -559,17 +656,21 @@ def dedup_lines(
     are reassembled with surviving lines in original order, and docs
     whose every line was a duplicate disappear.
 
-    Scale shape: explode to (id, pos, line), group on the md5 line hash
-    to find each line's canonical (doc, pos) via ``min(struct)`` (one
-    hash-key shuffle with map-side partial min — never a sort of the
-    corpus), then an equi-join on the hash filters survivors and one
-    aggregate per doc rebuilds the text. Returns
-    ``(id, text, n_lines)`` with only surviving docs.
+    Scale shape: explode to (id, pos, line), group on an (md5, length)
+    line key to find each line's canonical (doc, pos) via
+    ``min(struct)`` (one hash-key shuffle with map-side partial min —
+    never a sort of the corpus), then an equi-join on the key filters
+    survivors and one aggregate per doc rebuilds the text. The key is
+    hash PLUS length so an md5 collision between distinct lines can't
+    silently merge them corpus-wide (colliding inputs of equal length
+    is practically impossible; the shuffle still carries a fixed-width
+    key, not the line text). Returns ``(id, text, n_lines)`` with only
+    surviving docs.
     """
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "line"),
-    ).withColumn("_lh", F.md5("line"))
+    ).withColumn("_lh", F.concat(F.md5("line"), F.length("line").cast("string")))
     canon = lines.groupBy("_lh").agg(
         F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("_c")
     )

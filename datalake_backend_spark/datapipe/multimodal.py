@@ -67,16 +67,69 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
 
 
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Windows BMP encoder (BITMAPINFOHEADER, 24-bit BI_RGB): ``(h, w,
+    3)`` RGB uint8 array → 54-byte header + bottom-up BGR raster with
+    rows padded to 4-byte boundaries. Inverse of :func:`decode_image`'s
+    BMP branch; pure byte construction, no image library."""
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_bmp expects an (h, w, 3) array")
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    raster = rows.tobytes()
+
+    def le(v: int, n: int) -> bytes:
+        return int(v).to_bytes(n, "little")
+
+    header = (
+        b"BM" + le(54 + len(raster), 4) + le(0, 4) + le(54, 4)  # file header
+        + le(40, 4) + le(w, 4) + le(h, 4) + le(1, 2) + le(24, 2)  # DIB
+        + le(0, 4) + le(len(raster), 4) + le(2835, 4) + le(2835, 4)
+        + le(0, 4) + le(0, 4)
+    )
+    return header + raster
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed (BI_RGB) BMP → ``(h, w, 3)`` RGB uint8.
+    Handles bottom-up (positive height) and top-down (negative height)
+    rasters and 4-byte row padding; any other bit depth / compression
+    raises ``ValueError``."""
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    offset = int.from_bytes(payload[10:14], "little")
+    dib = int.from_bytes(payload[14:18], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if dib < 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        raise ValueError("only 24-bit BI_RGB BMP supported")
+    topdown, h = h < 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    data = payload[offset : offset + stride * h]
+    if len(data) != stride * h:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(data, np.uint8).reshape(h, stride)[:, : w * 3]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img if topdown else img[::-1]
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Dependency-free byte-level image decode → ``(h, w, 3)`` uint8.
 
-    Supports binary PPM (P6): '#' comments and arbitrary whitespace in
+    Supports binary PPM (P6: '#' comments and arbitrary whitespace in
     the header, exactly one whitespace byte after maxval, then raw
-    ``w*h*3`` samples. Raises ``ValueError`` for any other format —
+    ``w*h*3`` samples) and 24-bit uncompressed BMP (see
+    :func:`_decode_bmp`). Raises ``ValueError`` for any other format —
     callers that can tolerate undecodable payloads (feature extraction
     over mixed media) catch it and fall back to hash features."""
+    if payload and payload[:2] == b"BM":
+        return _decode_bmp(payload)
     if not payload or payload[:2] != b"P6":
-        raise ValueError("unsupported image format (supported: PPM P6)")
+        raise ValueError("unsupported image format (supported: PPM P6, BMP24)")
     pos, vals = 2, []
     while len(vals) < 3:
         ch = payload[pos : pos + 1]
@@ -196,15 +249,24 @@ def extract_image_features(
     return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
 
 
-def synthetic_ppm_table(
-    docs: DataFrame, id_col: str = "doc_id"
-) -> DataFrame:
-    """Deterministic REAL image table: each row becomes a binary P6 PPM
-    whose dims and pixels are closed-form functions of the id —
+#: codec name → (encoder, mime); the shared synthetic-table generator
+#: and resize_images both dispatch through this
+_CODECS: dict[str, tuple] = {
+    "ppm": (encode_ppm, "image/x-portable-pixmap"),
+    "bmp": (encode_bmp, "image/bmp"),
+}
+
+
+def _synthetic_image_table(docs, id_col, codec_of) -> DataFrame:
+    """Deterministic REAL image table: each row becomes a genuine binary
+    image whose dims and pixels are closed-form functions of the id —
     ``w = 4 + id%5``, ``h = 3 + id%4``, ``pixel(r,c,ch) = (id*31 + r*7
     + c*3 + ch*11) % 256`` — so a SQL oracle can recompute any decoded
-    statistic without an image library. Encoding runs in the Arrow
-    batch (mapInPandas), the same path a real ingest would use."""
+    statistic without an image library. ``codec_of(id)`` picks the
+    container ('ppm' or 'bmp') per row; the pixel formula is codec-
+    independent, so decoded statistics don't depend on the choice.
+    Encoding runs in the Arrow batch (mapInPandas), the same path a
+    real ingest would use."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -217,14 +279,16 @@ def synthetic_ppm_table(
                 c = np.arange(w).reshape(1, w, 1)
                 ch = np.arange(3).reshape(1, 1, 3)
                 img = ((i * 31 + r * 7 + c * 3 + ch * 11) % 256).astype(np.uint8)
-                payloads.append(encode_ppm(img))
+                codec = codec_of(i)
+                encoder, mime = _CODECS[codec]
+                payloads.append(encoder(img))
                 metas.append(
                     {
-                        "mime": "image/x-portable-pixmap",
+                        "mime": mime,
                         "width": w,
                         "height": h,
                         "duration_ms": None,
-                        "codec": "ppm",
+                        "codec": codec,
                     }
                 )
             yield pd.DataFrame(
@@ -233,6 +297,20 @@ def synthetic_ppm_table(
 
     return docs.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
         gen, MEDIA_SCHEMA
+    )
+
+
+def synthetic_ppm_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """All-PPM variant of :func:`_synthetic_image_table`."""
+    return _synthetic_image_table(docs, id_col, lambda i: "ppm")
+
+
+def synthetic_image_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Mixed-codec variant: even ids → PPM P6, odd ids → 24-bit BMP.
+    Exercises BOTH byte-level decoders in one scan; the q75 oracle is
+    unchanged because decoded statistics are codec-independent."""
+    return _synthetic_image_table(
+        docs, id_col, lambda i: "ppm" if i % 2 == 0 else "bmp"
     )
 
 
@@ -292,42 +370,54 @@ def image_stats(
 def resize_images(
     df: DataFrame, width: int, height: int, payload_col: str = "payload"
 ) -> DataFrame:
-    """Real image resize over the Arrow batch: decodable payloads (PPM)
-    are decoded, nearest-neighbor resampled to ``(height, width)``, and
-    re-encoded; non-decodable payloads pass through unchanged (only
-    their metadata dims update, mirroring a downstream contract).
-    Map-only — one ``mapInPandas`` stage, no shuffle."""
+    """Real image resize over the Arrow batch: decodable payloads (PPM
+    or BMP) are decoded, nearest-neighbor resampled to ``(height,
+    width)``, and re-encoded in their ORIGINAL container; non-decodable
+    payloads pass through byte-unchanged, and their metadata dims are
+    left untouched too — the decode stage emits a per-row flag and the
+    meta rewrite is conditional on it, so meta never claims dims the
+    bytes don't have. Map-only — one ``mapInPandas`` stage, no
+    shuffle."""
 
-    def one(p):
+    def one(p) -> tuple[bytes, bool]:
         b = bytes(p) if p is not None else b""
         try:
             img = decode_image(b)
         except ValueError:
-            return b
+            return b, False
         h, w, _ = img.shape
         rows = (np.arange(height) * h) // height
         cols = (np.arange(width) * w) // width
-        return encode_ppm(img[rows][:, cols])
+        encoder = encode_bmp if b[:2] == b"BM" else encode_ppm
+        return encoder(img[rows][:, cols]), True
 
     cols_out = df.columns
+    flagged_schema = T.StructType(
+        df.schema.fields + [T.StructField("_decoded", T.BooleanType())]
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             pdf = pdf.copy()
-            pdf[payload_col] = [one(p) for p in pdf[payload_col]]
-            yield pdf[cols_out]
+            pairs = [one(p) for p in pdf[payload_col]]
+            pdf[payload_col] = [b for b, _ in pairs]
+            pdf["_decoded"] = [d for _, d in pairs]
+            yield pdf[cols_out + ["_decoded"]]
 
-    resized = df.mapInPandas(batches, df.schema)
+    resized = df.mapInPandas(batches, flagged_schema)
     return resized.withColumn(
         "meta",
-        F.struct(
-            F.col("meta.mime").alias("mime"),
-            F.lit(width).alias("width"),
-            F.lit(height).alias("height"),
-            F.col("meta.duration_ms").alias("duration_ms"),
-            F.col("meta.codec").alias("codec"),
-        ),
-    )
+        F.when(
+            F.col("_decoded"),
+            F.struct(
+                F.col("meta.mime").alias("mime"),
+                F.lit(width).alias("width"),
+                F.lit(height).alias("height"),
+                F.col("meta.duration_ms").alias("duration_ms"),
+                F.col("meta.codec").alias("codec"),
+            ),
+        ).otherwise(F.col("meta")),
+    ).drop("_decoded")
 
 
 def sample_frames(

@@ -96,14 +96,20 @@ class Engine:
 
         # zone layout at scale: partition by ingest date so time-bounded
         # reprocessing and retention prune at the directory level
+        from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
+        # row counts ride the write job as observe() metrics — the
+        # written parquet is not re-scanned just to count it
+        obs_silver = Observation()
         write_table(
-            silver.withColumn("ingest_date", F.current_date()),
+            silver.withColumn("ingest_date", F.current_date()).observe(
+                obs_silver, F.count(F.lit(1)).alias("n")
+            ),
             zones["silver"],
             partition_by=["ingest_date"],
         )
-        result.silver_rows = self.spark.read.parquet(zones["silver"]).count()
+        result.silver_rows = int(obs_silver.get["n"])
 
         # processed zone: re-nested frame JSON (the reference's shape)
         frame_cols = [c for c in FRAME_COLS[domain] if c in silver.columns]
@@ -117,9 +123,14 @@ class Engine:
         )
 
         gold = pipe.gold(silver)
-        write_table(gold, zones["gold"])
+        obs_gold = Observation()
+        write_table(
+            gold.observe(obs_gold, F.count(F.lit(1)).alias("n")), zones["gold"]
+        )
+        result.gold_rows = int(obs_gold.get["n"])
+        # downstream consumers read the MATERIALIZED gold zone (cheap
+        # columnar scan) instead of recomputing the gold plan per sink
         gold_df = self.spark.read.parquet(zones["gold"])
-        result.gold_rows = gold_df.count()
         write_json_document(json_array_document(gold_df), zones["refine"])
 
         if domain in SPLIT_SPECS:

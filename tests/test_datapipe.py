@@ -293,6 +293,53 @@ def test_ppm_codec_roundtrip():
         decode_image(b"P6\n4 5\n65535\n" + b"\x00" * 120)  # 16-bit
 
 
+def test_bmp_codec_roundtrip():
+    """BMP byte-level codec: encode → decode is the identity across
+    widths that do and don't need 4-byte row padding; top-down rasters
+    (negative height) decode; non-24-bit input raises."""
+    import numpy as np
+
+    from datalake_backend_spark.datapipe.multimodal import (
+        decode_image,
+        encode_bmp,
+    )
+
+    for w, h in [(4, 3), (5, 4), (2, 2), (7, 1)]:  # strides 12,16,8,24
+        img = (np.arange(h * w * 3) * 13 % 256).astype(np.uint8).reshape(h, w, 3)
+        raw = encode_bmp(img)
+        assert raw[:2] == b"BM"
+        assert (decode_image(raw) == img).all()
+    # top-down variant: raster rows already in display order, height<0
+    img = (np.arange(3 * 5 * 3) % 256).astype(np.uint8).reshape(3, 5, 3)
+    raw = bytearray(encode_bmp(img[::-1]))
+    raw[22:26] = (-3).to_bytes(4, "little", signed=True)
+    assert (decode_image(bytes(raw)) == img).all()
+    with pytest.raises(ValueError):
+        decode_image(encode_bmp(img)[:-1])  # truncated raster
+    bad = bytearray(encode_bmp(img))
+    bad[28:30] = (32).to_bytes(2, "little")
+    with pytest.raises(ValueError):
+        decode_image(bytes(bad))  # 32-bit not supported
+
+
+def test_image_stats_mixed_codecs(spark):
+    """synthetic_image_table alternates PPM/BMP per id; decoded stats
+    are codec-independent, so they must equal the all-PPM table's."""
+    from datalake_backend_spark.datapipe.multimodal import (
+        image_stats,
+        synthetic_image_table,
+        synthetic_ppm_table,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    as_map = lambda rows: {r.media_id: tuple(r) for r in rows}  # noqa: E731
+    assert as_map(image_stats(synthetic_image_table(docs)).collect()) == as_map(
+        image_stats(synthetic_ppm_table(docs)).collect()
+    )
+    codecs = {r.media_id: r.meta.codec for r in synthetic_image_table(docs).collect()}
+    assert codecs[0] == "ppm" and codecs[1] == "bmp"
+
+
 def test_image_stats_decodes_real_ppm(spark):
     """image_stats parses real PPM payloads; sums/means match a direct
     numpy computation on the same pixels."""
@@ -535,6 +582,26 @@ def test_cluster_near_dups_transitive(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_cluster_near_dups_star_fallback_path_graph(spark):
+    """Worst-case diameter: a 60-edge path with star_after=2 exceeds
+    the propagation budget and auto-switches to large-star/small-star
+    — the pathological graph degrades gracefully (no RuntimeError) and
+    the labels still match the single-component ground truth. A node
+    appearing only in a self-pair keeps itself as cluster id."""
+    from datalake_backend_spark.datapipe.dedup import cluster_near_dups
+
+    n = 60
+    pairs = [(i, i + 1) for i in range(n)] + [(99, 99)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r.node: r.cluster_id
+        for r in cluster_near_dups(df, star_after=2).collect()
+    }
+    want = {i: 0 for i in range(n + 1)}
+    want[99] = 99
+    assert got == want
+
+
 def test_assign_shards_deterministic_and_balanced(spark):
     from datalake_backend_spark.datapipe.sampling import assign_shards
 
@@ -642,13 +709,16 @@ def test_tfidf_ranks_distinctive_terms(spark):
 
 
 def test_resize_images_real_resample(spark):
-    """PPM payloads are decoded, nearest-neighbor resampled, and
-    re-encoded; non-images pass through byte-identical."""
+    """PPM and BMP payloads are decoded, nearest-neighbor resampled,
+    and re-encoded in their ORIGINAL container; non-images pass through
+    byte-identical AND keep their original metadata (dims are only
+    rewritten for rows whose payload was actually re-encoded)."""
     import numpy as np
 
     from datalake_backend_spark.datapipe.multimodal import (
         MEDIA_SCHEMA,
         decode_image,
+        encode_bmp,
         encode_ppm,
         resize_images,
     )
@@ -658,6 +728,7 @@ def test_resize_images_real_resample(spark):
     rows = [
         (1, encode_ppm(img), ("image/x-portable-pixmap", 4, 4, None, "ppm")),
         (2, b"not an image", ("application/octet-stream", None, None, None, None)),
+        (3, encode_bmp(img), ("image/bmp", 4, 4, None, "bmp")),
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {r.media_id: r for r in resize_images(df, 2, 2).collect()}
@@ -665,4 +736,10 @@ def test_resize_images_real_resample(spark):
     assert small.shape == (2, 2, 3)
     assert small[0, 0, 0] == 0 and small[1, 0, 0] == 200
     assert out[1].meta.width == 2 and out[1].meta.height == 2
+    # non-decodable: bytes unchanged and meta NOT rewritten
     assert bytes(out[2].payload) == b"not an image"
+    assert out[2].meta.width is None and out[2].meta.height is None
+    # BMP stays BMP and resamples to the same pixels as the PPM twin
+    assert bytes(out[3].payload)[:2] == b"BM"
+    assert (decode_image(bytes(out[3].payload)) == small).all()
+    assert out[3].meta.width == 2 and out[3].meta.codec == "bmp"

@@ -168,3 +168,10 @@ def test_cluster_near_dups_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.node: r.cluster_id for r in cluster_near_dups(df).collect()}
     assert got == want
+    # star_after=0 forces the large-star/small-star fallback on the
+    # same random graph — both algorithms must agree with union-find
+    star = {
+        r.node: r.cluster_id
+        for r in cluster_near_dups(df, star_after=0).collect()
+    }
+    assert star == want

@@ -90,3 +90,107 @@ def test_idempotent_epoch_write_replay(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 3
     assert {r.id for r in got.collect()} == {1, 2, 3}
+
+
+def test_interval_join_hot_key_state_expiry(spark, tmp_path):
+    """Skewed stream-stream join: one hot user carries 50% of events on
+    both sides. The watermarked interval join must (a) still produce
+    exactly the batch-join pairs and (b) EXPIRE state as the watermark
+    advances — state stays bounded even when a single key dominates,
+    which is the q84 scale guarantee at 100 TB."""
+    import datetime as dt
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datalake_backend_spark.streaming.pipeline import (
+        stream_stream_interval_join,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+
+    def island(hour: int, base_eid: int) -> list[tuple]:
+        # 40 clicks per island; every other row is hot user 0
+        return [
+            (
+                0 if i % 2 == 0 else 1 + i % 5,
+                dt.datetime(2024, 1, 1, hour, i % 30),
+                base_eid + i,
+            )
+            for i in range(40)
+        ]
+
+    cdir, bdir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    for n, hour in enumerate([0, 6, 12]):  # 6h apart ⇒ watermark jumps
+        clicks = island(hour, 1000 * (n + 1))
+        buys = [
+            (u, t + dt.timedelta(minutes=1), e + 500) for u, t, e in clicks
+        ]
+        spark.createDataFrame(clicks, schema).coalesce(1).write.parquet(
+            f"{cdir}/b{n}"
+        )
+        spark.createDataFrame(buys, schema).coalesce(1).write.parquet(
+            f"{bdir}/b{n}"
+        )
+        for d in (cdir, bdir):
+            for f in glob.glob(f"{d}/b{n}/part-*.parquet"):
+                os.utime(f, (1_000_000_000 + n * 100,) * 2)
+
+    cs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{cdir}/b*")
+    )
+    bs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{bdir}/b*")
+    )
+    joined = stream_stream_interval_join(cs, bs, "user_id", "ts", "ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_skew")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.l_event_id, r.r_event_id) for r in spark.table("ssj_skew").collect()
+    }
+    # ground truth: the same interval join as a batch query
+    cdf, bdf = spark.read.parquet(f"{cdir}/b*"), spark.read.parquet(f"{bdir}/b*")
+    exp = {
+        (r.l, r.r)
+        for r in cdf.alias("c")
+        .join(
+            bdf.alias("b"),
+            (F.col("c.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("c.ts"))
+            & (F.col("b.ts") <= F.col("c.ts") + F.expr("INTERVAL 30 minutes")),
+        )
+        .select(F.col("c.event_id").alias("l"), F.col("b.event_id").alias("r"))
+        .collect()
+    }
+    assert got == exp and len(got) > 0
+
+    progs = [
+        json.loads(p.json) if hasattr(p, "json") else p
+        for p in q.recentProgress
+    ]
+    state = [p["stateOperators"][0] for p in progs if p.get("stateOperators")]
+    assert state, "no state operator progress recorded"
+    # watermark expiry actually removed rows at least once...
+    assert sum(s.get("numRowsRemoved", 0) for s in state) > 0
+    # ...and final state holds far fewer rows than the 240 fed in
+    assert state[-1]["numRowsTotal"] < 200, state[-1]["numRowsTotal"]
