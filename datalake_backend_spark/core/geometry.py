@@ -79,3 +79,34 @@ def step_angle(prev_x: Column, prev_y: Column, x: Column, y: Column) -> Column:
     """Movement angle in degrees between consecutive centers (W4 —
     driver-side ``math.atan2`` at ``advanced_preprocessing_vehicle.py:131-135``)."""
     return F.degrees(F.atan2(y - prev_y, x - prev_x))
+
+
+def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of two non-negative ``bits``-wide
+    integers into one clustering key: points close in (x, y) land close
+    on the key, so sorting a table by it before writing makes
+    min/max-statistics file skipping effective for BOTH dimensions at
+    once (the plain-parquet version of a table format's ``ZORDER BY``
+    — one sort, multi-column pruning).
+
+    Pure column arithmetic (shift/mask bit spreading, no UDF), exactly
+    reproducible in any engine with 64-bit integer ops — the r89 oracle
+    recomputes it in DuckDB. Inputs are masked to ``bits`` wide; for
+    floats/doubles, pre-quantize to a grid (e.g. ``floor(lon*1e4)``).
+    """
+
+    if not 0 < bits <= 16:
+        raise ValueError("zorder_key interleaves up to 16 bits per dimension")
+
+    def spread(c: Column) -> Column:
+        # insert a 0 between consecutive bits: 16 bits → 32 bits
+        c = c.bitwiseAND(F.lit((1 << bits) - 1))
+        c = (c.bitwiseOR(F.shiftleft(c, 8))).bitwiseAND(F.lit(0x00FF00FF))
+        c = (c.bitwiseOR(F.shiftleft(c, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+        c = (c.bitwiseOR(F.shiftleft(c, 2))).bitwiseAND(F.lit(0x33333333))
+        c = (c.bitwiseOR(F.shiftleft(c, 1))).bitwiseAND(F.lit(0x55555555))
+        return c
+
+    x64 = spread(x.cast("long"))
+    y64 = spread(y.cast("long"))
+    return x64.bitwiseOR(F.shiftleft(y64, 1)).alias("zkey")

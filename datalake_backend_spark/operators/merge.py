@@ -115,3 +115,56 @@ def scd2_apply(
         .withColumn(end_col, F.lit(None).cast("timestamp"))
     )
     return closed_rows.unionByName(still_open).unionByName(closed_now).unionByName(fresh)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data capture between two snapshots of a keyed table:
+    one row per changed key with ``op`` ∈ ``insert`` (key only in
+    ``new``), ``delete`` (only in ``old``), ``update`` (present in
+    both, any compare column differs — null-safe). Unchanged keys are
+    dropped, so the output is the minimal changelog that replays
+    ``old`` → ``new`` — the plain-parquet stand-in for a table
+    format's change data feed.
+
+    Scale shape: ONE full-outer equi-join on the key (both sides
+    shuffle on the same key; bucketed zone tables co-locate it away),
+    value comparison as a single null-safe struct equality — no
+    per-column join passes, no driver involvement.
+    """
+    compare_cols = compare_cols or [
+        c for c in new.columns if c in old.columns and c not in key_cols
+    ]
+    o = old.select(
+        *[F.col(c).alias(f"_ok_{c}") for c in key_cols],
+        F.struct(*[F.col(c) for c in compare_cols]).alias("_ov"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"_nk_{c}") for c in key_cols],
+        F.struct(*[F.col(c) for c in compare_cols]).alias("_nv"),
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"_ok_{c}") == F.col(f"_nk_{c}")
+        cond = eq if cond is None else (cond & eq)
+    joined = o.join(n, cond, "full_outer")
+    op = (
+        F.when(F.col(f"_ok_{key_cols[0]}").isNull(), F.lit("insert"))
+        .when(F.col(f"_nk_{key_cols[0]}").isNull(), F.lit("delete"))
+        .when(~F.col("_ov").eqNullSafe(F.col("_nv")), F.lit("update"))
+    )  # unchanged → NULL → filtered
+    return (
+        joined.withColumn("op", op)
+        .where(F.col("op").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"_nk_{c}"), F.col(f"_ok_{c}")).alias(c)
+                for c in key_cols
+            ],
+            "op",
+        )
+    )

@@ -63,3 +63,42 @@ def salted_agg(
         .agg(*phase1_aggs)
     )
     return partial.groupBy(*group_cols).agg(*phase2_aggs)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    salt_source: Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: replicate the SMALLER right side ``n_salts``
+    times (explode over the salt range) and shard the left side by a
+    deterministic salt, so a hot join key's rows spread across
+    ``n_salts`` reducers instead of one straggler task.
+
+    AQE's skew-join splitting usually handles this at runtime; the
+    explicit form exists for (a) engines/paths where AQE is off, and
+    (b) keys so hot a single AQE split is still too coarse. Cost:
+    right side scans/shuffles ``n_salts``× — use only when right is
+    small relative to the hot key's row count. Result is exactly the
+    plain join (salting only re-buckets rows; oracle-checked in r88).
+
+    ``how`` supports ``inner``/``left``: for ``left``, an unmatched
+    left row appears once (its single salt shard misses), preserving
+    plain-join multiplicity.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how}")
+    salt = F.pmod(
+        F.xxhash64(
+            salt_source if salt_source is not None else F.monotonically_increasing_id()
+        ),
+        F.lit(n_salts),
+    ).cast("int")
+    l_salted = left.withColumn("_salt", salt)
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return l_salted.join(r_salted, [on, "_salt"], how).drop("_salt")

@@ -14,7 +14,7 @@ magnitude smaller.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: supported granularities, finest → coarsest (date_trunc units)
@@ -89,3 +89,49 @@ def hierarchical_rollup(
         prev = fold_up(src, lv, key_cols)
         out[lv] = prev
     return out
+
+
+def interval_union(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-key union of possibly-overlapping intervals: total covered
+    length, island (maximal merged run) count, and overall span —
+    occupancy/uptime/coverage questions where naive SUM(end - start)
+    double-counts overlap.
+
+    Gaps-and-islands in ONE window pass per key: running max of prior
+    interval ends marks rows that start a new island (start strictly
+    greater than everything seen), a running sum of those markers
+    numbers the islands, then two hash aggregates (islands, then keys)
+    finish it. All three stages reuse the same key partitioning — one
+    shuffle on the key (+1 tiny one for the island rollup); integer
+    inputs stay exact cross-engine.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(start_col), F.col(end_col)
+    )
+    prior_max_end = F.max(F.col(end_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prior_max_end.isNull() | (F.col(start_col) > prior_max_end), 1
+    ).otherwise(0)
+    marked = df.select(
+        *key_cols,
+        F.col(start_col).alias("_s"),
+        F.col(end_col).alias("_e"),
+        F.sum(new_island).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_island"),
+    )
+    islands = marked.groupBy(*key_cols, "_island").agg(
+        F.min("_s").alias("_is"), F.max("_e").alias("_ie")
+    )
+    return islands.groupBy(*key_cols).agg(
+        F.sum(F.col("_ie") - F.col("_is")).alias("covered"),
+        F.count("*").alias("n_islands"),
+        (F.max("_ie") - F.min("_is")).alias("span"),
+    )

@@ -3559,6 +3559,26 @@ FROM off GROUP BY lang
 """
 
 
+def _sweep_stale_fixtures(warehouse: str, prefix: str) -> None:
+    """Remove pid-scoped replay-fixture dirs left by prior processes:
+    each run cleans only its OWN pid's path, so dirs from crashed or
+    finished bench/oracle runs would otherwise accumulate unboundedly.
+    A dir is stale when the pid in its name no longer exists."""
+    import glob as globmod
+    import shutil
+
+    for d in globmod.glob(os.path.join(warehouse, prefix + "*")):
+        pid = d.rsplit("_", 1)[-1]
+        if not pid.isdigit() or int(pid) == os.getpid():
+            continue
+        try:
+            os.kill(int(pid), 0)
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass  # alive but not ours (or unsupported) — leave it
+
+
 def q74_stateful_slot_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch stateful streaming driver check
     (`dbs.streaming.stateful.track_slot_state`,
@@ -3595,21 +3615,31 @@ def q74_stateful_slot_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
         # race on the replay fixture
         f"q74_src_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
+    _sweep_stale_fixtures(os.path.dirname(base), "q74_src_")
     shutil.rmtree(base, ignore_errors=True)
-    long.where(F.col("timestamp_sec") <= mid).coalesce(1).write.parquet(f"{base}/b1")
-    long.where(F.col("timestamp_sec") > mid).coalesce(1).write.parquet(f"{base}/b2")
-    for i, d in enumerate(["b1", "b2"]):
-        for f in globmod.glob(f"{base}/{d}/part-*.parquet"):
-            os.utime(f, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
-    stream = (
-        spark.readStream.schema(long.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(f"{base}/b*")
-    )
-    q = start_to_memory(
-        track_slot_state(stream), "q74_slots", output_mode="update"
-    )
-    q.awaitTermination()
+    try:
+        long.where(F.col("timestamp_sec") <= mid).coalesce(1).write.parquet(
+            f"{base}/b1"
+        )
+        long.where(F.col("timestamp_sec") > mid).coalesce(1).write.parquet(
+            f"{base}/b2"
+        )
+        for i, d in enumerate(["b1", "b2"]):
+            for f in globmod.glob(f"{base}/{d}/part-*.parquet"):
+                os.utime(f, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+        stream = (
+            spark.readStream.schema(long.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/b*")
+        )
+        q = start_to_memory(
+            track_slot_state(stream), "q74_slots", output_mode="update"
+        )
+        q.awaitTermination()
+    finally:
+        # the memory sink holds the results — the parquet replay
+        # fixture is dead weight once the stream has drained
+        shutil.rmtree(base, ignore_errors=True)
     # update mode emits one row per slot per batch it appeared in; the
     # final state is the row with the greatest last_ts (strictly
     # increasing per slot — (user, ts) is unique in events).
@@ -3670,20 +3700,22 @@ FROM stepped GROUP BY slot_id
 
 def q75_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-decode driver check (`dbs.datapipe.multimodal`):
-    every document becomes a genuine binary P6 PPM (Arrow-batched
-    encode), then `image_stats` byte-parses the header and raster with
-    the dependency-free decoder and emits dims + exact per-channel
+    every document becomes a genuine binary image — P6 PPM for even
+    ids, 24-bit BMP for odd ids (Arrow-batched encode) — then
+    `image_stats` byte-parses header and raster with the
+    dependency-free decoders and emits dims + exact per-channel
     sums/means. The fixture's pixels are a closed-form function of the
     id, so the DuckDB twin recomputes the same sums with
-    generate_series — a decoder that misparses the header, drops a
-    row of raster, or reorders channels breaks the hash."""
+    generate_series — a decoder that misparses a header, drops a
+    raster row, mishandles BMP's bottom-up BGR padded rows, or
+    reorders channels breaks the hash."""
     from datalake_backend_spark.datapipe.multimodal import (
         image_stats,
-        synthetic_ppm_table,
+        synthetic_image_table,
     )
 
     docs = table(spark, sf_dir, "documents")
-    return image_stats(synthetic_ppm_table(docs))
+    return image_stats(synthetic_image_table(docs))
 
 
 Q75_SQL = """
@@ -3899,6 +3931,9 @@ def q80_streaming_silver_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pid-scoped: see q74
         f"q80_zone_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
+    # own dir must OUTLIVE this call (the returned DataFrame lazily
+    # reads {base}/silver), so only dead-pid leftovers are swept here
+    _sweep_stale_fixtures(os.path.dirname(base), "q80_zone_")
     shutil.rmtree(base, ignore_errors=True)
     q = start_silver_sink(
         stream, f"{base}/silver", f"{base}/ck", transform=silver
@@ -4268,6 +4303,173 @@ FROM p
 """
 
 
+def r87_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff driver check (`dbs.operators.merge.
+    snapshot_diff`): two synthetic snapshots of orders — the "old" one
+    missing keys ≡3 (mod 7), the "new" one missing keys ≡4 (mod 5)
+    with keys ≡0 (mod 3) repriced — must yield exactly the minimal
+    insert/update/delete changelog. One full-outer key join + null-safe
+    struct compare; the oracle is the same full join spelled in SQL."""
+    from datalake_backend_spark.operators.merge import snapshot_diff
+
+    orders = table(spark, sf_dir, "orders")
+    old = orders.where(F.pmod(F.col("o_orderkey"), F.lit(7)) != 3).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = orders.where(F.pmod(F.col("o_orderkey"), F.lit(5)) != 4).select(
+        "o_orderkey",
+        F.when(
+            F.pmod(F.col("o_orderkey"), F.lit(3)) == 0,
+            F.col("o_totalprice") * 2,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"])
+
+
+R87_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 3
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS v
+  FROM orders WHERE o_orderkey % 5 <> 4
+)
+SELECT * FROM (
+  SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              WHEN o.o_totalprice <> n.v THEN 'update' END AS op
+  FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+) WHERE op IS NOT NULL
+"""
+
+
+def r88_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join driver check (`dbs.operators.skew.
+    salted_join`): lineitem ⟗ orders with the right side replicated
+    8× and the left sharded by a deterministic salt must aggregate to
+    exactly the plain join's numbers — salting re-buckets rows, never
+    changes the result. The oracle is the unsalted SQL join."""
+    from datalake_backend_spark.operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(
+        li, orders, "l_orderkey", n_salts=8, salt_source=F.col("l_linenumber")
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        dec_sum("l_extendedprice").alias("sum_price"),
+    )
+
+
+R88_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def r89_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key driver check (`dbs.core.geometry.
+    zorder_key`): Morton-interleave (l_partkey, l_suppkey) mod 2^16 and
+    roll counts + key checksums up per 2^24-wide key range. The oracle
+    replays the identical shift/mask spreading in SQL, so one wrong
+    mask or shift order breaks the hash. Sorting a table by this key
+    before writing gives multi-column min/max file skipping (the
+    plain-parquet ZORDER BY)."""
+    from datalake_backend_spark.core.geometry import zorder_key
+
+    li = table(spark, sf_dir, "lineitem")
+    z = zorder_key(
+        F.pmod(F.col("l_partkey"), F.lit(65536)),
+        F.pmod(F.col("l_suppkey"), F.lit(65536)),
+    )
+    return (
+        li.select(z)
+        .groupBy(F.shiftright(F.col("zkey"), 14).alias("zbucket"))
+        .agg(F.count("*").alias("n"), F.sum("zkey").alias("zsum"))
+    )
+
+
+R89_SQL = """
+WITH base AS (
+  SELECT l_partkey % 65536 AS x, l_suppkey % 65536 AS y FROM lineitem
+),
+a1 AS (SELECT (x | (x << 8)) & 16711935 AS x, (y | (y << 8)) & 16711935 AS y
+       FROM base),
+a2 AS (SELECT (x | (x << 4)) & 252645135 AS x, (y | (y << 4)) & 252645135 AS y
+       FROM a1),
+a3 AS (SELECT (x | (x << 2)) & 858993459 AS x, (y | (y << 2)) & 858993459 AS y
+       FROM a2),
+a4 AS (SELECT (x | (x << 1)) & 1431655765 AS x, (y | (y << 1)) & 1431655765 AS y
+       FROM a3),
+z AS (SELECT x | (y << 1) AS zkey FROM a4)
+SELECT zkey >> 14 AS zbucket, COUNT(*) AS n, CAST(SUM(zkey) AS BIGINT) AS zsum
+FROM z GROUP BY zbucket
+"""
+
+
+def r90_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union driver check (`dbs.operators.timeseries.
+    interval_union`): events become [ts, ts + (event_id%50 + 1) min)
+    intervals in integral micros; per user the overlap-merged covered
+    time, island count, and span must equal the SQL gaps-and-islands
+    twin. Naive SUM(end-start) double-counts overlap — the value-hash
+    breaks if merging is wrong."""
+    from datalake_backend_spark.operators.timeseries import interval_union
+
+    ev = table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + (F.pmod(F.col("event_id"), F.lit(50)) + 1) * 60_000_000
+        ).alias("e"),
+    )
+    return interval_union(iv, ["user_id"], "s", "e")
+
+
+R90_SQL = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + (event_id % 50 + 1) * 60000000 AS e
+  FROM events
+),
+marked AS (
+  SELECT user_id, s, e,
+    CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w THEN 1 ELSE 0 END AS ni
+  FROM iv
+  WINDOW w AS (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl AS (
+  SELECT user_id, s, e,
+    SUM(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+),
+g AS (
+  SELECT user_id, island, MIN(s) AS i_s, MAX(e) AS i_e
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id, CAST(SUM(i_e - i_s) AS BIGINT) AS covered,
+       COUNT(*) AS n_islands,
+       CAST(MAX(i_e) - MIN(i_s) AS BIGINT) AS span
+FROM g GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry — two tiers.
 #
@@ -4460,6 +4662,13 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r68_stratified_split": QuerySpec(
         q68_stratified_split, _q68_sql(), "sampling-stratified,split-deterministic"
+    ),
+    # ----- round-5 additions (new operators; windowed in a later round) -----
+    "r87_snapshot_diff": QuerySpec(r87_snapshot_diff, R87_SQL, "cdc-diff,merge"),
+    "r88_salted_join": QuerySpec(r88_salted_join, R88_SQL, "J-skew-salted"),
+    "r89_zorder_key": QuerySpec(r89_zorder_key, R89_SQL, "zorder-clustering"),
+    "r90_interval_union": QuerySpec(
+        r90_interval_union, R90_SQL, "W-interval-union,gaps-islands"
     ),
 }
 

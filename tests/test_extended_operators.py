@@ -124,3 +124,87 @@ def test_parse_json_map(spark):
         parse_json_map(F.col("props"), T.LongType()).getItem("k").alias("k")
     ).collect()
     assert out[0].k == 7 and out[1].k is None
+
+
+def test_snapshot_diff_minimal_changelog(spark):
+    """insert/update/delete classified per key; unchanged keys absent;
+    null-safe value compare (NULL→value and value→NULL are updates)."""
+    from datalake_backend_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c"), (5, "e")], "k int, v string"
+    )
+    got = {r.k: r.op for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {2: "update", 3: "update", 4: "delete", 5: "insert"}
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting re-buckets rows but never changes the join result —
+    including duplicate keys on both sides and a hot key."""
+    from datalake_backend_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for i, k in enumerate([1] * 50 + [2, 2, 3])], "k long, lv long"
+    )
+    right = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z"), (4, "w")], "k long, rv string"
+    )
+    got = sorted(
+        map(tuple, salted_join(left, right, "k", n_salts=4).collect())
+    )
+    want = sorted(map(tuple, left.join(right, "k").collect()))
+    assert got == want and len(got) == 50 * 2 + 2
+    # left join keeps unmatched left rows exactly once
+    got_l = sorted(
+        map(tuple, salted_join(left, right, "k", n_salts=4, how="left").collect())
+    )
+    want_l = sorted(map(tuple, left.join(right, "k", "left").collect()))
+    assert got_l == want_l
+
+
+def test_zorder_key_interleaves_bits(spark):
+    """Morton key: known interleavings, and locality — the max key of a
+    2×2 block is below the min key of the diagonally-opposite far
+    block (the property min/max file skipping relies on)."""
+    from datalake_backend_spark.core.geometry import zorder_key
+
+    rows = [(0, 0), (1, 0), (0, 1), (1, 1), (2, 2), (65535, 65535)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.zkey
+        for r in df.select("x", "y", zorder_key(F.col("x"), F.col("y"))).collect()
+    }
+    # bit-interleave ground truth: z(x,y) interleaves x even bits, y odd
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1
+    assert got[(0, 1)] == 2
+    assert got[(1, 1)] == 3
+    assert got[(2, 2)] == 12
+    assert got[(65535, 65535)] == (1 << 32) - 1
+    block_near = [got[p] for p in [(0, 0), (1, 0), (0, 1), (1, 1)]]
+    assert max(block_near) < got[(2, 2)]
+
+
+def test_interval_union_merges_overlap(spark):
+    """Overlapping intervals merge (no double count), gaps split
+    islands, touching intervals (start == prior end) merge."""
+    from datalake_backend_spark.operators.timeseries import interval_union
+
+    rows = [
+        ("a", 0, 10),
+        ("a", 5, 15),   # overlaps → merged [0,15]
+        ("a", 15, 20),  # touches  → still island 1 → [0,20]
+        ("a", 30, 40),  # gap → island 2
+        ("b", 0, 100),
+        ("b", 10, 20),  # contained
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = {
+        r.k: (r.covered, r.n_islands, r.span)
+        for r in interval_union(df, ["k"], "s", "e").collect()
+    }
+    assert got["a"] == (30, 2, 40)
+    assert got["b"] == (100, 1, 100)
