@@ -420,6 +420,151 @@ def resize_images(
     ).drop("_decoded")
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """RIFF/WAVE encoder (PCM 16-bit little-endian): ``(frames,)`` or
+    ``(frames, channels)`` int16 array → canonical 44-byte header +
+    interleaved data chunk. Inverse of :func:`decode_wav`; pure byte
+    construction, no audio library."""
+    if samples.ndim == 1:
+        samples = samples.reshape(-1, 1)
+    frames, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    block = ch * 2
+
+    def le(v: int, n: int) -> bytes:
+        return int(v).to_bytes(n, "little")
+
+    fmt = (
+        b"fmt " + le(16, 4) + le(1, 2) + le(ch, 2) + le(sample_rate, 4)
+        + le(sample_rate * block, 4) + le(block, 2) + le(16, 2)
+    )
+    body = b"WAVE" + fmt + b"data" + le(len(data), 4) + data
+    return b"RIFF" + le(len(body), 4) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE decoder → ``((frames, channels) int16, sample_rate)``.
+
+    Walks the chunk list (skipping unknown chunks like LIST/INFO, with
+    odd-size pad bytes per the RIFF spec), requires PCM (format tag 1)
+    at 16 bits; anything else raises ``ValueError`` so mixed-media
+    callers can fall back, mirroring :func:`decode_image`."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    tag = int.from_bytes(fmt[0:2], "little")
+    ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if tag != 1 or bits != 16 or ch < 1:
+        raise ValueError("only PCM 16-bit WAV supported")
+    frames = len(data) // (ch * 2)
+    arr = np.frombuffer(data[: frames * ch * 2], "<i2").reshape(frames, ch)
+    return arr, rate
+
+
+def synthetic_wav_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL audio table: each row becomes a genuine WAV
+    whose frame count, channel count, rate, and every sample are
+    closed-form in the id — ``frames = 100 + id%50``, ``ch = 1 +
+    id%2``, ``rate = 8000 + (id%3)*4000``, ``sample(t,c) = ((id*37 +
+    t*13 + c*5) % 4096) - 2048`` — so a SQL oracle recomputes any
+    decoded statistic without an audio library. Same design as
+    :func:`_synthetic_image_table`; encoding runs in the Arrow batch."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["media_id"].to_numpy()
+            payloads, metas = [], []
+            for i in ids:
+                i = int(i)
+                frames, ch = 100 + i % 50, 1 + i % 2
+                rate = 8000 + (i % 3) * 4000
+                t = np.arange(frames).reshape(frames, 1)
+                c = np.arange(ch).reshape(1, ch)
+                samples = ((i * 37 + t * 13 + c * 5) % 4096 - 2048).astype(
+                    np.int16
+                )
+                payloads.append(encode_wav(samples, rate))
+                metas.append(
+                    {
+                        "mime": "audio/wav",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": frames * 1000 // rate,
+                        "codec": "pcm_s16le",
+                    }
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        gen, MEDIA_SCHEMA
+    )
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("mean_abs", T.DoubleType()),
+    ]
+)
+
+
+def audio_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL audio decode path: parse every payload with
+    :func:`decode_wav` and emit rate/channels/frames plus exact
+    absolute-amplitude sums and peak. Integer sums over int16 samples
+    divided by exact counts → bit-identical doubles in any engine.
+    Map-only (one Arrow stage, no shuffle) — the audio twin of
+    :func:`image_stats`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                arr, rate = decode_wav(bytes(p))
+                frames, ch = arr.shape
+                a = np.abs(arr.astype(np.int64))
+                sum_abs = int(a.sum())
+                n = frames * ch
+                recs.append(
+                    {
+                        "media_id": int(i),
+                        "sample_rate": rate,
+                        "channels": ch,
+                        "n_frames": frames,
+                        "duration_ms": frames * 1000 // rate,
+                        "sum_abs": sum_abs,
+                        "peak": int(a.max()) if n else 0,
+                        "mean_abs": sum_abs / n if n else 0.0,
+                    }
+                )
+            yield pd.DataFrame(recs)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_STATS_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     every_ms: int = 1000,

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import math
 import os
+import threading
 from dataclasses import dataclass
 from typing import Callable
 
@@ -4470,6 +4471,265 @@ FROM g GROUP BY user_id
 """
 
 
+#: r91/r92/r93 share one on-disk fixture; concurrent bench threads must
+#: not rebuild it under each other
+_VT_BUILD_LOCK = threading.Lock()
+
+
+def _versioned_orders(spark: SparkSession, sf_dir: str):
+    """Build (once per process) the 4-version orders table that backs
+    r91/r92/r93 (`dbs.sources.versioned.VersionedTable`):
+
+      v1 overwrite  orders with o_orderdate <  1994-01-01
+      v2 append     orders with 1994-01-01 ≤ o_orderdate < 1996-01-01
+      v3 merge      reprice key%5==0 (×2) + insert ≥1996-01-01 ∧ key%3==0
+      v4 delete     key % 11 == 0
+
+    Deterministic in (sf_dir), so concurrent pids build identical
+    tables; the path is pid-scoped like the streaming replay fixtures.
+    r91/r92/r93 share this fixture and a bench/driver may run them on
+    concurrent THREADS of one process, so the build is serialized
+    behind a module lock — losers find v4 committed and just read.
+    """
+    import shutil
+
+    from datalake_backend_spark.sources.versioned import VersionedTable
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    warehouse = os.path.join(repo_root, "spark-warehouse")
+    base = os.path.join(
+        warehouse,
+        f"r91_vt_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    tbl = VersionedTable(base)
+    with _VT_BUILD_LOCK:
+        _sweep_stale_fixtures(warehouse, "r91_vt_")
+        if tbl.latest_version() == 4:
+            return tbl  # already built in this process
+        shutil.rmtree(base, ignore_errors=True)
+        _build_versioned_orders(spark, sf_dir, tbl)
+    return tbl
+
+
+def _build_versioned_orders(spark, sf_dir, tbl) -> None:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    cut1, cut2 = F.lit("1994-01-01").cast("date"), F.lit("1996-01-01").cast("date")
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    tbl.commit(orders.where(F.col("o_orderdate") < cut1).select(*cols))
+    tbl.commit(
+        orders.where(
+            (F.col("o_orderdate") >= cut1) & (F.col("o_orderdate") < cut2)
+        ).select(*cols),
+        mode="append",
+    )
+    repriced = orders.where(
+        (F.col("o_orderdate") < cut2) & (F.pmod("o_orderkey", F.lit(5)) == 0)
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    inserts = orders.where(
+        (F.col("o_orderdate") >= cut2) & (F.pmod("o_orderkey", F.lit(3)) == 0)
+    ).select(*cols)
+    tbl.merge(spark, repriced.unionByName(inserts), ["o_orderkey"])
+    tbl.delete_where(spark, F.pmod("o_orderkey", F.lit(11)) == 0)
+
+
+def r91_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel driver check (`dbs.sources.versioned.VersionedTable
+    .read(version=2)`): after a merge (v3) and a delete (v4) have
+    rewritten the table, reading snapshot v2 must still see exactly
+    the pre-merge state — the plain-parquet equivalent of Delta's
+    `VERSION AS OF`. The oracle recomputes v2 directly from orders
+    (everything before the 1996 cut, no repricing, no deletes); any
+    leakage of later commits into the historical manifest breaks the
+    value hash."""
+    tbl = _versioned_orders(spark, sf_dir)
+    return (
+        tbl.read(spark, version=2)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            dec_sum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+R91_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM orders WHERE o_orderdate < DATE '1996-01-01'
+GROUP BY o_orderpriority
+"""
+
+
+def r92_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed driver check (`dbs.sources.versioned
+    .VersionedTable.changes`): the diff between snapshots v2 and v4
+    must be the minimal changelog across an intervening merge AND
+    delete — updates for repriced keys that survived the delete,
+    inserts for new keys that survived, deletes for v2 keys removed,
+    and NOTHING for keys inserted-then-deleted (net no-op across the
+    version range)."""
+    tbl = _versioned_orders(spark, sf_dir)
+    return tbl.changes(spark, 2, 4, ["o_orderkey"], ["o_totalprice"])
+
+
+R92_SQL = """
+SELECT o_orderkey, 'update' AS op FROM orders
+WHERE o_orderdate < DATE '1996-01-01'
+  AND o_orderkey % 5 = 0 AND o_orderkey % 11 <> 0
+UNION ALL
+SELECT o_orderkey, 'insert' FROM orders
+WHERE o_orderdate >= DATE '1996-01-01'
+  AND o_orderkey % 3 = 0 AND o_orderkey % 11 <> 0
+UNION ALL
+SELECT o_orderkey, 'delete' FROM orders
+WHERE o_orderdate < DATE '1996-01-01' AND o_orderkey % 11 = 0
+"""
+
+
+def r93_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-log driver check (`dbs.sources.versioned.VersionedTable
+    .history`): the manifest log must record the op and the exact row
+    count of every snapshot (overwrite / append / merge / delete).
+    The oracle derives each version's expected cardinality from
+    orders with the same date cuts and key residues — a manifest that
+    double-counts an append or misses merge inserts hash-mismatches."""
+    tbl = _versioned_orders(spark, sf_dir)
+    rows = [(m["version"], m["op"], m["num_rows"]) for m in tbl.history()]
+    return spark.createDataFrame(rows, "version int, op string, num_rows bigint")
+
+
+R93_SQL = """
+WITH c1 AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderdate < DATE '1994-01-01'),
+c2 AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderdate < DATE '1996-01-01'),
+ins AS (SELECT COUNT(*) AS n FROM orders
+        WHERE o_orderdate >= DATE '1996-01-01' AND o_orderkey % 3 = 0),
+del AS (SELECT COUNT(*) AS n FROM orders
+        WHERE o_orderkey % 11 = 0
+          AND (o_orderdate < DATE '1996-01-01' OR o_orderkey % 3 = 0))
+SELECT 1 AS version, 'overwrite' AS op, (SELECT n FROM c1) AS num_rows
+UNION ALL SELECT 2, 'append', (SELECT n FROM c2)
+UNION ALL SELECT 3, 'merge', (SELECT n FROM c2) + (SELECT n FROM ins)
+UNION ALL
+SELECT 4, 'delete',
+       (SELECT n FROM c2) + (SELECT n FROM ins) - (SELECT n FROM del)
+"""
+
+
+def r94_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-codec driver check (`dbs.datapipe.multimodal
+    .decode_wav`/`audio_stats`): every documents row becomes a genuine
+    RIFF/WAVE payload (PCM s16le, mono/stereo, mixed sample rates)
+    whose frames are a closed-form function of the id; the byte-level
+    decoder must recover rate/channels/frames and exact amplitude
+    sums. The DuckDB twin regenerates the same samples with
+    unnest(range(...)) — any header-offset or interleave mistake in
+    the codec breaks the value hash. Audio twin of q75."""
+    from datalake_backend_spark.datapipe.multimodal import (
+        audio_stats,
+        synthetic_wav_table,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return audio_stats(synthetic_wav_table(docs))
+
+
+R94_SQL = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         100 + doc_id % 50 AS frames,
+         CAST(1 + doc_id % 2 AS INT) AS ch,
+         CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate
+  FROM documents
+),
+ts AS (SELECT media_id, frames, ch, sample_rate,
+              unnest(range(0, frames)) AS t FROM dims),
+cs AS (SELECT media_id, frames, ch, sample_rate, t,
+              unnest(range(0, ch)) AS c FROM ts),
+sm AS (
+  SELECT media_id, frames, ch, sample_rate,
+         ABS((media_id * 37 + t * 13 + c * 5) % 4096 - 2048) AS a
+  FROM cs
+)
+SELECT media_id, sample_rate, ch AS channels,
+       CAST(frames AS BIGINT) AS n_frames,
+       CAST(frames * 1000 // sample_rate AS BIGINT) AS duration_ms,
+       CAST(SUM(a) AS BIGINT) AS sum_abs,
+       CAST(MAX(a) AS INT) AS peak,
+       CAST(SUM(a) AS BIGINT) / CAST(frames * ch AS DOUBLE) AS mean_abs
+FROM sm GROUP BY media_id, sample_rate, ch, frames
+"""
+
+
+def r95_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup driver check (`dbs.streaming.pipeline
+    .dedup_stream` / ``dropDuplicatesWithinWatermark``): batch 1
+    replays every event, batch 2 re-delivers the event_id%3==0 third
+    — the second micro-batch must emit NOTHING because every key is
+    already in dedup state (cross-batch, keyed, watermark-expired
+    state — not a within-batch distinct). The DuckDB twin aggregates
+    the source directly: any re-delivered row that leaks through
+    inflates a count and breaks the hash. The watermark is far wider
+    than the fixture's time span so no state expires mid-replay;
+    production picks the source's re-delivery horizon instead."""
+    import glob as globmod
+    import shutil
+
+    from datalake_backend_spark.streaming.pipeline import (
+        dedup_stream,
+        start_to_memory,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    warehouse = os.path.join(repo_root, "spark-warehouse")
+    base = os.path.join(
+        warehouse,
+        f"r95_src_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    _sweep_stale_fixtures(warehouse, "r95_src_")
+    shutil.rmtree(base, ignore_errors=True)
+    try:
+        ev.coalesce(1).write.parquet(f"{base}/b1")
+        ev.where(F.pmod("event_id", F.lit(3)) == 0).coalesce(1).write.parquet(
+            f"{base}/b2"
+        )
+        for i, d in enumerate(["b1", "b2"]):
+            for f in globmod.glob(f"{base}/{d}/part-*.parquet"):
+                os.utime(f, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/b*")
+        )
+        deduped = dedup_stream(
+            stream, ["event_id"], time_col="ts", watermark="3650 days"
+        )
+        q = start_to_memory(deduped, "r95_dedup", output_mode="append")
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return (
+        spark.table("r95_dedup")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), dec_sum("value").alias("sum_value"))
+    )
+
+
+R95_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry — two tiers.
 #
@@ -4669,6 +4929,19 @@ QUERIES: dict[str, QuerySpec] = {
     "r89_zorder_key": QuerySpec(r89_zorder_key, R89_SQL, "zorder-clustering"),
     "r90_interval_union": QuerySpec(
         r90_interval_union, R90_SQL, "W-interval-union,gaps-islands"
+    ),
+    "r91_time_travel": QuerySpec(
+        r91_time_travel, R91_SQL, "lakehouse-time-travel,snapshot-isolation"
+    ),
+    "r92_change_feed": QuerySpec(r92_change_feed, R92_SQL, "lakehouse-cdf,merge"),
+    "r93_table_history": QuerySpec(
+        r93_table_history, R93_SQL, "lakehouse-commit-log"
+    ),
+    "r94_audio_decode_stats": QuerySpec(
+        r94_audio_decode_stats, R94_SQL, "multimodal-audio-codec"
+    ),
+    "r95_streaming_dedup": QuerySpec(
+        r95_streaming_dedup, R95_SQL, "streaming-dedup-watermark"
     ),
 }
 

@@ -1,0 +1,258 @@
+"""Versioned parquet tables: snapshot isolation, time travel, change
+feed, and compaction WITHOUT a table-format jar.
+
+The reference's stated production shape is "DataFrame API over
+Delta/Iceberg tables" (BASELINE.json), but neither package ships in
+this environment (COVERAGE.md) and its actual deployed code gets
+atomicity by overwriting whole MinIO objects per upload
+(``Preprocess_Json_Data/connectors/minio_connector.py:45-80``) — no
+versions, no isolation, readers can observe half-written prefixes.
+This module supplies the lakehouse substrate both of those imply, as
+a log of immutable manifests over immutable parquet data directories —
+the same core design as Delta's ``_delta_log`` / Iceberg's metadata
+tree, reduced to what plain parquet + an atomic file create can carry:
+
+* **Snapshot isolation** — a commit writes a NEW data directory, then
+  publishes an immutable manifest ``_log/{version}.json`` listing every
+  directory in that snapshot. Readers resolve a manifest once and read
+  only directories it names; a concurrent commit can never make them
+  see a torn table.
+* **Optimistic concurrency** — the manifest is created with
+  ``open(..., "x")`` (atomic create-exclusive on POSIX; on an object
+  store this maps to a conditional PUT / If-None-Match, which is
+  exactly how Delta commits to S3). A loser re-reads the head and
+  retries against the next version; its already-written data directory
+  is reused, so conflict cost is one small JSON retry, not a data
+  rewrite.
+* **Time travel** — ``read(spark, version=N)`` resolves the historical
+  manifest. Old data directories are never mutated, only vacuumed.
+* **MERGE / DELETE** — ``merge`` routes through
+  :func:`datalake_backend_spark.operators.merge.upsert` and commits the
+  result; ``delete_where`` commits the complement. Both are
+  copy-on-write (like Delta's default): the new snapshot rewrites data,
+  the old snapshot stays readable.
+* **Change feed** — ``changes`` diffs two snapshots with
+  :func:`~datalake_backend_spark.operators.merge.snapshot_diff`,
+  yielding the minimal insert/update/delete changelog between versions.
+* **OPTIMIZE / VACUUM** — ``compact`` bin-packs the current snapshot
+  into ~target-size files as a new metadata-only-visible version (same
+  rows, fewer files — small-file pressure is the #1 operational issue
+  for streaming ingest at 100 TB); ``vacuum`` deletes data directories
+  referenced only by expired versions, with a retention floor so
+  in-flight readers of retained versions are never broken.
+
+Scale notes: manifests carry directory names, not per-row state, so a
+commit is O(files touched) regardless of table size; at 1000-executor
+scale the only serial point is the single manifest create, identical to
+Delta's LogStore. The single-writer-per-table-per-instant model (losers
+retry) is the standard object-store lakehouse contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published this version first (after retries)."""
+
+
+class VersionedTable:
+    """A versioned parquet table rooted at ``path``.
+
+    Layout::
+
+        path/
+          _log/00000001.json   # manifest per version (immutable)
+          data/00000001-<uuid>/part-*.parquet   # immutable data dirs
+    """
+
+    MANIFEST_WIDTH = 8
+
+    def __init__(self, path: str):
+        self.path = path
+        self.log_dir = os.path.join(path, "_log")
+        self.data_dir = os.path.join(path, "data")
+
+    # ---------------------------------------------------------- log
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:0{self.MANIFEST_WIDTH}d}.json")
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for f in os.listdir(self.log_dir):
+            if f.endswith(".json"):
+                try:
+                    out.append(int(f[: -len(".json")]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self._versions()
+        return vs[-1] if vs else None
+
+    def manifest(self, version: int | None = None) -> dict:
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"no commits at {self.path}")
+        p = self._manifest_path(version)
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"version {version} not found at {self.path}")
+        with open(p) as fh:
+            return json.load(fh)
+
+    def history(self) -> list[dict]:
+        """All manifests, oldest first (version, op, num_rows, ts, dirs)."""
+        return [self.manifest(v) for v in self._versions()]
+
+    # ------------------------------------------------------- commit
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        op: str | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Write ``df`` as a new snapshot and publish it atomically.
+
+        ``mode='overwrite'`` → the new snapshot is exactly ``df``;
+        ``mode='append'`` → the new snapshot is the previous snapshot's
+        directories plus ``df``'s. Returns the committed version.
+
+        The data directory is written ONCE; only the tiny manifest
+        create is retried on conflict.
+        """
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        os.makedirs(self.log_dir, exist_ok=True)
+        dir_name = f"{uuid.uuid4().hex[:12]}"
+        rel_dir = f"data/{dir_name}"
+        abs_dir = os.path.join(self.path, rel_dir)
+        df.write.mode("error").parquet(abs_dir)
+        # spark doesn't report written-row counts on save(); one count
+        # over the just-written files is metadata-cheap (footer stats)
+        num_rows = df.sparkSession.read.parquet(abs_dir).count()
+
+        for _ in range(max_retries):
+            head = self.latest_version()
+            version = (head or 0) + 1
+            if mode == "append" and head is not None:
+                dirs = self.manifest(head)["dirs"] + [rel_dir]
+                total = self.manifest(head)["num_rows"] + num_rows
+            else:
+                dirs = [rel_dir]
+                total = num_rows
+            man = {
+                "version": version,
+                "op": op or mode,
+                "ts": time.time(),
+                "dirs": dirs,
+                "num_rows": total,
+                "schema": json.loads(df.schema.json()),
+            }
+            try:
+                # atomic create-exclusive: the commit point. On an
+                # object store this is a conditional PUT.
+                with open(self._manifest_path(version), "x") as fh:
+                    json.dump(man, fh)
+                return version
+            except FileExistsError:
+                continue  # lost the race; retry against new head
+        raise CommitConflict(
+            f"lost {max_retries} commit races at {self.path}; giving up"
+        )
+
+    # --------------------------------------------------------- read
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot read. ``version=None`` → latest; else time travel."""
+        man = self.manifest(version)
+        paths = [os.path.join(self.path, d) for d in man["dirs"]]
+        missing = [p for p in paths if not os.path.isdir(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"version {man['version']} was vacuumed: missing {missing}"
+            )
+        return spark.read.parquet(*paths)
+
+    # ----------------------------------------------- table mutations
+    def merge(
+        self, spark: SparkSession, updates: DataFrame, key_cols: list[str]
+    ) -> int:
+        """MERGE INTO (upsert) as copy-on-write: last-writer-wins by
+        key against the latest snapshot, committed as a new version."""
+        from datalake_backend_spark.operators.merge import upsert
+
+        base = self.read(spark)
+        return self.commit(upsert(base, updates, key_cols), op="merge")
+
+    def delete_where(self, spark: SparkSession, predicate) -> int:
+        """DELETE FROM ... WHERE: commits the complement snapshot."""
+        base = self.read(spark)
+        return self.commit(base.where(~predicate), op="delete")
+
+    def changes(
+        self,
+        spark: SparkSession,
+        v_from: int,
+        v_to: int,
+        key_cols: list[str],
+        compare_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Change data feed between two committed versions: the minimal
+        insert/update/delete changelog (one full-outer key join)."""
+        from datalake_backend_spark.operators.merge import snapshot_diff
+
+        return snapshot_diff(
+            self.read(spark, v_from), self.read(spark, v_to), key_cols, compare_cols
+        )
+
+    # ------------------------------------------------- maintenance
+    def compact(self, spark: SparkSession, target_bytes: int = 128 << 20) -> int:
+        """OPTIMIZE: rewrite the current snapshot into ~target-size
+        files (metadata-identical rows). Partition count derives from
+        on-disk bytes of the current snapshot's files, so a table built
+        from thousands of streaming micro-batch files collapses to a
+        scan-efficient layout."""
+        man = self.manifest()
+        total_bytes = 0
+        for d in man["dirs"]:
+            for root, _dirs, files in os.walk(os.path.join(self.path, d)):
+                total_bytes += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+        n_parts = max(1, -(-total_bytes // target_bytes))  # ceil div
+        df = self.read(spark).coalesce(int(n_parts))
+        return self.commit(df, op="compact")
+
+    def vacuum(self, retain_last: int = 2) -> list[str]:
+        """Delete data directories referenced ONLY by versions older
+        than the ``retain_last`` most recent. Retained versions (and
+        any reader holding one) stay fully readable; older manifests
+        remain as history but their exclusive data is gone."""
+        vs = self._versions()
+        if not vs:
+            return []
+        keep_versions = set(vs[-retain_last:]) if retain_last > 0 else set()
+        live: set[str] = set()
+        for v in keep_versions:
+            live.update(self.manifest(v)["dirs"])
+        removed = []
+        if os.path.isdir(self.data_dir):
+            for d in sorted(os.listdir(self.data_dir)):
+                rel = f"data/{d}"
+                if rel not in live:
+                    shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
+                    removed.append(rel)
+        return removed

@@ -117,6 +117,30 @@ def session_aggregate(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival of each key and
+    drop re-deliveries (at-least-once sources, upload retries — the
+    reference re-processes whole re-uploaded objects instead,
+    ``Send_Data_To_DataLake/main.py:98-99``).
+
+    ``dropDuplicatesWithinWatermark`` holds one state entry per key
+    and expires entries once the watermark passes their event time, so
+    dedup state is bounded by ``watermark × arrival rate`` — NOT by
+    stream lifetime, which is what plain ``dropDuplicates`` on a
+    stream would cost at 100 TB. Choose ``watermark`` as the maximum
+    re-delivery horizon of the source (e.g. an upload retry window),
+    not the stream's full history.
+    """
+    return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def start_to_memory(
     df: DataFrame, name: str, output_mode: str = "append"
 ) -> StreamingQuery:

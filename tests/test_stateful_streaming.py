@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datalake_backend_spark.streaming.stateful import track_slot_state
@@ -194,3 +195,45 @@ def test_interval_join_hot_key_state_expiry(spark, tmp_path):
     assert sum(s.get("numRowsRemoved", 0) for s in state) > 0
     # ...and final state holds far fewer rows than the 240 fed in
     assert state[-1]["numRowsTotal"] < 200, state[-1]["numRowsTotal"]
+
+
+def test_dedup_stream_drops_cross_batch_redelivery(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps first arrivals and drops a
+    second batch that re-delivers the same keys — state must survive
+    across micro-batches, and the emitted rows are exactly batch 1."""
+    from datalake_backend_spark.streaming.pipeline import (
+        dedup_stream,
+        start_to_memory,
+    )
+
+    src = str(tmp_path / "dsrc")
+    # keep event times far from the epoch: the initial watermark is
+    # 1970-01-01, and a row AT the watermark boundary counts as late
+    rows1 = [(i, 1e6 + i, f"t{i % 3}") for i in range(30)]
+    rows2 = [(i, 1e6 + i, f"t{i % 3}") for i in range(0, 30, 2)]  # re-delivery
+    schema = "event_id int, sec double, event_type string"
+    for name, rows in [("b1", rows1), ("b2", rows2)]:
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.timestamp_seconds(F.col("sec"))
+        ).coalesce(1).write.parquet(f"{src}/{name}")
+    import glob
+    import os
+
+    for i, d in enumerate(["b1", "b2"]):
+        for f in glob.glob(f"{src}/{d}/part-*.parquet"):
+            os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+    stream = (
+        spark.readStream.schema("event_id int, sec double, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+    q = start_to_memory(
+        dedup_stream(stream, ["event_id"], watermark="1 hour"), "dedup_t"
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_t").collect()
+    assert len(got) == 30  # batch 2 emitted nothing
+    assert {r.event_id for r in got} == set(range(30))
+    # two micro-batches actually ran (not one merged batch)
+    progs = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(progs) == 2

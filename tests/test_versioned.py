@@ -1,0 +1,161 @@
+"""Versioned table (snapshot isolation / time travel / change feed)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_backend_spark.sources.versioned import CommitConflict, VersionedTable
+
+
+@pytest.fixture()
+def tbl(tmp_path):
+    return VersionedTable(str(tmp_path / "t"))
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "key int, val string")
+
+
+def test_commit_read_latest(spark, tbl):
+    v1 = tbl.commit(_mk(spark, [(1, "a"), (2, "b")]))
+    assert v1 == 1
+    assert tbl.latest_version() == 1
+    got = {(r.key, r.val) for r in tbl.read(spark).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_time_travel_after_overwrite(spark, tbl):
+    tbl.commit(_mk(spark, [(1, "a")]))
+    tbl.commit(_mk(spark, [(9, "z")]))
+    assert {r.key for r in tbl.read(spark).collect()} == {9}
+    assert {r.key for r in tbl.read(spark, version=1).collect()} == {1}
+
+
+def test_append_unions_snapshots(spark, tbl):
+    tbl.commit(_mk(spark, [(1, "a")]))
+    v2 = tbl.commit(_mk(spark, [(2, "b")]), mode="append")
+    assert {r.key for r in tbl.read(spark, v2).collect()} == {1, 2}
+    # v1 unaffected
+    assert {r.key for r in tbl.read(spark, 1).collect()} == {1}
+    assert tbl.manifest(v2)["num_rows"] == 2
+
+
+def test_commit_conflict_retries_to_next_version(spark, tbl):
+    tbl.commit(_mk(spark, [(1, "a")]))
+    # simulate a concurrent writer that already published v2
+    os.makedirs(tbl.log_dir, exist_ok=True)
+    with open(tbl._manifest_path(2), "x") as fh:
+        fh.write(
+            '{"version": 2, "op": "overwrite", "ts": 0, "dirs": [], '
+            '"num_rows": 0, "schema": {}}'
+        )
+    v = tbl.commit(_mk(spark, [(3, "c")]))
+    assert v == 3  # loser retried past the conflicting version
+
+
+def test_commit_conflict_exhausted_raises(spark, tbl, monkeypatch):
+    tbl.commit(_mk(spark, [(1, "a")]))
+
+    real_open = open
+
+    def racing_open(path, mode="r", *a, **kw):
+        # every exclusive create finds the file already taken
+        if mode == "x":
+            raise FileExistsError(path)
+        return real_open(path, mode, *a, **kw)
+
+    import builtins
+
+    monkeypatch.setattr(builtins, "open", racing_open)
+    with pytest.raises(CommitConflict):
+        tbl.commit(_mk(spark, [(2, "b")]), max_retries=3)
+
+
+def test_merge_is_copy_on_write(spark, tbl):
+    tbl.commit(_mk(spark, [(1, "a"), (2, "b")]))
+    v2 = tbl.merge(spark, _mk(spark, [(2, "B"), (3, "c")]), ["key"])
+    assert {(r.key, r.val) for r in tbl.read(spark, v2).collect()} == {
+        (1, "a"),
+        (2, "B"),
+        (3, "c"),
+    }
+    # old snapshot still intact (snapshot isolation)
+    assert {(r.key, r.val) for r in tbl.read(spark, 1).collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+
+
+def test_delete_where(spark, tbl):
+    tbl.commit(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    v2 = tbl.delete_where(spark, F.col("key") % 2 == 0)
+    assert {r.key for r in tbl.read(spark, v2).collect()} == {1, 3}
+    assert tbl.manifest(v2)["op"] == "delete"
+
+
+def test_change_feed_minimal_changelog(spark, tbl):
+    tbl.commit(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    tbl.merge(spark, _mk(spark, [(2, "B"), (4, "d")]), ["key"])
+    tbl.delete_where(spark, F.col("key") == 3)
+    ch = {
+        (r.key, r.op)
+        for r in tbl.changes(spark, 1, 3, ["key"], ["val"]).collect()
+    }
+    assert ch == {(2, "update"), (4, "insert"), (3, "delete")}
+
+
+def test_compact_same_rows_fewer_files(spark, tbl):
+    df = spark.range(0, 1000).select(
+        F.col("id").cast("int").alias("key"), F.lit("x").alias("val")
+    )
+    tbl.commit(df.repartition(8))
+    for i in range(3):
+        tbl.commit(_mk(spark, [(10_000 + i, "y")]), mode="append")
+    before = tbl.read(spark).count()
+    v = tbl.compact(spark)
+    assert tbl.manifest(v)["op"] == "compact"
+    assert tbl.read(spark, v).count() == before
+    # 1003 tiny rows collapse into a single data dir with one file
+    files = [
+        f
+        for d in tbl.manifest(v)["dirs"]
+        for f in os.listdir(os.path.join(tbl.path, d))
+        if f.endswith(".parquet")
+    ]
+    assert len(tbl.manifest(v)["dirs"]) == 1
+    assert len(files) == 1
+
+
+def test_vacuum_keeps_retained_versions_readable(spark, tbl):
+    tbl.commit(_mk(spark, [(1, "a")]))
+    tbl.commit(_mk(spark, [(2, "b")]))
+    tbl.commit(_mk(spark, [(3, "c")]))
+    removed = tbl.vacuum(retain_last=2)
+    assert removed  # v1's exclusive dir is gone
+    assert {r.key for r in tbl.read(spark, 2).collect()} == {2}
+    assert {r.key for r in tbl.read(spark, 3).collect()} == {3}
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        tbl.read(spark, 1)
+
+
+def test_vacuum_append_chain_keeps_shared_dirs(spark, tbl):
+    tbl.commit(_mk(spark, [(1, "a")]))
+    tbl.commit(_mk(spark, [(2, "b")]), mode="append")
+    tbl.commit(_mk(spark, [(3, "c")]), mode="append")
+    # v1's dir is shared by v2 and v3 manifests — vacuum must keep it
+    removed = tbl.vacuum(retain_last=2)
+    assert removed == []
+    assert {r.key for r in tbl.read(spark, 3).collect()} == {1, 2, 3}
+
+
+def test_history_records_ops_and_counts(spark, tbl):
+    tbl.commit(_mk(spark, [(1, "a"), (2, "b")]))
+    tbl.merge(spark, _mk(spark, [(3, "c")]), ["key"])
+    tbl.delete_where(spark, F.col("key") == 1)
+    hist = tbl.history()
+    assert [m["op"] for m in hist] == ["overwrite", "merge", "delete"]
+    assert [m["num_rows"] for m in hist] == [2, 3, 2]
+    assert [m["version"] for m in hist] == [1, 2, 3]
