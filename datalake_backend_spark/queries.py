@@ -4730,6 +4730,181 @@ FROM events GROUP BY event_type
 """
 
 
+def r96_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming→lakehouse sink driver check (`dbs.streaming.pipeline
+    .start_versioned_sink` → `dbs.sources.versioned.VersionedTable`):
+    the events feed drains in two micro-batches through foreachBatch,
+    each committing an epoch-tagged APPEND snapshot (exactly-once via
+    the commit log, not epoch partition columns), with a silver
+    transform (drop event_id%7==0) applied per batch; then the FINAL
+    SNAPSHOT is read back through the manifest and aggregated. The
+    DuckDB twin applies the same transform/aggregate to the source —
+    a dropped or double-committed micro-batch, or a manifest that
+    mis-unions the two appends, changes the counts and breaks the
+    hash."""
+    import glob as globmod
+    import shutil
+
+    from datalake_backend_spark.sources.versioned import VersionedTable
+    from datalake_backend_spark.streaming.pipeline import start_versioned_sink
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    warehouse = os.path.join(repo_root, "spark-warehouse")
+    base = os.path.join(
+        warehouse,
+        f"r96_vs_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    _sweep_stale_fixtures(warehouse, "r96_vs_")
+    shutil.rmtree(base, ignore_errors=True)
+    try:
+        ev.where(F.col("event_id") <= mid).coalesce(1).write.parquet(f"{base}/src/b1")
+        ev.where(F.col("event_id") > mid).coalesce(1).write.parquet(f"{base}/src/b2")
+        for i, d in enumerate(["b1", "b2"]):
+            for f in globmod.glob(f"{base}/src/{d}/part-*.parquet"):
+                os.utime(f, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/src/b*")
+        )
+        q = start_versioned_sink(
+            stream,
+            f"{base}/tbl",
+            f"{base}/ck",
+            transform=lambda b: b.where(F.pmod("event_id", F.lit(7)) != 0),
+        )
+        q.awaitTermination()
+        tbl = VersionedTable(f"{base}/tbl")
+        assert [m["op"] for m in tbl.history()] == ["append", "append"]
+        out = (
+            tbl.read(spark)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("user_id").alias("n_users"),
+                dec_sum("value").alias("sum_value"),
+            )
+        )
+        out = out.localCheckpoint()  # materialize before the fixture dies
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+R96_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events WHERE event_id % 7 <> 0
+GROUP BY event_type
+"""
+
+
+def r97_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance driver check (`dbs.operators
+    .incremental.rollup_state`/`merge_rollup_state`/`finalize_rollup`):
+    events arrive as THREE disjoint batches (event_id mod 3); each
+    batch aggregates to per-key state in isolation, states fold
+    pairwise (merge(merge(s0, s1), s2)), and the finalized metrics
+    must be bit-identical to a single-pass aggregate over everything —
+    counts/sums add, min/max fold, the decimal sum keeps the float
+    total order-independent. The gold-zone update pattern that
+    replaces the reference's rescan-everything-per-upload."""
+    from datalake_backend_spark.operators.incremental import (
+        finalize_rollup,
+        merge_rollup_state,
+        rollup_state,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    states = [
+        rollup_state(
+            ev.where(F.pmod("event_id", F.lit(3)) == i),
+            ["event_type"],
+            ["value"],
+        )
+        for i in range(3)
+    ]
+    merged = merge_rollup_state(
+        merge_rollup_state(states[0], states[1], ["event_type"]),
+        states[2],
+        ["event_type"],
+    )
+    return finalize_rollup(merged, ["value"]).select(
+        "event_type",
+        "value_n",
+        F.col("value_sum").cast("double").alias("value_sum"),
+        "value_min",
+        "value_max",
+        "value_avg",
+    )
+
+
+R97_SQL = """
+SELECT event_type,
+       COUNT(value) AS value_n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum,
+       MIN(value) AS value_min,
+       MAX(value) AS value_max,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value)
+         AS value_avg
+FROM events GROUP BY event_type
+"""
+
+
+def r98_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC round-trip driver check (`dbs.operators.merge
+    .apply_changelog` ∘ `snapshot_diff(include_values=True)`): r87's
+    synthetic old/new snapshots produce a self-contained changelog,
+    and replaying it onto OLD must reproduce NEW exactly — the
+    downstream-replica consumption pattern for a change data feed.
+    The DuckDB twin aggregates the NEW snapshot directly; a changelog
+    that misses a delete, carries a stale value, or double-applies an
+    insert shifts the per-bucket sums and breaks the hash."""
+    from datalake_backend_spark.operators.merge import (
+        apply_changelog,
+        snapshot_diff,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    old = orders.where(F.pmod(F.col("o_orderkey"), F.lit(7)) != 3).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = orders.where(F.pmod(F.col("o_orderkey"), F.lit(5)) != 4).select(
+        "o_orderkey",
+        F.when(
+            F.pmod(F.col("o_orderkey"), F.lit(3)) == 0,
+            F.col("o_totalprice") * 2,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    changelog = snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice"], include_values=True
+    )
+    applied = apply_changelog(old, changelog, ["o_orderkey"])
+    return applied.groupBy(
+        F.pmod("o_orderkey", F.lit(10)).alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        dec_sum("o_totalprice").alias("sum_price"),
+    )
+
+
+R98_SQL = """
+SELECT o_orderkey % 10 AS bucket, COUNT(*) AS n,
+       CAST(SUM(CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                          ELSE o_totalprice END AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_price
+FROM orders WHERE o_orderkey % 5 <> 4
+GROUP BY o_orderkey % 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry — two tiers.
 #
@@ -4943,6 +5118,13 @@ QUERIES: dict[str, QuerySpec] = {
     "r95_streaming_dedup": QuerySpec(
         r95_streaming_dedup, R95_SQL, "streaming-dedup-watermark"
     ),
+    "r96_versioned_sink": QuerySpec(
+        r96_versioned_sink, R96_SQL, "streaming-lakehouse-sink,exactly-once"
+    ),
+    "r97_incremental_rollup": QuerySpec(
+        r97_incremental_rollup, R97_SQL, "incremental-view-maintenance"
+    ),
+    "r98_cdc_apply": QuerySpec(r98_cdc_apply, R98_SQL, "cdc-apply,merge"),
 }
 
 #: exactly the driver's correctness window — asserted in tests

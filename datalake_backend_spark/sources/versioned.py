@@ -122,6 +122,7 @@ class VersionedTable:
         mode: str = "overwrite",
         op: str | None = None,
         max_retries: int = 5,
+        metadata: dict | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot and publish it atomically.
 
@@ -143,12 +144,20 @@ class VersionedTable:
         # over the just-written files is metadata-cheap (footer stats)
         num_rows = df.sparkSession.read.parquet(abs_dir).count()
 
+        schema_json = json.loads(df.schema.json())
         for _ in range(max_retries):
             head = self.latest_version()
             version = (head or 0) + 1
+            mixed = False
             if mode == "append" and head is not None:
-                dirs = self.manifest(head)["dirs"] + [rel_dir]
-                total = self.manifest(head)["num_rows"] + num_rows
+                prev = self.manifest(head)
+                dirs = prev["dirs"] + [rel_dir]
+                total = prev["num_rows"] + num_rows
+                # schema evolution: appending a widened/changed schema
+                # flags the snapshot so reads merge parquet footers
+                mixed = prev.get("mixed_schema", False) or (
+                    prev.get("schema") != schema_json
+                )
             else:
                 dirs = [rel_dir]
                 total = num_rows
@@ -158,7 +167,13 @@ class VersionedTable:
                 "ts": time.time(),
                 "dirs": dirs,
                 "num_rows": total,
-                "schema": json.loads(df.schema.json()),
+                "schema": schema_json,
+                # snapshot spans data dirs with differing schemas →
+                # reads must merge footers (schema evolution)
+                "mixed_schema": mixed,
+                # caller-supplied commit tags (e.g. a streaming epoch id
+                # for replay-idempotent sinks)
+                "metadata": metadata or {},
             }
             try:
                 # atomic create-exclusive: the commit point. On an
@@ -182,7 +197,12 @@ class VersionedTable:
             raise FileNotFoundError(
                 f"version {man['version']} was vacuumed: missing {missing}"
             )
-        return spark.read.parquet(*paths)
+        reader = spark.read
+        if man.get("mixed_schema"):
+            # only evolved snapshots pay the footer-merge cost; a
+            # homogeneous table stays on the single-footer fast path
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
     # ----------------------------------------------- table mutations
     def merge(

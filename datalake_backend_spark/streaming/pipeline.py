@@ -196,6 +196,56 @@ def start_silver_sink(
     )
 
 
+def versioned_epoch_commit(tbl, batch: DataFrame, epoch_id: int, transform=None) -> bool:
+    """Append ``batch`` to ``tbl`` as an epoch-tagged snapshot commit,
+    unless that epoch is already in the commit log (replay). Returns
+    whether a commit happened — the exactly-once core of
+    :func:`start_versioned_sink`, exposed for direct testing."""
+    committed = {
+        m.get("metadata", {}).get("epoch")
+        for m in tbl.history()
+        if m.get("metadata")
+    }
+    if epoch_id in committed:
+        return False
+    out = transform(batch) if transform else batch
+    tbl.commit(out, mode="append", metadata={"epoch": epoch_id})
+    return True
+
+
+def start_versioned_sink(
+    df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    transform=None,
+) -> StreamingQuery:
+    """Streaming sink into a :class:`~datalake_backend_spark.sources
+    .versioned.VersionedTable`: every micro-batch appends one SNAPSHOT
+    commit tagged with its (checkpointed, replay-stable) epoch id.
+
+    foreachBatch is at-least-once; exactly-once comes from the commit
+    log itself — a replayed epoch finds its id already tagged on a
+    committed manifest and skips, so the retry is a metadata no-op
+    instead of a double-append (the same idea as Delta's txn/appId
+    dedup). Unlike :func:`start_silver_sink`'s epoch-partitioned
+    layout, readers here get a clean schema (no ``_epoch`` column),
+    snapshot isolation while the stream is live, and time travel to
+    any micro-batch boundary."""
+    from datalake_backend_spark.sources.versioned import VersionedTable
+
+    tbl = VersionedTable(table_path)
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        versioned_epoch_commit(tbl, batch, epoch_id, transform)
+
+    return (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -208,3 +208,47 @@ def test_interval_union_merges_overlap(spark):
     }
     assert got["a"] == (30, 2, 40)
     assert got["b"] == (100, 1, 100)
+
+
+def test_incremental_rollup_merge_equals_full(spark):
+    """Folding per-batch states in any order equals the single-pass
+    aggregate, including NULL values (counted out) and keys that
+    appear in only one batch."""
+    from datalake_backend_spark.operators.incremental import (
+        finalize_rollup,
+        merge_rollup_state,
+        rollup_state,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", 1.5), ("a", None), ("a", -2.25), ("b", 4.0),
+        ("b", 0.125), ("c", 7.75), ("d", None),
+    ]
+    df = spark.createDataFrame(rows, "k string, v double").withColumn(
+        "i", F.monotonically_increasing_id()
+    )
+    full = {
+        r.k: r
+        for r in finalize_rollup(
+            rollup_state(df, ["k"], ["v"]), ["v"]
+        ).collect()
+    }
+    parts = [
+        rollup_state(df.where(F.pmod("i", F.lit(3)) == i), ["k"], ["v"])
+        for i in range(3)
+    ]
+    left = merge_rollup_state(
+        merge_rollup_state(parts[0], parts[1], ["k"]), parts[2], ["k"]
+    )
+    right = merge_rollup_state(
+        parts[2], merge_rollup_state(parts[1], parts[0], ["k"]), ["k"]
+    )
+    for merged in (left, right):
+        got = {r.k: r for r in finalize_rollup(merged, ["v"]).collect()}
+        assert set(got) == set(full)
+        for k in full:
+            for c in ("v_n", "v_sum", "v_min", "v_max", "v_avg"):
+                assert got[k][c] == full[k][c], (k, c)
+    # d has only NULLs: state exists, count 0, no avg
+    assert full["d"].v_n == 0 and full["d"].v_avg is None

@@ -112,3 +112,40 @@ def test_scd2_idempotent_reapply(spark):
     once = scd2_apply(current, changes, ["id"], ["attr"], ts=F.lit(t1))
     twice = scd2_apply(once, changes, ["id"], ["attr"], ts=F.lit(t1))
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_cdc_roundtrip_reproduces_new_snapshot(spark):
+    """apply_changelog(old, snapshot_diff(old, new, include_values))
+    == new, exactly — inserts, updates, deletes, null-value updates,
+    and untouched rows all covered."""
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.operators.merge import (
+        apply_changelog,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        # 1 unchanged, 2 updated, 3 null→value, 4 deleted, 5 inserted,
+        # 6 inserted with null value
+        [(1, "a", 10.0), (2, "B", 99.0), (3, "c", 3.5),
+         (5, "e", 50.0), (6, "f", None)],
+        "k int, s string, v double",
+    )
+    ch = snapshot_diff(old, new, ["k"], ["s", "v"], include_values=True)
+    ops = {r.k: r.op for r in ch.collect()}
+    assert ops == {2: "update", 3: "update", 4: "delete",
+                   5: "insert", 6: "insert"}
+    applied = apply_changelog(old, ch, ["k"])
+    assert {tuple(r) for r in applied.collect()} == {
+        tuple(r) for r in new.collect()
+    }
+    # empty changelog is the identity
+    empty = ch.where(F.lit(False))
+    assert {tuple(r) for r in apply_changelog(old, empty, ["k"]).collect()} == {
+        tuple(r) for r in old.collect()
+    }

@@ -159,3 +159,76 @@ def test_history_records_ops_and_counts(spark, tbl):
     assert [m["op"] for m in hist] == ["overwrite", "merge", "delete"]
     assert [m["num_rows"] for m in hist] == [2, 3, 2]
     assert [m["version"] for m in hist] == [1, 2, 3]
+
+
+def test_streaming_versioned_sink_exactly_once(spark, tmp_path):
+    """Two micro-batches land as two epoch-tagged commits; replaying an
+    epoch is a metadata no-op (no new version, no duplicate rows)."""
+    import glob
+    import os
+
+    from datalake_backend_spark.streaming.pipeline import (
+        start_versioned_sink,
+        versioned_epoch_commit,
+    )
+    from datalake_backend_spark.sources.versioned import VersionedTable
+
+    src = str(tmp_path / "src")
+    for i, name in enumerate(["b1", "b2"]):
+        spark.createDataFrame(
+            [(i * 10 + j, f"v{i}") for j in range(5)], "key int, val string"
+        ).coalesce(1).write.parquet(f"{src}/{name}")
+        for f in glob.glob(f"{src}/{name}/part-*.parquet"):
+            os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("key int, val string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+    tpath = str(tmp_path / "tbl")
+    q = start_versioned_sink(stream, tpath, str(tmp_path / "ck"))
+    q.awaitTermination()
+
+    tbl = VersionedTable(tpath)
+    hist = tbl.history()
+    assert [m["op"] for m in hist] == ["append", "append"]
+    assert sorted(m["metadata"]["epoch"] for m in hist) == [0, 1]
+    assert tbl.read(spark).count() == 10
+    # snapshot at the first micro-batch boundary (time travel)
+    assert tbl.read(spark, version=1).count() == 5
+
+    # replay epoch 0: skipped, no new version
+    batch0 = spark.read.parquet(f"{src}/b1")
+    assert versioned_epoch_commit(tbl, batch0, 0) is False
+    assert tbl.latest_version() == 2
+    assert tbl.read(spark).count() == 10
+    # a genuinely new epoch commits
+    assert versioned_epoch_commit(tbl, batch0, 7) is True
+    assert tbl.read(spark).count() == 15
+
+
+def test_schema_evolution_on_append(spark, tbl):
+    """Appending a widened schema flags the snapshot; reads merge
+    footers so old rows null-fill the new column. Earlier versions and
+    a later overwrite stay on the single-schema fast path."""
+    tbl.commit(_mk(spark, [(1, "a"), (2, "b")]))
+    wide = spark.createDataFrame(
+        [(3, "c", 7.5)], "key int, val string, score double"
+    )
+    v2 = tbl.commit(wide, mode="append")
+    assert tbl.manifest(v2)["mixed_schema"] is True
+    got = {(r.key, r.val, r.score) for r in tbl.read(spark, v2).collect()}
+    assert got == {(1, "a", None), (2, "b", None), (3, "c", 7.5)}
+    # time travel to v1: original two-column schema
+    assert tbl.read(spark, 1).columns == ["key", "val"]
+    assert tbl.manifest(1).get("mixed_schema") is False
+    # append with the SAME wide schema keeps the flag (dirs still mixed)
+    v3 = tbl.commit(
+        spark.createDataFrame([(4, "d", 1.0)], wide.schema), mode="append"
+    )
+    assert tbl.manifest(v3)["mixed_schema"] is True
+    assert tbl.read(spark, v3).count() == 4
+    # overwrite resets to a homogeneous snapshot
+    v4 = tbl.commit(wide)
+    assert tbl.manifest(v4)["mixed_schema"] is False
