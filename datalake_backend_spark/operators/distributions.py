@@ -72,3 +72,26 @@ def top_k_per_group(
         .where(F.col("_rn") <= k)
         .withColumnRenamed("_rn", "rank")
     )
+
+
+def approx_distinct_rollup(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Cardinality rollup with BOTH the exact count and the HLL++
+    sketch estimate (``approx_count_distinct``), per key.
+
+    At 100 TB the sketch is the operator of record: it carries O(1)
+    state per group instead of a distinct-set shuffle, merges
+    register-wise (commutative/associative → deterministic regardless
+    of partitioning), and composes with incremental state tables
+    (operators/incremental.py) where exact COUNT(DISTINCT) cannot be
+    merged at all. The exact twin here exists to measure the sketch:
+    r99 asserts the estimate lands within the configured error band,
+    which a wrong-register merge or hash change would break."""
+    return df.groupBy(*keys).agg(
+        F.countDistinct(value_col).alias("n_exact"),
+        F.approx_count_distinct(value_col, rsd).alias("n_approx"),
+    )

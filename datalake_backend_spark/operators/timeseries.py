@@ -135,3 +135,57 @@ def interval_union(
         F.count("*").alias("n_islands"),
         (F.max("_ie") - F.min("_is")).alias("span"),
     )
+
+
+def gap_fill(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str,
+    step: int,
+    value_col: str,
+    agg=None,
+) -> DataFrame:
+    """Regularize an irregular per-key series onto a fixed grid with
+    forward fill: bucket observations to ``floor(t/step)*step``
+    (``time_col`` is integral epoch micros), aggregate one value per
+    occupied tick (``agg``, default ``max``), generate each key's full
+    tick range with ``sequence()``, left-join observations, and
+    forward-fill misses with ``last(..., ignorenulls)`` over the
+    ordered key window. Output: keys, ``tick``, filled ``value``,
+    ``was_observed``.
+
+    Scale shape: the grid explode materializes only (key × ticks) —
+    never data × data; the bucket aggregate, grid join, and fill
+    window all partition on the key, so AQE coalesces them onto one
+    exchange chain. The fill window is per-key ordered — fine as long
+    as a single key's tick span fits a task (time-bound it with a
+    coarser ``step`` or key-splitting for multi-year series).
+    """
+    agg = agg or F.max
+    tick = (F.floor(F.col(time_col) / step) * step).cast("long")
+    obs = (
+        df.withColumn("tick", tick)
+        .groupBy(*keys, "tick")
+        .agg(agg(value_col).alias("_v"))
+    )
+    spans = obs.groupBy(*keys).agg(
+        F.min("tick").alias("_t0"), F.max("tick").alias("_t1")
+    )
+    grid = spans.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("_t0"), F.col("_t1"), F.lit(step).cast("long"))
+        ).alias("tick"),
+    )
+    joined = grid.join(obs, [*keys, "tick"], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("tick")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *keys,
+        "tick",
+        F.last("_v", ignorenulls=True).over(w).alias("value"),
+        F.col("_v").isNotNull().alias("was_observed"),
+    )

@@ -4905,6 +4905,85 @@ GROUP BY o_orderkey % 10
 """
 
 
+def r99_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch driver check (`dbs.operators.distributions
+    .approx_distinct_rollup`): per-type distinct-user cardinality via
+    the mergeable sketch must land within 5% of the exact count
+    (rsd=0.02 → ~2σ margin). The sketch value itself is engine-
+    specific, so the oracle pins the EXACT counts plus the accuracy
+    verdict (constant TRUE): a broken register merge or an estimate
+    drifting out of band flips the boolean and fails the row. The
+    scale story: sketch state is O(1) per group and merges
+    associatively — COUNT(DISTINCT) at 100 TB is a distinct-set
+    shuffle; the sketch is a map-side-combinable aggregate."""
+    from datalake_backend_spark.operators.distributions import (
+        approx_distinct_rollup,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    agg = approx_distinct_rollup(ev, ["event_type"], "user_id", rsd=0.02)
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("within_5pct"),
+    )
+
+
+R99_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_5pct
+FROM events GROUP BY event_type
+"""
+
+
+def r100_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill driver check (`dbs.operators.timeseries
+    .gap_fill`): each user's event stream regularizes onto an hourly
+    grid — per-tick max(value) where observed, forward-filled
+    otherwise, plus the observed flag. The DuckDB twin builds the same
+    grid with range() and fills with last_value IGNORE NULLS; a
+    missing tick, an off-by-one bucket floor, or a fill that reads
+    through an observation all change rows and break the hash. Sums
+    are not involved — every output value is an exact max carried
+    forward, so doubles compare bit-exactly."""
+    from datalake_backend_spark.operators.timeseries import gap_fill
+
+    step = 3_600_000_000  # 1 hour in micros
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), "value"
+    )
+    return gap_fill(ev, ["user_id"], "t", step, "value")
+
+
+R100_SQL = """
+WITH obs AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT) AS tick,
+         MAX(value) AS v
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, MIN(tick) AS t0, MAX(tick) AS t1 FROM obs GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(range(t0, t1 + 3600000000, 3600000000)) AS tick
+  FROM spans
+),
+j AS (
+  SELECT g.user_id, g.tick, o.v
+  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.tick = o.tick
+)
+SELECT user_id, tick,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY tick
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       v IS NOT NULL AS was_observed
+FROM j
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry — two tiers.
 #
@@ -5125,6 +5204,10 @@ QUERIES: dict[str, QuerySpec] = {
         r97_incremental_rollup, R97_SQL, "incremental-view-maintenance"
     ),
     "r98_cdc_apply": QuerySpec(r98_cdc_apply, R98_SQL, "cdc-apply,merge"),
+    "r99_approx_distinct": QuerySpec(
+        r99_approx_distinct, R99_SQL, "sketch-hll-distinct"
+    ),
+    "r100_gap_fill": QuerySpec(r100_gap_fill, R100_SQL, "W-gap-fill,timeseries"),
 }
 
 #: exactly the driver's correctness window — asserted in tests

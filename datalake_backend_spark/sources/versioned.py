@@ -57,6 +57,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflict(RuntimeError):
@@ -237,12 +238,27 @@ class VersionedTable:
         )
 
     # ------------------------------------------------- maintenance
-    def compact(self, spark: SparkSession, target_bytes: int = 128 << 20) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_bytes: int = 128 << 20,
+        zorder_by: tuple | None = None,
+        zorder_bits: int = 16,
+    ) -> int:
         """OPTIMIZE: rewrite the current snapshot into ~target-size
         files (metadata-identical rows). Partition count derives from
         on-disk bytes of the current snapshot's files, so a table built
         from thousands of streaming micro-batch files collapses to a
-        scan-efficient layout."""
+        scan-efficient layout.
+
+        ``zorder_by=(x_col, y_col)`` additionally range-partitions and
+        sorts the rewrite by the Morton interleave of the two (integer,
+        pre-quantized) columns — ``OPTIMIZE ... ZORDER BY``: every
+        output file covers a compact (x, y) rectangle, so parquet
+        min/max statistics prune files for predicates on EITHER
+        dimension. Verified by the clustering test, which checks that
+        per-file min/max ranges of both dims shrink vs the unsorted
+        layout."""
         man = self.manifest()
         total_bytes = 0
         for d in man["dirs"]:
@@ -253,7 +269,22 @@ class VersionedTable:
                     if f.endswith(".parquet")
                 )
         n_parts = max(1, -(-total_bytes // target_bytes))  # ceil div
-        df = self.read(spark).coalesce(int(n_parts))
+        df = self.read(spark)
+        if zorder_by is not None:
+            from datalake_backend_spark.core.geometry import zorder_key
+
+            x, y = zorder_by
+            df = (
+                df.withColumn(
+                    "_zkey",
+                    zorder_key(F.col(x), F.col(y), bits=zorder_bits),
+                )
+                .repartitionByRange(int(n_parts), "_zkey")
+                .sortWithinPartitions("_zkey")
+                .drop("_zkey")
+            )
+        else:
+            df = df.coalesce(int(n_parts))
         return self.commit(df, op="compact")
 
     def vacuum(self, retain_last: int = 2) -> list[str]:

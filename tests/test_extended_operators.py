@@ -252,3 +252,28 @@ def test_incremental_rollup_merge_equals_full(spark):
                 assert got[k][c] == full[k][c], (k, c)
     # d has only NULLs: state exists, count 0, no avg
     assert full["d"].v_n == 0 and full["d"].v_avg is None
+
+
+def test_approx_distinct_partition_invariant(spark):
+    """HLL++ registers merge with max — the estimate must be identical
+    under any partitioning, and within the error band of exact."""
+    from datalake_backend_spark.operators.distributions import (
+        approx_distinct_rollup,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 7).cast("string").alias("k"),
+        (F.pmod(F.hash("id"), F.lit(3000))).alias("v"),
+    )
+    a = {
+        r.k: (r.n_exact, r.n_approx)
+        for r in approx_distinct_rollup(df.repartition(1), ["k"], "v").collect()
+    }
+    b = {
+        r.k: (r.n_exact, r.n_approx)
+        for r in approx_distinct_rollup(df.repartition(16), ["k"], "v").collect()
+    }
+    assert a == b
+    for k, (exact, approx) in a.items():
+        assert abs(approx - exact) <= 0.05 * exact, (k, exact, approx)

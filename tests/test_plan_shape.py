@@ -232,3 +232,32 @@ def test_upsert_scans_each_side_once(spark, tmp_path):
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 2, plan
     got = {r.key: (r.seg, r.bal) for r in out.collect()}
     assert got == {1: ("a", 1.0), 2: ("b", 9.0), 3: ("c", 3.0)}
+
+
+def test_dynamic_partition_pruning_on_partitioned_zone(spark, tmp_path):
+    """A date-partitioned fact joined to a selectively-filtered dim
+    must plan a dynamic partition pruning subquery — at 100 TB this is
+    the difference between scanning 3 partitions and 3000. Locks in
+    that zone tables partitioned by ingest date keep DPP eligible."""
+    fact_path = str(tmp_path / "fact")
+    n_days = 20
+    fact = spark.range(0, 20_000).select(
+        F.col("id"),
+        (F.col("id") % n_days).cast("int").alias("day"),
+        (F.col("id") % 100).cast("double").alias("v"),
+    )
+    fact.write.partitionBy("day").parquet(fact_path)
+    dim = spark.range(0, n_days).select(
+        F.col("id").cast("int").alias("day"),
+        F.when(F.col("id") < 3, "hot").otherwise("cold").alias("tier"),
+    )
+    j = (
+        spark.read.parquet(fact_path)
+        .join(dim.where(F.col("tier") == "hot"), "day")
+        .groupBy("day")
+        .agg(F.sum("v").alias("s"))
+    )
+    plan = plan_of(j)
+    assert re.search(r"dynamicpruning", plan, re.I), plan
+    # and it actually returns only the 3 hot days
+    assert j.count() == 3

@@ -72,3 +72,34 @@ def test_month_not_folded_from_week(spark):
     # week-only chain cannot produce a month level
     with pytest.raises(ValueError):
         hierarchical_rollup(ev, ("week", "month"), key_cols=["k"])
+
+
+def test_gap_fill_forward_fills_and_flags(spark):
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.operators.timeseries import gap_fill
+
+    rows = [
+        # key a: ticks 0 and 30 observed; 10,20 filled from 0
+        ("a", 5, 1.5), ("a", 7, 9.0), ("a", 33, 4.0),
+        # key b: single tick
+        ("b", 12, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = {
+        (r.k, r.tick): (r.value, r.was_observed)
+        for r in gap_fill(df, ["k"], "t", 10, "v").collect()
+    }
+    assert got == {
+        ("a", 0): (9.0, True),   # max(1.5, 9.0) in bucket 0
+        ("a", 10): (9.0, False),
+        ("a", 20): (9.0, False),
+        ("a", 30): (4.0, True),
+        ("b", 10): (7.0, True),
+    }
+    # alternative aggregate: min instead of max
+    got_min = {
+        (r.k, r.tick): r.value
+        for r in gap_fill(df, ["k"], "t", 10, "v", agg=F.min).collect()
+    }
+    assert got_min[("a", 0)] == 1.5 and got_min[("a", 20)] == 1.5

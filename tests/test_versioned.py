@@ -232,3 +232,52 @@ def test_schema_evolution_on_append(spark, tbl):
     # overwrite resets to a homogeneous snapshot
     v4 = tbl.commit(wide)
     assert tbl.manifest(v4)["mixed_schema"] is False
+
+
+def test_compact_zorder_clusters_both_dims(spark, tbl):
+    """OPTIMIZE ... ZORDER BY: after a z-ordered compaction each file
+    covers a compact (x, y) rectangle — the sum of per-file ranges on
+    BOTH dimensions is far below the scattered layout's, which is what
+    makes min/max file skipping work for either predicate."""
+    import glob
+
+    n = 64
+    df = (
+        spark.range(0, n * n)
+        .select(
+            (F.col("id") % n).cast("int").alias("x"),
+            (F.col("id") / n).cast("int").alias("y"),
+        )
+        .repartition(8)  # scatter: every file spans ~the full x/y range
+    )
+    tbl.commit(df)
+
+    def mean_file_area(version):
+        """Average (x-span × y-span) rectangle a file's min/max stats
+        cover — the quantity min/max pruning works against."""
+        areas = []
+        for d in tbl.manifest(version)["dirs"]:
+            for f in glob.glob(f"{tbl.path}/{d}/part-*.parquet"):
+                agg = (
+                    spark.read.parquet(f)
+                    .agg(
+                        F.min("x"), F.max("x"), F.min("y"), F.max("y")
+                    )
+                    .first()
+                )
+                areas.append((agg[1] - agg[0] + 1) * (agg[3] - agg[2] + 1))
+        return sum(areas) / len(areas), len(areas)
+
+    a0, nf0 = mean_file_area(1)
+    v = tbl.compact(spark, target_bytes=4 << 10, zorder_by=("x", "y"))
+    assert tbl.read(spark, v).count() == n * n
+    # same multiset of rows
+    assert (
+        tbl.read(spark, v).exceptAll(tbl.read(spark, 1)).count() == 0
+    )
+    a1, nf1 = mean_file_area(v)
+    assert len(tbl.manifest(v)["dirs"]) == 1 and nf1 > 1
+    # scattered files each cover ~the whole 64×64 grid; z-ordered
+    # files must cover much smaller rectangles (joint pruning wins)
+    assert a0 > 0.9 * n * n  # scatter baseline really was unclustered
+    assert a1 < a0 / 2.5, (a0, a1, nf0, nf1)
