@@ -4996,14 +4996,18 @@ FROM j
 # the custom joins, and the real-codec path. Keys keep their original
 # numbers (gaps are intentional).
 #
-# RESERVE (r02–r68, 36 entries): queries whose SURVEY §2 operators are
+# RESERVE (r02–r99, 50 entries): queries whose SURVEY §2 operators are
 # ALSO exercised by a primary row (e.g. r07 change-count → W1 inside
-# q47; r10/r11 sessionize → q48/q52; r20 exact dedup → q49/q73; r24/
-# r28 cosine/top-k → q29/q63/q82). Renamed q→r so they sort after the
-# primary tier under BOTH insertion and lexicographic order; they
+# q47; r10/r11 sessionize → q48/q52; r20 exact dedup → q73; r24/
+# r28/r29 cosine/top-k → q62/q63/q82). Renamed q→r so they sort after
+# the primary tier under BOTH insertion and lexicographic order; they
 # remain fully oracle-checked by tools/check_oracle.py and the local
-# test suite. Mapping: rNN was qNN in earlier rounds (r65/r68 etc.
-# were primary through round 4 and rotated out in round 5).
+# test suite. Mapping: rNN was qNN in earlier rounds (r65/r68 were
+# primary through round 4; r29/r40/r49/r64 through the first half of
+# round 5). r87–r99 (+ r100, which SORTS just after r09) are new
+# round-5 operators: those with the broadest new surface (time travel
+# q91, audio codec q94, streaming dedup q95, versioned sink q96) were
+# promoted into the window in the second round-5 rotation.
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_SQL, "A8,A13,F17,S-scan"),
@@ -5014,9 +5018,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q23_lang_distribution": QuerySpec(q23_lang_distribution, Q23_SQL, "text-langid,A13"),
     "q26_minhash_near_dup": QuerySpec(q26_minhash_near_dup, Q26_SQL, "dedup-minhash-lsh"),
     "q27_simhash_near_dup": QuerySpec(q27_simhash_near_dup, Q27_SQL, "dedup-simhash"),
-    "q29_lsh_topk": QuerySpec(q29_lsh_topk, Q29_SQL, "similarity-lsh"),
     "q34_asof_join": QuerySpec(q34_asof_join, Q34_SQL, "J-asof (custom operator)"),
-    "q40_salted_agg": QuerySpec(q40_salted_agg, Q40_SQL, "A-skew-salting"),
     "q45_range_join": QuerySpec(q45_range_join, Q45_SQL, "J-range (custom operator)"),
     "q46_hierarchical_rollup": QuerySpec(
         q46_hierarchical_rollup, Q46_SQL, "hypertable-rollup,A13"
@@ -5027,9 +5029,6 @@ QUERIES: dict[str, QuerySpec] = {
         "pipeline-vehicle,E1,P2,F2,F4,F5,F6,F7,A1,A10,A11,W1,W3,W4,W6",
     ),
     "q48_state_sessions": QuerySpec(q48_state_sessions, Q48_SQL, "W7-state"),
-    "q49_media_dedup": QuerySpec(
-        q49_media_dedup, Q49_SQL, "multimodal,dedup-exact"
-    ),
     "q51_people_pipeline": QuerySpec(
         q51_people_pipeline, Q51_SQL, "pipeline-people,E2,E3,A10,W5,F16"
     ),
@@ -5065,7 +5064,6 @@ QUERIES: dict[str, QuerySpec] = {
         q62_embedding_near_dup, _q62_sql(), "dedup-embedding,similarity-lsh"
     ),
     "q63_ivf_ann": QuerySpec(q63_ivf_ann, Q63_SQL, "similarity-ivf,A15"),
-    "q64_upsert_merge": QuerySpec(q64_upsert_merge, Q64_SQL, "merge-upsert"),
     "q66_streaming_sessions": QuerySpec(
         q66_streaming_sessions, Q66_SQL, "streaming-sessions,W7"
     ),
@@ -5130,6 +5128,23 @@ QUERIES: dict[str, QuerySpec] = {
     "q86_event_funnel": QuerySpec(
         q86_event_funnel, Q86_SQL, "funnel-analysis,conditional-min-cascade"
     ),
+    # Round 5 second rotation: the versioned-lakehouse, audio-codec,
+    # and streaming-dedup surfaces earn driver-green rows; q29/q40/
+    # q49/q64 moved to reserve (each operator family keeps another
+    # window row: LSH→q62, skew→r88's salted join + q40's twin r40,
+    # media fingerprint→q75's codec row, upsert→q91 merges through it).
+    "q91_time_travel": QuerySpec(
+        r91_time_travel, R91_SQL, "lakehouse-time-travel,snapshot-isolation"
+    ),
+    "q94_audio_decode_stats": QuerySpec(
+        r94_audio_decode_stats, R94_SQL, "multimodal-audio-codec"
+    ),
+    "q95_streaming_dedup": QuerySpec(
+        r95_streaming_dedup, R95_SQL, "streaming-dedup-watermark"
+    ),
+    "q96_versioned_sink": QuerySpec(
+        r96_versioned_sink, R96_SQL, "streaming-lakehouse-sink,exactly-once"
+    ),
     # ----- reserve tier (rNN was qNN; see the registry comment) -----
     "r02_shipping_priority": QuerySpec(q02_shipping_priority, Q02_SQL, "J1,A1,O1"),
     "r03_local_supplier_volume": QuerySpec(q03_local_supplier_volume, Q03_SQL, "J1,J2"),
@@ -5137,6 +5152,9 @@ QUERIES: dict[str, QuerySpec] = {
     "r06_mode_event_type": QuerySpec(q06_mode_event_type, Q06_SQL, "A10,O4"),
     "r07_change_count": QuerySpec(q07_change_count, Q07_SQL, "W1"),
     "r09_error_duration": QuerySpec(q09_error_duration, Q09_SQL, "W3"),
+    # "r100" sorts here lexicographically ('0' < '_'): the dict stays
+    # sorted under string order, which the window test asserts
+    "r100_gap_fill": QuerySpec(r100_gap_fill, R100_SQL, "W-gap-fill,timeseries"),
     "r10_sessionize": QuerySpec(q10_sessionize, Q10_SQL, "W7"),
     "r11_session_summary": QuerySpec(q11_session_summary, Q11_SQL, "W7,A13"),
     "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),
@@ -5151,6 +5169,7 @@ QUERIES: dict[str, QuerySpec] = {
     "r24_cosine_threshold": QuerySpec(q24_cosine_threshold, Q24_SQL, "similarity-cosine"),
     "r25_jaccard_pairs": QuerySpec(q25_jaccard_pairs, Q25_SQL, "dedup-ngram-jaccard"),
     "r28_ann_topk": QuerySpec(q28_ann_topk, Q28_SQL, "similarity-topk"),
+    "r29_lsh_topk": QuerySpec(q29_lsh_topk, Q29_SQL, "similarity-lsh"),
     "r30_json_extract": QuerySpec(q30_json_extract, Q30_SQL, "F9,F19"),
     "r31_pivot": QuerySpec(q31_pivot, Q31_SQL, "A13-pivot"),
     "r32_rollup_totals": QuerySpec(q32_rollup_totals, Q32_SQL, "A8-rollup"),
@@ -5160,6 +5179,7 @@ QUERIES: dict[str, QuerySpec] = {
     "r37_union_distinct": QuerySpec(q37_union_distinct, Q37_SQL, "U-union,U1"),
     "r38_percentiles": QuerySpec(q38_percentiles, Q38_SQL, "A13-quantiles"),
     "r39_timeseries": QuerySpec(q39_timeseries, Q39_SQL, "W8-timeseries,A13"),
+    "r40_salted_agg": QuerySpec(q40_salted_agg, Q40_SQL, "A-skew-salting"),
     "r41_small_quantity_revenue": QuerySpec(
         q41_small_quantity_revenue, Q41_SQL, "correlated-subquery,W6"
     ),
@@ -5168,9 +5188,13 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r43_cube_totals": QuerySpec(q43_cube_totals, Q43_SQL, "A8-cube"),
     "r44_running_total": QuerySpec(q44_running_total, Q44_SQL, "W-running"),
+    "r49_media_dedup": QuerySpec(
+        q49_media_dedup, Q49_SQL, "multimodal,dedup-exact"
+    ),
     "r50_state_session_summary": QuerySpec(
         q50_state_session_summary, Q50_SQL, "W7-state,A13"
     ),
+    "r64_upsert_merge": QuerySpec(q64_upsert_merge, Q64_SQL, "merge-upsert"),
     "r65_normalized_fingerprint": QuerySpec(
         q65_normalized_fingerprint, Q65_SQL, "text-normalize,text-fingerprint"
     ),
@@ -5184,21 +5208,9 @@ QUERIES: dict[str, QuerySpec] = {
     "r90_interval_union": QuerySpec(
         r90_interval_union, R90_SQL, "W-interval-union,gaps-islands"
     ),
-    "r91_time_travel": QuerySpec(
-        r91_time_travel, R91_SQL, "lakehouse-time-travel,snapshot-isolation"
-    ),
     "r92_change_feed": QuerySpec(r92_change_feed, R92_SQL, "lakehouse-cdf,merge"),
     "r93_table_history": QuerySpec(
         r93_table_history, R93_SQL, "lakehouse-commit-log"
-    ),
-    "r94_audio_decode_stats": QuerySpec(
-        r94_audio_decode_stats, R94_SQL, "multimodal-audio-codec"
-    ),
-    "r95_streaming_dedup": QuerySpec(
-        r95_streaming_dedup, R95_SQL, "streaming-dedup-watermark"
-    ),
-    "r96_versioned_sink": QuerySpec(
-        r96_versioned_sink, R96_SQL, "streaming-lakehouse-sink,exactly-once"
     ),
     "r97_incremental_rollup": QuerySpec(
         r97_incremental_rollup, R97_SQL, "incremental-view-maintenance"
@@ -5207,7 +5219,6 @@ QUERIES: dict[str, QuerySpec] = {
     "r99_approx_distinct": QuerySpec(
         r99_approx_distinct, R99_SQL, "sketch-hll-distinct"
     ),
-    "r100_gap_fill": QuerySpec(r100_gap_fill, R100_SQL, "W-gap-fill,timeseries"),
 }
 
 #: exactly the driver's correctness window — asserted in tests

@@ -37,6 +37,8 @@ def test_primary_tier_fills_driver_window():
         [f"q{n}" for n in range(51, 61)]  # domain pipelines
         + ["q47", "q66", "q73", "q74", "q75"]
         + [f"q{n}" for n in range(76, 87)]  # round-5 rotation: new ops
+        # second round-5 rotation: lakehouse + audio + streaming dedup
+        + ["q91", "q94", "q95", "q96"]
     )
     for prefix in must_have:
         assert any(k.startswith(prefix + "_") for k in primary), prefix
