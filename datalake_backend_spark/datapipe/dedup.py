@@ -691,3 +691,49 @@ def dedup_lines(
         ).alias(text_col),
         F.count("*").alias("n_lines"),
     )
+
+
+def fuzzy_join_levenshtein(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 3,
+) -> DataFrame:
+    """Fuzzy self-join: all pairs (``id_a < id_b``) whose strings are
+    within ``max_dist`` edits (exact Levenshtein) — entity-resolution
+    for names/titles/labels.
+
+    Candidate generation is a length-band equi-join: one side explodes
+    each string's length into the ``2·d+1`` admissible partner lengths
+    (|len(a) − len(b)| > d forces distance > d, so banding is
+    COMPLETE — no pair within threshold can be missed), then the exact
+    distance verifies candidates only. Never an all-pairs cross join.
+
+    Skew note: the band key is the raw length, so a corpus where most
+    strings share one length concentrates candidates on few keys; for
+    such data compose with `operators/skew.py:salted_join` or upgrade
+    the blocker to PassJoin-style partition signatures (segment
+    pigeonhole) — the verify stage is unchanged.
+    """
+    s = F.col(text_col)
+    left = df.select(
+        F.col(id_col).alias("id_a"),
+        s.alias("_sa"),
+        F.explode(
+            F.sequence(
+                F.length(s) - max_dist, F.length(s) + max_dist
+            )
+        ).alias("_band"),
+    )
+    right = df.select(
+        F.col(id_col).alias("id_b"),
+        s.alias("_sb"),
+        F.length(s).alias("_band"),
+    )
+    return (
+        left.join(right, "_band")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("_sa", "_sb"))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

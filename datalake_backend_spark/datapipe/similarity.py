@@ -287,3 +287,116 @@ def dequantize_embeddings(
             lambda c: F.col("q_lo") + c.cast("double") * F.col("q_scale"),
         ),
     )
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split every vector into ``m``
+    contiguous subvectors and train an independent KMeans codebook of
+    ``k`` centroids per subspace (distributed pyspark.ml fit per
+    subspace, deterministic seed). Returns ``codebooks[m][k][subdim]``.
+
+    PQ is the storage tier below IVF: codes are ``m`` bytes per vector
+    (vs ``4·dim`` for float32), so a 100 TB embedding corpus scans as
+    ~m/(4·dim) of its raw bytes, and distance evaluation against a
+    query is table lookups instead of float dot products."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(df.select(_as_double_array(vec_col).alias("v")).first().v)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    v = _as_double_array(vec_col)
+    codebooks = []
+    for i in range(m):
+        feat = df.select(
+            array_to_vector(F.slice(v, i * sub + 1, sub)).alias("_fv")
+        )
+        model = KMeans(k=k, seed=seed + i, featuresCol="_fv").fit(feat)
+        codebooks.append([list(map(float, c)) for c in model.clusterCenters()])
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Assign every subvector to its nearest codebook centroid:
+    ``(id, array<int> of m codes)``. Arrow-vectorized over the batch
+    (one argmin per subspace via numpy einsum) — map-only, no
+    shuffle."""
+    import pandas as pd
+
+    cb = np.array(codebooks)  # m × k × sub
+    m, _k, sub = cb.shape
+
+    @F.pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64).reshape(m, 1, sub)
+            d = ((x - cb) ** 2).sum(axis=2)  # m × k
+            out.append(d.argmin(axis=1).astype("int32").tolist())
+        return pd.Series(out)
+
+    return df.select(
+        id_col, encode(_as_double_array(vec_col)).alias(out_col)
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: precompute per-subspace
+    lookup tables of ``dot(query_sub, centroid)`` and ``|centroid|²``,
+    broadcast-join them to the exploded codes, and score
+    ``Σdot / (|q|·sqrt(Σ|c|²))`` — the cosine between the query and the
+    RECONSTRUCTED vector, evaluated entirely from the tiny LUT (the
+    float vectors are never read). One broadcast join + one key
+    aggregate; the LUT is m·k rows regardless of corpus size."""
+    cb = np.array(codebooks)
+    m, kk, sub = cb.shape
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.sqrt((q ** 2).sum()))
+    qs = q.reshape(m, sub)
+    lut_rows = [
+        (
+            i,
+            c,
+            float(qs[i] @ cb[i, c]),
+            float((cb[i, c] ** 2).sum()),
+        )
+        for i in range(m)
+        for c in range(kk)
+    ]
+    spark = codes_df.sparkSession
+    lut = spark.createDataFrame(
+        lut_rows, "sub int, code int, dot double, n2 double"
+    )
+    exploded = codes_df.select(
+        id_col, F.posexplode(codes_col).alias("sub", "code")
+    )
+    scored = (
+        exploded.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("dot").alias("_d"), F.sum("n2").alias("_n"))
+        .select(
+            id_col,
+            (F.col("_d") / (qn * F.sqrt(F.col("_n")))).alias("pq_cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("pq_cosine"), id_col).limit(k)

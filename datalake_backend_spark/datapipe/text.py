@@ -371,3 +371,49 @@ def tfidf_top_terms(
         .where(F.col("_rn") <= k)
         .select(id_col, "term", "tfidf")
     )
+
+
+def corpus_frequency_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_max_df: int = 2,
+) -> DataFrame:
+    """Per-document fluency proxy from corpus statistics alone: how
+    "familiar" a document's vocabulary is to the corpus it lives in —
+    the integer-exact cousin of a unigram language-model logprob
+    (avoided here because cross-engine ``ln`` differs in the last ulp
+    and would poison value hashes).
+
+    Output per doc: ``n_tokens``, ``mean_tf`` (mean corpus frequency
+    of the doc's tokens, double from one exact int÷int), and
+    ``rare_ratio`` (share of tokens whose corpus frequency ≤
+    ``rare_max_df`` — gibberish and OCR noise score high, boilerplate
+    scores low).
+
+    Scale shape: one explode + one token-count aggregate + one join of
+    exploded tokens against the vocabulary table. Stopwords make the
+    token key skewed — the vocabulary side is the SMALL side, so it is
+    broadcast when it fits (AQE skew-join covers the shuffle fallback
+    for web-scale vocabularies); the per-doc re-aggregate is keyed by
+    doc id, which is uniform.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok")
+    ).where(F.col("_tok") != "")
+    vocab = toks.groupBy("_tok").agg(F.count("*").alias("_tf"))
+    scored = (
+        toks.join(F.broadcast(vocab), "_tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("_tf").alias("_sum_tf"),
+            F.sum((F.col("_tf") <= rare_max_df).cast("long")).alias("_n_rare"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        (F.col("_sum_tf") / F.col("n_tokens")).cast("double").alias("mean_tf"),
+        (F.col("_n_rare") / F.col("n_tokens")).cast("double").alias("rare_ratio"),
+    )

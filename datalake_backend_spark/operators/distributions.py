@@ -95,3 +95,46 @@ def approx_distinct_rollup(
         F.countDistinct(value_col).alias("n_exact"),
         F.approx_count_distinct(value_col, rsd).alias("n_approx"),
     )
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """ANALYZE-style column profile: one output row per column with
+    row count, null count, distinct count, and min/max rendered as
+    strings — the table-health snapshot every ingest zone wants after
+    a load, and the input to partition/broadcast planning decisions.
+
+    Scale shape: a SINGLE aggregate pass computes every per-column
+    statistic at once (one job, map-side partials; distinct counts are
+    exact here — swap in approx_count_distinct at web scale), then one
+    ``stack`` unpivots the 1-row result into the per-column layout —
+    no per-column scans, no driver loop over columns.
+    """
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            # aggregate on the NATIVE type, render afterwards — casting
+            # first would make numeric min/max lexicographic ("99">"499")
+            F.min(c).cast("string").alias(f"{c}__mn"),
+            F.max(c).cast("string").alias(f"{c}__mx"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in cols
+    )
+    return one.select(
+        F.col("_rows").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, n_nonnull, n_distinct, min_str, max_str)"
+        ),
+    ).select(
+        "column",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_nonnull")).alias("n_nulls"),
+        "n_distinct",
+        "min_str",
+        "max_str",
+    )

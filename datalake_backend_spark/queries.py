@@ -4984,6 +4984,136 @@ FROM j
 """
 
 
+def r101_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN driver check (`dbs.datapipe.similarity
+    .pq_train`/`pq_encode`/`pq_topk`): train per-subspace KMeans
+    codebooks, compress every embedding to m=8 one-byte codes, and
+    answer top-12 by asymmetric distance — broadcast LUT join + key
+    aggregate; the float vectors are never read at query time. Rows-
+    only check (KMeans codebooks are not SQL-expressible — same status
+    as the driver contract allows for iterative algorithms);
+    determinism comes from seeded training and (score, id) ordering,
+    and quality bounds are pinned by
+    tests/test_datapipe.py::test_pq_encode_topk_recall (recall ≥ 0.5
+    vs exact at m=8/k=16, query vector always recovered)."""
+    from datalake_backend_spark.datapipe.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 1)
+    cbs = pq_train(emb, m=8, k=16)
+    codes = pq_encode(emb, cbs)
+    return pq_topk(codes, cbs, q, k=12).select(
+        "vec_id", F.round("pq_cosine", 4).alias("pq_cosine_r")
+    )
+
+
+def r102_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string-join driver check (`dbs.datapipe.dedup
+    .fuzzy_join_levenshtein`): every part-name pair within 3 edits,
+    found via the COMPLETE length-band candidate join (never
+    all-pairs) and verified with exact Levenshtein. The DuckDB twin
+    computes the same pairs with its native levenshtein() over an
+    inequality join, so a band that silently drops an admissible
+    length or a distance disagreement between engines breaks the
+    hash."""
+    from datalake_backend_spark.datapipe.dedup import fuzzy_join_levenshtein
+
+    parts = (
+        table(spark, sf_dir, "part")
+        .where(F.pmod("p_partkey", F.lit(20)) == 0)
+        .select(F.col("p_partkey").alias("doc_id"), F.col("p_name").alias("text"))
+    )
+    return fuzzy_join_levenshtein(parts, max_dist=3).select(
+        "id_a", "id_b", "dist"
+    )
+
+
+R102_SQL = """
+WITH p AS (
+  SELECT p_partkey, p_name FROM part WHERE p_partkey % 20 = 0
+)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM p a JOIN p b
+  ON a.p_partkey < b.p_partkey
+ AND abs(length(a.p_name) - length(b.p_name)) <= 3
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+def r103_corpus_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality scorer driver check (`dbs.datapipe
+    .text.corpus_frequency_score`): per-document mean corpus term
+    frequency and rare-token ratio — the integer-exact stand-in for a
+    unigram LM logprob (cross-engine ``ln`` differs in the last ulp,
+    so the score is built from counts only; every ratio is one exact
+    int÷int). The DuckDB twin rebuilds the vocabulary with the same
+    whitespace tokenization; a doc/vocab join that drops or
+    double-counts a token shifts the ratios and breaks the hash."""
+    from datalake_backend_spark.datapipe.text import corpus_frequency_score
+
+    docs = table(spark, sf_dir, "documents")
+    return corpus_frequency_score(docs)
+
+
+R103_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+vocab AS (SELECT tok, COUNT(*) AS tf FROM t GROUP BY tok)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(tf) AS DOUBLE) / COUNT(*) AS mean_tf,
+       CAST(SUM(CASE WHEN tf <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS rare_ratio
+FROM t JOIN vocab USING (tok)
+GROUP BY doc_id
+"""
+
+
+def r104_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile driver check (`dbs.operators.distributions
+    .profile_table`): ANALYZE-style per-column row/null/distinct
+    counts and min/max (as strings) for the documents table, computed
+    in ONE aggregate pass + stack unpivot (no per-column scans). The
+    DuckDB twin recomputes each column's stats directly; columns are
+    restricted to bigint/varchar so the string rendering of min/max is
+    engine-identical."""
+    from datalake_backend_spark.operators.distributions import profile_table
+
+    docs = table(spark, sf_dir, "documents")
+    return profile_table(docs, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+R104_SQL = """
+SELECT 'doc_id' AS "column", COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(doc_id) AS n_nulls,
+       COUNT(DISTINCT doc_id) AS n_distinct,
+       CAST(MIN(doc_id) AS VARCHAR) AS min_str,
+       CAST(MAX(doc_id) AS VARCHAR) AS max_str
+FROM documents
+UNION ALL
+SELECT 'text', COUNT(*), COUNT(*) - COUNT(text), COUNT(DISTINCT text),
+       MIN(text), MAX(text) FROM documents
+UNION ALL
+SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+       MIN(lang), MAX(lang) FROM documents
+UNION ALL
+SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+       MIN(source), MAX(source) FROM documents
+UNION ALL
+SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+       CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry — two tiers.
 #
@@ -5155,6 +5285,18 @@ QUERIES: dict[str, QuerySpec] = {
     # "r100" sorts here lexicographically ('0' < '_'): the dict stays
     # sorted under string order, which the window test asserts
     "r100_gap_fill": QuerySpec(r100_gap_fill, R100_SQL, "W-gap-fill,timeseries"),
+    "r101_pq_topk": QuerySpec(
+        r101_pq_topk, None, "similarity-pq,ann-compression"
+    ),
+    "r102_fuzzy_join": QuerySpec(
+        r102_fuzzy_join, R102_SQL, "J-fuzzy-levenshtein,entity-resolution"
+    ),
+    "r103_corpus_frequency": QuerySpec(
+        r103_corpus_frequency, R103_SQL, "text-quality,unigram-familiarity"
+    ),
+    "r104_table_profile": QuerySpec(
+        r104_table_profile, R104_SQL, "profile-analyze,table-stats"
+    ),
     "r10_sessionize": QuerySpec(q10_sessionize, Q10_SQL, "W7"),
     "r11_session_summary": QuerySpec(q11_session_summary, Q11_SQL, "W7,A13"),
     "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),

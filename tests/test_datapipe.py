@@ -807,3 +807,69 @@ def test_resize_images_real_resample(spark):
     assert bytes(out[3].payload)[:2] == b"BM"
     assert (decode_image(bytes(out[3].payload)) == small).all()
     assert out[3].meta.width == 2 and out[3].meta.codec == "bmp"
+
+
+def test_pq_encode_topk_recall(spark):
+    """Product quantization: codes are m small ints; ADC top-k over
+    codes alone recalls most of the exact top-k; scores are valid
+    cosines of reconstructed vectors."""
+    from datalake_backend_spark.datapipe.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    q = emb.where("vec_id = 1").first().embedding
+    q = [float(x) for x in q]
+
+    m, k = 8, 16
+    cbs = pq_train(emb, m=m, k=k)
+    assert len(cbs) == m and all(len(c) == k for c in cbs)
+    codes = pq_encode(emb, cbs)
+    first = codes.first()
+    assert len(first.pq_codes) == m
+    assert all(0 <= c < k for c in first.pq_codes)
+
+    topk = 10
+    got = pq_topk(codes, cbs, q, k=topk).collect()
+    assert len(got) == topk
+    assert all(-1.000001 <= r.pq_cosine <= 1.000001 for r in got)
+    exact = {
+        r.vec_id for r in brute_force_topk(emb, q, topk).collect()
+    }
+    recall = len({r.vec_id for r in got} & exact) / topk
+    assert recall >= 0.5, (recall, n)
+    # the query vector itself must be in the PQ top-k (it quantizes to
+    # its own centroids, which dominate the reconstructed cosine)
+    assert 1 in {r.vec_id for r in got}
+
+
+def test_fuzzy_join_levenshtein(spark):
+    """Length banding is complete for the threshold; exact distances
+    verified; pairs beyond the band never even become candidates."""
+    from datalake_backend_spark.datapipe.dedup import fuzzy_join_levenshtein
+
+    rows = [
+        (1, "spark"), (2, "sparc"),        # dist 1, same length
+        (3, "sparks"),                     # dist 1 to spark (len +1)
+        (4, "park"),                       # dist 1 to spark (len -1)
+        (5, "flink"),                      # dist 4 to spark
+        (6, "a completely different one"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_join_levenshtein(df, max_dist=2).collect()
+    }
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(1, 4)] == 1
+    assert (1, 5) not in got and (1, 6) not in got
+    assert got[(2, 3)] == 2  # sparc→sparks
+    # threshold 4 picks up flink↔spark
+    wide = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_join_levenshtein(df, max_dist=4).collect()
+    }
+    assert wide[(1, 5)] == 4

@@ -277,3 +277,19 @@ def test_approx_distinct_partition_invariant(spark):
     assert a == b
     for k, (exact, approx) in a.items():
         assert abs(approx - exact) <= 0.05 * exact, (k, exact, approx)
+
+
+def test_profile_table_single_pass(spark):
+    """Per-column stats from ONE aggregate job; numeric min/max must
+    be numeric (not lexicographic) before rendering."""
+    from datalake_backend_spark.operators.distributions import profile_table
+
+    df = spark.createDataFrame(
+        [(9, "a", None), (499, "b", 1.5), (99, None, 2.5)],
+        "k int, s string, v double",
+    )
+    prof = {r.column: r for r in profile_table(df).collect()}
+    assert prof["k"].n_rows == 3 and prof["k"].n_nulls == 0
+    assert prof["k"].min_str == "9" and prof["k"].max_str == "499"
+    assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+    assert prof["v"].min_str == "1.5" and prof["v"].max_str == "2.5"
