@@ -5114,6 +5114,78 @@ FROM documents
 """
 
 
+def r105_streaming_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view driver check (`dbs.streaming
+    .pipeline.start_incremental_rollup_sink`): the events feed drains
+    in two micro-batches; each folds its per-type aggregate state into
+    a versioned state table (exactly-once via epoch-tagged commits).
+    The FINAL snapshot, finalized to metrics, must be bit-identical to
+    a single-pass aggregate over the source — a dropped batch, a
+    double-merge on replay, or a non-mergeable statistic breaks the
+    hash. The composition of incremental view maintenance (r97),
+    the versioned commit log (q96), and decimal-exact sums."""
+    import glob as globmod
+    import shutil
+
+    from datalake_backend_spark.operators.incremental import finalize_rollup
+    from datalake_backend_spark.sources.versioned import VersionedTable
+    from datalake_backend_spark.streaming.pipeline import (
+        start_incremental_rollup_sink,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    warehouse = os.path.join(repo_root, "spark-warehouse")
+    base = os.path.join(
+        warehouse,
+        f"r105_mv_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    _sweep_stale_fixtures(warehouse, "r105_mv_")
+    shutil.rmtree(base, ignore_errors=True)
+    try:
+        ev.where(F.col("event_id") <= mid).coalesce(1).write.parquet(f"{base}/src/b1")
+        ev.where(F.col("event_id") > mid).coalesce(1).write.parquet(f"{base}/src/b2")
+        for i, d in enumerate(["b1", "b2"]):
+            for f in globmod.glob(f"{base}/src/{d}/part-*.parquet"):
+                os.utime(f, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/src/b*")
+        )
+        q = start_incremental_rollup_sink(
+            stream, f"{base}/tbl", f"{base}/ck", ["event_type"], ["value"]
+        )
+        q.awaitTermination()
+        tbl = VersionedTable(f"{base}/tbl")
+        assert [m["op"] for m in tbl.history()] == ["rollup-merge"] * 2
+        out = finalize_rollup(tbl.read(spark), ["value"]).select(
+            "event_type",
+            "value_n",
+            F.col("value_sum").cast("double").alias("value_sum"),
+            "value_min",
+            "value_max",
+            "value_avg",
+        )
+        out = out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+R105_SQL = """
+SELECT event_type,
+       COUNT(value) AS value_n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum,
+       MIN(value) AS value_min,
+       MAX(value) AS value_max,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value)
+         AS value_avg
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry — two tiers.
 #
@@ -5296,6 +5368,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r104_table_profile": QuerySpec(
         r104_table_profile, R104_SQL, "profile-analyze,table-stats"
+    ),
+    "r105_streaming_matview": QuerySpec(
+        r105_streaming_matview, R105_SQL,
+        "streaming-materialized-view,incremental-view-maintenance",
     ),
     "r10_sessionize": QuerySpec(q10_sessionize, Q10_SQL, "W7"),
     "r11_session_summary": QuerySpec(q11_session_summary, Q11_SQL, "W7,A13"),

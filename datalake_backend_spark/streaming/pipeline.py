@@ -246,6 +246,58 @@ def start_versioned_sink(
     )
 
 
+def start_incremental_rollup_sink(
+    df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    keys: list[str],
+    value_cols: list[str],
+) -> StreamingQuery:
+    """Streaming MATERIALIZED VIEW: maintain a per-key aggregate STATE
+    table (`operators/incremental.py`) under a stream.
+
+    Each micro-batch aggregates alone (`rollup_state`) and merges into
+    the current state snapshot (`merge_rollup_state`), committed as a
+    new `VersionedTable` version tagged with the epoch id — replays
+    skip via the commit log, so the view is exactly-once; readers get
+    a consistent snapshot at every micro-batch boundary and can time
+    travel to any earlier one. The merge shuffles only the two small
+    STATE tables, never re-scans stream history — the streaming twin
+    of the reference's reaggregate-everything-per-upload gold step."""
+    from datalake_backend_spark.operators.incremental import (
+        merge_rollup_state,
+        rollup_state,
+    )
+    from datalake_backend_spark.sources.versioned import VersionedTable
+
+    tbl = VersionedTable(table_path)
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        committed = {
+            m.get("metadata", {}).get("epoch")
+            for m in tbl.history()
+            if m.get("metadata")
+        }
+        if epoch_id in committed:
+            return
+        bstate = rollup_state(batch, keys, value_cols)
+        if tbl.latest_version() is not None:
+            bstate = merge_rollup_state(
+                tbl.read(batch.sparkSession), bstate, keys
+            )
+        tbl.commit(
+            bstate, mode="overwrite", op="rollup-merge",
+            metadata={"epoch": epoch_id},
+        )
+
+    return (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -281,3 +281,56 @@ def test_compact_zorder_clusters_both_dims(spark, tbl):
     # files must cover much smaller rectangles (joint pruning wins)
     assert a0 > 0.9 * n * n  # scatter baseline really was unclustered
     assert a1 < a0 / 2.5, (a0, a1, nf0, nf1)
+
+
+def test_streaming_matview_state_and_replay(spark, tmp_path):
+    """The incremental-rollup sink folds batch states across epochs;
+    each version is a consistent snapshot (time travel shows the
+    first-batch-only state) and replaying a committed epoch is a
+    no-op."""
+    import glob
+    import os
+
+    from datalake_backend_spark.operators.incremental import finalize_rollup
+    from datalake_backend_spark.sources.versioned import VersionedTable
+    from datalake_backend_spark.streaming.pipeline import (
+        start_incremental_rollup_sink,
+    )
+
+    src = str(tmp_path / "src")
+    b1 = [("a", 1.0), ("a", 3.0), ("b", 10.0)]
+    b2 = [("a", 5.0), ("c", 7.0)]
+    for i, (name, rows) in enumerate([("b1", b1), ("b2", b2)]):
+        spark.createDataFrame(rows, "k string, v double").coalesce(
+            1
+        ).write.parquet(f"{src}/{name}")
+        for f in glob.glob(f"{src}/{name}/part-*.parquet"):
+            os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+    stream = (
+        spark.readStream.schema("k string, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+    tpath = str(tmp_path / "tbl")
+    q = start_incremental_rollup_sink(
+        stream, tpath, str(tmp_path / "ck"), ["k"], ["v"]
+    )
+    q.awaitTermination()
+
+    tbl = VersionedTable(tpath)
+    final = {
+        r.k: (r.v_n, float(r.v_sum), r.v_min, r.v_max, r.v_avg)
+        for r in finalize_rollup(tbl.read(spark), ["v"]).collect()
+    }
+    assert final == {
+        "a": (3, 9.0, 1.0, 5.0, 3.0),
+        "b": (1, 10.0, 10.0, 10.0, 10.0),
+        "c": (1, 7.0, 7.0, 7.0, 7.0),
+    }
+    # time travel: version 1 is the first batch's state alone
+    v1 = {
+        r.k: (r.v_n, float(r.v_sum))
+        for r in tbl.read(spark, version=1).collect()
+    }
+    assert v1 == {"a": (2, 4.0), "b": (1, 10.0)}
+    assert [m["metadata"]["epoch"] for m in tbl.history()] == [0, 1]
