@@ -175,3 +175,107 @@ def test_cluster_near_dups_matches_union_find(spark, edges):
         for r in cluster_near_dups(df, star_after=0).collect()
     }
     assert star == want
+
+
+@given(
+    st.integers(1, 40),   # frames
+    st.integers(1, 3),    # channels
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_roundtrip_property(frames, ch, rate, seed):
+    """encode_wav → decode_wav is the identity for any int16 content,
+    channel count, and rate."""
+    import numpy as np
+
+    from datalake_backend_spark.datapipe.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32767, size=(frames, ch), dtype=np.int16)
+    arr, got_rate = decode_wav(encode_wav(samples, rate))
+    assert got_rate == rate
+    assert arr.shape == (frames, ch)
+    assert (arr == samples).all()
+
+
+@given(st.integers(1, 12), st.integers(1, 10), st.integers(0, 2**32 - 1))
+@settings(max_examples=25, deadline=None)
+def test_image_codec_roundtrip_property(w, h, seed):
+    """PPM and BMP byte codecs are exact inverses for any pixel
+    content and any dims (including widths needing BMP row padding)."""
+    import numpy as np
+
+    from datalake_backend_spark.datapipe.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_image(encode_ppm(img)) == img).all()
+    assert (decode_image(encode_bmp(img)) == img).all()
+
+
+@given(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1))
+@settings(max_examples=50, deadline=None)
+def test_zorder_key_is_injective_and_bounded(x, y):
+    """Morton interleave: exact round-trip (deinterleave recovers x, y)
+    and the key stays within 32 bits for 16-bit inputs."""
+    def spread(v):
+        v &= 0xFFFF
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    z = spread(x) | (spread(y) << 1)
+
+    def unspread(v):
+        v &= 0x55555555
+        v = (v | (v >> 1)) & 0x33333333
+        v = (v | (v >> 2)) & 0x0F0F0F0F
+        v = (v | (v >> 4)) & 0x00FF00FF
+        v = (v | (v >> 8)) & 0x0000FFFF
+        return v
+
+    assert unspread(z) == x and unspread(z >> 1) == y
+    assert z < 2**32
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.text("ab", max_size=2),
+                  st.one_of(st.none(), st.floats(-10, 10, allow_nan=False))),
+        max_size=12,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 15), st.text("ab", max_size=2),
+                  st.one_of(st.none(), st.floats(-10, 10, allow_nan=False))),
+        max_size=12,
+    ),
+)
+@settings(max_examples=15, deadline=None)
+def test_cdc_roundtrip_property(spark, old_rows, new_rows):
+    """apply_changelog(old, snapshot_diff(old, new, include_values))
+    == new for ARBITRARY keyed frames (dedup by key first — snapshots
+    are keyed tables)."""
+    from datalake_backend_spark.operators.merge import (
+        apply_changelog,
+        snapshot_diff,
+    )
+
+    dd = lambda rows: {k: (k, s, v) for k, s, v in rows}
+    old = list(dd(old_rows).values())
+    new = list(dd(new_rows).values())
+    schema = "k int, s string, v double"
+    odf = spark.createDataFrame(old, schema) if old else spark.createDataFrame([], schema)
+    ndf = spark.createDataFrame(new, schema) if new else spark.createDataFrame([], schema)
+    ch = snapshot_diff(odf, ndf, ["k"], ["s", "v"], include_values=True)
+    applied = {tuple(r) for r in apply_changelog(odf, ch, ["k"]).collect()}
+    assert applied == {tuple(r) for r in ndf.collect()}
