@@ -1,13 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side contract — schemas, partition-aware ``mapInPandas``
-plumbing, Arrow batch shapes — is real and tested, and so is the image
-codec: :func:`decode_image` is a dependency-free byte-level PPM (P6)
-parser (header tokenizer + ``numpy.frombuffer``), with
-:func:`encode_ppm` as its inverse. Payloads that are not a supported
-image format (e.g. video containers, or the opaque stand-in payloads
-the dedup flow fingerprints) fall back to content-hash features —
-decode never silently fakes pixel data.
+plumbing, Arrow batch shapes — is real and tested, and so are the
+codecs, all dependency-free byte-level parsers: images
+(:func:`decode_image`: PPM P6 + 24-bit BMP), audio
+(:func:`decode_wav`: RIFF/WAVE PCM s16le), and video
+(:func:`decode_video_frame`: the RAWV concatenated-frame container,
+with true per-frame seeking). RAWV stands in for mp4/h264 — whose
+decoders aren't in this environment — with identical Spark-side
+plumbing. Payloads in none of these formats fall back to content-hash
+features — decode never silently fakes pixel data.
 
 Scale notes: media bytes stay in a ``binary`` column co-located with
 metadata (one table, no URI-chasing joins); feature extraction is an
@@ -580,3 +582,144 @@ def sample_frames(
     return df.select(
         id_col, F.explode(offsets).alias("frame_ms"), F.col("meta")
     )
+
+
+def encode_rawvideo(frames: np.ndarray, fps: int) -> bytes:
+    """Minimal raw-video container ("RAWV"): 20-byte header (magic,
+    n_frames, height, width, fps as little-endian u32) + concatenated
+    uncompressed RGB frames. A REAL byte-level format this engine can
+    parse end-to-end — the video twin of :func:`encode_ppm` /
+    :func:`encode_wav` — standing in for containers whose decoders
+    (mp4/h264) aren't available in this environment; the Spark-side
+    plumbing (schema, Arrow batches, frame seeking) is identical."""
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError("encode_rawvideo expects (n, h, w, 3)")
+    n, h, w, _ = frames.shape
+
+    def le(v: int) -> bytes:
+        return int(v).to_bytes(4, "little")
+
+    return (
+        b"RAWV" + le(n) + le(h) + le(w) + le(fps)
+        + frames.astype(np.uint8).tobytes()
+    )
+
+
+def decode_video_frame(payload: bytes, frame_idx: int) -> np.ndarray:
+    """Seek-decode ONE frame from a RAWV payload without touching the
+    others — what a real decoder does with keyframe seeking; the
+    operator layer samples offsets, never materializes whole videos.
+    Raises ``ValueError`` for non-RAWV payloads or out-of-range
+    frames."""
+    if len(payload) < 20 or payload[:4] != b"RAWV":
+        raise ValueError("not a RAWV payload")
+    n = int.from_bytes(payload[4:8], "little")
+    h = int.from_bytes(payload[8:12], "little")
+    w = int.from_bytes(payload[12:16], "little")
+    if not 0 <= frame_idx < n:
+        raise ValueError(f"frame {frame_idx} out of range 0..{n - 1}")
+    fsize = h * w * 3
+    start = 20 + frame_idx * fsize
+    data = payload[start : start + fsize]
+    if len(data) != fsize:
+        raise ValueError("truncated RAWV raster")
+    return np.frombuffer(data, np.uint8).reshape(h, w, 3)
+
+
+def video_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """(n_frames, height, width, fps) from a RAWV header."""
+    if len(payload) < 20 or payload[:4] != b"RAWV":
+        raise ValueError("not a RAWV payload")
+    return tuple(
+        int.from_bytes(payload[4 + 4 * i : 8 + 4 * i], "little")
+        for i in range(4)
+    )
+
+
+def synthetic_video_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL video table: ``n = 2 + id%4`` frames of
+    ``w = 4 + id%3`` × ``h = 3 + id%2`` at ``fps = 5 + id%3``, pixel
+    ``(id*31 + f*17 + r*7 + c*3 + ch*11) % 256`` — closed-form, so a
+    SQL oracle recomputes any sampled-frame statistic. Same design as
+    the image/audio synthetic tables."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["media_id"].to_numpy()
+            payloads, metas = [], []
+            for i in ids:
+                i = int(i)
+                n, w, h = 2 + i % 4, 4 + i % 3, 3 + i % 2
+                fps = 5 + i % 3
+                f = np.arange(n).reshape(n, 1, 1, 1)
+                r = np.arange(h).reshape(1, h, 1, 1)
+                c = np.arange(w).reshape(1, 1, w, 1)
+                ch = np.arange(3).reshape(1, 1, 1, 3)
+                frames = (
+                    (i * 31 + f * 17 + r * 7 + c * 3 + ch * 11) % 256
+                ).astype(np.uint8)
+                payloads.append(encode_rawvideo(frames, fps))
+                metas.append(
+                    {
+                        "mime": "video/x-raw",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": n * 1000 // fps,
+                        "codec": "rawvideo",
+                    }
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        gen, MEDIA_SCHEMA
+    )
+
+
+FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.IntegerType()),
+        T.StructField("sum_rgb", T.LongType()),
+        T.StructField("mean_rgb", T.DoubleType()),
+    ]
+)
+
+
+def sampled_frame_stats(
+    df: DataFrame,
+    every_n: int = 2,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL video decode path: for every ``every_n``-th frame of each
+    RAWV payload, seek-decode ONLY that frame and emit exact pixel
+    sums. One Arrow map stage; the explode happens over sampled frame
+    indices, never over pixels, and unsampled frames are never
+    materialized — the shape a 100 TB video corpus needs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(p)
+                n, h, w, fps = video_meta(b)
+                for fi in range(0, n, every_n):
+                    img = decode_video_frame(b, fi)
+                    s = int(img.sum(dtype=np.int64))
+                    recs.append(
+                        {
+                            "media_id": int(i),
+                            "frame_idx": fi,
+                            "n_frames": n,
+                            "fps": fps,
+                            "sum_rgb": s,
+                            "mean_rgb": s / (h * w * 3),
+                        }
+                    )
+            yield pd.DataFrame(recs)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, FRAME_STATS_SCHEMA)

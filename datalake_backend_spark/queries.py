@@ -5186,6 +5186,55 @@ FROM events GROUP BY event_type
 """
 
 
+def r106_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container driver check (`dbs.datapipe.multimodal
+    .decode_video_frame`/`sampled_frame_stats`): every documents row
+    becomes a genuine RAWV payload (length-prefixed header +
+    concatenated RGB frames) whose pixels are closed-form in
+    (id, frame, row, col, channel); the seek-decoder extracts every
+    2nd frame WITHOUT materializing the rest and emits exact pixel
+    sums. The DuckDB twin regenerates the sampled frames with
+    unnest(range(...)); a header-offset or frame-stride mistake breaks
+    the hash. Completes the codec triad: image (q75/q94's PPM/BMP),
+    audio (q94's WAV), video."""
+    from datalake_backend_spark.datapipe.multimodal import (
+        sampled_frame_stats,
+        synthetic_video_table,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return sampled_frame_stats(synthetic_video_table(docs), every_n=2)
+
+
+R106_SQL = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(2 + doc_id % 4 AS INT) AS n,
+         4 + doc_id % 3 AS w,
+         3 + doc_id % 2 AS h,
+         CAST(5 + doc_id % 3 AS INT) AS fps
+  FROM documents
+),
+fr AS (SELECT media_id, n, w, h, fps,
+              unnest(range(0, n, 2)) AS fi FROM dims),
+rs AS (SELECT media_id, n, w, h, fps, fi,
+              unnest(range(0, h)) AS r FROM fr),
+cs AS (SELECT media_id, n, w, h, fps, fi, r,
+              unnest(range(0, w)) AS c FROM rs),
+px AS (
+  SELECT media_id, n, fps, fi, w, h,
+         (media_id * 31 + fi * 17 + r * 7 + c * 3) % 256
+       + (media_id * 31 + fi * 17 + r * 7 + c * 3 + 11) % 256
+       + (media_id * 31 + fi * 17 + r * 7 + c * 3 + 22) % 256 AS v
+  FROM cs
+)
+SELECT media_id, CAST(fi AS INT) AS frame_idx, n AS n_frames, fps,
+       CAST(SUM(v) AS BIGINT) AS sum_rgb,
+       CAST(SUM(v) AS BIGINT) / CAST(w * h * 3 AS DOUBLE) AS mean_rgb
+FROM px GROUP BY media_id, fi, n, fps, w, h
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry — two tiers.
 #
@@ -5372,6 +5421,9 @@ QUERIES: dict[str, QuerySpec] = {
     "r105_streaming_matview": QuerySpec(
         r105_streaming_matview, R105_SQL,
         "streaming-materialized-view,incremental-view-maintenance",
+    ),
+    "r106_video_frame_stats": QuerySpec(
+        r106_video_frame_stats, R106_SQL, "multimodal-video-codec,frame-sampling"
     ),
     "r10_sessionize": QuerySpec(q10_sessionize, Q10_SQL, "W7"),
     "r11_session_summary": QuerySpec(q11_session_summary, Q11_SQL, "W7,A13"),

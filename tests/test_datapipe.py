@@ -873,3 +873,48 @@ def test_fuzzy_join_levenshtein(spark):
         for r in fuzzy_join_levenshtein(df, max_dist=4).collect()
     }
     assert wide[(1, 5)] == 4
+
+
+def test_rawvideo_seek_decode(spark):
+    """RAWV container: per-frame seek decode recovers exactly the
+    encoded frame without reading others; header meta round-trips;
+    malformed input raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from datalake_backend_spark.datapipe.multimodal import (
+        decode_video_frame,
+        encode_rawvideo,
+        video_meta,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(5, 4, 6, 3), dtype=np.uint8)
+    raw = encode_rawvideo(frames, fps=12)
+    assert video_meta(raw) == (5, 4, 6, 12)
+    for fi in range(5):
+        assert (decode_video_frame(raw, fi) == frames[fi]).all()
+    with _pytest.raises(ValueError):
+        decode_video_frame(raw, 5)  # out of range
+    with _pytest.raises(ValueError):
+        decode_video_frame(raw[:30], 1)  # truncated
+    with _pytest.raises(ValueError):
+        video_meta(b"nope")
+
+
+def test_sampled_frame_stats_samples_only(spark):
+    """sampled_frame_stats emits one row per SAMPLED frame (stride 2)
+    with exact sums; unsampled frames never appear."""
+    from datalake_backend_spark.datapipe.multimodal import (
+        sampled_frame_stats,
+        synthetic_video_table,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    rows = sampled_frame_stats(synthetic_video_table(docs), every_n=2).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r.frame_idx)
+    for i in range(1, 7):
+        n = 2 + i % 4
+        assert sorted(by_id[i]) == list(range(0, n, 2))
