@@ -73,10 +73,19 @@ class Engine:
         domain: str,
         out_dir: str,
         export_index: bool = False,
+        versioned_gold: bool = False,
     ) -> ProcessResult:
         """Full lifecycle for one raw detection document (or a glob of
         them): bronze → silver parquet + processed JSON → gold parquet +
         refined JSON → feature splits → optional bulk index export.
+
+        ``versioned_gold=True`` routes the gold zone through
+        :class:`~datalake_backend_spark.sources.versioned.VersionedTable`:
+        every upload commits a SNAPSHOT, so the upload history is a
+        queryable commit log — re-uploads never tear concurrent readers
+        (the reference gets coarse atomicity by overwriting whole MinIO
+        objects and readers can observe the gap), old uploads stay
+        time-travelable, and ``changes()`` diffs any two uploads.
         """
         pipe = get_pipeline(domain)
         raw = read_raw_json(self.spark, path, domain=domain)
@@ -123,14 +132,24 @@ class Engine:
         )
 
         gold = pipe.gold(silver)
-        obs_gold = Observation()
-        write_table(
-            gold.observe(obs_gold, F.count(F.lit(1)).alias("n")), zones["gold"]
-        )
-        result.gold_rows = int(obs_gold.get["n"])
-        # downstream consumers read the MATERIALIZED gold zone (cheap
-        # columnar scan) instead of recomputing the gold plan per sink
-        gold_df = self.spark.read.parquet(zones["gold"])
+        if versioned_gold:
+            from datalake_backend_spark.sources.versioned import VersionedTable
+
+            tbl = VersionedTable(zones["gold"])
+            v = tbl.commit(gold, op="upload")
+            result.gold_rows = int(tbl.manifest(v)["num_rows"])
+            gold_df = tbl.read(self.spark, v)
+        else:
+            obs_gold = Observation()
+            write_table(
+                gold.observe(obs_gold, F.count(F.lit(1)).alias("n")),
+                zones["gold"],
+            )
+            result.gold_rows = int(obs_gold.get["n"])
+            # downstream consumers read the MATERIALIZED gold zone
+            # (cheap columnar scan) instead of recomputing the gold
+            # plan per sink
+            gold_df = self.spark.read.parquet(zones["gold"])
         write_json_document(json_array_document(gold_df), zones["refine"])
 
         if domain in SPLIT_SPECS:

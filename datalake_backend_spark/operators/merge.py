@@ -19,6 +19,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _comparable_struct(df: DataFrame, cols: list[str]) -> F.Column:
+    """Struct of ``cols`` usable in equality comparisons: top-level MAP
+    columns — which Spark refuses to compare (`INVALID_ORDERING_TYPE`)
+    — are canonicalized to key-sorted entry arrays, so two maps with
+    the same pairs compare equal regardless of internal order."""
+    fields = []
+    for c in cols:
+        col = F.col(c)
+        if isinstance(df.schema[c].dataType, T.MapType):
+            col = F.sort_array(F.map_entries(col))
+        fields.append(col.alias(c))
+    return F.struct(*fields)
 
 
 def upsert(base: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -147,11 +162,13 @@ def snapshot_diff(
     ]
     o = old.select(
         *[F.col(c).alias(f"_ok_{c}") for c in key_cols],
-        F.struct(*[F.col(c) for c in compare_cols]).alias("_ov"),
+        _comparable_struct(old, compare_cols).alias("_ov"),
     )
     n = new.select(
         *[F.col(c).alias(f"_nk_{c}") for c in key_cols],
-        F.struct(*[F.col(c) for c in compare_cols]).alias("_nv"),
+        _comparable_struct(new, compare_cols).alias("_nv"),
+        # raw values (maps un-canonicalized) for include_values carriage
+        F.struct(*[F.col(c) for c in compare_cols]).alias("_nraw"),
     )
     cond = None
     for c in key_cols:
@@ -164,7 +181,9 @@ def snapshot_diff(
         .when(~F.col("_ov").eqNullSafe(F.col("_nv")), F.lit("update"))
     )  # unchanged → NULL → filtered
     value_sel = (
-        [F.col(f"_nv.{c}").alias(c) for c in compare_cols] if include_values else []
+        [F.col(f"_nraw.{c}").alias(c) for c in compare_cols]
+        if include_values
+        else []
     )
     return (
         joined.withColumn("op", op)

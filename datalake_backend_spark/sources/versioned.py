@@ -176,14 +176,23 @@ class VersionedTable:
                 # for replay-idempotent sinks)
                 "metadata": metadata or {},
             }
+            # Atomic commit point: write the FULL manifest to a temp
+            # file, then hard-link it to the final name — link() is
+            # create-exclusive AND the content is complete the instant
+            # the name appears (a bare open('x') would expose an empty
+            # file mid-write; a concurrent reader caught exactly that
+            # in the 8-writer stress test). On an object store this is
+            # a conditional PUT of the whole object.
+            tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(man, fh)
             try:
-                # atomic create-exclusive: the commit point. On an
-                # object store this is a conditional PUT.
-                with open(self._manifest_path(version), "x") as fh:
-                    json.dump(man, fh)
+                os.link(tmp, self._manifest_path(version))
                 return version
             except FileExistsError:
                 continue  # lost the race; retry against new head
+            finally:
+                os.unlink(tmp)
         raise CommitConflict(
             f"lost {max_retries} commit races at {self.path}; giving up"
         )

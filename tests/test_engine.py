@@ -96,3 +96,26 @@ def test_object_store_conf_shape(monkeypatch):
     explicit = object_store_conf(endpoint="http://other:9000", ssl=True)
     assert explicit["spark.hadoop.fs.s3a.endpoint"] == "http://other:9000"
     assert explicit["spark.hadoop.fs.s3a.connection.ssl.enabled"] == "true"
+
+
+def test_versioned_gold_upload_log(engine, spark, tmp_path):
+    """versioned_gold=True turns the gold zone into a commit log: each
+    upload is a snapshot, re-uploads stay time-travelable, and the
+    diff between two uploads of identical content is empty."""
+    from datalake_backend_spark.sources.versioned import VersionedTable
+
+    path = write_fixture(tmp_path, "vehicle")
+    out = str(tmp_path / "lake")
+    r1 = engine.process_document(path, "vehicle", out, versioned_gold=True)
+    r2 = engine.process_document(path, "vehicle", out, versioned_gold=True)
+    assert r1.status == STATUS_OK and r2.status == STATUS_OK
+    assert r1.gold_rows == r2.gold_rows == 1
+
+    tbl = VersionedTable(r2.outputs["gold"])
+    assert [m["op"] for m in tbl.history()] == ["upload", "upload"]
+    v1 = tbl.read(spark, 1)
+    v2 = tbl.read(spark, 2)
+    assert v1.count() == v2.count() == 1
+    key = v1.columns[0]
+    # identical re-upload → empty change feed between the versions
+    assert tbl.changes(spark, 1, 2, [key]).count() == 0

@@ -149,3 +149,23 @@ def test_cdc_roundtrip_reproduces_new_snapshot(spark):
     assert {tuple(r) for r in apply_changelog(old, empty, ["k"]).collect()} == {
         tuple(r) for r in old.collect()
     }
+
+
+def test_snapshot_diff_map_columns(spark):
+    """MAP compare columns are canonicalized to sorted entries: same
+    pairs in different internal order compare EQUAL; a changed value
+    still registers as an update, and include_values carries the raw
+    map through."""
+    from datalake_backend_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, {"a": 1.0, "b": 2.0}), (2, {"x": 5.0})],
+        "k int, m map<string,double>",
+    )
+    new = spark.createDataFrame(
+        [(1, {"b": 2.0, "a": 1.0}), (2, {"x": 6.0})],
+        "k int, m map<string,double>",
+    )
+    ch = snapshot_diff(old, new, ["k"], ["m"], include_values=True).collect()
+    assert {(r.k, r.op) for r in ch} == {(2, "update")}  # key 1 unchanged
+    assert dict(ch[0].m) == {"x": 6.0}

@@ -59,17 +59,11 @@ def test_commit_conflict_retries_to_next_version(spark, tbl):
 def test_commit_conflict_exhausted_raises(spark, tbl, monkeypatch):
     tbl.commit(_mk(spark, [(1, "a")]))
 
-    real_open = open
+    def racing_link(src, dst, *a, **kw):
+        # every publish attempt finds the version already taken
+        raise FileExistsError(dst)
 
-    def racing_open(path, mode="r", *a, **kw):
-        # every exclusive create finds the file already taken
-        if mode == "x":
-            raise FileExistsError(path)
-        return real_open(path, mode, *a, **kw)
-
-    import builtins
-
-    monkeypatch.setattr(builtins, "open", racing_open)
+    monkeypatch.setattr(os, "link", racing_link)
     with pytest.raises(CommitConflict):
         tbl.commit(_mk(spark, [(2, "b")]), max_retries=3)
 
@@ -334,3 +328,34 @@ def test_streaming_matview_state_and_replay(spark, tmp_path):
     }
     assert v1 == {"a": (2, 4.0), "b": (1, 10.0)}
     assert [m["metadata"]["epoch"] for m in tbl.history()] == [0, 1]
+
+
+def test_concurrent_writers_all_commits_land(spark, tbl):
+    """8 threads × 3 appends race on the commit log: optimistic
+    create-exclusive serializes them — every commit lands at a unique
+    version, no rows lost, final num_rows is the exact total."""
+    import threading
+
+    errs = []
+
+    def writer(t):
+        try:
+            for j in range(3):
+                tbl.commit(
+                    _mk(spark, [(t * 100 + j, f"w{t}")]),
+                    mode="append",
+                    max_retries=50,
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert tbl.latest_version() == 24
+    assert tbl.manifest()["num_rows"] == 24
+    got = {r.key for r in tbl.read(spark).collect()}
+    assert got == {t * 100 + j for t in range(8) for j in range(3)}
