@@ -124,12 +124,18 @@ class VersionedTable:
         op: str | None = None,
         max_retries: int = 5,
         metadata: dict | None = None,
+        partition_by: list[str] | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot and publish it atomically.
 
         ``mode='overwrite'`` → the new snapshot is exactly ``df``;
         ``mode='append'`` → the new snapshot is the previous snapshot's
         directories plus ``df``'s. Returns the committed version.
+
+        ``partition_by`` writes the data directory hive-partitioned;
+        the manifest records the scheme and reads recover the partition
+        columns (and their directory-level pruning) via ``basePath``.
+        An append must use the same scheme as the snapshot it extends.
 
         The data directory is written ONCE; only the tiny manifest
         create is retried on conflict.
@@ -140,7 +146,10 @@ class VersionedTable:
         dir_name = f"{uuid.uuid4().hex[:12]}"
         rel_dir = f"data/{dir_name}"
         abs_dir = os.path.join(self.path, rel_dir)
-        df.write.mode("error").parquet(abs_dir)
+        writer = df.write.mode("error")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(abs_dir)
         # spark doesn't report written-row counts on save(); one count
         # over the just-written files is metadata-cheap (footer stats)
         num_rows = df.sparkSession.read.parquet(abs_dir).count()
@@ -152,6 +161,12 @@ class VersionedTable:
             mixed = False
             if mode == "append" and head is not None:
                 prev = self.manifest(head)
+                if prev.get("partition_by", []) != (partition_by or []):
+                    raise ValueError(
+                        "append partition scheme "
+                        f"{partition_by or []} != snapshot's "
+                        f"{prev.get('partition_by', [])}"
+                    )
                 dirs = prev["dirs"] + [rel_dir]
                 total = prev["num_rows"] + num_rows
                 # schema evolution: appending a widened/changed schema
@@ -168,6 +183,7 @@ class VersionedTable:
                 "ts": time.time(),
                 "dirs": dirs,
                 "num_rows": total,
+                "partition_by": partition_by or [],
                 "schema": schema_json,
                 # snapshot spans data dirs with differing schemas →
                 # reads must merge footers (schema evolution)
@@ -207,12 +223,27 @@ class VersionedTable:
             raise FileNotFoundError(
                 f"version {man['version']} was vacuumed: missing {missing}"
             )
-        reader = spark.read
-        if man.get("mixed_schema"):
-            # only evolved snapshots pay the footer-merge cost; a
-            # homogeneous table stays on the single-footer fast path
-            reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*paths)
+        def reader():
+            r = spark.read
+            if man.get("mixed_schema"):
+                # only evolved snapshots pay the footer-merge cost; a
+                # homogeneous table stays on the single-footer fast path
+                r = r.option("mergeSchema", "true")
+            return r
+
+        if man.get("partition_by"):
+            # hive-partitioned dirs: each data dir is its own partition
+            # root (basePath), so partition columns are recovered and
+            # directory pruning applies per branch; the union of a few
+            # branches keeps pushdown and pruning on every one
+            dfs = [
+                reader().option("basePath", p).parquet(p) for p in paths
+            ]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d, allowMissingColumns=True)
+            return out
+        return reader().parquet(*paths)
 
     # ----------------------------------------------- table mutations
     def merge(

@@ -359,3 +359,39 @@ def test_concurrent_writers_all_commits_land(spark, tbl):
     assert tbl.manifest()["num_rows"] == 24
     got = {r.key for r in tbl.read(spark).collect()}
     assert got == {t * 100 + j for t in range(8) for j in range(3)}
+
+
+def test_partitioned_commits_prune_directories(spark, tbl):
+    """Hive-partitioned snapshots: partition columns are recovered on
+    read, a partition filter prunes at the directory level (the scan's
+    partition count shrinks), appends must match the scheme, and
+    append + time travel still work."""
+    df = spark.range(0, 400).select(
+        F.col("id").cast("int").alias("key"),
+        (F.col("id") % 4).cast("int").alias("day"),
+    )
+    tbl.commit(df, partition_by=["day"])
+    tbl.commit(
+        spark.createDataFrame([(1000, 9)], "key int, day int"),
+        mode="append",
+        partition_by=["day"],
+    )
+    full = tbl.read(spark)
+    assert set(full.columns) == {"key", "day"}
+    assert full.count() == 401
+    pruned = full.where(F.col("day") == 2)
+    assert pruned.count() == 100
+    # pruning evidence: the filtered scan touches fewer files
+    def n_files(q):
+        return q.select(
+            F.input_file_name().alias("f")
+        ).distinct().count()
+    assert n_files(pruned) < n_files(full)
+    # scheme mismatch on append is rejected
+    with pytest.raises(ValueError, match="partition scheme"):
+        tbl.commit(
+            spark.createDataFrame([(1, 1)], "key int, day int"),
+            mode="append",
+        )
+    # time travel to v1 excludes the appended partition
+    assert tbl.read(spark, 1).where(F.col("day") == 9).count() == 0
