@@ -5235,6 +5235,42 @@ FROM px GROUP BY media_id, fi, n, fps, w, h
 """
 
 
+def r107_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch driver check (KLL/GK-style
+    ``approx_percentile``): per-type p50/p95 from the mergeable sketch
+    must land inside the exact [p45,p55] / [p93,p97] quantile
+    brackets; the exact percentiles themselves (interpolated) are
+    verified bit-identical against DuckDB's quantile_cont (probed:
+    exact equality holds — both engines interpolate lower +
+    frac·(upper−lower) on doubles). Sketch state is O(1/ε) per group
+    and merges associatively — the exact percentile is a full sort per
+    group, which is the thing you cannot do per-batch at 100 TB."""
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile(value, array(0.45, 0.55, 0.93, 0.97))").alias("_br"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("_a50"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("_a95"),
+    )
+    return agg.select(
+        "event_type",
+        "p50",
+        "p95",
+        F.col("_a50").between(F.col("_br")[0], F.col("_br")[1]).alias("p50_ok"),
+        F.col("_a95").between(F.col("_br")[2], F.col("_br")[3]).alias("p95_ok"),
+    )
+
+
+R107_SQL = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       TRUE AS p50_ok, TRUE AS p95_ok
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry — two tiers.
 #
@@ -5424,6 +5460,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r106_video_frame_stats": QuerySpec(
         r106_video_frame_stats, R106_SQL, "multimodal-video-codec,frame-sampling"
+    ),
+    "r107_percentile_sketch": QuerySpec(
+        r107_percentile_sketch, R107_SQL, "sketch-quantile,A13-quantiles"
     ),
     "r10_sessionize": QuerySpec(q10_sessionize, Q10_SQL, "W7"),
     "r11_session_summary": QuerySpec(q11_session_summary, Q11_SQL, "W7,A13"),

@@ -254,12 +254,21 @@ class VersionedTable:
         from datalake_backend_spark.operators.merge import upsert
 
         base = self.read(spark)
-        return self.commit(upsert(base, updates, key_cols), op="merge")
+        return self.commit(
+            upsert(base, updates, key_cols),
+            op="merge",
+            # copy-on-write ops preserve the snapshot's partition scheme
+            partition_by=self.manifest().get("partition_by") or None,
+        )
 
     def delete_where(self, spark: SparkSession, predicate) -> int:
         """DELETE FROM ... WHERE: commits the complement snapshot."""
         base = self.read(spark)
-        return self.commit(base.where(~predicate), op="delete")
+        return self.commit(
+            base.where(~predicate),
+            op="delete",
+            partition_by=self.manifest().get("partition_by") or None,
+        )
 
     def changes(
         self,
@@ -325,7 +334,9 @@ class VersionedTable:
             )
         else:
             df = df.coalesce(int(n_parts))
-        return self.commit(df, op="compact")
+        return self.commit(
+            df, op="compact", partition_by=man.get("partition_by") or None
+        )
 
     def vacuum(self, retain_last: int = 2) -> list[str]:
         """Delete data directories referenced ONLY by versions older

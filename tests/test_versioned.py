@@ -395,3 +395,23 @@ def test_partitioned_commits_prune_directories(spark, tbl):
         )
     # time travel to v1 excludes the appended partition
     assert tbl.read(spark, 1).where(F.col("day") == 9).count() == 0
+
+
+def test_copy_on_write_preserves_partition_scheme(spark, tbl):
+    """merge / delete_where / compact on a partitioned table re-commit
+    with the SAME scheme — pruning survives every table mutation."""
+    df = spark.range(0, 60).select(
+        F.col("id").cast("int").alias("key"),
+        (F.col("id") % 3).cast("int").alias("day"),
+    )
+    tbl.commit(df, partition_by=["day"])
+    tbl.merge(
+        spark, spark.createDataFrame([(100, 0)], "key int, day int"), ["key"]
+    )
+    tbl.delete_where(spark, F.col("key") == 5)
+    v = tbl.compact(spark)
+    for ver in (2, 3, v):
+        assert tbl.manifest(ver)["partition_by"] == ["day"], ver
+    got = tbl.read(spark)
+    assert got.count() == 60  # +1 merge insert, -1 delete
+    assert got.where(F.col("day") == 1).count() == 20
