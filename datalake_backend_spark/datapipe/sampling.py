@@ -157,3 +157,50 @@ def cap_per_group(
         .where(F.col("_rn") <= cap)
         .drop("_rn1", "_rn")
     )
+
+
+def mix_to_proportions(
+    df: DataFrame,
+    source_col: str,
+    proportions: dict[str, float],
+    key_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample a multi-source corpus to target mixing proportions
+    (the Dolma/Pile source-mixing step): find the largest total ``T``
+    achievable without upsampling any source — ``T = min_s(n_s / p_s)``
+    — then keep each source at deterministic hash-fraction
+    ``f_s = p_s·T / n_s``. Sources absent from ``proportions`` are
+    dropped; the bottleneck source keeps everything (f = 1).
+
+    Counts are realized by thresholding the per-row uniform hash, so
+    achieved sizes are binomially close to the targets (exact in
+    expectation) while keeping every property of
+    :func:`hash_fraction`: reproducible across runs/engines/cluster
+    sizes, membership decided per-row with no shuffle, and stable
+    under corpus growth for rows whose source mix doesn't change.
+
+    Scale shape: ONE count aggregate over the source column (tiny
+    result, collected to compute the closed-form fractions — a scalar
+    decision, not data movement), then a pure map-stage filter.
+    """
+    if not proportions:
+        raise ValueError("proportions must be non-empty")
+    total_p = sum(proportions.values())
+    p = {s: v / total_p for s, v in proportions.items()}
+    counts = {
+        r[0]: r[1]
+        for r in df.where(F.col(source_col).isin(list(p)))
+        .groupBy(source_col)
+        .count()
+        .collect()
+    }
+    missing = [s for s in p if s not in counts]
+    if missing:
+        raise ValueError(f"sources absent from corpus: {missing}")
+    t_max = min(counts[s] / p[s] for s in p)
+    fracs = {s: (p[s] * t_max) / counts[s] for s in p}
+    keep = F.lit(0.0)
+    for s, f in fracs.items():
+        keep = F.when(F.col(source_col) == s, F.lit(float(f))).otherwise(keep)
+    return df.where(hash_fraction(key_col, salt) < keep)

@@ -5271,6 +5271,52 @@ FROM events GROUP BY event_type
 """
 
 
+#: r108 target mix — powers of two so every derived fraction is exact
+R108_MIX = {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125}
+
+
+def r108_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixing driver check (`dbs.datapipe.sampling
+    .mix_to_proportions`): downsample four sources to a 4:2:1:1 target
+    mix at the largest total that upsamples nothing (T = min n_s/p_s;
+    the bottleneck source keeps every row). Membership is the portable
+    md5 hash-fraction, so the DuckDB twin recomputes the SAME closed-
+    form fractions from its own counts and must select the identical
+    row set — count drift, a wrong bottleneck, or a different hash
+    threshold all break the per-source totals."""
+    from datalake_backend_spark.datapipe.sampling import mix_to_proportions
+
+    docs = table(spark, sf_dir, "documents")
+    kept = mix_to_proportions(docs, "source", R108_MIX, "doc_id")
+    return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
+def _r108_sql() -> str:
+    """DuckDB twin generated from the same proportion dict; fractions
+    are recomputed IN SQL from the corpus counts with the same float
+    ops/order as the Python driver code (n/p min, then (p·T)/n)."""
+    srcs = ", ".join(f"'{s}'" for s in R108_MIX)
+    pcase = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {p!r}" for s, p in R108_MIX.items()
+    ) + " END"
+    frac = (
+        "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 15))::BIGINT"
+        " / 1152921504606846976.0)"
+    )
+    return f"""
+WITH counts AS (
+  SELECT source, {pcase} AS p, COUNT(*) AS n
+  FROM documents WHERE source IN ({srcs}) GROUP BY source
+),
+tmax AS (SELECT MIN(n / p) AS t FROM counts),
+fr AS (SELECT source, (p * (SELECT t FROM tmax)) / n AS f FROM counts)
+SELECT d.source, COUNT(*) AS n_kept
+FROM documents d JOIN fr ON d.source = fr.source
+WHERE {frac} < fr.f
+GROUP BY d.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry — two tiers.
 #
@@ -5463,6 +5509,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r107_percentile_sketch": QuerySpec(
         r107_percentile_sketch, R107_SQL, "sketch-quantile,A13-quantiles"
+    ),
+    "r108_source_mixing": QuerySpec(
+        r108_source_mixing, _r108_sql(), "sampling-source-mix,curation"
     ),
     "r10_sessionize": QuerySpec(q10_sessionize, Q10_SQL, "W7"),
     "r11_session_summary": QuerySpec(q11_session_summary, Q11_SQL, "W7,A13"),

@@ -286,6 +286,16 @@ class VersionedTable:
             self.read(spark, v_from), self.read(spark, v_to), key_cols, compare_cols
         )
 
+    def create_view(
+        self, spark: SparkSession, name: str, version: int | None = None
+    ) -> None:
+        """Register a snapshot as a temp view so ``spark.sql`` can
+        query it — ``create_view(spark, "orders_v3", version=3)`` is
+        the plain-parquet spelling of ``SELECT ... FROM t VERSION AS
+        OF 3``. The view binds the manifest resolved NOW: later
+        commits don't leak in (re-register to follow the head)."""
+        self.read(spark, version).createOrReplaceTempView(name)
+
     # ------------------------------------------------- maintenance
     def compact(
         self,

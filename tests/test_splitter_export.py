@@ -73,3 +73,32 @@ def test_bulk_export_format(spark, tmp_path):
     # text source splits the embedded \n: action and source alternate
     assert json.loads(text[0])["index"]["_id"] == "1"
     assert json.loads(text[1])["vehicle_type"] == "car"
+
+
+def test_mix_to_proportions(spark):
+    """Largest no-upsample total: bottleneck source keeps all rows;
+    other sources downsample toward the target ratio; unlisted sources
+    drop; absent sources raise."""
+    import pytest as _pytest
+
+    from datalake_backend_spark.datapipe.sampling import mix_to_proportions
+    from pyspark.sql import functions as F
+
+    rows = (
+        [(i, "a") for i in range(400)]
+        + [(1000 + i, "b") for i in range(100)]
+        + [(2000 + i, "c") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # target 1:1 of a and b → T = min(400/0.5, 100/0.5) = 200
+    # → f_a = 0.25, f_b = 1.0; c unlisted → dropped
+    kept = mix_to_proportions(df, "source", {"a": 0.5, "b": 0.5}, "doc_id")
+    counts = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["b"] == 100  # bottleneck keeps everything
+    assert "c" not in counts
+    assert 60 <= counts["a"] <= 140  # ~100 expected, binomial spread
+    # deterministic: second run identical
+    again = {r.source: r.n for r in mix_to_proportions(df, "source", {"a": 0.5, "b": 0.5}, "doc_id").groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert again == counts
+    with _pytest.raises(ValueError, match="absent"):
+        mix_to_proportions(df, "source", {"a": 0.5, "zzz": 0.5}, "doc_id")

@@ -415,3 +415,16 @@ def test_copy_on_write_preserves_partition_scheme(spark, tbl):
     got = tbl.read(spark)
     assert got.count() == 60  # +1 merge insert, -1 delete
     assert got.where(F.col("day") == 1).count() == 20
+
+
+def test_create_view_binds_snapshot(spark, tbl):
+    """A registered view is pinned to the manifest at registration:
+    later commits don't leak into it; re-registering follows head."""
+    tbl.commit(_mk(spark, [(1, "a")]))
+    tbl.create_view(spark, "vt_head")
+    tbl.create_view(spark, "vt_v1", version=1)
+    tbl.commit(_mk(spark, [(2, "b"), (3, "c")]))
+    assert spark.sql("SELECT COUNT(*) n FROM vt_v1").first().n == 1
+    assert spark.sql("SELECT COUNT(*) n FROM vt_head").first().n == 1
+    tbl.create_view(spark, "vt_head")  # re-bind to new head
+    assert spark.sql("SELECT COUNT(*) n FROM vt_head").first().n == 2
