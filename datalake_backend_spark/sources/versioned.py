@@ -352,19 +352,31 @@ class VersionedTable:
         """Delete data directories referenced ONLY by versions older
         than the ``retain_last`` most recent. Retained versions (and
         any reader holding one) stay fully readable; older manifests
-        remain as history but their exclusive data is gone."""
+        remain as history but their exclusive data is gone.
+
+        Only directories that some EXPIRED manifest references are
+        candidates. A directory referenced by NO manifest is never
+        touched: it is most likely an in-flight commit that wrote data
+        but hasn't published yet, and deleting it would corrupt that
+        commit the instant its manifest lands. The cost is that debris
+        from a crashed commit needs an operator to remove — the same
+        safe trade Delta's VACUUM makes with its retention window."""
         vs = self._versions()
         if not vs:
             return []
         keep_versions = set(vs[-retain_last:]) if retain_last > 0 else set()
         live: set[str] = set()
-        for v in keep_versions:
-            live.update(self.manifest(v)["dirs"])
+        expired_refs: set[str] = set()
+        for v in vs:
+            dirs = self.manifest(v)["dirs"]
+            if v in keep_versions:
+                live.update(dirs)
+            else:
+                expired_refs.update(dirs)
         removed = []
-        if os.path.isdir(self.data_dir):
-            for d in sorted(os.listdir(self.data_dir)):
-                rel = f"data/{d}"
-                if rel not in live:
-                    shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
-                    removed.append(rel)
+        for rel in sorted(expired_refs - live):
+            target = os.path.join(self.path, rel)
+            if os.path.isdir(target):
+                shutil.rmtree(target, ignore_errors=True)
+                removed.append(rel)
         return removed

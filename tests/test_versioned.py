@@ -428,3 +428,19 @@ def test_create_view_binds_snapshot(spark, tbl):
     assert spark.sql("SELECT COUNT(*) n FROM vt_head").first().n == 1
     tbl.create_view(spark, "vt_head")  # re-bind to new head
     assert spark.sql("SELECT COUNT(*) n FROM vt_head").first().n == 2
+
+
+def test_vacuum_spares_inflight_commit_dirs(spark, tbl):
+    """A data directory with NO manifest yet (an in-flight commit that
+    wrote data but hasn't published) must survive vacuum — deleting it
+    would corrupt the commit the moment its manifest lands."""
+    tbl.commit(_mk(spark, [(1, "a")]))
+    tbl.commit(_mk(spark, [(2, "b")]))
+    tbl.commit(_mk(spark, [(3, "c")]))
+    # simulate an in-flight writer: data written, manifest not yet
+    inflight = os.path.join(tbl.data_dir, "deadbeef0000")
+    os.makedirs(inflight)
+    open(os.path.join(inflight, "part-0.parquet"), "wb").close()
+    removed = tbl.vacuum(retain_last=2)
+    assert removed  # v1's expired dir went
+    assert os.path.isdir(inflight)  # the unpublished dir did not
