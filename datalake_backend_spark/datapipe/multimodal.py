@@ -94,6 +94,123 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + raster
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """PNG encoder (8-bit truecolor, color type 2, no interlace): each
+    scanline uses filter type 0 (None) and the raster is DEFLATE-
+    compressed with stdlib zlib. Chunk CRCs are real (zlib.crc32), so
+    output opens in any viewer. Inverse of :func:`decode_image`'s PNG
+    branch; no image library involved."""
+    import zlib
+
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_png expects an (h, w, 3) array")
+    h, w, _ = img.shape
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), img.astype(np.uint8).reshape(h, w * 3)],
+        axis=1,
+    ).tobytes()
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + tag
+            + body
+            + (zlib.crc32(tag + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, truecolor, deflate, none, none
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """PNG → ``(h, w, 3)`` RGB uint8, dependency-free: chunk walker
+    (IHDR / concatenated IDAT / IEND, CRC-verified), stdlib zlib
+    inflate, and full scanline unfiltering (None / Sub / Up / Average /
+    Paeth — the per-row filter byte of the spec). Supports bit depth 8,
+    color types 0 (gray), 2 (RGB), 4 (gray+alpha) and 6 (RGBA) without
+    interlace; gray broadcasts to 3 channels, alpha is dropped. Any
+    other layout raises ``ValueError``."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated PNG chunk")
+        crc = int.from_bytes(payload[pos + 8 + ln : pos + 12 + ln], "big")
+        if crc != (zlib.crc32(tag + body) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, _comp, _filt, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or channels is None or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced gray/RGB/RGBA PNG")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    out = np.empty((h, stride), np.uint16)
+    prev = np.zeros(stride, np.uint16)
+    bpp = channels
+    for y in range(h):
+        ftype, line = rows[y, 0], rows[y, 1:].astype(np.uint16)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up — fully vectorized
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            cur = np.zeros(stride, np.uint16)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0  # left
+                b = prev[x]  # up
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (int(a) + int(b)) // 2
+                else:  # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = int(a) + int(b) - int(c)
+                    pa, pb, pc = abs(p - int(a)), abs(p - int(b)), abs(p - int(c))
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y], prev = cur, cur
+    img = out.astype(np.uint8).reshape(h, w, channels)
+    if ctype == 0:
+        return np.repeat(img, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3]  # RGB / RGBA→RGB
+
+
 def _decode_bmp(payload: bytes) -> np.ndarray:
     """24-bit uncompressed (BI_RGB) BMP → ``(h, w, 3)`` RGB uint8.
     Handles bottom-up (positive height) and top-down (negative height)
@@ -124,14 +241,20 @@ def decode_image(payload: bytes) -> np.ndarray:
 
     Supports binary PPM (P6: '#' comments and arbitrary whitespace in
     the header, exactly one whitespace byte after maxval, then raw
-    ``w*h*3`` samples) and 24-bit uncompressed BMP (see
-    :func:`_decode_bmp`). Raises ``ValueError`` for any other format —
-    callers that can tolerate undecodable payloads (feature extraction
-    over mixed media) catch it and fall back to hash features."""
+    ``w*h*3`` samples), 24-bit uncompressed BMP (see
+    :func:`_decode_bmp`) and 8-bit non-interlaced PNG (see
+    :func:`_decode_png` — real zlib inflate + scanline unfiltering).
+    Raises ``ValueError`` for any other format — callers that can
+    tolerate undecodable payloads (feature extraction over mixed media)
+    catch it and fall back to hash features."""
     if payload and payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload and payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return _decode_png(payload)
     if not payload or payload[:2] != b"P6":
-        raise ValueError("unsupported image format (supported: PPM P6, BMP24)")
+        raise ValueError(
+            "unsupported image format (supported: PPM P6, BMP24, PNG)"
+        )
     pos, vals = 2, []
     while len(vals) < 3:
         ch = payload[pos : pos + 1]
@@ -256,6 +379,7 @@ def extract_image_features(
 _CODECS: dict[str, tuple] = {
     "ppm": (encode_ppm, "image/x-portable-pixmap"),
     "bmp": (encode_bmp, "image/bmp"),
+    "png": (encode_png, "image/png"),
 }
 
 
@@ -308,11 +432,11 @@ def synthetic_ppm_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def synthetic_image_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Mixed-codec variant: even ids → PPM P6, odd ids → 24-bit BMP.
-    Exercises BOTH byte-level decoders in one scan; the q75 oracle is
-    unchanged because decoded statistics are codec-independent."""
+    """Mixed-codec variant: id mod 3 picks PPM P6 / 24-bit BMP / PNG.
+    Exercises all three byte-level decoders in one scan; the q75 oracle
+    is unchanged because decoded statistics are codec-independent."""
     return _synthetic_image_table(
-        docs, id_col, lambda i: "ppm" if i % 2 == 0 else "bmp"
+        docs, id_col, lambda i: ("ppm", "bmp", "png")[i % 3]
     )
 
 
@@ -372,8 +496,8 @@ def image_stats(
 def resize_images(
     df: DataFrame, width: int, height: int, payload_col: str = "payload"
 ) -> DataFrame:
-    """Real image resize over the Arrow batch: decodable payloads (PPM
-    or BMP) are decoded, nearest-neighbor resampled to ``(height,
+    """Real image resize over the Arrow batch: decodable payloads (PPM,
+    BMP or PNG) are decoded, nearest-neighbor resampled to ``(height,
     width)``, and re-encoded in their ORIGINAL container; non-decodable
     payloads pass through byte-unchanged, and their metadata dims are
     left untouched too — the decode stage emits a per-row flag and the
@@ -390,7 +514,12 @@ def resize_images(
         h, w, _ = img.shape
         rows = (np.arange(height) * h) // height
         cols = (np.arange(width) * w) // width
-        encoder = encode_bmp if b[:2] == b"BM" else encode_ppm
+        if b[:2] == b"BM":
+            encoder = encode_bmp
+        elif b[: len(_PNG_SIG)] == _PNG_SIG:
+            encoder = encode_png
+        else:
+            encoder = encode_ppm
         return encoder(img[rows][:, cols]), True
 
     cols_out = df.columns

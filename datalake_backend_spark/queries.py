@@ -3701,15 +3701,15 @@ FROM stepped GROUP BY slot_id
 
 def q75_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-decode driver check (`dbs.datapipe.multimodal`):
-    every document becomes a genuine binary image — P6 PPM for even
-    ids, 24-bit BMP for odd ids (Arrow-batched encode) — then
-    `image_stats` byte-parses header and raster with the
+    every document becomes a genuine binary image — id mod 3 picks
+    P6 PPM / 24-bit BMP / PNG (real zlib deflate), Arrow-batched
+    encode — then `image_stats` byte-parses header and raster with the
     dependency-free decoders and emits dims + exact per-channel
     sums/means. The fixture's pixels are a closed-form function of the
     id, so the DuckDB twin recomputes the same sums with
     generate_series — a decoder that misparses a header, drops a
-    raster row, mishandles BMP's bottom-up BGR padded rows, or
-    reorders channels breaks the hash."""
+    raster row, mishandles BMP's bottom-up BGR padded rows, botches
+    PNG scanline unfiltering, or reorders channels breaks the hash."""
     from datalake_backend_spark.datapipe.multimodal import (
         image_stats,
         synthetic_image_table,
