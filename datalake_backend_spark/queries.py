@@ -4905,6 +4905,60 @@ GROUP BY o_orderkey % 10
 """
 
 
+def r109_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping driver check (`dbs.sources.versioned
+    .VersionedTable.read_where`): orders committed range-clustered on
+    o_orderkey (repartitionByRange + sortWithinPartitions — the layout
+    OPTIMIZE produces), then a key-band query must (a) return exactly
+    the band — the oracle is the plain filter — and (b) PROVE the
+    manifest's footer-stats index pruned files: `files_skipped` is
+    computed from prune_files and pinned true in both engines. A
+    skipping bug that reads everything still returns correct rows but
+    flips the flag; one that over-prunes breaks the row hash."""
+    import shutil
+
+    from datalake_backend_spark.sources.versioned import VersionedTable
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    warehouse = os.path.join(repo_root, "spark-warehouse")
+    base = os.path.join(
+        warehouse,
+        f"r109_sk_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    tbl = VersionedTable(base)
+    with _VT_BUILD_LOCK:
+        _sweep_stale_fixtures(warehouse, "r109_sk_")
+        if tbl.latest_version() is None:
+            shutil.rmtree(base, ignore_errors=True)
+            clustered = (
+                table(spark, sf_dir, "orders")
+                .select("o_orderkey", "o_totalprice")
+                .repartitionByRange(8, "o_orderkey")
+                .sortWithinPartitions("o_orderkey")
+            )
+            tbl.commit(clustered, op="optimize-clustered")
+    preds = [("o_orderkey", ">=", 10000), ("o_orderkey", "<", 20000)]
+    _kept, total, n_kept = tbl.prune_files(preds)
+    return tbl.read_where(spark, preds).agg(
+        F.count("*").alias("n"),
+        dec_sum("o_totalprice").alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.lit(bool(n_kept < total)).alias("files_skipped"),
+    )
+
+
+R109_SQL = """
+SELECT COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       TRUE AS files_skipped
+FROM orders
+WHERE o_orderkey >= 10000 AND o_orderkey < 20000
+"""
+
+
 def r99_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch driver check (`dbs.operators.distributions
     .approx_distinct_rollup`): per-type distinct-user cardinality via
@@ -5574,6 +5628,9 @@ QUERIES: dict[str, QuerySpec] = {
         r97_incremental_rollup, R97_SQL, "incremental-view-maintenance"
     ),
     "r98_cdc_apply": QuerySpec(r98_cdc_apply, R98_SQL, "cdc-apply,merge"),
+    "r109_skipping_read": QuerySpec(
+        r109_skipping_read, R109_SQL, "lakehouse-data-skipping,footer-stats"
+    ),
     "r99_approx_distinct": QuerySpec(
         r99_approx_distinct, R99_SQL, "sketch-hll-distinct"
     ),

@@ -34,6 +34,14 @@ tree, reduced to what plain parquet + an atomic file create can carry:
 * **Change feed** — ``changes`` diffs two snapshots with
   :func:`~datalake_backend_spark.operators.merge.snapshot_diff`,
   yielding the minimal insert/update/delete changelog between versions.
+* **Data skipping** — a commit reads the min/max/null-count statistics
+  already present in every parquet FOOTER it just wrote (pyarrow,
+  driver-side, no extra Spark job) and records them per file in the
+  manifest — Delta's ``stats`` column on ``add`` actions.
+  ``read_where`` evaluates simple predicates against those stats and
+  hands Spark only the files whose [min, max] can match: a selective
+  query on a 100 TB table opens the footers of none of the files it
+  skips, which is the difference between a scan and a lookup.
 * **OPTIMIZE / VACUUM** — ``compact`` bin-packs the current snapshot
   into ~target-size files as a new metadata-only-visible version (same
   rows, fewer files — small-file pressure is the #1 operational issue
@@ -62,6 +70,175 @@ from pyspark.sql import functions as F
 
 class CommitConflict(RuntimeError):
     """Another writer published this version first (after retries)."""
+
+
+#: cap on per-file stats columns recorded in the manifest (Delta's
+#: dataSkippingNumIndexedCols default); manifests stay O(files), not
+#: O(files × width), on very wide tables
+MAX_STATS_COLS = 32
+
+
+def _stat_value(v):
+    """Parquet-footer statistic → JSON-storable value whose natural
+    ordering matches the column's. Numbers/strings pass through; bytes
+    decode as UTF-8 (parquet strings); date/datetime serialize to ISO
+    strings (lexicographic == chronological for a fixed format).
+    Unsupported types return None → the column is not indexed."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return None
+
+
+def _file_stats(abs_file: str) -> dict:
+    """Per-column {min, max, nulls} for one parquet file, straight from
+    its footer (row-group statistics folded together). Columns with
+    absent or non-orderable stats are omitted — absence means "cannot
+    prune on this column", never "prune"."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_file).metadata
+    agg: dict[str, dict] = {}
+    dropped: set[str] = set()
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dropped:
+                continue  # nested leaves aren't prunable columns
+            st = col.statistics
+            if st is None:
+                dropped.add(name)
+                agg.pop(name, None)
+                continue
+            if not st.has_min_max:
+                # an all-null row group HAS no min/max but is still
+                # prunable (nulls never satisfy a comparison); anything
+                # else without min/max is unusable for skipping
+                if st.has_null_count and st.num_values == 0:
+                    lo = hi = None
+                else:
+                    dropped.add(name)
+                    agg.pop(name, None)
+                    continue
+            else:
+                lo, hi = _stat_value(st.min), _stat_value(st.max)
+                if lo is None or hi is None:
+                    dropped.add(name)
+                    agg.pop(name, None)
+                    continue
+            nulls = st.null_count if st.has_null_count else None
+            cur = agg.get(name)
+            if cur is None:
+                agg[name] = {"min": lo, "max": hi, "nulls": nulls}
+            else:
+                for k, v, pick in (("min", lo, min), ("max", hi, max)):
+                    if cur[k] is None:
+                        cur[k] = v
+                    elif v is not None:
+                        cur[k] = pick(cur[k], v)
+                if cur["nulls"] is not None and nulls is not None:
+                    cur["nulls"] += nulls
+                else:
+                    cur["nulls"] = None
+    if len(agg) > MAX_STATS_COLS:
+        agg = dict(sorted(agg.items())[:MAX_STATS_COLS])
+    return {"rows": md.num_rows, "stats": agg}
+
+
+def _collect_dir_stats(base: str, rel_dir: str) -> list[dict]:
+    """Footer stats for every parquet file under one data dir.
+    Driver-side metadata reads only — the same footers Spark itself
+    wrote a moment earlier (page-cache hot); no Spark job."""
+    out = []
+    root_abs = os.path.join(base, rel_dir)
+    for root, _dirs, files in os.walk(root_abs):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            abs_f = os.path.join(root, f)
+            rel_f = os.path.join(rel_dir, os.path.relpath(abs_f, root_abs))
+            entry = {"path": rel_f}
+            entry.update(_file_stats(abs_f))
+            out.append(entry)
+    return out
+
+
+_PRED_OPS = {
+    "=": lambda lo, hi, v: lo <= v <= hi,
+    "<": lambda lo, hi, v: lo < v,
+    "<=": lambda lo, hi, v: lo <= v,
+    ">": lambda lo, hi, v: hi > v,
+    ">=": lambda lo, hi, v: hi >= v,
+}
+
+
+def _partition_can_match(rel_path: str, predicates: list[tuple]) -> bool:
+    """Hive partition pruning from the file PATH: a segment
+    ``col=value`` pins that column to one value for every row in the
+    file, so any predicate on it evaluates exactly. Values are compared
+    after coercing the path string to the literal's type; coercion
+    failure keeps the file."""
+    from urllib.parse import unquote
+
+    parts = {}
+    for seg in rel_path.split("/")[:-1]:
+        if "=" in seg:
+            c, _, v = seg.partition("=")
+            parts[c] = unquote(v)
+    if not parts:
+        return True
+    single = {
+        "=": lambda x, v: x == v,
+        "<": lambda x, v: x < v,
+        "<=": lambda x, v: x <= v,
+        ">": lambda x, v: x > v,
+        ">=": lambda x, v: x >= v,
+    }
+    for col, op, val in predicates:
+        raw = parts.get(col)
+        if raw is None:
+            continue
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            return False  # null partition never matches a comparison
+        try:
+            x = type(val)(raw) if not isinstance(val, str) else raw
+        except (TypeError, ValueError):
+            continue
+        if not single[op](x, val):
+            return False
+    return True
+
+
+def _file_can_match(entry: dict, predicates: list[tuple]) -> bool:
+    """Conservative stats check: False ONLY when the footer proves no
+    row in the file can satisfy every predicate. Missing stats for a
+    predicate's column keep the file."""
+    for col, op, val in predicates:
+        st = (entry.get("stats") or {}).get(col)
+        if st is None:
+            continue
+        if st["min"] is None or (
+            st["nulls"] is not None and st["nulls"] == entry.get("rows")
+        ):
+            return False  # all-null column never matches a comparison
+        v = _stat_value(val)
+        if v is None or isinstance(v, str) != isinstance(st["min"], str):
+            continue  # incomparable literal: don't prune
+        if not _PRED_OPS[op](st["min"], st["max"], v):
+            return False
+    return True
 
 
 class VersionedTable:
@@ -150,9 +327,10 @@ class VersionedTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(abs_dir)
-        # spark doesn't report written-row counts on save(); one count
-        # over the just-written files is metadata-cheap (footer stats)
-        num_rows = df.sparkSession.read.parquet(abs_dir).count()
+        # per-file footer stats for data skipping; row count folds out
+        # of the same footers (no Spark job, no re-scan)
+        file_entries = _collect_dir_stats(self.path, rel_dir)
+        num_rows = sum(e["rows"] for e in file_entries)
 
         schema_json = json.loads(df.schema.json())
         for _ in range(max_retries):
@@ -169,6 +347,7 @@ class VersionedTable:
                     )
                 dirs = prev["dirs"] + [rel_dir]
                 total = prev["num_rows"] + num_rows
+                files = prev.get("files", []) + file_entries
                 # schema evolution: appending a widened/changed schema
                 # flags the snapshot so reads merge parquet footers
                 mixed = prev.get("mixed_schema", False) or (
@@ -177,6 +356,7 @@ class VersionedTable:
             else:
                 dirs = [rel_dir]
                 total = num_rows
+                files = file_entries
             man = {
                 "version": version,
                 "op": op or mode,
@@ -184,6 +364,9 @@ class VersionedTable:
                 "dirs": dirs,
                 "num_rows": total,
                 "partition_by": partition_by or [],
+                # per-file footer stats (Delta add-action "stats"):
+                # the data-skipping index, O(files) manifest cost
+                "files": files,
                 "schema": schema_json,
                 # snapshot spans data dirs with differing schemas →
                 # reads must merge footers (schema evolution)
@@ -244,6 +427,96 @@ class VersionedTable:
                 out = out.unionByName(d, allowMissingColumns=True)
             return out
         return reader().parquet(*paths)
+
+    def prune_files(
+        self, predicates: list[tuple], version: int | None = None
+    ) -> tuple[list[str], int, int]:
+        """Data-skipping file selection: evaluate ``[(col, op, value),
+        ...]`` (op ∈ =, <, <=, >, >=; conjunctive) against the
+        manifest's per-file footer stats and the hive partition values
+        in each file's path. Returns ``(kept relative paths, n_total,
+        n_kept)``. Conservative by construction — a file is dropped
+        only when its stats or partition values PROVE no row matches;
+        dirs without recorded stats are kept whole."""
+        man = self.manifest(version)
+        by_dir: dict[str, list[dict]] = {d: [] for d in man["dirs"]}
+        for e in man.get("files", []):
+            for d in by_dir:
+                if e["path"].startswith(d + "/"):
+                    by_dir[d].append(e)
+                    break
+        kept, total = [], 0
+        for d, entries in by_dir.items():
+            if not entries:  # no stats recorded for this dir: keep all
+                kept.append(d)
+                total += 1
+                continue
+            for e in entries:
+                total += 1
+                if _partition_can_match(
+                    e["path"], predicates
+                ) and _file_can_match(e, predicates):
+                    kept.append(e["path"])
+        return kept, total, len(kept)
+
+    def read_where(
+        self,
+        spark: SparkSession,
+        predicates: list[tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Snapshot read that SKIPS files whose footer stats prove they
+        cannot satisfy ``predicates`` — then still applies the exact
+        filter to the survivors (skipping is an optimization, never the
+        semantics). At scale this is the lookup path: a point query on
+        a sorted/Z-ordered table touches one file, not the table."""
+        from pyspark.sql import types as ST
+
+        man = self.manifest(version)
+        kept, _total, _n = self.prune_files(predicates, version)
+
+        col_ops = {
+            "=": lambda c, v: c == v,
+            "<": lambda c, v: c < v,
+            "<=": lambda c, v: c <= v,
+            ">": lambda c, v: c > v,
+            ">=": lambda c, v: c >= v,
+        }
+
+        def residual(df: DataFrame) -> DataFrame:
+            for col, op, val in predicates:
+                df = df.where(col_ops[op](F.col(col), F.lit(val)))
+            return df
+
+        if not kept:
+            schema = ST.StructType.fromJson(man["schema"])
+            for pcol in man.get("partition_by", []):
+                if pcol not in schema.fieldNames():
+                    schema = schema.add(pcol, ST.StringType())
+            return spark.createDataFrame([], schema)
+        r = spark.read
+        if man.get("mixed_schema"):
+            r = r.option("mergeSchema", "true")
+        if man.get("partition_by"):
+            # group kept paths by their data dir so each keeps its own
+            # basePath (partition-column recovery per dir)
+            out = None
+            for d in man["dirs"]:
+                paths = [
+                    os.path.join(self.path, p)
+                    for p in kept
+                    if p == d or p.startswith(d + "/")
+                ]
+                if not paths:
+                    continue
+                part = r.option("basePath", os.path.join(self.path, d)).parquet(
+                    *paths
+                )
+                out = part if out is None else out.unionByName(
+                    part, allowMissingColumns=True
+                )
+            return residual(out)
+        return residual(r.parquet(*[os.path.join(self.path, p) for p in kept]))
 
     # ----------------------------------------------- table mutations
     def merge(

@@ -444,3 +444,101 @@ def test_vacuum_spares_inflight_commit_dirs(spark, tbl):
     removed = tbl.vacuum(retain_last=2)
     assert removed  # v1's expired dir went
     assert os.path.isdir(inflight)  # the unpublished dir did not
+
+
+def test_manifest_records_file_stats(spark, tbl):
+    """Every commit indexes per-file footer min/max/null stats (the
+    Delta add-action 'stats'), and num_rows comes from the same
+    footers."""
+    tbl.commit(_mk(spark, [(1, "a"), (5, "b"), (3, None)]))
+    man = tbl.manifest()
+    assert man["num_rows"] == 3
+    files = man["files"]
+    assert files and all(f["path"].startswith("data/") for f in files)
+    lo = min(f["stats"]["key"]["min"] for f in files if "key" in f["stats"])
+    hi = max(f["stats"]["key"]["max"] for f in files if "key" in f["stats"])
+    assert (lo, hi) == (1, 5)
+    total_nulls = sum(
+        f["stats"]["val"]["nulls"] for f in files if "val" in f["stats"]
+    )
+    assert total_nulls == 1
+
+
+def test_read_where_skips_files(spark, tbl):
+    """Appends with disjoint key ranges → a point predicate keeps only
+    the matching append's files, and results equal the full filter."""
+    a = spark.range(0, 100).select(
+        F.col("id").cast("int").alias("key"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+    ).coalesce(1)
+    b = spark.range(1000, 1100).select(
+        F.col("id").cast("int").alias("key"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+    ).coalesce(1)
+    tbl.commit(a)
+    tbl.commit(b, mode="append")
+
+    kept, total, n = tbl.prune_files([("key", "=", 1042)])
+    assert n < total and n >= 1
+    got = tbl.read_where(spark, [("key", "=", 1042)]).collect()
+    assert [(r.key, r.val) for r in got] == [(1042, "v1042")]
+
+    # range predicate across the gap keeps both sides' matches
+    rows = tbl.read_where(spark, [("key", ">=", 90), ("key", "<", 1010)])
+    assert rows.count() == 20
+
+    # predicate with no possible match → zero files, empty DF, schema kept
+    kept0, _, n0 = tbl.prune_files([("key", ">", 5000)])
+    assert n0 == 0
+    empty = tbl.read_where(spark, [("key", ">", 5000)])
+    assert empty.count() == 0 and set(empty.columns) == {"key", "val"}
+
+
+def test_read_where_string_stats(spark, tbl):
+    tbl.commit(_mk(spark, [(1, "apple"), (2, "banana")]))
+    tbl.commit(_mk(spark, [(3, "melon"), (4, "zucchini")]), mode="append")
+    _, total, n = tbl.prune_files([("val", ">=", "x")])
+    assert n < total
+    got = {r.val for r in tbl.read_where(spark, [("val", ">=", "x")]).collect()}
+    assert got == {"zucchini"}
+
+
+def test_read_where_partition_pruning(spark, tbl):
+    """Predicates on hive partition columns prune by PATH value; the
+    recovered DataFrame still carries the partition column."""
+    df = spark.range(0, 40).select(
+        F.col("id").cast("int").alias("key"),
+        (F.col("id") % 4).cast("int").alias("bucket"),
+    )
+    tbl.commit(df, partition_by=["bucket"])
+    kept, total, n = tbl.prune_files([("bucket", "=", 2)])
+    assert n < total
+    assert all("bucket=2" in p for p in kept)
+    got = tbl.read_where(spark, [("bucket", "=", 2)])
+    assert got.count() == 10
+    assert {r.bucket for r in got.collect()} == {2}
+
+
+def test_read_where_legacy_manifest_keeps_dir(spark, tbl):
+    """A manifest without a files index (pre-skipping commits) is read
+    whole — skipping silently degrades to a full snapshot read."""
+    import json as _json
+
+    tbl.commit(_mk(spark, [(1, "a"), (2, "b")]))
+    p = tbl._manifest_path(1)
+    man = _json.load(open(p))
+    del man["files"]
+    os.unlink(p)
+    with open(p, "w") as fh:
+        _json.dump(man, fh)
+    kept, total, n = tbl.prune_files([("key", "=", 99)])
+    assert n == total == 1  # the whole dir survives as one unit
+    assert tbl.read_where(spark, [("key", "=", 2)]).count() == 1
+
+
+def test_read_where_is_conservative_on_unknown_columns(spark, tbl):
+    tbl.commit(_mk(spark, [(1, "a")]))
+    # a predicate naming a column with no stats must not prune... and
+    # the residual filter then fails at analysis (column doesn't exist)
+    kept, total, n = tbl.prune_files([("nope", "=", 1)])
+    assert n == total
