@@ -138,3 +138,71 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         "min_str",
         "max_str",
     )
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, min_share: float = 0.001
+) -> DataFrame:
+    """EXACT frequent-items query without a full-cardinality shuffle:
+    every value whose global share is ≥ ``min_share`` of the rows, with
+    its exact count.
+
+    Scale shape (candidate → verify, the Misra-Gries/space-saving
+    two-phase): stage 1 is one Arrow ``mapInPandas`` pass per partition
+    — vectorized value_counts folded across batches — that emits ONLY
+    values whose local count exceeds ``n_p / k`` (k = ⌈1/min_share⌉):
+    fewer than k rows leave each partition regardless of column
+    cardinality. Pigeonhole guarantees completeness: if a value's
+    global count exceeds N/k, some partition holds it above its local
+    bar, so the candidate union contains every true heavy hitter.
+    Stage 2 rescans with a broadcast semi-join on the candidate set and
+    counts exactly; false candidates fall out of the final HAVING. A
+    plain groupBy on a 100 TB high-cardinality column shuffles (and
+    spills) one partial per distinct value; this shuffles < k·partitions
+    candidate rows plus the exact counts of ≤ that many survivors.
+    """
+    import math
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    k = max(1, math.ceil(1.0 / min_share))
+    values = df.select(F.col(col).alias("value")).where(
+        F.col("value").isNotNull()
+    )
+
+    def local_candidates(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one pass over the partition's Arrow batches: vectorized
+        # value_counts per batch folded into one dict, then emit only
+        # values above the local n_p/k bar — fewer than k rows leave
+        # the partition no matter the column's cardinality
+        counts: dict = {}
+        total = 0
+        for pdf in it:
+            for v, c in pdf["value"].value_counts().items():
+                counts[v] = counts.get(v, 0) + int(c)
+            total += len(pdf)
+        # NON-strict bar: with a strict one, a value sitting at exactly
+        # N/k spread perfectly evenly (c_p == n_p/k in every partition)
+        # would be a heavy hitter yet a candidate nowhere. c ≥ N/k ⇒
+        # some partition has c_p ≥ n_p/k, so ≥ keeps completeness.
+        keep = [v for v, c in counts.items() if c * k >= total]
+        yield pd.DataFrame({"value": keep})
+
+    candidates = values.mapInPandas(
+        local_candidates, values.schema
+    ).distinct()
+    n_total = values.count()
+    threshold = math.ceil(n_total * min_share)
+    return (
+        values
+        .join(F.broadcast(candidates), "value", "left_semi")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= threshold)
+        .select(
+            "value",
+            "cnt",
+            (F.col("cnt") / F.lit(n_total)).alias("share"),
+        )
+    )

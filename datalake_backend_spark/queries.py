@@ -4959,6 +4959,40 @@ WHERE o_orderkey >= 10000 AND o_orderkey < 20000
 """
 
 
+def r110_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent-items driver check (`dbs.operators.distributions
+    .heavy_hitters`): corpus vocabulary heavy hitters — every token
+    holding ≥ 0.2% of the corpus token stream, with EXACT counts and
+    shares, via the candidate→verify two-phase (per-partition Arrow
+    local-counts bar, broadcast-semi-join exact recount). The oracle
+    is the plain GROUP BY ... HAVING over the exploded tokens — a
+    candidate bar that over-prunes drops a row from the hash; one that
+    under-prunes is invisible (verify stage discards), which is the
+    correctness contract of the sketch."""
+    from datalake_backend_spark.datapipe.text import tokens
+    from datalake_backend_spark.operators.distributions import heavy_hitters
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    return heavy_hitters(toks, "token", min_share=0.002).withColumnRenamed(
+        "value", "token"
+    )
+
+
+R110_SQL = r"""
+WITH t AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM t WHERE token IS NOT NULL)
+SELECT token, COUNT(*) AS cnt,
+       COUNT(*) / (SELECT CAST(n AS DOUBLE) FROM tot) AS share
+FROM t WHERE token IS NOT NULL
+GROUP BY token
+HAVING COUNT(*) >= CEIL((SELECT n FROM tot) * 0.002)
+"""
+
+
 def r99_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch driver check (`dbs.operators.distributions
     .approx_distinct_rollup`): per-type distinct-user cardinality via
@@ -5630,6 +5664,9 @@ QUERIES: dict[str, QuerySpec] = {
     "r98_cdc_apply": QuerySpec(r98_cdc_apply, R98_SQL, "cdc-apply,merge"),
     "r109_skipping_read": QuerySpec(
         r109_skipping_read, R109_SQL, "lakehouse-data-skipping,footer-stats"
+    ),
+    "r110_heavy_hitters": QuerySpec(
+        r110_heavy_hitters, R110_SQL, "sketch-heavy-hitters,exact-verify"
     ),
     "r99_approx_distinct": QuerySpec(
         r99_approx_distinct, R99_SQL, "sketch-hll-distinct"

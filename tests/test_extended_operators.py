@@ -293,3 +293,44 @@ def test_profile_table_single_pass(spark):
     assert prof["k"].min_str == "9" and prof["k"].max_str == "499"
     assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
     assert prof["v"].min_str == "1.5" and prof["v"].max_str == "2.5"
+
+
+def test_heavy_hitters_exact_and_complete(spark):
+    """Candidate→verify equals the plain GROUP BY ... HAVING answer,
+    including the adversarial case: a value at EXACTLY the N/k bar
+    spread perfectly evenly across partitions (a strict local bar
+    would never nominate it)."""
+    from datalake_backend_spark.operators.distributions import heavy_hitters
+
+    # 4 partitions × 250 rows = 1000 rows; min_share 0.05 → k=20,
+    # bar = 50. "edge" appears exactly 50× — uniformly, 12.5 per
+    # partition is impossible, so craft via repartition by an id that
+    # spreads it evenly
+    rows = []
+    for p in range(4):
+        rows += [("edge",)] * 13 if p < 2 else [("edge",)] * 12
+        rows += [("big",)] * 100
+        base = 250 - (13 if p < 2 else 12) - 100
+        rows += [(f"u{p}_{i}",) for i in range(base)]
+    df = spark.createDataFrame(rows, "value string").repartition(4)
+    got = {
+        (r.value, r.cnt)
+        for r in heavy_hitters(df, "value", min_share=0.05).collect()
+    }
+    expect = {
+        (r.value, r.cnt)
+        for r in df.groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 50)  # ceil(1000 * 0.05)
+        .collect()
+    }
+    assert got == expect
+    assert ("big", 400) in got and ("edge", 50) in got
+
+    # null values are ignored, shares are exact fractions
+    df2 = spark.createDataFrame(
+        [("a",)] * 6 + [(None,)] * 4 + [("b",)] * 2, "value string"
+    )
+    hh = {r.value: (r.cnt, r.share) for r in
+          heavy_hitters(df2, "value", min_share=0.5).collect()}
+    assert hh == {"a": (6, 0.75)}
