@@ -4804,6 +4804,104 @@ GROUP BY event_type
 """
 
 
+def r111_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-apply driver check (`dbs.streaming.pipeline
+    .start_upsert_sink`): a change stream drains in two micro-batches —
+    batch 1 inserts every pre-1996 order; batch 2 carries repricings
+    (×2 for keys ≡0 mod 5, seq 2) AND tombstones (keys ≡0 mod 11,
+    seq 3) — and each batch MERGEs into a `VersionedTable` by key
+    (APPLY CHANGES INTO: intra-batch seq ordering, delete markers,
+    epoch-log exactly-once). The final snapshot must equal the oracle's
+    closed-form end state; a replayed batch, a lost tombstone, or
+    wrong seq tie-breaking (a key can be both repriced and deleted in
+    batch 2) all break the hash."""
+    import glob as globmod
+    import shutil
+
+    from datalake_backend_spark.sources.versioned import VersionedTable
+    from datalake_backend_spark.streaming.pipeline import start_upsert_sink
+
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("date")
+    )
+    b1 = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.lit(1).alias("_seq"),
+        F.lit(False).alias("_deleted"),
+    )
+    repriced = orders.where(F.pmod("o_orderkey", F.lit(5)) == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit(2).alias("_seq"),
+        F.lit(False).alias("_deleted"),
+    )
+    tombstones = orders.where(F.pmod("o_orderkey", F.lit(11)) == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.lit(3).alias("_seq"),
+        F.lit(True).alias("_deleted"),
+    )
+    b2 = repriced.unionByName(tombstones)
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    warehouse = os.path.join(repo_root, "spark-warehouse")
+    base = os.path.join(
+        warehouse,
+        f"r111_up_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    _sweep_stale_fixtures(warehouse, "r111_up_")
+    shutil.rmtree(base, ignore_errors=True)
+    try:
+        b1.coalesce(1).write.parquet(f"{base}/src/b1")
+        b2.coalesce(1).write.parquet(f"{base}/src/b2")
+        for i, d in enumerate(["b1", "b2"]):
+            for f in globmod.glob(f"{base}/src/{d}/part-*.parquet"):
+                os.utime(f, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/src/b*")
+        )
+        q = start_upsert_sink(
+            stream,
+            f"{base}/tbl",
+            f"{base}/ck",
+            key_cols=["o_orderkey"],
+            seq_col="_seq",
+            delete_col="_deleted",
+        )
+        q.awaitTermination()
+        tbl = VersionedTable(f"{base}/tbl")
+        assert [m["op"] for m in tbl.history()] == ["merge", "merge"]
+        out = (
+            tbl.read(spark)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                dec_sum("o_totalprice").alias("sum_price"),
+            )
+        )
+        out = out.localCheckpoint()  # materialize before the fixture dies
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+R111_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                          ELSE o_totalprice END AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_price
+FROM orders
+WHERE o_orderdate < DATE '1996-01-01' AND o_orderkey % 11 <> 0
+GROUP BY o_orderpriority
+"""
+
+
 def r97_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance driver check (`dbs.operators
     .incremental.rollup_state`/`merge_rollup_state`/`finalize_rollup`):
@@ -5667,6 +5765,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r110_heavy_hitters": QuerySpec(
         r110_heavy_hitters, R110_SQL, "sketch-heavy-hitters,exact-verify"
+    ),
+    "r111_streaming_upsert": QuerySpec(
+        r111_streaming_upsert, R111_SQL, "streaming-cdc-apply,merge,exactly-once"
     ),
     "r99_approx_distinct": QuerySpec(
         r99_approx_distinct, R99_SQL, "sketch-hll-distinct"

@@ -246,6 +246,93 @@ def start_versioned_sink(
     )
 
 
+def upsert_epoch_commit(
+    tbl,
+    batch: DataFrame,
+    epoch_id: int,
+    key_cols: list[str],
+    seq_col: str | None = None,
+    delete_col: str | None = None,
+) -> bool:
+    """MERGE one micro-batch of change rows into ``tbl`` by key,
+    exactly-once (epoch already in the commit log → no-op). The core of
+    :func:`start_upsert_sink`, exposed for direct testing.
+
+    Within the batch, ``seq_col`` orders multiple changes to one key
+    (highest wins — ties broken by the delete flag then the key, so
+    replays are deterministic); the surviving row either upserts or,
+    when ``delete_col`` is true, deletes the key. Marker columns never
+    reach the table."""
+    from pyspark.sql import Window
+
+    from datalake_backend_spark.operators.merge import upsert
+
+    committed = {
+        m.get("metadata", {}).get("epoch")
+        for m in tbl.history()
+        if m.get("metadata")
+    }
+    if epoch_id in committed:
+        return False
+    b = batch
+    if seq_col is not None:
+        order = [F.col(seq_col).desc()]
+        if delete_col is not None:
+            order.append(F.col(delete_col).desc())
+        w = Window.partitionBy(*key_cols).orderBy(*order)
+        b = (
+            b.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", seq_col)
+        )
+    if delete_col is not None:
+        deletes = b.where(F.col(delete_col)).select(*key_cols).distinct()
+        ups = b.where(~F.col(delete_col)).drop(delete_col)
+    else:
+        deletes, ups = None, b
+    if tbl.latest_version() is None:
+        new = ups
+    else:
+        new = upsert(tbl.read(batch.sparkSession), ups, key_cols)
+    if deletes is not None:
+        new = new.join(F.broadcast(deletes), key_cols, "left_anti")
+    tbl.commit(new, op="merge", metadata={"epoch": epoch_id})
+    return True
+
+
+def start_upsert_sink(
+    df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    seq_col: str | None = None,
+    delete_col: str | None = None,
+) -> StreamingQuery:
+    """Streaming keyed upsert into a versioned table — APPLY CHANGES
+    INTO: each micro-batch of change rows (inserts/updates, optional
+    ``delete_col`` tombstones, optional ``seq_col`` intra-batch
+    ordering) MERGEs into the snapshot by ``key_cols`` and commits one
+    copy-on-write version. Exactly-once comes from the commit log's
+    epoch tags exactly as in :func:`start_versioned_sink`; a replayed
+    micro-batch is a metadata no-op, so the table never applies the
+    same change twice. Readers see a consistent post-merge snapshot at
+    every micro-batch boundary and can time travel across them — the
+    streaming CDC-consumption path a warehouse sink needs."""
+    from datalake_backend_spark.sources.versioned import VersionedTable
+
+    tbl = VersionedTable(table_path)
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        upsert_epoch_commit(tbl, batch, epoch_id, key_cols, seq_col, delete_col)
+
+    return (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_incremental_rollup_sink(
     df: DataFrame,
     table_path: str,

@@ -542,3 +542,45 @@ def test_read_where_is_conservative_on_unknown_columns(spark, tbl):
     # the residual filter then fails at analysis (column doesn't exist)
     kept, total, n = tbl.prune_files([("nope", "=", 1)])
     assert n == total
+
+
+def test_upsert_epoch_commit_cdc_semantics(spark, tbl):
+    """APPLY CHANGES INTO: seq ordering picks the winning change per
+    key, tombstones delete, replays of a committed epoch are metadata
+    no-ops, and marker columns never reach the table."""
+    from datalake_backend_spark.streaming.pipeline import upsert_epoch_commit
+
+    def ch(rows):
+        return spark.createDataFrame(
+            rows, "key int, val string, _seq int, _deleted boolean"
+        )
+
+    # epoch 0: plain inserts
+    assert upsert_epoch_commit(
+        tbl, ch([(1, "a", 1, False), (2, "b", 1, False)]),
+        0, ["key"], "_seq", "_deleted",
+    )
+    assert set(tbl.read(spark).columns) == {"key", "val"}
+
+    # epoch 1: key 1 updated then deleted (higher seq wins → gone);
+    # key 2 updated twice (seq 3 wins); key 5 inserted+deleted in one
+    # batch (net: never appears)
+    batch = ch(
+        [
+            (1, "a2", 2, False),
+            (1, None, 3, True),
+            (2, "b2", 2, False),
+            (2, "b3", 3, False),
+            (5, "e", 2, False),
+            (5, None, 4, True),
+        ]
+    )
+    assert upsert_epoch_commit(tbl, batch, 1, ["key"], "_seq", "_deleted")
+    got = {(r.key, r.val) for r in tbl.read(spark).collect()}
+    assert got == {(2, "b3")}
+
+    # replaying epoch 1 changes nothing — not even a new version
+    head = tbl.latest_version()
+    assert not upsert_epoch_commit(tbl, batch, 1, ["key"], "_seq", "_deleted")
+    assert tbl.latest_version() == head
+    assert {(r.key, r.val) for r in tbl.read(spark).collect()} == {(2, "b3")}
