@@ -5532,11 +5532,16 @@ QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_SQL, "A8,A13,F17,S-scan"),
     "q04_order_rollup": QuerySpec(q04_order_rollup, Q04_SQL, "A1,W6"),
     "q08_time_in_state": QuerySpec(q08_time_in_state, Q08_SQL, "W2"),
+    "q109_skipping_read": QuerySpec(
+        r109_skipping_read, R109_SQL, "lakehouse-data-skipping,footer-stats"
+    ),
+    "q111_streaming_upsert": QuerySpec(
+        r111_streaming_upsert, R111_SQL, "streaming-cdc-apply,merge,exactly-once"
+    ),
     "q15_top_orders_per_segment": QuerySpec(q15_top_orders_per_segment, Q15_SQL, "W8,O4"),
     "q17_renest_lineitems": QuerySpec(q17_renest_lineitems, Q17_SQL, "E5,A7,O1"),
     "q23_lang_distribution": QuerySpec(q23_lang_distribution, Q23_SQL, "text-langid,A13"),
     "q26_minhash_near_dup": QuerySpec(q26_minhash_near_dup, Q26_SQL, "dedup-minhash-lsh"),
-    "q27_simhash_near_dup": QuerySpec(q27_simhash_near_dup, Q27_SQL, "dedup-simhash"),
     "q34_asof_join": QuerySpec(q34_asof_join, Q34_SQL, "J-asof (custom operator)"),
     "q45_range_join": QuerySpec(q45_range_join, Q45_SQL, "J-range (custom operator)"),
     "q46_hierarchical_rollup": QuerySpec(
@@ -5578,7 +5583,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q60_common_pipeline": QuerySpec(
         q60_common_pipeline, Q60_SQL, "pipeline-common,F8,A4,A1"
     ),
-    "q61_scd2_merge": QuerySpec(q61_scd2_merge, Q61_SQL, "merge-scd2"),
     "q62_embedding_near_dup": QuerySpec(
         q62_embedding_near_dup, _q62_sql(), "dedup-embedding,similarity-lsh"
     ),
@@ -5700,6 +5704,9 @@ QUERIES: dict[str, QuerySpec] = {
         r108_source_mixing, _r108_sql(), "sampling-source-mix,curation"
     ),
     "r10_sessionize": QuerySpec(q10_sessionize, Q10_SQL, "W7"),
+    "r110_heavy_hitters": QuerySpec(
+        r110_heavy_hitters, R110_SQL, "sketch-heavy-hitters,exact-verify"
+    ),
     "r11_session_summary": QuerySpec(q11_session_summary, Q11_SQL, "W7,A13"),
     "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),
     "r13_orders_left_join": QuerySpec(q13_orders_left_join, Q13_SQL, "J1,J2,F2"),
@@ -5712,6 +5719,7 @@ QUERIES: dict[str, QuerySpec] = {
     "r22_text_quality": QuerySpec(q22_text_quality, Q22_SQL, "text-quality"),
     "r24_cosine_threshold": QuerySpec(q24_cosine_threshold, Q24_SQL, "similarity-cosine"),
     "r25_jaccard_pairs": QuerySpec(q25_jaccard_pairs, Q25_SQL, "dedup-ngram-jaccard"),
+    "r27_simhash_near_dup": QuerySpec(q27_simhash_near_dup, Q27_SQL, "dedup-simhash"),
     "r28_ann_topk": QuerySpec(q28_ann_topk, Q28_SQL, "similarity-topk"),
     "r29_lsh_topk": QuerySpec(q29_lsh_topk, Q29_SQL, "similarity-lsh"),
     "r30_json_extract": QuerySpec(q30_json_extract, Q30_SQL, "F9,F19"),
@@ -5738,6 +5746,7 @@ QUERIES: dict[str, QuerySpec] = {
     "r50_state_session_summary": QuerySpec(
         q50_state_session_summary, Q50_SQL, "W7-state,A13"
     ),
+    "r61_scd2_merge": QuerySpec(q61_scd2_merge, Q61_SQL, "merge-scd2"),
     "r64_upsert_merge": QuerySpec(q64_upsert_merge, Q64_SQL, "merge-upsert"),
     "r65_normalized_fingerprint": QuerySpec(
         q65_normalized_fingerprint, Q65_SQL, "text-normalize,text-fingerprint"
@@ -5760,15 +5769,10 @@ QUERIES: dict[str, QuerySpec] = {
         r97_incremental_rollup, R97_SQL, "incremental-view-maintenance"
     ),
     "r98_cdc_apply": QuerySpec(r98_cdc_apply, R98_SQL, "cdc-apply,merge"),
-    "r109_skipping_read": QuerySpec(
-        r109_skipping_read, R109_SQL, "lakehouse-data-skipping,footer-stats"
-    ),
-    "r110_heavy_hitters": QuerySpec(
-        r110_heavy_hitters, R110_SQL, "sketch-heavy-hitters,exact-verify"
-    ),
-    "r111_streaming_upsert": QuerySpec(
-        r111_streaming_upsert, R111_SQL, "streaming-cdc-apply,merge,exactly-once"
-    ),
+    # third round-5 rotation: data skipping (q109) and streaming CDC
+    # apply (q111) promoted; q27 simhash (near-dup family keeps q26/
+    # q76) and q61 scd2 (merge family keeps q91's merge commit + r64/
+    # r87/r92/r98) demoted to r27/r61 below
     "r99_approx_distinct": QuerySpec(
         r99_approx_distinct, R99_SQL, "sketch-hll-distinct"
     ),
