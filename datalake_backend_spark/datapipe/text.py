@@ -417,3 +417,57 @@ def corpus_frequency_score(
         (F.col("_sum_tf") / F.col("n_tokens")).cast("double").alias("mean_tf"),
         (F.col("_n_rare") / F.col("n_tokens")).cast("double").alias("rare_ratio"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    coverage: tuple[int, int] = (999, 1000),
+) -> DataFrame:
+    """Smallest frequency-ranked vocabulary covering ``coverage`` of
+    the corpus token stream — the tokenizer-design question ("how many
+    types cover 99.9% of tokens?") asked before committing a vocab
+    size. A token is kept while the cumulative count of all
+    higher-ranked tokens (count desc, token asc tie-break) is still
+    below the target; ``coverage`` is an integer ``(num, den)``
+    fraction so the cut compares exact integers — no float threshold
+    to diverge between engines.
+
+    Scale shape: tokens hash-aggregate to (token, cnt) — the only
+    corpus-sized shuffle, with map-side partials — then the cumulative
+    rank runs over the VOCABULARY (orders of magnitude smaller) with
+    the same two-phase prefix sum as `packing.token_stream_offsets`:
+    range-repartition by (cnt desc, token), per-partition totals, an
+    exclusive window over #partitions metadata rows, and a broadcast
+    join back. No vocabulary-sized single-partition sort.
+    """
+    from pyspark.sql import Window
+
+    num, den = coverage
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt")).first()[0] or 0
+    d = (
+        counts.repartitionByRange(F.col("cnt").desc(), F.col("token"))
+        .sortWithinPartitions(F.col("cnt").desc(), F.col("token"))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    totals = d.groupBy("_pid").agg(F.sum("cnt").alias("_pt"))
+    w_parts = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_pt").over(w_parts), F.lit(0)).alias("_off")
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "cum_before",
+            F.col("_off") + F.coalesce(F.sum("cnt").over(w_local), F.lit(0)),
+        )
+        .where(F.col("cum_before") * den < F.lit(int(total)) * num)
+        .select("token", "cnt", "cum_before")
+    )

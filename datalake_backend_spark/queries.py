@@ -4902,6 +4902,42 @@ GROUP BY o_orderpriority
 """
 
 
+def r112_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage driver check (`dbs.datapipe.text
+    .vocab_coverage`): the smallest frequency-ranked token vocabulary
+    covering 99.9% of the corpus token stream, with each kept token's
+    exact count and exclusive cumulative rank mass. The cut is
+    integer-exact ((999,1000) fraction — no float threshold), and the
+    cumulative sum runs as a two-phase prefix over the vocabulary, so
+    the oracle's single SQL window (SUM ... ROWS UNBOUNDED PRECEDING
+    TO 1 PRECEDING ordered count-desc/token-asc) must agree row for
+    row; a mis-stitched partition offset shifts every cum_before after
+    it and breaks the hash."""
+    from datalake_backend_spark.datapipe.text import vocab_coverage
+
+    docs = table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, coverage=(999, 1000))
+
+
+R112_SQL = r"""
+WITH t AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+),
+c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+ranked AS (
+  SELECT token, cnt,
+         CAST(COALESCE(SUM(cnt) OVER (ORDER BY cnt DESC, token
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM c
+)
+SELECT token, CAST(cnt AS BIGINT) AS cnt, cum_before
+FROM ranked
+WHERE cum_before * 1000 < (SELECT SUM(cnt) FROM c) * 999
+"""
+
+
 def r97_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance driver check (`dbs.operators
     .incremental.rollup_state`/`merge_rollup_state`/`finalize_rollup`):
@@ -5706,6 +5742,9 @@ QUERIES: dict[str, QuerySpec] = {
     "r10_sessionize": QuerySpec(q10_sessionize, Q10_SQL, "W7"),
     "r110_heavy_hitters": QuerySpec(
         r110_heavy_hitters, R110_SQL, "sketch-heavy-hitters,exact-verify"
+    ),
+    "r112_vocab_coverage": QuerySpec(
+        r112_vocab_coverage, R112_SQL, "text-vocab-coverage,prefix-sum"
     ),
     "r11_session_summary": QuerySpec(q11_session_summary, Q11_SQL, "W7,A13"),
     "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),

@@ -1026,3 +1026,34 @@ def test_sampled_frame_stats_samples_only(spark):
     for i in range(1, 7):
         n = 2 + i % 4
         assert sorted(by_id[i]) == list(range(0, n, 2))
+
+
+def test_vocab_coverage_matches_single_window(spark):
+    """Two-phase prefix cumulative equals the plain global window, the
+    integer cut keeps exactly the tokens whose preceding mass is below
+    target, and results are partition-invariant."""
+    from pyspark.sql import Window
+
+    from datalake_backend_spark.datapipe.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b b c d"), (2, "a b b e"), (3, "a c c f")],
+        "doc_id long, text string",
+    )
+    # counts: a=6 b=4 c=3 d=1 e=1 f=1  (total 16)
+    got = {
+        (r.token, r.cnt, r.cum_before)
+        for r in vocab_coverage(docs, coverage=(13, 16)).collect()
+    }
+    # cut: cum_before*16 < 16*13 → cum_before < 13 → a(0), b(6), c(10);
+    # d (13) is out
+    assert got == {("a", 6, 0), ("b", 4, 6), ("c", 3, 10)}
+
+    for n in (1, 7):
+        again = {
+            (r.token, r.cnt, r.cum_before)
+            for r in vocab_coverage(
+                docs.repartition(n), coverage=(13, 16)
+            ).collect()
+        }
+        assert again == got
