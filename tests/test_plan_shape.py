@@ -261,3 +261,51 @@ def test_dynamic_partition_pruning_on_partitioned_zone(spark, tmp_path):
     assert re.search(r"dynamicpruning", plan, re.I), plan
     # and it actually returns only the 3 hot days
     assert j.count() == 3
+
+
+def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
+    """A shuffle join against a selectively-filtered build side must
+    inject Spark's runtime bloom filter on the probe side (a
+    bloom_filter_agg subquery feeding might_contain above the fact
+    scan) — at 100 TB this drops most probe rows BEFORE the shuffle,
+    the row-level sibling of dynamic partition pruning. The size
+    thresholds are lowered to make the sf-tiny fixture eligible; the
+    optimization itself ships enabled in config.py."""
+    fact_path, dim_path = str(tmp_path / "fact"), str(tmp_path / "dim")
+    spark.range(0, 200_000).select(
+        (F.col("id") % 1000).alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    ).write.parquet(fact_path)
+    spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 5, "hot").otherwise("cold").alias("tier"),
+    ).write.parquet(dim_path)
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        assert spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        ) == "true"
+        j = (
+            spark.read.parquet(fact_path)
+            .join(
+                spark.read.parquet(dim_path).where(F.col("tier") == "hot"),
+                "k",
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"))
+        )
+        plan = j._jdf.queryExecution().toString()
+        assert re.search(r"bloom_filter_agg", plan), plan[:2000]
+        assert re.search(r"might_contain", plan, re.I), plan[:2000]
+        assert j.count() == 5
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
