@@ -302,6 +302,7 @@ class VersionedTable:
         max_retries: int = 5,
         metadata: dict | None = None,
         partition_by: list[str] | None = None,
+        expected_head: int | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot and publish it atomically.
 
@@ -316,6 +317,15 @@ class VersionedTable:
 
         The data directory is written ONCE; only the tiny manifest
         create is retried on conflict.
+
+        ``expected_head`` is the optimistic-concurrency guard for
+        read-modify-write commits (MERGE/DELETE/compact): the snapshot
+        the caller DERIVED this dataframe from. If another writer has
+        published past it, retrying at a later version would silently
+        throw away that writer's commit — so the commit raises
+        :class:`CommitConflict` immediately and the caller re-derives
+        from the new head (Delta's ConcurrentModificationException
+        contract). Plain appends commute and need no guard.
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -335,6 +345,11 @@ class VersionedTable:
         schema_json = json.loads(df.schema.json())
         for _ in range(max_retries):
             head = self.latest_version()
+            if expected_head is not None and head != expected_head:
+                raise CommitConflict(
+                    f"head moved {expected_head} -> {head} at {self.path}; "
+                    "re-derive from the new snapshot"
+                )
             version = (head or 0) + 1
             mixed = False
             if mode == "append" and head is not None:
@@ -519,28 +534,48 @@ class VersionedTable:
         return residual(r.parquet(*[os.path.join(self.path, p) for p in kept]))
 
     # ----------------------------------------------- table mutations
+    def _rmw_commit(
+        self, spark: SparkSession, derive, op: str, rederive_retries: int = 5
+    ) -> int:
+        """Read-modify-write with the optimistic guard: derive the new
+        snapshot FROM the head we read, commit pinned to that head, and
+        on :class:`CommitConflict` re-derive from the new head — never
+        publish a result computed against a stale base (which would
+        silently erase the winner's commit)."""
+        last: CommitConflict | None = None
+        for _ in range(rederive_retries):
+            head = self.latest_version()
+            man = self.manifest(head)
+            try:
+                return self.commit(
+                    derive(self.read(spark, head)),
+                    op=op,
+                    # copy-on-write ops keep the snapshot's partitioning
+                    partition_by=man.get("partition_by") or None,
+                    expected_head=head,
+                )
+            except CommitConflict as e:
+                last = e
+                continue
+        raise last if last is not None else CommitConflict("no commits")
+
     def merge(
         self, spark: SparkSession, updates: DataFrame, key_cols: list[str]
     ) -> int:
         """MERGE INTO (upsert) as copy-on-write: last-writer-wins by
-        key against the latest snapshot, committed as a new version."""
+        key against the latest snapshot, committed as a new version.
+        Concurrent writers re-derive on conflict instead of clobbering
+        each other (see :meth:`_rmw_commit`)."""
         from datalake_backend_spark.operators.merge import upsert
 
-        base = self.read(spark)
-        return self.commit(
-            upsert(base, updates, key_cols),
-            op="merge",
-            # copy-on-write ops preserve the snapshot's partition scheme
-            partition_by=self.manifest().get("partition_by") or None,
+        return self._rmw_commit(
+            spark, lambda base: upsert(base, updates, key_cols), "merge"
         )
 
     def delete_where(self, spark: SparkSession, predicate) -> int:
         """DELETE FROM ... WHERE: commits the complement snapshot."""
-        base = self.read(spark)
-        return self.commit(
-            base.where(~predicate),
-            op="delete",
-            partition_by=self.manifest().get("partition_by") or None,
+        return self._rmw_commit(
+            spark, lambda base: base.where(~predicate), "delete"
         )
 
     def changes(
@@ -590,8 +625,14 @@ class VersionedTable:
         min/max statistics prune files for predicates on EITHER
         dimension. Verified by the clustering test, which checks that
         per-file min/max ranges of both dims shrink vs the unsorted
-        layout."""
-        man = self.manifest()
+        layout.
+
+        Commits pinned to the head it read (``expected_head``): OPTIMIZE
+        must never clobber a merge that landed while it rewrote —
+        losing the race raises :class:`CommitConflict`; re-run against
+        the new head (rows changed, so a blind re-derive is wrong)."""
+        head = self.latest_version()
+        man = self.manifest(head)
         total_bytes = 0
         for d in man["dirs"]:
             for root, _dirs, files in os.walk(os.path.join(self.path, d)):
@@ -601,7 +642,7 @@ class VersionedTable:
                     if f.endswith(".parquet")
                 )
         n_parts = max(1, -(-total_bytes // target_bytes))  # ceil div
-        df = self.read(spark)
+        df = self.read(spark, head)
         if zorder_by is not None:
             from datalake_backend_spark.core.geometry import zorder_key
 
@@ -618,7 +659,10 @@ class VersionedTable:
         else:
             df = df.coalesce(int(n_parts))
         return self.commit(
-            df, op="compact", partition_by=man.get("partition_by") or None
+            df,
+            op="compact",
+            partition_by=man.get("partition_by") or None,
+            expected_head=head,
         )
 
     def vacuum(self, retain_last: int = 2) -> list[str]:

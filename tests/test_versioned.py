@@ -584,3 +584,42 @@ def test_upsert_epoch_commit_cdc_semantics(spark, tbl):
     assert not upsert_epoch_commit(tbl, batch, 1, ["key"], "_seq", "_deleted")
     assert tbl.latest_version() == head
     assert {(r.key, r.val) for r in tbl.read(spark).collect()} == {(2, "b3")}
+
+
+def test_expected_head_guard_raises_on_moved_head(spark, tbl):
+    tbl.commit(_mk(spark, [(1, "a")]))
+    head = tbl.latest_version()
+    tbl.commit(_mk(spark, [(2, "b")]), mode="append")  # someone else lands
+    with pytest.raises(CommitConflict):
+        tbl.commit(_mk(spark, [(9, "x")]), expected_head=head)
+
+
+def test_concurrent_merges_lose_no_updates(spark, tbl):
+    """Two writers merging DIFFERENT keys concurrently: whoever loses
+    the head race must re-derive from the winner's snapshot, so the
+    final table contains BOTH updates (the pre-guard code silently
+    erased the winner's)."""
+    import threading
+
+    tbl.commit(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    errs = []
+
+    def do_merge(key, val):
+        try:
+            tbl.merge(spark, _mk(spark, [(key, val)]), ["key"])
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=do_merge, args=(1, "A")),
+        threading.Thread(target=do_merge, args=(4, "D")),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    got = {(r.key, r.val) for r in tbl.read(spark).collect()}
+    assert got == {(1, "A"), (2, "b"), (3, "c"), (4, "D")}
+    # two merge versions actually landed (no silent clobber-and-skip)
+    assert [m["op"] for m in tbl.history()] == ["overwrite", "merge", "merge"]
