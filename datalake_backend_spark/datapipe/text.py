@@ -471,3 +471,51 @@ def vocab_coverage(
         .where(F.col("cum_before") * den < F.lit(int(total)) * num)
         .select("token", "cnt", "cum_before")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the RAG /
+    context-window prep step: chunk ``i`` covers tokens ``[i·stride,
+    i·stride + chunk_tokens)`` with ``stride = chunk_tokens − overlap``,
+    and the final partial window is kept so no tail token is lost.
+    Emits ``(id, chunk_idx, tok_start, tok_end, n_tokens, chunk)``.
+
+    Pure column expressions end-to-end (split → sequence → transform/
+    slice → posexplode): map-only, no shuffle, no Python in the row
+    path — whole-stage codegen handles a 100 TB corpus as a single
+    scan-and-expand stage."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("tok_start"),
+            F.least(s + chunk_tokens, n).alias("tok_end"),
+            F.array_join(F.slice(toks, s + 1, chunk_tokens), " ").alias(
+                "chunk"
+            ),
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "_c"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.col("_c.tok_start").alias("tok_start"),
+        F.col("_c.tok_end").alias("tok_end"),
+        (F.col("_c.tok_end") - F.col("_c.tok_start")).alias("n_tokens"),
+        F.col("_c.chunk").alias("chunk"),
+    )

@@ -4938,6 +4938,40 @@ WHERE cum_before * 1000 < (SELECT SUM(cnt) FROM c) * 999
 """
 
 
+def r113_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-chunking driver check (`dbs.datapipe.text
+    .chunk_documents`): every document split into 64-token windows
+    overlapping by 16 (stride 48), tail window kept. Pure
+    split→sequence→slice→posexplode column expressions — the oracle
+    rebuilds each window with generate_series + list slicing and must
+    match every chunk's offsets AND reassembled text exactly; an
+    off-by-one in the slice bounds or a dropped tail window breaks the
+    hash."""
+    from datalake_backend_spark.datapipe.text import chunk_documents
+
+    docs = table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+R113_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(range(0, GREATEST(len(toks) - 1, 0) + 1, 48)) AS tok_start
+  FROM t
+)
+SELECT doc_id, CAST(tok_start // 48 AS INT) AS chunk_idx,
+       CAST(tok_start AS INT) AS tok_start,
+       CAST(LEAST(tok_start + 64, len(toks)) AS INT) AS tok_end,
+       CAST(LEAST(tok_start + 64, len(toks)) - tok_start AS INT) AS n_tokens,
+       array_to_string(toks[tok_start + 1 : tok_start + 64], ' ') AS chunk
+FROM starts
+"""
+
+
 def r97_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance driver check (`dbs.operators
     .incremental.rollup_state`/`merge_rollup_state`/`finalize_rollup`):
@@ -5745,6 +5779,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r112_vocab_coverage": QuerySpec(
         r112_vocab_coverage, R112_SQL, "text-vocab-coverage,prefix-sum"
+    ),
+    "r113_doc_chunks": QuerySpec(
+        r113_doc_chunks, R113_SQL, "text-chunking,rag-windows"
     ),
     "r11_session_summary": QuerySpec(q11_session_summary, Q11_SQL, "W7,A13"),
     "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),

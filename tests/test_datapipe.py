@@ -1057,3 +1057,31 @@ def test_vocab_coverage_matches_single_window(spark):
             ).collect()
         }
         assert again == got
+
+
+def test_chunk_documents_windows(spark):
+    """Window offsets, overlap, tail retention, and exact reassembly."""
+    from datalake_backend_spark.datapipe.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    # stride 2 over 10 tokens → starts 0,2,4,6,8 (tail kept)
+    assert [(r.tok_start, r.tok_end) for r in c1] == [
+        (0, 4), (2, 6), (4, 8), (6, 10), (8, 10)
+    ]
+    assert c1[0].chunk == "t0 t1 t2 t3"
+    assert c1[-1].chunk == "t8 t9" and c1[-1].n_tokens == 2
+    # doc shorter than one window → exactly one chunk
+    assert [(r.tok_start, r.tok_end, r.chunk) for r in by_doc[2]] == [(0, 2, "a b")]
+    assert [(r.chunk, r.n_tokens) for r in by_doc[3]] == [("solo", 1)]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
