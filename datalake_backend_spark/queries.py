@@ -4972,6 +4972,95 @@ FROM starts
 """
 
 
+def r114_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint driver check (`dbs.operators.constraints
+    .check_constraints`): a rule list over orders — not-null key,
+    price range (with a bound tight enough to actually catch rows),
+    priority domain membership + regex, key uniqueness, and a
+    customer foreign key — compiled into one aggregate pass for the
+    row rules plus one group-by and one anti-join. The oracle
+    recomputes every violation count with plain SQL; a rule that
+    under-counts (e.g. counting duplicate GROUPS instead of surplus
+    rows) or a predicate that mishandles nulls breaks the hash."""
+    from datalake_backend_spark.operators.constraints import (
+        check_constraints,
+        foreign_key,
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        unique,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    rules = [
+        not_null("o_custkey"),
+        in_range("o_totalprice", lo=0, hi=200000),
+        in_set(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        ),
+        matches("o_orderpriority", r"^[0-9]-[A-Z ]+$"),
+        unique(["o_orderkey"]),
+        foreign_key("o_custkey", customer, "c_custkey", "customer"),
+    ]
+    return check_constraints(orders, rules)
+
+
+R114_SQL = """
+WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)
+SELECT 'not_null(o_custkey)' AS rule,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS violations,
+       n_rows, (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) = 0 AS passed
+FROM n
+UNION ALL
+SELECT 'in_range(o_totalprice,0,200000)',
+       (SELECT COUNT(*) FROM orders
+        WHERE o_totalprice IS NOT NULL
+          AND NOT (o_totalprice >= 0 AND o_totalprice <= 200000)),
+       n_rows,
+       (SELECT COUNT(*) FROM orders
+        WHERE o_totalprice IS NOT NULL
+          AND NOT (o_totalprice >= 0 AND o_totalprice <= 200000)) = 0
+FROM n
+UNION ALL
+SELECT 'in_set(o_orderpriority)',
+       (SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NOT NULL
+          AND o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM',
+                                      '4-NOT SPECIFIED','5-LOW')),
+       n_rows,
+       (SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NOT NULL
+          AND o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM',
+                                      '4-NOT SPECIFIED','5-LOW')) = 0
+FROM n
+UNION ALL
+SELECT 'matches(o_orderpriority)',
+       (SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NOT NULL
+          AND NOT regexp_matches(o_orderpriority, '^[0-9]-[A-Z ]+$')),
+       n_rows,
+       (SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NOT NULL
+          AND NOT regexp_matches(o_orderpriority, '^[0-9]-[A-Z ]+$')) = 0
+FROM n
+UNION ALL
+SELECT 'unique(o_orderkey)',
+       (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM
+         (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)),
+       n_rows,
+       (SELECT COALESCE(SUM(c - 1), 0) FROM
+         (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)) = 0
+FROM n
+UNION ALL
+SELECT 'foreign_key(o_custkey->customer.c_custkey)',
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+       n_rows,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+FROM n
+"""
+
+
 def r97_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance driver check (`dbs.operators
     .incremental.rollup_state`/`merge_rollup_state`/`finalize_rollup`):
@@ -5782,6 +5871,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r113_doc_chunks": QuerySpec(
         r113_doc_chunks, R113_SQL, "text-chunking,rag-windows"
+    ),
+    "r114_constraints": QuerySpec(
+        r114_constraints, R114_SQL, "data-quality-constraints,validation"
     ),
     "r11_session_summary": QuerySpec(q11_session_summary, Q11_SQL, "W7,A13"),
     "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),

@@ -334,3 +334,57 @@ def test_heavy_hitters_exact_and_complete(spark):
     hh = {r.value: (r.cnt, r.share) for r in
           heavy_hitters(df2, "value", min_share=0.5).collect()}
     assert hh == {"a": (6, 0.75)}
+
+
+def test_check_constraints_report(spark):
+    """Each rule kind counts violations exactly; nulls pass value
+    rules (pair with not_null); unique counts SURPLUS rows, not
+    groups; fk counts orphan rows."""
+    from datalake_backend_spark.operators.constraints import (
+        check_constraints,
+        foreign_key,
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        satisfies,
+        unique,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A"),
+            (1, -5.0, "B"),   # dup key, below range
+            (1, None, "A"),   # dup key, null price (passes range)
+            (2, 999.0, "zz"), # above range, bad code
+            (None, 50.0, "A"),
+        ],
+        "k int, price double, code string",
+    )
+    ref = spark.createDataFrame([(1,)], "k int")
+    rep = {
+        r.rule: (r.violations, r.n_rows, r.passed)
+        for r in check_constraints(
+            df,
+            [
+                not_null("k"),
+                in_range("price", lo=0, hi=100),
+                in_set("code", ["A", "B"]),
+                matches("code", "^[A-Z]+$"),
+                satisfies("price_is_round", F.col("price").isNull() | (F.col("price") % 5 == 0)),
+                unique(["k"]),
+                foreign_key("k", ref, "k"),
+            ],
+        ).collect()
+    }
+    assert rep["not_null(k)"] == (1, 5, False)
+    assert rep["in_range(price,0,100)"] == (2, 5, False)
+    assert rep["in_set(code)"] == (1, 5, False)
+    assert rep["matches(code)"] == (1, 5, False)  # "zz" fails, null absent
+    assert rep["price_is_round"] == (1, 5, False)
+    assert rep["unique(k)"] == (2, 5, False)  # 3 rows of key 1 → 2 surplus
+    assert rep["foreign_key(k->ref.k)"] == (1, 5, False)  # key 2 orphan
+
+    clean = spark.createDataFrame([(1, 5.0, "A")], "k int, price double, code string")
+    rep2 = check_constraints(clean, [not_null("k"), unique(["k"])]).collect()
+    assert all(r.passed for r in rep2)
