@@ -623,3 +623,24 @@ def test_concurrent_merges_lose_no_updates(spark, tbl):
     assert got == {(1, "A"), (2, "b"), (3, "c"), (4, "D")}
     # two merge versions actually landed (no silent clobber-and-skip)
     assert [m["op"] for m in tbl.history()] == ["overwrite", "merge", "merge"]
+
+
+def test_zorder_compaction_improves_data_skipping(spark, tbl):
+    """OPTIMIZE ... ZORDER BY and footer-stats skipping compose: after
+    a Z-order rewrite, a point-range predicate on either clustered
+    dimension prunes strictly more files than the scattered layout —
+    the pair is the lakehouse lookup path."""
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).cast("int").alias("x"),
+        (F.col("id") / 64).cast("int").alias("y"),
+        F.col("id").alias("payload"),
+    ).repartition(16)  # scattered: every file spans most of x/y space
+    tbl.commit(df)
+    preds = [("x", ">=", 8), ("x", "<", 16)]
+    _, total0, kept0 = tbl.prune_files(preds)
+    tbl.compact(spark, target_bytes=8 << 10, zorder_by=("x", "y"))
+    _, total1, kept1 = tbl.prune_files(preds)
+    assert total1 > 1
+    assert kept1 / total1 < kept0 / total0, (kept0, total0, kept1, total1)
+    # and the pruned read still returns exactly the band
+    assert tbl.read_where(spark, preds).count() == 4096 // 8
