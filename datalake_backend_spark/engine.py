@@ -58,6 +58,7 @@ class ProcessResult:
     silver_rows: int = 0
     gold_rows: int = 0
     corrupt_docs: int = 0
+    constraint_violations: int = 0
     outputs: dict[str, str] = field(default_factory=dict)
 
 
@@ -74,6 +75,7 @@ class Engine:
         out_dir: str,
         export_index: bool = False,
         versioned_gold: bool = False,
+        constraints: list | None = None,
     ) -> ProcessResult:
         """Full lifecycle for one raw detection document (or a glob of
         them): bronze → silver parquet + processed JSON → gold parquet +
@@ -86,6 +88,16 @@ class Engine:
         (the reference gets coarse atomicity by overwriting whole MinIO
         objects and readers can observe the gap), old uploads stay
         time-travelable, and ``changes()`` diffs any two uploads.
+
+        ``constraints`` (rule dicts from
+        :mod:`~datalake_backend_spark.operators.constraints`) runs a
+        declarative validation pass over the SILVER zone — one extra
+        aggregate job for any number of row rules — and attaches the
+        per-rule report to ``result.outputs["constraint_report"]`` /
+        ``result.constraint_violations``. Validation REPORTS rather
+        than aborts: the zones still land (quarantining is the
+        corrupt-split's job); a gate that wants to block can check the
+        count before serving.
         """
         pipe = get_pipeline(domain)
         raw = read_raw_json(self.spark, path, domain=domain)
@@ -119,6 +131,22 @@ class Engine:
             partition_by=["ingest_date"],
         )
         result.silver_rows = int(obs_silver.get["n"])
+
+        if constraints:
+            from datalake_backend_spark.operators.constraints import (
+                check_constraints,
+            )
+
+            report_path = os.path.join(out_dir, "constraints", domain)
+            report = check_constraints(
+                self.spark.read.parquet(zones["silver"]), constraints
+            )
+            write_table(report, report_path)
+            report_df = self.spark.read.parquet(report_path)
+            result.constraint_violations = int(
+                report_df.agg(F.sum("violations")).first()[0] or 0
+            )
+            result.outputs["constraint_report"] = report_path
 
         # processed zone: re-nested frame JSON (the reference's shape)
         frame_cols = [c for c in FRAME_COLS[domain] if c in silver.columns]

@@ -119,3 +119,37 @@ def test_versioned_gold_upload_log(engine, spark, tmp_path):
     key = v1.columns[0]
     # identical re-upload → empty change feed between the versions
     assert tbl.changes(spark, 1, 2, [key]).count() == 0
+
+
+def test_constraint_report_on_silver(engine, spark, tmp_path):
+    """process_document(constraints=[...]) lands a per-rule report
+    zone and totals violations without blocking the pipeline."""
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.operators.constraints import (
+        not_null,
+        satisfies,
+        unique,
+    )
+
+    path = write_fixture(tmp_path, "vehicle")
+    out = str(tmp_path / "lake_c")
+    res = engine.process_document(
+        path,
+        "vehicle",
+        out,
+        constraints=[
+            not_null("tracker_id"),
+            unique(["frame_number", "tracker_id"]),
+            satisfies("impossible", F.lit(False)),  # always-violated rule
+        ],
+    )
+    assert res.status == STATUS_OK
+    rep = {
+        r.rule: (r.violations, r.passed)
+        for r in spark.read.parquet(res.outputs["constraint_report"]).collect()
+    }
+    assert rep["not_null(tracker_id)"] == (0, True)
+    assert rep["unique(frame_number,tracker_id)"] == (0, True)
+    assert rep["impossible"] == (res.silver_rows, False)
+    assert res.constraint_violations == res.silver_rows
