@@ -31,40 +31,97 @@ def asof_join(
     left_time: str,
     right_time: str,
     payload_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Backward as-of join: latest right payload at-or-before left time.
+    """As-of join with pandas ``merge_asof`` semantics, distributed.
 
-    ``on`` is the equality key (same name both sides); payload columns
-    default to all right columns except the key and time.
-    """
+    ``direction``: ``backward`` (latest right at-or-before left time),
+    ``forward`` (earliest right at-or-after), or ``nearest`` (smaller
+    absolute time gap, ties broken backward). ``tolerance`` nulls the
+    payload when the matched gap exceeds it. ``on`` is the equality
+    key (same name both sides); payload columns default to all right
+    columns except the key and time.
+
+    Both directions ride ONE shuffle on the key: backward is
+    ``last(ignorenulls)`` over (time, src) ascending with an
+    unbounded-preceding frame; forward is ``first(ignorenulls)`` over
+    (time, src desc) with an unbounded-following frame — the ordering
+    flip keeps a same-timestamp right row visible to both (``<=`` /
+    ``>=`` semantics). Nearest computes both in the same pass."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     payload_cols = payload_cols or [
         c for c in right.columns if c not in (on, right_time)
     ]
+    payload_t = (
+        "struct<_rt:double,"
+        + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}"
+            for c in payload_cols
+        )
+        + ">"
+    )
     l_tagged = left.select(
         F.col(on).alias("_k"),
         F.col(left_time).cast("double").alias("_t"),
         F.lit(1).alias("_src"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_left"),
-        F.lit(None).cast(
-            "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in payload_cols) + ">"
-        ).alias("_right"),
+        F.lit(None).cast(payload_t).alias("_right"),
     )
     r_tagged = right.select(
         F.col(on).alias("_k"),
         F.col(right_time).cast("double").alias("_t"),
         F.lit(0).alias("_src"),
         F.lit(None).cast(l_tagged.schema["_left"].dataType).alias("_left"),
-        F.struct(*[F.col(c) for c in payload_cols]).alias("_right"),
+        F.struct(
+            F.col(right_time).cast("double").alias("_rt"),
+            *[F.col(c) for c in payload_cols],
+        ).alias("_right"),
     )
     unioned = l_tagged.unionByName(r_tagged)
-    w = (
+    w_b = (
         Window.partitionBy("_k")
         .orderBy("_t", "_src")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    matched = unioned.withColumn(
-        "_asof", F.last("_right", ignorenulls=True).over(w)
-    ).where(F.col("_src") == 1)
+    w_f = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_src").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    matched = unioned
+    if direction in ("backward", "nearest"):
+        matched = matched.withColumn(
+            "_bwd", F.last("_right", ignorenulls=True).over(w_b)
+        )
+    if direction in ("forward", "nearest"):
+        matched = matched.withColumn(
+            "_fwd", F.first("_right", ignorenulls=True).over(w_f)
+        )
+    matched = matched.where(F.col("_src") == 1)
+    if direction == "backward":
+        asof = F.col("_bwd")
+    elif direction == "forward":
+        asof = F.col("_fwd")
+    else:
+        b_gap = F.abs(F.col("_t") - F.col("_bwd._rt"))
+        f_gap = F.abs(F.col("_t") - F.col("_fwd._rt"))
+        asof = (
+            F.when(F.col("_bwd").isNull(), F.col("_fwd"))
+            .when(F.col("_fwd").isNull(), F.col("_bwd"))
+            .when(f_gap < b_gap, F.col("_fwd"))
+            .otherwise(F.col("_bwd"))  # ties → backward (pandas rule)
+        )
+    matched = matched.withColumn("_asof", asof)
+    if tolerance is not None:
+        matched = matched.withColumn(
+            "_asof",
+            F.when(
+                F.abs(F.col("_t") - F.col("_asof._rt")) <= F.lit(tolerance),
+                F.col("_asof"),
+            ),
+        )
     out_cols = [F.col(f"_left.{c}").alias(c) for c in left.columns]
     out_cols += [F.col(f"_asof.{c}").alias(c) for c in payload_cols]
     return matched.select(*out_cols)

@@ -5061,6 +5061,58 @@ FROM n
 """
 
 
+def r115_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of driver check (`dbs.operators.asof.asof_join`
+    direction='forward'): each event gets the EARLIEST at-or-after
+    order of its customer — the one-shuffle union-and-window plan with
+    the ordering flipped (first ignorenulls over an unbounded-following
+    frame, same-timestamp rows visible). DuckDB's native ASOF JOIN
+    with `<=` is the oracle; the q34 backward twin already pins the
+    other direction."""
+    from datalake_backend_spark.operators.asof import asof_join
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_id") < 2000)
+        .select("event_id", "ts", "user_id")
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ots"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    # collapse same-(user, date) orders deterministically, as q34 does
+    orders = orders.groupBy("user_id", "ots").agg(
+        F.max_by("o_orderkey", "o_orderkey").alias("o_orderkey"),
+        F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+    )
+    out = asof_join(
+        ev.withColumn("ts_us", F.unix_micros("ts")),
+        orders.withColumn("ots_us", F.unix_micros("ots")).drop("ots"),
+        on="user_id",
+        left_time="ts_us",
+        right_time="ots_us",
+        payload_cols=["o_orderkey", "o_totalprice"],
+        direction="forward",
+    )
+    return out.select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
+R115_SQL = """
+WITH o AS (
+  SELECT o_custkey AS user_id, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS odate_us,
+         arg_max(o_orderkey, o_orderkey) AS o_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_id < 2000) e
+ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts_us <= o.odate_us
+"""
+
+
 def r97_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance driver check (`dbs.operators
     .incremental.rollup_state`/`merge_rollup_state`/`finalize_rollup`):
@@ -5874,6 +5926,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r114_constraints": QuerySpec(
         r114_constraints, R114_SQL, "data-quality-constraints,validation"
+    ),
+    "r115_asof_forward": QuerySpec(
+        r115_asof_forward, R115_SQL, "J-asof-forward (custom operator)"
     ),
     "r11_session_summary": QuerySpec(q11_session_summary, Q11_SQL, "W7,A13"),
     "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),

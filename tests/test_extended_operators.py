@@ -388,3 +388,68 @@ def test_check_constraints_report(spark):
     clean = spark.createDataFrame([(1, 5.0, "A")], "k int, price double, code string")
     rep2 = check_constraints(clean, [not_null("k"), unique(["k"])]).collect()
     assert all(r.passed for r in rep2)
+
+
+def test_asof_join_forward_nearest_tolerance(spark):
+    """merge_asof semantics: forward takes the earliest at-or-after
+    match, nearest takes the smaller gap with backward tie-break, and
+    tolerance nulls matches beyond the gap."""
+    left = spark.createDataFrame(
+        [("a", 10.0), ("a", 25.0), ("a", 100.0), ("b", 5.0)],
+        "k string, t double",
+    )
+    right = spark.createDataFrame(
+        [("a", 8.0, "r8"), ("a", 20.0, "r20"), ("a", 30.0, "r30")],
+        "k string, rt double, val string",
+    )
+
+    fwd = {
+        (r.k, r.t): r.val
+        for r in asof_join(
+            left, right, "k", "t", "rt", direction="forward"
+        ).collect()
+    }
+    assert fwd == {
+        ("a", 10.0): "r20",
+        ("a", 25.0): "r30",
+        ("a", 100.0): None,
+        ("b", 5.0): None,
+    }
+
+    near = {
+        (r.k, r.t): r.val
+        for r in asof_join(
+            left, right, "k", "t", "rt", direction="nearest"
+        ).collect()
+    }
+    # t=10: gaps 2 (r8) vs 10 (r20) → r8; t=25: 5 vs 5 → backward r20
+    assert near == {
+        ("a", 10.0): "r8",
+        ("a", 25.0): "r20",
+        ("a", 100.0): "r30",
+        ("b", 5.0): None,
+    }
+
+    tol = {
+        (r.k, r.t): r.val
+        for r in asof_join(
+            left, right, "k", "t", "rt", direction="backward", tolerance=3.0
+        ).collect()
+    }
+    assert tol == {
+        ("a", 10.0): "r8",    # gap 2 ≤ 3 → kept
+        ("a", 25.0): None,    # backward match r20 has gap 5 > 3 → nulled
+        ("a", 100.0): None,
+        ("b", 5.0): None,
+    }
+
+    # exact same-timestamp row matches in BOTH directions
+    same = spark.createDataFrame([("a", 20.0)], "k string, t double")
+    for d in ("backward", "forward", "nearest"):
+        got = asof_join(same, right, "k", "t", "rt", direction=d).collect()[0]
+        assert got.val == "r20", d
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join(left, right, "k", "t", "rt", direction="sideways")
