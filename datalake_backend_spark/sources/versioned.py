@@ -665,19 +665,25 @@ class VersionedTable:
             expected_head=head,
         )
 
-    def vacuum(self, retain_last: int = 2) -> list[str]:
+    def vacuum(
+        self, retain_last: int = 2, orphan_grace_seconds: float | None = None
+    ) -> list[str]:
         """Delete data directories referenced ONLY by versions older
         than the ``retain_last`` most recent. Retained versions (and
         any reader holding one) stay fully readable; older manifests
         remain as history but their exclusive data is gone.
 
         Only directories that some EXPIRED manifest references are
-        candidates. A directory referenced by NO manifest is never
-        touched: it is most likely an in-flight commit that wrote data
-        but hasn't published yet, and deleting it would corrupt that
-        commit the instant its manifest lands. The cost is that debris
-        from a crashed commit needs an operator to remove — the same
-        safe trade Delta's VACUUM makes with its retention window."""
+        candidates by default. A directory referenced by NO manifest is
+        normally never touched: it is most likely an in-flight commit
+        that wrote data but hasn't published yet, and deleting it would
+        corrupt that commit the instant its manifest lands. Such
+        orphans DO accumulate, though — crashed writers and RMW commits
+        that lost their head race both leave one — so
+        ``orphan_grace_seconds`` opts into reclaiming orphans whose
+        newest file is older than the grace window (an in-flight commit
+        publishes within seconds of its last write; hours of grace is
+        the same retention bet Delta's VACUUM makes)."""
         vs = self._versions()
         if not vs:
             return []
@@ -690,8 +696,26 @@ class VersionedTable:
                 live.update(dirs)
             else:
                 expired_refs.update(dirs)
+        doomed = set(expired_refs - live)
+        if orphan_grace_seconds is not None and os.path.isdir(self.data_dir):
+            referenced = live | expired_refs
+            now = time.time()
+            for name in os.listdir(self.data_dir):
+                rel = f"data/{name}"
+                if rel in referenced:
+                    continue
+                newest = 0.0
+                for root, _dirs, files in os.walk(
+                    os.path.join(self.path, rel)
+                ):
+                    for f in files:
+                        newest = max(
+                            newest, os.path.getmtime(os.path.join(root, f))
+                        )
+                if now - newest > orphan_grace_seconds:
+                    doomed.add(rel)
         removed = []
-        for rel in sorted(expired_refs - live):
+        for rel in sorted(doomed):
             target = os.path.join(self.path, rel)
             if os.path.isdir(target):
                 shutil.rmtree(target, ignore_errors=True)

@@ -644,3 +644,33 @@ def test_zorder_compaction_improves_data_skipping(spark, tbl):
     assert kept1 / total1 < kept0 / total0, (kept0, total0, kept1, total1)
     # and the pruned read still returns exactly the band
     assert tbl.read_where(spark, preds).count() == 4096 // 8
+
+
+def test_vacuum_orphan_grace(spark, tbl):
+    """Orphan dirs (crashed/conflicted commits) survive default vacuum,
+    survive inside the grace window, and are reclaimed past it —
+    referenced dirs are never touched either way."""
+    import shutil as _sh
+    import time as _t
+
+    tbl.commit(_mk(spark, [(1, "a")]))
+    live_dir = tbl.manifest()["dirs"][0]
+    # fabricate an orphan: data written, manifest never published
+    orphan_abs = os.path.join(tbl.path, "data", "deadbeef0000")
+    _mk(spark, [(9, "z")]).write.parquet(orphan_abs)
+
+    assert tbl.vacuum(retain_last=1) == []  # default: orphans untouched
+    assert os.path.isdir(orphan_abs)
+    assert tbl.vacuum(retain_last=1, orphan_grace_seconds=3600) == []
+    assert os.path.isdir(orphan_abs)
+
+    # age the orphan's files past the grace window
+    for root, _d, files in os.walk(orphan_abs):
+        for f in files:
+            os.utime(os.path.join(root, f), (_t.time() - 7200,) * 2)
+    removed = tbl.vacuum(retain_last=1, orphan_grace_seconds=3600)
+    assert removed == ["data/deadbeef0000"]
+    assert not os.path.isdir(orphan_abs)
+    assert os.path.isdir(os.path.join(tbl.path, live_dir))
+    assert {r.key for r in tbl.read(spark).collect()} == {1}
+    _sh.rmtree(tbl.path, ignore_errors=True)
