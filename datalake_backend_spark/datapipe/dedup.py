@@ -148,22 +148,19 @@ def minhash_signature(
     return df.withColumn(out_col, minhash_of_shingles(shingles(F.col(text_col), n), k))
 
 
-def lsh_candidates(
+def band_projection(
     sig_df: DataFrame,
     id_col: str = "doc_id",
     sig_col: str = "minhash",
     bands: int = 32,
     k: int = 128,
 ) -> DataFrame:
-    """LSH banding → candidate pairs (id_a < id_b), deduplicated.
-
-    Explodes each signature into ``bands`` bucket keys and self-joins on
-    (band, bucket_hash): the shuffle key is the bucket, so only docs
-    sharing a band collide — the all-pairs comparison never happens.
-    ``k`` must match the signature length it was built with.
-    """
+    """Explode MinHash signatures into ``(id, band, bucket)`` rows —
+    the PERSISTABLE LSH index of a corpus slice. ``bands × docs`` rows,
+    ~24 bytes each; storing it is what makes dedup incremental (see
+    :func:`incremental_near_dup_minhash`)."""
     rows_per_band = max(1, k // bands)
-    banded = sig_df.select(
+    return sig_df.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -183,6 +180,23 @@ def lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def lsh_candidates(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 32,
+    k: int = 128,
+) -> DataFrame:
+    """LSH banding → candidate pairs (id_a < id_b), deduplicated.
+
+    Explodes each signature into ``bands`` bucket keys and self-joins on
+    (band, bucket_hash): the shuffle key is the bucket, so only docs
+    sharing a band collide — the all-pairs comparison never happens.
+    ``k`` must match the signature length it was built with.
+    """
+    banded = band_projection(sig_df, id_col, sig_col, bands, k)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -742,3 +756,69 @@ def fuzzy_join_levenshtein(
         .where(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def lsh_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    bands: int = 32,
+    k: int = 128,
+) -> DataFrame:
+    """Build the ``(id, band, bucket)`` LSH index rows for a corpus
+    slice (signature + banding in one pass). Persist these — e.g. in a
+    :class:`~datalake_backend_spark.sources.versioned.VersionedTable` —
+    and each new ingest batch dedups against the corpus WITHOUT
+    re-hashing it."""
+    sig = minhash_signature(df, text_col, n=n, k=k).select(id_col, "minhash")
+    return band_projection(sig, id_col, "minhash", bands, k)
+
+
+def incremental_near_dup_minhash(
+    new_docs: DataFrame,
+    all_docs: DataFrame,
+    old_index: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    threshold: float = 0.8,
+    bands: int = 32,
+    k: int = 128,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup: hash ONLY the new batch, probe the stored
+    index, verify exactly. Returns ``(verified_pairs, new_index_rows)``
+    — append the index rows to the store for the next batch.
+
+    The 100 TB shape: per-batch cost is O(new · bands) hashing plus a
+    bucket equi-join of the new rows against the index — the corpus is
+    never re-tokenized, re-hashed, or self-joined again. Candidates are
+    new-vs-old plus new-vs-new (both fall out of one join of the new
+    rows against old ∪ new); verification reads only candidate ids'
+    texts from ``all_docs``. Determinism: a pair found in batch i stays
+    found — re-running later batches can only ADD pairs, so the union
+    of per-batch outputs equals the from-scratch
+    :func:`near_dup_minhash` of the full corpus (pinned by the r116
+    oracle and a unit test)."""
+    new_idx = lsh_index(new_docs, text_col, id_col, n, bands, k)
+    full_idx = (
+        old_index.unionByName(new_idx) if old_index is not None else new_idx
+    )
+    a, b = new_idx.alias("a"), full_idx.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+    )
+    verified = jaccard_pairs(all_docs, cand, text_col, id_col, n).where(
+        F.col("jaccard") >= threshold
+    )
+    return verified, new_idx

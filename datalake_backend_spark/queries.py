@@ -5113,6 +5113,31 @@ ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts_us <= o.odate_us
 """
 
 
+def r116_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup driver check (`dbs.datapipe.dedup
+    .incremental_near_dup_minhash`): the q26 corpus arrives as TWO
+    ingest batches (doc_id < 200, then the rest). Batch 1 builds the
+    LSH band index and dedups itself; batch 2 hashes ONLY its own docs
+    and probes batch 1's stored index (new-vs-old ∪ new-vs-new) — the
+    corpus is never re-hashed. The union of the two batches' verified
+    pairs must equal the from-scratch all-at-once answer, so the
+    oracle is exactly q26's SQL twin. A candidate lost at the batch
+    boundary (the whole failure mode of incremental dedup) drops a
+    pair and breaks the hash."""
+    from datalake_backend_spark.datapipe.dedup import (
+        incremental_near_dup_minhash,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    b1 = docs.where(F.col("doc_id") < 200)
+    b2 = docs.where(F.col("doc_id") >= 200)
+    kw = dict(n=1, threshold=0.95, bands=16, k=64)
+    pairs1, idx1 = incremental_near_dup_minhash(b1, docs, None, **kw)
+    pairs2, _idx2 = incremental_near_dup_minhash(b2, docs, idx1, **kw)
+    out = pairs1.unionByName(pairs2).distinct()
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
+
+
 def r97_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance driver check (`dbs.operators
     .incremental.rollup_state`/`merge_rollup_state`/`finalize_rollup`):
@@ -5929,6 +5954,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r115_asof_forward": QuerySpec(
         r115_asof_forward, R115_SQL, "J-asof-forward (custom operator)"
+    ),
+    "r116_incremental_dedup": QuerySpec(
+        r116_incremental_dedup, Q26_SQL, "dedup-incremental,lsh-index"
     ),
     "r11_session_summary": QuerySpec(q11_session_summary, Q11_SQL, "W7,A13"),
     "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),

@@ -1085,3 +1085,41 @@ def test_chunk_documents_windows(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_incremental_near_dup_equals_batch(spark):
+    """Three ingest batches through the stored LSH index reproduce the
+    from-scratch answer exactly — including a near-dup pair that
+    STRADDLES two batches (the failure mode incrementality risks)."""
+    from datalake_backend_spark.datapipe.dedup import (
+        incremental_near_dup_minhash,
+        near_dup_minhash,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "completely unrelated text about spark engines"),
+        (4, "the quick brown fox leaps over the lazy dog"),  # near-dup of 1/2
+        (5, "another unrelated document entirely here now"),
+        (6, "completely unrelated text about spark engines"),  # dup of 3
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    batches = [
+        docs.where(F.col("doc_id") <= 2),
+        docs.where((F.col("doc_id") > 2) & (F.col("doc_id") <= 4)),
+        docs.where(F.col("doc_id") > 4),
+    ]
+    kw = dict(threshold=0.75, bands=16, k=64)
+    idx, got = None, set()
+    for b in batches:
+        pairs, new_idx = incremental_near_dup_minhash(b, docs, idx, **kw)
+        got |= {(r.id_a, r.id_b) for r in pairs.collect()}
+        idx = new_idx if idx is None else idx.unionByName(new_idx)
+    want = {
+        (r.id_a, r.id_b)
+        for r in near_dup_minhash(docs, **kw).collect()
+    }
+    assert got == want
+    assert (1, 4) in got and (2, 4) in got  # straddles batches 1 and 2
+    assert (3, 6) in got                    # straddles batches 2 and 3
