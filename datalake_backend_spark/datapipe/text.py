@@ -443,9 +443,18 @@ def vocab_coverage(
     """
     from pyspark.sql import Window
 
+    from pyspark import StorageLevel
+
     num, den = coverage
     toks = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # persisted: the vocabulary feeds three consumers (total, partition
+    # totals, the stitched join) — without it each branch re-aggregates
+    # the corpus
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     total = counts.agg(F.sum("cnt")).first()[0] or 0
     d = (
         counts.repartitionByRange(F.col("cnt").desc(), F.col("token"))
