@@ -3123,6 +3123,11 @@ def q66_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin with a lag-based >= boundary, so streaming output is
     fully oracle-checked, not rows-only."""
     from datalake_backend_spark.streaming.pipeline import (
+        streaming_session,
+    )
+
+    spark = streaming_session(spark)
+    from datalake_backend_spark.streaming.pipeline import (
         read_event_stream,
         session_aggregate,
         start_to_memory,
@@ -3594,6 +3599,11 @@ def q74_stateful_slot_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     every accumulated sum is exact cross-engine. The incremental
     version of the reference's per-slot driver loop
     (``advanced_preprocessing_parkingLot.py:46-123``)."""
+    from datalake_backend_spark.streaming.pipeline import (
+        streaming_session,
+    )
+
+    spark = streaming_session(spark)
     import glob as globmod
     import shutil
 
@@ -3857,6 +3867,11 @@ def q79_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the float total is order-independent (the stream's accumulation
     order is not the batch engine's)."""
     from datalake_backend_spark.streaming.pipeline import (
+        streaming_session,
+    )
+
+    spark = streaming_session(spark)
+    from datalake_backend_spark.streaming.pipeline import (
         read_event_stream,
         start_to_memory,
         windowed_counts,
@@ -3904,6 +3919,11 @@ def q80_streaming_silver_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin applies the same transform/aggregate to the source
     table directly; any dropped/duplicated micro-batch changes the
     counts."""
+    from datalake_backend_spark.streaming.pipeline import (
+        streaming_session,
+    )
+
+    spark = streaming_session(spark)
     import shutil
 
     from datalake_backend_spark.streaming.pipeline import (
@@ -4128,6 +4148,11 @@ def q84_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB twin is the equivalent batch interval join, so dropped
     or duplicated matches break the count/checksum hashes."""
     from datalake_backend_spark.streaming.pipeline import (
+        streaming_session,
+    )
+
+    spark = streaming_session(spark)
+    from datalake_backend_spark.streaming.pipeline import (
         read_event_stream,
         start_to_memory,
         stream_stream_interval_join,
@@ -4183,6 +4208,11 @@ def q85_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     event (floor to the slide, minus 0/1/2 slides, keeping those whose
     [start, start+30min) covers the event). Decimal value sums keep
     the floats order-independent."""
+    from datalake_backend_spark.streaming.pipeline import (
+        streaming_session,
+    )
+
+    spark = streaming_session(spark)
     from datalake_backend_spark.streaming.pipeline import (
         read_event_stream,
         start_to_memory,
@@ -4677,6 +4707,11 @@ def r95_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     inflates a count and breaks the hash. The watermark is far wider
     than the fixture's time span so no state expires mid-replay;
     production picks the source's re-delivery horizon instead."""
+    from datalake_backend_spark.streaming.pipeline import (
+        streaming_session,
+    )
+
+    spark = streaming_session(spark)
     import glob as globmod
     import shutil
 
@@ -4742,6 +4777,11 @@ def r96_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     a dropped or double-committed micro-batch, or a manifest that
     mis-unions the two appends, changes the counts and breaks the
     hash."""
+    from datalake_backend_spark.streaming.pipeline import (
+        streaming_session,
+    )
+
+    spark = streaming_session(spark)
     import glob as globmod
     import shutil
 
@@ -4815,6 +4855,11 @@ def r111_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form end state; a replayed batch, a lost tombstone, or
     wrong seq tie-breaking (a key can be both repriced and deleted in
     batch 2) all break the hash."""
+    from datalake_backend_spark.streaming.pipeline import (
+        streaming_session,
+    )
+
+    spark = streaming_session(spark)
     import glob as globmod
     import shutil
 
@@ -5546,6 +5591,11 @@ def r105_streaming_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-merge on replay, or a non-mergeable statistic breaks the
     hash. The composition of incremental view maintenance (r97),
     the versioned commit log (q96), and decimal-exact sums."""
+    from datalake_backend_spark.streaming.pipeline import (
+        streaming_session,
+    )
+
+    spark = streaming_session(spark)
     import glob as globmod
     import shutil
 
