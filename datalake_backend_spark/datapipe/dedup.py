@@ -622,6 +622,16 @@ def cluster_near_dups(
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
+    # right-size the loop to the GRAPH, not the upstream partitioning:
+    # the union inherits 2× the pair-join's partitions, and every
+    # round's join/agg/convergence-probe then pays that task count as
+    # fixed overhead. Duplicate-cluster graphs are typically orders of
+    # magnitude smaller than the corpus that produced them — aim for
+    # ~1M edges per partition (the count is free: und is checkpointed).
+    n_edges = und.count()
+    parts = int(max(2, min(und.rdd.getNumPartitions(), n_edges // 1_000_000 + 2)))
+    if parts < und.rdd.getNumPartitions():
+        und = und.repartition(parts, "src").localCheckpoint()
     labels = (
         und.groupBy(F.col("src").alias("node"))
         .agg(F.min("dst").alias("nbr_min"))
