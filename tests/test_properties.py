@@ -279,3 +279,100 @@ def test_cdc_roundtrip_property(spark, old_rows, new_rows):
     ch = snapshot_diff(odf, ndf, ["k"], ["s", "v"], include_values=True)
     applied = {tuple(r) for r in apply_changelog(odf, ch, ["k"]).collect()}
     assert applied == {tuple(r) for r in ndf.collect()}
+
+
+@FAST
+@given(
+    st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=60),
+    st.integers(2, 10),
+)
+def test_heavy_hitters_equals_group_by(spark, values, k):
+    """heavy_hitters == plain GROUP BY ... HAVING for random value
+    streams, thresholds, and partitionings."""
+    from datalake_backend_spark.operators.distributions import heavy_hitters
+
+    min_share = 1.0 / k
+    df = spark.createDataFrame([(v,) for v in values], "value string").repartition(3)
+    got = {
+        (r.value, r.cnt)
+        for r in heavy_hitters(df, "value", min_share=min_share).collect()
+    }
+    import math
+
+    thr = math.ceil(len(values) * min_share)
+    want = {
+        (r.value, r.cnt)
+        for r in df.groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= thr)
+        .collect()
+    }
+    assert got == want
+
+
+@FAST
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["w1", "w2", "w3", "x", "yy"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(2, 8),
+    st.integers(0, 6),
+)
+def test_chunking_reassembly_property(spark, docs, chunk, overlap_raw):
+    """Every token lands in ≥1 chunk; with overlap=0 concatenating the
+    chunks reproduces the document exactly; offsets tile correctly."""
+    from datalake_backend_spark.datapipe.text import chunk_documents
+
+    overlap = min(overlap_raw, chunk - 1)
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, toks in enumerate(docs):
+        cs = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        stride = chunk - overlap
+        assert [r.tok_start for r in cs] == [j * stride for j in range(len(cs))]
+        assert cs[-1].tok_end == len(toks)  # tail covered
+        covered = set()
+        for r in cs:
+            covered |= set(range(r.tok_start, r.tok_end))
+            assert r.chunk == " ".join(toks[r.tok_start : r.tok_end])
+        assert covered == set(range(len(toks)))
+        if overlap == 0:
+            assert " ".join(r.chunk for r in cs) == " ".join(toks)
+
+
+@FAST
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.sampled_from("ab")),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[0],
+    ),
+    st.lists(st.tuples(st.integers(0, 500), st.integers(-3, 3)), max_size=6),
+)
+def test_data_skipping_equals_full_filter(spark, tmp_path_factory, rows, pred_seed):
+    """read_where == read().where(...) for random tables and random
+    conjunctive predicates — pruning must never change results."""
+    from datalake_backend_spark.sources.versioned import VersionedTable
+
+    tbl = VersionedTable(str(tmp_path_factory.mktemp("sk") / "t"))
+    df = spark.createDataFrame(rows, "k int, s string").repartition(3)
+    tbl.commit(df)
+    preds = [("k", op, base + d) for (base, d), op in
+             zip(pred_seed, ["<", ">=", "=", "<=", ">", "="])][:3]
+    if not preds:
+        preds = [("k", ">=", 0)]
+    got = sorted(map(tuple, tbl.read_where(spark, preds).collect()))
+    full = tbl.read(spark)
+    col_ops = {"=": lambda c, v: c == v, "<": lambda c, v: c < v,
+               "<=": lambda c, v: c <= v, ">": lambda c, v: c > v,
+               ">=": lambda c, v: c >= v}
+    for c, op, v in preds:
+        full = full.where(col_ops[op](F.col(c), F.lit(v)))
+    assert got == sorted(map(tuple, full.collect()))
