@@ -204,3 +204,62 @@ def mix_to_proportions(
     for s, f in fracs.items():
         keep = F.when(F.col(source_col) == s, F.lit(float(f))).otherwise(keep)
     return df.where(hash_fraction(key_col, salt) < keep)
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic pseudo-random negative sampling for contrastive
+    training pairs: each anchor row gets ``k`` negatives drawn
+    uniformly from the corpus by a portable hash — no ``rand()``, so
+    the sample is identical across runs, partitionings, and engines,
+    and an anchor never draws itself.
+
+    Scale shape: a dense 0-based rank index over ids comes from the
+    same two-phase prefix sum as sequence packing (range-repartition +
+    per-partition counts + a #partitions-row window — no global sort);
+    each (anchor, j) computes ``target = hash(id:j:seed) mod N`` and
+    equi-joins rank → id. Both sides of that join are uniform by
+    construction (hash targets), so there is no skew; cost is one
+    explode (k×N rows of two longs) plus one shuffle join against the
+    N-row index."""
+    from datalake_backend_spark.datapipe.dedup import portable_hash60
+    from datalake_backend_spark.datapipe.packing import token_stream_offsets
+
+    ids = df.select(id_col).withColumn("_one", F.lit(1))
+    idx = token_stream_offsets(
+        ids, key_col=id_col, token_count_col="_one", out_col="_rank"
+    ).select(F.col(id_col).alias("_nid"), F.col("_rank"))
+    n = idx.count()
+    if n < 2:
+        raise ValueError("negative sampling needs at least 2 rows")
+    anchors = idx.select(
+        F.col("_nid").alias(id_col), F.col("_rank").alias("_arank")
+    ).select(
+        id_col,
+        "_arank",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_idx"),
+    )
+    target = F.pmod(
+        portable_hash60(
+            F.concat_ws(
+                ":",
+                F.col(id_col).cast("string"),
+                F.col("neg_idx").cast("string"),
+                F.lit(str(seed)),
+            )
+        ),
+        F.lit(n),
+    )
+    # self-draw: deterministic re-aim one rank over (mod N)
+    anchors = anchors.withColumn(
+        "_trank",
+        F.when(target == F.col("_arank"), (target + 1) % n).otherwise(target),
+    )
+    return (
+        anchors.join(idx, anchors._trank == idx._rank)
+        .select(id_col, "neg_idx", F.col("_nid").alias("neg_id"))
+    )

@@ -5183,6 +5183,48 @@ def r116_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
 
 
+def r117_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-sampling driver check (`dbs.datapipe.sampling
+    .negative_samples`): 3 deterministic pseudo-random negatives per
+    document — rank index via the distributed prefix sum, target rank
+    via the portable md5 hash mod N (self-draws re-aim one rank over).
+    The DuckDB twin recomputes ranks with ROW_NUMBER and the identical
+    hash arithmetic, so a mis-stitched rank index, a hash mismatch, or
+    a self-draw slipping through breaks the value hash."""
+    from datalake_backend_spark.datapipe.sampling import negative_samples
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return negative_samples(docs, "doc_id", k=3, seed=42)
+
+
+R117_SQL = """
+WITH idx AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rnk
+  FROM documents
+),
+n AS (SELECT COUNT(*) AS n FROM documents),
+anchors AS (
+  SELECT i.doc_id, i.rnk AS arank, j.neg_idx
+  FROM idx i CROSS JOIN (SELECT unnest(range(0, 3)) AS neg_idx) j
+),
+aimed AS (
+  SELECT doc_id, neg_idx,
+         CAST(('0x' || substr(md5(doc_id || ':' || neg_idx || ':42'), 1, 15))
+              AS BIGINT) % (SELECT n FROM n) AS t0,
+         arank
+  FROM anchors
+),
+fixed AS (
+  SELECT doc_id, CAST(neg_idx AS INT) AS neg_idx,
+         CASE WHEN t0 = arank THEN (t0 + 1) % (SELECT n FROM n) ELSE t0 END
+           AS trank
+  FROM aimed
+)
+SELECT f.doc_id, f.neg_idx, i.doc_id AS neg_id
+FROM fixed f JOIN idx i ON f.trank = i.rnk
+"""
+
+
 def r97_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance driver check (`dbs.operators
     .incremental.rollup_state`/`merge_rollup_state`/`finalize_rollup`):
@@ -6007,6 +6049,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r116_incremental_dedup": QuerySpec(
         r116_incremental_dedup, Q26_SQL, "dedup-incremental,lsh-index"
+    ),
+    "r117_negative_samples": QuerySpec(
+        r117_negative_samples, R117_SQL, "sampling-negatives,contrastive"
     ),
     "r11_session_summary": QuerySpec(q11_session_summary, Q11_SQL, "W7,A13"),
     "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),

@@ -1123,3 +1123,28 @@ def test_incremental_near_dup_equals_batch(spark):
     assert got == want
     assert (1, 4) in got and (2, 4) in got  # straddles batches 1 and 2
     assert (3, 6) in got                    # straddles batches 2 and 3
+
+
+def test_negative_samples_deterministic_no_self(spark):
+    """k negatives per anchor, never the anchor itself, identical
+    across partitionings; distinct targets spread over the corpus."""
+    from datalake_backend_spark.datapipe.sampling import negative_samples
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    out = negative_samples(docs, "doc_id", k=4).collect()
+    assert len(out) == 80
+    assert all(r.neg_id != r.doc_id for r in out)
+    assert all(0 <= r.neg_id < 20 for r in out)
+    again = {
+        (r.doc_id, r.neg_idx, r.neg_id)
+        for r in negative_samples(docs.repartition(7), "doc_id", k=4).collect()
+    }
+    assert again == {(r.doc_id, r.neg_idx, r.neg_id) for r in out}
+    # sanity: draws are spread, not collapsed onto a few targets
+    assert len({r.neg_id for r in out}) > 10
+
+    import pytest as _pytest
+
+    one = spark.createDataFrame([(1,)], "doc_id long")
+    with _pytest.raises(ValueError):
+        negative_samples(one, "doc_id", k=2)
