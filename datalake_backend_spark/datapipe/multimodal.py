@@ -852,3 +852,87 @@ def sampled_frame_stats(
             yield pd.DataFrame(recs)
 
     return df.select(id_col, payload_col).mapInPandas(batches, FRAME_STATS_SCHEMA)
+
+
+def resample_linear(x: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
+    """Linear-interpolation PCM resample in EXACT integer arithmetic —
+    bit-reproducible in any engine (no float positions): output frame
+    ``j`` sits at rational position ``j·src/dst``; the interpolated
+    value is ``(a·(dst−rem) + b·rem) / dst`` rounded half-up, computed
+    in int64 with a +32768 shift so the division is over non-negative
+    integers (floor == truncate in every SQL dialect). Output length
+    ``(n−1)·dst//src + 1`` never extrapolates past the last frame."""
+    n = x.shape[0]
+    if n == 0 or src_rate == dst_rate:
+        return x.astype(np.int16)
+    out_n = (n - 1) * dst_rate // src_rate + 1
+    j = np.arange(out_n, dtype=np.int64)
+    num = j * src_rate
+    i0 = num // dst_rate
+    rem = num % dst_rate
+    i1 = np.minimum(i0 + 1, n - 1)
+    a = x[i0].astype(np.int64)
+    b = x[i1].astype(np.int64)
+    if x.ndim == 2:
+        rem = rem[:, None]
+    nn = a * (dst_rate - rem) + b * rem + 32768 * dst_rate
+    y = (nn + dst_rate // 2) // dst_rate - 32768
+    return np.clip(y, -32768, 32767).astype(np.int16)
+
+
+def resample_audio(
+    df: DataFrame, target_rate: int, payload_col: str = "payload"
+) -> DataFrame:
+    """Resample every decodable WAV payload to ``target_rate`` (linear
+    interpolation, exact integer math) and re-encode; non-decodable
+    payloads pass through byte-unchanged and keep their metadata, the
+    same honest contract as :func:`resize_images`. Map-only — one
+    Arrow stage, no shuffle."""
+
+    def one(p) -> tuple[bytes, bool, int]:
+        b = bytes(p) if p is not None else b""
+        try:
+            samples, rate = decode_wav(b)
+        except ValueError:
+            return b, False, 0
+        out = resample_linear(samples, rate, target_rate)
+        return encode_wav(out, target_rate), True, out.shape[0]
+
+    cols_out = df.columns
+    flagged = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("_decoded", T.BooleanType()),
+            T.StructField("_frames", T.IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            trip = [one(p) for p in pdf[payload_col]]
+            pdf[payload_col] = [b for b, _, _ in trip]
+            pdf["_decoded"] = [d for _, d, _ in trip]
+            pdf["_frames"] = [n for _, _, n in trip]
+            yield pdf[cols_out + ["_decoded", "_frames"]]
+
+    out = df.mapInPandas(batches, flagged)
+    if "meta" in df.columns:
+        out = out.withColumn(
+            "meta",
+            F.when(
+                F.col("_decoded"),
+                F.struct(
+                    F.col("meta.mime").alias("mime"),
+                    F.col("meta.width").alias("width"),
+                    F.col("meta.height").alias("height"),
+                    (
+                        F.col("_frames").cast("long")
+                        * 1000
+                        / F.lit(target_rate)
+                    ).cast("long").alias("duration_ms"),
+                    F.col("meta.codec").alias("codec"),
+                ),
+            ).otherwise(F.col("meta")),
+        )
+    return out.drop("_decoded", "_frames")

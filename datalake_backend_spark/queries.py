@@ -4696,6 +4696,65 @@ FROM sm GROUP BY media_id, sample_rate, ch, frames
 """
 
 
+def r118_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-resample driver check (`dbs.datapipe.multimodal
+    .resample_linear`/`resample_audio`): every synthetic WAV (mixed
+    8/12/16 kHz, mono/stereo) resamples to 16 kHz by linear
+    interpolation in EXACT integer arithmetic — rational sample
+    positions, int64 numerators, half-up rounding over a +32768 shift
+    so floor == truncate in every dialect — then re-encodes and
+    re-decodes through the byte-level codec. The DuckDB twin
+    recomputes every interpolated sample with the identical integer
+    formula via generate_series; a position off by one frame, a
+    rounding-mode mismatch, or an interleave slip breaks the
+    amplitude-sum hash."""
+    from datalake_backend_spark.datapipe.multimodal import (
+        audio_stats,
+        resample_audio,
+        synthetic_wav_table,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    media = resample_audio(synthetic_wav_table(docs), target_rate=16000)
+    return audio_stats(media)
+
+
+R118_SQL = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         100 + doc_id % 50 AS frames,
+         CAST(1 + doc_id % 2 AS INT) AS ch,
+         8000 + (doc_id % 3) * 4000 AS rate
+  FROM documents
+),
+d AS (SELECT media_id, frames, ch, rate,
+             (frames - 1) * 16000 // rate + 1 AS oframes FROM dims),
+js AS (SELECT media_id, frames, ch, rate, oframes,
+              unnest(range(0, oframes)) AS j FROM d),
+cs AS (SELECT media_id, frames, ch, rate, oframes, j,
+              unnest(range(0, ch)) AS c FROM js),
+y AS (
+  SELECT media_id, oframes, ch,
+         ABS(
+           ((((media_id*37 + ((j*rate) // 16000)*13 + c*5) % 4096 - 2048)
+              * (16000 - (j*rate) % 16000)
+             + ((media_id*37
+                 + LEAST((j*rate) // 16000 + 1, frames - 1)*13
+                 + c*5) % 4096 - 2048) * ((j*rate) % 16000)
+             + 32768*16000 + 8000) // 16000) - 32768
+         ) AS a
+  FROM cs
+)
+SELECT media_id, 16000 AS sample_rate, ch AS channels,
+       CAST(oframes AS BIGINT) AS n_frames,
+       CAST(oframes * 1000 // 16000 AS BIGINT) AS duration_ms,
+       CAST(SUM(a) AS BIGINT) AS sum_abs,
+       CAST(MAX(a) AS INT) AS peak,
+       CAST(SUM(a) AS BIGINT) / CAST(oframes * ch AS DOUBLE) AS mean_abs
+FROM y GROUP BY media_id, oframes, ch
+"""
+
+
 def r95_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact-dedup driver check (`dbs.streaming.pipeline
     .dedup_stream` / ``dropDuplicatesWithinWatermark``): batch 1
@@ -6052,6 +6111,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r117_negative_samples": QuerySpec(
         r117_negative_samples, R117_SQL, "sampling-negatives,contrastive"
+    ),
+    "r118_audio_resample": QuerySpec(
+        r118_audio_resample, R118_SQL, "multimodal-audio-resample"
     ),
     "r11_session_summary": QuerySpec(q11_session_summary, Q11_SQL, "W7,A13"),
     "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),

@@ -1148,3 +1148,47 @@ def test_negative_samples_deterministic_no_self(spark):
     one = spark.createDataFrame([(1,)], "doc_id long")
     with _pytest.raises(ValueError):
         negative_samples(one, "doc_id", k=2)
+
+
+def test_resample_linear_identity_and_known_values():
+    """Same-rate is identity; 2x upsampling interpolates midpoints
+    exactly; downsampling halves length; stereo channels resample
+    independently; non-decodable payloads pass through resample_audio
+    untouched."""
+    import numpy as np
+
+    from datalake_backend_spark.datapipe.multimodal import resample_linear
+
+    x = np.array([0, 100, -100, 50], dtype=np.int16)
+    assert (resample_linear(x, 8000, 8000) == x).all()
+    up = resample_linear(x, 8000, 16000)
+    assert list(up) == [0, 50, 100, 0, -100, -25, 50]
+    down = resample_linear(up, 16000, 8000)
+    assert list(down) == [0, 100, -100, 50]  # round-trips on exact grid
+    s = np.stack([x, (-x).astype(np.int16)], axis=1)
+    us = resample_linear(s, 8000, 16000)
+    assert (us[:, 0] == up).all() and (us[:, 1] == -up).all()
+
+
+def test_resample_audio_passthrough_and_meta(spark):
+    from datalake_backend_spark.datapipe.multimodal import (
+        decode_wav,
+        encode_wav,
+        resample_audio,
+    )
+    import numpy as np
+
+    wav = encode_wav(np.arange(100, dtype=np.int16), 8000)
+    rows = [(1, bytearray(wav), ("audio/wav", None, None, 12, "pcm_s16le")),
+            (2, bytearray(b"not audio"), ("application/octet-stream", None, None, None, "raw"))]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:bigint,codec:string>",
+    )
+    out = {r.media_id: r for r in resample_audio(df, 16000).collect()}
+    arr, rate = decode_wav(bytes(out[1].payload))
+    assert rate == 16000 and arr.shape[0] == 199
+    assert out[1].meta.duration_ms == 199 * 1000 // 16000
+    assert bytes(out[2].payload) == b"not audio"
+    assert out[2].meta.duration_ms is None
