@@ -936,3 +936,58 @@ def resample_audio(
             ).otherwise(F.col("meta")),
         )
     return out.drop("_decoded", "_frames")
+
+
+FRAME_DIFF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("sum_abs_diff", T.LongType()),
+        T.StructField("mean_abs_diff", T.DoubleType()),
+        T.StructField("is_scene_change", T.BooleanType()),
+    ]
+)
+
+
+def frame_diffs(
+    df: DataFrame,
+    threshold: float = 100.0,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Scene-change detection over RAWV payloads: exact per-pixel
+    absolute difference between each frame and its predecessor, with
+    ``is_scene_change = mean_abs_diff > threshold`` (the classic
+    cut-detector). One Arrow map stage; frames decode pairwise through
+    the seeking codec (each frame is read once and reused as the next
+    pair's predecessor), and only the per-transition SUMS leave the
+    stage — pixels never shuffle. Non-video payloads are skipped."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(p)
+                try:
+                    n, h, w, _fps = video_meta(b)
+                except ValueError:
+                    continue
+                prev = None
+                for fi in range(n):
+                    cur = decode_video_frame(b, fi).astype(np.int64)
+                    if prev is not None:
+                        s = int(np.abs(cur - prev).sum())
+                        m = s / (h * w * 3)
+                        recs.append(
+                            {
+                                "media_id": int(i),
+                                "frame_idx": fi,
+                                "sum_abs_diff": s,
+                                "mean_abs_diff": m,
+                                "is_scene_change": bool(m > threshold),
+                            }
+                        )
+                    prev = cur
+            yield pd.DataFrame(recs)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, FRAME_DIFF_SCHEMA)

@@ -4755,6 +4755,49 @@ FROM y GROUP BY media_id, oframes, ch
 """
 
 
+def r119_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change driver check (`dbs.datapipe.multimodal
+    .frame_diffs`): exact per-pixel |Δ| between consecutive RAWV
+    frames plus the threshold cut-flag, decoded pairwise through the
+    seeking codec. The synthetic frames advance +17 (mod 256) per
+    pixel, so transitions mix |17| and |239| wraps in id-dependent
+    proportions — the DuckDB twin recomputes every transition's sum
+    from the closed form; a mis-seek (wrong frame offset) or a
+    uint8-underflow bug in the diff breaks the hash."""
+    from datalake_backend_spark.datapipe.multimodal import (
+        frame_diffs,
+        synthetic_video_table,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return frame_diffs(synthetic_video_table(docs), threshold=100.0)
+
+
+R119_SQL = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         2 + doc_id % 4 AS n, 4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h
+  FROM documents
+),
+fs AS (SELECT media_id, n, w, h, unnest(range(1, n)) AS f FROM dims),
+rs AS (SELECT media_id, n, w, h, f, unnest(range(0, h)) AS r FROM fs),
+cs AS (SELECT media_id, n, w, h, f, r, unnest(range(0, w)) AS c FROM rs),
+chs AS (SELECT media_id, w, h, f, r, c, unnest(range(0, 3)) AS ch FROM cs),
+px AS (
+  SELECT media_id, w, h, f,
+         ABS((media_id*31 + f*17 + r*7 + c*3 + ch*11) % 256
+             - (media_id*31 + (f-1)*17 + r*7 + c*3 + ch*11) % 256) AS d
+  FROM chs
+)
+SELECT media_id, CAST(f AS INT) AS frame_idx,
+       CAST(SUM(d) AS BIGINT) AS sum_abs_diff,
+       CAST(SUM(d) AS BIGINT) / CAST(w * h * 3 AS DOUBLE) AS mean_abs_diff,
+       CAST(SUM(d) AS BIGINT) / CAST(w * h * 3 AS DOUBLE) > 100.0
+         AS is_scene_change
+FROM px GROUP BY media_id, f, w, h
+"""
+
+
 def r95_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact-dedup driver check (`dbs.streaming.pipeline
     .dedup_stream` / ``dropDuplicatesWithinWatermark``): batch 1
@@ -6114,6 +6157,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r118_audio_resample": QuerySpec(
         r118_audio_resample, R118_SQL, "multimodal-audio-resample"
+    ),
+    "r119_scene_changes": QuerySpec(
+        r119_scene_changes, R119_SQL, "multimodal-video-scene-detect"
     ),
     "r11_session_summary": QuerySpec(q11_session_summary, Q11_SQL, "W7,A13"),
     "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),

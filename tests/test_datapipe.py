@@ -1192,3 +1192,28 @@ def test_resample_audio_passthrough_and_meta(spark):
     assert out[1].meta.duration_ms == 199 * 1000 // 16000
     assert bytes(out[2].payload) == b"not audio"
     assert out[2].meta.duration_ms is None
+
+
+def test_frame_diffs_known_transition(spark):
+    """A hand-built two-scene video: tiny diffs within a scene, a huge
+    flagged diff at the cut; non-video payloads are skipped."""
+    import numpy as np
+
+    from datalake_backend_spark.datapipe.multimodal import (
+        encode_rawvideo,
+        frame_diffs,
+    )
+
+    a = np.zeros((2, 2, 2, 3), dtype=np.uint8)
+    a[1] = 3  # scene 1, small motion
+    b = np.full((2, 2, 2, 3), 200, dtype=np.uint8)  # scene 2
+    frames = np.concatenate([a, b])
+    rows = [(1, bytearray(encode_rawvideo(frames, 5))),
+            (2, bytearray(b"nope"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.frame_idx: r for r in frame_diffs(df, threshold=50.0).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].sum_abs_diff == 3 * 12 and not out[1].is_scene_change
+    assert out[2].sum_abs_diff == (200 - 3) * 12 and out[2].is_scene_change
+    assert out[3].sum_abs_diff == 0
+    assert all(r.media_id == 1 for r in out.values())
