@@ -5945,18 +5945,24 @@ GROUP BY d.source
 # the custom joins, and the real-codec path. Keys keep their original
 # numbers (gaps are intentional).
 #
-# RESERVE (r02–r99, 50 entries): queries whose SURVEY §2 operators are
+# RESERVE (rNN, 69 entries): queries whose SURVEY §2 operators are
 # ALSO exercised by a primary row (e.g. r07 change-count → W1 inside
 # q47; r10/r11 sessionize → q48/q52; r20 exact dedup → q73; r24/
-# r28/r29 cosine/top-k → q62/q63/q82). Renamed q→r so they sort after
-# the primary tier under BOTH insertion and lexicographic order; they
-# remain fully oracle-checked by tools/check_oracle.py and the local
-# test suite. Mapping: rNN was qNN in earlier rounds (r65/r68 were
-# primary through round 4; r29/r40/r49/r64 through the first half of
-# round 5). r87–r99 (+ r100, which SORTS just after r09) are new
-# round-5 operators: those with the broadest new surface (time travel
-# q91, audio codec q94, streaming dedup q95, versioned sink q96) were
-# promoted into the window in the second round-5 rotation.
+# r28/r29 cosine/top-k → q62/q63/q82; r27 simhash → q26/q76; r61 scd2
+# → q91+r64/r87/r92/r98). Renamed q→r so they sort after the primary
+# tier under BOTH insertion and lexicographic order; they remain fully
+# oracle-checked by tools/check_oracle.py and the local test suite.
+# Mapping: rNN was qNN in earlier rounds. r87–r119 are round-5
+# operators; the broadest surfaces were promoted into the window in
+# three round-5 rotations (time travel q91, audio codec q94, streaming
+# dedup q95, versioned sink q96, data skipping q109, streaming CDC
+# apply q111) — the rest (rNN ≥ r100 and r87–r99) stay reserve:
+# lakehouse maintenance, sketches, gap fill, PQ, fuzzy join, profiling,
+# matview, source mixing, heavy hitters, vocab coverage, RAG chunking,
+# constraints, forward as-of, incremental dedup, negative sampling,
+# audio resample, scene detection. NOTE: r1NN names sort BEFORE r2x
+# (digit < underscore) — keep insertion order == sorted order (pinned
+# by test_entry).
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_SQL, "A8,A13,F17,S-scan"),
