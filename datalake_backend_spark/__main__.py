@@ -1,0 +1,90 @@
+"""CLI entrypoint: ``python -m datalake_backend_spark <command>``.
+
+The reference is operated as a set of driver scripts (upload a
+document, rebuild a zone, export an index); this maps that workflow
+onto the engine:
+
+* ``process``  — run one document (or a glob) through bronze→silver→
+  gold→splits for a domain, optionally into a versioned gold zone.
+* ``query``    — run a registry query by name and print its rows
+  (CSV to stdout) — the ad-hoc analytics path.
+* ``views``    — register gold tables + serving views, then run an
+  arbitrary ``spark.sql`` statement.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="datalake_backend_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("process", help="ingest one raw document/glob")
+    pp.add_argument("--path", required=True)
+    pp.add_argument("--domain", required=True)
+    pp.add_argument("--out", required=True)
+    pp.add_argument("--versioned-gold", action="store_true")
+    pp.add_argument("--export-index", action="store_true")
+
+    qp = sub.add_parser("query", help="run a registry query")
+    qp.add_argument("--name", required=True)
+    qp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    qp.add_argument("--limit", type=int, default=20)
+
+    vp = sub.add_parser("views", help="run SQL over serving views")
+    vp.add_argument("--sql", required=True)
+    vp.add_argument("--limit", type=int, default=20)
+
+    args = p.parse_args(argv)
+    from datalake_backend_spark import get_spark
+
+    spark = get_spark("cli")
+    if args.cmd == "process":
+        from datalake_backend_spark.engine import Engine
+
+        res = Engine(spark).process_document(
+            args.path,
+            args.domain,
+            args.out,
+            export_index=args.export_index,
+            versioned_gold=args.versioned_gold,
+        )
+        print(
+            json.dumps(
+                {
+                    "status": res.status,
+                    "domain": res.domain,
+                    "silver_rows": res.silver_rows,
+                    "gold_rows": res.gold_rows,
+                    "corrupt_docs": res.corrupt_docs,
+                    "outputs": res.outputs,
+                }
+            )
+        )
+        return 0 if res.status > 0 else 1
+    if args.cmd == "query":
+        from datalake_backend_spark.queries import QUERIES
+
+        if args.name not in QUERIES:
+            print(f"unknown query {args.name!r}", file=sys.stderr)
+            return 2
+        df = QUERIES[args.name].fn(spark, args.sf_dir).limit(args.limit)
+        print(",".join(df.columns))
+        for row in df.collect():
+            print(",".join("" if v is None else str(v) for v in row))
+        return 0
+    if args.cmd == "views":
+        df = spark.sql(args.sql).limit(args.limit)
+        print(",".join(df.columns))
+        for row in df.collect():
+            print(",".join("" if v is None else str(v) for v in row))
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -153,3 +153,27 @@ def test_constraint_report_on_silver(engine, spark, tmp_path):
     assert rep["unique(frame_number,tracker_id)"] == (0, True)
     assert rep["impossible"] == (res.silver_rows, False)
     assert res.constraint_violations == res.silver_rows
+
+
+def test_cli_process_and_query(spark, tmp_path, capsys):
+    """python -m datalake_backend_spark: process emits a JSON result
+    line; query prints CSV rows; unknown query exits 2."""
+    import json as _json
+
+    from datalake_backend_spark.__main__ import main
+
+    path = write_fixture(tmp_path, "vehicle")
+    rc = main(
+        ["process", "--path", path, "--domain", "vehicle",
+         "--out", str(tmp_path / "lake_cli")]
+    )
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    res = _json.loads(out)
+    assert rc == 0 and res["status"] == 1 and res["silver_rows"] == 4
+
+    rc = main(["query", "--name", "q01_pricing_summary",
+               "--sf-dir", "/root/testdata/sf0.001", "--limit", "3"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0 and lines[0].startswith("l_returnflag") and len(lines) > 1
+
+    assert main(["query", "--name", "nope"]) == 2
