@@ -411,9 +411,34 @@ class VersionedTable:
             f"lost {max_retries} commit races at {self.path}; giving up"
         )
 
+    def version_as_of(self, ts: float) -> int:
+        """TIMESTAMP AS OF resolution: the latest version whose commit
+        time is ≤ ``ts`` (epoch seconds). Raises if the table has no
+        commit that old."""
+        best = None
+        for v in self._versions():
+            if self.manifest(v)["ts"] <= ts:
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"no version at or before ts={ts} at {self.path}"
+            )
+        return best
+
     # --------------------------------------------------------- read
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Snapshot read. ``version=None`` → latest; else time travel."""
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        as_of_ts: float | None = None,
+    ) -> DataFrame:
+        """Snapshot read. ``version=None`` → latest; ``version=N`` →
+        VERSION AS OF; ``as_of_ts`` (epoch seconds) → TIMESTAMP AS
+        OF."""
+        if as_of_ts is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of_ts, not both")
+            version = self.version_as_of(as_of_ts)
         man = self.manifest(version)
         paths = [os.path.join(self.path, d) for d in man["dirs"]]
         missing = [p for p in paths if not os.path.isdir(p)]
@@ -665,6 +690,77 @@ class VersionedTable:
             expected_head=head,
         )
 
+    def file_count(self, version: int | None = None) -> int:
+        """Number of data files in a snapshot (from the stats index —
+        no listing; dirs without an index fall back to a walk)."""
+        man = self.manifest(version)
+        entries = man.get("files")
+        if entries:
+            return len(entries)
+        n = 0
+        for d in man["dirs"]:
+            for _root, _dirs, files in os.walk(os.path.join(self.path, d)):
+                n += sum(f.endswith(".parquet") for f in files)
+        return n
+
+    def maybe_compact(
+        self,
+        spark: SparkSession,
+        max_files: int = 64,
+        target_bytes: int = 128 << 20,
+    ) -> int | None:
+        """Auto-OPTIMIZE policy for streaming ingest: compact when the
+        current snapshot holds more than ``max_files`` data files
+        (micro-batch appends accumulate one small dir per epoch —
+        small-file pressure is the #1 operational issue at scale).
+        Returns the new version, or None when under the threshold. A
+        compaction that loses a race to a concurrent commit surfaces
+        as :class:`CommitConflict` (see :meth:`compact`)."""
+        if self.file_count() <= max_files:
+            return None
+        return self.compact(spark, target_bytes=target_bytes)
+
+    def clone_to(self, dest_path: str) -> "VersionedTable":
+        """SHALLOW CLONE: a new table whose first version references
+        this table's CURRENT data directories without copying a byte —
+        metadata-only, O(1) regardless of table size (Delta's shallow
+        clone). The clone evolves independently (its own commits write
+        its own dirs). Caveat, same as Delta's: VACUUM on the source
+        can delete dirs the clone still references — retain the source
+        or deep-copy before vacuuming under a clone."""
+        man = self.manifest()
+        dst = VersionedTable(dest_path)
+        os.makedirs(dst.log_dir, exist_ok=True)
+        if dst.latest_version() is not None:
+            raise ValueError(f"clone target {dest_path} is not empty")
+        # absolute dir references back into the source table
+        src_dirs = [
+            os.path.relpath(os.path.join(self.path, d), dst.path)
+            for d in man["dirs"]
+        ]
+        new_man = dict(
+            man,
+            version=1,
+            op="clone",
+            ts=time.time(),
+            dirs=src_dirs,
+            metadata={"cloned_from": self.path, "source_version": man["version"]},
+            files=[
+                dict(e, path=os.path.relpath(
+                    os.path.join(self.path, e["path"]), dst.path
+                ))
+                for e in man.get("files", [])
+            ],
+        )
+        tmp = dst._manifest_path(1) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(new_man, fh)
+        try:
+            os.link(tmp, dst._manifest_path(1))
+        finally:
+            os.unlink(tmp)
+        return dst
+
     def vacuum(
         self, retain_last: int = 2, orphan_grace_seconds: float | None = None
     ) -> list[str]:
@@ -716,6 +812,10 @@ class VersionedTable:
                     doomed.add(rel)
         removed = []
         for rel in sorted(doomed):
+            if rel.startswith(".."):
+                continue  # shallow-clone reference into another table:
+                # never reach outside this table's root (the source
+                # table owns that data and its own retention)
             target = os.path.join(self.path, rel)
             if os.path.isdir(target):
                 shutil.rmtree(target, ignore_errors=True)

@@ -674,3 +674,65 @@ def test_vacuum_orphan_grace(spark, tbl):
     assert os.path.isdir(os.path.join(tbl.path, live_dir))
     assert {r.key for r in tbl.read(spark).collect()} == {1}
     _sh.rmtree(tbl.path, ignore_errors=True)
+
+
+def test_timestamp_as_of_read(spark, tbl):
+    import json as _json
+
+    tbl.commit(_mk(spark, [(1, "a")]))
+    tbl.commit(_mk(spark, [(2, "b")]))
+    # pin distinct commit timestamps deterministically
+    for v, ts in [(1, 1000.0), (2, 2000.0)]:
+        p = tbl._manifest_path(v)
+        man = _json.load(open(p))
+        man["ts"] = ts
+        os.unlink(p)
+        with open(p, "w") as fh:
+            _json.dump(man, fh)
+    assert tbl.version_as_of(1500.0) == 1
+    assert {r.key for r in tbl.read(spark, as_of_ts=1500.0).collect()} == {1}
+    assert {r.key for r in tbl.read(spark, as_of_ts=2500.0).collect()} == {2}
+    with pytest.raises(FileNotFoundError):
+        tbl.version_as_of(500.0)
+    with pytest.raises(ValueError):
+        tbl.read(spark, version=1, as_of_ts=1500.0)
+
+
+def test_maybe_compact_policy(spark, tbl):
+    for i in range(4):
+        rows = [(i * 3 + j, f"v{i}_{j}") for j in range(3)]
+        tbl.commit(
+            _mk(spark, rows).repartition(3),
+            mode="append" if i else "overwrite",
+        )
+    n0 = tbl.file_count()
+    assert n0 > 4
+    assert tbl.maybe_compact(spark, max_files=100) is None  # under threshold
+    v = tbl.maybe_compact(spark, max_files=4)
+    assert v == tbl.latest_version()
+    assert tbl.file_count() < n0
+    assert {r.key for r in tbl.read(spark).collect()} == set(range(12))
+
+
+def test_shallow_clone_independent_evolution(spark, tbl, tmp_path):
+    tbl.commit(_mk(spark, [(1, "a"), (2, "b")]))
+    clone = tbl.clone_to(str(tmp_path / "clone"))
+    assert {r.key for r in clone.read(spark).collect()} == {1, 2}
+    # no data copied: the clone has no data dir of its own yet
+    assert not os.path.isdir(clone.data_dir) or not os.listdir(clone.data_dir)
+
+    # clone evolves independently; source unaffected
+    clone.merge(spark, _mk(spark, [(3, "c")]), ["key"])
+    assert {r.key for r in clone.read(spark).collect()} == {1, 2, 3}
+    assert {r.key for r in tbl.read(spark).collect()} == {1, 2}
+
+    # clone's vacuum never reaches into the source table
+    removed = clone.vacuum(retain_last=1)
+    assert all(not r.startswith("..") for r in removed)
+    assert {r.key for r in tbl.read(spark).collect()} == {1, 2}
+    # stats index survived the clone with remapped paths
+    v1_files = clone.manifest(1).get("files")
+    assert v1_files and all(f["path"].startswith("..") for f in v1_files)
+    assert any("key" in f["stats"] for f in v1_files)
+    with pytest.raises(ValueError):
+        tbl.clone_to(str(tmp_path / "clone"))  # non-empty target
