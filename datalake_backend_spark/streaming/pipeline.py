@@ -218,6 +218,7 @@ def start_versioned_sink(
     table_path: str,
     checkpoint: str,
     transform=None,
+    compact_max_files: int | None = None,
 ) -> StreamingQuery:
     """Streaming sink into a :class:`~datalake_backend_spark.sources
     .versioned.VersionedTable`: every micro-batch appends one SNAPSHOT
@@ -230,13 +231,29 @@ def start_versioned_sink(
     dedup). Unlike :func:`start_silver_sink`'s epoch-partitioned
     layout, readers here get a clean schema (no ``_epoch`` column),
     snapshot isolation while the stream is live, and time travel to
-    any micro-batch boundary."""
-    from datalake_backend_spark.sources.versioned import VersionedTable
+    any micro-batch boundary.
+
+    ``compact_max_files`` arms the auto-OPTIMIZE policy: after each
+    commit, if the snapshot's file count exceeds the bound,
+    ``maybe_compact`` folds the accumulated per-epoch dirs into
+    target-size files as its own (non-epoch) version — the small-file
+    answer for a long-running ingest stream. A compaction that loses a
+    race is skipped (the NEXT epoch retries); readers and replays are
+    unaffected either way."""
+    from datalake_backend_spark.sources.versioned import (
+        CommitConflict,
+        VersionedTable,
+    )
 
     tbl = VersionedTable(table_path)
 
     def _write(batch: DataFrame, epoch_id: int) -> None:
         versioned_epoch_commit(tbl, batch, epoch_id, transform)
+        if compact_max_files is not None:
+            try:
+                tbl.maybe_compact(batch.sparkSession, max_files=compact_max_files)
+            except CommitConflict:
+                pass  # another writer landed mid-rewrite; next epoch retries
 
     return (
         df.writeStream.foreachBatch(_write)

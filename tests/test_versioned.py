@@ -736,3 +736,34 @@ def test_shallow_clone_independent_evolution(spark, tbl, tmp_path):
     assert any("key" in f["stats"] for f in v1_files)
     with pytest.raises(ValueError):
         tbl.clone_to(str(tmp_path / "clone"))  # non-empty target
+
+
+def test_streaming_sink_auto_compacts(spark, tmp_path):
+    """With compact_max_files armed, accumulated per-epoch dirs fold
+    into a compact version mid-stream; rows and epoch dedup survive."""
+    import glob as _glob
+
+    from datalake_backend_spark.streaming.pipeline import start_versioned_sink
+
+    src = str(tmp_path / "src")
+    for i in range(4):
+        spark.createDataFrame(
+            [(i * 10 + j, f"v{i}") for j in range(5)], "key int, val string"
+        ).repartition(2).write.parquet(f"{src}/b{i}")
+        for f in _glob.glob(f"{src}/b{i}/part-*.parquet"):
+            os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+    stream = (
+        spark.readStream.schema("key int, val string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+    tpath = str(tmp_path / "tbl")
+    q = start_versioned_sink(
+        stream, tpath, str(tmp_path / "ck"), compact_max_files=3
+    )
+    q.awaitTermination()
+    tbl = VersionedTable(tpath)
+    ops = [m["op"] for m in tbl.history()]
+    assert "compact" in ops and ops.count("append") == 8  # 2 files/epoch
+    assert tbl.read(spark).count() == 20
+    assert tbl.file_count() <= 2 + 3  # compacted + at most trailing epochs
