@@ -51,3 +51,74 @@ def write_bulk_export(
     """Land the bulk payload as text part-files (one per partition — a
     bulk loader POSTs each file; no driver round-trip, no per-doc HTTP)."""
     bulk_index_lines(df, index, id_col).write.mode("overwrite").text(path)
+
+
+def index_mapping(df: DataFrame, text_cols: tuple = ("text",)) -> dict:
+    """Derive the search-index mapping (Elasticsearch ``mappings``
+    shape) from a DataFrame schema — the generated twin of the
+    reference's hand-written mapping files
+    (``Documentations/*_Dev_Tool.txt``), so the index schema can never
+    drift from the gold schema that feeds it.
+
+    Scalars map to their native ES type; strings default to
+    ``keyword`` (gold columns are categorical/ids) unless named in
+    ``text_cols`` (free text → ``text`` with a ``.raw`` keyword
+    subfield); arrays use their element type (ES arrays are implicit);
+    structs become ``object`` with recursive properties; maps become
+    dynamic objects."""
+    from pyspark.sql import types as T
+
+    def prop(dt, name):
+        if isinstance(dt, T.ArrayType):
+            return prop(dt.elementType, name)
+        if isinstance(dt, T.StructType):
+            return {
+                "properties": {
+                    f.name: prop(f.dataType, f.name) for f in dt.fields
+                }
+            }
+        if isinstance(dt, T.MapType):
+            return {"type": "object", "dynamic": True}
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            return {"type": "date"}
+        if isinstance(dt, T.StringType):
+            if name in text_cols:
+                return {
+                    "type": "text",
+                    "fields": {"raw": {"type": "keyword"}},
+                }
+            return {"type": "keyword"}
+        if isinstance(dt, T.BooleanType):
+            return {"type": "boolean"}
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            return {"type": "double"}
+        if isinstance(dt, (T.LongType,)):
+            return {"type": "long"}
+        if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+            return {"type": "integer"}
+        if isinstance(dt, T.DecimalType):
+            return {"type": "double"}
+        if isinstance(dt, T.BinaryType):
+            return {"type": "binary"}
+        return {"type": "keyword"}
+
+    return {
+        "mappings": {
+            "properties": {
+                f.name: prop(f.dataType, f.name) for f in df.schema.fields
+            }
+        }
+    }
+
+
+def write_index_template(
+    df: DataFrame, path: str, index: str, text_cols: tuple = ("text",)
+) -> dict:
+    """Write the derived mapping as ``{path}`` (JSON) for a one-call
+    ``PUT /{index}`` when a live cluster exists; returns the dict."""
+    import json as _json
+
+    body = {"index": index, **index_mapping(df, text_cols)}
+    with open(path, "w") as fh:
+        _json.dump(body, fh, indent=1, sort_keys=True)
+    return body

@@ -102,3 +102,37 @@ def test_mix_to_proportions(spark):
     assert again == counts
     with _pytest.raises(ValueError, match="absent"):
         mix_to_proportions(df, "source", {"a": 0.5, "zzz": 0.5}, "doc_id")
+
+
+def test_index_mapping_from_schema(spark, tmp_path):
+    """Mapping derives from the schema: scalars native, strings
+    keyword (text only when named), timestamps date, structs nested,
+    arrays element-typed."""
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.serving.export import (
+        index_mapping,
+        write_index_template,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "car", "long words here", 1.5, True, [1, 2], ("a", 2))],
+        "id long, kind string, text string, score double, ok boolean, "
+        "xs array<int>, nest struct<s:string,n:int>",
+    ).withColumn("ts", F.current_timestamp())
+    m = index_mapping(df)["mappings"]["properties"]
+    assert m["id"] == {"type": "long"}
+    assert m["kind"] == {"type": "keyword"}
+    assert m["text"]["type"] == "text" and "raw" in m["text"]["fields"]
+    assert m["score"] == {"type": "double"}
+    assert m["ok"] == {"type": "boolean"}
+    assert m["xs"] == {"type": "integer"}  # ES arrays are implicit
+    assert m["nest"]["properties"]["s"] == {"type": "keyword"}
+    assert m["ts"] == {"type": "date"}
+
+    out = tmp_path / "template.json"
+    body = write_index_template(df, str(out), "datalake-test")
+    import json as _json
+
+    assert _json.load(open(out)) == _json.loads(_json.dumps(body))
+    assert body["index"] == "datalake-test"
