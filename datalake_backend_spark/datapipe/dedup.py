@@ -182,12 +182,37 @@ def band_projection(
     ).select(id_col, "bb.band", "bb.bucket")
 
 
+def cap_hot_buckets(
+    banded: DataFrame, max_bucket: int | None, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop (band, bucket) groups holding more than ``max_bucket``
+    members before the candidate self-join. A boilerplate bucket of m
+    docs costs m²/2 candidate pairs — one template shared by 10⁶ pages
+    is 5·10¹¹ pairs from a single bucket at web scale. Capping trades
+    bounded recall (only pairs whose EVERY shared band is hot are
+    lost — for true near-dups that means boilerplate-identical docs,
+    which exact dedup upstream already collapses) for a hard quadratic
+    bound. One extra count-over-window pass on the banded projection;
+    ``None`` disables."""
+    if max_bucket is None:
+        return banded
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
+    return (
+        banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .where(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+
+
 def lsh_candidates(
     sig_df: DataFrame,
     id_col: str = "doc_id",
     sig_col: str = "minhash",
     bands: int = 32,
     k: int = 128,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding → candidate pairs (id_a < id_b), deduplicated.
 
@@ -195,8 +220,12 @@ def lsh_candidates(
     (band, bucket_hash): the shuffle key is the bucket, so only docs
     sharing a band collide — the all-pairs comparison never happens.
     ``k`` must match the signature length it was built with.
+    ``max_bucket`` arms :func:`cap_hot_buckets` — the web-scale guard
+    against a boilerplate bucket going quadratic.
     """
-    banded = band_projection(sig_df, id_col, sig_col, bands, k)
+    banded = cap_hot_buckets(
+        band_projection(sig_df, id_col, sig_col, bands, k), max_bucket, id_col
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -250,6 +279,7 @@ def near_dup_minhash(
     threshold: float = 0.8,
     bands: int = 32,
     k: int = 128,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash near-dup: signature → LSH candidates → exact
     Jaccard verify ≥ threshold.
@@ -273,7 +303,7 @@ def near_dup_minhash(
     sig = sh.select(
         F.col(id_col), minhash_of_shingles("_sh", k).alias("minhash")
     )
-    cands = lsh_candidates(sig, id_col, bands=bands, k=k)
+    cands = lsh_candidates(sig, id_col, bands=bands, k=k, max_bucket=max_bucket)
     verified = _jaccard_on_shingles(sh, cands, id_col)
     return verified.where(F.col("jaccard") >= threshold)
 
@@ -795,6 +825,7 @@ def incremental_near_dup_minhash(
     threshold: float = 0.8,
     bands: int = 32,
     k: int = 128,
+    max_bucket: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dup: hash ONLY the new batch, probe the stored
     index, verify exactly. Returns ``(verified_pairs, new_index_rows)``
@@ -814,7 +845,8 @@ def incremental_near_dup_minhash(
     full_idx = (
         old_index.unionByName(new_idx) if old_index is not None else new_idx
     )
-    a, b = new_idx.alias("a"), full_idx.alias("b")
+    capped = cap_hot_buckets(full_idx, max_bucket, id_col)
+    a, b = new_idx.alias("a"), capped.alias("b")
     cand = (
         a.join(
             b,

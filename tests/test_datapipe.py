@@ -1217,3 +1217,23 @@ def test_frame_diffs_known_transition(spark):
     assert out[2].sum_abs_diff == (200 - 3) * 12 and out[2].is_scene_change
     assert out[3].sum_abs_diff == 0
     assert all(r.media_id == 1 for r in out.values())
+
+
+def test_lsh_max_bucket_caps_hot_buckets(spark):
+    """A boilerplate cluster larger than max_bucket stops generating
+    candidate pairs; normal-sized clusters are unaffected."""
+    from datalake_backend_spark.datapipe.dedup import near_dup_minhash
+
+    boiler = "this exact template appears on every single page verbatim"
+    rows = [(i, boiler) for i in range(10)] + [
+        (100, "a unique doc about spark"),
+        (101, "a unique doc about spark"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = near_dup_minhash(docs, threshold=0.9).collect()
+    assert len(uncapped) == 45 + 1  # C(10,2) boilerplate + the real pair
+    capped = {
+        (r.id_a, r.id_b)
+        for r in near_dup_minhash(docs, threshold=0.9, max_bucket=5).collect()
+    }
+    assert capped == {(100, 101)}  # boilerplate bucket dropped whole
