@@ -144,6 +144,7 @@ def gap_fill(
     step: int,
     value_col: str,
     agg=None,
+    mode: str = "ffill",
 ) -> DataFrame:
     """Regularize an irregular per-key series onto a fixed grid with
     forward fill: bucket observations to ``floor(t/step)*step``
@@ -160,7 +161,16 @@ def gap_fill(
     exchange chain. The fill window is per-key ordered — fine as long
     as a single key's tick span fits a task (time-bound it with a
     coarser ``step`` or key-splitting for multi-year series).
+
+    ``mode='linear'`` interpolates misses between the surrounding
+    observations instead of repeating the last one (``value`` becomes
+    double): both neighbors come from the SAME ordered key window pass
+    (last/first ignorenulls over preceding/following frames), and every
+    grid tick has both neighbors by construction — the grid spans each
+    key's observed min..max tick.
     """
+    if mode not in ("ffill", "linear"):
+        raise ValueError(f"mode must be ffill|linear, got {mode!r}")
     agg = agg or F.max
     tick = (F.floor(F.col(time_col) / step) * step).cast("long")
     obs = (
@@ -183,9 +193,36 @@ def gap_fill(
         .orderBy("tick")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return joined.select(
+    if mode == "ffill":
+        return joined.select(
+            *keys,
+            "tick",
+            F.last("_v", ignorenulls=True).over(w).alias("value"),
+            F.col("_v").isNotNull().alias("was_observed"),
+        )
+    w_next = (
+        Window.partitionBy(*keys)
+        .orderBy("tick")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_tick = F.when(F.col("_v").isNotNull(), F.col("tick"))
+    withnb = joined.select(
         *keys,
         "tick",
-        F.last("_v", ignorenulls=True).over(w).alias("value"),
+        "_v",
+        F.last("_v", ignorenulls=True).over(w).alias("_v0"),
+        F.last(obs_tick, ignorenulls=True).over(w).alias("_t0"),
+        F.first("_v", ignorenulls=True).over(w_next).alias("_v1"),
+        F.first(obs_tick, ignorenulls=True).over(w_next).alias("_t1"),
+    )
+    interp = F.col("_v0") + (F.col("_v1") - F.col("_v0")) * (
+        (F.col("tick") - F.col("_t0")) / (F.col("_t1") - F.col("_t0"))
+    )
+    return withnb.select(
+        *keys,
+        "tick",
+        F.when(F.col("_v").isNotNull(), F.col("_v").cast("double"))
+        .otherwise(interp)
+        .alias("value"),
         F.col("_v").isNotNull().alias("was_observed"),
     )

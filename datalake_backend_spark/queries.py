@@ -5595,6 +5595,66 @@ FROM j
 """
 
 
+def r120_linear_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap-fill driver check (`dbs.operators
+    .timeseries.gap_fill(mode='linear')`): r100's hourly grid, but
+    misses interpolate between the surrounding observations —
+    v0 + (v1 − v0)·(t − t0)/(t1 − t0), both neighbors from one ordered
+    key-window pass. The DuckDB twin computes the identical expression
+    (same association, long/long → double division), so results
+    compare bit-exactly; a neighbor window off by a row or a flipped
+    frame direction breaks the hash."""
+    from datalake_backend_spark.operators.timeseries import gap_fill
+
+    step = 3_600_000_000  # 1 hour in micros
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), "value"
+    )
+    return gap_fill(ev, ["user_id"], "t", step, "value", mode="linear")
+
+
+R120_SQL = """
+WITH obs AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT) AS tick,
+         MAX(value) AS v
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, MIN(tick) AS t0, MAX(tick) AS t1 FROM obs GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(range(t0, t1 + 3600000000, 3600000000)) AS tick
+  FROM spans
+),
+j AS (
+  SELECT g.user_id, g.tick, o.v
+  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.tick = o.tick
+),
+nb AS (
+  SELECT user_id, tick, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY tick
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+         last_value(CASE WHEN v IS NOT NULL THEN tick END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY tick
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+         first_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY tick
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+         first_value(CASE WHEN v IS NOT NULL THEN tick END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY tick
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1
+  FROM j
+)
+SELECT user_id, tick,
+       CASE WHEN v IS NOT NULL THEN v
+            ELSE v0 + (v1 - v0) * ((tick - t0) / (t1 - t0)) END AS value,
+       v IS NOT NULL AS was_observed
+FROM nb
+"""
+
+
 def r101_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN driver check (`dbs.datapipe.similarity
     .pq_train`/`pq_encode`/`pq_topk`): train per-subspace KMeans
@@ -6168,6 +6228,9 @@ QUERIES: dict[str, QuerySpec] = {
         r119_scene_changes, R119_SQL, "multimodal-video-scene-detect"
     ),
     "r11_session_summary": QuerySpec(q11_session_summary, Q11_SQL, "W7,A13"),
+    "r120_linear_gap_fill": QuerySpec(
+        r120_linear_gap_fill, R120_SQL, "W-gap-fill-linear,timeseries"
+    ),
     "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),
     "r13_orders_left_join": QuerySpec(q13_orders_left_join, Q13_SQL, "J1,J2,F2"),
     "r14_event_distribution": QuerySpec(q14_event_distribution, Q14_SQL, "A13"),

@@ -103,3 +103,30 @@ def test_gap_fill_forward_fills_and_flags(spark):
         for r in gap_fill(df, ["k"], "t", 10, "v", agg=F.min).collect()
     }
     assert got_min[("a", 0)] == 1.5 and got_min[("a", 20)] == 1.5
+
+
+def test_gap_fill_linear_interpolation(spark):
+    """Misses interpolate between neighbors; observed rows pass
+    through; invalid mode raises."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.operators.timeseries import gap_fill
+
+    df = spark.createDataFrame(
+        [("a", 0, 10.0), ("a", 30, 40.0), ("a", 40, 0.0)],
+        "k string, t long, value double",
+    )
+    out = {
+        r.tick: (r.value, r.was_observed)
+        for r in gap_fill(df, ["k"], "t", 10, "value", mode="linear").collect()
+    }
+    assert out == {
+        0: (10.0, True),
+        10: (20.0, False),   # 10 + 30*(1/3)
+        20: (30.0, False),
+        30: (40.0, True),
+        40: (0.0, True),
+    }
+    with _pytest.raises(ValueError):
+        gap_fill(df, ["k"], "t", 10, "value", mode="spline")
