@@ -5947,6 +5947,43 @@ FROM events GROUP BY event_type
 """
 
 
+def r121_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-discretization driver check (`dbs.operators
+    .distributions.bucketize_by_quantiles`): per-event-type quartile
+    buckets over value — boundaries are the exact interpolated
+    percentiles (bit-identical to DuckDB's quantile_cont, the r107
+    probe), assignment counts boundaries strictly below the value
+    (ties sink to the lower bucket). Output: per (type, bucket) counts
+    and the decimal-exact value sum; a shifted boundary or a flipped
+    tie rule moves rows between buckets and breaks the hash."""
+    from datalake_backend_spark.operators.distributions import (
+        bucketize_by_quantiles,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    b = bucketize_by_quantiles(ev, "value", n_buckets=4, keys=["event_type"])
+    return b.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("n"),
+        dec_sum("value").alias("sum_value"),
+    )
+
+
+R121_SQL = """
+WITH bs AS (
+  SELECT event_type, quantile_cont(value, [0.25, 0.5, 0.75]) AS b
+  FROM events GROUP BY event_type
+),
+assigned AS (
+  SELECT e.event_type, e.value,
+         CAST(len(list_filter(bs.b, x -> e.value > x)) AS INT) AS bucket
+  FROM events e JOIN bs ON e.event_type = bs.event_type
+)
+SELECT event_type, bucket, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM assigned GROUP BY event_type, bucket
+"""
+
+
 #: r108 target mix — powers of two so every derived fraction is exact
 R108_MIX = {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125}
 
@@ -6230,6 +6267,9 @@ QUERIES: dict[str, QuerySpec] = {
     "r11_session_summary": QuerySpec(q11_session_summary, Q11_SQL, "W7,A13"),
     "r120_linear_gap_fill": QuerySpec(
         r120_linear_gap_fill, R120_SQL, "W-gap-fill-linear,timeseries"
+    ),
+    "r121_quantile_buckets": QuerySpec(
+        r121_quantile_buckets, R121_SQL, "A13-quantile-discretize"
     ),
     "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),
     "r13_orders_left_join": QuerySpec(q13_orders_left_join, Q13_SQL, "J1,J2,F2"),

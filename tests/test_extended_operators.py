@@ -453,3 +453,30 @@ def test_asof_join_forward_nearest_tolerance(spark):
 
     with _pytest.raises(ValueError):
         asof_join(left, right, "k", "t", "rt", direction="sideways")
+
+
+def test_bucketize_by_quantiles(spark):
+    """Quartiles of 1..8: boundary ties sink to the lower bucket;
+    global and keyed modes agree with hand-computed boundaries."""
+    from datalake_backend_spark.operators.distributions import (
+        bucketize_by_quantiles,
+    )
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 9)], "v double")
+    out = {r.v: r.bucket for r in bucketize_by_quantiles(df, "v", 4).collect()}
+    # boundaries: p25=2.75, p50=4.5, p75=6.25
+    assert out == {1.0: 0, 2.0: 0, 3.0: 1, 4.0: 1, 5.0: 2, 6.0: 2, 7.0: 3, 8.0: 3}
+
+    keyed = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 5)] + [("b", float(i * 100)) for i in range(1, 5)],
+        "k string, v double",
+    )
+    got = {
+        (r.k, r.v): r.bucket
+        for r in bucketize_by_quantiles(keyed, "v", 2, keys=["k"]).collect()
+    }
+    # per-key medians: a→2.5, b→250
+    assert got == {
+        ("a", 1.0): 0, ("a", 2.0): 0, ("a", 3.0): 1, ("a", 4.0): 1,
+        ("b", 100.0): 0, ("b", 200.0): 0, ("b", 300.0): 1, ("b", 400.0): 1,
+    }
