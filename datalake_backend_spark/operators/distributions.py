@@ -244,3 +244,64 @@ def bucketize_by_quantiles(
             lambda acc, x: acc + (F.col(value_col) > x).cast("int"),
         ),
     ).drop("_bs")
+
+
+def distribution_shift(
+    df_a: DataFrame, df_b: DataFrame, col: str
+) -> DataFrame:
+    """Per-value drift between two snapshots of a categorical column:
+    ``(value, cnt_a, cnt_b, shift_num)`` where ``shift_num =
+    |cnt_a·n_b − cnt_b·n_a|`` — the INTEGER numerator of
+    ``|share_a − share_b|`` over the common denominator ``n_a·n_b``.
+    Working in integers keeps every row exact in any engine; divide at
+    the end (see :func:`total_variation`). Values absent from one side
+    count as zero. Two hash aggregates + one outer join on the value."""
+    ca = (
+        df_a.select(F.col(col).alias("value"))
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt_a"))
+    )
+    cb = (
+        df_b.select(F.col(col).alias("value"))
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt_b"))
+    )
+    na = ca.agg(F.sum("cnt_a").alias("_na"))
+    nb = cb.agg(F.sum("cnt_b").alias("_nb"))
+    joined = (
+        ca.join(cb, "value", "full_outer")
+        .na.fill({"cnt_a": 0, "cnt_b": 0})
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+    )
+    return joined.select(
+        "value",
+        "cnt_a",
+        "cnt_b",
+        F.abs(
+            F.col("cnt_a") * F.col("_nb") - F.col("cnt_b") * F.col("_na")
+        ).alias("shift_num"),
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+    )
+
+
+def total_variation(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
+    """Total-variation distance between the two columns' distributions:
+    ``TV = Σ|share_a − share_b| / 2`` — the drift-monitoring scalar a
+    lake gate alarms on. The sum runs over the exact integer numerators
+    (order-independent), so the single final division is the only
+    float op and the result is bit-identical in any engine."""
+    per = distribution_shift(df_a, df_b, col)
+    return per.groupBy("n_a", "n_b").agg(
+        F.sum("shift_num").alias("_num"),
+        F.count(F.lit(1)).alias("n_values"),
+    ).select(
+        "n_a",
+        "n_b",
+        "n_values",
+        (
+            F.col("_num")
+            / (F.lit(2.0) * F.col("n_a") * F.col("n_b"))
+        ).alias("tv_distance"),
+    )

@@ -5984,6 +5984,41 @@ FROM assigned GROUP BY event_type, bucket
 """
 
 
+def r122_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift driver check (`dbs.operators.distributions
+    .distribution_shift`/`total_variation`): event-type mix of the
+    even-id half of the feed vs the odd-id half — per-value exact
+    integer drift numerators plus the total-variation scalar, whose
+    only float op is the single final division (the Σ runs over exact
+    integers, so it is order-independent and engine-exact). The twin
+    recomputes both from plain conditional counts."""
+    from datalake_backend_spark.operators.distributions import total_variation
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type")
+    a = ev.where(F.pmod("event_id", F.lit(2)) == 0)
+    b = ev.where(F.pmod("event_id", F.lit(2)) == 1)
+    return total_variation(a, b, "event_type")
+
+
+R122_SQL = """
+WITH a AS (SELECT event_type, COUNT(*) AS cnt_a FROM events
+           WHERE event_id % 2 = 0 GROUP BY event_type),
+b AS (SELECT event_type, COUNT(*) AS cnt_b FROM events
+      WHERE event_id % 2 = 1 GROUP BY event_type),
+n AS (SELECT (SELECT CAST(SUM(cnt_a) AS BIGINT) FROM a) AS n_a,
+             (SELECT CAST(SUM(cnt_b) AS BIGINT) FROM b) AS n_b),
+j AS (
+  SELECT COALESCE(a.event_type, b.event_type) AS value,
+         COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+  FROM a FULL OUTER JOIN b ON a.event_type = b.event_type
+)
+SELECT n.n_a, n.n_b, COUNT(*) AS n_values,
+       CAST(SUM(ABS(cnt_a * n.n_b - cnt_b * n.n_a)) AS BIGINT)
+         / (2.0 * n.n_a * n.n_b) AS tv_distance
+FROM j, n GROUP BY n.n_a, n.n_b
+"""
+
+
 #: r108 target mix — powers of two so every derived fraction is exact
 R108_MIX = {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125}
 
@@ -6270,6 +6305,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r121_quantile_buckets": QuerySpec(
         r121_quantile_buckets, R121_SQL, "A13-quantile-discretize"
+    ),
+    "r122_distribution_drift": QuerySpec(
+        r122_distribution_drift, R122_SQL, "A13-drift,total-variation"
     ),
     "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),
     "r13_orders_left_join": QuerySpec(q13_orders_left_join, Q13_SQL, "J1,J2,F2"),

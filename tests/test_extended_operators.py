@@ -480,3 +480,27 @@ def test_bucketize_by_quantiles(spark):
         ("a", 1.0): 0, ("a", 2.0): 0, ("a", 3.0): 1, ("a", 4.0): 1,
         ("b", 100.0): 0, ("b", 200.0): 0, ("b", 300.0): 1, ("b", 400.0): 1,
     }
+
+
+def test_distribution_shift_and_tv(spark):
+    """Hand-computed drift: TV of identical halves is 0; a known mix
+    change produces the exact fraction; one-sided values count."""
+    from datalake_backend_spark.operators.distributions import (
+        distribution_shift,
+        total_variation,
+    )
+
+    a = spark.createDataFrame([("x",)] * 3 + [("y",)] * 1, "v string")
+    b = spark.createDataFrame([("x",)] * 1 + [("z",)] * 1, "v string")
+    per = {
+        r.value: (r.cnt_a, r.cnt_b, r.shift_num)
+        for r in distribution_shift(a, b, "v").collect()
+    }
+    # n_a=4, n_b=2; numerators: x |3*2-1*4|=2, y |1*2-0|=2, z |0-1*4|=4
+    assert per == {"x": (3, 1, 2), "y": (1, 0, 2), "z": (0, 1, 4)}
+    tv = total_variation(a, b, "v").collect()[0]
+    assert tv.n_a == 4 and tv.n_b == 2 and tv.n_values == 3
+    assert tv.tv_distance == (2 + 2 + 4) / (2.0 * 4 * 2)  # 0.5
+
+    same = total_variation(a, a, "v").collect()[0]
+    assert same.tv_distance == 0.0
