@@ -85,10 +85,16 @@ def asof_join(
         .orderBy("_t", "_src")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # forward = last-ignorenulls over the DESCENDING time order with an
+    # unbounded-PRECEDING frame: at equal time the right row (src 0)
+    # sorts before the left row under (_t desc, _src asc), keeping <= /
+    # >= inclusivity. The obvious (currentRow, unboundedFollowing)
+    # frame re-scans to the partition end per row in Spark — O(n²) on a
+    # hot key (see timeseries.gap_fill for the measured case).
     w_f = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_src").desc())
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col("_t").desc(), F.col("_src").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = unioned
     if direction in ("backward", "nearest"):
@@ -97,7 +103,7 @@ def asof_join(
         )
     if direction in ("forward", "nearest"):
         matched = matched.withColumn(
-            "_fwd", F.first("_right", ignorenulls=True).over(w_f)
+            "_fwd", F.last("_right", ignorenulls=True).over(w_f)
         )
     matched = matched.where(F.col("_src") == 1)
     if direction == "backward":
