@@ -305,3 +305,49 @@ def total_variation(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
             / (F.lit(2.0) * F.col("n_a") * F.col("n_b"))
         ).alias("tv_distance"),
     )
+
+
+def exact_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    keys: list[str] | None = None,
+    scale: int = 4,
+) -> DataFrame:
+    """Pearson correlation that is bit-identical in any engine: the
+    five moments (Σx, Σy, Σxy, Σx², Σy²) accumulate as EXACT integers
+    of ``floor(v·10^scale)`` (identical doubles floor identically;
+    integer sums are order-independent), and only the final closed-form
+    combination runs in floats — the same expression shape on both
+    sides gives the same IEEE result. Native ``corr()`` accumulates
+    doubles in partition order and drifts at the last ulp between
+    engines/partitionings; this is the oracle-stable replacement, at
+    the cost of 10^-scale input quantization."""
+    keys = keys or []
+    x, y = F.col(x_col), F.col(y_col)
+
+    def ssum(e):
+        # per-row floor(v·10^s) is an integral double < 2^53 (exact);
+        # accumulate as DECIMAL(38,0) — Σy²·10^s overflows int64 on
+        # wide-range columns (DuckDB's SUM promotes to HUGEINT, so the
+        # twin is SUM(CAST(... AS HUGEINT)))
+        return F.sum(F.floor(e * F.lit(10**scale)).cast("decimal(38,0)"))
+
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        ssum(x).alias("_sx"),
+        ssum(y).alias("_sy"),
+        ssum(x * y).alias("_sxy"),
+        ssum(x * x).alias("_sxx"),
+        ssum(y * y).alias("_syy"),
+    )
+    f = float(10**scale)
+    sx = F.col("_sx").cast("double") / f
+    sy = F.col("_sy").cast("double") / f
+    sxy = F.col("_sxy").cast("double") / f
+    sxx = F.col("_sxx").cast("double") / f
+    syy = F.col("_syy").cast("double") / f
+    n = F.col("n")
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select(*keys, "n", (num / den).alias("corr"))

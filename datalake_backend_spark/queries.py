@@ -6019,6 +6019,42 @@ FROM j, n GROUP BY n.n_a, n.n_b
 """
 
 
+def r123_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-exact correlation driver check (`dbs.operators
+    .distributions.exact_corr`): per-event-type Pearson corr of
+    (value, user_id) from integer-accumulated floor-scaled moments —
+    native corr() drifts at the last ulp between engines (double
+    accumulation order), this formulation cannot. The twin computes
+    the identical closed form from the identical integer moments;
+    corr compares bit-exactly, no rounding."""
+    from datalake_backend_spark.operators.distributions import exact_corr
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value", "user_id")
+    return exact_corr(ev, "value", "user_id", keys=["event_type"])
+
+
+R123_SQL = """
+WITH m AS (
+  SELECT event_type, COUNT(*) AS n,
+    SUM(CAST(FLOOR(value * 10000) AS HUGEINT)) AS sx,
+    SUM(CAST(FLOOR(user_id * 10000) AS HUGEINT)) AS sy,
+    SUM(CAST(FLOOR(value * user_id * 10000) AS HUGEINT)) AS sxy,
+    SUM(CAST(FLOOR(value * value * 10000) AS HUGEINT)) AS sxx,
+    SUM(CAST(FLOOR(user_id * user_id * 10000) AS HUGEINT)) AS syy
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       (n * (CAST(sxy AS DOUBLE) / 10000.0)
+        - (CAST(sx AS DOUBLE) / 10000.0) * (CAST(sy AS DOUBLE) / 10000.0))
+       / SQRT((n * (CAST(sxx AS DOUBLE) / 10000.0)
+               - (CAST(sx AS DOUBLE) / 10000.0) * (CAST(sx AS DOUBLE) / 10000.0))
+              * (n * (CAST(syy AS DOUBLE) / 10000.0)
+                 - (CAST(sy AS DOUBLE) / 10000.0) * (CAST(sy AS DOUBLE) / 10000.0)))
+         AS corr
+FROM m
+"""
+
+
 #: r108 target mix — powers of two so every derived fraction is exact
 R108_MIX = {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125}
 
@@ -6308,6 +6344,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r122_distribution_drift": QuerySpec(
         r122_distribution_drift, R122_SQL, "A13-drift,total-variation"
+    ),
+    "r123_exact_corr": QuerySpec(
+        r123_exact_corr, R123_SQL, "A11-correlation,exact-moments"
     ),
     "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),
     "r13_orders_left_join": QuerySpec(q13_orders_left_join, Q13_SQL, "J1,J2,F2"),

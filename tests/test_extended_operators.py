@@ -504,3 +504,33 @@ def test_distribution_shift_and_tv(spark):
 
     same = total_variation(a, a, "v").collect()[0]
     assert same.tv_distance == 0.0
+
+
+def test_exact_corr_matches_native(spark):
+    """The integer-moment corr lands within quantization error of
+    native corr, is exact ±1 on perfectly correlated data, and is
+    partition-invariant (native corr is not guaranteed to be)."""
+    from datalake_backend_spark.operators.distributions import exact_corr
+
+    rows = [(float(i), float(2 * i + 1)) for i in range(100)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = exact_corr(df, "x", "y").collect()[0]
+    assert abs(r.corr - 1.0) < 1e-9 and r.n == 100
+
+    anti = spark.createDataFrame(
+        [(float(i), float(-3 * i)) for i in range(50)], "x double, y double"
+    )
+    assert abs(exact_corr(anti, "x", "y").collect()[0].corr + 1.0) < 1e-9
+
+    import random
+
+    random.seed(7)
+    noisy = spark.createDataFrame(
+        [(random.random() * 10, random.random() * 10) for _ in range(500)],
+        "x double, y double",
+    )
+    ours = exact_corr(noisy, "x", "y").collect()[0].corr
+    native = noisy.select(F.corr("x", "y")).collect()[0][0]
+    assert abs(ours - native) < 1e-3  # quantization-level agreement
+    again = exact_corr(noisy.repartition(13), "x", "y").collect()[0].corr
+    assert again == ours  # bit-identical under any partitioning
