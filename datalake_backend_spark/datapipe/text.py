@@ -528,3 +528,22 @@ def chunk_documents(
         (F.col("_c.tok_end") - F.col("_c.tok_start")).alias("n_tokens"),
         F.col("_c.chunk").alias("chunk"),
     )
+
+
+def sentences(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Sentence segmentation: split on terminal-punctuation runs
+    followed by whitespace (``[.!?]+\\s+`` — deliberately lookbehind-
+    free so the rule reproduces in RE2-based engines), trim, drop
+    empties, and emit ``(id, sentence, n_tokens)`` rows. The
+    sentence-level unit underlies per-sentence quality filtering and
+    sentence-dedup curation passes; map-only explode, no shuffle."""
+    sent = F.explode(
+        F.split(F.col(text_col), r"[.!?]+\s+")
+    ).alias("_s")
+    out = df.select(F.col(id_col), sent).select(
+        id_col, F.trim(F.regexp_replace(F.col("_s"), r"[.!?]+$", "")).alias("sentence")
+    )
+    out = out.where(F.col("sentence") != "")
+    return out.withColumn("n_tokens", F.size(tokens(F.col("sentence"))))

@@ -6055,6 +6055,34 @@ FROM m
 """
 
 
+def r124_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-segmentation driver check (`dbs.datapipe.text
+    .sentences`): per-sentence rows (text + token count) from a
+    lookbehind-free split rule (``[.!?]+\\s+``), trailing terminal
+    punctuation trimmed — deliberately RE2-compatible so the DuckDB
+    twin applies the IDENTICAL regexes; a rule divergence or a kept
+    empty fragment changes the multiset and breaks the hash."""
+    from datalake_backend_spark.datapipe.text import sentences
+
+    docs = table(spark, sf_dir, "documents")
+    return sentences(docs)
+
+
+R124_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           unnest(regexp_split_to_array(text, '[.!?]+\s+')),
+           '[.!?]+$', '')) AS sentence
+  FROM documents
+)
+SELECT doc_id, sentence,
+       CAST(len(regexp_split_to_array(trim(sentence), '\s+')) AS INT)
+         AS n_tokens
+FROM s WHERE sentence <> ''
+"""
+
+
 #: r108 target mix — powers of two so every derived fraction is exact
 R108_MIX = {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125}
 
@@ -6347,6 +6375,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r123_exact_corr": QuerySpec(
         r123_exact_corr, R123_SQL, "A11-correlation,exact-moments"
+    ),
+    "r124_sentence_stats": QuerySpec(
+        r124_sentence_stats, R124_SQL, "text-sentences,segmentation"
     ),
     "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),
     "r13_orders_left_join": QuerySpec(q13_orders_left_join, Q13_SQL, "J1,J2,F2"),

@@ -1237,3 +1237,24 @@ def test_lsh_max_bucket_caps_hot_buckets(spark):
         for r in near_dup_minhash(docs, threshold=0.9, max_bucket=5).collect()
     }
     assert capped == {(100, 101)}  # boilerplate bucket dropped whole
+
+
+def test_sentences_segmentation(spark):
+    from datalake_backend_spark.datapipe.text import sentences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "First one. Second two! Third three? Tail no punct"),
+            (2, "Multi!!!  Spaces.   And... ellipsis ends."),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.sentence, r.n_tokens) for r in sentences(docs).collect()
+    }
+    assert (1, "First one", 2) in got
+    assert (1, "Tail no punct", 3) in got
+    assert (2, "Multi", 1) in got and (2, "And", 1) in got
+    assert (2, "ellipsis ends", 2) in got
+    assert all(r[0] != 3 for r in got)  # empty doc yields nothing
