@@ -376,3 +376,65 @@ def test_data_skipping_equals_full_filter(spark, tmp_path_factory, rows, pred_se
     for c, op, v in preds:
         full = full.where(col_ops[op](F.col(c), F.lit(v)))
     assert got == sorted(map(tuple, full.collect()))
+
+
+@FAST
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("ab"), st.integers(0, 30)),
+        min_size=1,
+        max_size=10,
+    ),
+    st.lists(
+        st.tuples(st.sampled_from("ab"), st.integers(0, 30), st.integers(0, 99)),
+        min_size=1,
+        max_size=10,
+    ),
+    st.sampled_from(["backward", "forward", "nearest"]),
+)
+def test_asof_join_matches_bruteforce(spark, lefts, rights, direction):
+    """All three directions against a brute-force reference, including
+    duplicate timestamps and same-timestamp inclusivity."""
+    from datalake_backend_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(i, k, float(t)) for i, (k, t) in enumerate(lefts)],
+        "lid int, k string, t double",
+    )
+    # dedupe right (k, rt) pairs: multiple right rows at one instant
+    # have no defined winner in any asof semantics
+    seen = {}
+    for k, t, v in rights:
+        seen[(k, t)] = v
+    right = spark.createDataFrame(
+        [(k, float(t), v) for (k, t), v in seen.items()],
+        "k string, rt double, v int",
+    )
+    got = {
+        r.lid: r.v
+        for r in asof_join(
+            left, right, "k", "t", "rt", direction=direction
+        ).collect()
+    }
+
+    def brute(k, t):
+        rs = [(rt, v) for (rk, rt), v in seen.items() if rk == k]
+        back = [(rt, v) for rt, v in rs if rt <= t]
+        fwd = [(rt, v) for rt, v in rs if rt >= t]
+        b = max(back, default=None)
+        f = min(fwd, default=None)
+        if direction == "backward":
+            pick = b
+        elif direction == "forward":
+            pick = f
+        else:
+            if b is None:
+                pick = f
+            elif f is None:
+                pick = b
+            else:
+                pick = f if (f[0] - t) < (t - b[0]) else b
+        return pick[1] if pick else None
+
+    for i, (k, t) in enumerate(lefts):
+        assert got[i] == brute(k, float(t)), (i, k, t, direction)
