@@ -39,6 +39,19 @@ def main(argv: list[str] | None = None) -> int:
     vp.add_argument("--sql", required=True)
     vp.add_argument("--limit", type=int, default=20)
 
+    op = sub.add_parser("optimize", help="compact a versioned table")
+    op.add_argument("--table", required=True)
+    op.add_argument("--zorder", help="two comma-separated columns")
+    op.add_argument("--target-mb", type=int, default=128)
+
+    vc = sub.add_parser("vacuum", help="expire old versions' data")
+    vc.add_argument("--table", required=True)
+    vc.add_argument("--retain-last", type=int, default=2)
+    vc.add_argument("--orphan-grace-hours", type=float)
+
+    hp = sub.add_parser("history", help="print a versioned table's log")
+    hp.add_argument("--table", required=True)
+
     args = p.parse_args(argv)
     from datalake_backend_spark import get_spark
 
@@ -82,6 +95,37 @@ def main(argv: list[str] | None = None) -> int:
         print(",".join(df.columns))
         for row in df.collect():
             print(",".join("" if v is None else str(v) for v in row))
+        return 0
+    if args.cmd in ("optimize", "vacuum", "history"):
+        from datalake_backend_spark.sources.versioned import VersionedTable
+
+        tbl = VersionedTable(args.table)
+        if args.cmd == "optimize":
+            z = tuple(args.zorder.split(",")) if args.zorder else None
+            v = tbl.compact(
+                spark, target_bytes=args.target_mb << 20, zorder_by=z
+            )
+            print(json.dumps({"version": v, "files": tbl.file_count(v)}))
+        elif args.cmd == "vacuum":
+            grace = (
+                args.orphan_grace_hours * 3600.0
+                if args.orphan_grace_hours is not None
+                else None
+            )
+            removed = tbl.vacuum(args.retain_last, orphan_grace_seconds=grace)
+            print(json.dumps({"removed": removed}))
+        else:
+            for man in tbl.history():
+                print(
+                    json.dumps(
+                        {
+                            "version": man["version"],
+                            "op": man["op"],
+                            "num_rows": man["num_rows"],
+                            "ts": man["ts"],
+                        }
+                    )
+                )
         return 0
     return 2
 

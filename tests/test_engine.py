@@ -177,3 +177,34 @@ def test_cli_process_and_query(spark, tmp_path, capsys):
     assert rc == 0 and lines[0].startswith("l_returnflag") and len(lines) > 1
 
     assert main(["query", "--name", "nope"]) == 2
+
+
+def test_cli_lakehouse_maintenance(spark, tmp_path, capsys):
+    """optimize / vacuum / history subcommands drive a VersionedTable."""
+    import json as _json
+
+    from datalake_backend_spark.__main__ import main
+    from datalake_backend_spark.sources.versioned import VersionedTable
+
+    t = str(tmp_path / "vt")
+    tbl = VersionedTable(t)
+    for i in range(3):
+        tbl.commit(
+            spark.createDataFrame([(i, "x")], "k int, v string").repartition(2),
+            mode="append" if i else "overwrite",
+        )
+    assert main(["optimize", "--table", t]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["version"] == 4 and res["files"] >= 1
+
+    assert main(["history", "--table", t]) == 0
+    lines = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert [m["op"] for m in lines] == ["overwrite", "append", "append", "compact"]
+
+    assert main(["vacuum", "--table", t, "--retain-last", "1"]) == 0
+    rem = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rem["removed"]  # pre-compact dirs expired
+    assert tbl.read(spark).count() == 3
