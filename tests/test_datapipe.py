@@ -1258,3 +1258,27 @@ def test_sentences_segmentation(spark):
     assert (2, "Multi", 1) in got and (2, "And", 1) in got
     assert (2, "ellipsis ends", 2) in got
     assert all(r[0] != 3 for r in got)  # empty doc yields nothing
+
+
+def test_ivf_pq_index_and_query(spark):
+    """IVF-PQ: the indexed table carries only (id, list, codes); a
+    full-probe query equals plain PQ top-k (pruning is sound); a
+    narrow probe still finds the query vector itself."""
+    from datalake_backend_spark.datapipe.similarity import (
+        ivf_pq_index,
+        ivf_pq_topk,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.where("vec_id = 1").first().embedding]
+    indexed, cents, cbs = ivf_pq_index(emb, n_lists=8, m=16, k=16)
+    assert set(indexed.columns) == {"vec_id", "ivf_list", "pq_codes"}
+
+    full = [r.vec_id for r in ivf_pq_topk(indexed, cents, cbs, q, 10, nprobe=8).collect()]
+    plain = [r.vec_id for r in pq_topk(indexed, cbs, q, k=10).collect()]
+    assert full == plain  # probing every list == no pruning
+
+    narrow = [r.vec_id for r in ivf_pq_topk(indexed, cents, cbs, q, 10, nprobe=4).collect()]
+    assert 1 in narrow  # the query's own vector survives pruning
+    assert len(set(narrow) & set(full)) >= 5
