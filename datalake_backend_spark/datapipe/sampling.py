@@ -263,3 +263,23 @@ def negative_samples(
         anchors.join(idx, anchors._trank == idx._rank)
         .select(id_col, "neg_idx", F.col("_nid").alias("neg_id"))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str | Column,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row independently
+    with probability = its weight (clamped to [0, 1]) — the
+    quality-weighted downsampling pass of curation pipelines (keep
+    p = quality score, so better documents survive more often), with
+    no ``rand()``: membership is ``hash_fraction(key) < weight``, so
+    the selected set is identical across runs, partitionings, and
+    engines, and CONSISTENT across reruns with updated weights (a row
+    whose weight rises can only enter, never leave — hash_fraction is
+    fixed per key). Map-only filter; one expression."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    p = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.where(hash_fraction(key_col, salt) < p)

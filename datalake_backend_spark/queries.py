@@ -6083,6 +6083,42 @@ FROM s WHERE sentence <> ''
 """
 
 
+def r125_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-sampling driver check (`dbs.datapipe.sampling
+    .weighted_sample`): keep each document with probability equal to
+    a quality proxy (tokens/256, clamped to 1) — deterministic
+    hash-fraction membership, no rand(). The twin recomputes the SAME
+    md5 fraction and weight and must select the identical row set;
+    summary = survivor count + exact token sum per source."""
+    from datalake_backend_spark.datapipe.sampling import weighted_sample
+    from datalake_backend_spark.datapipe.text import token_count
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "_w", token_count(F.col("text")) / F.lit(256.0)
+    )
+    kept = weighted_sample(docs, "_w", "doc_id", salt="r125")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("sum_tokens"),
+    )
+
+
+R125_SQL = r"""
+WITH d AS (
+  SELECT source,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+         CAST(('0x' || substr(md5(doc_id || 'r125'), 1, 15)) AS BIGINT)
+           / 1152921504606846976.0 AS frac
+  FROM documents
+)
+SELECT source, COUNT(*) AS n,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+FROM d
+WHERE frac < LEAST(GREATEST(n_tok / 256.0, 0.0), 1.0)
+GROUP BY source
+"""
+
+
 #: r108 target mix — powers of two so every derived fraction is exact
 R108_MIX = {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125}
 
@@ -6378,6 +6414,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r124_sentence_stats": QuerySpec(
         r124_sentence_stats, R124_SQL, "text-sentences,segmentation"
+    ),
+    "r125_weighted_sample": QuerySpec(
+        r125_weighted_sample, R125_SQL, "sampling-weighted,quality-keep"
     ),
     "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),
     "r13_orders_left_join": QuerySpec(q13_orders_left_join, Q13_SQL, "J1,J2,F2"),

@@ -1282,3 +1282,33 @@ def test_ivf_pq_index_and_query(spark):
     narrow = [r.vec_id for r in ivf_pq_topk(indexed, cents, cbs, q, 10, nprobe=4).collect()]
     assert 1 in narrow  # the query's own vector survives pruning
     assert len(set(narrow) & set(full)) >= 5
+
+
+def test_weighted_sample_semantics(spark):
+    """Weight 0 keeps nothing, weight 1 keeps everything, a row's
+    survival is monotone in its weight, and the draw is
+    partition-invariant."""
+    from datalake_backend_spark.datapipe.sampling import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, 0.5) for i in range(200)], "doc_id long, w double"
+    )
+    zero = weighted_sample(docs.withColumn("w", F.lit(0.0)), "w")
+    assert zero.count() == 0
+    allr = weighted_sample(docs.withColumn("w", F.lit(1.0)), "w")
+    assert allr.count() == 200
+
+    half = {r.doc_id for r in weighted_sample(docs, "w").collect()}
+    assert 60 < len(half) < 140  # ~Binomial(200, .5)
+    # monotone: raising weights never evicts a surviving row
+    more = {
+        r.doc_id
+        for r in weighted_sample(
+            docs.withColumn("w", F.lit(0.8)), "w"
+        ).collect()
+    }
+    assert half <= more
+    again = {
+        r.doc_id for r in weighted_sample(docs.repartition(7), "w").collect()
+    }
+    assert again == half
