@@ -183,7 +183,7 @@ def band_projection(
 
 
 def cap_hot_buckets(
-    banded: DataFrame, max_bucket: int | None, id_col: str = "doc_id"
+    banded: DataFrame, max_bucket: int | None
 ) -> DataFrame:
     """Drop (band, bucket) groups holding more than ``max_bucket``
     members before the candidate self-join. A boilerplate bucket of m
@@ -224,7 +224,7 @@ def lsh_candidates(
     against a boilerplate bucket going quadratic.
     """
     banded = cap_hot_buckets(
-        band_projection(sig_df, id_col, sig_col, bands, k), max_bucket, id_col
+        band_projection(sig_df, id_col, sig_col, bands, k), max_bucket
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -845,7 +845,7 @@ def incremental_near_dup_minhash(
     full_idx = (
         old_index.unionByName(new_idx) if old_index is not None else new_idx
     )
-    capped = cap_hot_buckets(full_idx, max_bucket, id_col)
+    capped = cap_hot_buckets(full_idx, max_bucket)
     a, b = new_idx.alias("a"), capped.alias("b")
     cand = (
         a.join(

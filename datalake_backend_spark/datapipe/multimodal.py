@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
-from typing import Callable
 
 import numpy as np
 import pandas as pd

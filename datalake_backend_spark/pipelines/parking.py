@@ -19,7 +19,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from datalake_backend_spark.operators.sessionize import (
-    session_summary,
     sessionize,
     sessionized_summary,
 )

@@ -39,7 +39,6 @@ Cross-engine exactness rules (validated bit-for-bit on testdata):
 
 from __future__ import annotations
 
-import math
 import os
 import threading
 from dataclasses import dataclass
