@@ -3796,6 +3796,83 @@ SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
 """
 
 
+def r126_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split driver check: split by
+    NEAR-DUP CLUSTER, not by document — a doc and its near-duplicates
+    always land in the same split, so test can never contain a
+    near-copy of a training document (the contamination failure mode
+    of per-doc splits). Composition: q76's cluster labels (singletons
+    keep their own id) → `deterministic_split` on the cluster id. The
+    oracle rebuilds clusters with the recursive CTE and applies the
+    identical md5 split arithmetic; summary = per-split doc count, id
+    checksum, and distinct-cluster count."""
+    from datalake_backend_spark.datapipe.dedup import (
+        cluster_near_dups,
+        near_dup_minhash,
+    )
+    from datalake_backend_spark.datapipe.sampling import deterministic_split
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    pairs = near_dup_minhash(docs, n=1, threshold=0.95, k=64, bands=16)
+    labels = cluster_near_dups(pairs)
+    grouped = (
+        docs.select("doc_id")
+        .join(labels, docs.doc_id == labels.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("g"),
+        )
+    )
+    split = deterministic_split(
+        grouped, "g", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r126"
+    )
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.countDistinct("g").alias("n_clusters"),
+    )
+
+
+R126_SQL = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+  FROM documents WHERE doc_id < 400
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95
+),
+und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.node
+),
+comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+grouped AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS g
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 400) d
+  LEFT JOIN comp c ON d.doc_id = c.node
+),
+assigned AS (
+  SELECT doc_id, g,
+         CASE WHEN CAST(('0x' || substr(md5(g || 'r126'), 1, 15)) AS BIGINT)
+                   / 1152921504606846976.0 < 0.8 THEN 'train'
+              WHEN CAST(('0x' || substr(md5(g || 'r126'), 1, 15)) AS BIGINT)
+                   / 1152921504606846976.0 < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM grouped
+)
+SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       COUNT(DISTINCT g) AS n_clusters
+FROM assigned GROUP BY split
+"""
+
+
 def q77_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic shard assignment driver check
     (`dbs.datapipe.sampling.assign_shards`): every document lands in a
@@ -6416,6 +6493,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r125_weighted_sample": QuerySpec(
         r125_weighted_sample, R125_SQL, "sampling-weighted,quality-keep"
+    ),
+    "r126_leakage_safe_split": QuerySpec(
+        r126_leakage_safe_split, R126_SQL, "split-by-cluster,decontamination"
     ),
     "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),
     "r13_orders_left_join": QuerySpec(q13_orders_left_join, Q13_SQL, "J1,J2,F2"),

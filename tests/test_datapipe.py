@@ -1312,3 +1312,38 @@ def test_weighted_sample_semantics(spark):
         r.doc_id for r in weighted_sample(docs.repartition(7), "w").collect()
     }
     assert again == half
+
+
+def test_leakage_safe_split_no_cluster_straddle(spark):
+    """Splitting on the cluster id keeps every near-dup cluster whole
+    — no cluster straddles two splits (per-doc splits do straddle)."""
+    from datalake_backend_spark.datapipe.dedup import (
+        cluster_near_dups,
+        near_dup_minhash,
+    )
+    from datalake_backend_spark.datapipe.sampling import deterministic_split
+
+    rows = []
+    for c in range(30):  # 30 clusters of 3 near-identical docs
+        base = f"cluster {c} shares this exact sentence body verbatim here"
+        for j in range(3):
+            rows.append((c * 10 + j, base))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    labels = cluster_near_dups(
+        near_dup_minhash(docs, threshold=0.9).select("id_a", "id_b")
+    )
+    grouped = docs.select("doc_id").join(
+        labels, docs.doc_id == labels.node, "left"
+    ).select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("g")
+    )
+    split = deterministic_split(
+        grouped, "g", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    per_cluster = (
+        split.groupBy("g")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r.n_splits == 1 for r in per_cluster)
+    assert split.select("split").distinct().count() >= 2  # actually splits
