@@ -346,8 +346,14 @@ def pq_train(
                 if tot <= 0:
                     cb[i, j] = pts[rng.integers(n)]
                     continue
+                # clamp: tot is a pairwise sum, cumsum is sequential —
+                # rng*tot can exceed cumsum[-1] by a few ulps and
+                # searchsorted would then return n (out of range)
                 cb[i, j] = pts[
-                    np.searchsorted(np.cumsum(d2), rng.random() * tot)
+                    min(
+                        np.searchsorted(np.cumsum(d2), rng.random() * tot),
+                        n - 1,
+                    )
                 ]
                 d2 = np.minimum(d2, ((pts - cb[i, j]) ** 2).sum(axis=1))
         inertia = np.zeros(m)

@@ -3860,9 +3860,9 @@ grouped AS (
 assigned AS (
   SELECT doc_id, g,
          CASE WHEN CAST(('0x' || substr(md5(g || 'r126'), 1, 15)) AS BIGINT)
-                   / 1152921504606846976.0 < 0.8 THEN 'train'
+                   / 1152921504606846976.0 < {train_bound} THEN 'train'
               WHEN CAST(('0x' || substr(md5(g || 'r126'), 1, 15)) AS BIGINT)
-                   / 1152921504606846976.0 < 0.9 THEN 'val'
+                   / 1152921504606846976.0 < {val_bound} THEN 'val'
               ELSE 'test' END AS split
   FROM grouped
 )
@@ -3871,6 +3871,19 @@ SELECT split, COUNT(*) AS n_docs,
        COUNT(DISTINCT g) AS n_clusters
 FROM assigned GROUP BY split
 """
+
+
+def _r126_sql() -> str:
+    """Inline the EXACT cumulative split bounds Python accumulates
+    (`split_bounds`), never fresh literals — 0.8 + 0.1 need not be the
+    double written as 0.9, and the repo's split twins are bit-exact by
+    convention."""
+    from datalake_backend_spark.datapipe.sampling import split_bounds
+
+    bounds = dict(split_bounds({"train": 0.8, "val": 0.1, "test": 0.1}))
+    return R126_SQL.format(
+        train_bound=repr(bounds["train"]), val_bound=repr(bounds["val"])
+    )
 
 
 def q77_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6495,7 +6508,7 @@ QUERIES: dict[str, QuerySpec] = {
         r125_weighted_sample, R125_SQL, "sampling-weighted,quality-keep"
     ),
     "r126_leakage_safe_split": QuerySpec(
-        r126_leakage_safe_split, R126_SQL, "split-by-cluster,decontamination"
+        r126_leakage_safe_split, _r126_sql(), "split-by-cluster,decontamination"
     ),
     "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),
     "r13_orders_left_join": QuerySpec(q13_orders_left_join, Q13_SQL, "J1,J2,F2"),

@@ -213,7 +213,18 @@ def _partition_can_match(rel_path: str, predicates: list[tuple]) -> bool:
         if raw == "__HIVE_DEFAULT_PARTITION__":
             return False  # null partition never matches a comparison
         try:
-            x = type(val)(raw) if not isinstance(val, str) else raw
+            if isinstance(val, bool):
+                # bool('false') is True — map the hive path literal
+                # explicitly, or a False predicate over-prunes every
+                # false-partition file
+                low = raw.lower()
+                if low not in ("true", "false"):
+                    continue
+                x = low == "true"
+            elif not isinstance(val, str):
+                x = type(val)(raw)
+            else:
+                x = raw
         except (TypeError, ValueError):
             continue
         if not single[op](x, val):
@@ -345,7 +356,10 @@ class VersionedTable:
         schema_json = json.loads(df.schema.json())
         for _ in range(max_retries):
             head = self.latest_version()
-            if expected_head is not None and head != expected_head:
+            # expected_head=0 means "I derived from an EMPTY table":
+            # versions start at 1, so (head or 0) lets first-commit
+            # read-modify-writes be guarded too
+            if expected_head is not None and (head or 0) != expected_head:
                 raise CommitConflict(
                     f"head moved {expected_head} -> {head} at {self.path}; "
                     "re-derive from the new snapshot"

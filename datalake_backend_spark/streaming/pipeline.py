@@ -276,26 +276,46 @@ def upsert_epoch_commit(
     :func:`start_upsert_sink`, exposed for direct testing.
 
     Within the batch, ``seq_col`` orders multiple changes to one key
-    (highest wins — ties broken by the delete flag then the key, so
-    replays are deterministic); the surviving row either upserts or,
-    when ``delete_col`` is true, deletes the key. Marker columns never
-    reach the table."""
+    (highest wins — ties broken by the delete flag, then by the
+    remaining orderable payload columns, so replays pick the same
+    winner even among equal ``(key, seq, flag)`` rows); the surviving
+    row either upserts or, when ``delete_col`` is true, deletes the
+    key. Marker columns never reach the table.
+
+    The MERGE is a read-modify-write, so it carries the optimistic
+    ``expected_head`` guard (mirroring ``VersionedTable._rmw_commit``):
+    the snapshot is derived FROM the head we read and the commit is
+    pinned to it; if a concurrent writer (CLI OPTIMIZE, another merge)
+    lands in between, the commit raises ``CommitConflict`` and the
+    whole derive re-runs from the new head — including the epoch-dedup
+    check, in case the concurrent writer WAS this epoch's replay."""
     from pyspark.sql import Window
 
     from datalake_backend_spark.operators.merge import upsert
+    from datalake_backend_spark.sources.versioned import CommitConflict
 
-    committed = {
-        m.get("metadata", {}).get("epoch")
-        for m in tbl.history()
-        if m.get("metadata")
-    }
-    if epoch_id in committed:
-        return False
+    def _orderable(dt) -> bool:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
     b = batch
     if seq_col is not None:
         order = [F.col(seq_col).desc()]
         if delete_col is not None:
             order.append(F.col(delete_col).desc())
+        marker = set(key_cols) | {seq_col, delete_col}
+        order.extend(
+            F.col(f.name).desc_nulls_last()
+            for f in batch.schema.fields
+            if f.name not in marker and _orderable(f.dataType)
+        )
         w = Window.partitionBy(*key_cols).orderBy(*order)
         b = (
             b.withColumn("_rn", F.row_number().over(w))
@@ -307,14 +327,34 @@ def upsert_epoch_commit(
         ups = b.where(~F.col(delete_col)).drop(delete_col)
     else:
         deletes, ups = None, b
-    if tbl.latest_version() is None:
-        new = ups
-    else:
-        new = upsert(tbl.read(batch.sparkSession), ups, key_cols)
-    if deletes is not None:
-        new = new.join(F.broadcast(deletes), key_cols, "left_anti")
-    tbl.commit(new, op="merge", metadata={"epoch": epoch_id})
-    return True
+    last: CommitConflict | None = None
+    for _ in range(5):
+        head = tbl.latest_version()
+        committed = {
+            m.get("metadata", {}).get("epoch")
+            for m in tbl.history()
+            if m.get("metadata")
+        }
+        if epoch_id in committed:
+            return False
+        if head is None:
+            new = ups
+        else:
+            new = upsert(tbl.read(batch.sparkSession, head), ups, key_cols)
+        if deletes is not None:
+            new = new.join(F.broadcast(deletes), key_cols, "left_anti")
+        try:
+            tbl.commit(
+                new,
+                op="merge",
+                metadata={"epoch": epoch_id},
+                expected_head=head or 0,
+            )
+            return True
+        except CommitConflict as e:
+            last = e
+            continue
+    raise last if last is not None else CommitConflict("upsert never committed")
 
 
 def start_upsert_sink(
@@ -377,22 +417,35 @@ def start_incremental_rollup_sink(
     tbl = VersionedTable(table_path)
 
     def _write(batch: DataFrame, epoch_id: int) -> None:
-        committed = {
-            m.get("metadata", {}).get("epoch")
-            for m in tbl.history()
-            if m.get("metadata")
-        }
-        if epoch_id in committed:
-            return
+        from datalake_backend_spark.sources.versioned import CommitConflict
+
         bstate = rollup_state(batch, keys, value_cols)
-        if tbl.latest_version() is not None:
-            bstate = merge_rollup_state(
-                tbl.read(batch.sparkSession), bstate, keys
-            )
-        tbl.commit(
-            bstate, mode="overwrite", op="rollup-merge",
-            metadata={"epoch": epoch_id},
-        )
+        # read-modify-write: pin the commit to the head the merge read
+        # (expected_head), re-derive on conflict — same contract as
+        # upsert_epoch_commit / VersionedTable._rmw_commit
+        for _ in range(5):
+            head = tbl.latest_version()
+            committed = {
+                m.get("metadata", {}).get("epoch")
+                for m in tbl.history()
+                if m.get("metadata")
+            }
+            if epoch_id in committed:
+                return
+            merged = bstate
+            if head is not None:
+                merged = merge_rollup_state(
+                    tbl.read(batch.sparkSession, head), bstate, keys
+                )
+            try:
+                tbl.commit(
+                    merged, mode="overwrite", op="rollup-merge",
+                    metadata={"epoch": epoch_id},
+                    expected_head=head or 0,
+                )
+                return
+            except CommitConflict:
+                continue
 
     return (
         df.writeStream.foreachBatch(_write)
