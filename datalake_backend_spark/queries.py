@@ -5746,29 +5746,100 @@ FROM nb
 
 def r101_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN driver check (`dbs.datapipe.similarity
-    .pq_train`/`pq_encode`/`pq_topk`): train per-subspace KMeans
-    codebooks, compress every embedding to m=8 one-byte codes, and
-    answer top-12 by asymmetric distance — broadcast LUT join + key
-    aggregate; the float vectors are never read at query time. Rows-
-    only check (KMeans codebooks are not SQL-expressible — same status
-    as the driver contract allows for iterative algorithms);
-    determinism comes from seeded training and (score, id) ordering,
-    and quality bounds are pinned by
+    .pq_encode`/`pq_topk` over `pq_pinned.PINNED_CODEBOOKS`): compress
+    every embedding to m=8 one-byte codes and answer top-12 by
+    asymmetric distance — broadcast LUT join + key aggregate; the
+    float vectors are never read at query time.
+
+    The codebooks are PINNED (trained once by `pq_train` on the
+    sf0.01 sample, integer 1e6 scale — the FAISS production shape:
+    train on a bounded sample, encode any corpus), which makes the
+    whole pipeline SQL-expressible and VALUE-HASHED: embeddings and
+    query are quantized to integer-valued doubles, so every distance /
+    dot / squared-norm is exact in double arithmetic (< 2**53) and
+    encode + score are bit-identical across engines; cosine is
+    scale-invariant so the integer scale changes no semantics. The
+    data-trained path (`pq_train`) stays quality-pinned by
     tests/test_datapipe.py::test_pq_encode_topk_recall (recall ≥ 0.5
     vs exact at m=8/k=16, query vector always recovered)."""
-    from datalake_backend_spark.datapipe.similarity import (
-        pq_encode,
-        pq_topk,
-        pq_train,
+    import math
+
+    from datalake_backend_spark.datapipe.pq_pinned import (
+        PINNED_CODEBOOKS,
+        PQ_SCALE,
+    )
+    from datalake_backend_spark.datapipe.similarity import pq_encode, pq_topk
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.floor(x * F.lit(PQ_SCALE))).alias(
+            "embedding"
+        ),
+    )
+    q = [float(math.floor(x * PQ_SCALE)) for x in _query_vec(spark, sf_dir, 1)]
+    codes = pq_encode(emb, PINNED_CODEBOOKS)
+    return pq_topk(codes, PINNED_CODEBOOKS, q, k=12).select(
+        "vec_id", "pq_cosine"
     )
 
-    emb = table(spark, sf_dir, "embeddings")
-    q = _query_vec(spark, sf_dir, 1)
-    cbs = pq_train(emb, m=8, k=16)
-    codes = pq_encode(emb, cbs)
-    return pq_topk(codes, cbs, q, k=12).select(
-        "vec_id", F.round("pq_cosine", 4).alias("pq_cosine_r")
+
+def _r101_sql() -> str:
+    """DuckDB twin of r101: the pinned integer codebooks are inlined as
+    literals, encode is the same argmin (ties → lowest code, matching
+    numpy), and the score is the same exact-integer LUT sum divided by
+    (qn * sqrt(sum n2)) — bit-identical on both engines."""
+    from datalake_backend_spark.datapipe.pq_pinned import (
+        PINNED_CODEBOOKS,
+        PQ_SUB,
     )
+
+    cb_rows = ", ".join(
+        # float literals: INT32 centroid lists overflow DuckDB's v*v
+        f"({si}, {c}, {[float(v) for v in cvec]!r})"
+        for si, sub in enumerate(PINNED_CODEBOOKS)
+        for c, cvec in enumerate(sub)
+    )
+    s = PQ_SUB
+    return f"""
+WITH cb(si, c, cvec) AS (VALUES {cb_rows}),
+e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> floor(CAST(x AS DOUBLE) * 1000000.0)) AS q
+  FROM embeddings
+),
+qv AS (SELECT q FROM e WHERE vec_id = 1),
+qn AS (SELECT sqrt(list_sum(list_transform(q, v -> v * v))) AS qn FROM qv),
+lut AS (
+  SELECT cb.si, cb.c,
+         list_sum(list_transform(range({s}),
+             j -> qv.q[cb.si * {s} + j + 1] * cvec[j + 1])) AS dot,
+         list_sum(list_transform(cvec, v -> v * v)) AS n2
+  FROM cb, qv
+),
+dists AS (
+  SELECT e.vec_id, cb.si, cb.c,
+         list_sum(list_transform(range({s}),
+             j -> (e.q[cb.si * {s} + j + 1] - cvec[j + 1]) ** 2)) AS d
+  FROM e, cb
+),
+codes AS (
+  SELECT vec_id, si, c FROM (
+    SELECT vec_id, si, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, si ORDER BY d, c) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT codes.vec_id,
+         SUM(lut.dot) / (ANY_VALUE(qn.qn) * sqrt(SUM(lut.n2))) AS pq_cosine
+  FROM codes
+  JOIN lut ON codes.si = lut.si AND codes.c = lut.c, qn
+  GROUP BY codes.vec_id
+)
+SELECT vec_id, pq_cosine FROM scored
+ORDER BY pq_cosine DESC, vec_id LIMIT 12
+"""
 
 
 def r102_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6292,18 +6363,30 @@ QUERIES: dict[str, QuerySpec] = {
     "q109_skipping_read": QuerySpec(
         r109_skipping_read, R109_SQL, "lakehouse-data-skipping,footer-stats"
     ),
+    # fourth rotation (round 6): the four widest never-driver-checked
+    # reserve surfaces promoted (heavy hitters, constraints,
+    # incremental dedup, linear gap fill); q17/q23/q46/q63 demoted —
+    # renest rides inside every q47–q60 pipeline, text keeps r14/q69/
+    # q70, rollup keeps q01/q04, ANN keeps q62 + r101
+    "q110_heavy_hitters": QuerySpec(
+        r110_heavy_hitters, R110_SQL, "sketch-heavy-hitters,exact-verify"
+    ),
     "q111_streaming_upsert": QuerySpec(
         r111_streaming_upsert, R111_SQL, "streaming-cdc-apply,merge,exactly-once"
     ),
+    "q114_constraints": QuerySpec(
+        r114_constraints, R114_SQL, "data-quality-constraints,validation"
+    ),
+    "q116_incremental_dedup": QuerySpec(
+        r116_incremental_dedup, Q26_SQL, "dedup-incremental,lsh-index"
+    ),
+    "q120_linear_gap_fill": QuerySpec(
+        r120_linear_gap_fill, R120_SQL, "W-gap-fill-linear,timeseries"
+    ),
     "q15_top_orders_per_segment": QuerySpec(q15_top_orders_per_segment, Q15_SQL, "W8,O4"),
-    "q17_renest_lineitems": QuerySpec(q17_renest_lineitems, Q17_SQL, "E5,A7,O1"),
-    "q23_lang_distribution": QuerySpec(q23_lang_distribution, Q23_SQL, "text-langid,A13"),
     "q26_minhash_near_dup": QuerySpec(q26_minhash_near_dup, Q26_SQL, "dedup-minhash-lsh"),
     "q34_asof_join": QuerySpec(q34_asof_join, Q34_SQL, "J-asof (custom operator)"),
     "q45_range_join": QuerySpec(q45_range_join, Q45_SQL, "J-range (custom operator)"),
-    "q46_hierarchical_rollup": QuerySpec(
-        q46_hierarchical_rollup, Q46_SQL, "hypertable-rollup,A13"
-    ),
     "q47_vehicle_pipeline": QuerySpec(
         q47_vehicle_pipeline,
         Q47_SQL,
@@ -6343,7 +6426,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q62_embedding_near_dup": QuerySpec(
         q62_embedding_near_dup, _q62_sql(), "dedup-embedding,similarity-lsh"
     ),
-    "q63_ivf_ann": QuerySpec(q63_ivf_ann, Q63_SQL, "similarity-ivf,A15"),
     "q66_streaming_sessions": QuerySpec(
         q66_streaming_sessions, Q66_SQL, "streaming-sessions,W7"
     ),
@@ -6436,7 +6518,7 @@ QUERIES: dict[str, QuerySpec] = {
     # sorted under string order, which the window test asserts
     "r100_gap_fill": QuerySpec(r100_gap_fill, R100_SQL, "W-gap-fill,timeseries"),
     "r101_pq_topk": QuerySpec(
-        r101_pq_topk, None, "similarity-pq,ann-compression"
+        r101_pq_topk, _r101_sql(), "similarity-pq,ann-compression"
     ),
     "r102_fuzzy_join": QuerySpec(
         r102_fuzzy_join, R102_SQL, "J-fuzzy-levenshtein,entity-resolution"
@@ -6461,23 +6543,14 @@ QUERIES: dict[str, QuerySpec] = {
         r108_source_mixing, _r108_sql(), "sampling-source-mix,curation"
     ),
     "r10_sessionize": QuerySpec(q10_sessionize, Q10_SQL, "W7"),
-    "r110_heavy_hitters": QuerySpec(
-        r110_heavy_hitters, R110_SQL, "sketch-heavy-hitters,exact-verify"
-    ),
     "r112_vocab_coverage": QuerySpec(
         r112_vocab_coverage, R112_SQL, "text-vocab-coverage,prefix-sum"
     ),
     "r113_doc_chunks": QuerySpec(
         r113_doc_chunks, R113_SQL, "text-chunking,rag-windows"
     ),
-    "r114_constraints": QuerySpec(
-        r114_constraints, R114_SQL, "data-quality-constraints,validation"
-    ),
     "r115_asof_forward": QuerySpec(
         r115_asof_forward, R115_SQL, "J-asof-forward (custom operator)"
-    ),
-    "r116_incremental_dedup": QuerySpec(
-        r116_incremental_dedup, Q26_SQL, "dedup-incremental,lsh-index"
     ),
     "r117_negative_samples": QuerySpec(
         r117_negative_samples, R117_SQL, "sampling-negatives,contrastive"
@@ -6489,9 +6562,6 @@ QUERIES: dict[str, QuerySpec] = {
         r119_scene_changes, R119_SQL, "multimodal-video-scene-detect"
     ),
     "r11_session_summary": QuerySpec(q11_session_summary, Q11_SQL, "W7,A13"),
-    "r120_linear_gap_fill": QuerySpec(
-        r120_linear_gap_fill, R120_SQL, "W-gap-fill-linear,timeseries"
-    ),
     "r121_quantile_buckets": QuerySpec(
         r121_quantile_buckets, R121_SQL, "A13-quantile-discretize"
     ),
@@ -6514,11 +6584,13 @@ QUERIES: dict[str, QuerySpec] = {
     "r13_orders_left_join": QuerySpec(q13_orders_left_join, Q13_SQL, "J1,J2,F2"),
     "r14_event_distribution": QuerySpec(q14_event_distribution, Q14_SQL, "A13"),
     "r16_distinct_users": QuerySpec(q16_distinct_users, Q16_SQL, "U1,U2,A14"),
+    "r17_renest_lineitems": QuerySpec(q17_renest_lineitems, Q17_SQL, "E5,A7,O1"),
     "r18_numeric_summary": QuerySpec(q18_numeric_summary, Q18_SQL, "A13,A8"),
     "r19_grid_buckets": QuerySpec(q19_grid_buckets, Q19_SQL, "F8,A4"),
     "r20_exact_dedup": QuerySpec(q20_exact_dedup, Q20_SQL, "dedup-exact,U3"),
     "r21_doc_fingerprint": QuerySpec(q21_doc_fingerprint, Q21_SQL, "text-fingerprint"),
     "r22_text_quality": QuerySpec(q22_text_quality, Q22_SQL, "text-quality"),
+    "r23_lang_distribution": QuerySpec(q23_lang_distribution, Q23_SQL, "text-langid,A13"),
     "r24_cosine_threshold": QuerySpec(q24_cosine_threshold, Q24_SQL, "similarity-cosine"),
     "r25_jaccard_pairs": QuerySpec(q25_jaccard_pairs, Q25_SQL, "dedup-ngram-jaccard"),
     "r27_simhash_near_dup": QuerySpec(q27_simhash_near_dup, Q27_SQL, "dedup-simhash"),
@@ -6542,6 +6614,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r43_cube_totals": QuerySpec(q43_cube_totals, Q43_SQL, "A8-cube"),
     "r44_running_total": QuerySpec(q44_running_total, Q44_SQL, "W-running"),
+    "r46_hierarchical_rollup": QuerySpec(
+        q46_hierarchical_rollup, Q46_SQL, "hypertable-rollup,A13"
+    ),
     "r49_media_dedup": QuerySpec(
         q49_media_dedup, Q49_SQL, "multimodal,dedup-exact"
     ),
@@ -6549,6 +6624,7 @@ QUERIES: dict[str, QuerySpec] = {
         q50_state_session_summary, Q50_SQL, "W7-state,A13"
     ),
     "r61_scd2_merge": QuerySpec(q61_scd2_merge, Q61_SQL, "merge-scd2"),
+    "r63_ivf_ann": QuerySpec(q63_ivf_ann, Q63_SQL, "similarity-ivf,A15"),
     "r64_upsert_merge": QuerySpec(q64_upsert_merge, Q64_SQL, "merge-upsert"),
     "r65_normalized_fingerprint": QuerySpec(
         q65_normalized_fingerprint, Q65_SQL, "text-normalize,text-fingerprint"
