@@ -18,10 +18,14 @@ Scale design (the point of each algorithm at 100 TB):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datalake_backend_spark.datapipe.text import tokens
+
+_LOG = logging.getLogger(__name__)
 
 #: Mersenne prime 2^31-1: modulus for the MinHash permutation family.
 #: It must sit just above the reduced hash universe (h < 2^31) so that
@@ -182,8 +186,45 @@ def band_projection(
     ).select(id_col, "bb.band", "bb.bucket")
 
 
+#: uncapped runs WARN when any (band, bucket) exceeds this size — the
+#: "no silent un-caps" guard: a boilerplate-heavy corpus goes quadratic
+#: in one bucket, and the operator should say so before it does
+HOT_BUCKET_WARN = 1000
+
+
+def _watch_hot_buckets(obs, threshold: int, where: str) -> None:
+    """Log the observed bucket-size stats once the plan executes.
+
+    ``Observation.get`` blocks until the first action on the observed
+    DataFrame completes, so the wait lives on a daemon thread: zero
+    cost if the plan is never run, an automatic WARNING if it runs and
+    a bucket breached ``threshold``."""
+    import threading
+
+    def _wait() -> None:
+        try:
+            m = obs.get
+        except Exception:  # session torn down before any action
+            return
+        mx = m.get("max_bucket_size") or 0
+        if mx > threshold:
+            _LOG.warning(
+                "hot LSH bucket in %s: max bucket size %d (p99 %s) with no "
+                "max_bucket cap — a bucket of m docs emits m^2/2 candidate "
+                "pairs; pass max_bucket to cap_hot_buckets/near_dup_minhash "
+                "to bound the quadratic blowup (bounded recall trade)",
+                where,
+                mx,
+                m.get("p99_bucket_size"),
+            )
+
+    threading.Thread(target=_wait, daemon=True).start()
+
+
 def cap_hot_buckets(
-    banded: DataFrame, max_bucket: int | None
+    banded: DataFrame,
+    max_bucket: int | None,
+    warn_above: int | None = HOT_BUCKET_WARN,
 ) -> DataFrame:
     """Drop (band, bucket) groups holding more than ``max_bucket``
     members before the candidate self-join. A boilerplate bucket of m
@@ -193,17 +234,30 @@ def cap_hot_buckets(
     lost — for true near-dups that means boilerplate-identical docs,
     which exact dedup upstream already collapses) for a hard quadratic
     bound. One extra count-over-window pass on the banded projection;
-    ``None`` disables."""
-    if max_bucket is None:
-        return banded
+    ``None`` disables the CAP but not the OBSERVABILITY: bucket-size
+    stats still ride the plan via ``observe()`` (the window shuffles on
+    the same (band, bucket) key the candidate join needs, so the
+    exchange is reused, not added) and a daemon watcher logs a WARNING
+    when any bucket exceeds ``warn_above`` — answers unchanged, hazard
+    visible. ``warn_above=None`` restores the bare pass-through."""
     from pyspark.sql import Window
 
+    if max_bucket is None and warn_above is None:
+        return banded
     w = Window.partitionBy("band", "bucket")
-    return (
-        banded.withColumn("_bn", F.count(F.lit(1)).over(w))
-        .where(F.col("_bn") <= max_bucket)
-        .drop("_bn")
-    )
+    with_n = banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+    if max_bucket is None:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = with_n.observe(
+            obs,
+            F.max("_bn").alias("max_bucket_size"),
+            F.percentile_approx("_bn", 0.99).alias("p99_bucket_size"),
+        )
+        _watch_hot_buckets(obs, warn_above, "lsh_candidates")
+        return observed.drop("_bn")
+    return with_n.where(F.col("_bn") <= max_bucket).drop("_bn")
 
 
 def lsh_candidates(

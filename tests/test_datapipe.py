@@ -1347,3 +1347,32 @@ def test_leakage_safe_split_no_cluster_straddle(spark):
     )
     assert all(r.n_splits == 1 for r in per_cluster)
     assert split.select("split").distinct().count() >= 2  # actually splits
+
+
+def test_uncapped_hot_bucket_warns_but_keeps_rows(spark, caplog):
+    """`cap_hot_buckets(max_bucket=None)` must keep EVERY row (capping
+    changes recall; uncapped is the oracle-parity default) while making
+    the quadratic hazard observable: a bucket larger than `warn_above`
+    logs a WARNING once the plan executes (VERDICT r5 'no silent
+    un-caps' ask)."""
+    import logging
+    import time
+
+    from datalake_backend_spark.datapipe.dedup import cap_hot_buckets
+
+    caplog.set_level(logging.WARNING, logger="datalake_backend_spark.datapipe.dedup")
+    rows = [(i, 0, 42) for i in range(50)] + [(99, 1, 7)]
+    banded = spark.createDataFrame(rows, "doc_id int, band int, bucket long")
+    out = cap_hot_buckets(banded, None, warn_above=10)
+    assert out.columns == ["doc_id", "band", "bucket"]
+    assert out.count() == 51  # answers unchanged — observe only
+
+    def _warned():
+        return any("hot LSH bucket" in r.message for r in caplog.records)
+
+    deadline = time.time() + 15
+    while time.time() < deadline and not _warned():
+        time.sleep(0.1)
+    assert _warned(), "hot-bucket warning never fired"
+    # capped path still filters, and small buckets stay silent
+    assert cap_hot_buckets(banded, 10).count() == 1
