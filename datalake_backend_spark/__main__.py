@@ -41,7 +41,7 @@ def main(argv: list[str] | None = None) -> int:
 
     op = sub.add_parser("optimize", help="compact a versioned table")
     op.add_argument("--table", required=True)
-    op.add_argument("--zorder", help="two comma-separated columns")
+    op.add_argument("--zorder", help="comma-separated columns (n >= 2)")
     op.add_argument("--target-mb", type=int, default=128)
 
     vc = sub.add_parser("vacuum", help="expire old versions' data")

@@ -81,32 +81,55 @@ def step_angle(prev_x: Column, prev_y: Column, x: Column, y: Column) -> Column:
     return F.degrees(F.atan2(y - prev_y, x - prev_x))
 
 
-def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
-    """Morton (Z-order) interleave of two non-negative ``bits``-wide
-    integers into one clustering key: points close in (x, y) land close
-    on the key, so sorting a table by it before writing makes
-    min/max-statistics file skipping effective for BOTH dimensions at
-    once (the plain-parquet version of a table format's ``ZORDER BY``
-    — one sort, multi-column pruning).
+def zorder_key(*cols: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of n ≥ 2 non-negative ``bits``-wide
+    integers into one clustering key: points close in every dimension
+    land close on the key, so sorting a table by it before writing
+    makes min/max-statistics file skipping effective for ALL dimensions
+    at once (the plain-parquet version of a table format's ``ZORDER
+    BY`` — one sort, multi-column pruning). Bit j of column i lands at
+    position ``j*n + i`` (column order = bit significance order), and
+    ``bits * n`` must fit a signed 64-bit long (≤ 63).
 
     Pure column arithmetic (shift/mask bit spreading, no UDF), exactly
     reproducible in any engine with 64-bit integer ops — the r89 oracle
     recomputes it in DuckDB. Inputs are masked to ``bits`` wide; for
     floats/doubles, pre-quantize to a grid (e.g. ``floor(lon*1e4)``).
+    The two-column case keeps the O(log bits) magic-number spread;
+    n ≥ 3 uses the per-bit stride-n form (3·bits·n fused long ops —
+    still whole-stage-codegen column math, no Python in the loop).
     """
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder_key needs at least 2 columns")
+    if bits < 1 or bits * n > 63:
+        raise ValueError(
+            f"bits*n must fit a signed long: bits={bits}, n={n} "
+            f"(need bits*n <= 63)"
+        )
+    if n == 2:
+        if bits > 16:
+            raise ValueError("2-column zorder_key interleaves up to 16 bits")
 
-    if not 0 < bits <= 16:
-        raise ValueError("zorder_key interleaves up to 16 bits per dimension")
+        def spread(c: Column) -> Column:
+            # insert a 0 between consecutive bits: 16 bits → 32 bits
+            c = c.bitwiseAND(F.lit((1 << bits) - 1))
+            c = (c.bitwiseOR(F.shiftleft(c, 8))).bitwiseAND(F.lit(0x00FF00FF))
+            c = (c.bitwiseOR(F.shiftleft(c, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+            c = (c.bitwiseOR(F.shiftleft(c, 2))).bitwiseAND(F.lit(0x33333333))
+            c = (c.bitwiseOR(F.shiftleft(c, 1))).bitwiseAND(F.lit(0x55555555))
+            return c
 
-    def spread(c: Column) -> Column:
-        # insert a 0 between consecutive bits: 16 bits → 32 bits
-        c = c.bitwiseAND(F.lit((1 << bits) - 1))
-        c = (c.bitwiseOR(F.shiftleft(c, 8))).bitwiseAND(F.lit(0x00FF00FF))
-        c = (c.bitwiseOR(F.shiftleft(c, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
-        c = (c.bitwiseOR(F.shiftleft(c, 2))).bitwiseAND(F.lit(0x33333333))
-        c = (c.bitwiseOR(F.shiftleft(c, 1))).bitwiseAND(F.lit(0x55555555))
-        return c
-
-    x64 = spread(x.cast("long"))
-    y64 = spread(y.cast("long"))
-    return x64.bitwiseOR(F.shiftleft(y64, 1)).alias("zkey")
+        x64 = spread(cols[0].cast("long"))
+        y64 = spread(cols[1].cast("long"))
+        return x64.bitwiseOR(F.shiftleft(y64, 1)).alias("zkey")
+    out: Column | None = None
+    for i, col in enumerate(cols):
+        c = col.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+        for j in range(bits):
+            bit = F.shiftleft(
+                F.shiftright(c, j).bitwiseAND(F.lit(1)), j * n + i
+            )
+            out = bit if out is None else out.bitwiseOR(bit)
+    assert out is not None
+    return out.alias("zkey")

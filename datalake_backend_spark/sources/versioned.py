@@ -657,14 +657,15 @@ class VersionedTable:
         from thousands of streaming micro-batch files collapses to a
         scan-efficient layout.
 
-        ``zorder_by=(x_col, y_col)`` additionally range-partitions and
-        sorts the rewrite by the Morton interleave of the two (integer,
-        pre-quantized) columns — ``OPTIMIZE ... ZORDER BY``: every
-        output file covers a compact (x, y) rectangle, so parquet
-        min/max statistics prune files for predicates on EITHER
-        dimension. Verified by the clustering test, which checks that
-        per-file min/max ranges of both dims shrink vs the unsorted
-        layout.
+        ``zorder_by=(col, col, ...)`` (n ≥ 2) additionally
+        range-partitions and sorts the rewrite by the Morton interleave
+        of the (integer, pre-quantized) columns — ``OPTIMIZE ... ZORDER
+        BY``: every output file covers a compact n-dimensional box, so
+        parquet min/max statistics prune files for predicates on ANY of
+        the dimensions. Verified by the clustering tests, which check
+        that per-file min/max ranges of every dim shrink vs the
+        unsorted layout (2-d and 3-d). ``zorder_bits`` is clamped so
+        ``bits * n`` fits a signed long.
 
         Commits pinned to the head it read (``expected_head``): OPTIMIZE
         must never clobber a merge that landed while it rewrote —
@@ -685,11 +686,13 @@ class VersionedTable:
         if zorder_by is not None:
             from datalake_backend_spark.core.geometry import zorder_key
 
-            x, y = zorder_by
+            bits = min(zorder_bits, 63 // len(zorder_by))
             df = (
                 df.withColumn(
                     "_zkey",
-                    zorder_key(F.col(x), F.col(y), bits=zorder_bits),
+                    zorder_key(
+                        *[F.col(c) for c in zorder_by], bits=bits
+                    ),
                 )
                 .repartitionByRange(int(n_parts), "_zkey")
                 .sortWithinPartitions("_zkey")

@@ -767,3 +767,88 @@ def test_streaming_sink_auto_compacts(spark, tmp_path):
     assert "compact" in ops and ops.count("append") == 8  # 2 files/epoch
     assert tbl.read(spark).count() == 20
     assert tbl.file_count() <= 2 + 3  # compacted + at most trailing epochs
+
+
+def test_compact_zorder_three_dims(spark, tbl):
+    """n-column ZORDER (round-6 ask): after compact(zorder_by=3 cols)
+    every file covers a compact (x, y, z) BOX — mean per-file bounding
+    volume shrinks by >2.5x vs the scattered layout, so min/max
+    pruning works for predicates on any of the three dimensions."""
+    import glob
+
+    n = 16  # 16^3 = 4096 rows on a full 3-d grid
+    df = (
+        spark.range(0, n * n * n)
+        .select(
+            (F.col("id") % n).cast("int").alias("x"),
+            ((F.col("id") / n).cast("int") % n).alias("y"),
+            (F.col("id") / (n * n)).cast("int").alias("z"),
+        )
+        .repartition(8)
+    )
+    tbl.commit(df)
+
+    def mean_file_volume(version):
+        vols = []
+        for d in tbl.manifest(version)["dirs"]:
+            for f in glob.glob(f"{tbl.path}/{d}/part-*.parquet"):
+                a = (
+                    spark.read.parquet(f)
+                    .agg(
+                        F.min("x"), F.max("x"),
+                        F.min("y"), F.max("y"),
+                        F.min("z"), F.max("z"),
+                    )
+                    .first()
+                )
+                vols.append(
+                    (a[1] - a[0] + 1) * (a[3] - a[2] + 1) * (a[5] - a[4] + 1)
+                )
+        return sum(vols) / len(vols), len(vols)
+
+    v0, _ = mean_file_volume(1)
+    v = tbl.compact(spark, target_bytes=2 << 10, zorder_by=("x", "y", "z"))
+    assert tbl.read(spark, v).count() == n * n * n
+    assert tbl.read(spark, v).exceptAll(tbl.read(spark, 1)).count() == 0
+    v1, nf1 = mean_file_volume(v)
+    assert nf1 > 1
+    assert v0 > 0.9 * n * n * n  # scatter baseline unclustered
+    assert v1 < v0 / 2.5, (v0, v1, nf1)
+
+
+def test_zorder_key_n_dim_bit_placement(spark):
+    """Generic n-d Morton key: bit j of column i lands at j*n + i, and
+    the 2-d fast path agrees with the generic stride form."""
+    from datalake_backend_spark.core.geometry import zorder_key
+
+    df = spark.createDataFrame(
+        [(5, 3, 6), (0, 0, 0), (7, 7, 7)], "x int, y int, z int"
+    )
+    rows = df.select(
+        "x", "y", "z",
+        zorder_key(F.col("x"), F.col("y"), F.col("z"), bits=3),
+    ).collect()
+    for r in rows:
+        expect = 0
+        for j in range(3):
+            expect |= ((r.x >> j) & 1) << (j * 3)
+            expect |= ((r.y >> j) & 1) << (j * 3 + 1)
+            expect |= ((r.z >> j) & 1) << (j * 3 + 2)
+        assert r.zkey == expect, (r.x, r.y, r.z, r.zkey, expect)
+    # 2-d fast path == generic placement law with n=2
+    two = df.select(
+        "x", "y", zorder_key(F.col("x"), F.col("y"), bits=3)
+    ).collect()
+    for r in two:
+        expect = 0
+        for j in range(3):
+            expect |= ((r.x >> j) & 1) << (j * 2)
+            expect |= ((r.y >> j) & 1) << (j * 2 + 1)
+        assert r.zkey == expect
+    # guardrails
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        zorder_key(F.col("x"), bits=8)
+    with _pytest.raises(ValueError):
+        zorder_key(F.col("x"), F.col("y"), F.col("z"), bits=32)
