@@ -852,3 +852,122 @@ def test_zorder_key_n_dim_bit_placement(spark):
         zorder_key(F.col("x"), bits=8)
     with _pytest.raises(ValueError):
         zorder_key(F.col("x"), F.col("y"), F.col("z"), bits=32)
+
+
+def test_upsert_epoch_commit_survives_concurrent_writer(spark, tmp_path):
+    """Round-6 ask: a concurrent writer landing BETWEEN the sink's
+    snapshot read and its commit must not be erased (the lost-update
+    hazard ADVICE r5 flagged). Deterministic interleaving: the first
+    commit attempt fires a concurrent batch MERGE right before
+    publishing, so the sink's expected_head guard trips and the whole
+    derive re-runs from the new head. Both writers' effects must be
+    present and the history linearizable."""
+    from datalake_backend_spark.sources.versioned import VersionedTable
+    from datalake_backend_spark.streaming.pipeline import upsert_epoch_commit
+
+    class Interferer(VersionedTable):
+        def __init__(self, path, interfere):
+            super().__init__(path)
+            self._interfere = interfere
+            self.conflicts = 0
+
+        def commit(self, df, **kw):
+            if self._interfere is not None:
+                fire, self._interfere = self._interfere, None
+                fire()
+                self.conflicts += 1
+            return super().commit(df, **kw)
+
+    path = str(tmp_path / "contended")
+    plain = VersionedTable(path)
+    plain.commit(
+        spark.createDataFrame([(1, "base1"), (2, "base2")], "key int, val string")
+    )
+
+    def concurrent_merge():
+        plain.merge(
+            spark,
+            spark.createDataFrame([(7, "other-writer")], "key int, val string"),
+            ["key"],
+        )
+
+    tbl = Interferer(path, concurrent_merge)
+    batch = spark.createDataFrame(
+        [(2, "updated", 1, False), (3, "new", 1, False)],
+        "key int, val string, _seq int, _deleted boolean",
+    )
+    assert upsert_epoch_commit(tbl, batch, 0, ["key"], "_seq", "_deleted")
+    assert tbl.conflicts == 1  # the interleaving really happened
+
+    got = {(r.key, r.val) for r in plain.read(spark).collect()}
+    # BOTH writers' effects survive: the concurrent merge's key 7 and
+    # the epoch's upserts
+    assert got == {
+        (1, "base1"), (2, "updated"), (3, "new"), (7, "other-writer"),
+    }
+    # linearizable history: base, concurrent merge, epoch merge —
+    # each a consistent snapshot; the epoch tag appears exactly once
+    hist = plain.history()
+    assert [m["version"] for m in hist] == [1, 2, 3]
+    epochs = [m.get("metadata", {}).get("epoch") for m in hist]
+    assert epochs.count(0) == 1
+    # replay of epoch 0 after the contention is still a no-op
+    assert not upsert_epoch_commit(
+        VersionedTable(path), batch, 0, ["key"], "_seq", "_deleted"
+    )
+    assert plain.latest_version() == 3
+
+
+def test_concurrent_upsert_sinks_threaded(spark, tmp_path):
+    """Two writers × several epochs racing on ONE table (true thread
+    concurrency, not injected): every epoch of both writers must land
+    exactly once, no lost updates, every version readable."""
+    import threading
+
+    from datalake_backend_spark.sources.versioned import VersionedTable
+    from datalake_backend_spark.streaming.pipeline import upsert_epoch_commit
+
+    path = str(tmp_path / "race")
+    VersionedTable(path).commit(
+        spark.createDataFrame([(0, "seed")], "key int, val string")
+    )
+    errors = []
+
+    def writer(wid: int):
+        try:
+            tbl = VersionedTable(path)
+            for e in range(3):
+                batch = spark.createDataFrame(
+                    [(100 * wid + e, f"w{wid}e{e}", 1, False)],
+                    "key int, val string, _seq int, _deleted boolean",
+                )
+                # epoch ids disjoint per writer: (wid, e) -> unique int
+                upsert_epoch_commit(
+                    tbl, batch, 1000 * wid + e, ["key"], "_seq", "_deleted"
+                )
+        except Exception as exc:  # pragma: no cover - failure detail
+            errors.append((wid, exc))
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    tbl = VersionedTable(path)
+    got = {(r.key, r.val) for r in tbl.read(spark).collect()}
+    expect = {(0, "seed")} | {
+        (100 * w + e, f"w{w}e{e}") for w in (1, 2) for e in range(3)
+    }
+    assert got == expect  # no lost updates
+    hist = tbl.history()
+    epochs = [
+        m.get("metadata", {}).get("epoch")
+        for m in hist
+        if m.get("metadata", {}).get("epoch") is not None
+    ]
+    assert sorted(epochs) == [1000, 1001, 1002, 2000, 2001, 2002]
+    # every intermediate version is a readable consistent snapshot
+    for m in hist:
+        assert tbl.read(spark, m["version"]).count() >= 1
