@@ -24,7 +24,12 @@ from datalake_backend_spark.operators.renest import renest_frames
 from datalake_backend_spark.pipelines import get_pipeline
 from datalake_backend_spark.pipelines.splitter import SPLIT_SPECS, run_splitter
 from datalake_backend_spark.serving.export import write_bulk_export
-from datalake_backend_spark.serving.views import register_gold, register_serving_views
+from datalake_backend_spark.serving.views import (
+    register_gold,
+    register_serving_views,
+    register_versioned_gold,
+    serve_gold_where,
+)
 from datalake_backend_spark.sources.readers import read_raw_json, split_corrupt
 from datalake_backend_spark.sources.writers import (
     json_array_document,
@@ -167,6 +172,9 @@ class Engine:
             v = tbl.commit(gold, op="upload")
             result.gold_rows = int(tbl.manifest(v)["num_rows"])
             gold_df = tbl.read(self.spark, v)
+            # selective serving reads route through footer-stats data
+            # skipping (serve_gold_where / query_gold)
+            register_versioned_gold(self.spark, domain, tbl, v)
         else:
             obs_gold = Observation()
             write_table(
@@ -192,7 +200,8 @@ class Engine:
             write_bulk_export(gold_df, idx_path, f"datalake-{domain}-data", id_col)
             result.outputs["index"] = idx_path
 
-        register_gold(self.spark, domain, gold_df)
+        if not versioned_gold:
+            register_gold(self.spark, domain, gold_df)
         result.outputs.update(zones)
         return result
 
@@ -202,3 +211,14 @@ class Engine:
 
     def sql(self, query: str) -> DataFrame:
         return self.spark.sql(query)
+
+    def query_gold(
+        self,
+        domain: str,
+        predicates: list[tuple],
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Selective gold lookup: `[(col, op, val), ...]` routed
+        through VersionedTable data skipping when the domain's gold is
+        versioned (see serving.views.serve_gold_where)."""
+        return serve_gold_where(self.spark, domain, predicates, columns)

@@ -144,7 +144,62 @@ VIEW_SOURCES: dict[str, str] = {
 
 def register_gold(spark: SparkSession, domain: str, gold_df: DataFrame) -> None:
     """Expose a gold DataFrame as ``gold_<domain>`` for the SQL layer."""
+    _VERSIONED_GOLD.pop(domain, None)
     gold_df.createOrReplaceTempView(f"gold_{domain}")
+
+
+#: domain → VersionedTable handle behind gold_<domain>, when versioned —
+#: lets selective serving reads route through footer-stats data skipping
+_VERSIONED_GOLD: dict[str, object] = {}
+
+
+def register_versioned_gold(
+    spark: SparkSession, domain: str, tbl, version: int | None = None
+) -> None:
+    """Register ``gold_<domain>`` over a :class:`VersionedTable`
+    snapshot AND remember the handle: the dashboard views read the
+    consistent snapshot as before, while selective queries
+    (:func:`serve_gold_where`) open only the files whose footer stats /
+    partition values can match — at 100 TB the dashboard aggregates
+    scan the snapshot once, but every point/range lookup (one tracker,
+    one date band) touches a handful of files instead of the table."""
+    tbl.read(spark, version).createOrReplaceTempView(f"gold_{domain}")
+    _VERSIONED_GOLD[domain] = tbl
+
+
+_PRED_COL_OPS = {
+    "=": lambda c, v: c == v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
+
+
+def serve_gold_where(
+    spark: SparkSession,
+    domain: str,
+    predicates: list[tuple],
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Selective serving read over ``gold_<domain>``: ``[(col, op,
+    val), ...]`` conjunctive predicates. When the gold is versioned
+    (:func:`register_versioned_gold`) the read routes through
+    ``VersionedTable.read_where`` — manifest footer stats + hive
+    partition values prune files BEFORE the scan, and the exact filter
+    still applies to survivors (skipping is never the semantics).
+    Unversioned golds fall back to a plain filtered read of the temp
+    view, where parquet row-group pruning still applies."""
+    from pyspark.sql import functions as F
+
+    tbl = _VERSIONED_GOLD.get(domain)
+    if tbl is not None:
+        df = tbl.read_where(spark, predicates)
+    else:
+        df = spark.table(f"gold_{domain}")
+        for col, op, val in predicates:
+            df = df.where(_PRED_COL_OPS[op](F.col(col), F.lit(val)))
+    return df.select(*columns) if columns else df
 
 
 def register_serving_views(spark: SparkSession, domains: list[str] | None = None) -> list[str]:

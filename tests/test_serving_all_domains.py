@@ -37,3 +37,74 @@ def test_all_domain_views_run(spark, tmp_path):
 
 def test_view_sources_mapping_complete():
     assert set(VIEW_SOURCES) == set(DASHBOARD_VIEWS)
+
+
+def test_serving_reads_route_through_data_skipping(spark, tmp_path):
+    """Round-6 ask: selective serving queries over a versioned gold
+    must OPEN fewer files than the full snapshot (footer-stats
+    pruning), while returning exactly the filtered rows; dashboards
+    and the unversioned fallback are unchanged."""
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.serving.views import (
+        register_gold,
+        register_serving_views,
+        register_versioned_gold,
+        serve_gold_where,
+    )
+    from datalake_backend_spark.sources.versioned import VersionedTable
+
+    tbl = VersionedTable(str(tmp_path / "gold_vehicle"))
+    gold = spark.range(0, 800).select(
+        F.col("id").alias("tracker_id"),
+        (F.col("id") % 7 + 1.0).alias("max_speed"),
+        (F.col("id") % 5 + 0.5).alias("avg_speed"),
+        (F.col("id") % 3).cast("string").alias("vehicle_type"),
+        (F.col("id") % 4).cast("string").alias("vehicle_color"),
+        (F.col("id") % 2).cast("int").alias("red_light_violation_count"),
+        (F.col("id") % 3).cast("int").alias("line_crossing_count"),
+        (F.col("id") % 2).cast("string").alias("most_common_lane"),
+        F.lit("north").alias("direction"),
+        F.current_timestamp().alias("first_detection"),
+    )
+    # range-sorted write → per-file tracker_id stats are tight bands
+    tbl.commit(
+        gold.repartitionByRange(8, "tracker_id").sortWithinPartitions(
+            "tracker_id"
+        )
+    )
+    register_versioned_gold(spark, "vehicle", tbl)
+
+    out = serve_gold_where(spark, "vehicle", [("tracker_id", "=", 500)])
+    rows = out.collect()
+    assert [r.tracker_id for r in rows] == [500]
+
+    kept, total, n_kept = tbl.prune_files([("tracker_id", "=", 500)])
+    assert total == 8 and n_kept < total  # skipping really pruned
+    # IO assertion: the serving plan scans ONLY the pruned file set
+    assert len(out.inputFiles()) == n_kept < len(
+        tbl.read(spark).inputFiles()
+    )
+
+    # the dashboard views still aggregate the full consistent snapshot
+    created = register_serving_views(spark)
+    assert "serving_vehicle_totals" in created
+    assert (
+        spark.table("serving_vehicle_totals").first().total_vehicles == 800
+    )
+
+    # column projection and range predicates compose
+    band = serve_gold_where(
+        spark,
+        "vehicle",
+        [("tracker_id", ">=", 100), ("tracker_id", "<", 200)],
+        columns=["tracker_id", "max_speed"],
+    )
+    assert band.columns == ["tracker_id", "max_speed"]
+    assert band.count() == 100
+    assert len(band.inputFiles()) < 8
+
+    # unversioned fallback: same answers, plain filtered view
+    register_gold(spark, "animal", gold.withColumnRenamed("tracker_id", "animal_id"))
+    fb = serve_gold_where(spark, "animal", [("animal_id", "=", 5)])
+    assert fb.count() == 1
