@@ -3,7 +3,8 @@
 The Spark-side contract — schemas, partition-aware ``mapInPandas``
 plumbing, Arrow batch shapes — is real and tested, and so are the
 codecs, all dependency-free byte-level parsers: images
-(:func:`decode_image`: PPM P6 + 24-bit BMP), audio
+(:func:`decode_image`: PPM P6, 24-bit BMP, PNG, and baseline JPEG via
+:mod:`datapipe.jpeg` — real Huffman + DCT), audio
 (:func:`decode_wav`: RIFF/WAVE PCM s16le), and video
 (:func:`decode_video_frame`: the RAWV concatenated-frame container,
 with true per-frame seeking). RAWV stands in for mp4/h264 — whose
@@ -250,9 +251,14 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_bmp(payload)
     if payload and payload[: len(_PNG_SIG)] == _PNG_SIG:
         return _decode_png(payload)
+    if payload and payload[:2] == b"\xff\xd8":
+        from datalake_backend_spark.datapipe.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if not payload or payload[:2] != b"P6":
         raise ValueError(
-            "unsupported image format (supported: PPM P6, BMP24, PNG)"
+            "unsupported image format (supported: PPM P6, BMP24, PNG, "
+            "baseline JPEG)"
         )
     pos, vals = 2, []
     while len(vals) < 3:
@@ -375,10 +381,18 @@ def extract_image_features(
 
 #: codec name → (encoder, mime); the shared synthetic-table generator
 #: and resize_images both dispatch through this
+def encode_jpeg(img: np.ndarray, quality: int = 75, subsampling: str = "4:4:4") -> bytes:
+    """Baseline JFIF encoder — see :mod:`datapipe.jpeg`."""
+    from datalake_backend_spark.datapipe.jpeg import encode_jpeg as _enc
+
+    return _enc(img, quality, subsampling)
+
+
 _CODECS: dict[str, tuple] = {
     "ppm": (encode_ppm, "image/x-portable-pixmap"),
     "bmp": (encode_bmp, "image/bmp"),
     "png": (encode_png, "image/png"),
+    "jpeg": (encode_jpeg, "image/jpeg"),
 }
 
 
@@ -436,6 +450,52 @@ def synthetic_image_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     is unchanged because decoded statistics are codec-independent."""
     return _synthetic_image_table(
         docs, id_col, lambda i: ("ppm", "bmp", "png")[i % 3]
+    )
+
+
+def synthetic_jpeg_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL JPEG table for the lossy-codec oracle: each
+    row becomes a genuine baseline JFIF bitstream (quality 75, 4:4:4)
+    of a BLOCK-CONSTANT grayscale image — ``w = 8*(1 + id%3)``,
+    ``h = 8*(1 + id%2)``, every 8x8 block filled with ``v = (id*37 +
+    br*17 + bc*29) % 256``. On this family the round-trip is EXACT
+    (constant blocks are pure DC; the quality-75 luma DC quant step is
+    8, so quantization is the identity on the 8v DC; equal channels
+    make both chroma planes exactly 128 -> all-zero coefficients), yet
+    the bytes still travel through real Huffman/DPCM/zigzag/stuffing/
+    marker machinery — a decoder bug anywhere breaks the value hash,
+    while the SQL twin only needs the closed-form block sums. General
+    lossy content is pinned by tests/test_jpeg.py tolerances instead
+    (a lossy reconstruction is decoder-defined, not SQL-checkable)."""
+    from datalake_backend_spark.datapipe.jpeg import encode_jpeg as _enc
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["media_id"].to_numpy()
+            payloads, metas = [], []
+            for i in ids:
+                i = int(i)
+                w, h = 8 * (1 + i % 3), 8 * (1 + i % 2)
+                br = np.arange(h // 8).reshape(-1, 1)
+                bc = np.arange(w // 8).reshape(1, -1)
+                vals = ((i * 37 + br * 17 + bc * 29) % 256).astype(np.uint8)
+                img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                payloads.append(_enc(img, quality=75))
+                metas.append(
+                    {
+                        "mime": "image/jpeg",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": None,
+                        "codec": "jpeg",
+                    }
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        gen, MEDIA_SCHEMA
     )
 
 

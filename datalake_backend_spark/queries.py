@@ -3886,6 +3886,56 @@ def _r126_sql() -> str:
     )
 
 
+def r127_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode driver check (`dbs.datapipe.jpeg` +
+    `dbs.datapipe.multimodal.image_stats`): every document becomes a
+    genuine JFIF bitstream — standard Annex K Huffman tables, DC DPCM,
+    zigzag, byte stuffing, real markers — then image_stats decodes it
+    with the dependency-free baseline decoder (huffman + dequant +
+    IDCT + YCbCr→RGB). The fixture is block-constant grayscale at
+    quality 75, where the round-trip is mathematically EXACT (pure-DC
+    blocks; luma DC quant step 8; chroma identically 128 — see
+    `synthetic_jpeg_table`), so the DuckDB twin recomputes the decoded
+    sums in closed form per 8x8 block. A decoder that misparses a
+    marker, miscodes a Huffman table, breaks DPCM across blocks,
+    mishandles stuffed 0xFF bytes, or botches the IDCT/color path
+    breaks the hash. Lossy-content fidelity is pinned by
+    tests/test_jpeg.py tolerances (not SQL-expressible by nature)."""
+    from datalake_backend_spark.datapipe.multimodal import (
+        image_stats,
+        synthetic_jpeg_table,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return image_stats(synthetic_jpeg_table(docs))
+
+
+R127_SQL = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+         CAST(8 * (1 + doc_id % 2) AS INT) AS height
+  FROM documents
+),
+brs AS (SELECT media_id, width, height, unnest(range(0, height // 8)) AS br FROM dims),
+bcs AS (SELECT media_id, width, height, br, unnest(range(0, width // 8)) AS bc FROM brs),
+blocks AS (
+  SELECT media_id, width, height,
+         (media_id * 37 + br * 17 + bc * 29) % 256 AS v
+  FROM bcs
+)
+SELECT media_id, width, height, CAST(3 AS INT) AS channels,
+  CAST(width * height AS BIGINT) AS n_pixels,
+  CAST(SUM(64 * v) AS BIGINT) AS sum_r,
+  CAST(SUM(64 * v) AS BIGINT) AS sum_g,
+  CAST(SUM(64 * v) AS BIGINT) AS sum_b,
+  CAST(SUM(64 * v) AS BIGINT) / CAST(width * height AS DOUBLE) AS mean_r,
+  CAST(SUM(64 * v) AS BIGINT) / CAST(width * height AS DOUBLE) AS mean_g,
+  CAST(SUM(64 * v) AS BIGINT) / CAST(width * height AS DOUBLE) AS mean_b
+FROM blocks GROUP BY media_id, width, height
+"""
+
+
 def q77_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic shard assignment driver check
     (`dbs.datapipe.sampling.assign_shards`): every document lands in a
@@ -6579,6 +6629,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r126_leakage_safe_split": QuerySpec(
         r126_leakage_safe_split, _r126_sql(), "split-by-cluster,decontamination"
+    ),
+    "r127_jpeg_decode_stats": QuerySpec(
+        r127_jpeg_decode_stats, R127_SQL, "multimodal-jpeg-codec"
     ),
     "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),
     "r13_orders_left_join": QuerySpec(q13_orders_left_join, Q13_SQL, "J1,J2,F2"),
