@@ -139,6 +139,17 @@ def get_spark(
     if master:
         builder = builder.master(master)
     conf = dict(ENGINE_CONF)
+    if master and master.startswith("local"):
+        # in local mode the driver JVM IS every executor; Spark's 1g
+        # default heap OOMs on broadcast/window state far below the
+        # data sizes the same code handles on a cluster (hit by the
+        # 10x scale-stress). Only effective for the process's FIRST
+        # session (the JVM is launched with it); later get_spark calls
+        # reuse the running JVM.
+        conf.setdefault(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

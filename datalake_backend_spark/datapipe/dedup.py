@@ -587,6 +587,122 @@ def decontaminate(
     return train_df.join(hits.select(id_col), id_col, "left_anti")
 
 
+def build_bloom_filter(
+    df: DataFrame,
+    col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+) -> list[int]:
+    """Distributed Bloom-filter build over a column of 64-bit values:
+    each value sets ``k_hashes`` bit positions (``xxhash64(value,
+    seed_i) mod m``), the bit positions fold into 64-bit words with a
+    map-side-combined ``bit_or`` aggregate, and only the OCCUPIED words
+    come back to the driver (≤ k·n, regardless of ``m_bits``). Returns
+    the filter as ``m_bits/64`` longs.
+
+    Scale shape: the build is one exploded projection + one aggregate
+    over word ids — no collect of the values themselves; a 1M-bit
+    filter is 128 KB however large the input is."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    c = F.col(col).cast("long")
+    positions = F.array(
+        *[F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m_bits)) for i in range(k_hashes)]
+    )
+    words = (
+        df.select(F.explode(positions).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            # shiftleft's bit count must be a literal in the DSL; the
+            # SQL form takes an expression
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    out = [0] * (m_bits // 64)
+    for r in words:
+        out[r.word] = r.bits
+    return out
+
+
+def _bloom_might_contain(
+    bits_col: Column, value: Column, m_bits: int, k_hashes: int
+) -> Column:
+    """Membership test against a Bloom filter carried as an
+    array<long> column: AND over the k probed bits. Pure fused column
+    arithmetic — evaluates inside whole-stage codegen, no UDF."""
+    v = value.cast("long")
+    probes = []
+    for i in range(k_hashes):
+        pos = F.pmod(F.xxhash64(v, F.lit(i)), F.lit(m_bits))
+        word = F.element_at(bits_col, (pos / 64).cast("int") + 1)
+        probes.append(F.getbit(word, F.pmod(pos, F.lit(64))) == 1)
+    out = probes[0]
+    for p in probes[1:]:
+        out = out & p
+    return out
+
+
+def contamination_bloom(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """:func:`contamination` behind a Bloom-filter pre-filter — the
+    shape for when the eval/benchmark set is too large to broadcast as
+    an exact fingerprint set (contamination's ``broadcast_eval``
+    assumption breaks somewhere past ~10⁸ distinct fingerprints, i.e.
+    a large multi-benchmark suite against a 100 TB corpus).
+
+    Two phases, same exact answer: (1) the eval fingerprints fold into
+    an ``m_bits`` Bloom filter (:func:`build_bloom_filter` — 128 KB at
+    2²⁰ bits, shipped via a 1-row broadcast join, membership tested in
+    fused column arithmetic); train chunk fingerprints that the filter
+    rejects are DEFINITELY absent and drop map-side, which is the bulk
+    of a clean corpus. (2) Survivors — true hits plus the fpp·n false
+    positives — go through the exact fingerprint join, which removes
+    the false positives. No false negatives exist, so output ==
+    :func:`contamination` exactly (the r128 oracle pins this with
+    q71's own SQL twin). With default sizing (2²⁰ bits / 5 hashes) fpp
+    is < 1% up to ~10⁵ eval fingerprints; size ``m_bits`` ≈ 10·n_eval
+    for ~1% at larger suites."""
+    from datalake_backend_spark.datapipe.text import chunk_fingerprint_projection
+
+    tr = chunk_fingerprint_projection(
+        train_df, text_col, id_col, window=window, hash_fn=portable_hash60
+    ).select(F.col(id_col), F.explode_outer("chunk_fps").alias("fp"))
+    ev = (
+        chunk_fingerprint_projection(
+            eval_df, text_col, id_col, window=window, hash_fn=portable_hash60
+        )
+        .select(F.explode_outer("chunk_fps").alias("fp"))
+        .distinct()
+    )
+    spark = train_df.sparkSession
+    bits = build_bloom_filter(ev, "fp", m_bits, k_hashes)
+    flt = spark.createDataFrame([(bits,)], "_bloom array<long>")
+    pruned = (
+        tr.crossJoin(F.broadcast(flt))
+        .where(_bloom_might_contain(F.col("_bloom"), F.col("fp"), m_bits, k_hashes))
+        .drop("_bloom")
+    )
+    # exact verify on the tiny survivor set: false positives fall out.
+    # Deliberately NOT a broadcast — in the regime this operator exists
+    # for, the eval fingerprint set doesn't fit a broadcast; the bloom
+    # already shrank the train side to survivors, so this shuffle
+    # carries (id, fp) for hits + fpp-rate noise, not the corpus.
+    joined = pruned.join(ev, "fp")
+    return joined.groupBy(id_col).agg(F.count("*").alias("n_shared_chunks"))
+
+
 def _cluster_star(und: DataFrame, max_rounds: int = 64) -> DataFrame:
     """Alternating large-star/small-star connected components (Kiveris
     et al., "Connected Components in MapReduce and Beyond", SoCC'14):

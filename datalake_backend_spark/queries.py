@@ -3886,6 +3886,25 @@ def _r126_sql() -> str:
     )
 
 
+def r128_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pre-filtered decontamination driver check
+    (`dbs.datapipe.dedup.contamination_bloom`): q71's scan, but the
+    eval fingerprint set folds into a 2^20-bit Bloom filter first and
+    the 100 TB train side drops definitely-clean fingerprints MAP-SIDE
+    before any join — the shape for benchmark suites too large to
+    broadcast exactly. Bloom filters have no false negatives and the
+    survivor set is verified with the exact fingerprint join, so the
+    output is IDENTICAL to the exact operator — the oracle is q71's
+    own SQL twin, which a dropped true hit (false-negative bug) or a
+    surviving false positive would both break."""
+    from datalake_backend_spark.datapipe.dedup import contamination_bloom
+
+    docs = table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 11 == 0)
+    tr = docs.where(F.col("doc_id") % 11 != 0)
+    return contamination_bloom(tr, ev, window=4)
+
+
 def r127_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG decode driver check (`dbs.datapipe.jpeg` +
     `dbs.datapipe.multimodal.image_stats`): every document becomes a
@@ -6632,6 +6651,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r127_jpeg_decode_stats": QuerySpec(
         r127_jpeg_decode_stats, R127_SQL, "multimodal-jpeg-codec"
+    ),
+    "r128_bloom_decontamination": QuerySpec(
+        r128_bloom_decontamination, Q71_SQL, "decontamination-bloom,scale-prefilter"
     ),
     "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),
     "r13_orders_left_join": QuerySpec(q13_orders_left_join, Q13_SQL, "J1,J2,F2"),

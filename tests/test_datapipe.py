@@ -1376,3 +1376,56 @@ def test_uncapped_hot_bucket_warns_but_keeps_rows(spark, caplog):
     assert _warned(), "hot-bucket warning never fired"
     # capped path still filters, and small buckets stay silent
     assert cap_hot_buckets(banded, 10).count() == 1
+
+
+def test_bloom_contamination_equals_exact(spark):
+    """contamination_bloom must return EXACTLY what contamination
+    returns (no false negatives by Bloom construction; false positives
+    removed by the exact verify), while the filter itself behaves like
+    a Bloom filter: all members hit, non-members mostly miss."""
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.datapipe.dedup import (
+        _bloom_might_contain,
+        build_bloom_filter,
+        contamination,
+        contamination_bloom,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{(i * 7 + j) % 50}" for j in range(12)))
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    ev = docs.where(F.col("doc_id") % 9 == 0)
+    tr = docs.where(F.col("doc_id") % 9 != 0)
+    exact = {
+        (r.doc_id, r.n_shared_chunks)
+        for r in contamination(tr, ev, window=4).collect()
+    }
+    bloom = {
+        (r.doc_id, r.n_shared_chunks)
+        for r in contamination_bloom(tr, ev, window=4, m_bits=1 << 12).collect()
+    }
+    assert bloom == exact and exact  # identical, non-trivial
+
+    # filter behavior: members always hit; random non-members mostly miss
+    m_bits, k = 1 << 14, 5
+    members = spark.range(0, 500).select(F.col("id").alias("v"))
+    bits = build_bloom_filter(members, "v", m_bits, k)
+    flt = spark.createDataFrame([(bits,)], "_bloom array<long>")
+    probe = (
+        spark.range(0, 5000)
+        .select(F.col("id").alias("v"))
+        .crossJoin(F.broadcast(flt))
+        .select(
+            "v",
+            _bloom_might_contain(F.col("_bloom"), F.col("v"), m_bits, k).alias("hit"),
+        )
+    )
+    got = {r.v: r.hit for r in probe.collect()}
+    assert all(got[v] for v in range(500))  # zero false negatives
+    fp = sum(1 for v in range(500, 5000) if got[v]) / 4500
+    assert fp < 0.05, fp  # 2^14 bits / 500 keys / 5 hashes -> tiny fpp

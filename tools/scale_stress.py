@@ -1,0 +1,201 @@
+"""Scale-stress harness: time the quadratic-hazard operators at 1x and
+10x the bench scale and report the scaling curve (round-6 ask #3).
+
+The registry rows cap their inputs for DuckDB-oracle feasibility
+(q26/q76/q116 run on doc_id < 400), so sf0.1 bench times cannot reveal
+a super-linear stage. This harness generates a synthetic corpus from
+the SAME distribution family as /root/testdata (31-token vocabulary,
+10-100-token documents, 30-day event stream) at 1x (5k docs / 100k
+events / 1.5k users) and 10x (50k / 1M / 15k), with 2% injected
+near-duplicates so the dedup output stays linear in corpus size (the
+testdata's 1-gram/0.95 settings are only meaningful on its capped 400-
+doc slice — on a full 31-word-vocabulary corpus ANY two long documents
+are 1-gram near-identical, which measures the data's quadratic pair
+structure, not the algorithm; 3-gram shingles at threshold 0.4 with
+4-rows-per-band LSH (k=128, bands=32) keep the background sparse —
+random docs share ~0.1 shingles and a band collides with probability
+~J^4 — while a 1-token edit of an L-token doc keeps Jaccard at
+(L-5)/(L+1) >= 0.45, so injected pairs stay findable; 2 rows per band
+was measured to admit a QUADRATIC background-candidate term in this
+tiny-vocabulary regime: 259k candidates at 10x vs ~2.6k at 1x).
+
+Operators timed (the full operator, not the capped registry slice):
+  lsh_pairs    near_dup_minhash (signature -> banded join -> verify)
+  clusters     cluster_near_dups over those pairs (CC rounds)
+  incr_dedup   incremental_near_dup_minhash, second batch probing the
+               first batch's stored index (the 100 TB ingest shape)
+  gap_ffill    timeseries.gap_fill ffill  (~1M -> ~10M grid rows)
+  gap_linear   timeseries.gap_fill linear (same grid)
+  packing      pack_sequences max_len=2048 (global prefix sum)
+
+Each op is forced with a noop-format write (computes everything, no
+IO). Times are single-shot on a warmed JVM; the signal is the RATIO,
+not the absolute number. Writes BENCH_SCALING.md.
+
+Usage: python tools/scale_stress.py [workdir]  (default /tmp/sfstress)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from datalake_backend_spark import get_spark  # noqa: E402
+
+VOCAB_SRC = "/root/testdata/sf0.1/documents.parquet"
+DAY_US = 86_400_000_000
+
+
+def _vocab(spark) -> list[str]:
+    rows = (
+        spark.read.parquet(VOCAB_SRC)
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .distinct()
+        .collect()
+    )
+    return sorted(r.t for r in rows)
+
+
+def gen_documents(spark, n: int, seed: int, path: str) -> None:
+    """n docs, 10-100 tokens uniform over the testdata vocabulary; every
+    50th doc is a near-copy of an earlier doc with 1 token edited."""
+    if os.path.exists(path):
+        return
+    rng = np.random.default_rng(seed)
+    vocab = np.array(_vocab(spark))
+    lens = rng.integers(10, 101, size=n)
+    toks = [vocab[rng.integers(0, len(vocab), size=ln)] for ln in lens]
+    for i in range(50, n, 50):  # 2% injected near-dups, 1 token edited
+        src = int(rng.integers(max(0, i - 1000), i))
+        dup = toks[src].copy()
+        dup[rng.integers(0, len(dup))] = vocab[rng.integers(0, len(vocab))]
+        toks[i] = dup
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": [" ".join(t) for t in toks],
+        }
+    )
+    spark.createDataFrame(pdf).repartition(32).write.parquet(path)
+
+
+def gen_events(spark, n: int, n_users: int, seed: int, path: str) -> None:
+    """n events uniform over a 30-day window across n_users users."""
+    if os.path.exists(path):
+        return
+    rng = np.random.default_rng(seed)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "t": rng.integers(0, 30 * DAY_US, size=n),
+            "user_id": rng.integers(0, n_users, size=n),
+            "value": np.round(rng.uniform(0, 560, size=n), 2),
+        }
+    )
+    spark.createDataFrame(pdf).repartition(32).write.parquet(path)
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_ops(spark, docs_path: str, events_path: str) -> dict[str, float]:
+    from datalake_backend_spark.datapipe.dedup import (
+        cluster_near_dups,
+        incremental_near_dup_minhash,
+        near_dup_minhash,
+    )
+    from datalake_backend_spark.datapipe.packing import pack_sequences
+    from datalake_backend_spark.operators.timeseries import gap_fill
+
+    docs = spark.read.parquet(docs_path)
+    events = spark.read.parquet(events_path)
+    kw = dict(n=3, threshold=0.4, bands=32, k=128)
+    out: dict[str, float] = {}
+
+    def timed(name, thunk):
+        t0 = time.time()
+        thunk()
+        out[name] = round(time.time() - t0, 2)
+
+    pairs = near_dup_minhash(docs, **kw)
+    timed("lsh_pairs", lambda: _force(pairs))
+    out["n_pairs"] = near_dup_minhash(docs, **kw).count()
+    timed("clusters", lambda: _force(cluster_near_dups(near_dup_minhash(docs, **kw))))
+    n = docs.count()
+    half = n // 2
+    b1 = docs.where(F.col("doc_id") < half)
+    b2 = docs.where(F.col("doc_id") >= half)
+
+    def incr():
+        p1, idx1 = incremental_near_dup_minhash(b1, docs, None, **kw)
+        _force(p1)
+        idx1 = idx1.localCheckpoint()  # the stored index, as a real store
+        p2, _ = incremental_near_dup_minhash(b2, docs, idx1, **kw)
+        _force(p2)
+
+    timed("incr_dedup", incr)
+    ev = events.select("user_id", F.col("t"), "value")
+    step = 3_600_000_000
+    timed("gap_ffill", lambda: _force(gap_fill(ev, ["user_id"], "t", step, "value")))
+    out["n_grid"] = gap_fill(ev, ["user_id"], "t", step, "value").count()
+    timed(
+        "gap_linear",
+        lambda: _force(gap_fill(ev, ["user_id"], "t", step, "value", mode="linear")),
+    )
+    timed("packing", lambda: _force(pack_sequences(docs, 2048)))
+    return out
+
+
+def main() -> int:
+    work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfstress"
+    spark = get_spark("scale-stress")
+    scales = {
+        "1x": dict(docs=5_000, events=100_000, users=1_500),
+        "10x": dict(docs=50_000, events=1_000_000, users=15_000),
+    }
+    results = {}
+    for label, sc in scales.items():
+        dp = os.path.join(work, label, "documents.parquet")
+        ep = os.path.join(work, label, "events.parquet")
+        gen_documents(spark, sc["docs"], seed=42, path=dp)
+        gen_events(spark, sc["events"], sc["users"], seed=43, path=ep)
+        if label == "1x":  # warm the JVM before any timed run
+            run_ops(spark, dp, ep)
+        results[label] = run_ops(spark, dp, ep)
+        print(label, results[label], flush=True)
+
+    ops = ["lsh_pairs", "clusters", "incr_dedup", "gap_ffill", "gap_linear", "packing"]
+    lines = [
+        "| op | 1x sec | 10x sec | ratio | exponent |",
+        "|---|---|---|---|---|",
+    ]
+    for op in ops:
+        a, b = results["1x"][op], results["10x"][op]
+        ratio = b / a if a else float("inf")
+        expo = np.log10(ratio) / 1.0 if ratio > 0 else float("nan")
+        lines.append(
+            f"| {op} | {a} | {b} | {ratio:.1f}x | {expo:.2f} |"
+        )
+    meta = (
+        f"pairs: 1x={results['1x']['n_pairs']} 10x={results['10x']['n_pairs']}; "
+        f"grid rows: 1x={results['1x']['n_grid']} 10x={results['10x']['n_grid']}"
+    )
+    print("\n".join(lines))
+    print(meta)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
