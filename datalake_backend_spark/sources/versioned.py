@@ -304,6 +304,59 @@ class VersionedTable:
         """All manifests, oldest first (version, op, num_rows, ts, dirs)."""
         return [self.manifest(v) for v in self._versions()]
 
+    #: rewrite the epoch checkpoint every N commits
+    EPOCH_CKPT_INTERVAL = 32
+
+    def _epoch_ckpt_path(self) -> str:
+        # NOT *.json — _versions() must never mistake it for a manifest
+        return os.path.join(self.log_dir, "epochs.ckpt")
+
+    def committed_epochs(self) -> set:
+        """The set of ``metadata['epoch']`` tags across all commits —
+        the exactly-once guard every streaming sink consults per
+        micro-batch. A full ``history()`` walk is O(versions) JSON
+        reads per batch, which turns a long-running stream quadratic
+        in its own commit count; this is Delta's checkpoint idea
+        applied to that one full-log scan: a sidecar file stores
+        ``{version, epochs}`` up to some version, a read folds ONLY the
+        newer manifests, and every :attr:`EPOCH_CKPT_INTERVAL` commits
+        the checkpoint is rewritten (atomic ``os.replace``;
+        best-effort — the content is always self-consistent "epochs of
+        all manifests ≤ version", so losing a race to a writer with an
+        older head only means a slightly longer rescan, never a wrong
+        set)."""
+        head = self.latest_version()
+        if head is None:
+            return set()
+        ckpt_v, epochs = 0, set()
+        p = self._epoch_ckpt_path()
+        try:
+            with open(p) as fh:
+                d = json.load(fh)
+            ckpt_v, epochs = int(d["version"]), set(d["epochs"])
+            if ckpt_v > head:  # log was rewritten under us: distrust
+                ckpt_v, epochs = 0, set()
+        except (FileNotFoundError, ValueError, KeyError):
+            ckpt_v, epochs = 0, set()
+        for v in self._versions():
+            if v <= ckpt_v:
+                continue
+            e = (self.manifest(v).get("metadata") or {}).get("epoch")
+            if e is not None:
+                epochs.add(e)
+        if head - ckpt_v >= self.EPOCH_CKPT_INTERVAL:
+            tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+            try:
+                with open(tmp, "w") as fh:
+                    json.dump({"version": head, "epochs": sorted(epochs)}, fh)
+                os.replace(tmp, p)
+            except OSError:  # pragma: no cover - contention is benign
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+        return epochs
+
     # ------------------------------------------------------- commit
     def commit(
         self,

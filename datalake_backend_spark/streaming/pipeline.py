@@ -201,11 +201,7 @@ def versioned_epoch_commit(tbl, batch: DataFrame, epoch_id: int, transform=None)
     unless that epoch is already in the commit log (replay). Returns
     whether a commit happened — the exactly-once core of
     :func:`start_versioned_sink`, exposed for direct testing."""
-    committed = {
-        m.get("metadata", {}).get("epoch")
-        for m in tbl.history()
-        if m.get("metadata")
-    }
+    committed = tbl.committed_epochs()
     if epoch_id in committed:
         return False
     out = transform(batch) if transform else batch
@@ -330,11 +326,7 @@ def upsert_epoch_commit(
     last: CommitConflict | None = None
     for _ in range(5):
         head = tbl.latest_version()
-        committed = {
-            m.get("metadata", {}).get("epoch")
-            for m in tbl.history()
-            if m.get("metadata")
-        }
+        committed = tbl.committed_epochs()
         if epoch_id in committed:
             return False
         if head is None:
@@ -425,11 +417,7 @@ def start_incremental_rollup_sink(
         # upsert_epoch_commit / VersionedTable._rmw_commit
         for _ in range(5):
             head = tbl.latest_version()
-            committed = {
-                m.get("metadata", {}).get("epoch")
-                for m in tbl.history()
-                if m.get("metadata")
-            }
+            committed = tbl.committed_epochs()
             if epoch_id in committed:
                 return
             merged = bstate

@@ -971,3 +971,37 @@ def test_concurrent_upsert_sinks_threaded(spark, tmp_path):
     # every intermediate version is a readable consistent snapshot
     for m in hist:
         assert tbl.read(spark, m["version"]).count() >= 1
+
+
+def test_committed_epochs_checkpoint(spark, tmp_path):
+    """committed_epochs folds only manifests NEWER than the sidecar
+    checkpoint (the per-micro-batch full-log walk is what would turn a
+    long stream quadratic in its own commit count), rewrites the
+    checkpoint every EPOCH_CKPT_INTERVAL commits, and never loses or
+    invents an epoch."""
+    import json
+    import os
+
+    from datalake_backend_spark.sources.versioned import VersionedTable
+
+    path = str(tmp_path / "ep")
+    tbl = VersionedTable(path)
+    tbl.EPOCH_CKPT_INTERVAL = 4
+    df = spark.createDataFrame([(1, "a")], "key int, val string")
+    for e in range(6):
+        tbl.commit(df, mode="append", metadata={"epoch": e})
+    tbl.commit(df, mode="append")  # epoch-less commit must not break
+    assert tbl.committed_epochs() == set(range(6))
+    ck = os.path.join(tbl.log_dir, "epochs.ckpt")
+    assert os.path.exists(ck)  # interval crossed -> checkpoint written
+    d = json.load(open(ck))
+    assert set(d["epochs"]) == set(range(6))
+    # new epochs after the checkpoint are still seen (fold of newer
+    # manifests), and a corrupt checkpoint degrades to the full walk
+    tbl.commit(df, mode="append", metadata={"epoch": 99})
+    assert tbl.committed_epochs() == set(range(6)) | {99}
+    open(ck, "w").write("not json{")
+    assert VersionedTable(path).committed_epochs() == set(range(6)) | {99}
+    # the checkpoint is a pure cache: deleting it changes nothing
+    os.unlink(ck) if os.path.exists(ck) else None
+    assert VersionedTable(path).committed_epochs() == set(range(6)) | {99}
