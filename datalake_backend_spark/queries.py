@@ -3905,6 +3905,56 @@ def r128_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_bloom(tr, ev, window=4)
 
 
+def r129_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TO VERSION driver check (`dbs.sources.versioned
+    .VersionedTable.restore`): commit a base snapshot (v1), DELETE a
+    third of it (v2), then RESTORE to v1 (v3) — an O(1)-metadata
+    commit that re-points at v1's immutable data dirs without copying
+    a byte. Reading the head must see EXACTLY the pre-delete state;
+    the oracle recomputes v1 directly from orders, so a restore that
+    leaks the delete, publishes a torn snapshot, or rewinds history
+    instead of committing breaks the value hash. Deterministic
+    pid-scoped fixture, serialized like r91's."""
+    import shutil
+
+    from datalake_backend_spark.sources.versioned import VersionedTable
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    warehouse = os.path.join(repo_root, "spark-warehouse")
+    base = os.path.join(
+        warehouse,
+        f"r129_vt_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    tbl = VersionedTable(base)
+    with _VT_BUILD_LOCK:
+        _sweep_stale_fixtures(warehouse, "r129_vt_")
+        if tbl.latest_version() != 3:
+            shutil.rmtree(base, ignore_errors=True)
+            orders = table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority", "o_totalprice"
+            )
+            tbl.commit(orders.where(F.pmod("o_orderkey", F.lit(7)) == 0))
+            tbl.delete_where(spark, F.pmod("o_orderkey", F.lit(3)) == 0)
+            v = tbl.restore(1)
+            assert v == 3
+    return (
+        tbl.read(spark, 3)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            dec_sum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+R129_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM orders WHERE o_orderkey % 7 = 0
+GROUP BY o_orderpriority
+"""
+
+
 def r127_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG decode driver check (`dbs.datapipe.jpeg` +
     `dbs.datapipe.multimodal.image_stats`): every document becomes a
@@ -6654,6 +6704,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r128_bloom_decontamination": QuerySpec(
         r128_bloom_decontamination, Q71_SQL, "decontamination-bloom,scale-prefilter"
+    ),
+    "r129_restore": QuerySpec(
+        r129_restore, R129_SQL, "lakehouse-restore,rollback"
     ),
     "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),
     "r13_orders_left_join": QuerySpec(q13_orders_left_join, Q13_SQL, "J1,J2,F2"),

@@ -478,6 +478,91 @@ class VersionedTable:
             f"lost {max_retries} commit races at {self.path}; giving up"
         )
 
+    def restore(self, version: int, max_retries: int = 5) -> int:
+        """RESTORE TABLE TO VERSION AS OF — publish a NEW commit whose
+        snapshot is exactly ``version``'s (Delta's RESTORE semantics):
+        O(1) metadata, zero bytes copied — the new manifest re-points
+        at the target's immutable data dirs. History is preserved (a
+        restore is a commit, not a rewind), so concurrent readers
+        pinned to any version stay consistent, the restore itself can
+        be time-traveled past, and VACUUM's retain-last window now
+        protects the restored dirs because the head references them.
+        Raises ``FileNotFoundError`` if the target's data was already
+        VACUUMed away (a restore must never publish a torn snapshot)."""
+        man = self.manifest(version)
+        missing = [
+            d
+            for d in man["dirs"]
+            if not os.path.isdir(os.path.join(self.path, d))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore to v{version}: data dirs vacuumed away: "
+                f"{missing}"
+            )
+        for _ in range(max_retries):
+            new_v = (self.latest_version() or 0) + 1
+            new_man = dict(
+                man,
+                version=new_v,
+                op="restore",
+                ts=time.time(),
+                metadata={"restored_from": version},
+            )
+            tmp = self._manifest_path(new_v) + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(new_man, fh)
+            try:
+                os.link(tmp, self._manifest_path(new_v))
+                return new_v
+            except FileExistsError:
+                continue  # lost the race; re-point at the new head + 1
+            finally:
+                os.unlink(tmp)
+        raise CommitConflict(
+            f"lost {max_retries} restore races at {self.path}; giving up"
+        )
+
+    def fsck(self, version: int | None = None) -> dict:
+        """Manifest↔storage integrity check for one snapshot (latest by
+        default): every referenced data dir and stats-indexed file must
+        exist, and each file's on-disk footer row count must match the
+        manifest's skipping stats (a drifted stats entry silently
+        mis-prunes). Returns ``{'ok': bool, 'missing_dirs': [...],
+        'missing_files': [...], 'stat_mismatches': [...]}`` — the
+        operational pre-flight before serving a snapshot or trusting a
+        VACUUM/restore sequence. Metadata-only: reads parquet FOOTERS
+        (pyarrow), never data pages; cost is O(files), no Spark job."""
+        import pyarrow.parquet as pq
+
+        man = self.manifest(version)
+        missing_dirs = [
+            d
+            for d in man["dirs"]
+            if not os.path.isdir(os.path.join(self.path, d))
+        ]
+        missing_files, stat_mismatches = [], []
+        for e in man.get("files", []):
+            p = os.path.join(self.path, e["path"])
+            if not os.path.exists(p):
+                missing_files.append(e["path"])
+                continue
+            try:
+                n = pq.ParquetFile(p).metadata.num_rows
+            except Exception:
+                stat_mismatches.append({"path": e["path"], "error": "unreadable"})
+                continue
+            if n != e["rows"]:
+                stat_mismatches.append(
+                    {"path": e["path"], "manifest_rows": e["rows"], "disk_rows": n}
+                )
+        return {
+            "ok": not (missing_dirs or missing_files or stat_mismatches),
+            "missing_dirs": missing_dirs,
+            "missing_files": missing_files,
+            "stat_mismatches": stat_mismatches,
+        }
+
     def version_as_of(self, ts: float) -> int:
         """TIMESTAMP AS OF resolution: the latest version whose commit
         time is ≤ ``ts`` (epoch seconds). Raises if the table has no

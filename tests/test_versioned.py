@@ -1005,3 +1005,61 @@ def test_committed_epochs_checkpoint(spark, tmp_path):
     # the checkpoint is a pure cache: deleting it changes nothing
     os.unlink(ck) if os.path.exists(ck) else None
     assert VersionedTable(path).committed_epochs() == set(range(6)) | {99}
+
+
+def test_restore_is_metadata_only_commit(spark, tmp_path):
+    """RESTORE TO VERSION: a new commit re-points at the target's data
+    dirs (zero bytes copied), history is preserved, CDF/time-travel
+    still work across it, and VACUUM after a restore protects the
+    restored dirs because the head references them."""
+    import glob
+
+    from datalake_backend_spark.sources.versioned import VersionedTable
+
+    tbl = VersionedTable(str(tmp_path / "rst"))
+    mk = lambda rows: spark.createDataFrame(rows, "key int, val string")
+    tbl.commit(mk([(1, "a"), (2, "b")]))       # v1
+    tbl.commit(mk([(1, "a2"), (3, "c")]))      # v2 (overwrite)
+    tbl.commit(mk([(9, "z")]), mode="append")  # v3
+    n_files_before = len(glob.glob(f"{tbl.path}/data/*/*.parquet"))
+    v = tbl.restore(1)
+    assert v == 4
+    # snapshot == v1 exactly; no new data files were written
+    assert {(r.key, r.val) for r in tbl.read(spark).collect()} == {
+        (1, "a"), (2, "b"),
+    }
+    assert len(glob.glob(f"{tbl.path}/data/*/*.parquet")) == n_files_before
+    assert tbl.manifest(4)["op"] == "restore"
+    assert tbl.manifest(4)["metadata"]["restored_from"] == 1
+    # history preserved: v2/v3 still time-travelable
+    assert {(r.key, r.val) for r in tbl.read(spark, 3).collect()} == {
+        (1, "a2"), (3, "c"), (9, "z"),
+    }
+    # vacuum keeps the restored dirs (head references them)
+    tbl.vacuum(retain_last=1)
+    assert {(r.key, r.val) for r in tbl.read(spark).collect()} == {
+        (1, "a"), (2, "b"),
+    }
+    # restoring to a vacuumed-away version refuses loudly
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        tbl.restore(2)
+
+
+def test_fsck_detects_missing_and_drifted(spark, tmp_path):
+    import glob
+    import os
+
+    from datalake_backend_spark.sources.versioned import VersionedTable
+
+    tbl = VersionedTable(str(tmp_path / "fsck"))
+    df = spark.range(0, 100).selectExpr("id AS key", "CAST(id AS STRING) AS val")
+    tbl.commit(df.repartition(4))
+    rep = tbl.fsck()
+    assert rep["ok"], rep
+    # delete one data file behind the manifest's back
+    victim = glob.glob(f"{tbl.path}/data/*/part-*.parquet")[0]
+    os.unlink(victim)
+    rep = tbl.fsck()
+    assert not rep["ok"] and len(rep["missing_files"]) == 1
