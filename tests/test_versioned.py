@@ -1063,3 +1063,40 @@ def test_fsck_detects_missing_and_drifted(spark, tmp_path):
     os.unlink(victim)
     rep = tbl.fsck()
     assert not rep["ok"] and len(rep["missing_files"]) == 1
+
+
+def test_change_consumer_incremental_exactly_once(spark, tmp_path):
+    """ChangeConsumer: poll -> apply -> ack advances the cursor; a
+    crash before ack replays the SAME span (idempotent apply => exactly
+    once); a consumer that falls behind catches up in ONE diff of the
+    endpoint snapshots; caught-up polls return None."""
+    from datalake_backend_spark.sources.versioned import (
+        ChangeConsumer,
+        VersionedTable,
+    )
+
+    tbl = VersionedTable(str(tmp_path / "cdc"))
+    mk = lambda rows: spark.createDataFrame(rows, "key int, val string")
+    tbl.commit(mk([(1, "a"), (2, "b")]))  # v1
+    con = ChangeConsumer(tbl, str(tmp_path / "cursor.json"))
+
+    # first poll: whole snapshot as inserts
+    df, span = con.poll(spark, ["key"], ["val"])
+    got = {(r.key, r.op) for r in df.collect()}
+    assert got == {(1, "insert"), (2, "insert")} and span == (0, 1)
+    # crash before ack: the same span replays
+    df2, span2 = con.poll(spark, ["key"], ["val"])
+    assert span2 == span and df2.count() == 2
+    con.ack(span)
+    assert con.poll(spark, ["key"], ["val"]) is None  # caught up
+
+    # fall behind two versions: ONE poll covers both
+    tbl.merge(spark, mk([(2, "b2"), (3, "c")]), ["key"])  # v2
+    tbl.delete_where(spark, F.col("key") == 1)  # v3
+    df3, span3 = con.poll(spark, ["key"], ["val"])
+    got3 = {(r.key, r.op) for r in df3.collect()}
+    assert span3 == (1, 3)
+    assert got3 == {(1, "delete"), (2, "update"), (3, "insert")}
+    con.ack(span3)
+    assert con.position() == 3
+    assert con.poll(spark, ["key"], ["val"]) is None
