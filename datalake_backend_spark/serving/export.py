@@ -122,3 +122,70 @@ def write_index_template(
     with open(path, "w") as fh:
         _json.dump(body, fh, indent=1, sort_keys=True)
     return body
+
+
+def bulk_change_lines(
+    changes: DataFrame, index: str, id_col: str
+) -> DataFrame:
+    """Render a CDF changelog (`op` ∈ insert/update/delete + key/value
+    columns, the `VersionedTable.changes` shape) as bulk NDJSON:
+    inserts/updates become `index` actions (idempotent upsert by _id),
+    deletes become `delete` actions. Column expressions only."""
+    doc_cols = [c for c in changes.columns if c != "op"]
+    action_index = F.concat(
+        F.lit('{"index": {"_index": "' + index + '", "_id": "'),
+        F.col(id_col).cast("string"),
+        F.lit('"}}'),
+    )
+    action_delete = F.concat(
+        F.lit('{"delete": {"_index": "' + index + '", "_id": "'),
+        F.col(id_col).cast("string"),
+        F.lit('"}}'),
+    )
+    source = F.to_json(F.struct(*[F.col(c) for c in doc_cols]))
+    return changes.select(
+        F.when(F.col("op") == "delete", action_delete)
+        .otherwise(F.concat(action_index, F.lit("\n"), source))
+        .alias("value")
+    )
+
+
+def sync_index_incremental(
+    spark,
+    tbl,
+    cursor_path: str,
+    out_dir: str,
+    index: str,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> tuple[int, int] | None:
+    """Incremental search-index sync: ship ONLY what changed in the
+    gold table since the last sync, as one bulk-NDJSON delta per span.
+
+    Composes :class:`~datalake_backend_spark.sources.versioned
+    .ChangeConsumer` (checkpointed cursor, replay-on-crash) with
+    :func:`bulk_change_lines`: each call writes
+    ``{out_dir}/span_{v_from}_{v_to}/`` containing index actions for
+    inserts/updates and delete actions for deletes, then acks. Bulk
+    actions are idempotent by ``_id`` (index overwrites, delete of a
+    missing doc is a no-op), so a replayed span converges — exactly
+    the reference's Elasticsearch serving story
+    (``Send_Data_To_DataLake/processing_vehicle.py:143-158``) without
+    its full-reindex-per-upload cost OR its per-document HTTP loop.
+    Returns the synced ``(v_from, v_to)`` span, or ``None`` if caught
+    up."""
+    import os
+
+    from datalake_backend_spark.sources.versioned import ChangeConsumer
+
+    con = ChangeConsumer(tbl, cursor_path)
+    polled = con.poll(spark, key_cols, compare_cols)
+    if polled is None:
+        return None
+    changes, span = polled
+    path = os.path.join(out_dir, f"span_{span[0]}_{span[1]}")
+    bulk_change_lines(changes, index, key_cols[0]).write.mode(
+        "overwrite"
+    ).text(path)
+    con.ack(span)
+    return span

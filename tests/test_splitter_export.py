@@ -136,3 +136,57 @@ def test_index_mapping_from_schema(spark, tmp_path):
 
     assert _json.load(open(out)) == _json.loads(_json.dumps(body))
     assert body["index"] == "datalake-test"
+
+
+def test_incremental_index_sync(spark, tmp_path):
+    """sync_index_incremental ships only the delta per span: first sync
+    = full snapshot as index actions; after a merge+delete, one more
+    sync ships exactly the changed ids (update/insert as index actions,
+    delete as delete actions); caught-up returns None."""
+    import glob
+    import json
+
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.serving.export import sync_index_incremental
+    from datalake_backend_spark.sources.versioned import VersionedTable
+
+    tbl = VersionedTable(str(tmp_path / "gold"))
+    mk = lambda rows: spark.createDataFrame(rows, "key int, val string")
+    tbl.commit(mk([(1, "a"), (2, "b")]))
+    cursor = str(tmp_path / "cursor.json")
+    out = str(tmp_path / "idx")
+
+    span = sync_index_incremental(
+        spark, tbl, cursor, out, "gold-idx", ["key"], ["val"]
+    )
+    assert span == (0, 1)
+
+    def lines(span):
+        files = glob.glob(f"{out}/span_{span[0]}_{span[1]}/part-*")
+        raw = []
+        for f in files:
+            raw += [ln for ln in open(f).read().splitlines() if ln]
+        return raw
+
+    first = lines(span)
+    acts = [json.loads(ln) for ln in first if '"index"' in ln or '"delete"' in ln]
+    assert {a["index"]["_id"] for a in acts if "index" in a} == {"1", "2"}
+
+    # no changes -> caught up
+    assert (
+        sync_index_incremental(spark, tbl, cursor, out, "gold-idx", ["key"], ["val"])
+        is None
+    )
+
+    tbl.merge(spark, mk([(2, "b2"), (3, "c")]), ["key"])
+    tbl.delete_where(spark, F.col("key") == 1)
+    span2 = sync_index_incremental(
+        spark, tbl, cursor, out, "gold-idx", ["key"], ["val"]
+    )
+    assert span2 == (1, 3)
+    second = lines(span2)
+    parsed = [json.loads(ln) for ln in second if ln.startswith("{\"")]
+    idx_ids = {a["index"]["_id"] for a in parsed if "index" in a}
+    del_ids = {a["delete"]["_id"] for a in parsed if "delete" in a}
+    assert idx_ids == {"2", "3"} and del_ids == {"1"}
