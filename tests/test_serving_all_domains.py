@@ -108,3 +108,10 @@ def test_serving_reads_route_through_data_skipping(spark, tmp_path):
     register_gold(spark, "animal", gold.withColumnRenamed("tracker_id", "animal_id"))
     fb = serve_gold_where(spark, "animal", [("animal_id", "=", 5)])
     assert fb.count() == 1
+    # clean up: these synthetic golds don't carry the full domain
+    # schemas and would break other tests' register_serving_views
+    from datalake_backend_spark.serving.views import _VERSIONED_GOLD
+
+    for v in ("gold_vehicle", "gold_animal", "serving_vehicle_totals"):
+        spark.catalog.dropTempView(v)
+    _VERSIONED_GOLD.pop("vehicle", None)
