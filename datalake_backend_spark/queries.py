@@ -3955,6 +3955,44 @@ GROUP BY o_orderpriority
 """
 
 
+def r130_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-trainer statistics driver check (`dbs.datapipe.bpe
+    .bpe_pair_counts`): the initial adjacent-symbol pair counts
+    (characters + the </w> end-of-word marker) weighted by corpus word
+    frequency — iteration 0 of byte-pair-encoding training, and the
+    trainer's only distributed stage (merge learning is a driver-side
+    fold over the bounded word-count dict; pinned by
+    tests/test_bpe.py). The DuckDB twin recomputes the identical pair
+    table relationally (word counts -> per-position substr pairs), so
+    a tokenization drift, a lost end-of-word pair, or a miscounted
+    weight breaks the value hash."""
+    from datalake_backend_spark.datapipe.bpe import bpe_pair_counts
+
+    docs = table(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs)
+
+
+R130_SQL = r"""
+WITH words AS (
+  SELECT word, COUNT(*) AS cnt FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY word
+),
+pos AS (
+  SELECT word, cnt, unnest(range(1, length(word) + 1)) AS i FROM words
+),
+pairs AS (
+  SELECT substr(word, i, 1) AS a,
+         CASE WHEN i = length(word) THEN '</w>'
+              ELSE substr(word, i + 1, 1) END AS b,
+         cnt
+  FROM pos
+)
+SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM pairs GROUP BY a, b
+"""
+
+
 def r127_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG decode driver check (`dbs.datapipe.jpeg` +
     `dbs.datapipe.multimodal.image_stats`): every document becomes a
@@ -6707,6 +6745,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r129_restore": QuerySpec(
         r129_restore, R129_SQL, "lakehouse-restore,rollback"
+    ),
+    "r130_bpe_pair_counts": QuerySpec(
+        r130_bpe_pair_counts, R130_SQL, "tokenizer-bpe-train,text"
     ),
     "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),
     "r13_orders_left_join": QuerySpec(q13_orders_left_join, Q13_SQL, "J1,J2,F2"),
