@@ -688,7 +688,11 @@ def contamination_bloom(
     )
     spark = train_df.sparkSession
     bits = build_bloom_filter(ev, "fp", m_bits, k_hashes)
-    flt = spark.createDataFrame([(bits,)], "_bloom array<long>")
+    # range(1) + array literal: the build side is PROVABLY one row in
+    # the physical plan (Range (0, 1)), so the plan audit can whitelist
+    # the broadcast-scalar nested loop; a createDataFrame row would
+    # show as an opaque Scan ExistingRDD
+    flt = spark.range(1).select(F.lit(bits).alias("_bloom"))
     pruned = (
         tr.crossJoin(F.broadcast(flt))
         .where(_bloom_might_contain(F.col("_bloom"), F.col("fp"), m_bits, k_hashes))
