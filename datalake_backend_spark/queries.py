@@ -6746,10 +6746,10 @@ QUERIES: dict[str, QuerySpec] = {
     "r129_restore": QuerySpec(
         r129_restore, R129_SQL, "lakehouse-restore,rollback"
     ),
+    "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),
     "r130_bpe_pair_counts": QuerySpec(
         r130_bpe_pair_counts, R130_SQL, "tokenizer-bpe-train,text"
     ),
-    "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),
     "r13_orders_left_join": QuerySpec(q13_orders_left_join, Q13_SQL, "J1,J2,F2"),
     "r14_event_distribution": QuerySpec(q14_event_distribution, Q14_SQL, "A13"),
     "r16_distinct_users": QuerySpec(q16_distinct_users, Q16_SQL, "U1,U2,A14"),

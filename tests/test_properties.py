@@ -438,3 +438,56 @@ def test_asof_join_matches_bruteforce(spark, lefts, rights, direction):
 
     for i, (k, t) in enumerate(lefts):
         assert got[i] == brute(k, float(t)), (i, k, t, direction)
+
+
+@given(
+    st.integers(1, 3),          # h blocks-ish small dims
+    st.integers(1, 3),
+    st.integers(40, 98),        # quality
+    st.integers(0, 2**31 - 1),  # pixel seed
+)
+@settings(max_examples=15, deadline=None)
+def test_jpeg_roundtrip_bounded_error(hb, wb, quality, seed):
+    """Baseline JPEG fuzz: ANY small RGB image encodes to a parseable
+    bitstream and decodes to the same shape with bounded MEAN error
+    (saturated random noise legitimately produces per-pixel chroma
+    errors >100 at low quality — that's real JPEG, so the max is only
+    a sanity bound), and re-encoding the decoded image drifts less
+    than the first pass (approach to the codec's fixed point)."""
+    import numpy as np
+
+    from datalake_backend_spark.datapipe.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    h, w = 3 + 7 * hb, 2 + 9 * wb  # deliberately non-multiples of 8
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality))
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() <= 48, (quality, err.mean())
+    # second pass drifts no more than the first (stability)
+    dec2 = decode_jpeg(encode_jpeg(dec, quality))
+    err2 = np.abs(dec2.astype(int) - dec.astype(int))
+    assert err2.mean() <= err.mean() + 1, (quality, err.mean(), err2.mean())
+
+
+@given(
+    st.lists(st.integers(0, 2**7 - 1), min_size=3, max_size=3),
+    st.lists(st.integers(0, 2**7 - 1), min_size=3, max_size=3),
+)
+@settings(max_examples=25, deadline=None)
+def test_zorder_3d_is_injective(a, b):
+    """n-d Morton interleave: distinct 3-d points map to distinct keys
+    (bit j of col i at position j*n+i is invertible), and the key is
+    bounded by bits*n."""
+    def key(p, bits=7, n=3):
+        out = 0
+        for i, v in enumerate(p):
+            v &= (1 << bits) - 1
+            for j in range(bits):
+                out |= ((v >> j) & 1) << (j * n + i)
+        return out
+
+    ka, kb = key(a), key(b)
+    assert ka < (1 << 21) and kb < (1 << 21)
+    assert (ka == kb) == (a == b)
