@@ -192,14 +192,27 @@ def band_projection(
 HOT_BUCKET_WARN = 1000
 
 
+#: live watcher threads — bounded so plan-only callers (explain loops,
+#: tools/plan_report.py) can't accumulate blocked waiters forever
+_WATCHERS: list = []
+_MAX_WATCHERS = 64
+
+
 def _watch_hot_buckets(obs, threshold: int, where: str) -> None:
     """Log the observed bucket-size stats once the plan executes.
 
     ``Observation.get`` blocks until the first action on the observed
     DataFrame completes, so the wait lives on a daemon thread: zero
     cost if the plan is never run, an automatic WARNING if it runs and
-    a bucket breached ``threshold``."""
+    a bucket breached ``threshold``. A plan that is never EXECUTED
+    leaves its waiter blocked, so the live set is capped at
+    ``_MAX_WATCHERS`` — beyond that, new uncapped plans skip the
+    watcher (answers and the observe() metrics are unaffected)."""
     import threading
+
+    _WATCHERS[:] = [t for t in _WATCHERS if t.is_alive()]
+    if len(_WATCHERS) >= _MAX_WATCHERS:
+        return
 
     def _wait() -> None:
         try:
@@ -218,7 +231,9 @@ def _watch_hot_buckets(obs, threshold: int, where: str) -> None:
                 m.get("p99_bucket_size"),
             )
 
-    threading.Thread(target=_wait, daemon=True).start()
+    t = threading.Thread(target=_wait, daemon=True)
+    t.start()
+    _WATCHERS.append(t)
 
 
 def cap_hot_buckets(

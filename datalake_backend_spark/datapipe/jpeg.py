@@ -627,8 +627,7 @@ def _decode_scan(
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        target = 2 if len(comps) == 3 and ci == 2 else ci
-        out[:, :, target] = plane[:h, :w]
+        out[:, :, ci] = plane[:h, :w]
     if len(comps) == 1:
         ycc = np.clip(_round_half_up(out[:, :, :1]), 0, 255).astype(np.uint8)
         return np.repeat(ycc, 3, axis=2)

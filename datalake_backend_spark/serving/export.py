@@ -32,15 +32,12 @@ def bulk_index_lines(
         doc = doc.withColumn(
             "@timestamp", F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ssX")
         )
-    action = (
-        F.concat(
-            F.lit('{"index": {"_index": "' + index + '", "_id": "'),
-            F.col(id_col).cast("string"),
-            F.lit('"}}'),
-        )
-        if id_col
-        else F.lit('{"index": {"_index": "' + index + '"}}')
-    )
+    # action line via to_json, never string concat — ids/index names
+    # containing quotes/backslashes/newlines stay one valid NDJSON line
+    meta = [F.lit(index).alias("_index")]
+    if id_col:
+        meta.append(F.col(id_col).cast("string").alias("_id"))
+    action = F.to_json(F.struct(F.struct(*meta).alias("index")))
     source = F.to_json(F.struct(*[F.col(c) for c in doc.columns]))
     return doc.select(F.concat(action, F.lit("\n"), source).alias("value"))
 
@@ -125,23 +122,25 @@ def write_index_template(
 
 
 def bulk_change_lines(
-    changes: DataFrame, index: str, id_col: str
+    changes: DataFrame, index: str, id_col: str | list[str]
 ) -> DataFrame:
     """Render a CDF changelog (`op` ∈ insert/update/delete + key/value
     columns, the `VersionedTable.changes` shape) as bulk NDJSON:
     inserts/updates become `index` actions (idempotent upsert by _id),
     deletes become `delete` actions. Column expressions only."""
     doc_cols = [c for c in changes.columns if c != "op"]
-    action_index = F.concat(
-        F.lit('{"index": {"_index": "' + index + '", "_id": "'),
-        F.col(id_col).cast("string"),
-        F.lit('"}}'),
-    )
-    action_delete = F.concat(
-        F.lit('{"delete": {"_index": "' + index + '", "_id": "'),
-        F.col(id_col).cast("string"),
-        F.lit('"}}'),
-    )
+    # escape-safe action lines (to_json) and a collision-free composite
+    # _id: a single key uses its string form, multiple keys serialize
+    # as a JSON array (separator-joined ids collide when a value
+    # contains the separator)
+    keys = [id_col] if isinstance(id_col, str) else list(id_col)
+    if len(keys) == 1:
+        _id = F.col(keys[0]).cast("string")
+    else:
+        _id = F.to_json(F.array(*[F.col(k).cast("string") for k in keys]))
+    meta = F.struct(F.lit(index).alias("_index"), _id.alias("_id"))
+    action_index = F.to_json(F.struct(meta.alias("index")))
+    action_delete = F.to_json(F.struct(meta.alias("delete")))
     source = F.to_json(F.struct(*[F.col(c) for c in doc_cols]))
     return changes.select(
         F.when(F.col("op") == "delete", action_delete)
@@ -184,7 +183,7 @@ def sync_index_incremental(
         return None
     changes, span = polled
     path = os.path.join(out_dir, f"span_{span[0]}_{span[1]}")
-    bulk_change_lines(changes, index, key_cols[0]).write.mode(
+    bulk_change_lines(changes, index, key_cols).write.mode(
         "overwrite"
     ).text(path)
     con.ack(span)

@@ -167,15 +167,6 @@ def register_versioned_gold(
     _VERSIONED_GOLD[domain] = tbl
 
 
-_PRED_COL_OPS = {
-    "=": lambda c, v: c == v,
-    "<": lambda c, v: c < v,
-    "<=": lambda c, v: c <= v,
-    ">": lambda c, v: c > v,
-    ">=": lambda c, v: c >= v,
-}
-
-
 def serve_gold_where(
     spark: SparkSession,
     domain: str,
@@ -192,13 +183,15 @@ def serve_gold_where(
     view, where parquet row-group pruning still applies."""
     from pyspark.sql import functions as F
 
+    from datalake_backend_spark.sources.versioned import PRED_COL_OPS
+
     tbl = _VERSIONED_GOLD.get(domain)
     if tbl is not None:
         df = tbl.read_where(spark, predicates)
     else:
         df = spark.table(f"gold_{domain}")
         for col, op, val in predicates:
-            df = df.where(_PRED_COL_OPS[op](F.col(col), F.lit(val)))
+            df = df.where(PRED_COL_OPS[op](F.col(col), F.lit(val)))
     return df.select(*columns) if columns else df
 
 

@@ -72,6 +72,17 @@ class CommitConflict(RuntimeError):
     """Another writer published this version first (after retries)."""
 
 
+#: predicate op -> column builder, the (col, op, val) language shared by
+#: read_where / prune_files and the serving layer's serve_gold_where
+PRED_COL_OPS = {
+    "=": lambda c, v: c == v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
+
+
 #: cap on per-file stats columns recorded in the manifest (Delta's
 #: dataSkippingNumIndexedCols default); manifests stay O(files), not
 #: O(files × width), on very wide tables
@@ -336,7 +347,9 @@ class VersionedTable:
             ckpt_v, epochs = int(d["version"]), set(d["epochs"])
             if ckpt_v > head:  # log was rewritten under us: distrust
                 ckpt_v, epochs = 0, set()
-        except (FileNotFoundError, ValueError, KeyError):
+        except (FileNotFoundError, ValueError, KeyError, TypeError):
+            # any malformed checkpoint (missing, bad JSON, valid JSON of
+            # the wrong shape) degrades to the full log walk — pure cache
             ckpt_v, epochs = 0, set()
         for v in self._versions():
             if v <= ckpt_v:
@@ -667,17 +680,9 @@ class VersionedTable:
         man = self.manifest(version)
         kept, _total, _n = self.prune_files(predicates, version)
 
-        col_ops = {
-            "=": lambda c, v: c == v,
-            "<": lambda c, v: c < v,
-            "<=": lambda c, v: c <= v,
-            ">": lambda c, v: c > v,
-            ">=": lambda c, v: c >= v,
-        }
-
         def residual(df: DataFrame) -> DataFrame:
             for col, op, val in predicates:
-                df = df.where(col_ops[op](F.col(col), F.lit(val)))
+                df = df.where(PRED_COL_OPS[op](F.col(col), F.lit(val)))
             return df
 
         if not kept:
@@ -824,7 +829,8 @@ class VersionedTable:
         if zorder_by is not None:
             from datalake_backend_spark.core.geometry import zorder_key
 
-            bits = min(zorder_bits, 63 // len(zorder_by))
+            n_z = len(zorder_by)
+            bits = min(zorder_bits, 63 // n_z, 16 if n_z == 2 else 63)
             df = (
                 df.withColumn(
                     "_zkey",

@@ -412,6 +412,7 @@ def start_incremental_rollup_sink(
         from datalake_backend_spark.sources.versioned import CommitConflict
 
         bstate = rollup_state(batch, keys, value_cols)
+        last: CommitConflict | None = None
         # read-modify-write: pin the commit to the head the merge read
         # (expected_head), re-derive on conflict — same contract as
         # upsert_epoch_commit / VersionedTable._rmw_commit
@@ -432,8 +433,13 @@ def start_incremental_rollup_sink(
                     expected_head=head or 0,
                 )
                 return
-            except CommitConflict:
+            except CommitConflict as e:
+                last = e
                 continue
+        # NEVER fall through silently: foreachBatch would report
+        # success and the checkpoint would advance past a batch whose
+        # rows were dropped — raise so the stream retries the epoch
+        raise last
 
     return (
         df.writeStream.foreachBatch(_write)
