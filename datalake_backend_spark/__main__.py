@@ -52,6 +52,23 @@ def main(argv: list[str] | None = None) -> int:
     hp = sub.add_parser("history", help="print a versioned table's log")
     hp.add_argument("--table", required=True)
 
+    rp = sub.add_parser("restore", help="RESTORE a versioned table")
+    rp.add_argument("--table", required=True)
+    rp.add_argument("--version", type=int, required=True)
+
+    fp = sub.add_parser("fsck", help="manifest<->storage integrity check")
+    fp.add_argument("--table", required=True)
+    fp.add_argument("--version", type=int)
+
+    sp = sub.add_parser(
+        "sync-index", help="ship the gold table's CDF delta as bulk NDJSON"
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--cursor", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--keys", required=True, help="comma-separated key columns")
+
     args = p.parse_args(argv)
     from datalake_backend_spark import get_spark
 
@@ -96,11 +113,30 @@ def main(argv: list[str] | None = None) -> int:
         for row in df.collect():
             print(",".join("" if v is None else str(v) for v in row))
         return 0
-    if args.cmd in ("optimize", "vacuum", "history"):
+    if args.cmd == "sync-index":
+        from datalake_backend_spark.serving.export import sync_index_incremental
+        from datalake_backend_spark.sources.versioned import VersionedTable
+
+        span = sync_index_incremental(
+            spark,
+            VersionedTable(args.table),
+            args.cursor,
+            args.out,
+            args.index,
+            args.keys.split(","),
+        )
+        print(json.dumps({"span": span}))
+        return 0
+    if args.cmd in ("optimize", "vacuum", "history", "restore", "fsck"):
         from datalake_backend_spark.sources.versioned import VersionedTable
 
         tbl = VersionedTable(args.table)
-        if args.cmd == "optimize":
+        if args.cmd == "restore":
+            v = tbl.restore(args.version)
+            print(json.dumps({"version": v, "restored_from": args.version}))
+        elif args.cmd == "fsck":
+            print(json.dumps(tbl.fsck(args.version)))
+        elif args.cmd == "optimize":
             z = tuple(args.zorder.split(",")) if args.zorder else None
             v = tbl.compact(
                 spark, target_bytes=args.target_mb << 20, zorder_by=z
