@@ -97,7 +97,13 @@ def main() -> None:
     # times under shortened keys (q01_pricing_summary → q01; prefixes
     # are unique by construction), values rounded to centiseconds.
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+    # SPARK_GRAFT_BENCH_FULL redirects the full record (tests point it
+    # at a temp file so a smoke-SF run never clobbers the committed
+    # sf0.1 artifact)
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL", os.path.join(here, "BENCH_FULL.json")
+    )
+    with open(full_path, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
 
     def shorten(qmap: dict) -> dict:

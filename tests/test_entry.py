@@ -60,11 +60,15 @@ def test_bench_emits_one_json_line():
     import subprocess
     import sys
 
+    import tempfile
+
+    full_path = os.path.join(tempfile.mkdtemp(), "BENCH_FULL.json")
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_BENCH_CONCURRENCY="1",
         SPARK_GRAFT_BENCH_SEQUENTIAL="0",
+        SPARK_GRAFT_BENCH_FULL=full_path,
     )
     out = subprocess.run(
         [sys.executable, "bench.py"],
@@ -87,7 +91,7 @@ def test_bench_emits_one_json_line():
     errs = {k: v for k, v in d["queries"].items() if isinstance(v, str)}
     assert not errs, errs
     assert d["errors"] == []
-    # the complete per-query record (full names, sequential pass) is
-    # persisted in-repo for the judge
-    full = json.load(open("/root/repo/BENCH_FULL.json"))
+    # the complete per-query record (full names) is persisted at the
+    # redirected path — the committed sf0.1 artifact is untouched
+    full = json.load(open(full_path))
     assert set(full["queries"]) == set(QUERIES)
