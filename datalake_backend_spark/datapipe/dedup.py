@@ -702,12 +702,23 @@ def contamination_bloom(
         .distinct()
     )
     spark = train_df.sparkSession
+    # the eval fingerprint set is consumed TWICE (the bloom build is an
+    # eager action; the exact verify joins it again) — checkpoint it so
+    # the tokenize→hash chain runs once, not per consumer
+    ev = ev.localCheckpoint()
     bits = build_bloom_filter(ev, "fp", m_bits, k_hashes)
-    # range(1) + array literal: the build side is PROVABLY one row in
-    # the physical plan (Range (0, 1)), so the plan audit can whitelist
-    # the broadcast-scalar nested loop; a createDataFrame row would
-    # show as an opaque Scan ExistingRDD
-    flt = spark.range(1).select(F.lit(bits).alias("_bloom"))
+    # range(1) + ONE string literal split/cast to array<long>: the
+    # build side is PROVABLY one row in the physical plan (Range (0,
+    # 1)) so the plan audit whitelists the broadcast-scalar nested
+    # loop, and the filter crosses py4j as a single ~100 KB string —
+    # F.lit(list_of_16k_longs) marshals element-by-element (measured
+    # 8 s driver-side); a createDataFrame row would be fast but shows
+    # as an opaque Scan ExistingRDD the audit can't prove is 1 row
+    flt = spark.range(1).select(
+        F.split(F.lit(",".join(map(str, bits))), ",")
+        .cast("array<long>")
+        .alias("_bloom")
+    )
     pruned = (
         tr.crossJoin(F.broadcast(flt))
         .where(_bloom_might_contain(F.col("_bloom"), F.col("fp"), m_bits, k_hashes))
