@@ -3902,7 +3902,12 @@ def r128_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     ev = docs.where(F.col("doc_id") % 11 == 0)
     tr = docs.where(F.col("doc_id") % 11 != 0)
-    return contamination_bloom(tr, ev, window=4)
+    # m sized ~8.7 bits/key for this eval set (~30k fps at sf0.1 ->
+    # ~1% fpp); the row is deliberately a THREE-job pipeline (eval
+    # checkpoint, distributed filter build, pruned scan+verify), so its
+    # wall time is dominated by fixed job/codegen overhead at these SFs
+    # — the payoff shape is a 100 TB train side that never shuffles
+    return contamination_bloom(tr, ev, window=4, m_bits=1 << 18)
 
 
 def r129_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
