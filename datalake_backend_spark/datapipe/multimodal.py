@@ -3,8 +3,8 @@
 The Spark-side contract — schemas, partition-aware ``mapInPandas``
 plumbing, Arrow batch shapes — is real and tested, and so are the
 codecs, all dependency-free byte-level parsers: images
-(:func:`decode_image`: PPM P6, 24-bit BMP, PNG, and baseline JPEG via
-:mod:`datapipe.jpeg` — real Huffman + DCT), audio
+(:func:`decode_image`: PPM P6, 24-bit BMP, PNG, GIF — real LZW — and
+baseline JPEG via :mod:`datapipe.jpeg` — real Huffman + DCT), audio
 (:func:`decode_wav`: RIFF/WAVE PCM s16le), and video
 (:func:`decode_video_frame`: the RAWV concatenated-frame container,
 with true per-frame seeking). RAWV stands in for mp4/h264 — whose
@@ -236,6 +236,216 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return img if topdown else img[::-1]
 
 
+def _lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
+    """GIF-variant LZW compression of palette indices at minimum code
+    size ``mcs``: variable-width codes (mcs+1 … 12 bits, LSB-first bit
+    packing), a leading Clear code, table reset via Clear when the
+    4096-entry dictionary fills, and a trailing End-of-Information.
+    Width grows exactly when the next free code would need one more bit
+    (the rule GIF decoders mirror one emission later)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    acc = bitpos = 0
+    out = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, bitpos
+        acc |= code << bitpos
+        bitpos += width
+        while bitpos >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bitpos -= 8
+
+    width = mcs + 1
+    table: dict[tuple, int] = {}
+    next_code = eoi + 1
+    emit(clear, width)
+    seq: tuple = ()
+    for k in map(int, indices):
+        cand = seq + (k,)
+        if len(cand) == 1 or cand in table:
+            seq = cand
+            continue
+        emit(table[seq] if len(seq) > 1 else seq[0], width)
+        if next_code < 4096:
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            table[cand] = next_code
+            next_code += 1
+        else:  # dictionary full: reset, decoder follows via Clear
+            emit(clear, width)
+            width, table, next_code = mcs + 1, {}, eoi + 1
+        seq = (k,)
+    if seq:
+        emit(table[seq] if len(seq) > 1 else seq[0], width)
+    emit(eoi, width)
+    if bitpos:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int) -> bytes:
+    """Inverse of :func:`_lzw_encode`: variable-width LSB-first codes →
+    palette-index byte string, with Clear/EOI handling, the KwKwK
+    (code == next free entry) case, and a 12-bit width cap with
+    deferred-clear tolerance (a full table simply stops growing)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    roots = [bytes([i]) for i in range(1 << mcs)]
+    width = mcs + 1
+    table: list[bytes] = []
+    prev: bytes | None = None
+    out = bytearray()
+    acc = bitpos = pos = 0
+    while True:
+        while bitpos < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream (no EOI)")
+            acc |= data[pos] << bitpos
+            pos += 1
+            bitpos += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bitpos -= width
+        if code == clear:
+            width, table, prev = mcs + 1, [], None
+            continue
+        if code == eoi:
+            return bytes(out)
+        next_code = eoi + 1 + len(table)
+        if code < clear:
+            entry = roots[code]
+        elif eoi < code < next_code:
+            entry = table[code - eoi - 1]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"corrupt LZW code {code}")
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            if next_code + 1 == (1 << width) and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """GIF89a encoder (single frame, global color table, real LZW):
+    ``(h, w, 3)`` RGB uint8 array → header + logical screen descriptor
+    + palette (unique colors, sorted for determinism; >256 raises) +
+    image descriptor + LZW-compressed indices in 255-byte sub-blocks.
+    Inverse of :func:`decode_image`'s GIF branch; output opens in any
+    viewer. Pure byte construction, no image library."""
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_gif expects an (h, w, 3) array")
+    h, w, _ = img.shape
+    flat = img.astype(np.uint8).reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("GIF supports at most 256 colors")
+    # color table size is a power of two in [2, 256]; n = size bits - 1
+    n = 0
+    while (2 << n) < len(palette):
+        n += 1
+    entries = 2 << n
+    pal = np.zeros((entries, 3), np.uint8)
+    pal[: len(palette)] = palette
+    mcs = max(2, n + 1)
+
+    def le(v: int) -> bytes:
+        return int(v).to_bytes(2, "little")
+
+    lzw = _lzw_encode(indices.ravel(), mcs)
+    blocks = b"".join(
+        bytes([min(255, len(lzw) - i)]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return (
+        b"GIF89a"
+        + le(w) + le(h)
+        + bytes([0x80 | (7 << 4) | n, 0, 0])  # GCT flag, color res 8, bg, aspect
+        + pal.tobytes()
+        + b"\x2c" + le(0) + le(0) + le(w) + le(h) + b"\x00"  # image descriptor
+        + bytes([mcs])
+        + blocks
+        + b"\x00\x3b"  # block terminator + trailer
+    )
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a → ``(h, w, 3)`` RGB uint8, dependency-free: logical
+    screen descriptor + global color table, extension blocks skipped
+    (graphic control / comment / application), first image descriptor
+    with optional local color table, and a real LZW decompressor
+    (variable-width codes, Clear/EOI, KwKwK). Interlaced images and
+    missing color tables raise ``ValueError``; later frames of an
+    animation are ignored (first frame wins, like a thumbnailer)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("bad GIF signature")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos : pos + size * 3], np.uint8)
+        if len(gct) != size * 3:
+            raise ValueError("truncated GIF global color table")
+        gct = gct.reshape(size, 3)
+        pos += size * 3
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks until 0x00
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            ipacked = payload[pos + 9]
+            pos += 10
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            pal = gct
+            if ipacked & 0x80:
+                size = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(payload[pos : pos + size * 3], np.uint8)
+                if len(pal) != size * 3:
+                    raise ValueError("truncated GIF local color table")
+                pal = pal.reshape(size, 3)
+                pos += size * 3
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            mcs = payload[pos]
+            pos += 1
+            if not 2 <= mcs <= 11:
+                raise ValueError(f"bad GIF LZW minimum code size {mcs}")
+            chunks = []
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                chunk = payload[pos + 1 : pos + 1 + ln]
+                if len(chunk) != ln:
+                    raise ValueError("truncated GIF data sub-block")
+                chunks.append(chunk)
+                pos += 1 + ln
+            indices = np.frombuffer(
+                _lzw_decode(b"".join(chunks), mcs)[: w * h], np.uint8
+            )
+            if len(indices) != w * h:
+                raise ValueError("GIF raster size mismatch")
+            if int(indices.max(initial=0)) >= len(pal):
+                raise ValueError("GIF index outside color table")
+            return pal[indices].reshape(h, w, 3)
+        elif block == 0x3B:  # trailer before any image
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Dependency-free byte-level image decode → ``(h, w, 3)`` uint8.
 
@@ -255,10 +465,12 @@ def decode_image(payload: bytes) -> np.ndarray:
         from datalake_backend_spark.datapipe.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload and payload[:4] == b"GIF8":
+        return _decode_gif(payload)
     if not payload or payload[:2] != b"P6":
         raise ValueError(
             "unsupported image format (supported: PPM P6, BMP24, PNG, "
-            "baseline JPEG)"
+            "GIF, baseline JPEG)"
         )
     pos, vals = 2, []
     while len(vals) < 3:
@@ -393,6 +605,7 @@ _CODECS: dict[str, tuple] = {
     "bmp": (encode_bmp, "image/bmp"),
     "png": (encode_png, "image/png"),
     "jpeg": (encode_jpeg, "image/jpeg"),
+    "gif": (encode_gif, "image/gif"),
 }
 
 
@@ -451,6 +664,15 @@ def synthetic_image_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return _synthetic_image_table(
         docs, id_col, lambda i: ("ppm", "bmp", "png")[i % 3]
     )
+
+
+def synthetic_gif_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """All-GIF variant of :func:`_synthetic_image_table`: every payload
+    is a genuine GIF89a bitstream (palette + real LZW sub-blocks), so a
+    decoded-statistics oracle exercises the full LZW decompressor. The
+    pixel formula (≤ 48 pixels per image) always fits a 256-color
+    palette."""
+    return _synthetic_image_table(docs, id_col, lambda i: "gif")
 
 
 def synthetic_jpeg_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
