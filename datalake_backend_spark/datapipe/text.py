@@ -547,3 +547,45 @@ def sentences(
     )
     out = out.where(F.col("sentence") != "")
     return out.withColumn("n_tokens", F.size(tokens(F.col("sentence"))))
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Corpus inverted index: one row per term with document frequency,
+    total term frequency, and the posting list serialized as
+    ``"doc:tf,doc:tf,..."`` in ascending doc order — the structure a
+    search-index sink (serving/export.py) ships, built as two hash
+    aggregates (term×doc tf, then term fold); the posting list is
+    assembled inside the term aggregate with ``array_sort`` over
+    ``collect_list`` (deterministic order without a global sort).
+
+    ``max_df`` drops terms appearing in more than that many documents
+    — stopword postings are the skew hazard at 100 TB (a term in every
+    doc makes one reducer assemble a corpus-sized list; real engines
+    block-split postings, a cap is the honest bounded version). The
+    serialization is plain string so any engine reproduces it
+    byte-for-byte (string_agg ... ORDER BY twin)."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    idx = tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("tf_total"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                lambda s: F.concat_ws(
+                    ":", s["doc_id"].cast("string"), s["tf"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    if max_df is not None:
+        idx = idx.where(F.col("df") <= max_df)
+    return idx
