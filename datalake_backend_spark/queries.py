@@ -4048,6 +4048,168 @@ FROM blocks GROUP BY media_id, width, height
 """
 
 
+def r131_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode driver check (`dbs.datapipe.multimodal`:
+    encode_gif / _decode_gif): every document becomes a genuine GIF89a
+    bitstream — logical screen descriptor, deterministic sorted
+    palette, LZW-compressed indices in length-prefixed sub-blocks —
+    then `image_stats` decodes it back through the real LZW
+    decompressor (variable-width codes, Clear/EOI, KwKwK). The pixel
+    formula is the q75 one, so the same closed-form DuckDB twin
+    (Q75_SQL) applies: a decoder that misparses the screen descriptor,
+    drops a palette entry, grows the code width one emission early or
+    late, or splices sub-blocks wrong breaks the hash. LZW edge
+    mechanics (4096-entry reset, interlace refusal, malformed input)
+    are pinned by tests/test_gif.py."""
+    from datalake_backend_spark.datapipe.multimodal import (
+        image_stats,
+        synthetic_gif_table,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return image_stats(synthetic_gif_table(docs))
+
+
+def r132_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup driver check (`dbs.datapipe.phash`):
+    consecutive ids carry the SAME pixels in DIFFERENT containers (PPM
+    vs real-deflate PNG), so sha256 media dedup (r49) misses every
+    pair while the integer-exact dHash — 8×9 luma grid, cross-
+    multiplied darker-than-right bits — pairs them. The DuckDB twin
+    recomputes every hash bit from the closed-form pixel formula and
+    self-joins on the 64-bit key, so a decoder drift, a block-boundary
+    off-by-one, a bit-index transposition, or a join that loses the
+    id_a < id_b dedup all break the hash. Hamming-banded (k ≤ 3)
+    candidate generation is pinned by tests/test_phash.py."""
+    from datalake_backend_spark.datapipe.phash import (
+        image_near_dups,
+        synthetic_variant_image_table,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return image_near_dups(synthetic_variant_image_table(docs), max_hamming=0)
+
+
+R132_SQL = """
+WITH ids AS (SELECT doc_id AS media_id, doc_id // 2 AS base FROM documents),
+dims AS (
+  SELECT media_id, base,
+         9 * (1 + base % 4) AS w, 8 * (1 + base % 3) AS h
+  FROM ids
+),
+rws AS (SELECT media_id, base, w, h, unnest(range(0, h)) AS r FROM dims),
+px AS (SELECT media_id, base, w, h, r, unnest(range(0, w)) AS c FROM rws),
+luma AS (
+  SELECT media_id,
+         CAST(r // (h // 8) AS INT) AS br,
+         CAST(c // (w // 9) AS INT) AS bc,
+           (base*31 + r*7 + c*(3 + base % 11)*5 + r*c) % 256
+         + (base*31 + r*7 + c*(3 + base % 11)*5 + r*c + 11) % 256
+         + (base*31 + r*7 + c*(3 + base % 11)*5 + r*c + 22) % 256 AS v
+  FROM px
+),
+blocks AS (
+  SELECT media_id, br, bc, SUM(v) AS s FROM luma GROUP BY media_id, br, bc
+),
+bits AS (
+  SELECT media_id, br, bc,
+         CASE WHEN s < LEAD(s) OVER (PARTITION BY media_id, br ORDER BY bc)
+              THEN 1 ELSE 0 END AS bit
+  FROM blocks
+),
+hashes AS (
+  SELECT media_id,
+    CAST(SUM(CASE WHEN br*8 + bc < 32
+                  THEN bit * (CAST(1 AS BIGINT) << (br*8 + bc))
+                  ELSE 0 END) AS BIGINT) AS dhash_lo,
+    CAST(SUM(CASE WHEN br*8 + bc >= 32
+                  THEN bit * (CAST(1 AS BIGINT) << (br*8 + bc - 32))
+                  ELSE 0 END) AS BIGINT) AS dhash_hi
+  FROM bits WHERE bc < 8 GROUP BY media_id
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       a.dhash_hi AS dhash_hi, a.dhash_lo AS dhash_lo,
+       CAST(0 AS INT) AS hamming
+FROM hashes a
+JOIN hashes b
+  ON a.dhash_hi = b.dhash_hi AND a.dhash_lo = b.dhash_lo
+ AND a.media_id < b.media_id
+"""
+
+
+def r133_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-checksum driver check (`dbs.operators.fingerprint`):
+    per-status fingerprint of orders — row count, DECIMAL(38,0) sum of
+    portable 60-bit row hashes, min/max hash. The DuckDB twin rebuilds
+    the exact canonical row string (chr(1) separators, chr(0) NULL
+    sentinel) and md5 arithmetic, so a drifting cast-to-string, a
+    column-order swap, a separator change, or a lost row all break the
+    hash. This is the operational check behind every 'bit-identical'
+    lakehouse claim (clone == source, CDC apply == target, restore ==
+    old version); order/partition independence and the full-outer
+    drill-down (`fingerprint_diff`) are pinned by
+    tests/test_fingerprint.py."""
+    from datalake_backend_spark.operators.fingerprint import table_fingerprint
+
+    orders = table(spark, sf_dir, "orders")
+    return table_fingerprint(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        group_by=["o_orderstatus"],
+    )
+
+
+R133_SQL = """
+WITH hashed AS (
+  SELECT o_orderstatus,
+    ('0x' || substr(md5(
+        COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)||'NULL'||chr(0)) || chr(1) ||
+        COALESCE(CAST(o_custkey AS VARCHAR), chr(0)||'NULL'||chr(0)) || chr(1) ||
+        COALESCE(o_orderstatus, chr(0)||'NULL'||chr(0)) || chr(1) ||
+        COALESCE(o_orderpriority, chr(0)||'NULL'||chr(0))
+    ), 1, 15))::BIGINT AS h
+  FROM orders
+)
+SELECT o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS row_count,
+  CAST(SUM(h) AS DECIMAL(38,0)) AS content_sum,
+  MIN(h) AS hash_min,
+  MAX(h) AS hash_max
+FROM hashed GROUP BY o_orderstatus
+"""
+
+
+def r134_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index driver check (`dbs.datapipe.text.inverted_index`):
+    term → (df, tf_total, serialized posting list in doc order) over
+    the documents corpus — the structure the search-index sink ships.
+    The DuckDB twin rebuilds the identical ``doc:tf,...`` string with
+    ``string_agg ... ORDER BY doc_id``, so a lost posting, an unstable
+    sort, a tf off-by-one, or tokenizer drift all break the hash."""
+    from datalake_backend_spark.datapipe.text import inverted_index
+
+    docs = table(spark, sf_dir, "documents")
+    return inverted_index(docs)
+
+
+R134_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT term, doc_id, COUNT(*) AS tf
+  FROM tok WHERE term <> '' GROUP BY term, doc_id
+)
+SELECT term,
+  CAST(COUNT(*) AS BIGINT) AS df,
+  CAST(SUM(tf) AS BIGINT) AS tf_total,
+  string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+FROM tf GROUP BY term
+"""
+
+
 def q77_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic shard assignment driver check
     (`dbs.datapipe.sampling.assign_shards`): every document lands in a
@@ -6754,6 +6916,18 @@ QUERIES: dict[str, QuerySpec] = {
     "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),
     "r130_bpe_pair_counts": QuerySpec(
         r130_bpe_pair_counts, R130_SQL, "tokenizer-bpe-train,text"
+    ),
+    "r131_gif_decode_stats": QuerySpec(
+        r131_gif_decode_stats, Q75_SQL, "multimodal-gif-codec,lzw"
+    ),
+    "r132_image_near_dup": QuerySpec(
+        r132_image_near_dup, R132_SQL, "dedup-image-perceptual,phash"
+    ),
+    "r133_table_fingerprint": QuerySpec(
+        r133_table_fingerprint, R133_SQL, "fingerprint-checksum,replication-verify"
+    ),
+    "r134_inverted_index": QuerySpec(
+        r134_inverted_index, R134_SQL, "search-inverted-index,postings"
     ),
     "r13_orders_left_join": QuerySpec(q13_orders_left_join, Q13_SQL, "J1,J2,F2"),
     "r14_event_distribution": QuerySpec(q14_event_distribution, Q14_SQL, "A13"),
