@@ -443,6 +443,10 @@ class VersionedTable:
                 dirs = prev["dirs"] + [rel_dir]
                 total = prev["num_rows"] + num_rows
                 files = prev.get("files", []) + file_entries
+                # deletion vectors ride along: the new dir has none,
+                # existing files keep theirs (merge-on-read survives
+                # appends; only full rewrites materialize them away)
+                dvs = prev.get("dvs", [])
                 # schema evolution: appending a widened/changed schema
                 # flags the snapshot so reads merge parquet footers
                 mixed = prev.get("mixed_schema", False) or (
@@ -452,6 +456,7 @@ class VersionedTable:
                 dirs = [rel_dir]
                 total = num_rows
                 files = file_entries
+                dvs = []
             man = {
                 "version": version,
                 "op": op or mode,
@@ -466,6 +471,9 @@ class VersionedTable:
                 # snapshot spans data dirs with differing schemas →
                 # reads must merge footers (schema evolution)
                 "mixed_schema": mixed,
+                # merge-on-read deletion vectors (Delta's inline DV
+                # encoding): [{path, ranges: [[lo, hi]...], rows}]
+                "dvs": dvs,
                 # caller-supplied commit tags (e.g. a streaming epoch id
                 # for replay-idempotent sinks)
                 "metadata": metadata or {},
@@ -541,8 +549,11 @@ class VersionedTable:
         default): every referenced data dir and stats-indexed file must
         exist, and each file's on-disk footer row count must match the
         manifest's skipping stats (a drifted stats entry silently
-        mis-prunes). Returns ``{'ok': bool, 'missing_dirs': [...],
-        'missing_files': [...], 'stat_mismatches': [...]}`` — the
+        mis-prunes). Deletion vectors are validated structurally:
+        ranges must be sorted, disjoint, within the file's footer row
+        count, and sum to the recorded ``rows``. Returns ``{'ok':
+        bool, 'missing_dirs': [...], 'missing_files': [...],
+        'stat_mismatches': [...], 'dv_errors': [...]}`` — the
         operational pre-flight before serving a snapshot or trusting a
         VACUUM/restore sequence. Metadata-only: reads parquet FOOTERS
         (pyarrow), never data pages; cost is O(files), no Spark job."""
@@ -569,11 +580,33 @@ class VersionedTable:
                 stat_mismatches.append(
                     {"path": e["path"], "manifest_rows": e["rows"], "disk_rows": n}
                 )
+        file_rows = {e["path"]: e["rows"] for e in man.get("files", [])}
+        dv_errors = []
+        for dv in man.get("dvs", []):
+            path, ranges = dv["path"], dv["ranges"]
+            bad = None
+            if any(lo > hi for lo, hi in ranges):
+                bad = "inverted range"
+            elif any(
+                ranges[i][1] >= ranges[i + 1][0] for i in range(len(ranges) - 1)
+            ):
+                bad = "unsorted/overlapping ranges"
+            elif sum(hi - lo + 1 for lo, hi in ranges) != dv["rows"]:
+                bad = "rows != covered positions"
+            elif path in file_rows and ranges and ranges[-1][1] >= file_rows[path]:
+                bad = "range beyond file rows"
+            elif man.get("files") and path not in file_rows:
+                bad = "dv for unknown file"
+            if bad:
+                dv_errors.append({"path": path, "error": bad})
         return {
-            "ok": not (missing_dirs or missing_files or stat_mismatches),
+            "ok": not (
+                missing_dirs or missing_files or stat_mismatches or dv_errors
+            ),
             "missing_dirs": missing_dirs,
             "missing_files": missing_files,
             "stat_mismatches": stat_mismatches,
+            "dv_errors": dv_errors,
         }
 
     def version_as_of(self, ts: float) -> int:
@@ -589,6 +622,86 @@ class VersionedTable:
                 f"no version at or before ts={ts} at {self.path}"
             )
         return best
+
+    def _apply_dvs(self, spark: SparkSession, df: DataFrame, man: dict) -> DataFrame:
+        """Merge-on-read: drop rows covered by the snapshot's deletion
+        vectors. The DV table (one row per deleted range, keyed by the
+        file's table-relative path — basenames are NOT unique across
+        hive partition dirs, a dynamic-partition task reuses its
+        filename in every partition it writes) broadcasts; the anti
+        join is a BroadcastHashJoin on that path with the range
+        containment as an extra condition — per-row cost is a hash
+        probe, no shuffle, no nested loop. Files without DVs stream
+        through untouched."""
+        dvs = man.get("dvs") or []
+        if not dvs:
+            return df
+        ranges = [
+            (e["path"], int(lo), int(hi))
+            for e in dvs
+            for lo, hi in e["ranges"]
+        ]
+        rdf = spark.createDataFrame(
+            ranges, "dv_file string, dv_lo long, dv_hi long"
+        )
+        out = (
+            df.withColumn(
+                "_dv_file",
+                # table-relative path: substring after the literal base
+                # (substring_index is literal, split would regex-parse)
+                F.substring_index(
+                    F.col("_metadata.file_path"), self.path + "/", -1
+                ),
+            )
+            .withColumn("_dv_ri", F.col("_metadata.row_index"))
+            .join(
+                F.broadcast(rdf),
+                (F.col("_dv_file") == F.col("dv_file"))
+                & F.col("_dv_ri").between(F.col("dv_lo"), F.col("dv_hi")),
+                "left_anti",
+            )
+        )
+        return out.drop("_dv_file", "_dv_ri")
+
+    def _metadata_commit(
+        self,
+        build_man,
+        op: str,
+        expected_head: int | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Publish a manifest-ONLY commit (no new data dir): the atomic
+        temp-write + hard-link protocol shared by restore and DV
+        deletes. ``build_man(prev_manifest, new_version)`` returns the
+        new manifest dict; ``expected_head`` carries the same
+        optimistic-concurrency contract as :meth:`commit`."""
+        for _ in range(max_retries):
+            head = self.latest_version()
+            if expected_head is not None and (head or 0) != expected_head:
+                raise CommitConflict(
+                    f"head moved {expected_head} -> {head} at {self.path}; "
+                    "re-derive from the new snapshot"
+                )
+            new_v = (head or 0) + 1
+            man = dict(
+                build_man(self.manifest(head) if head else {}, new_v),
+                version=new_v,
+                op=op,
+                ts=time.time(),
+            )
+            tmp = self._manifest_path(new_v) + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(man, fh)
+            try:
+                os.link(tmp, self._manifest_path(new_v))
+                return new_v
+            except FileExistsError:
+                continue
+            finally:
+                os.unlink(tmp)
+        raise CommitConflict(
+            f"lost {max_retries} commit races at {self.path}; giving up"
+        )
 
     # --------------------------------------------------------- read
     def read(
@@ -630,8 +743,8 @@ class VersionedTable:
             out = dfs[0]
             for d in dfs[1:]:
                 out = out.unionByName(d, allowMissingColumns=True)
-            return out
-        return reader().parquet(*paths)
+            return self._apply_dvs(spark, out, man)
+        return self._apply_dvs(spark, reader().parquet(*paths), man)
 
     def prune_files(
         self, predicates: list[tuple], version: int | None = None
@@ -712,8 +825,14 @@ class VersionedTable:
                 out = part if out is None else out.unionByName(
                     part, allowMissingColumns=True
                 )
-            return residual(out)
-        return residual(r.parquet(*[os.path.join(self.path, p) for p in kept]))
+            return residual(self._apply_dvs(spark, out, man))
+        return residual(
+            self._apply_dvs(
+                spark,
+                r.parquet(*[os.path.join(self.path, p) for p in kept]),
+                man,
+            )
+        )
 
     # ----------------------------------------------- table mutations
     def _rmw_commit(
@@ -754,11 +873,124 @@ class VersionedTable:
             spark, lambda base: upsert(base, updates, key_cols), "merge"
         )
 
-    def delete_where(self, spark: SparkSession, predicate) -> int:
-        """DELETE FROM ... WHERE: commits the complement snapshot."""
-        return self._rmw_commit(
-            spark, lambda base: base.where(~predicate), "delete"
-        )
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate,
+        mode: str = "copy",
+        max_range_entries: int = 100_000,
+        rederive_retries: int = 5,
+    ) -> int:
+        """DELETE FROM ... WHERE.
+
+        ``mode='copy'`` — copy-on-write: rewrite the complement
+        snapshot (every surviving row is copied). Right when the
+        delete is large or the table is small.
+
+        ``mode='dv'`` — merge-on-read deletion vectors: find the
+        matching rows' positions (``_metadata.row_index``), range-
+        compress them per file, and publish a MANIFEST-ONLY commit
+        carrying the vectors — zero data bytes written, the Delta DV
+        shape. This is the 100 TB shape for selective deletes (a
+        GDPR-style delete of a few thousand rows must not rewrite
+        terabytes): cost is one filtered scan + an O(ranges) metadata
+        write. Readers anti-join the broadcast vectors (see
+        :meth:`_apply_dvs`); the next full rewrite (compact / merge /
+        copy delete) reads through the vectors and materializes them
+        away. New vectors merge with existing ones; disjointness is
+        guaranteed because positions are derived from the DV-filtered
+        read. Falls back to copy-on-write when the compressed vectors
+        exceed ``max_range_entries`` ranges (a delete THAT fragmented
+        is cheaper rewritten — and an unbounded inline manifest is a
+        scale hazard, so the cap is loud, not silent).
+
+        Both modes return the committed version; a 'dv' delete
+        matching zero rows is a no-op returning the current head."""
+        if mode == "copy":
+            return self._rmw_commit(
+                spark, lambda base: base.where(~predicate), "delete"
+            )
+        if mode != "dv":
+            raise ValueError(f"mode must be copy|dv, got {mode!r}")
+        last: CommitConflict | None = None
+        for _ in range(rederive_retries):
+            head = self.latest_version()
+            if head is None:
+                raise FileNotFoundError(f"no snapshot at {self.path}")
+            matched = (
+                self.read(spark, head)
+                .where(predicate)
+                .select(
+                    F.col("_metadata.file_path").alias("_fp"),
+                    F.col("_metadata.row_index").alias("_ri"),
+                )
+                .groupBy("_fp")
+                .agg(F.array_sort(F.collect_list("_ri")).alias("_ris"))
+                .collect()
+            )
+            if not matched:
+                return head
+            new_dvs: dict[str, list[list[int]]] = {}
+            n_deleted = 0
+            for row in matched:
+                uri = row["_fp"]
+                idx = uri.rfind(self.path)
+                rel = uri[idx + len(self.path) + 1 :] if idx >= 0 else uri
+                ranges: list[list[int]] = []
+                for ri in row["_ris"]:
+                    ri = int(ri)
+                    if ranges and ri == ranges[-1][1] + 1:
+                        ranges[-1][1] = ri
+                    else:
+                        ranges.append([ri, ri])
+                    n_deleted += 1
+                new_dvs[rel] = ranges
+            prev_man = self.manifest(head)
+            merged: dict[str, list[list[int]]] = {
+                e["path"]: [list(r) for r in e["ranges"]]
+                for e in prev_man.get("dvs", [])
+            }
+            for rel, ranges in new_dvs.items():
+                if rel in merged:
+                    allr = sorted(merged[rel] + ranges)
+                    packed = [allr[0]]
+                    for lo, hi in allr[1:]:
+                        if lo <= packed[-1][1] + 1:
+                            packed[-1][1] = max(packed[-1][1], hi)
+                        else:
+                            packed.append([lo, hi])
+                    merged[rel] = packed
+                else:
+                    merged[rel] = ranges
+            if sum(len(r) for r in merged.values()) > max_range_entries:
+                return self._rmw_commit(
+                    spark, lambda base: base.where(~predicate), "delete"
+                )
+            dvs = [
+                {
+                    "path": rel,
+                    "ranges": ranges,
+                    "rows": sum(hi - lo + 1 for lo, hi in ranges),
+                }
+                for rel, ranges in sorted(merged.items())
+            ]
+
+            def build(prev: dict, _v: int, dvs=dvs, n=n_deleted) -> dict:
+                return dict(
+                    prev,
+                    dvs=dvs,
+                    num_rows=prev["num_rows"] - n,
+                    metadata={"rows_deleted": n},
+                )
+
+            try:
+                return self._metadata_commit(
+                    build, op="delete-dv", expected_head=head
+                )
+            except CommitConflict as e:
+                last = e
+                continue
+        raise last if last is not None else CommitConflict("no commits")
 
     def changes(
         self,

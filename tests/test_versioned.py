@@ -1100,3 +1100,155 @@ def test_change_consumer_incremental_exactly_once(spark, tmp_path):
     con.ack(span3)
     assert con.position() == 3
     assert con.poll(spark, ["key"], ["val"]) is None
+
+
+# ------------------------------------------------ deletion vectors
+
+
+def _dv_tbl(spark, tmp_path, n=200):
+    tbl = VersionedTable(str(tmp_path / "dv"))
+    df = spark.range(n).select(
+        F.col("id").cast("long"), (F.col("id") % 7).cast("long").alias("v")
+    )
+    tbl.commit(df.repartition(3))
+    return tbl
+
+
+def test_dv_delete_is_metadata_only(spark, tmp_path):
+    """mode='dv' publishes a manifest-only commit: same data dirs, same
+    file list, zero new data bytes — and readers see the complement."""
+    tbl = _dv_tbl(spark, tmp_path)
+    before = tbl.manifest(1)
+    v = tbl.delete_where(spark, F.col("v") == 3, mode="dv")
+    after = tbl.manifest(v)
+    assert after["op"] == "delete-dv"
+    assert after["dirs"] == before["dirs"]
+    assert after["files"] == before["files"]
+    assert after["num_rows"] == tbl.read(spark).count()
+    assert tbl.read(spark).where(F.col("v") == 3).count() == 0
+    # time travel still sees the deleted rows
+    assert tbl.read(spark, version=1).count() == 200
+
+
+def test_dv_deletes_merge_and_compose(spark, tmp_path):
+    tbl = _dv_tbl(spark, tmp_path)
+    tbl.delete_where(spark, F.col("v") == 3, mode="dv")
+    tbl.delete_where(spark, F.col("id") < 20, mode="dv")
+    got = {r.id for r in tbl.read(spark).collect()}
+    exp = {i for i in range(200) if i % 7 != 3 and i >= 20}
+    assert got == exp
+    assert tbl.manifest()["num_rows"] == len(exp)
+    # the vectors stayed structurally sound
+    assert tbl.fsck()["ok"]
+
+
+def test_dv_survives_append_and_dies_on_rewrite(spark, tmp_path):
+    tbl = _dv_tbl(spark, tmp_path)
+    tbl.delete_where(spark, F.col("v") == 3, mode="dv")
+    new = spark.range(1000, 1010).select(
+        F.col("id").cast("long"), F.lit(3).cast("long").alias("v")
+    )
+    tbl.commit(new, mode="append")
+    # old v==3 rows stay deleted; appended v==3 rows are visible
+    vis = tbl.read(spark).where(F.col("v") == 3)
+    assert {r.id for r in vis.collect()} == set(range(1000, 1010))
+    assert tbl.manifest()["dvs"]  # carried through the append
+    # a full rewrite materializes the vectors away
+    n = tbl.read(spark).count()
+    tbl.compact(spark)
+    assert tbl.manifest()["dvs"] == []
+    assert tbl.read(spark).count() == n
+
+
+def test_dv_noop_and_read_where(spark, tmp_path):
+    tbl = _dv_tbl(spark, tmp_path)
+    head = tbl.latest_version()
+    assert tbl.delete_where(spark, F.col("v") == 99, mode="dv") == head
+    tbl.delete_where(spark, F.col("id") < 10, mode="dv")
+    rw = tbl.read_where(spark, [("v", "=", 0)])
+    got = {r.id for r in rw.collect()}
+    assert got == {i for i in range(10, 200) if i % 7 == 0}
+
+
+def test_dv_plan_is_broadcast_hash_anti_join(spark, tmp_path):
+    """The DV filter must plan as a BroadcastHashJoin keyed on the file
+    basename (range check as join condition) — a nested-loop here
+    would scan ranges per row."""
+    tbl = _dv_tbl(spark, tmp_path)
+    tbl.delete_where(spark, F.col("v") == 3, mode="dv")
+    plan = tbl.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dv_fragmentation_falls_back_to_rewrite(spark, tmp_path):
+    """A delete whose vectors exceed the inline cap rewrites instead —
+    the manifest never grows unboundedly."""
+    tbl = _dv_tbl(spark, tmp_path)
+    # every other row: 100 singleton ranges > cap of 10
+    v = tbl.delete_where(
+        spark, F.col("id") % 2 == 0, mode="dv", max_range_entries=10
+    )
+    assert tbl.manifest(v)["op"] == "delete"  # copy-on-write fallback
+    assert tbl.manifest(v)["dvs"] == []
+    assert tbl.read(spark).count() == 100
+
+
+def test_dv_delete_concurrent_with_append(spark, tmp_path):
+    """DV positions are derived from a pinned head; a commit landing
+    in between forces a re-derive, never a lost update."""
+    tbl = _dv_tbl(spark, tmp_path)
+    orig_commit = tbl._metadata_commit
+    raced = {"done": False}
+
+    def racing(build, op, expected_head=None, max_retries=5):
+        if not raced["done"]:
+            raced["done"] = True
+            extra = spark.range(500, 505).select(
+                F.col("id").cast("long"), F.lit(0).cast("long").alias("v")
+            )
+            tbl.commit(extra, mode="append")  # moves the head
+        return orig_commit(
+            build, op, expected_head=expected_head, max_retries=max_retries
+        )
+
+    tbl._metadata_commit = racing
+    try:
+        tbl.delete_where(spark, F.col("v") == 0, mode="dv")
+    finally:
+        tbl._metadata_commit = orig_commit
+    # BOTH effects present: append landed, and its v==0 rows were seen
+    # by the re-derived delete
+    assert tbl.read(spark).where(F.col("v") == 0).count() == 0
+    assert tbl.read(spark).where(F.col("id") >= 500).count() == 0
+
+
+def test_dv_partitioned_table(spark, tmp_path):
+    tbl = VersionedTable(str(tmp_path / "dvp"))
+    df = spark.range(120).select(
+        F.col("id").cast("long"),
+        (F.col("id") % 3).cast("string").alias("part"),
+    )
+    tbl.commit(df, partition_by=["part"])
+    tbl.delete_where(spark, F.col("id") % 10 == 0, mode="dv")
+    got = {r.id for r in tbl.read(spark).collect()}
+    assert got == {i for i in range(120) if i % 10 != 0}
+    # partition columns still recovered, pruning path still works
+    rw = tbl.read_where(spark, [("part", "=", "1")])
+    assert {r.id for r in rw.collect()} == {
+        i for i in range(120) if i % 3 == 1 and i % 10 != 0
+    }
+
+
+def test_fsck_flags_corrupt_dv(spark, tmp_path):
+    import json as _json
+
+    tbl = _dv_tbl(spark, tmp_path)
+    v = tbl.delete_where(spark, F.col("v") == 3, mode="dv")
+    man = tbl.manifest(v)
+    man["dvs"][0]["ranges"] = [[5, 2]]  # inverted
+    with open(tbl._manifest_path(v) + ".tmp", "w") as fh:
+        _json.dump(man, fh)
+    os.replace(tbl._manifest_path(v) + ".tmp", tbl._manifest_path(v))
+    rep = tbl.fsck(v)
+    assert not rep["ok"] and rep["dv_errors"][0]["error"] == "inverted range"
