@@ -127,14 +127,11 @@ def perceptual_hashes(
     return df.select(id_col, payload_col).mapInPandas(batches, _PHASH_SCHEMA)
 
 
-def image_near_dups(
-    media: DataFrame,
-    max_hamming: int = 0,
-    payload_col: str = "payload",
-    id_col: str = "media_id",
-) -> DataFrame:
-    """Perceptual near-duplicate image pairs ``(id_a, id_b, dhash_hi,
-    dhash_lo, hamming)`` with ``id_a < id_b``.
+def hash_near_dups(hashes: DataFrame, max_hamming: int = 0) -> DataFrame:
+    """Near-duplicate pairs ``(id_a, id_b, dhash_hi, dhash_lo,
+    hamming)`` with ``id_a < id_b`` from a ``(media_id, dhash_hi,
+    dhash_lo)`` frame — the shared candidate/verify join behind image
+    AND audio perceptual dedup.
 
     ``max_hamming=0`` (exact perceptual match — re-encoded /
     container-swapped copies) is a plain equality self-join on the
@@ -147,9 +144,6 @@ def image_near_dups(
     the corpus is degenerate)."""
     if not 0 <= max_hamming <= 3:
         raise ValueError("max_hamming must be in 0..3 (4 bands of 16 bits)")
-    hashes = perceptual_hashes(media, payload_col, id_col).where(
-        F.col("dhash_hi").isNotNull()
-    )
     if max_hamming == 0:
         a, b = hashes.alias("a"), hashes.alias("b")
         return (
@@ -217,6 +211,160 @@ def image_near_dups(
     )
 
 
+def image_near_dups(
+    media: DataFrame,
+    max_hamming: int = 0,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Perceptual near-duplicate IMAGE pairs: dHash every decodable
+    payload (:func:`perceptual_hashes`), then :func:`hash_near_dups`."""
+    hashes = perceptual_hashes(media, payload_col, id_col).where(
+        F.col("dhash_hi").isNotNull()
+    )
+    return hash_near_dups(hashes, max_hamming)
+
+
+#: audio fingerprint: 65 energy windows → 64 gradient bits
+AUDIO_FP_WINDOWS = 65
+
+
+def audio_fingerprint64(samples: np.ndarray) -> tuple[int, int]:
+    """64-bit perceptual audio fingerprint of ``(frames, channels)``
+    int16 PCM, as two non-negative 32-bit halves ``(hi, lo)``.
+
+    The energy profile — sum of ``|per-frame channel sum|`` over 65
+    equal time windows (floor boundaries) — is compared pairwise:
+    bit ``w`` is 1 iff window ``w`` is strictly quieter on average
+    than window ``w+1`` (cross-multiplied by window sizes, exact
+    integers throughout). Channel-layout invariant BY CONSTRUCTION for
+    layouts that scale the channel sum uniformly (mono vs duplicated
+    stereo: every energy doubles, every comparison is unchanged) —
+    the audio twin of container invariance for dHash. Clips shorter
+    than 65 frames raise ``ValueError``."""
+    frames = samples.shape[0]
+    if frames < AUDIO_FP_WINDOWS:
+        raise ValueError(
+            f"clip of {frames} frames shorter than the {AUDIO_FP_WINDOWS}-"
+            "window fingerprint grid"
+        )
+    mixed = np.abs(samples.astype(np.int64).sum(axis=1))
+    bounds = [
+        (w * frames) // AUDIO_FP_WINDOWS for w in range(AUDIO_FP_WINDOWS + 1)
+    ]
+    e = np.array(
+        [mixed[bounds[w] : bounds[w + 1]].sum() for w in range(AUDIO_FP_WINDOWS)],
+        np.int64,
+    )
+    n = np.array(
+        [bounds[w + 1] - bounds[w] for w in range(AUDIO_FP_WINDOWS)], np.int64
+    )
+    hi = lo = 0
+    for w in range(AUDIO_FP_WINDOWS - 1):
+        if e[w] * n[w + 1] < e[w + 1] * n[w]:
+            if w < 32:
+                lo |= 1 << w
+            else:
+                hi |= 1 << (w - 32)
+    return hi, lo
+
+
+def audio_fingerprints(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Arrow-batched audio fingerprints over a media table →
+    ``(media_id, dhash_hi, dhash_lo)`` (same column contract as
+    :func:`perceptual_hashes` so :func:`hash_near_dups` composes).
+    Payloads that don't decode as WAV or are too short get NULLs."""
+    from datalake_backend_spark.datapipe.multimodal import decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, his, los = [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(int(i))
+                try:
+                    arr, _rate = decode_wav(bytes(p) if p is not None else b"")
+                    hi, lo = audio_fingerprint64(arr)
+                    his.append(hi)
+                    los.append(lo)
+                except ValueError:
+                    his.append(None)
+                    los.append(None)
+            yield pd.DataFrame(
+                {"media_id": ids, "dhash_hi": his, "dhash_lo": los}
+            ).astype({"dhash_hi": "Int64", "dhash_lo": "Int64"})
+
+    return df.select(id_col, payload_col).mapInPandas(batches, _PHASH_SCHEMA)
+
+
+def audio_near_dups(
+    media: DataFrame,
+    max_hamming: int = 0,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Perceptual near-duplicate AUDIO pairs: fingerprint every
+    decodable payload, then :func:`hash_near_dups` — catches the same
+    recording re-encoded with a different channel layout, which sha256
+    dedup misses."""
+    hashes = audio_fingerprints(media, payload_col, id_col).where(
+        F.col("dhash_hi").isNotNull()
+    )
+    return hash_near_dups(hashes, max_hamming)
+
+
+def synthetic_variant_audio_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Audio near-dup fixture: consecutive ids ``(2k, 2k+1)`` carry the
+    SAME waveform — ``base = id//2`` drives the closed-form sample
+    formula — but even ids encode MONO and odd ids duplicated STEREO,
+    so payload bytes (and sha256) differ while the channel-invariant
+    fingerprint agrees. ``frames = 65·(2+base%3)`` is a grid multiple,
+    so the SQL twin's plain energy comparison equals the general
+    cross-multiplied one; the waveform carries base-dependent linear
+    and quadratic terms so distinct bases rarely collide (measured:
+    ≤2 bases share a fingerprint over 2500)."""
+    from datalake_backend_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA,
+        encode_wav,
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["media_id"].to_numpy()
+            payloads, metas = [], []
+            for i in ids:
+                i = int(i)
+                base = i // 2
+                frames = AUDIO_FP_WINDOWS * (2 + base % 3)
+                rate = 8000 + (base % 3) * 4000
+                t = np.arange(frames)
+                mono = (
+                    (base * 37 + t * (13 + base % 29) + (t * t * (1 + base % 11)) % 997)
+                    % 4096
+                    - 2048
+                ).astype(np.int16)
+                ch = 1 if i % 2 == 0 else 2
+                samples = np.repeat(mono.reshape(frames, 1), ch, axis=1)
+                payloads.append(encode_wav(samples, rate))
+                metas.append(
+                    {
+                        "mime": "audio/wav",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": frames * 1000 // rate,
+                        "codec": "pcm_s16le",
+                    }
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        gen, MEDIA_SCHEMA
+    )
+
+
 def synthetic_variant_image_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Near-dup fixture: consecutive ids ``(2k, 2k+1)`` carry the SAME
     pixels — ``base = id//2`` drives the closed-form formula — but in
@@ -264,6 +412,127 @@ def synthetic_variant_image_table(docs: DataFrame, id_col: str = "doc_id") -> Da
                         "height": h,
                         "duration_ms": None,
                         "codec": codec,
+                    }
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        gen, MEDIA_SCHEMA
+    )
+
+
+def video_phash_signature(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    every: int = 1,
+) -> DataFrame:
+    """Perceptual VIDEO signature: dHash of every ``every``-th frame
+    (decoded through the seeking RAWV codec — sampled frames only, the
+    rest are never materialized), serialized ``"hi:lo,hi:lo,..."`` in
+    frame order. Two videos with the same pictures get the same
+    signature regardless of container metadata (fps header, encoder
+    padding) — the content identity a byte hash can't see. Map-only
+    Arrow stage; NULL signature for undecodable payloads or frames
+    below the dHash grid."""
+    from datalake_backend_spark.datapipe.multimodal import (
+        decode_video_frame,
+        video_meta,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, sigs = [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(int(i))
+                try:
+                    payload = bytes(p) if p is not None else b""
+                    n_frames = video_meta(payload)[0]
+                    parts = []
+                    for f in range(0, n_frames, every):
+                        hi, lo = dhash64(decode_video_frame(payload, f))
+                        parts.append(f"{hi}:{lo}")
+                    sigs.append(",".join(parts) if parts else None)
+                except ValueError:
+                    sigs.append(None)
+            yield pd.DataFrame({"media_id": ids, "signature": sigs})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("signature", T.StringType()),
+        ]
+    )
+    return df.select(id_col, payload_col).mapInPandas(batches, schema)
+
+
+def video_near_dups(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    every: int = 1,
+) -> DataFrame:
+    """Perceptual near-duplicate VIDEO pairs ``(id_a, id_b,
+    signature)``: equality self-join on the frame-hash signature —
+    catches the same footage in a container with different metadata,
+    which sha256 dedup misses. The signature string is the join key
+    (an equality join, same scale shape as the image/audio paths)."""
+    sigs = video_phash_signature(media, payload_col, id_col, every).where(
+        F.col("signature").isNotNull()
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return a.join(
+        b,
+        (F.col("a.signature") == F.col("b.signature"))
+        & (F.col("a.media_id") < F.col("b.media_id")),
+    ).select(
+        F.col("a.media_id").alias("id_a"),
+        F.col("b.media_id").alias("id_b"),
+        F.col("a.signature").alias("signature"),
+    )
+
+
+def synthetic_variant_video_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Video near-dup fixture: consecutive ids ``(2k, 2k+1)`` carry the
+    SAME frames — ``base = id//2`` drives the closed-form pixel
+    formula — but the RAWV header declares fps 5 (even) vs 10 (odd),
+    so payload bytes and sha256 differ while every decoded frame (and
+    so the signature) agrees. Dims are dHash-grid multiples; the
+    formula's base-dependent gradient and saddle terms keep accidental
+    collisions rare (measured: ≤3 bases share a signature over 2500)."""
+    from datalake_backend_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA,
+        encode_rawvideo,
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["media_id"].to_numpy()
+            payloads, metas = [], []
+            for i in ids:
+                i = int(i)
+                base = i // 2
+                n = 2 + base % 3
+                w, h = 9 * (1 + base % 2), 8 * (1 + base % 2)
+                f = np.arange(n).reshape(n, 1, 1, 1)
+                r = np.arange(h).reshape(1, h, 1, 1)
+                c = np.arange(w).reshape(1, 1, w, 1)
+                ch = np.arange(3).reshape(1, 1, 1, 3)
+                frames = (
+                    (base * 31 + f * 53 + r * 7 + c * (3 + base % 11) * 5
+                     + r * c + ch * 11) % 256
+                ).astype(np.uint8)
+                fps = 5 if i % 2 == 0 else 10
+                payloads.append(encode_rawvideo(frames, fps))
+                metas.append(
+                    {
+                        "mime": "video/x-raw",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": n * 1000 // fps,
+                        "codec": "rawv",
                     }
                 )
             yield pd.DataFrame(

@@ -163,3 +163,124 @@ def test_max_hamming_bounds(spark):
     df = spark.createDataFrame([(1, bytearray(b""))], "media_id long, payload binary")
     with pytest.raises(ValueError, match="0..3"):
         image_near_dups(df, max_hamming=4)
+
+
+# ------------------------------------------------- audio fingerprint
+
+
+def test_audio_fingerprint_channel_invariance():
+    from datalake_backend_spark.datapipe.phash import audio_fingerprint64
+
+    rng = np.random.default_rng(14)
+    mono = rng.integers(-2048, 2048, (200, 1)).astype(np.int16)
+    stereo = np.repeat(mono, 2, axis=1)
+    quad = np.repeat(mono, 4, axis=1)
+    ref = audio_fingerprint64(mono)
+    assert audio_fingerprint64(stereo) == ref
+    assert audio_fingerprint64(quad) == ref
+
+
+def test_audio_fingerprint_too_short_raises():
+    from datalake_backend_spark.datapipe.phash import audio_fingerprint64
+
+    with pytest.raises(ValueError, match="shorter"):
+        audio_fingerprint64(np.zeros((64, 1), np.int16))
+
+
+def test_audio_fingerprint_ragged_windows():
+    """Frame counts that are NOT multiples of 65 exercise the
+    cross-multiplied comparison; check against a float-mean brute
+    force."""
+    from datalake_backend_spark.datapipe.phash import audio_fingerprint64
+
+    rng = np.random.default_rng(16)
+    for frames in (65, 66, 131, 997):
+        mono = rng.integers(-2048, 2048, (frames, 1)).astype(np.int16)
+        hi, lo = audio_fingerprint64(mono)
+        a = np.abs(mono[:, 0].astype(np.float64))
+        bounds = [(w * frames) // 65 for w in range(66)]
+        means = np.array(
+            [a[bounds[w] : bounds[w + 1]].mean() for w in range(65)]
+        )
+        exp_hi = exp_lo = 0
+        for w in range(64):
+            if means[w] < means[w + 1]:
+                if w < 32:
+                    exp_lo |= 1 << w
+                else:
+                    exp_hi |= 1 << (w - 32)
+        assert (hi, lo) == (exp_hi, exp_lo), frames
+
+
+def test_audio_near_dup_catches_channel_relayout(spark):
+    """The r136 story in miniature: same waveform, mono vs stereo →
+    different bytes, same fingerprint, paired at Hamming 0."""
+    from datalake_backend_spark.datapipe.multimodal import encode_wav
+    from datalake_backend_spark.datapipe.phash import audio_near_dups
+
+    rng = np.random.default_rng(18)
+    mono = rng.integers(-2048, 2048, (300, 1)).astype(np.int16)
+    other = rng.integers(-2048, 2048, (300, 1)).astype(np.int16)
+    rows = [
+        (1, bytearray(encode_wav(mono, 8000))),
+        (2, bytearray(encode_wav(np.repeat(mono, 2, axis=1), 8000))),
+        (3, bytearray(encode_wav(other, 8000))),
+        (4, bytearray(b"not audio")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = [
+        (r["id_a"], r["id_b"]) for r in audio_near_dups(df, max_hamming=0).collect()
+    ]
+    assert pairs == [(1, 2)]
+
+
+# ------------------------------------------------- video signature
+
+
+def test_video_signature_fps_invariance(spark):
+    """Same frames, different declared fps → different bytes, same
+    signature (the r138 story)."""
+    from datalake_backend_spark.datapipe.multimodal import encode_rawvideo
+    from datalake_backend_spark.datapipe.phash import video_near_dups
+
+    rng = np.random.default_rng(20)
+    frames = rng.integers(0, 255, (4, 16, 18, 3), dtype=np.uint8)
+    other = rng.integers(0, 255, (4, 16, 18, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_rawvideo(frames, 5))),
+        (2, bytearray(encode_rawvideo(frames, 30))),
+        (3, bytearray(encode_rawvideo(other, 5))),
+        (4, bytearray(b"not video")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = [(r["id_a"], r["id_b"]) for r in video_near_dups(df).collect()]
+    assert pairs == [(1, 2)]
+
+
+def test_video_signature_frame_order_and_sampling(spark):
+    from datalake_backend_spark.datapipe.multimodal import encode_rawvideo
+    from datalake_backend_spark.datapipe.phash import (
+        dhash64,
+        video_phash_signature,
+    )
+
+    rng = np.random.default_rng(22)
+    frames = rng.integers(0, 255, (5, 16, 18, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_rawvideo(frames, 10)))],
+        "media_id long, payload binary",
+    )
+    sig = video_phash_signature(df).collect()[0]["signature"]
+    exp = ",".join(
+        "%d:%d" % dhash64(frames[f]) for f in range(5)
+    )
+    assert sig == exp
+    # every=2 samples frames 0, 2, 4 only
+    sig2 = video_phash_signature(df, every=2).collect()[0]["signature"]
+    assert sig2 == ",".join("%d:%d" % dhash64(frames[f]) for f in (0, 2, 4))
+    # reordered frames change the signature
+    df2 = spark.createDataFrame(
+        [(1, bytearray(encode_rawvideo(frames[::-1], 10)))],
+        "media_id long, payload binary",
+    )
+    assert video_phash_signature(df2).collect()[0]["signature"] != sig
