@@ -60,6 +60,16 @@ def main(argv: list[str] | None = None) -> int:
     fp.add_argument("--table", required=True)
     fp.add_argument("--version", type=int)
 
+    dp = sub.add_parser("delete", help="DELETE FROM a versioned table")
+    dp.add_argument("--table", required=True)
+    dp.add_argument("--where", required=True, help="SQL predicate")
+    dp.add_argument(
+        "--dv",
+        action="store_true",
+        help="merge-on-read deletion vectors (manifest-only commit) "
+        "instead of copy-on-write",
+    )
+
     sp = sub.add_parser(
         "sync-index", help="ship the gold table's CDF delta as bulk NDJSON"
     )
@@ -127,11 +137,28 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps({"span": span}))
         return 0
-    if args.cmd in ("optimize", "vacuum", "history", "restore", "fsck"):
+    if args.cmd in ("optimize", "vacuum", "history", "restore", "fsck", "delete"):
         from datalake_backend_spark.sources.versioned import VersionedTable
 
         tbl = VersionedTable(args.table)
-        if args.cmd == "restore":
+        if args.cmd == "delete":
+            from pyspark.sql import functions as F
+
+            before = tbl.manifest()["num_rows"]
+            v = tbl.delete_where(
+                spark, F.expr(args.where), mode="dv" if args.dv else "copy"
+            )
+            after = tbl.manifest(v)
+            print(
+                json.dumps(
+                    {
+                        "version": v,
+                        "op": after["op"],
+                        "rows_deleted": before - after["num_rows"],
+                    }
+                )
+            )
+        elif args.cmd == "restore":
             v = tbl.restore(args.version)
             print(json.dumps({"version": v, "restored_from": args.version}))
         elif args.cmd == "fsck":

@@ -3960,6 +3960,72 @@ GROUP BY o_orderpriority
 """
 
 
+def r135_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector DELETE driver check (`dbs.sources.versioned
+    .VersionedTable.delete_where(mode='dv')`): commit orders as v1,
+    then DELETE every 13th key as a MANIFEST-ONLY commit — row
+    positions range-compressed into inline deletion vectors, zero data
+    bytes rewritten (the Delta DV / merge-on-read shape: a selective
+    delete on a 100 TB table must not rewrite terabytes). The head
+    read anti-joins the broadcast vectors, so the oracle's complement
+    aggregate breaks if a vector covers the wrong rows, a range is
+    mis-compressed, or the anti join drops/keeps the wrong file. The
+    `metadata_only_delete` column pins that the commit reused v1's
+    data dirs and file list unchanged (op == delete-dv) — a rewrite
+    masquerading as a DV delete fails the hash. Concurrency, appends
+    over vectors, compaction materialization, fragmentation fallback,
+    and fsck validation are pinned by tests/test_versioned.py.
+    Deterministic pid-scoped fixture, serialized like r91's."""
+    import shutil
+
+    from datalake_backend_spark.sources.versioned import VersionedTable
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    warehouse = os.path.join(repo_root, "spark-warehouse")
+    base = os.path.join(
+        warehouse,
+        f"r135_vt_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    tbl = VersionedTable(base)
+    with _VT_BUILD_LOCK:
+        _sweep_stale_fixtures(warehouse, "r135_vt_")
+        if tbl.latest_version() != 2:
+            shutil.rmtree(base, ignore_errors=True)
+            orders = table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority", "o_totalprice"
+            )
+            tbl.commit(orders.repartition(4))
+            v = tbl.delete_where(
+                spark, F.pmod("o_orderkey", F.lit(13)) == 0, mode="dv"
+            )
+            assert v == 2
+    m1, m2 = tbl.manifest(1), tbl.manifest(2)
+    metadata_only = (
+        m2["op"] == "delete-dv"
+        and m2["dirs"] == m1["dirs"]
+        and m2["files"] == m1["files"]
+        and sum(e["rows"] for e in m2["dvs"]) == m1["num_rows"] - m2["num_rows"]
+    )
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            dec_sum("o_totalprice").alias("sum_price"),
+        )
+        .withColumn("metadata_only_delete", F.lit(bool(metadata_only)))
+    )
+
+
+R135_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+       TRUE AS metadata_only_delete
+FROM orders WHERE o_orderkey % 13 <> 0
+GROUP BY o_orderpriority
+"""
+
+
 def r130_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-trainer statistics driver check (`dbs.datapipe.bpe
     .bpe_pair_counts`): the initial adjacent-symbol pair counts
@@ -4207,6 +4273,206 @@ SELECT term,
   CAST(SUM(tf) AS BIGINT) AS tf_total,
   string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
 FROM tf GROUP BY term
+"""
+
+
+def r136_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio near-dup driver check (`dbs.datapipe.phash`:
+    audio_fingerprint64 / audio_near_dups): consecutive ids carry the
+    SAME waveform encoded MONO vs duplicated STEREO through the real
+    WAV codec, so payload bytes and sha256 differ while the
+    channel-invariant energy-gradient fingerprint (65 windows, 64
+    comparison bits, exact integers) agrees. The DuckDB twin
+    recomputes every fingerprint bit from the closed-form sample
+    formula over the MONO rendition — the stereo path must land on
+    identical bits (energies scale uniformly, comparisons cancel the
+    factor), so a channel-mixing bug, a window-boundary off-by-one, or
+    a bit-index drift breaks the pair set. Hamming-banded matching
+    and the too-short guard are pinned by tests/test_phash.py."""
+    from datalake_backend_spark.datapipe.phash import (
+        audio_near_dups,
+        synthetic_variant_audio_table,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return audio_near_dups(synthetic_variant_audio_table(docs), max_hamming=0)
+
+
+R136_SQL = """
+WITH ids AS (SELECT doc_id AS media_id, doc_id // 2 AS base FROM documents),
+dims AS (
+  SELECT media_id, base, 65 * (2 + base % 3) AS frames FROM ids
+),
+ts AS (SELECT media_id, base, frames, unnest(range(0, frames)) AS t FROM dims),
+sams AS (
+  SELECT media_id,
+         CAST(t // (frames // 65) AS INT) AS w,
+         ABS(((base*37 + t*(13 + base % 29) + (t*t*(1 + base % 11)) % 997)
+              % 4096) - 2048) AS a
+  FROM ts
+),
+wins AS (SELECT media_id, w, SUM(a) AS e FROM sams GROUP BY media_id, w),
+bits AS (
+  SELECT media_id, w,
+         CASE WHEN e < LEAD(e) OVER (PARTITION BY media_id ORDER BY w)
+              THEN 1 ELSE 0 END AS bit
+  FROM wins
+),
+hashes AS (
+  SELECT media_id,
+    CAST(SUM(CASE WHEN w < 32
+                  THEN bit * (CAST(1 AS BIGINT) << w) ELSE 0 END) AS BIGINT)
+      AS dhash_lo,
+    CAST(SUM(CASE WHEN w >= 32
+                  THEN bit * (CAST(1 AS BIGINT) << (w - 32)) ELSE 0 END)
+      AS BIGINT) AS dhash_hi
+  FROM bits WHERE w < 64 GROUP BY media_id
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       a.dhash_hi AS dhash_hi, a.dhash_lo AS dhash_lo,
+       CAST(0 AS INT) AS hamming
+FROM hashes a
+JOIN hashes b
+  ON a.dhash_hi = b.dhash_hi AND a.dhash_lo = b.dhash_lo
+ AND a.media_id < b.media_id
+"""
+
+
+def r137_media_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource driver check (`dbs.sources.media_source`
+    — Spark 4 DataSource API): a pid-scoped directory of REAL .gif
+    files (every 50th doc id, q75 pixel formula) is read back through
+    ``spark.read.format("mediafile")`` — driver-side listing,
+    size-balanced partition planning, header probing — and the decoded
+    statistics must equal the closed-form oracle. A source that loses
+    a file, truncates a payload, mis-derives the id from the stem, or
+    breaks the binary column's bytes fails the hash; filter pushdown
+    (media_id/codec equality pruned at planning time) and bin-packing
+    are pinned by tests/test_media_source.py."""
+    import shutil
+
+    import numpy as np
+
+    from datalake_backend_spark.datapipe.multimodal import (
+        encode_gif,
+        image_stats,
+    )
+    from datalake_backend_spark.sources.media_source import (
+        register_media_source,
+    )
+
+    register_media_source(spark)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    warehouse = os.path.join(repo_root, "spark-warehouse")
+    base = os.path.join(
+        warehouse,
+        f"r137_media_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    ids = [
+        r[0]
+        for r in table(spark, sf_dir, "documents")
+        .where(F.pmod("doc_id", F.lit(50)) == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    with _VT_BUILD_LOCK:
+        _sweep_stale_fixtures(warehouse, "r137_media_")
+        marker = os.path.join(base, ".complete")
+        if not os.path.exists(marker):
+            shutil.rmtree(base, ignore_errors=True)
+            os.makedirs(base)
+            for i in ids:
+                w, h = 4 + i % 5, 3 + i % 4
+                r = np.arange(h).reshape(h, 1, 1)
+                c = np.arange(w).reshape(1, w, 1)
+                ch = np.arange(3).reshape(1, 1, 3)
+                img = ((i * 31 + r * 7 + c * 3 + ch * 11) % 256).astype(
+                    np.uint8
+                )
+                with open(os.path.join(base, f"{i}.gif"), "wb") as fh:
+                    fh.write(encode_gif(img))
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    media = (
+        spark.read.format("mediafile")
+        .option("path", base)
+        .option("numPartitions", "4")
+        .load()
+    )
+    return image_stats(media)
+
+
+def _r137_sql() -> str:
+    return Q75_SQL.replace(
+        "FROM documents", "FROM documents WHERE doc_id % 50 = 0"
+    )
+
+
+def r138_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual video near-dup driver check (`dbs.datapipe.phash`:
+    video_phash_signature / video_near_dups): consecutive ids carry
+    the SAME frames in RAWV containers whose headers declare different
+    fps, so payload bytes and sha256 differ while the per-frame dHash
+    signature ("hi:lo,..." in frame order, decoded through the real
+    seeking codec) agrees. The DuckDB twin rebuilds every frame hash
+    bit from the closed-form pixel formula and string_aggs the same
+    signature, so a frame-seek off-by-one, a dropped frame, a hash
+    drift, or an unstable frame order breaks the pair set."""
+    from datalake_backend_spark.datapipe.phash import (
+        synthetic_variant_video_table,
+        video_near_dups,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return video_near_dups(synthetic_variant_video_table(docs))
+
+
+R138_SQL = """
+WITH ids AS (SELECT doc_id AS media_id, doc_id // 2 AS base FROM documents),
+dims AS (
+  SELECT media_id, base, 2 + base % 3 AS n,
+         9 * (1 + base % 2) AS w, 8 * (1 + base % 2) AS h
+  FROM ids
+),
+fs AS (SELECT media_id, base, w, h, unnest(range(0, n)) AS f FROM dims),
+rws AS (SELECT media_id, base, w, h, f, unnest(range(0, h)) AS r FROM fs),
+px AS (SELECT media_id, base, w, h, f, r, unnest(range(0, w)) AS c FROM rws),
+luma AS (
+  SELECT media_id, f,
+         CAST(r // (h // 8) AS INT) AS br,
+         CAST(c // (w // 9) AS INT) AS bc,
+           (base*31 + f*53 + r*7 + c*(3 + base % 11)*5 + r*c) % 256
+         + (base*31 + f*53 + r*7 + c*(3 + base % 11)*5 + r*c + 11) % 256
+         + (base*31 + f*53 + r*7 + c*(3 + base % 11)*5 + r*c + 22) % 256 AS v
+  FROM px
+),
+blocks AS (
+  SELECT media_id, f, br, bc, SUM(v) AS s
+  FROM luma GROUP BY media_id, f, br, bc
+),
+bits AS (
+  SELECT media_id, f, br, bc,
+         CASE WHEN s < LEAD(s) OVER (PARTITION BY media_id, f, br ORDER BY bc)
+              THEN 1 ELSE 0 END AS bit
+  FROM blocks
+),
+fhashes AS (
+  SELECT media_id, f,
+    CAST(SUM(CASE WHEN br*8 + bc < 32
+                  THEN bit * (CAST(1 AS BIGINT) << (br*8 + bc))
+                  ELSE 0 END) AS BIGINT) AS lo,
+    CAST(SUM(CASE WHEN br*8 + bc >= 32
+                  THEN bit * (CAST(1 AS BIGINT) << (br*8 + bc - 32))
+                  ELSE 0 END) AS BIGINT) AS hi
+  FROM bits WHERE bc < 8 GROUP BY media_id, f
+),
+sigs AS (
+  SELECT media_id, string_agg(hi || ':' || lo, ',' ORDER BY f) AS signature
+  FROM fhashes GROUP BY media_id
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b, a.signature AS signature
+FROM sigs a
+JOIN sigs b ON a.signature = b.signature AND a.media_id < b.media_id
 """
 
 
@@ -6928,6 +7194,18 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r134_inverted_index": QuerySpec(
         r134_inverted_index, R134_SQL, "search-inverted-index,postings"
+    ),
+    "r135_dv_delete": QuerySpec(
+        r135_dv_delete, R135_SQL, "lakehouse-deletion-vectors,merge-on-read"
+    ),
+    "r136_audio_near_dup": QuerySpec(
+        r136_audio_near_dup, R136_SQL, "dedup-audio-perceptual,fingerprint"
+    ),
+    "r137_media_source": QuerySpec(
+        r137_media_source, _r137_sql(), "source-python-datasource,media-files"
+    ),
+    "r138_video_near_dup": QuerySpec(
+        r138_video_near_dup, R138_SQL, "dedup-video-perceptual,frame-signature"
     ),
     "r13_orders_left_join": QuerySpec(q13_orders_left_join, Q13_SQL, "J1,J2,F2"),
     "r14_event_distribution": QuerySpec(q14_event_distribution, Q14_SQL, "A13"),
