@@ -34,7 +34,12 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 #: extension → codec name (the dispatch contract of datapipe.multimodal)
 _EXT_CODECS = {
@@ -227,9 +232,58 @@ class MediaFileReader(DataSourceReader):
             )
 
 
+class MediaStreamReader(DataSourceStreamReader):
+    """Streaming flavor: watch the directory and emit each media file
+    exactly once across micro-batches/restarts.
+
+    The offset is the **maximum media id processed** (``{"max_id":
+    N}``) — a single monotone watermark, checkpointed by the engine
+    like a Kafka offset. The contract this buys its simplicity with is
+    the same one log-style sources impose: producers must land files
+    with MONOTONICALLY INCREASING numeric stems (epoch-prefixed names
+    satisfy it); a file arriving with an id at or below the watermark
+    is ignored as already-processed. Unlike the built-in file source's
+    seen-file map, the checkpoint state is O(1), not O(files ever
+    seen). Each micro-batch bin-packs its new files by size into
+    ``numPartitions`` splits, exactly like the batch reader."""
+
+    def __init__(self, options: dict):
+        self._reader = MediaFileReader(options)
+
+    def initialOffset(self) -> dict:  # noqa: N802 (API name)
+        return {"max_id": -1}
+
+    def latestOffset(self) -> dict:  # noqa: N802 (API name)
+        files = self._reader._list_files()
+        return {"max_id": max((m for m, _, _ in files), default=-1)}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["max_id"], end["max_id"]
+        files = [
+            rec for rec in self._reader._list_files() if lo < rec[0] <= hi
+        ]
+        if not files:
+            return [_FilePartition([])]
+        n = min(self._reader.num_partitions, len(files))
+        bins = [[] for _ in range(n)]
+        sizes = [0] * n
+        for rec in sorted(files, key=lambda r: -os.path.getsize(r[1])):
+            i = sizes.index(min(sizes))
+            bins[i].append(rec)
+            sizes[i] += os.path.getsize(rec[1])
+        return [_FilePartition(b) for b in bins if b]
+
+    def read(self, partition: _FilePartition):
+        yield from self._reader.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # the watermark offset is the whole state
+
+
 class MediaFileDataSource(DataSource):
-    """``spark.read.format("mediafile").option("path", dir)`` — see the
-    module docstring. Register once per session:
+    """``spark.read.format("mediafile").option("path", dir)`` (batch)
+    or ``spark.readStream.format("mediafile")`` (incremental directory
+    watching) — see the module docstring. Register once per session:
     ``spark.dataSource.register(MediaFileDataSource)``."""
 
     @classmethod
@@ -241,6 +295,9 @@ class MediaFileDataSource(DataSource):
 
     def reader(self, schema) -> MediaFileReader:
         return MediaFileReader(self.options)
+
+    def streamReader(self, schema) -> MediaStreamReader:  # noqa: N802
+        return MediaStreamReader(self.options)
 
 
 def register_media_source(spark) -> None:

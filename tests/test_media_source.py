@@ -151,3 +151,53 @@ def test_missing_path_raises(spark):
     register_media_source(spark)
     with pytest.raises(Exception):
         spark.read.format("mediafile").load().collect()
+
+
+def test_streaming_directory_watch_exactly_once(spark, tmp_path):
+    """readStream over the directory: each file exactly once across
+    two availableNow drains sharing a checkpoint; a file landing AT or
+    BELOW the id watermark is ignored (the documented monotonic-stem
+    contract), O(1) offset state."""
+    rng = np.random.default_rng(9)
+    d, ckpt, out = (
+        str(tmp_path / "media"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+    )
+    os.makedirs(d)
+
+    def put(i):
+        with open(os.path.join(d, f"{i}.ppm"), "wb") as fh:
+            fh.write(
+                encode_ppm(rng.integers(0, 255, (10, 12, 3), dtype=np.uint8))
+            )
+
+    register_media_source(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("mediafile")
+            .option("path", d)
+            .load()
+            .selectExpr("media_id", "codec")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for i in range(5):
+        put(i)
+    drain()
+    assert sorted(
+        r.media_id for r in spark.read.parquet(out).collect()
+    ) == list(range(5))
+    for i in range(5, 8):
+        put(i)
+    put(2)  # below the watermark: already processed, must not re-emit
+    drain()
+    assert sorted(
+        r.media_id for r in spark.read.parquet(out).collect()
+    ) == list(range(8))

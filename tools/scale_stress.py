@@ -110,6 +110,74 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def gen_media(spark, n: int, path: str) -> None:
+    """Random-content media table for the perceptual-dedup stress:
+    per-id RNG images (16x18), audio (200x1 PCM), and 4-frame videos —
+    random content is hash-collision-free, so the pair structure is
+    exactly the injected 2% duplicates (id copies id-1's content in a
+    different container/layout/fps). The registry fixtures' closed-form
+    formulas are deliberately NOT used here: their finite period makes
+    pair counts grow super-linearly with corpus size, which would
+    measure the fixture, not the operator."""
+    import pandas as pd
+
+    from datalake_backend_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        encode_ppm,
+        encode_rawvideo,
+        encode_wav,
+    )
+
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+
+    def gen(it):
+        for pdf in it:
+            recs = []
+            for i in pdf["media_id"]:
+                i = int(i)
+                src = i - 1 if (i % 50 == 1 and i > 0) else i  # 2% dups
+                rng = np.random.default_rng(src)
+                kind = src % 3  # a dup keeps its source's modality
+                if kind == 0:
+                    img = rng.integers(0, 256, (16, 18, 3), dtype=np.uint8)
+                    enc = encode_ppm if (i == src) else encode_png
+                    payload, codec = enc(img), "img"
+                elif kind == 1:
+                    mono = rng.integers(-2048, 2048, (200, 1)).astype(np.int16)
+                    ch = 1 if (i == src) else 2
+                    payload = encode_wav(np.repeat(mono, ch, axis=1), 8000)
+                    codec = "aud"
+                else:
+                    frames = rng.integers(0, 256, (4, 16, 18, 3), dtype=np.uint8)
+                    payload = encode_rawvideo(frames, 5 if i == src else 10)
+                    codec = "vid"
+                recs.append(
+                    {
+                        "media_id": i,
+                        "payload": payload,
+                        "meta": {
+                            "mime": codec,
+                            "width": None,
+                            "height": None,
+                            "duration_ms": None,
+                            "codec": codec,
+                        },
+                    }
+                )
+            yield pd.DataFrame(recs)
+
+    (
+        spark.range(n)
+        .select(F.col("id").alias("media_id"))
+        .repartition(32)
+        .mapInPandas(gen, MEDIA_SCHEMA)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def run_ops(spark, docs_path: str, events_path: str) -> dict[str, float]:
     from datalake_backend_spark.datapipe.dedup import (
         cluster_near_dups,
@@ -155,6 +223,36 @@ def run_ops(spark, docs_path: str, events_path: str) -> dict[str, float]:
         lambda: _force(gap_fill(ev, ["user_id"], "t", step, "value", mode="linear")),
     )
     timed("packing", lambda: _force(pack_sequences(docs, 2048)))
+
+    from datalake_backend_spark.datapipe.phash import (
+        audio_near_dups,
+        image_near_dups,
+        video_near_dups,
+    )
+    from datalake_backend_spark.datapipe.text import inverted_index
+    from datalake_backend_spark.operators.fingerprint import table_fingerprint
+
+    media_path = os.path.join(os.path.dirname(docs_path), "media.parquet")
+    gen_media(spark, docs.count(), media_path)
+    media = spark.read.parquet(media_path)
+    imgs = media.where(F.col("meta.codec") == "img")
+    auds = media.where(F.col("meta.codec") == "aud")
+    vids = media.where(F.col("meta.codec") == "vid")
+    timed("img_near_dup", lambda: _force(image_near_dups(imgs, max_hamming=3)))
+    out["n_img_pairs"] = image_near_dups(imgs, max_hamming=3).count()
+    timed("audio_near_dup", lambda: _force(audio_near_dups(auds)))
+    timed("video_near_dup", lambda: _force(video_near_dups(vids)))
+    timed("inverted_index", lambda: _force(inverted_index(docs)))
+    timed(
+        "fingerprint",
+        lambda: _force(
+            table_fingerprint(
+                events.withColumn("bucket", F.pmod("user_id", F.lit(16))),
+                ["event_id", "user_id", "t"],
+                group_by=["bucket"],
+            )
+        ),
+    )
     return out
 
 
@@ -176,7 +274,11 @@ def main() -> int:
         results[label] = run_ops(spark, dp, ep)
         print(label, results[label], flush=True)
 
-    ops = ["lsh_pairs", "clusters", "incr_dedup", "gap_ffill", "gap_linear", "packing"]
+    ops = [
+        "lsh_pairs", "clusters", "incr_dedup", "gap_ffill", "gap_linear",
+        "packing", "img_near_dup", "audio_near_dup", "video_near_dup",
+        "inverted_index", "fingerprint",
+    ]
     lines = [
         "| op | 1x sec | 10x sec | ratio | exponent |",
         "|---|---|---|---|---|",
@@ -190,7 +292,9 @@ def main() -> int:
         )
     meta = (
         f"pairs: 1x={results['1x']['n_pairs']} 10x={results['10x']['n_pairs']}; "
-        f"grid rows: 1x={results['1x']['n_grid']} 10x={results['10x']['n_grid']}"
+        f"grid rows: 1x={results['1x']['n_grid']} 10x={results['10x']['n_grid']}; "
+        f"img pairs: 1x={results['1x']['n_img_pairs']} "
+        f"10x={results['10x']['n_img_pairs']}"
     )
     print("\n".join(lines))
     print(meta)
