@@ -4476,6 +4476,58 @@ JOIN sigs b ON a.signature = b.signature AND a.media_id < b.media_id
 """
 
 
+def r139_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT ingestion driver check (`dbs.sources.variantjson` —
+    Spark 4 semi-structured type): every event is serialized to a raw
+    JSON document (to_json over the typed row), parsed ONCE into a
+    VARIANT, and typed fields are shredded back out with variant_get —
+    including the open-ended ``props`` JSON bag the reference would
+    have had to freeze into a guessed schema. The oracle aggregates
+    the ORIGINAL typed columns, so any fidelity loss across
+    serialize → parse_json → variant_get (a double rounded through
+    the JSON text, a lost nested key, a mis-typed cast) breaks the
+    value hash. Missing-path NULLs and lenient mode are pinned by
+    tests/test_fingerprint.py."""
+    from datalake_backend_spark.sources.variantjson import (
+        parse_variant,
+        shred_variant,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    raw = ev.select(
+        F.to_json(
+            F.struct("event_id", "user_id", "event_type", "value")
+        ).alias("doc"),
+        F.col("props").alias("props_json"),
+    )
+    v = parse_variant(parse_variant(raw, "doc", "v"), "props_json", "pv")
+    shredded = shred_variant(
+        v,
+        "v",
+        {
+            "event_type": ("$.event_type", "string"),
+            "user_id": ("$.user_id", "bigint"),
+            "value": ("$.value", "double"),
+        },
+    )
+    shredded = shred_variant(shredded, "pv", {"k": ("$.k", "bigint")})
+    return shredded.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dec_sum("value").alias("sum_value"),
+        F.sum("user_id").alias("sum_users"),
+        F.sum("k").alias("sum_k"),
+    )
+
+
+R139_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users,
+       CAST(SUM(CAST(props::JSON->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
 def q77_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic shard assignment driver check
     (`dbs.datapipe.sampling.assign_shards`): every document lands in a
@@ -7206,6 +7258,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r138_video_near_dup": QuerySpec(
         r138_video_near_dup, R138_SQL, "dedup-video-perceptual,frame-signature"
+    ),
+    "r139_variant_shred": QuerySpec(
+        r139_variant_shred, R139_SQL, "source-variant-json,schema-on-read"
     ),
     "r13_orders_left_join": QuerySpec(q13_orders_left_join, Q13_SQL, "J1,J2,F2"),
     "r14_event_distribution": QuerySpec(q14_event_distribution, Q14_SQL, "A13"),

@@ -72,6 +72,11 @@ class CommitConflict(RuntimeError):
     """Another writer published this version first (after retries)."""
 
 
+class ConstraintViolation(RuntimeError):
+    """A CHECK-constrained commit carried violating rows; nothing was
+    published (the data dir is removed, the head is unchanged)."""
+
+
 #: predicate op -> column builder, the (col, op, val) language shared by
 #: read_where / prune_files and the serving layer's serve_gold_where
 PRED_COL_OPS = {
@@ -380,6 +385,7 @@ class VersionedTable:
         metadata: dict | None = None,
         partition_by: list[str] | None = None,
         expected_head: int | None = None,
+        constraints: list[dict] | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot and publish it atomically.
 
@@ -407,6 +413,33 @@ class VersionedTable:
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         os.makedirs(self.log_dir, exist_ok=True)
+        obs = None
+        if constraints:
+            # Delta-style CHECK constraints: row-level rules ride the
+            # write itself as observe() metrics — ZERO extra jobs, and
+            # because the manifest publishes only after the check, a
+            # violating commit leaves no visible snapshot (atomic
+            # reject). Aggregate-shaped rules (unique / foreign_key)
+            # need their own jobs — run check_constraints separately.
+            from pyspark.sql import Observation
+
+            bad = [r["rule"] for r in constraints if r.get("kind") != "row"]
+            if bad:
+                raise ValueError(
+                    "commit constraints must be row-level CHECK rules "
+                    f"(got {bad}); run check_constraints for the rest"
+                )
+            obs = Observation()
+            # same violation expression as check_constraints: a NULL
+            # predicate passes value rules (pair with not_null), so the
+            # commit gate and the report path can never disagree
+            df = df.observe(
+                obs,
+                *[
+                    F.sum((~r["pred"]).cast("long")).alias(r["rule"])
+                    for r in constraints
+                ],
+            )
         dir_name = f"{uuid.uuid4().hex[:12]}"
         rel_dir = f"data/{dir_name}"
         abs_dir = os.path.join(self.path, rel_dir)
@@ -414,6 +447,18 @@ class VersionedTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(abs_dir)
+        if obs is not None:
+            violated = {k: v for k, v in obs.get.items() if v}
+            if violated:
+                import shutil
+
+                shutil.rmtree(abs_dir, ignore_errors=True)
+                raise ConstraintViolation(
+                    f"commit rejected at {self.path}: {violated}"
+                )
+            metadata = dict(
+                metadata or {}, constraints_checked=[r["rule"] for r in constraints]
+            )
         # per-file footer stats for data skipping; row count folds out
         # of the same footers (no Spark job, no re-scan)
         file_entries = _collect_dir_stats(self.path, rel_dir)

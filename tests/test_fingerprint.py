@@ -8,6 +8,7 @@ fingerprint_diff drill-down used to localize a mismatch.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from datalake_backend_spark.operators.fingerprint import (
@@ -104,3 +105,41 @@ def test_inverted_index_postings(spark):
     assert (idx["b"]["df"], idx["b"]["tf_total"]) == (2, 3)
     capped = inverted_index(docs, max_df=1).collect()
     assert {r["term"] for r in capped} == {"c"}
+
+
+def test_variant_shred_missing_and_lenient(spark):
+    """VARIANT shredding (sources/variantjson.py; oracle twin r139):
+    missing paths yield NULL, lenient mode degrades type mismatches to
+    NULL, strict mode raises them."""
+    from datalake_backend_spark.sources.variantjson import (
+        parse_variant,
+        shred_variant,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"a": 7, "b": "x", "nested": {"c": [1, 2, 3]}}'),
+            (2, '{"a": "not-a-number"}'),
+            (3, '{}'),
+        ],
+        "id long, raw string",
+    )
+    v = parse_variant(df, "raw", "v", drop=True)
+    out = {
+        r["id"]: r
+        for r in shred_variant(
+            v,
+            "v",
+            {
+                "a": ("$.a", "bigint"),
+                "b": ("$.b", "string"),
+                "c1": ("$.nested.c[1]", "bigint"),
+            },
+            lenient=True,
+        ).collect()
+    }
+    assert (out[1]["a"], out[1]["b"], out[1]["c1"]) == (7, "x", 2)
+    assert out[2]["a"] is None  # lenient: type mismatch -> NULL
+    assert out[3]["a"] is None and out[3]["c1"] is None  # missing paths
+    with pytest.raises(Exception):
+        shred_variant(v, "v", {"a": ("$.a", "bigint")}).collect()

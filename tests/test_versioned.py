@@ -1252,3 +1252,45 @@ def test_fsck_flags_corrupt_dv(spark, tmp_path):
     os.replace(tbl._manifest_path(v) + ".tmp", tbl._manifest_path(v))
     rep = tbl.fsck(v)
     assert not rep["ok"] and rep["dv_errors"][0]["error"] == "inverted range"
+
+
+# ------------------------------------------- commit CHECK constraints
+
+
+def test_commit_check_constraints(spark, tmp_path):
+    """Delta-style CHECK constraints on commit: violations reject the
+    commit ATOMICALLY (no snapshot published, no orphan data dir) with
+    zero extra jobs (observe() rides the write); clean commits record
+    which rules were checked."""
+    from datalake_backend_spark.operators.constraints import in_range, not_null
+    from datalake_backend_spark.sources.versioned import ConstraintViolation
+
+    tbl = VersionedTable(str(tmp_path / "chk"))
+    rules = [not_null("val"), in_range("key", lo=0)]
+    ok = _mk(spark, [(1, "a"), (2, "b")])
+    v = tbl.commit(ok, constraints=rules)
+    assert tbl.manifest(v)["metadata"]["constraints_checked"] == [
+        "not_null(val)",
+        "in_range(key,0,None)",
+    ]
+    bad = _mk(spark, [(3, "c"), (-1, "d")])
+    with pytest.raises(ConstraintViolation, match="in_range"):
+        tbl.commit(bad, mode="append", constraints=rules)
+    assert tbl.latest_version() == v  # head unchanged
+    # the rejected write left no data dir behind
+    data = os.path.join(str(tmp_path / "chk"), "data")
+    assert len(os.listdir(data)) == len(tbl.manifest(v)["dirs"])
+    # NULLs pass value rules (the check_constraints convention) but
+    # fail not_null
+    nulls = _mk(spark, [(4, None)])
+    with pytest.raises(ConstraintViolation, match="not_null"):
+        tbl.commit(nulls, mode="append", constraints=rules)
+    v2 = tbl.commit(
+        _mk(spark, [(4, None)]), mode="append", constraints=[in_range("key", lo=0)]
+    )
+    assert tbl.read(spark).count() == 3
+    # aggregate-shaped rules are refused with guidance
+    from datalake_backend_spark.operators.constraints import unique
+
+    with pytest.raises(ValueError, match="row-level"):
+        tbl.commit(ok, constraints=[unique(["key"])])
