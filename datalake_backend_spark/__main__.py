@@ -60,6 +60,13 @@ def main(argv: list[str] | None = None) -> int:
     fp.add_argument("--table", required=True)
     fp.add_argument("--version", type=int)
 
+    mp = sub.add_parser(
+        "process-media", help="ingest + dedup a media directory"
+    )
+    mp.add_argument("--path", required=True)
+    mp.add_argument("--out", required=True)
+    mp.add_argument("--no-perceptual", action="store_true")
+
     dp = sub.add_parser("delete", help="DELETE FROM a versioned table")
     dp.add_argument("--table", required=True)
     dp.add_argument("--where", required=True, help="SQL predicate")
@@ -136,6 +143,17 @@ def main(argv: list[str] | None = None) -> int:
             args.keys.split(","),
         )
         print(json.dumps({"span": span}))
+        return 0
+    if args.cmd == "process-media":
+        from datalake_backend_spark.engine import Engine
+
+        print(
+            json.dumps(
+                Engine(spark).process_media_dir(
+                    args.path, args.out, perceptual=not args.no_perceptual
+                )
+            )
+        )
         return 0
     if args.cmd in ("optimize", "vacuum", "history", "restore", "fsck", "delete"):
         from datalake_backend_spark.sources.versioned import VersionedTable

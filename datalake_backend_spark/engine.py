@@ -222,3 +222,102 @@ class Engine:
         through VersionedTable data skipping when the domain's gold is
         versioned (see serving.views.serve_gold_where)."""
         return serve_gold_where(self.spark, domain, predicates, columns)
+
+    def process_media_dir(
+        self,
+        path: str,
+        out_dir: str,
+        perceptual: bool = True,
+        versioned: bool = True,
+    ) -> dict:
+        """Media-ingest lifecycle, composing the multimodal tier end to
+        end: a crawler-style DIRECTORY of media files → the
+        ``mediafile`` DataSource (size-balanced partitions, header
+        probing) → exact dedup (sha256 of payload bytes — byte-identical
+        copies) → perceptual dedup (dHash for images, energy-gradient
+        fingerprint for audio, frame-signature for video — re-encoded /
+        container-swapped copies byte hashing misses; the keeper is the
+        lowest surviving id per perceptual key) → a ``media`` zone,
+        committed as a :class:`VersionedTable` snapshot so every ingest
+        is time-travelable and concurrent readers never tear.
+
+        Returns ``{"n_files", "n_exact_dups", "n_perceptual_dups",
+        "n_kept", "version", "zone"}`` (``version`` None when
+        ``versioned=False``). Dedup keys ride as columns
+        (``content_sha``, ``phash_hi``/``phash_lo``/``vsig``) so
+        downstream incremental ingests can probe them."""
+        import os as _os
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from datalake_backend_spark.datapipe.multimodal import media_fingerprint
+        from datalake_backend_spark.datapipe.phash import (
+            audio_fingerprints,
+            perceptual_hashes,
+            video_phash_signature,
+        )
+        from datalake_backend_spark.sources.media_source import (
+            register_media_source,
+        )
+
+        register_media_source(self.spark)
+        media = (
+            self.spark.read.format("mediafile").option("path", path).load()
+        )
+        n_files = media.count()
+
+        # exact pass: byte-identical copies collapse on sha256
+        hashed = media_fingerprint(media)
+        w = Window.partitionBy("content_sha").orderBy("media_id")
+        exact = hashed.withColumn("_rk", F.row_number().over(w))
+        n_exact_dups = exact.where(F.col("_rk") > 1).count()
+        kept = exact.where(F.col("_rk") == 1).drop("_rk")
+
+        n_perceptual_dups = 0
+        if perceptual:
+            # one perceptual key column per modality; NULL = no key
+            # (undecodable / below-grid), which never collapses rows
+            img_h = perceptual_hashes(kept).withColumnsRenamed(
+                {"dhash_hi": "phash_hi", "dhash_lo": "phash_lo"}
+            )
+            aud_h = audio_fingerprints(kept).select(
+                "media_id",
+                F.col("dhash_hi").alias("afp_hi"),
+                F.col("dhash_lo").alias("afp_lo"),
+            )
+            vid_h = video_phash_signature(kept).withColumnRenamed(
+                "signature", "vsig"
+            )
+            keyed = (
+                kept.join(img_h, "media_id", "left")
+                .join(aud_h, "media_id", "left")
+                .join(vid_h, "media_id", "left")
+            )
+            pkey = F.coalesce(
+                F.concat_ws(":", "phash_hi", "phash_lo"),
+                F.concat_ws(":", "afp_hi", "afp_lo"),
+                F.col("vsig"),
+                F.concat(F.lit("id-"), F.col("media_id").cast("string")),
+            )
+            pw = Window.partitionBy(pkey).orderBy("media_id")
+            keyed = keyed.withColumn("_prk", F.row_number().over(pw))
+            n_perceptual_dups = keyed.where(F.col("_prk") > 1).count()
+            kept = keyed.where(F.col("_prk") == 1).drop("_prk")
+
+        zone = _os.path.join(out_dir, "media")
+        version = None
+        if versioned:
+            from datalake_backend_spark.sources.versioned import VersionedTable
+
+            version = VersionedTable(zone).commit(kept, op="media-ingest")
+        else:
+            kept.write.mode("overwrite").parquet(zone)
+        return {
+            "n_files": n_files,
+            "n_exact_dups": n_exact_dups,
+            "n_perceptual_dups": n_perceptual_dups,
+            "n_kept": kept.count(),
+            "version": version,
+            "zone": zone,
+        }

@@ -208,3 +208,46 @@ def test_cli_lakehouse_maintenance(spark, tmp_path, capsys):
     rem = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rem["removed"]  # pre-compact dirs expired
     assert tbl.read(spark).count() == 3
+
+
+def test_process_media_dir(spark, tmp_path):
+    """Media-ingest composition: directory -> mediafile source ->
+    exact dedup -> perceptual dedup -> versioned media zone. The
+    re-encoded image copy (PNG of the same pixels) survives exact
+    dedup but collapses perceptually; the byte-identical copy
+    collapses in the exact pass; the distinct files all survive."""
+    import numpy as np
+
+    from datalake_backend_spark.datapipe.multimodal import (
+        encode_png,
+        encode_ppm,
+        encode_wav,
+    )
+    from datalake_backend_spark.engine import Engine
+    from datalake_backend_spark.sources.versioned import VersionedTable
+
+    d = tmp_path / "incoming"
+    d.mkdir()
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 255, (16, 18, 3), dtype=np.uint8)
+    other = rng.integers(0, 255, (16, 18, 3), dtype=np.uint8)
+    (d / "1.ppm").write_bytes(encode_ppm(img))
+    (d / "2.ppm").write_bytes(encode_ppm(img))  # byte-identical dup
+    (d / "3.png").write_bytes(encode_png(img))  # re-encoded dup
+    (d / "4.ppm").write_bytes(encode_ppm(other))  # distinct
+    mono = rng.integers(-2048, 2048, (200, 1)).astype(np.int16)
+    (d / "5.wav").write_bytes(encode_wav(mono, 8000))
+    (d / "6.wav").write_bytes(
+        encode_wav(np.repeat(mono, 2, axis=1), 8000)
+    )  # stereo re-layout dup
+
+    eng = Engine(spark)
+    res = eng.process_media_dir(str(d), str(tmp_path / "lake"))
+    assert res["n_files"] == 6
+    assert res["n_exact_dups"] == 1  # 2.ppm
+    assert res["n_perceptual_dups"] == 2  # 3.png, 6.wav
+    assert res["n_kept"] == 3 and res["version"] == 1
+    kept = VersionedTable(res["zone"]).read(spark)
+    assert {r.media_id for r in kept.select("media_id").collect()} == {1, 4, 5}
+    # dedup keys ride along for incremental probes
+    assert {"content_sha", "phash_hi", "vsig"} <= set(kept.columns)

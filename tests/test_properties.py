@@ -491,3 +491,92 @@ def test_zorder_3d_is_injective(a, b):
     ka, kb = key(a), key(b)
     assert ka < (1 << 21) and kb < (1 << 21)
     assert (ka == kb) == (a == b)
+
+
+# ---- codec + perceptual-hash properties (pure Python, no Spark jobs:
+# generous example counts are cheap)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=8).flatmap(
+        lambda mcs: st.tuples(
+            st.just(mcs),
+            st.lists(
+                st.integers(min_value=0, max_value=(1 << mcs) - 1), max_size=600
+            ),
+        )
+    )
+)
+def test_lzw_roundtrip_property(case):
+    from datalake_backend_spark.datapipe.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+    import numpy as np
+
+    mcs, idx = case
+    arr = np.array(idx, dtype=np.int64)
+    assert _lzw_decode(_lzw_encode(arr, mcs), mcs) == bytes(
+        arr.astype(np.uint8)
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=8, max_value=40),
+    st.integers(min_value=9, max_value=40),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_gif_roundtrip_property(h, w, seed):
+    import numpy as np
+
+    from datalake_backend_spark.datapipe.multimodal import (
+        decode_image,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(seed)
+    # <=256 colors by construction
+    pal = rng.integers(0, 256, (rng.integers(1, 257), 3), dtype=np.uint8)
+    img = pal[rng.integers(0, len(pal), (h, w))]
+    assert np.array_equal(decode_image(encode_gif(img)), img)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=8, max_value=50),
+    st.integers(min_value=9, max_value=50),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_dhash_matches_float_reference_property(h, w, seed):
+    """The integer cross-multiplied comparison equals the exact
+    block-mean definition on arbitrary dims (ragged grids included).
+    The reference uses Fraction means — a float reference would itself
+    mis-order exact ties on unequal-size blocks."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from datalake_backend_spark.datapipe.phash import dhash64
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    hi, lo = dhash64(img)
+    luma = img.astype(np.int64).sum(axis=2)
+    rb = [(i * h) // 8 for i in range(9)]
+    cb = [(j * w) // 9 for j in range(10)]
+    exp_hi = exp_lo = 0
+    for i in range(8):
+        for j in range(8):
+            bl = luma[rb[i] : rb[i + 1], cb[j] : cb[j + 1]]
+            br = luma[rb[i] : rb[i + 1], cb[j + 1] : cb[j + 2]]
+            a = Fraction(int(bl.sum()), bl.size)
+            b = Fraction(int(br.sum()), br.size)
+            if a < b:
+                idx = i * 8 + j
+                if idx < 32:
+                    exp_lo |= 1 << idx
+                else:
+                    exp_hi |= 1 << (idx - 32)
+    assert (hi, lo) == (exp_hi, exp_lo)
