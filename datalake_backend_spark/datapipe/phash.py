@@ -68,27 +68,32 @@ def dhash64(img: np.ndarray) -> tuple[int, int]:
     if h < GRID_ROWS or w < GRID_COLS:
         raise ValueError(f"image {h}x{w} smaller than the dHash grid")
     luma = img.astype(np.int64).sum(axis=2)
-    rb = [(br * h) // GRID_ROWS for br in range(GRID_ROWS + 1)]
-    cb = [(bc * w) // GRID_COLS for bc in range(GRID_COLS + 1)]
-    sums = np.empty((GRID_ROWS, GRID_COLS), np.int64)
-    cnts = np.empty((GRID_ROWS, GRID_COLS), np.int64)
-    for br in range(GRID_ROWS):
-        for bc in range(GRID_COLS):
-            block = luma[rb[br] : rb[br + 1], cb[bc] : cb[bc + 1]]
-            sums[br, bc] = block.sum()
-            cnts[br, bc] = block.size
-    hi = lo = 0
-    for br in range(GRID_ROWS):
-        for bc in range(GRID_COLS - 1):
-            # mean_l < mean_r without division: sums fit well under
-            # 2^31 (765 * pixels), so the cross product stays in int64
-            if sums[br, bc] * cnts[br, bc + 1] < sums[br, bc + 1] * cnts[br, bc]:
-                idx = br * (GRID_COLS - 1) + bc
-                if idx < 32:
-                    lo |= 1 << idx
-                else:
-                    hi |= 1 << (idx - 32)
-    return hi, lo
+    if h % GRID_ROWS == 0 and w % GRID_COLS == 0:
+        # grid-multiple fast path: one reshape-sum, no Python block
+        # loop (same floor boundaries — they're exact multiples here)
+        sums = luma.reshape(
+            GRID_ROWS, h // GRID_ROWS, GRID_COLS, w // GRID_COLS
+        ).sum(axis=(1, 3))
+        cnts = np.full(
+            (GRID_ROWS, GRID_COLS), (h // GRID_ROWS) * (w // GRID_COLS), np.int64
+        )
+    else:
+        rb = [(br * h) // GRID_ROWS for br in range(GRID_ROWS + 1)]
+        cb = [(bc * w) // GRID_COLS for bc in range(GRID_COLS + 1)]
+        sums = np.empty((GRID_ROWS, GRID_COLS), np.int64)
+        cnts = np.empty((GRID_ROWS, GRID_COLS), np.int64)
+        for br in range(GRID_ROWS):
+            for bc in range(GRID_COLS):
+                block = luma[rb[br] : rb[br + 1], cb[bc] : cb[bc + 1]]
+                sums[br, bc] = block.sum()
+                cnts[br, bc] = block.size
+    # mean_l < mean_r without division: sums fit well under 2^31
+    # (765 * pixels), so the cross products stay in int64
+    bits = (sums[:, :-1] * cnts[:, 1:]) < (sums[:, 1:] * cnts[:, :-1])
+    packed = int(
+        np.sum(bits.reshape(-1).astype(np.uint64) << np.arange(64, dtype=np.uint64))
+    )
+    return packed >> 32, packed & 0xFFFFFFFF
 
 
 _PHASH_SCHEMA = T.StructType(
@@ -249,24 +254,17 @@ def audio_fingerprint64(samples: np.ndarray) -> tuple[int, int]:
             "window fingerprint grid"
         )
     mixed = np.abs(samples.astype(np.int64).sum(axis=1))
-    bounds = [
-        (w * frames) // AUDIO_FP_WINDOWS for w in range(AUDIO_FP_WINDOWS + 1)
-    ]
-    e = np.array(
-        [mixed[bounds[w] : bounds[w + 1]].sum() for w in range(AUDIO_FP_WINDOWS)],
+    bounds = np.array(
+        [(w * frames) // AUDIO_FP_WINDOWS for w in range(AUDIO_FP_WINDOWS + 1)],
         np.int64,
     )
-    n = np.array(
-        [bounds[w + 1] - bounds[w] for w in range(AUDIO_FP_WINDOWS)], np.int64
+    e = np.add.reduceat(mixed, bounds[:-1])
+    n = np.diff(bounds)
+    bits = (e[:-1] * n[1:]) < (e[1:] * n[:-1])
+    packed = int(
+        np.sum(bits.astype(np.uint64) << np.arange(64, dtype=np.uint64))
     )
-    hi = lo = 0
-    for w in range(AUDIO_FP_WINDOWS - 1):
-        if e[w] * n[w + 1] < e[w + 1] * n[w]:
-            if w < 32:
-                lo |= 1 << w
-            else:
-                hi |= 1 << (w - 32)
-    return hi, lo
+    return packed >> 32, packed & 0xFFFFFFFF
 
 
 def audio_fingerprints(

@@ -6213,6 +6213,78 @@ WHERE o_orderkey >= 10000 AND o_orderkey < 20000
 """
 
 
+def r140_dv_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion vectors × data skipping composition check: orders
+    committed range-clustered (r109's layout), a key band DV-deleted
+    (manifest-only; the clustered FILES are untouched, so their footer
+    stats still cover the deleted rows), then a `read_where` band
+    query must (a) prune files by the unchanged stats — `files_skipped`
+    pinned true — and (b) STILL anti-join the vectors on the surviving
+    files, so deleted rows can never be resurrected by the pruned read
+    path (the ordering hazard this row exists to pin: skipping first,
+    vectors second, residual filter last). The oracle is the plain
+    double filter; `dv_delete_metadata_only` additionally pins that
+    the delete reused the clustered dirs."""
+    import shutil
+
+    from datalake_backend_spark.sources.versioned import VersionedTable
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    warehouse = os.path.join(repo_root, "spark-warehouse")
+    base = os.path.join(
+        warehouse,
+        f"r140_dvsk_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    tbl = VersionedTable(base)
+    with _VT_BUILD_LOCK:
+        _sweep_stale_fixtures(warehouse, "r140_dvsk_")
+        if tbl.latest_version() != 2:
+            shutil.rmtree(base, ignore_errors=True)
+            clustered = (
+                table(spark, sf_dir, "orders")
+                .select("o_orderkey", "o_totalprice")
+                .repartitionByRange(8, "o_orderkey")
+                .sortWithinPartitions("o_orderkey")
+            )
+            tbl.commit(clustered, op="optimize-clustered")
+            tbl.delete_where(
+                spark,
+                (F.col("o_orderkey") >= 12000) & (F.col("o_orderkey") < 14000),
+                mode="dv",
+            )
+    preds = [("o_orderkey", ">=", 10000), ("o_orderkey", "<", 20000)]
+    _kept, total, n_kept = tbl.prune_files(preds)
+    head = tbl.latest_version()
+    if head >= 2:
+        m1, m2 = tbl.manifest(1), tbl.manifest(2)
+        meta_only = m2["op"] == "delete-dv" and m2["dirs"] == m1["dirs"]
+    else:
+        # tiny scale factors (sf0.001 smoke) have no keys in the delete
+        # band: the DV delete was a metadata no-op, vacuously true
+        meta_only = True
+    return tbl.read_where(spark, preds).agg(
+        F.count("*").alias("n"),
+        dec_sum("o_totalprice").alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.lit(bool(n_kept < total)).alias("files_skipped"),
+        F.lit(bool(meta_only)).alias("dv_delete_metadata_only"),
+    )
+
+
+R140_SQL = """
+SELECT COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       TRUE AS files_skipped,
+       TRUE AS dv_delete_metadata_only
+FROM orders
+WHERE o_orderkey >= 10000 AND o_orderkey < 20000
+  AND NOT (o_orderkey >= 12000 AND o_orderkey < 14000)
+"""
+
+
 def r110_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact frequent-items driver check (`dbs.operators.distributions
     .heavy_hitters`): corpus vocabulary heavy hitters — every token
@@ -7263,6 +7335,10 @@ QUERIES: dict[str, QuerySpec] = {
         r139_variant_shred, R139_SQL, "source-variant-json,schema-on-read"
     ),
     "r13_orders_left_join": QuerySpec(q13_orders_left_join, Q13_SQL, "J1,J2,F2"),
+    # byte order: '0' < '_', so r140 sorts AFTER r13_* but BEFORE r14_*
+    "r140_dv_skipping": QuerySpec(
+        r140_dv_skipping, R140_SQL, "lakehouse-dv-skipping-composition"
+    ),
     "r14_event_distribution": QuerySpec(q14_event_distribution, Q14_SQL, "A13"),
     "r16_distinct_users": QuerySpec(q16_distinct_users, Q16_SQL, "U1,U2,A14"),
     "r17_renest_lineitems": QuerySpec(q17_renest_lineitems, Q17_SQL, "E5,A7,O1"),
