@@ -132,11 +132,54 @@ def perceptual_hashes(
     return df.select(id_col, payload_col).mapInPandas(batches, _PHASH_SCHEMA)
 
 
-def hash_near_dups(hashes: DataFrame, max_hamming: int = 0) -> DataFrame:
+def _cap_hot_keys(
+    df: DataFrame,
+    key_cols: list[str],
+    max_group: int | None,
+    warn_above: int | None,
+    where: str,
+) -> DataFrame:
+    """The perceptual twin of ``dedup.cap_hot_buckets``: a key shared
+    by m items costs m²/2 pairs in the equality self-join — a site
+    logo repeated across 10⁶ pages is the image-dedup version of the
+    boilerplate LSH bucket. ``max_group`` drops hotter groups (bounded
+    recall loss, hard quadratic bound); ``None`` keeps answers
+    unchanged but still rides max/p99 group-size ``observe()`` metrics
+    on the same exchange the join needs, with the daemon watcher
+    warning above ``warn_above`` — no silent quadratic, and no silent
+    un-cap either."""
+    from pyspark.sql import Window
+
+    from datalake_backend_spark.datapipe.dedup import _watch_hot_buckets
+
+    if max_group is None and warn_above is None:
+        return df
+    w = Window.partitionBy(*key_cols)
+    with_n = df.withColumn("_gn", F.count(F.lit(1)).over(w))
+    if max_group is None:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = with_n.observe(
+            obs,
+            F.max("_gn").alias("max_bucket_size"),
+            F.percentile_approx("_gn", 0.99).alias("p99_bucket_size"),
+        )
+        _watch_hot_buckets(obs, warn_above, where)
+        return observed.drop("_gn")
+    return with_n.where(F.col("_gn") <= max_group).drop("_gn")
+
+
+def hash_near_dups(
+    hashes: DataFrame,
+    max_hamming: int = 0,
+    max_group: int | None = None,
+) -> DataFrame:
     """Near-duplicate pairs ``(id_a, id_b, dhash_hi, dhash_lo,
     hamming)`` with ``id_a < id_b`` from a ``(media_id, dhash_hi,
     dhash_lo)`` frame — the shared candidate/verify join behind image
-    AND audio perceptual dedup.
+    AND audio perceptual dedup. ``max_group`` caps hot hash groups
+    (see :func:`_cap_hot_keys`); uncapped runs still observe and warn.
 
     ``max_hamming=0`` (exact perceptual match — re-encoded /
     container-swapped copies) is a plain equality self-join on the
@@ -147,9 +190,18 @@ def hash_near_dups(hashes: DataFrame, max_hamming: int = 0) -> DataFrame:
     distance (popcount of xor, JVM ``bit_count``) filters. Never
     all-pairs; hot bands behave like hot LSH buckets (cap upstream if
     the corpus is degenerate)."""
+    from datalake_backend_spark.datapipe.dedup import HOT_BUCKET_WARN
+
     if not 0 <= max_hamming <= 3:
         raise ValueError("max_hamming must be in 0..3 (4 bands of 16 bits)")
     if max_hamming == 0:
+        hashes = _cap_hot_keys(
+            hashes,
+            ["dhash_hi", "dhash_lo"],
+            max_group,
+            HOT_BUCKET_WARN,
+            "hash_near_dups",
+        )
         a, b = hashes.alias("a"), hashes.alias("b")
         return (
             a.join(
@@ -184,7 +236,17 @@ def hash_near_dups(hashes: DataFrame, max_hamming: int = 0) -> DataFrame:
     )
     candidates = None
     for band in range(4):
-        a, b = banded.alias("a"), banded.alias("b")
+        # cap/observe hot 16-bit bands per join leg; a member dropped
+        # from one hot band can still pair through its other 3 bands
+        # (observe only leg 0 when uncapped — one watcher, same signal)
+        leg = _cap_hot_keys(
+            banded,
+            [f"band{band}"],
+            max_group,
+            HOT_BUCKET_WARN if band == 0 else None,
+            "hash_near_dups_banded",
+        )
+        a, b = leg.alias("a"), leg.alias("b")
         cand = a.join(
             b,
             (F.col(f"a.band{band}") == F.col(f"b.band{band}"))
@@ -471,14 +533,21 @@ def video_near_dups(
     payload_col: str = "payload",
     id_col: str = "media_id",
     every: int = 1,
+    max_group: int | None = None,
 ) -> DataFrame:
     """Perceptual near-duplicate VIDEO pairs ``(id_a, id_b,
     signature)``: equality self-join on the frame-hash signature —
     catches the same footage in a container with different metadata,
     which sha256 dedup misses. The signature string is the join key
-    (an equality join, same scale shape as the image/audio paths)."""
+    (an equality join, same scale shape as the image/audio paths;
+    ``max_group`` caps hot signatures, uncapped runs observe+warn)."""
+    from datalake_backend_spark.datapipe.dedup import HOT_BUCKET_WARN
+
     sigs = video_phash_signature(media, payload_col, id_col, every).where(
         F.col("signature").isNotNull()
+    )
+    sigs = _cap_hot_keys(
+        sigs, ["signature"], max_group, HOT_BUCKET_WARN, "video_near_dups"
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     return a.join(

@@ -284,3 +284,32 @@ def test_video_signature_frame_order_and_sampling(spark):
         "media_id long, payload binary",
     )
     assert video_phash_signature(df2).collect()[0]["signature"] != sig
+
+
+def test_hot_group_cap(spark):
+    """max_group bounds the quadratic hazard of a hot perceptual key
+    (site-logo images): the hot group is dropped, cold pairs survive
+    (the cap_hot_buckets contract for the perceptual tier)."""
+    from datalake_backend_spark.datapipe.phash import image_near_dups
+
+    rng = np.random.default_rng(30)
+    logo = _rand_img(rng, 16, 18)
+    pair = _rand_img(rng, 16, 18)
+    rows = [(i, bytearray(encode_ppm(logo))) for i in range(10)]
+    rows += [(20, bytearray(encode_ppm(pair))), (21, bytearray(encode_png(pair)))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    from datalake_backend_spark.datapipe.phash import (
+        hash_near_dups,
+        perceptual_hashes,
+    )
+
+    hashes = perceptual_hashes(df)
+    capped = hash_near_dups(hashes, max_group=5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in capped] == [(20, 21)]
+    # uncapped: all 45 logo pairs + the cold pair, answers unchanged
+    assert len(hash_near_dups(hashes).collect()) == 46
+    # banded path honors the cap too
+    assert (20, 21) in {
+        (r["id_a"], r["id_b"])
+        for r in hash_near_dups(hashes, max_hamming=3, max_group=5).collect()
+    }
