@@ -1064,3 +1064,106 @@ def incremental_near_dup_minhash(
         F.col("jaccard") >= threshold
     )
     return verified, new_idx
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn=None,
+) -> DataFrame:
+    """Exact duplicated-SPAN removal (the Lee et al. "Deduplicating
+    Training Data" substring dedup): every ``k``-token window whose
+    fingerprint occurs more than once in the corpus is cut from all
+    but its FIRST occurrence (global (doc_id, pos) order), and each
+    document is reassembled from its surviving tokens. Unlike the
+    detection-only operators (q67 flags containment pairs, q20 drops
+    whole duplicate docs), this REWRITES text: boilerplate headers,
+    license blocks, and quoted passages disappear from later copies
+    while the first keeps them.
+
+    Pipeline (all relational, oracle-reproducible): positional k-gram
+    fingerprints (``posexplode`` — O(tokens) rows, the same cost class
+    a suffix-array build pays) → one shuffle on the fingerprint for
+    the global first-occurrence rank → later occurrences become cut
+    spans ``[pos, pos+k)`` → per-doc gaps-and-islands interval merge →
+    cut positions explode to an equi anti-join on (doc, pos) → ordered
+    reassembly via ``array_sort(collect_list)``. Output keeps every
+    input doc: ``(id, clean_text, n_tokens, n_tokens_kept,
+    n_tokens_removed)`` — a doc shorter than ``k`` passes through
+    whitespace-normalized, a fully-duplicated doc comes back empty.
+
+    ``hash_fn`` defaults to :func:`portable_hash60` so a SQL twin
+    reproduces the fingerprints bit-for-bit; pass ``F.xxhash64`` for
+    maximum JVM throughput when cross-engine parity doesn't matter
+    (hash collisions conflate spans either way — at 60 bits the odds
+    are negligible, and both engines agree on WHICH spans)."""
+    from pyspark.sql import Window
+
+    hash_fn = hash_fn or portable_hash60
+    staged = df.select(id_col, text_col).withColumn(
+        "_toks", tokens(F.col(text_col))
+    )
+    toks, n = F.col("_toks"), F.size("_toks")
+
+    grams = staged.where(n >= k).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: hash_fn(F.concat_ws(" ", F.slice(toks, i, k))),
+            )
+        ).alias("pos", "_gh"),
+    )
+    w_first = Window.partitionBy("_gh").orderBy(id_col, "pos")
+    spans = (
+        grams.withColumn("_rk", F.row_number().over(w_first))
+        .where(F.col("_rk") > 1)
+        .select(id_col, F.col("pos").alias("lo"), (F.col("pos") + k - 1).alias("hi"))
+    )
+    # gaps-and-islands merge of overlapping cut spans per doc
+    w_doc = Window.partitionBy(id_col).orderBy("lo", "hi")
+    prev_hi = F.max("hi").over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = (
+        spans.withColumn(
+            "_new", (prev_hi.isNull() | (F.col("lo") > prev_hi)).cast("int")
+        )
+        .withColumn("_grp", F.sum("_new").over(w_doc))
+        .groupBy(id_col, "_grp")
+        .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
+    )
+    cut = merged.select(
+        id_col, F.explode(F.sequence("lo", "hi")).alias("pos")
+    )
+    toks_pos = staged.select(
+        id_col, F.posexplode(toks).alias("pos", "_tok")
+    ).where(F.col("_tok") != "")
+    kept = toks_pos.join(cut, [id_col, "pos"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_tokens_kept"),
+    )
+    base = df.select(
+        id_col, F.size(tokens(F.col(text_col))).alias("n_tokens")
+    )
+    return (
+        base.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+            (
+                F.col("n_tokens") - F.coalesce("n_tokens_kept", F.lit(0))
+            ).alias("n_tokens_removed"),
+        )
+    )

@@ -4528,6 +4528,83 @@ FROM events GROUP BY event_type
 """
 
 
+def r141_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-SPAN removal driver check (`dbs.datapipe.dedup
+    .remove_duplicate_spans` — the Lee et al. substring-dedup
+    semantics): every 8-token window repeated anywhere in the corpus
+    is cut from all but its first (doc_id, pos) occurrence, and each
+    document is reassembled from the survivors. The DuckDB twin
+    replays the whole pipeline — positional k-gram md5 fingerprints,
+    global first-occurrence rank, gaps-and-islands interval merge,
+    anti-join cut, ordered reassembly — and compares the REWRITTEN
+    TEXT of every document, so an off-by-one span bound, an unstable
+    first-occurrence order, a broken interval merge, or a reassembly
+    reorder all break the hash. Exact-duplicate docs come back empty
+    for the later copy; sub-k docs pass through normalized."""
+    from datalake_backend_spark.datapipe.dedup import remove_duplicate_spans
+
+    docs = table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, k=8)
+
+
+R141_SQL = r"""
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS pos, l[p + 1] AS tok
+  FROM tl, unnest(range(0, len(l))) AS t(p)
+),
+grams AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS pos,
+         ('0x' || substr(md5(array_to_string(l[p + 1 : p + 8], ' ')),
+                         1, 15))::BIGINT AS gh
+  FROM tl, unnest(range(0, len(l) - 8 + 1)) AS t(p)
+  WHERE len(l) >= 8
+),
+ranked AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rk
+  FROM grams
+),
+spans AS (SELECT doc_id, pos AS lo, pos + 7 AS hi FROM ranked WHERE rk > 1),
+islands AS (
+  SELECT doc_id, lo, hi,
+         CASE WHEN lo > COALESCE(MAX(hi) OVER (
+                  PARTITION BY doc_id ORDER BY lo, hi
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_grp
+  FROM spans
+),
+grp AS (
+  SELECT doc_id, lo, hi,
+         SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY lo, hi) AS g
+  FROM islands
+),
+merged AS (SELECT doc_id, MIN(lo) AS lo, MAX(hi) AS hi FROM grp GROUP BY doc_id, g),
+cut AS (SELECT doc_id, CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS pos FROM merged),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM toks t ANTI JOIN cut c ON t.doc_id = c.doc_id AND t.pos = c.pos
+),
+reassembled AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS kept_n
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(r.clean_text, '') AS clean_text,
+  CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS INT) AS n_tokens,
+  CAST(COALESCE(r.kept_n, 0) AS BIGINT) AS n_tokens_kept,
+  CAST(len(regexp_split_to_array(trim(d.text), '\s+'))
+       - COALESCE(r.kept_n, 0) AS BIGINT) AS n_tokens_removed
+FROM documents d LEFT JOIN reassembled r ON d.doc_id = r.doc_id
+"""
+
+
 def q77_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic shard assignment driver check
     (`dbs.datapipe.sampling.assign_shards`): every document lands in a
@@ -7335,9 +7412,12 @@ QUERIES: dict[str, QuerySpec] = {
         r139_variant_shred, R139_SQL, "source-variant-json,schema-on-read"
     ),
     "r13_orders_left_join": QuerySpec(q13_orders_left_join, Q13_SQL, "J1,J2,F2"),
-    # byte order: '0' < '_', so r140 sorts AFTER r13_* but BEFORE r14_*
+    # byte order: '0' < '_', so r140/r141 sort AFTER r13_* but BEFORE r14_*
     "r140_dv_skipping": QuerySpec(
         r140_dv_skipping, R140_SQL, "lakehouse-dv-skipping-composition"
+    ),
+    "r141_span_dedup": QuerySpec(
+        r141_span_dedup, R141_SQL, "dedup-substring-spans,text-rewrite"
     ),
     "r14_event_distribution": QuerySpec(q14_event_distribution, Q14_SQL, "A13"),
     "r16_distinct_users": QuerySpec(q16_distinct_users, Q16_SQL, "U1,U2,A14"),

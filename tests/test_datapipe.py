@@ -1429,3 +1429,40 @@ def test_bloom_contamination_equals_exact(spark):
     assert all(got[v] for v in range(500))  # zero false negatives
     fp = sum(1 for v in range(500, 5000) if got[v]) / 4500
     assert fp < 0.05, fp  # 2^14 bits / 500 keys / 5 hashes -> tiny fpp
+
+
+def test_remove_duplicate_spans(spark):
+    """Lee-et-al substring dedup semantics (dedup.remove_duplicate_spans;
+    oracle twin r141): a copied span is cut from the LATER doc only, an
+    exact-duplicate doc empties, a within-doc repeat keeps its first
+    occurrence, sub-k docs pass through whitespace-normalized."""
+    from datalake_backend_spark.datapipe.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "x y a b c d e f g h z"),  # embeds doc 1's first 8-gram
+            (3, "short  doc"),  # < k, double space normalizes
+            (4, "a b c d e f g h i j"),  # exact duplicate of doc 1
+            (5, "p q r s t u v w p q r s t u v w"),  # self-repeat
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, k=8).collect()}
+    assert out[1]["clean_text"] == "a b c d e f g h i j"
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[2]["clean_text"] == "x y z"
+    assert out[2]["n_tokens_removed"] == 8
+    assert out[3]["clean_text"] == "short doc"
+    assert out[4]["clean_text"] == "" and out[4]["n_tokens_kept"] == 0
+    assert out[5]["clean_text"] == "p q r s t u v w"
+    # overlapping duplicated spans merge: doc 6 repeats a 9-token run,
+    # so two overlapping 8-gram spans must cut as ONE 9-token interval
+    docs2 = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, "a b c d e f g h i")],
+        "doc_id long, text string",
+    )
+    out2 = {
+        r["doc_id"]: r for r in remove_duplicate_spans(docs2, k=8).collect()
+    }
+    assert out2[2]["clean_text"] == "" and out2[2]["n_tokens_removed"] == 9

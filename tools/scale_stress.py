@@ -223,6 +223,9 @@ def run_ops(spark, docs_path: str, events_path: str) -> dict[str, float]:
         lambda: _force(gap_fill(ev, ["user_id"], "t", step, "value", mode="linear")),
     )
     timed("packing", lambda: _force(pack_sequences(docs, 2048)))
+    from datalake_backend_spark.datapipe.dedup import remove_duplicate_spans
+
+    timed("span_dedup", lambda: _force(remove_duplicate_spans(docs, k=8)))
 
     from datalake_backend_spark.datapipe.phash import (
         audio_near_dups,
@@ -276,8 +279,8 @@ def main() -> int:
 
     ops = [
         "lsh_pairs", "clusters", "incr_dedup", "gap_ffill", "gap_linear",
-        "packing", "img_near_dup", "audio_near_dup", "video_near_dup",
-        "inverted_index", "fingerprint",
+        "packing", "span_dedup", "img_near_dup", "audio_near_dup",
+        "video_near_dup", "inverted_index", "fingerprint",
     ]
     lines = [
         "| op | 1x sec | 10x sec | ratio | exponent |",
