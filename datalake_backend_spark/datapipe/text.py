@@ -589,3 +589,39 @@ def inverted_index(
     if max_df is not None:
         idx = idx.where(F.col("df") <= max_df)
     return idx
+
+
+def ngram_lm_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Language-model count statistics per word — the corpus pass a
+    KenLM-style n-gram LM build (or an LM-based quality filter) needs:
+    unigram count, the Kneser-Ney CONTINUATION count (how many
+    DISTINCT left neighbors the word follows — "York" is frequent but
+    continues almost nothing except "New", which is exactly what KN
+    smoothing wants to know), its right-context twin, and the count of
+    distinct bigrams the word starts. Document boundaries carry the
+    ``<s>``/``</s>`` sentinels so edge words count their boundary
+    context exactly once.
+
+    Shape: one explode to positional tokens (O(tokens) rows), a
+    self-join-free window lag for the left neighbor, then ONE
+    aggregate with distinct counts — all integers, bit-exact in any
+    engine."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(tokens(F.col(text_col))).alias("_p", "w"),
+    ).where(F.col("w") != "")
+    lagw = Window.partitionBy("_d").orderBy("_p")
+    with_ctx = toks.select(
+        "w",
+        F.coalesce(F.lag("w").over(lagw), F.lit("<s>")).alias("left"),
+        F.coalesce(F.lead("w").over(lagw), F.lit("</s>")).alias("right"),
+    )
+    return with_ctx.groupBy("w").agg(
+        F.count("*").alias("unigram_cnt"),
+        F.countDistinct("left").alias("continuation_cnt"),
+        F.countDistinct("right").alias("right_ctx_cnt"),
+    )

@@ -4605,6 +4605,47 @@ FROM documents d LEFT JOIN reassembled r ON d.doc_id = r.doc_id
 """
 
 
+def r142_ngram_lm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney count-statistics driver check (`dbs.datapipe.text
+    .ngram_lm_stats`): per word — unigram count, continuation count
+    (distinct left neighbors incl. the ``<s>`` boundary), distinct
+    right contexts. These are the exact integer ingredients of KN
+    smoothing / a KenLM build; the DuckDB twin recomputes them from a
+    lag window over positional tokens, so a boundary-sentinel slip, an
+    off-by-one lag, or a distinct-vs-total mixup breaks the hash."""
+    from datalake_backend_spark.datapipe.text import ngram_lm_stats
+
+    docs = table(spark, sf_dir, "documents")
+    return ngram_lm_stats(docs)
+
+
+R142_SQL = r"""
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS pos, l[p + 1] AS w
+  FROM tl, unnest(range(0, len(l))) AS t(p)
+),
+ctx AS (
+  SELECT w,
+         COALESCE(LAG(w) OVER (PARTITION BY doc_id ORDER BY pos), '<s>')
+           AS left_w,
+         COALESCE(LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos), '</s>')
+           AS right_w
+  FROM toks
+)
+SELECT w,
+  CAST(COUNT(*) AS BIGINT) AS unigram_cnt,
+  CAST(COUNT(DISTINCT left_w) AS BIGINT) AS continuation_cnt,
+  CAST(COUNT(DISTINCT right_w) AS BIGINT) AS right_ctx_cnt
+FROM ctx GROUP BY w
+"""
+
+
 def q77_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic shard assignment driver check
     (`dbs.datapipe.sampling.assign_shards`): every document lands in a
@@ -7418,6 +7459,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r141_span_dedup": QuerySpec(
         r141_span_dedup, R141_SQL, "dedup-substring-spans,text-rewrite"
+    ),
+    "r142_ngram_lm_stats": QuerySpec(
+        r142_ngram_lm_stats, R142_SQL, "text-lm-counts,kneser-ney"
     ),
     "r14_event_distribution": QuerySpec(q14_event_distribution, Q14_SQL, "A13"),
     "r16_distinct_users": QuerySpec(q16_distinct_users, Q16_SQL, "U1,U2,A14"),

@@ -1466,3 +1466,26 @@ def test_remove_duplicate_spans(spark):
         r["doc_id"]: r for r in remove_duplicate_spans(docs2, k=8).collect()
     }
     assert out2[2]["clean_text"] == "" and out2[2]["n_tokens_removed"] == 9
+
+
+def test_ngram_lm_stats(spark):
+    """Kneser-Ney ingredients (text.ngram_lm_stats; oracle twin r142):
+    the hand corpus pins the 'frequent but low-continuation' case —
+    'york' appears 3x but only ever follows 'new' (continuation 1),
+    while 'the' follows 3 distinct lefts."""
+    from datalake_backend_spark.datapipe.text import ngram_lm_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "new york is the city"),
+            (2, "the new york paper"),
+            (3, "in the new york"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["w"]: r for r in ngram_lm_stats(docs).collect()}
+    assert out["york"]["unigram_cnt"] == 3
+    assert out["york"]["continuation_cnt"] == 1  # only 'new'
+    assert out["the"]["continuation_cnt"] == 3  # is / <s> / in
+    assert out["new"]["right_ctx_cnt"] == 1  # always 'york'
+    assert out["in"]["continuation_cnt"] == 1  # <s> boundary counts
