@@ -283,3 +283,47 @@ def weighted_sample(
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     p = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
     return df.where(hash_fraction(key_col, salt) < p)
+
+
+def mix_with_temperature(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    salt: str = "mixT",
+) -> DataFrame:
+    """Temperature-scaled source rebalancing (the multilingual
+    α-sampling of mBERT/XLM-R/mT5): target proportions ``p_s ∝
+    n_s^α`` flatten the source distribution — α=1 keeps it, α=0 is
+    uniform, α≈0.3–0.7 up-weights small sources without drowning the
+    large ones. The keep fractions reuse the largest-no-upsample rule
+    (``T = min_s n_s/p_s``, ``f_s = p_s·T/n_s``); the bottleneck is
+    now the SMALLEST source (it has the highest target share relative
+    to its size), which keeps everything while larger sources
+    downsample toward the tempered mix. Unnormalized ``p_s`` works
+    because the fractions are scale-invariant in p.
+
+    Same mechanics as :func:`mix_to_proportions`: one tiny count
+    aggregate, closed-form fractions, deterministic hash-fraction
+    membership (no rand(), reproducible across engines/runs). For
+    α=0.5 the weights use ``sqrt`` — correctly rounded in every IEEE
+    implementation, so a SQL twin lands on bit-identical fractions;
+    other α go through ``pow``, whose last-ulp behavior is libm-
+    specific (fine within one engine, not guaranteed cross-engine)."""
+    import math
+
+    counts = {
+        r[0]: r[1] for r in df.groupBy(source_col).count().collect()
+    }
+    if not counts:
+        raise ValueError("empty corpus")
+    if alpha == 0.5:
+        p = {s: math.sqrt(n) for s, n in counts.items()}
+    else:
+        p = {s: float(n) ** alpha for s, n in counts.items()}
+    t_max = min(counts[s] / p[s] for s in p)
+    fracs = {s: (p[s] * t_max) / counts[s] for s in p}
+    keep = F.lit(0.0)
+    for s, f in fracs.items():
+        keep = F.when(F.col(source_col) == s, F.lit(float(f))).otherwise(keep)
+    return df.where(hash_fraction(key_col, salt) < keep)

@@ -625,3 +625,87 @@ def ngram_lm_stats(
         F.countDistinct("left").alias("continuation_cnt"),
         F.countDistinct("right").alias("right_ctx_cnt"),
     )
+
+
+def lm_score_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 10**9,
+) -> DataFrame:
+    """LM-based document quality scoring — the APPLY side of the
+    CCNet/KenLM perplexity filter: build a bigram MLE model over the
+    corpus (with ``<s>``/``</s>`` boundary sentinels), then score every
+    document by how predictable its word transitions are under that
+    model. Fluent prose rides high-count transitions; gibberish,
+    boilerplate keyboard-mash, and wrong-language text ride rare ones.
+
+    Classic CCNet sums ``log p(w2|w1)`` — a float whose libm last-ulp
+    behavior differs across engines. To stay bit-exact cross-engine
+    (the repo's oracle convention) the score is instead the sum of
+    INTEGER-scaled Laplace-smoothed transition probabilities
+    ``FLOOR(scale·(c(w1,w2)+1) / (c(w1·)+V))`` (V = right-vocabulary
+    size) — pure BIGINT arithmetic. The smoothing is load-bearing,
+    not a nicety: unsmoothed MLE assigns a corpus-hapax transition
+    probability 1 (the word only ever transitions one way), so
+    gibberish would score HIGH; add-one pulls singleton transitions
+    toward 1/V while genuinely frequent transitions stay near their
+    MLE value, restoring the fluent-beats-gibberish ranking the
+    filter exists for. ``novel_bigrams`` counts corpus-hapax
+    transitions (the doc's own occurrence is the only one) — high
+    hapax share is the strongest single gibberish signal.
+
+    Shape at 100 TB: one explode to boundary-extended positional
+    tokens, one window lag to form bigram pairs (persisted — the model
+    build and the scoring join share it), two count aggregates for the
+    model, then an equi-join of doc pairs against the model keyed on
+    the bigram and ONE per-doc aggregate. No driver-side state, no
+    floats, no all-pairs stage.
+
+    Returns per doc: ``n_bigrams`` (tokens+1 incl. boundaries),
+    ``novel_bigrams``, ``pred_score`` (BIGINT sum of scaled p), and
+    ``mean_p_scaled = pred_score div n_bigrams`` — the thresholdable
+    length-normalized score."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(
+            F.concat(
+                F.array(F.lit("<s>")),
+                F.filter(tokens(F.col(text_col)), lambda x: x != ""),
+                F.array(F.lit("</s>")),
+            )
+        ).alias("_p", "w"),
+    )
+    lagw = Window.partitionBy("_d").orderBy("_p")
+    pairs = (
+        toks.withColumn("w1", F.lag("w").over(lagw))
+        .where(F.col("w1").isNotNull())
+        .select("_d", "w1", F.col("w").alias("w2"))
+        .persist()
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = pairs.agg(F.countDistinct("w2").alias("_V"))
+    model = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "p_scaled", F.expr(f"({scale}L * (c12 + 1)) div (c1 + _V)")
+        )
+        .drop("_V")
+    )
+    return (
+        pairs.join(model, ["w1", "w2"])
+        .groupBy("_d")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.when(F.col("c12") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("novel_bigrams"),
+            F.sum("p_scaled").alias("pred_score"),
+        )
+        .withColumn("mean_p_scaled", F.expr("pred_score div n_bigrams"))
+        .withColumnRenamed("_d", id_col)
+    )

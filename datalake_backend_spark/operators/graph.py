@@ -1,0 +1,89 @@
+"""Iterative graph algorithms as deterministic DataFrame loops.
+
+The reference has no graph engine; this module exists because a
+training-data lakehouse keeps meeting graph-shaped questions — which
+suppliers anchor the purchase network, which documents sit at the
+center of a near-dup cluster, which users bridge sessions. Connected
+components already live in ``datapipe.dedup`` (large-star/small-star);
+this module adds PageRank, the canonical fixed-point iteration.
+
+Cross-engine exactness: float PageRank sums contributions in
+shuffle-partition order, so two engines (or two runs) disagree in the
+last ulps and a value-hash oracle can never pin it. The ranks here are
+INTEGER-scaled (``scale`` = 1e12 by default): the update is
+
+    r'(v) = (teleport·scale) div (100·N)
+            + Σ_{u→v} (damping·r(u)) div (100·deg(u))
+
+with BIGINT ``div`` throughout — integer sums are order-independent,
+so the k-th iterate is a bit-exact, engine-independent function of the
+edge list. The flooring loses < 1 unit of mass per edge per round
+(≤ 5e-12 of total at default scale) — noise for ranking, determinism
+for the oracle.
+
+Scale shape: per iteration ONE equi-join (ranks ⋈ edges on src) and
+ONE groupBy(dst) aggregate; the node table and the 1-row node-count
+aggregate are reused across iterations (scalar-totals idiom, no
+``collect()``). Iterations are a fixed small constant — the loop is
+driver-side control flow over lazy plans, the data never visits the
+driver. Dangling nodes (no out-edges) keep the teleport share and
+simply donate nothing, the standard "removed dangling mass"
+simplification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    scale: int = 10**12,
+    teleport_pct: int = 15,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank over a directed edge list.
+
+    ``edges`` must have string/integral columns ``src`` and ``dst``
+    (pre-symmetrize for an undirected graph). Returns one row per node
+    with ``rank_scaled`` — the integer rank after exactly
+    ``iterations`` synchronous updates from the uniform start
+    ``scale div N``.
+    """
+    if not 0 < teleport_pct < 100:
+        raise ValueError("teleport_pct must be in (0, 100)")
+    damping = 100 - teleport_pct
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(deg.withColumnRenamed("src", "node"), "node", "left")
+        .withColumn("deg", F.coalesce("deg", F.lit(0)).cast("bigint"))
+        .persist()
+    )
+    ncnt = nodes.agg(F.count("*").alias("_n"))
+    ranks = (
+        nodes.crossJoin(F.broadcast(ncnt))
+        .withColumn("r", F.expr(f"{scale}L div _n"))
+        .select("node", "deg", "r")
+    )
+    for _ in range(iterations):
+        contrib = ranks.join(edges, ranks.node == edges.src).select(
+            F.col("dst").alias("node"),
+            F.expr(f"({damping}L * r) div (100L * deg)").alias("c"),
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+        ranks = (
+            nodes.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(ncnt))
+            .withColumn(
+                "r",
+                F.expr(
+                    f"({teleport_pct}L * {scale}L) div (100L * _n)"
+                    " + coalesce(inflow, 0L)"
+                ),
+            )
+            .select("node", "deg", "r")
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled"))

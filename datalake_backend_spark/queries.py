@@ -4646,6 +4646,171 @@ FROM ctx GROUP BY w
 """
 
 
+def r143_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source-mixing driver check
+    (`dbs.datapipe.sampling.mix_with_temperature`, α=0.5 — the
+    multilingual α-sampling of mBERT/XLM-R/mT5): target shares
+    ``p_s ∝ √n_s`` flatten the source skew; the smallest source keeps
+    everything, larger ones downsample toward the tempered mix via
+    deterministic hash-fraction membership. The DuckDB twin recomputes
+    the closed-form fractions from its own counts with the SAME float
+    ops in the SAME order (sqrt is correctly rounded in every IEEE
+    libm, so the thresholds are bit-identical) and must select the
+    identical row set per source."""
+    from datalake_backend_spark.datapipe.sampling import mix_with_temperature
+
+    docs = table(spark, sf_dir, "documents")
+    kept = mix_with_temperature(docs, "source", "doc_id", alpha=0.5)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+R143_SQL = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+),
+tmax AS (SELECT MIN(n / SQRT(n)) AS t FROM counts),
+fr AS (
+  SELECT source, (SQRT(n) * (SELECT t FROM tmax)) / n AS f FROM counts
+)
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
+FROM documents d JOIN fr ON d.source = fr.source
+WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'mixT'), 1, 15))::BIGINT
+       / 1152921504606846976.0) < fr.f
+GROUP BY d.source
+"""
+
+
+def r144_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based document scoring driver check (`dbs.datapipe.text
+    .lm_score_documents`, the APPLY side of the CCNet/KenLM
+    perplexity filter): a Laplace-smoothed bigram model built over
+    the corpus scores every document's transition predictability as
+    pure-BIGINT scaled probabilities
+    (``FLOOR(1e9·(c(w1,w2)+1)/(c(w1·)+V))`` — no libm floats,
+    bit-exact in any engine) plus a corpus-hapax transition
+    count. The DuckDB twin rebuilds the boundary-extended bigram
+    pairs with the same lag window, recomputes the model with `//`
+    integer division, and must land on the identical per-doc sums."""
+    from datalake_backend_spark.datapipe.text import lm_score_documents
+
+    docs = table(spark, sf_dir, "documents")
+    return lm_score_documents(docs)
+
+
+R144_SQL = r"""
+WITH tl AS (
+  SELECT doc_id,
+         ['<s>'] || list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                x -> x <> '') || ['</s>'] AS l
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS pos, l[p + 1] AS w
+  FROM tl, unnest(range(0, len(l))) AS t(p)
+),
+pairs AS (
+  SELECT doc_id,
+         LAG(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+         w AS w2
+  FROM toks
+  QUALIFY w1 IS NOT NULL
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),
+model AS (
+  SELECT c12.w1, c12.w2, c12.c12,
+         (1000000000 * (c12.c12 + 1))
+           // (c1.c1 + (SELECT COUNT(DISTINCT w2) FROM pairs))
+           AS p_scaled
+  FROM c12 JOIN c1 ON c12.w1 = c1.w1
+)
+SELECT p.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(CASE WHEN m.c12 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS novel_bigrams,
+  CAST(SUM(m.p_scaled) AS BIGINT) AS pred_score,
+  CAST(SUM(m.p_scaled) AS BIGINT) // COUNT(*) AS mean_p_scaled
+FROM pairs p JOIN model m ON p.w1 = m.w1 AND p.w2 = m.w2
+GROUP BY p.doc_id
+"""
+
+
+def r145_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration integer PageRank driver check
+    (`dbs.operators.graph.pagerank`): the customer↔supplier
+    co-purchase graph (distinct (custkey, suppkey) pairs through
+    orders⋈lineitem, symmetrized) ranked by 5 synchronous
+    integer-scaled updates. Floats can't survive a value-hash oracle
+    (contribution sums are partition-order-dependent), so the update
+    is pure BIGINT ``div`` arithmetic — the DuckDB twin unrolls the
+    same 5 iterations as chained CTEs and must reproduce every node's
+    rank bit-for-bit; any drift in degree handling, teleport share, or
+    the join direction breaks the hash."""
+    from datalake_backend_spark.operators.graph import pagerank
+
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    e0 = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, iterations=5)
+
+
+_R145_PREFIX = r"""
+WITH e0 AS (
+  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM e0
+  UNION ALL
+  SELECT s AS src, c AS dst FROM e0
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nodes AS (
+  SELECT n.node, CAST(COALESCE(deg.deg, 0) AS BIGINT) AS deg
+  FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges) n
+  LEFT JOIN deg ON n.node = deg.src
+),
+ncnt AS (SELECT COUNT(*) AS n FROM nodes),
+it0 AS (
+  SELECT node, deg, 1000000000000 // (SELECT n FROM ncnt) AS r FROM nodes
+)"""
+
+
+def _r145_iter(k: int) -> str:
+    return f""",
+it{k} AS (
+  SELECT nd.node, nd.deg,
+         (15 * 1000000000000) // (100 * (SELECT n FROM ncnt))
+         + CAST(COALESCE(SUM((85 * p.r) // (100 * p.deg)), 0) AS BIGINT)
+           AS r
+  FROM nodes nd
+  LEFT JOIN edges e ON e.dst = nd.node
+  LEFT JOIN it{k - 1} p ON p.node = e.src
+  GROUP BY nd.node, nd.deg
+)"""
+
+
+R145_SQL = (
+    _R145_PREFIX
+    + "".join(_r145_iter(k) for k in range(1, 6))
+    + "\nSELECT node, r AS rank_scaled FROM it5\n"
+)
+
+
 def q77_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic shard assignment driver check
     (`dbs.datapipe.sampling.assign_shards`): every document lands in a
@@ -7462,6 +7627,15 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r142_ngram_lm_stats": QuerySpec(
         r142_ngram_lm_stats, R142_SQL, "text-lm-counts,kneser-ney"
+    ),
+    "r143_temperature_mix": QuerySpec(
+        r143_temperature_mix, R143_SQL, "sampling-temperature-mix,multilingual"
+    ),
+    "r144_lm_doc_score": QuerySpec(
+        r144_lm_doc_score, R144_SQL, "text-lm-score,ccnet-filter"
+    ),
+    "r145_pagerank": QuerySpec(
+        r145_pagerank, R145_SQL, "graph-pagerank,iterative"
     ),
     "r14_event_distribution": QuerySpec(q14_event_distribution, Q14_SQL, "A13"),
     "r16_distinct_users": QuerySpec(q16_distinct_users, Q16_SQL, "U1,U2,A14"),

@@ -1489,3 +1489,38 @@ def test_ngram_lm_stats(spark):
     assert out["the"]["continuation_cnt"] == 3  # is / <s> / in
     assert out["new"]["right_ctx_cnt"] == 1  # always 'york'
     assert out["in"]["continuation_cnt"] == 1  # <s> boundary counts
+
+
+def test_lm_score_documents(spark):
+    """CCNet-style LM scoring (text.lm_score_documents; oracle twin
+    r144): a hand corpus where doc 3 is gibberish — every one of its
+    transitions is corpus-hapax — while docs 1 and 2 share the
+    'the cat sat' backbone and score high mean predictability."""
+    from datalake_backend_spark.datapipe.text import lm_score_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the cat sat down"),
+            (3, "zxq qvw jjk"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lm_score_documents(docs).collect()}
+    # n_bigrams = tokens + 1 (boundary pairs)
+    assert out[1]["n_bigrams"] == 4
+    assert out[2]["n_bigrams"] == 5
+    assert out[3]["n_bigrams"] == 4
+    # gibberish doc: every transition unique to it
+    assert out[3]["novel_bigrams"] == 4
+    # V = 8 right-words (the,cat,sat,down,zxq,qvw,jjk,</s>); Laplace:
+    # doc1 = floor(3e9/11) [<s>→the, c12=2 c1=3] + floor(3e9/10)·2
+    #        [the→cat, cat→sat] + floor(2e9/10) [sat→</s>, c12=1 c1=2]
+    assert (
+        out[1]["pred_score"]
+        == 3 * 10**9 // 11 + 2 * (3 * 10**9 // 10) + 2 * 10**9 // 10
+    )
+    assert out[1]["mean_p_scaled"] == out[1]["pred_score"] // 4
+    # ranking: fluent docs beat gibberish on the mean score
+    assert out[3]["mean_p_scaled"] < out[1]["mean_p_scaled"]
+    assert out[3]["mean_p_scaled"] < out[2]["mean_p_scaled"]

@@ -204,3 +204,34 @@ def test_frame_gap_durations(spark):
     r = frame_gap_durations(df, ["id"], frame_seconds=0.1).collect()[0]
     # first frame 0.1, gap=1 → 0.1, gap=8>1 → 0.1
     assert abs(r.duration_seconds - 0.3) < 1e-9
+
+
+def test_pagerank_integer_exact(spark):
+    """Integer PageRank (operators/graph.py; oracle twin r145): a
+    3-node star where b has two in- and two out-edges. One synchronous
+    update from the uniform start is hand-computable in exact BIGINT
+    arithmetic; after 5 iterations the hub still dominates and total
+    mass is conserved up to the documented flooring loss."""
+    from datalake_backend_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("c", "b"), ("b", "a"), ("b", "c")],
+        "src string, dst string",
+    )
+    one = {r.node: r.rank_scaled for r in pagerank(edges, iterations=1).collect()}
+    # r0 = 1e12//3 = 333333333333; teleport = 15e12//300 = 5e10
+    # b gets 2 × (85·r0)//100; a,c get (85·r0)//200 from b (deg 2)
+    assert one["b"] == 50_000_000_000 + 2 * (85 * 333_333_333_333 // 100)
+    assert one["a"] == 50_000_000_000 + (85 * 333_333_333_333 // 200)
+    assert one["a"] == one["c"]
+    five = {r.node: r.rank_scaled for r in pagerank(edges, iterations=5).collect()}
+    assert five["b"] > five["a"] == five["c"]
+    total = sum(five.values())
+    # flooring loses < 1 unit per edge per round
+    assert 10**12 - 100 < total <= 10**12
+    # deterministic under a different partitioning
+    again = {
+        r.node: r.rank_scaled
+        for r in pagerank(edges.repartition(5), iterations=5).collect()
+    }
+    assert again == five

@@ -104,6 +104,49 @@ def test_mix_to_proportions(spark):
         mix_to_proportions(df, "source", {"a": 0.5, "zzz": 0.5}, "doc_id")
 
 
+def test_mix_with_temperature(spark):
+    """α-sampling semantics: α=1 keeps every row of every source
+    (p_s ∝ n_s is already the corpus mix); α=0.5 keeps the smallest
+    source intact and downsamples larger ones toward p_s ∝ √n_s;
+    deterministic across runs and partitionings."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.datapipe.sampling import mix_with_temperature
+
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(1000 + i, "mid") for i in range(100)]
+        + [(2000 + i, "small") for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # α=1 → p_s ∝ n_s → T = min(n/n)=1 → f_s = 1 for every source
+    full = mix_with_temperature(df, "source", "doc_id", alpha=1.0)
+    assert full.count() == len(rows)
+    # α=0.5: smallest source is the bottleneck (keeps all), larger
+    # sources keep ≈ sqrt(n_s/n_min)·n_min rows
+    kept = mix_with_temperature(df, "source", "doc_id", alpha=0.5)
+    counts = {
+        r.source: r.n
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["small"] == 25
+    exp_big = math.sqrt(900 * 25)  # 150
+    exp_mid = math.sqrt(100 * 25)  # 50
+    assert abs(counts["big"] - exp_big) < 4 * math.sqrt(exp_big)
+    assert abs(counts["mid"] - exp_mid) < 4 * math.sqrt(exp_mid)
+    # deterministic under a different partitioning
+    again = {
+        r.source: r.n
+        for r in mix_with_temperature(df.repartition(7), "source", "doc_id", alpha=0.5)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert again == counts
+
+
 def test_index_mapping_from_schema(spark, tmp_path):
     """Mapping derives from the schema: scalars native, strings
     keyword (text only when named), timestamps date, structs nested,
