@@ -1167,3 +1167,82 @@ def remove_duplicate_spans(
             ).alias("n_tokens_removed"),
         )
     )
+
+
+def tf_cosine_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau_num: int = 4,
+    tau_den: int = 5,
+    window: int = 8,
+    max_df: int = 50,
+) -> DataFrame:
+    """Term-frequency cosine near-dup pairs with an INTEGER-exact
+    threshold — the classic bag-of-words cosine detector, as a third
+    whole-document modality next to MinHash (set Jaccard) and SimHash
+    (weighted bit vote): cosine over raw term COUNTS also catches the
+    "same words, different multiplicity" edits those two de-emphasize.
+
+    Floats never appear: with τ = tau_num/tau_den, the predicate
+    ``cos(a,b) ≥ τ`` cross-multiplies to ``tau_den²·dot² ≥
+    tau_num²·‖a‖²·‖b‖²`` — pure BIGINT products of integer counts, so
+    any engine lands on the identical pair set (oracle r146). Safe
+    while ``tau_den·dot`` stays under ~3e9 (dot is bounded by the
+    max term-count product times shared vocabulary; document-scale
+    text is orders below that).
+
+    Scale shape: candidates come from shared rolling ``window``-token
+    chunk FINGERPRINTS (:func:`chunk_overlap_pairs` with
+    ``min_shared=1``), not shared words — single terms are useless
+    blocking keys on any corpus big enough that every vocabulary word
+    is hot (measured: at 10× corpus no word had df ≤ 200, so word
+    blocking yielded ZERO candidates while chunk blocking kept
+    finding the true near-dups). The ``max_df`` cap bounds per-chunk
+    fan-out to C(max_df, 2). The exact dot product then joins each
+    candidate pair back to the FULL tf vectors (an equi-join keyed on
+    (doc, term) — per-pair cost is |terms(a)|, no all-pairs stage).
+    Like every blocked detector here, recall is explicit: a pair
+    sharing no ``window``-token run is never considered — a document
+    pair can in principle hold cosine ≥ τ with all words reordered,
+    and this detector deliberately leaves that to MinHash/SimHash.
+    """
+    from datalake_backend_spark.datapipe.text import tokens
+
+    tf = (
+        df.select(
+            F.col(id_col).alias("_d"),
+            F.explode(tokens(F.col(text_col))).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .groupBy("_d", "w")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    norms = tf.groupBy("_d").agg(
+        F.sum(F.col("c") * F.col("c")).alias("n2")
+    )
+    cand = chunk_overlap_pairs(
+        df, text_col, id_col, window=window, min_shared=1, max_df=max_df
+    ).select("id_a", "id_b")
+    ta = tf.select(F.col("_d").alias("id_a"), "w", F.col("c").alias("ca"))
+    tb = tf.select(F.col("_d").alias("id_b"), "w", F.col("c").alias("cb"))
+    dots = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "w"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select(F.col("_d").alias("id_a"), F.col("n2").alias("n2_a"))
+    nb = norms.select(F.col("_d").alias("id_b"), F.col("n2").alias("n2_b"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(
+            F.expr(
+                f"{tau_den * tau_den}L * dot * dot"
+                f" >= {tau_num * tau_num}L * n2_a * n2_b"
+            )
+        )
+        .select("id_a", "id_b", "dot", "n2_a", "n2_b")
+    )

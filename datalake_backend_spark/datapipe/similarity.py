@@ -533,3 +533,50 @@ def ivf_pq_topk(
     ]
     subset = indexed.where(F.col("ivf_list").isin(probed))
     return pq_topk(subset, codebooks, query, k=topk, id_col=id_col)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): drop documents that are SEMANTIC
+    duplicates — same meaning in different words, which every lexical
+    detector (MinHash/SimHash/tf-cosine/chunk overlap) misses by
+    construction. Composition of audited pieces: hyperplane-LSH
+    bucketed cosine pairs (:func:`near_dup_pairs` — candidates from
+    bucket equi-joins, exact cosine verify, never all-pairs) →
+    connected components (``dedup.cluster_near_dups``, min-label with
+    the large-star fallback) → keep the minimum id per semantic
+    cluster. The paper clusters with k-means and keeps one doc per
+    low-variance neighborhood; the LSH formulation keeps the same
+    keep-one-per-semantic-group contract while staying deterministic
+    and cross-engine reproducible (pinned LCG planes).
+
+    Returns one row per input vector: (id, cluster_id, keep) — keep is
+    True exactly for each cluster's minimum id and for singletons, so
+    ``df.join(out.where("keep"), id)`` is the deduplicated corpus and
+    ``1 - avg(keep)`` is the semantic duplication rate.
+    """
+    from datalake_backend_spark.datapipe.dedup import cluster_near_dups
+
+    pairs = near_dup_pairs(
+        df, threshold, vec_col=vec_col, id_col=id_col,
+        n_planes=n_planes, dim=dim, seed=seed,
+    )
+    labels = cluster_near_dups(pairs.select("id_a", "id_b"))
+    return (
+        df.select(F.col(id_col).alias("node"))
+        .join(labels, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("cluster_id", F.col("node")).alias("cluster_id"),
+            (F.coalesce("cluster_id", F.col("node")) == F.col("node")).alias(
+                "keep"
+            ),
+        )
+    )

@@ -87,3 +87,38 @@ def pagerank(
             .select("node", "deg", "r")
         )
     return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+def bfs_hops(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """Bounded-depth BFS: the minimum hop count (0..max_hops) from any
+    source node to every reachable node. All-integer, so bit-exact in
+    any engine; the DuckDB twin (r147) computes per-level distinct
+    frontier sets and takes MIN(hop) — the anti-join pruning here
+    changes WORK, never the result.
+
+    ``sources`` must have a ``node`` column. Scale shape: per level
+    ONE equi-join frontier⋈edges and ONE distinct, with the visited
+    set pruned via left_anti so a dense graph's frontier never
+    re-expands already-settled nodes (at web scale this pruning is the
+    difference between |V| and Σ|paths|). Each level's frontier is
+    persisted — the union chain would otherwise re-execute every prior
+    join once per remaining level.
+    """
+    frontier = sources.select("node").distinct().withColumn(
+        "hop", F.lit(0).cast("bigint")
+    ).persist()
+    visited = frontier
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(k).cast("bigint"))
+            .persist()
+        )
+        visited = visited.union(nxt)
+        frontier = nxt
+    return visited

@@ -233,3 +233,66 @@ def gap_fill(
         .alias("value"),
         F.col("_v").isNotNull().alias("was_observed"),
     )
+
+
+def rolling_robust_anomaly(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str | None = None,
+    window: int = 12,
+    k: int = 5,
+    min_periods: int = 8,
+    scale: int = 1000,
+) -> DataFrame:
+    """Rolling median/MAD anomaly flags — the robust-statistics
+    outlier detector (Hampel filter): a point is anomalous when it
+    deviates from the rolling MEDIAN of its trailing window by more
+    than ``k`` times the median absolute deviation. Median/MAD resist
+    the contamination that wrecks mean/stddev detectors (one previous
+    spike inflates σ and masks the next one).
+
+    Exactness: values enter as ``FLOOR(scale·value)`` BIGINTs and both
+    statistics are LOWER medians (element ``(n-1)//2`` of the sorted
+    window — no averaging of middle pairs), so every comparison is
+    pure integer arithmetic and any engine reproduces the flags
+    bit-for-bit (oracle r149). The trailing frame EXCLUDES the current
+    row — a self-including window lets a large spike drag the median
+    toward itself and mask the detection.
+
+    Scale shape: ONE shuffle on ``keys``, one sort within partitions,
+    and per-row O(window log window) array work inside codegen —
+    no self-join, no explode. Rows with fewer than ``min_periods``
+    preceding points emit NULL statistics and a NULL flag (cold
+    start), exactly mirrored in the SQL twin.
+    """
+    from pyspark.sql import Window
+
+    order = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(-window, -1)
+    )
+    v = F.floor(F.col(value_col) * scale).cast("bigint")
+    out = df.withColumn("v_scaled", v).withColumn(
+        "_win", F.array_sort(F.collect_list("v_scaled").over(w))
+    )
+    n = F.size("_win")
+    med = F.element_at("_win", ((n - 1) / 2).cast("int") + 1)
+    out = out.withColumn(
+        "med", F.when(n >= min_periods, med)
+    )
+    dev = F.array_sort(
+        F.transform("_win", lambda x: F.abs(x - F.col("med")))
+    )
+    mad = F.element_at(dev, ((n - 1) / 2).cast("int") + 1)
+    out = out.withColumn("mad", F.when(n >= min_periods, mad))
+    return out.withColumn(
+        "is_anomaly",
+        F.when(
+            F.col("med").isNotNull(),
+            F.abs(F.col("v_scaled") - F.col("med")) > k * F.col("mad"),
+        ),
+    ).drop("_win")

@@ -4811,6 +4811,308 @@ R145_SQL = (
 )
 
 
+def r146_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-frequency cosine near-dup driver check
+    (`dbs.datapipe.dedup.tf_cosine_near_dups`): bag-of-words cosine ≥
+    0.8 decided by the cross-multiplied BIGINT predicate
+    ``25·dot² ≥ 16·‖a‖²·‖b‖²`` — no floats anywhere. Candidates block
+    on shared rolling 8-token chunk fingerprints (single words are
+    all hot on this vocabulary at scale — word blocking measured ZERO
+    candidates at sf0.1); the DuckDB twin models the same fingerprint
+    hash, cap, and full-vector dot, so the pair set and integer
+    dot/norm columns reproduce exactly."""
+    from datalake_backend_spark.datapipe.dedup import tf_cosine_near_dups
+
+    docs = table(spark, sf_dir, "documents")
+    return tf_cosine_near_dups(docs, tau_num=4, tau_den=5, window=8, max_df=50)
+
+
+R146_SQL = r"""
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+toks AS (SELECT doc_id, u.w FROM tl, unnest(l) AS u(w)),
+tf AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w),
+norms AS (
+  SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS n2 FROM tf GROUP BY doc_id
+),
+tarr AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+         FROM documents),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+  FROM tarr
+),
+fps AS (
+  SELECT DISTINCT doc_id,
+    ('0x' || substr(md5(array_to_string(t[i : i + 7], ' ')), 1, 15))::BIGINT
+      AS fp
+  FROM idx
+),
+kept AS (
+  SELECT doc_id, fp FROM fps
+  WHERE fp IN (SELECT fp FROM fps GROUP BY fp
+               HAVING COUNT(*) BETWEEN 2 AND 50)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+),
+dots AS (
+  SELECT c.id_a, c.id_b, CAST(SUM(ta.c * tb.c) AS BIGINT) AS dot
+  FROM cand c
+  JOIN tf ta ON ta.doc_id = c.id_a
+  JOIN tf tb ON tb.doc_id = c.id_b AND tb.w = ta.w
+  GROUP BY c.id_a, c.id_b
+)
+SELECT d.id_a, d.id_b, d.dot, na.n2 AS n2_a, nb.n2 AS n2_b
+FROM dots d
+JOIN norms na ON na.doc_id = d.id_a
+JOIN norms nb ON nb.doc_id = d.id_b
+WHERE 25 * d.dot * d.dot >= 16 * na.n2 * nb.n2
+"""
+
+
+def r147_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS driver check (`dbs.operators.graph.bfs_hops`):
+    minimum hop distance (≤4) from the nation-0 suppliers to every
+    reachable node of the symmetrized customer↔supplier co-purchase
+    graph. All-integer. The Spark side prunes the frontier with a
+    visited anti-join (the at-scale shape); the DuckDB twin expands
+    plain per-level distinct frontiers and takes MIN(hop) — same
+    result by construction, so a hop-off-by-one or a leaky visited set
+    breaks the hash."""
+    from datalake_backend_spark.operators.graph import bfs_hops
+
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    supplier = table(spark, sf_dir, "supplier")
+    e0 = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    sources = supplier.where(F.col("s_nationkey") == 0).select(
+        F.concat(F.lit("s"), F.col("s_suppkey")).alias("node")
+    )
+    return bfs_hops(edges, sources, max_hops=4)
+
+
+R147_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM e0
+  UNION ALL
+  SELECT s AS src, c AS dst FROM e0
+),
+l0 AS (
+  SELECT DISTINCT 's' || s_suppkey AS node FROM supplier WHERE s_nationkey = 0
+),
+l1 AS (SELECT DISTINCT e.dst AS node FROM l0 JOIN edges e ON e.src = l0.node),
+l2 AS (SELECT DISTINCT e.dst AS node FROM l1 JOIN edges e ON e.src = l1.node),
+l3 AS (SELECT DISTINCT e.dst AS node FROM l2 JOIN edges e ON e.src = l2.node),
+l4 AS (SELECT DISTINCT e.dst AS node FROM l3 JOIN edges e ON e.src = l3.node),
+lvl AS (
+  SELECT node, 0 AS hop FROM l0
+  UNION ALL SELECT node, 1 FROM l1
+  UNION ALL SELECT node, 2 FROM l2
+  UNION ALL SELECT node, 3 FROM l3
+  UNION ALL SELECT node, 4 FROM l4
+)
+SELECT node, CAST(MIN(hop) AS BIGINT) AS hop FROM lvl GROUP BY node
+"""
+
+
+def r148_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup driver check (`dbs.datapipe.similarity.semantic_dedup`):
+    embedding-space duplicate groups (q62's hyperplane-LSH pairs at
+    cosine ≥ 0.35, calibrated to this synthetic corpus) → connected
+    components → keep the minimum id per semantic cluster. One row per
+    vector with (cluster_id, keep); the DuckDB twin rebuilds the pairs
+    from the same inlined LCG planes and resolves components with a
+    recursive CTE, so a wrong keep decision anywhere flips a boolean
+    and breaks the hash."""
+    from datalake_backend_spark.datapipe.similarity import semantic_dedup
+
+    emb = table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.35, n_planes=8, dim=64)
+
+
+def _r148_sql(threshold: float = 0.35, n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB twin of r148: q62's pair SQL + recursive-CTE components
+    (q76's trick) + the keep-minimum rule."""
+    from datalake_backend_spark.datapipe.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(n_planes, dim, seed)
+
+    def dot_sql(vec_expr: str, plane: list[float]) -> str:
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return (
+            f"list_reduce(list_transform(list_zip({vec_expr}, {lit}), "
+            "p -> p[1] * p[2]), (acc, x) -> acc + x)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_sql('v', p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH RECURSIVE n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM embeddings
+),
+b AS (SELECT vec_id, v, nrm, {bucket} AS bucket FROM n),
+pairs AS (
+  SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+  WHERE list_reduce(list_transform(list_zip(a.v, bb.v), p -> p[1] * p[2]), (acc, x) -> acc + x)
+        / (a.nrm * bb.nrm) >= {threshold!r}
+),
+und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.node
+),
+comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT e.vec_id,
+       COALESCE(c.cluster_id, e.vec_id) AS cluster_id,
+       (COALESCE(c.cluster_id, e.vec_id) = e.vec_id) AS keep
+FROM (SELECT vec_id FROM embeddings) e
+LEFT JOIN comp c ON e.vec_id = c.node
+"""
+
+
+R148_SQL = _r148_sql()
+
+
+def r149_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel-filter driver check (`dbs.operators.timeseries
+    .rolling_robust_anomaly`): per-user rolling LOWER-median/MAD over
+    the trailing 12 events (current row excluded), anomaly when
+    ``|x − med| > 5·MAD`` — all BIGINT comparisons on
+    ``FLOOR(1000·value)``, so the DuckDB twin (list window + the same
+    lower-median index) must reproduce every flag, every cold-start
+    NULL, and both statistics bit-for-bit."""
+    from datalake_backend_spark.operators.timeseries import (
+        rolling_robust_anomaly,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    out = rolling_robust_anomaly(
+        ev, ["user_id"], "ts", "value", order_tiebreak="event_id"
+    )
+    return out.select(
+        "event_id", "user_id", "v_scaled", "med", "mad", "is_anomaly"
+    )
+
+
+R149_SQL = """
+WITH src AS (
+  SELECT event_id, user_id, ts,
+         CAST(FLOOR(value * 1000) AS BIGINT) AS v_scaled
+  FROM events
+),
+win AS (
+  SELECT event_id, user_id, v_scaled,
+    list_sort(list(v_scaled) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)) AS l
+  FROM src
+),
+st AS (
+  SELECT event_id, user_id, v_scaled,
+    CASE WHEN len(l) >= 8 THEN l[(len(l) + 1) // 2] END AS med,
+    CASE WHEN len(l) >= 8 THEN
+      list_sort(list_transform(l, x -> abs(x - l[(len(l) + 1) // 2])))
+        [(len(l) + 1) // 2]
+    END AS mad
+  FROM win
+)
+SELECT event_id, user_id, v_scaled, med, mad,
+  CASE WHEN med IS NOT NULL THEN abs(v_scaled - med) > 5 * mad
+  END AS is_anomaly
+FROM st
+"""
+
+
+def r150_deep_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep-clone driver check (`dbs.sources.versioned.VersionedTable
+    .deep_clone_to`): commit customers as v1, DV-delete every 7th key
+    as v2, deep-clone the snapshot, then DELETE THE SOURCE TABLE
+    ENTIRELY — the read must come from the clone's own copied bytes
+    with the deletion vectors carried verbatim (shallow clones die
+    exactly here; the manifest op and the source's absence are pinned
+    in the `deep_clone_independent` column). The oracle is the
+    complement aggregate over the original parquet."""
+    import shutil
+
+    from datalake_backend_spark.sources.versioned import VersionedTable
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    warehouse = os.path.join(repo_root, "spark-warehouse")
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
+    src_base = os.path.join(warehouse, f"r150_src_{tag}")
+    cl_base = os.path.join(warehouse, f"r150_clone_{tag}")
+    clone = VersionedTable(cl_base)
+    with _VT_BUILD_LOCK:
+        _sweep_stale_fixtures(warehouse, "r150_src_")
+        _sweep_stale_fixtures(warehouse, "r150_clone_")
+        if clone.latest_version() != 1:
+            shutil.rmtree(src_base, ignore_errors=True)
+            shutil.rmtree(cl_base, ignore_errors=True)
+            tbl = VersionedTable(src_base)
+            cust = table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment", "c_acctbal"
+            )
+            tbl.commit(cust.repartition(4))
+            v = tbl.delete_where(
+                spark, F.pmod("c_custkey", F.lit(7)) == 0, mode="dv"
+            )
+            assert v == 2
+            tbl.deep_clone_to(cl_base)
+            # the whole point: the clone owes the source nothing
+            shutil.rmtree(src_base)
+    man = clone.manifest(1)
+    independent = (
+        man["op"] == "deep_clone"
+        and not os.path.exists(src_base)
+        and all(not d.startswith("..") for d in man["dirs"])
+        and bool(man.get("dvs"))
+    )
+    return (
+        clone.read(spark)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            dec_sum("c_acctbal").alias("sum_bal"),
+        )
+        .withColumn("deep_clone_independent", F.lit(bool(independent)))
+    )
+
+
+R150_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
+       TRUE AS deep_clone_independent
+FROM customer WHERE c_custkey % 7 <> 0
+GROUP BY c_mktsegment
+"""
+
+
 def q77_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic shard assignment driver check
     (`dbs.datapipe.sampling.assign_shards`): every document lands in a
@@ -7637,7 +7939,22 @@ QUERIES: dict[str, QuerySpec] = {
     "r145_pagerank": QuerySpec(
         r145_pagerank, R145_SQL, "graph-pagerank,iterative"
     ),
+    "r146_tf_cosine_pairs": QuerySpec(
+        r146_tf_cosine_pairs, R146_SQL, "dedup-tf-cosine,integer-exact"
+    ),
+    "r147_bfs_hops": QuerySpec(
+        r147_bfs_hops, R147_SQL, "graph-bfs,reachability"
+    ),
+    "r148_semantic_dedup": QuerySpec(
+        r148_semantic_dedup, R148_SQL, "dedup-semantic,semdedup"
+    ),
+    "r149_rolling_anomaly": QuerySpec(
+        r149_rolling_anomaly, R149_SQL, "timeseries-hampel,robust-anomaly"
+    ),
     "r14_event_distribution": QuerySpec(q14_event_distribution, Q14_SQL, "A13"),
+    "r150_deep_clone": QuerySpec(
+        r150_deep_clone, R150_SQL, "lakehouse-deep-clone,dv-carryover"
+    ),
     "r16_distinct_users": QuerySpec(q16_distinct_users, Q16_SQL, "U1,U2,A14"),
     "r17_renest_lineitems": QuerySpec(q17_renest_lineitems, Q17_SQL, "E5,A7,O1"),
     "r18_numeric_summary": QuerySpec(q18_numeric_summary, Q18_SQL, "A13,A8"),

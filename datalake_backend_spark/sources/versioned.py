@@ -1199,6 +1199,53 @@ class VersionedTable:
             os.unlink(tmp)
         return dst
 
+    def deep_clone_to(self, dest_path: str) -> "VersionedTable":
+        """DEEP CLONE: physically copy the CURRENT snapshot's data
+        directories into a fresh single-version table — the
+        export/migration shape (Delta's ``CLONE ... DEEP``). Unlike
+        :meth:`clone_to`, the result has NO liveness coupling to the
+        source: VACUUM (or deletion) of the source cannot break it.
+        The table-relative layout is preserved byte-for-byte, so the
+        file-keyed deletion vectors and footer skipping stats in the
+        manifest carry over verbatim — a DV-deleted row stays deleted
+        in the clone without rewriting any parquet.
+
+        Restart-safe: data lands entirely before the v1 manifest
+        publishes (tmp + hard-link, the same torn-read-safe publish as
+        ``commit``), so a killed clone leaves only a manifest-less
+        dest that a retry overwrites (``dirs_exist_ok``)."""
+        import shutil as _sh
+
+        man = self.manifest()
+        dst = VersionedTable(dest_path)
+        if dst.latest_version() is not None:
+            raise ValueError(f"clone target {dest_path} is not empty")
+        os.makedirs(dst.log_dir, exist_ok=True)
+        for d in man["dirs"]:
+            _sh.copytree(
+                os.path.join(self.path, d),
+                os.path.join(dst.path, d),
+                dirs_exist_ok=True,
+            )
+        new_man = dict(
+            man,
+            version=1,
+            op="deep_clone",
+            ts=time.time(),
+            metadata={
+                "cloned_from": self.path,
+                "source_version": man["version"],
+            },
+        )
+        tmp = dst._manifest_path(1) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(new_man, fh)
+        try:
+            os.link(tmp, dst._manifest_path(1))
+        finally:
+            os.unlink(tmp)
+        return dst
+
     def vacuum(
         self, retain_last: int = 2, orphan_grace_seconds: float | None = None
     ) -> list[str]:

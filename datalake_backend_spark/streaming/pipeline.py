@@ -467,6 +467,21 @@ def streaming_session(spark: SparkSession, shuffle_partitions: int = 8):
     return ns
 
 
+def streaming_tws_session(spark: SparkSession, shuffle_partitions: int = 8):
+    """:func:`streaming_session` plus the RocksDB state-store provider —
+    ``transformWithState`` is implemented only on RocksDB (the default
+    HDFS-backed in-memory provider raises at plan time). Scoped to the
+    cloned session so batch queries and the applyInPandasWithState
+    streams keep the default provider."""
+    ns = streaming_session(spark, shuffle_partitions)
+    ns.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    return ns
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -1524,3 +1524,54 @@ def test_lm_score_documents(spark):
     # ranking: fluent docs beat gibberish on the mean score
     assert out[3]["mean_p_scaled"] < out[1]["mean_p_scaled"]
     assert out[3]["mean_p_scaled"] < out[2]["mean_p_scaled"]
+
+
+def test_tf_cosine_near_dups(spark):
+    """Integer-exact tf-cosine detector (dedup.tf_cosine_near_dups;
+    oracle twin r146): a one-word edit keeps the shared 8-token chunk
+    and passes cosine 8/√72 ≈ 0.943 ≥ 0.8 via the cross-multiplied
+    check; a full reorder has cosine 1.0 but no shared chunk — the
+    documented blocking miss."""
+    from datalake_backend_spark.datapipe.dedup import tf_cosine_near_dups
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h x"),
+            (3, "p q r s t u v w"),
+            (4, "h g f e d c b a"),  # reorder: cos=1, no shared chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.id_a, r.id_b): r
+        for r in tf_cosine_near_dups(docs, tau_num=4, tau_den=5).collect()
+    }
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)]["dot"] == 8
+    assert out[(1, 2)]["n2_a"] == 8
+    assert out[(1, 2)]["n2_b"] == 9
+    # tighter threshold drops the pair: 0.95² · 72 > 64
+    none = tf_cosine_near_dups(docs, tau_num=19, tau_den=20).collect()
+    assert none == []
+
+
+def test_semantic_dedup_keep_one(spark):
+    """SemDeDup (similarity.semantic_dedup; oracle twin r148): three
+    copies of one direction and a near-copy form one semantic cluster
+    keeping only the minimum id; the orthogonal vector is a kept
+    singleton."""
+    from datalake_backend_spark.datapipe.similarity import semantic_dedup
+
+    base = [1.0] + [0.0] * 63
+    near = [0.98, 0.2] + [0.0] * 62
+    ortho = [0.0, 0.0, 1.0] + [0.0] * 61
+    emb = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (9, ortho)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in semantic_dedup(emb, threshold=0.9).collect()}
+    assert out[1].keep and out[1].cluster_id == 1
+    assert not out[2].keep and out[2].cluster_id == 1
+    assert not out[3].keep and out[3].cluster_id == 1
+    assert out[9].keep and out[9].cluster_id == 9

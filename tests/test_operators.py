@@ -235,3 +235,25 @@ def test_pagerank_integer_exact(spark):
         for r in pagerank(edges.repartition(5), iterations=5).collect()
     }
     assert again == five
+
+
+def test_bfs_hops_min_distance(spark):
+    """Bounded BFS (operators/graph.py:bfs_hops; oracle twin r147): a
+    path graph with a shortcut — hop must be the MINIMUM distance, the
+    depth bound truncates, and unreachable nodes are absent."""
+    from datalake_backend_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+            ("a", "c"),  # shortcut: c is 1 hop, not 2
+            ("x", "y"),  # disconnected
+        ],
+        "src string, dst string",
+    )
+    srcs = spark.createDataFrame([("a",)], "node string")
+    out = {r.node: r.hop for r in bfs_hops(edges, srcs, max_hops=3).collect()}
+    assert out == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+    # depth bound: e (distance 3) drops when max_hops=2
+    out2 = {r.node: r.hop for r in bfs_hops(edges, srcs, max_hops=2).collect()}
+    assert out2 == {"a": 0, "b": 1, "c": 1, "d": 2}

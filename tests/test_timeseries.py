@@ -130,3 +130,50 @@ def test_gap_fill_linear_interpolation(spark):
     }
     with _pytest.raises(ValueError):
         gap_fill(df, ["k"], "t", 10, "value", mode="spline")
+
+
+def test_rolling_robust_anomaly(spark):
+    """Hampel filter (timeseries.rolling_robust_anomaly; oracle twin
+    r149): a flat series with one spike — the spike flags, its
+    neighbors don't (median resists the contamination), cold-start
+    rows stay NULL."""
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.operators.timeseries import (
+        rolling_robust_anomaly,
+    )
+
+    # steady 4-value cycle (MAD=200 — NOT an alternating series, whose
+    # MAD degenerates to 0 and flags everything), then a spike
+    base = [9.7, 9.9, 10.1, 10.3]
+    vals = [base[i % 4] for i in range(10)]
+    vals += [50.0] + [base[i % 4] for i in range(11, 15)]
+    rows = [(i, 1, float(i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, t double, value double")
+    out = {
+        r.event_id: r
+        for r in rolling_robust_anomaly(
+            df, ["user_id"], "t", "value", order_tiebreak="event_id",
+            window=8, k=5, min_periods=6,
+        ).collect()
+    }
+    # cold start: first 6 rows have < 6 preceding points
+    for i in range(6):
+        assert out[i].med is None and out[i].is_anomaly is None
+    # steady rows after warmup: not anomalous
+    assert out[8].is_anomaly is False
+    # the spike: |50000 - ~10000| >> 5 * MAD(=200)
+    assert out[10].is_anomaly is True
+    assert out[10].v_scaled == 50000
+    # row after the spike: the spike sits IN the window but the
+    # median/MAD shrug it off — no masking
+    assert out[11].is_anomaly is False
+    # determinism under repartition
+    again = {
+        r.event_id: r.is_anomaly
+        for r in rolling_robust_anomaly(
+            df.repartition(5), ["user_id"], "t", "value",
+            order_tiebreak="event_id", window=8, k=5, min_periods=6,
+        ).collect()
+    }
+    assert again == {k: v.is_anomaly for k, v in out.items()}

@@ -1294,3 +1294,26 @@ def test_commit_check_constraints(spark, tmp_path):
 
     with pytest.raises(ValueError, match="row-level"):
         tbl.commit(ok, constraints=[unique(["key"])])
+
+
+def test_deep_clone_survives_source_removal(spark, tbl, tmp_path):
+    """deep_clone_to: full physical copy — DV deletes carry over
+    verbatim, the clone reads after the SOURCE TABLE IS DELETED (the
+    exact hazard shallow clones document), evolves independently, and
+    refuses a non-empty target."""
+    import shutil
+
+    tbl.commit(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    tbl.merge(spark, _mk(spark, [(4, "d")]), ["key"])
+    tbl.delete_where(spark, "key = 2", mode="dv")
+    clone = tbl.deep_clone_to(str(tmp_path / "deep"))
+    assert {r.key for r in clone.read(spark).collect()} == {1, 3, 4}
+    # DV entries carried verbatim (no parquet rewrite in the clone)
+    assert clone.manifest(1).get("dvs")
+    # independence: remove the whole source table, clone still reads
+    shutil.rmtree(tbl.path)
+    assert {r.key for r in clone.read(spark).collect()} == {1, 3, 4}
+    clone.merge(spark, _mk(spark, [(5, "e")]), ["key"])
+    assert {r.key for r in clone.read(spark).collect()} == {1, 3, 4, 5}
+    with pytest.raises(ValueError):
+        clone.deep_clone_to(str(tmp_path / "deep"))

@@ -256,6 +256,34 @@ def run_ops(spark, docs_path: str, events_path: str) -> dict[str, float]:
             )
         ),
     )
+
+    from datalake_backend_spark.datapipe.dedup import tf_cosine_near_dups
+    from datalake_backend_spark.datapipe.text import lm_score_documents
+    from datalake_backend_spark.operators.graph import bfs_hops, pagerank
+
+    timed("lm_score", lambda: _force(lm_score_documents(docs)))
+    timed(
+        "tf_cosine",
+        lambda: _force(tf_cosine_near_dups(docs, tau_num=3, tau_den=5)),
+    )
+    out["n_tf_pairs"] = tf_cosine_near_dups(docs, tau_num=3, tau_den=5).count()
+    # bipartite user↔active-day graph: both node and edge count grow
+    # with the corpus, the hub structure (users per day) densifies
+    g0 = events.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("u"),
+        F.concat(F.lit("d"), (F.col("t") / DAY_US).cast("long")).alias("d"),
+    ).distinct()
+    gedges = g0.select(F.col("u").alias("src"), F.col("d").alias("dst")).union(
+        g0.select(F.col("d").alias("src"), F.col("u").alias("dst"))
+    )
+    timed("pagerank", lambda: _force(pagerank(gedges, iterations=5)))
+    src1 = (
+        gedges.select(F.col("src").alias("node"))
+        .where(F.col("node").startswith("u"))
+        .orderBy("node")
+        .limit(1)
+    )
+    timed("bfs_hops", lambda: _force(bfs_hops(gedges, src1, max_hops=4)))
     return out
 
 
@@ -281,6 +309,7 @@ def main() -> int:
         "lsh_pairs", "clusters", "incr_dedup", "gap_ffill", "gap_linear",
         "packing", "span_dedup", "img_near_dup", "audio_near_dup",
         "video_near_dup", "inverted_index", "fingerprint",
+        "lm_score", "tf_cosine", "pagerank", "bfs_hops",
     ]
     lines = [
         "| op | 1x sec | 10x sec | ratio | exponent |",
