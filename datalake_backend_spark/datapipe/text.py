@@ -709,3 +709,58 @@ def lm_score_documents(
         .withColumn("mean_p_scaled", F.expr("pred_score div n_bigrams"))
         .withColumnRenamed("_d", id_col)
     )
+
+
+def nb_quality_score(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Self-supervised token-likelihood quality scorer — the CCNet
+    trick in classifier form: a cheap heuristic gate labels a seed of
+    documents good/bad (``label_col`` boolean), per-token class
+    posteriors are estimated from that labeling, and every document is
+    re-scored by its tokens' mean posterior. Documents full of tokens
+    that predominantly occur in gate-passing text score high even when
+    the gate itself is ambivalent about them — the scorer GENERALIZES
+    the heuristic (exactly why CCNet trains a Wikipedia LM instead of
+    shipping the heuristic).
+
+    Integer-exact: the per-token Laplace posterior is
+    ``FLOOR(scale·(c_good+1) / (c_total+2))`` and the doc score is the
+    BIGINT sum over token occurrences — no logs, no libm, bit-exact in
+    any engine (oracle r151).
+
+    Scale shape: one explode (persisted — model build and scoring
+    share it), one count aggregate for the model, one equi-join on the
+    token, one per-doc aggregate. Returns per doc: ``n_tok``,
+    ``sum_p_scaled``, ``mean_p_scaled = sum div n``."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("_d"),
+            F.col(label_col).alias("_g"),
+            F.explode(tokens(F.col(text_col))).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .persist()
+    )
+    model = (
+        toks.groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("_g"), 1).otherwise(0)).alias("cg"),
+            F.count("*").alias("ct"),
+        )
+        .withColumn("p_scaled", F.expr(f"({scale}L * (cg + 1)) div (ct + 2)"))
+    )
+    return (
+        toks.join(model.select("w", "p_scaled"), "w")
+        .groupBy("_d")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum("p_scaled").alias("sum_p_scaled"),
+        )
+        .withColumn("mean_p_scaled", F.expr("sum_p_scaled div n_tok"))
+        .withColumnRenamed("_d", id_col)
+    )

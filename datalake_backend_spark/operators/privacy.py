@@ -1,0 +1,82 @@
+"""Privacy auditing and anonymization for served/exported data.
+
+A lake that exports training corpora or serves gold tables needs more
+than PII redaction (``datapipe.text.redact_pii``): tabular releases
+re-identify people through QUASI-identifier combinations (the classic
+ZIP+birthdate+sex attack), which no regex can see. This module covers
+the release-side contract: measure k-anonymity, then enforce it by
+global recoding (coarsening a numeric quasi-identifier until every
+equivalence class is population-k).
+
+Exactness: bucketing goes through ``FLOOR(100·value)`` BIGINTs and
+FLOOR division (pmod-based — Spark's ``div`` truncates toward zero and
+would disagree with floor semantics on negative balances), so class
+assignments are bit-identical in any engine (oracle r152).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _floor_div(num: str, den: int) -> F.Column:
+    """Floor division of a BIGINT column by a positive literal —
+    truncation-vs-floor matters on negatives, and both DuckDB ``//``
+    and python ``//`` floor."""
+    return F.expr(f"({num} - pmod({num}, {den}L)) div {den}L")
+
+
+def k_anonymity_classes(
+    df: DataFrame,
+    group_cols: list[str],
+    numeric_col: str,
+    level: int,
+    base_width_cents: int = 10_000,
+) -> DataFrame:
+    """Equivalence classes at one generalization level: the numeric
+    quasi-identifier buckets into width ``base_width_cents·2^level``
+    (in cents — values enter as ``FLOOR(100·value)``), categorical
+    quasi-identifiers stay as-is. Returns one row per class with its
+    size ``k_size``."""
+    width = base_width_cents * (1 << level)
+    v = F.floor(F.col(numeric_col) * 100).cast("bigint")
+    return (
+        df.withColumn("_vc", v)
+        .withColumn("bucket", _floor_div("_vc", width))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count("*").alias("k_size"))
+    )
+
+
+def k_anonymize(
+    df: DataFrame,
+    group_cols: list[str],
+    numeric_col: str,
+    k: int = 10,
+    base_width_cents: int = 10_000,
+    max_level: int = 12,
+) -> tuple[DataFrame, int]:
+    """Global recoding to k-anonymity: find the SMALLEST generalization
+    level whose every equivalence class holds ≥ k rows, and return the
+    class table at that level plus the level itself. Doubling widths
+    give the standard generalization ladder; global (one level for the
+    whole table) rather than local recoding keeps released bucket
+    semantics uniform — the choice auditors can reason about.
+
+    The per-level probe is ONE aggregate whose result reduces to a
+    single MIN — a bounded driver scalar per level with early stop
+    (≤ max_level + 1 jobs, independent of table size). Raises if even
+    ``max_level`` leaves a class below k (the caller must drop or
+    merge categorical quasi-identifiers — widening a number can't fix
+    a singleton category)."""
+    for level in range(max_level + 1):
+        classes = k_anonymity_classes(
+            df, group_cols, numeric_col, level, base_width_cents
+        )
+        min_k = classes.agg(F.min("k_size")).first()[0]
+        if min_k is not None and min_k >= k:
+            return classes, level
+    raise ValueError(
+        f"no level <= {max_level} reaches k={k}; smallest class "
+        f"still {min_k} — coarsen the categorical quasi-identifiers"
+    )

@@ -5113,6 +5113,81 @@ GROUP BY c_mktsegment
 """
 
 
+def r151_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-supervised quality-classifier driver check
+    (`dbs.datapipe.text.nb_quality_score`, the CCNet trick as a token
+    classifier): a length heuristic gates docs good/bad, per-token
+    Laplace posteriors ``FLOOR(1e6·(c_good+1)/(c_total+2))`` are
+    learned from that labeling, and every doc re-scores by its
+    tokens' posterior sum — pure BIGINT throughout, so the DuckDB
+    twin must land on identical per-doc sums."""
+    from datalake_backend_spark.datapipe.text import nb_quality_score
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "gate", F.col("n_chars") >= 300
+    )
+    return nb_quality_score(docs, "gate")
+
+
+R151_SQL = r"""
+WITH lab AS (SELECT doc_id, text, (n_chars >= 300) AS g FROM documents),
+tl AS (
+  SELECT doc_id, g,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS l
+  FROM lab
+),
+toks AS (SELECT doc_id, g, u.w FROM tl, unnest(l) AS u(w)),
+model AS (
+  SELECT w,
+         (1000000 * (SUM(CASE WHEN g THEN 1 ELSE 0 END) + 1))
+           // (COUNT(*) + 2) AS p_scaled
+  FROM toks GROUP BY w
+)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+       CAST(SUM(m.p_scaled) AS BIGINT) AS sum_p_scaled,
+       CAST(SUM(m.p_scaled) AS BIGINT) // COUNT(*) AS mean_p_scaled
+FROM toks t JOIN model m ON t.w = m.w
+GROUP BY t.doc_id
+"""
+
+
+def r152_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity global-recoding driver check
+    (`dbs.operators.privacy.k_anonymize`): coarsen the balance
+    quasi-identifier by doubling bucket widths until every
+    (segment, bucket) equivalence class holds ≥ 10 customers, and
+    release the class table at that minimal level. Bucketing is
+    ``FLOOR(100·value)`` BIGINT floor-division (pmod-based — Spark
+    ``div`` truncates and negative balances would misclass), so the
+    DuckDB twin (all levels as a lateral, MIN level with min class
+    ≥ k) must pick the identical level and classes."""
+    from datalake_backend_spark.operators.privacy import k_anonymize
+
+    cust = table(spark, sf_dir, "customer")
+    classes, level = k_anonymize(
+        cust, ["c_mktsegment"], "c_acctbal", k=10, max_level=12
+    )
+    return classes.withColumn("level", F.lit(level).cast("bigint"))
+
+
+R152_SQL = """
+WITH lv AS (SELECT unnest(range(0, 13)) AS l),
+cls AS (
+  SELECT lv.l, c_mktsegment,
+         CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+           // (10000 * (1 << lv.l)) AS bucket,
+         COUNT(*) AS n
+  FROM customer, lv GROUP BY 1, 2, 3
+),
+mins AS (SELECT l, MIN(n) AS mn FROM cls GROUP BY l),
+chosen AS (SELECT MIN(l) AS l FROM mins WHERE mn >= 10)
+SELECT c_mktsegment, bucket, CAST(n AS BIGINT) AS k_size,
+       CAST((SELECT l FROM chosen) AS BIGINT) AS level
+FROM cls WHERE l = (SELECT l FROM chosen)
+"""
+
+
 def q77_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic shard assignment driver check
     (`dbs.datapipe.sampling.assign_shards`): every document lands in a
@@ -7954,6 +8029,12 @@ QUERIES: dict[str, QuerySpec] = {
     "r14_event_distribution": QuerySpec(q14_event_distribution, Q14_SQL, "A13"),
     "r150_deep_clone": QuerySpec(
         r150_deep_clone, R150_SQL, "lakehouse-deep-clone,dv-carryover"
+    ),
+    "r151_nb_quality_score": QuerySpec(
+        r151_nb_quality_score, R151_SQL, "text-quality-classifier,ccnet"
+    ),
+    "r152_k_anonymize": QuerySpec(
+        r152_k_anonymize, R152_SQL, "privacy-k-anonymity,global-recoding"
     ),
     "r16_distinct_users": QuerySpec(q16_distinct_users, Q16_SQL, "U1,U2,A14"),
     "r17_renest_lineitems": QuerySpec(q17_renest_lineitems, Q17_SQL, "E5,A7,O1"),

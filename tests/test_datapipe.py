@@ -1575,3 +1575,30 @@ def test_semantic_dedup_keep_one(spark):
     assert not out[2].keep and out[2].cluster_id == 1
     assert not out[3].keep and out[3].cluster_id == 1
     assert out[9].keep and out[9].cluster_id == 9
+
+
+def test_nb_quality_score_generalizes_gate(spark):
+    """CCNet-style token classifier (text.nb_quality_score; oracle
+    twin r151): a doc the GATE labels bad but whose tokens are
+    good-corpus tokens scores like the good docs — the classifier
+    generalizes the heuristic instead of parroting it."""
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.datapipe.text import nb_quality_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", True),
+            (2, "alpha beta delta", True),
+            (3, "zz yy xx", False),
+            (4, "alpha beta gamma", False),  # bad label, good tokens
+        ],
+        "doc_id long, text string, gate boolean",
+    )
+    out = {r.doc_id: r for r in nb_quality_score(docs, "gate").collect()}
+    # alpha/beta: cg=2 ct=3 -> 600000; gamma: cg=1 ct=2 -> 500000;
+    # zz/yy/xx: cg=0 ct=1 -> 333333
+    assert out[1].mean_p_scaled == (600000 + 600000 + 500000) // 3
+    assert out[4].mean_p_scaled == out[1].mean_p_scaled  # generalized
+    assert out[3].mean_p_scaled == 333333
+    assert out[4].mean_p_scaled > out[3].mean_p_scaled
