@@ -20,9 +20,11 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _floor_div(num: str, den: int) -> F.Column:
-    """Floor division of a BIGINT column by a positive literal —
-    truncation-vs-floor matters on negatives, and both DuckDB ``//``
-    and python ``//`` floor."""
+    """Floor division of a BIGINT column by a positive literal.
+    Truncation-vs-floor matters on negatives: Spark ``div`` and DuckDB
+    ``//`` BOTH truncate toward zero (``-7 // 2 = -3`` in DuckDB), so
+    any SQL twin must emulate floor explicitly with the same pmod form
+    used here: ``(v - (((v % w) + w) % w)) // w``."""
     return F.expr(f"({num} - pmod({num}, {den}L)) div {den}L")
 
 
@@ -55,7 +57,8 @@ def k_anonymize(
     k: int = 10,
     base_width_cents: int = 10_000,
     max_level: int = 12,
-) -> tuple[DataFrame, int]:
+    on_fail: str = "raise",
+) -> tuple[DataFrame, int, bool]:
     """Global recoding to k-anonymity: find the SMALLEST generalization
     level whose every equivalence class holds ≥ k rows, and return the
     class table at that level plus the level itself. Doubling widths
@@ -65,17 +68,24 @@ def k_anonymize(
 
     The per-level probe is ONE aggregate whose result reduces to a
     single MIN — a bounded driver scalar per level with early stop
-    (≤ max_level + 1 jobs, independent of table size). Raises if even
-    ``max_level`` leaves a class below k (the caller must drop or
-    merge categorical quasi-identifiers — widening a number can't fix
-    a singleton category)."""
+    (≤ max_level + 1 jobs, independent of table size). Returns
+    ``(classes, level, achieved)``. If even ``max_level`` leaves a
+    class below k (a singleton categorical class can never be fixed by
+    widening the numeric bucket), the default ``on_fail='raise'``
+    raises; ``on_fail='max_level'`` instead releases the max-level
+    class table with ``achieved=False`` so small data sets degrade
+    gracefully rather than crash the pipeline."""
+    classes = None
+    min_k = None
     for level in range(max_level + 1):
         classes = k_anonymity_classes(
             df, group_cols, numeric_col, level, base_width_cents
         )
         min_k = classes.agg(F.min("k_size")).first()[0]
         if min_k is not None and min_k >= k:
-            return classes, level
+            return classes, level, True
+    if on_fail == "max_level":
+        return classes, max_level, False
     raise ValueError(
         f"no level <= {max_level} reaches k={k}; smallest class "
         f"still {min_k} — coarsen the categorical quasi-identifiers"

@@ -5158,32 +5158,50 @@ def r152_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     quasi-identifier by doubling bucket widths until every
     (segment, bucket) equivalence class holds ≥ 10 customers, and
     release the class table at that minimal level. Bucketing is
-    ``FLOOR(100·value)`` BIGINT floor-division (pmod-based — Spark
-    ``div`` truncates and negative balances would misclass), so the
-    DuckDB twin (all levels as a lateral, MIN level with min class
-    ≥ k) must pick the identical level and classes."""
+    ``FLOOR(100·value)`` BIGINT floor-division (pmod-based — BOTH
+    Spark ``div`` and DuckDB ``//`` truncate toward zero, so the twin
+    emulates floor with the identical pmod form on negative balances).
+    At tiny scale factors k=10 can be unreachable at any level (a
+    segment with <10 customers can't be fixed by widening a numeric
+    bucket), so the release falls back to the max-level table with
+    ``achieved=false`` — mirrored by COALESCE in the twin."""
     from datalake_backend_spark.operators.privacy import k_anonymize
 
     cust = table(spark, sf_dir, "customer")
-    classes, level = k_anonymize(
-        cust, ["c_mktsegment"], "c_acctbal", k=10, max_level=12
+    classes, level, achieved = k_anonymize(
+        cust, ["c_mktsegment"], "c_acctbal", k=10, max_level=12,
+        on_fail="max_level",
     )
-    return classes.withColumn("level", F.lit(level).cast("bigint"))
+    return (
+        classes.withColumn("level", F.lit(level).cast("bigint"))
+        .withColumn("achieved", F.lit(achieved))
+    )
 
 
 R152_SQL = """
 WITH lv AS (SELECT unnest(range(0, 13)) AS l),
+base AS (
+  SELECT c_mktsegment,
+         CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS v
+  FROM customer
+),
 cls AS (
   SELECT lv.l, c_mktsegment,
-         CAST(FLOOR(c_acctbal * 100) AS BIGINT)
-           // (10000 * (1 << lv.l)) AS bucket,
+         (v - (((v % (10000 * (1 << lv.l))) + (10000 * (1 << lv.l)))
+               % (10000 * (1 << lv.l)))) // (10000 * (1 << lv.l))
+           AS bucket,
          COUNT(*) AS n
-  FROM customer, lv GROUP BY 1, 2, 3
+  FROM base, lv GROUP BY 1, 2, 3
 ),
 mins AS (SELECT l, MIN(n) AS mn FROM cls GROUP BY l),
-chosen AS (SELECT MIN(l) AS l FROM mins WHERE mn >= 10)
+ok AS (SELECT MIN(l) AS l FROM mins WHERE mn >= 10),
+chosen AS (
+  SELECT COALESCE((SELECT l FROM ok), 12) AS l,
+         (SELECT l FROM ok) IS NOT NULL AS achieved
+)
 SELECT c_mktsegment, bucket, CAST(n AS BIGINT) AS k_size,
-       CAST((SELECT l FROM chosen) AS BIGINT) AS level
+       CAST((SELECT l FROM chosen) AS BIGINT) AS level,
+       (SELECT achieved FROM chosen) AS achieved
 FROM cls WHERE l = (SELECT l FROM chosen)
 """
 
@@ -7757,6 +7775,24 @@ QUERIES: dict[str, QuerySpec] = {
     "q120_linear_gap_fill": QuerySpec(
         r120_linear_gap_fill, R120_SQL, "W-gap-fill-linear,timeseries"
     ),
+    # fifth rotation (round 7): the codec, lakehouse-DV, source-API and
+    # graph families earn their first hard driver rows (JPEG decode,
+    # deletion vectors, Python DataSource, integer PageRank);
+    # q67/q75/q82/q86 demoted — their families stay in-window via
+    # q26/q71 (containment→LSH+decontam), q127+r131 (codec),
+    # q62+r101 (embedding/ANN), q48/q52 (funnel→sessionized state)
+    "q127_jpeg_decode_stats": QuerySpec(
+        r127_jpeg_decode_stats, R127_SQL, "multimodal-jpeg-codec"
+    ),
+    "q135_dv_delete": QuerySpec(
+        r135_dv_delete, R135_SQL, "lakehouse-deletion-vectors,merge-on-read"
+    ),
+    "q137_media_source": QuerySpec(
+        r137_media_source, _r137_sql(), "source-python-datasource,media-files"
+    ),
+    "q145_pagerank": QuerySpec(
+        r145_pagerank, R145_SQL, "graph-pagerank,iterative"
+    ),
     "q15_top_orders_per_segment": QuerySpec(q15_top_orders_per_segment, Q15_SQL, "W8,O4"),
     "q26_minhash_near_dup": QuerySpec(q26_minhash_near_dup, Q26_SQL, "dedup-minhash-lsh"),
     "q34_asof_join": QuerySpec(q34_asof_join, Q34_SQL, "J-asof (custom operator)"),
@@ -7803,9 +7839,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q66_streaming_sessions": QuerySpec(
         q66_streaming_sessions, Q66_SQL, "streaming-sessions,W7"
     ),
-    "q67_chunk_overlap": QuerySpec(
-        q67_chunk_overlap, Q67_SQL, "dedup-containment,text-fingerprint"
-    ),
     "q69_repetition_metrics": QuerySpec(
         q69_repetition_metrics, Q69_SQL, "quality-repetition,gopher-filters"
     ),
@@ -7823,9 +7856,6 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q74_stateful_slot_tracker": QuerySpec(
         q74_stateful_slot_tracker, Q74_SQL, "streaming-stateful,W7-state"
-    ),
-    "q75_image_decode_stats": QuerySpec(
-        q75_image_decode_stats, Q75_SQL, "multimodal-decode,image-codec"
     ),
     # Round 5: q76–q86 rotated INTO the 50-entry driver window; eleven
     # long-stable rows whose operators are redundantly covered by a
@@ -7849,9 +7879,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q81_line_dedup": QuerySpec(
         q81_line_dedup, Q81_SQL, "dedup-lines,paragraph-dedup"
     ),
-    "q82_quantized_cosine": QuerySpec(
-        q82_quantized_cosine, Q82_SQL, "embedding-quantization,ann-storage"
-    ),
     "q83_tfidf_terms": QuerySpec(
         q83_tfidf_terms, Q83_SQL, "text-tfidf,keyword-extraction"
     ),
@@ -7860,9 +7887,6 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q85_sliding_window_counts": QuerySpec(
         q85_sliding_window_counts, Q85_SQL, "streaming-sliding-windows"
-    ),
-    "q86_event_funnel": QuerySpec(
-        q86_event_funnel, Q86_SQL, "funnel-analysis,conditional-min-cascade"
     ),
     # Round 5 second rotation: the versioned-lakehouse, audio-codec,
     # and streaming-dedup surfaces earn driver-green rows; q29/q40/
@@ -7954,9 +7978,6 @@ QUERIES: dict[str, QuerySpec] = {
     "r126_leakage_safe_split": QuerySpec(
         r126_leakage_safe_split, _r126_sql(), "split-by-cluster,decontamination"
     ),
-    "r127_jpeg_decode_stats": QuerySpec(
-        r127_jpeg_decode_stats, R127_SQL, "multimodal-jpeg-codec"
-    ),
     "r128_bloom_decontamination": QuerySpec(
         r128_bloom_decontamination, Q71_SQL, "decontamination-bloom,scale-prefilter"
     ),
@@ -7979,14 +8000,8 @@ QUERIES: dict[str, QuerySpec] = {
     "r134_inverted_index": QuerySpec(
         r134_inverted_index, R134_SQL, "search-inverted-index,postings"
     ),
-    "r135_dv_delete": QuerySpec(
-        r135_dv_delete, R135_SQL, "lakehouse-deletion-vectors,merge-on-read"
-    ),
     "r136_audio_near_dup": QuerySpec(
         r136_audio_near_dup, R136_SQL, "dedup-audio-perceptual,fingerprint"
-    ),
-    "r137_media_source": QuerySpec(
-        r137_media_source, _r137_sql(), "source-python-datasource,media-files"
     ),
     "r138_video_near_dup": QuerySpec(
         r138_video_near_dup, R138_SQL, "dedup-video-perceptual,frame-signature"
@@ -8010,9 +8025,6 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r144_lm_doc_score": QuerySpec(
         r144_lm_doc_score, R144_SQL, "text-lm-score,ccnet-filter"
-    ),
-    "r145_pagerank": QuerySpec(
-        r145_pagerank, R145_SQL, "graph-pagerank,iterative"
     ),
     "r146_tf_cosine_pairs": QuerySpec(
         r146_tf_cosine_pairs, R146_SQL, "dedup-tf-cosine,integer-exact"
@@ -8082,10 +8094,22 @@ QUERIES: dict[str, QuerySpec] = {
     "r65_normalized_fingerprint": QuerySpec(
         q65_normalized_fingerprint, Q65_SQL, "text-normalize,text-fingerprint"
     ),
+    "r67_chunk_overlap": QuerySpec(
+        q67_chunk_overlap, Q67_SQL, "dedup-containment,text-fingerprint"
+    ),
     "r68_stratified_split": QuerySpec(
         q68_stratified_split, _q68_sql(), "sampling-stratified,split-deterministic"
     ),
     # ----- round-5 additions (new operators; windowed in a later round) -----
+    "r75_image_decode_stats": QuerySpec(
+        q75_image_decode_stats, Q75_SQL, "multimodal-decode,image-codec"
+    ),
+    "r82_quantized_cosine": QuerySpec(
+        q82_quantized_cosine, Q82_SQL, "embedding-quantization,ann-storage"
+    ),
+    "r86_event_funnel": QuerySpec(
+        q86_event_funnel, Q86_SQL, "funnel-analysis,conditional-min-cascade"
+    ),
     "r87_snapshot_diff": QuerySpec(r87_snapshot_diff, R87_SQL, "cdc-diff,merge"),
     "r88_salted_join": QuerySpec(r88_salted_join, R88_SQL, "J-skew-salted"),
     "r89_zorder_key": QuerySpec(r89_zorder_key, R89_SQL, "zorder-clustering"),

@@ -35,10 +35,13 @@ def test_primary_tier_fills_driver_window():
     assert all(k.startswith("r") for k in keys[PRIMARY_TIER_SIZE:])
     must_have = (
         [f"q{n}" for n in range(51, 61)]  # domain pipelines
-        + ["q47", "q66", "q73", "q74", "q75"]
-        + [f"q{n}" for n in range(76, 87)]  # round-5 rotation: new ops
+        + ["q47", "q66", "q73", "q74"]
+        # round-5 rotation survivors (q75/q82/q86 demoted round 7)
+        + [f"q{n}" for n in (76, 77, 78, 79, 80, 81, 83, 84, 85)]
         # second round-5 rotation: lakehouse + audio + streaming dedup
         + ["q91", "q94", "q95", "q96"]
+        # round-7 rotation: codec / DV / source-API / graph families
+        + ["q127", "q135", "q137", "q145"]
     )
     for prefix in must_have:
         assert any(k.startswith(prefix + "_") for k in primary), prefix

@@ -24,10 +24,15 @@ def test_k_anonymize_minimal_level_and_floor_div(spark):
     from datalake_backend_spark.operators.privacy import k_anonymize
 
     df = spark.createDataFrame(_rows(), "id string, seg string, bal double")
-    classes, level = k_anonymize(df, ["seg"], "bal", k=10, max_level=8)
-    assert level == 5
+    classes, level, achieved = k_anonymize(df, ["seg"], "bal", k=10, max_level=8)
+    assert level == 5 and achieved is True
     got = {(r.seg, r.bucket): r.k_size for r in classes.collect()}
     assert got == {("A", 0): 12, ("B", 0): 12, ("C", -1): 12}
     # k too large for the categorical structure -> explicit refusal
     with pytest.raises(ValueError, match="coarsen"):
         k_anonymize(df, ["seg", "id"], "bal", k=2, max_level=3)
+    # ... unless the caller opts into the max-level release
+    cl, lvl, ok = k_anonymize(
+        df, ["seg", "id"], "bal", k=2, max_level=3, on_fail="max_level"
+    )
+    assert lvl == 3 and ok is False and cl.count() == 36
