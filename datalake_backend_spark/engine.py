@@ -294,10 +294,24 @@ class Engine:
                 .join(aud_h, "media_id", "left")
                 .join(vid_h, "media_id", "left")
             )
+            # concat_ws never returns NULL (NULL args -> ""), so each
+            # branch must be gated on its key actually existing or
+            # every keyless row would collapse into one "" group; the
+            # modality prefix keeps an image hash from ever colliding
+            # with a numerically-equal audio fingerprint
             pkey = F.coalesce(
-                F.concat_ws(":", "phash_hi", "phash_lo"),
-                F.concat_ws(":", "afp_hi", "afp_lo"),
-                F.col("vsig"),
+                F.when(
+                    F.col("phash_hi").isNotNull(),
+                    F.concat_ws(":", F.lit("img"), "phash_hi", "phash_lo"),
+                ),
+                F.when(
+                    F.col("afp_hi").isNotNull(),
+                    F.concat_ws(":", F.lit("aud"), "afp_hi", "afp_lo"),
+                ),
+                F.when(
+                    F.col("vsig").isNotNull(),
+                    F.concat_ws(":", F.lit("vid"), "vsig"),
+                ),
                 F.concat(F.lit("id-"), F.col("media_id").cast("string")),
             )
             pw = Window.partitionBy(pkey).orderBy("media_id")

@@ -41,6 +41,7 @@ def pagerank(
     iterations: int = 5,
     scale: int = 10**12,
     teleport_pct: int = 15,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a directed edge list.
 
@@ -49,6 +50,15 @@ def pagerank(
     with ``rank_scaled`` — the integer rank after exactly
     ``iterations`` synchronous updates from the uniform start
     ``scale div N``.
+
+    ``checkpoint_every=k`` cuts the lazy lineage chain with a
+    ``localCheckpoint`` every k iterations: the default (None) keeps
+    the whole loop one lazy DAG — correct and eager-free for the small
+    fixed iteration counts the registry uses — but a long run would
+    otherwise grow an O(iterations)-deep plan that bloats analysis and
+    re-execution cost, the same hazard the connected-components loop in
+    ``datapipe.dedup`` checkpoints against. Checkpointing changes WORK
+    SCHEDULING only, never the integer ranks.
     """
     if not 0 < teleport_pct < 100:
         raise ValueError("teleport_pct must be in (0, 100)")
@@ -68,7 +78,7 @@ def pagerank(
         .withColumn("r", F.expr(f"{scale}L div _n"))
         .select("node", "deg", "r")
     )
-    for _ in range(iterations):
+    for it in range(1, iterations + 1):
         contrib = ranks.join(edges, ranks.node == edges.src).select(
             F.col("dst").alias("node"),
             F.expr(f"({damping}L * r) div (100L * deg)").alias("c"),
@@ -86,6 +96,9 @@ def pagerank(
             )
             .select("node", "deg", "r")
         )
+        if checkpoint_every and it % checkpoint_every == 0 and it < iterations:
+            # lazy checkpoint: the caller's first action materializes it
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.col("r").alias("rank_scaled"))
 
 

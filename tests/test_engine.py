@@ -240,14 +240,19 @@ def test_process_media_dir(spark, tmp_path):
     (d / "6.wav").write_bytes(
         encode_wav(np.repeat(mono, 2, axis=1), 8000)
     )  # stereo re-layout dup
+    # a DIFFERENT recording: NULL image hash like 5/6, but its audio
+    # fingerprint differs — must NOT collapse with them (a keyless
+    # concat_ws would map every non-image to the same "" group)
+    other_audio = rng.integers(-32000, 32000, (200, 1)).astype(np.int16)
+    (d / "7.wav").write_bytes(encode_wav(other_audio, 8000))
 
     eng = Engine(spark)
     res = eng.process_media_dir(str(d), str(tmp_path / "lake"))
-    assert res["n_files"] == 6
+    assert res["n_files"] == 7
     assert res["n_exact_dups"] == 1  # 2.ppm
     assert res["n_perceptual_dups"] == 2  # 3.png, 6.wav
-    assert res["n_kept"] == 3 and res["version"] == 1
+    assert res["n_kept"] == 4 and res["version"] == 1
     kept = VersionedTable(res["zone"]).read(spark)
-    assert {r.media_id for r in kept.select("media_id").collect()} == {1, 4, 5}
+    assert {r.media_id for r in kept.select("media_id").collect()} == {1, 4, 5, 7}
     # dedup keys ride along for incremental probes
     assert {"content_sha", "phash_hi", "vsig"} <= set(kept.columns)

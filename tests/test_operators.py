@@ -237,6 +237,29 @@ def test_pagerank_integer_exact(spark):
     assert again == five
 
 
+def test_pagerank_checkpoint_bounds_plan_depth(spark):
+    """checkpoint_every cuts the iteration loop's lazy lineage: at 20
+    iterations the un-checkpointed plan grows O(iterations) deep while
+    checkpoint_every=5 keeps the analyzed plan bounded by one segment
+    — and the integer ranks are bit-identical either way (the
+    checkpoint changes scheduling, never arithmetic)."""
+    from datalake_backend_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("c", "b"), ("b", "a"), ("b", "c"), ("a", "c")],
+        "src string, dst string",
+    )
+    plain = pagerank(edges, iterations=20)
+    cut = pagerank(edges, iterations=20, checkpoint_every=5)
+    deep = plain._jdf.queryExecution().analyzed().toString()
+    shallow = cut._jdf.queryExecution().analyzed().toString()
+    # 20 chained join+agg rounds vs the ≤5 rounds after the last cut
+    assert deep.count("Join") >= 4 * shallow.count("Join")
+    assert {r.node: r.rank_scaled for r in cut.collect()} == {
+        r.node: r.rank_scaled for r in plain.collect()
+    }
+
+
 def test_bfs_hops_min_distance(spark):
     """Bounded BFS (operators/graph.py:bfs_hops; oracle twin r147): a
     path graph with a shortcut — hop must be the MINIMUM distance, the
