@@ -1246,3 +1246,98 @@ def tf_cosine_near_dups(
         )
         .select("id_a", "id_b", "dot", "n2_a", "n2_b")
     )
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    k: int = 4,
+    divisor: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn=None,
+) -> DataFrame:
+    """Content-defined chunking (FastCDC/rsync-style) dedup statistics
+    at token granularity: cut each document where the fingerprint of
+    the ``k``-token window ENDING at a position is ≡ 0 mod ``divisor``
+    (expected chunk length ≈ ``divisor`` tokens), hash every chunk,
+    and report per document how much of it is corpus-shared. Because
+    boundaries depend only on LOCAL content, an insertion early in a
+    document shifts token positions but the chunk stream re-synchronizes
+    at the next boundary — fixed-size blocks would mark everything
+    downstream as new. This is the storage/transfer dedup view (how
+    many bytes does the corpus really contain?) that complements the
+    document-level near-dup operators.
+
+    Returns one row per doc: ``(doc_id, n_chunks, n_chunk_tokens,
+    n_shared_chunks)`` where a chunk is shared when its fingerprint
+    occurs in more than one (doc, chunk) instance corpus-wide.
+
+    Shape: O(tokens) rows end to end — an array-level boundary
+    transform, one posexplode, a per-doc running-sum window (each doc
+    its own partition), one (doc, chunk) aggregate, one fingerprint-
+    frequency aggregate joined back broadcast-style on the chunk hash.
+    Never pairwise. ``hash_fn`` defaults to :func:`portable_hash60`
+    for cross-engine twins (r156); pass ``F.xxhash64`` for speed."""
+    from pyspark.sql import Window
+
+    hash_fn = hash_fn or portable_hash60
+    staged = (
+        df.select(id_col, text_col)
+        .where(F.trim(F.col(text_col)) != "")
+        .withColumn("_toks", tokens(F.col(text_col)))
+    )
+    toks, n = F.col("_toks"), F.size("_toks")
+    # bnd[p] = 1 iff the k-gram ending at p fingerprints to 0 mod divisor
+    bnd = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda p: F.when(
+            (p >= k)
+            & (
+                F.pmod(
+                    hash_fn(F.concat_ws(" ", F.slice(toks, p - k + 1, k))),
+                    F.lit(divisor),
+                )
+                == 0
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    rows = staged.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(F.arrays_zip(toks.alias("w"), bnd.alias("b"))).alias(
+            "_p", "_z"
+        ),
+    ).select("_d", "_p", F.col("_z.w").alias("w"), F.col("_z.b").alias("b"))
+    w_doc = (
+        Window.partitionBy("_d")
+        .orderBy("_p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = rows.withColumn(
+        "_chunk", F.coalesce(F.sum("b").over(w_doc), F.lit(0))
+    )
+    chunks = chunked.groupBy("_d", "_chunk").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+        F.count("*").alias("n_tok"),
+    )
+    hashed = chunks.select(
+        "_d", "n_tok", hash_fn(F.col("chunk_text")).alias("chunk_hash")
+    )
+    freq = hashed.groupBy("chunk_hash").agg(F.count("*").alias("_freq"))
+    return (
+        hashed.join(freq, "chunk_hash")
+        .groupBy(F.col("_d").alias(id_col))
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tok").alias("n_chunk_tokens"),
+            F.sum(F.when(F.col("_freq") > 1, 1).otherwise(0)).alias(
+                "n_shared_chunks"
+            ),
+        )
+    )

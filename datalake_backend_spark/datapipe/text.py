@@ -764,3 +764,81 @@ def nb_quality_score(
         .withColumn("mean_p_scaled", F.expr("sum_p_scaled div n_tok"))
         .withColumnRenamed("_d", id_col)
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 10**6,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 ranking over the corpus for a fixed term query — the READ
+    side of the search tier whose WRITE side is :func:`inverted_index`:
+    score every document against ``query_terms`` with the BM25
+    saturation formula (k1 = 1.2, b = 0.75) and return the top
+    ``top_k`` as ``(doc_id, score_scaled)``.
+
+    Exactness: floating BM25 (libm ``log``) is not bit-reproducible
+    across engines, so both factors are integer rationals. The tf
+    component is exact BM25 algebra over a common denominator — with
+    L = Σ dl (so avgdl = L/N),
+
+        tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+          = 44·L·tf / (20·L·tf + 6·L + 18·dl·N)
+
+    — and the idf is Lucene's ``log(1 + (N−df+½)/(df+½))`` quantized
+    to quarter-bits via pure integer ops: for x ≥ y ≥ 1,
+    ``floor(log2(x/y)) = bit_length(x div y) − 1``, so with x=(2N+2)⁴
+    and y=(2df+1)⁴ the expression ``length(bin(x div y)) − 1`` is
+    exactly ``floor(4·log2((2N+2)/(2df+1)))`` in ANY engine that has
+    ``bin()`` (Spark and DuckDB both do). Per-term score is then one
+    BIGINT ``div``; integer sums are order-independent, so the ranking
+    is a bit-exact function of the corpus (oracle r154).
+
+    Scale shape: one explode (O(tokens)), tf restricted to the query
+    terms BEFORE any shuffle (the per-doc groupBy aggregates only
+    matching postings), corpus scalars via the broadcast 1-row-agg
+    idiom, and the top-k is ``orderBy().limit()`` — Spark plans
+    TakeOrderedAndProject, a per-partition heap + driver merge of k
+    rows, never a global sort."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    ).where(F.col("term") != "")
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").alias("_n"), F.sum("dl").alias("_l")
+    )  # 1 row — broadcast scalar, never a collect
+    qtf = (
+        tok.where(F.col("term").isin(list(query_terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = qtf.groupBy("term").agg(F.count("*").alias("df_t"))
+    scored = (
+        qtf.join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf_q",
+            F.expr(
+                "length(bin(((2L*_n + 2L) * (2L*_n + 2L) * (2L*_n + 2L)"
+                " * (2L*_n + 2L)) div ((2L*df_t + 1L) * (2L*df_t + 1L)"
+                " * (2L*df_t + 1L) * (2L*df_t + 1L)))) - 1"
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "term_score",
+            F.expr(
+                f"(idf_q * 44L * _l * tf * {scale}L)"
+                " div (20L * _l * tf + 6L * _l + 18L * dl * _n)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score_scaled"))
+        .orderBy(F.desc("score_scaled"), F.asc("doc_id"))
+        .limit(top_k)
+    )

@@ -90,3 +90,69 @@ def k_anonymize(
         f"no level <= {max_level} reaches k={k}; smallest class "
         f"still {min_k} — coarsen the categorical quasi-identifiers"
     )
+
+
+def l_diversity_classes(
+    df: DataFrame,
+    group_cols: list[str],
+    numeric_col: str,
+    sensitive_col: str,
+    level: int,
+    base_width_cents: int = 10_000,
+) -> DataFrame:
+    """Equivalence classes at one generalization level, annotated with
+    the DIVERSITY of the sensitive attribute: ``l_distinct`` = number
+    of distinct sensitive values inside the class. k-anonymity alone
+    leaks through the homogeneity attack — a class of 50 people who
+    all share one diagnosis identifies the diagnosis without
+    identifying the person — which is exactly what distinct
+    l-diversity measures."""
+    width = base_width_cents * (1 << level)
+    v = F.floor(F.col(numeric_col) * 100).cast("bigint")
+    return (
+        df.withColumn("_vc", v)
+        .withColumn("bucket", _floor_div("_vc", width))
+        .groupBy(*group_cols, "bucket")
+        .agg(
+            F.count("*").alias("k_size"),
+            F.countDistinct(sensitive_col).alias("l_distinct"),
+        )
+    )
+
+
+def l_diversify(
+    df: DataFrame,
+    group_cols: list[str],
+    numeric_col: str,
+    sensitive_col: str,
+    l_min: int = 3,
+    base_width_cents: int = 10_000,
+    max_level: int = 12,
+    on_fail: str = "raise",
+) -> tuple[DataFrame, int, bool]:
+    """Global recoding to distinct l-diversity: the SMALLEST
+    generalization level whose every equivalence class contains at
+    least ``l_min`` distinct sensitive values. The same doubling-width
+    ladder, probe shape (one aggregate reduced to one MIN per level,
+    early stop), and ``on_fail`` contract as :func:`k_anonymize` —
+    ``'max_level'`` releases the coarsest table with ``achieved=False``
+    when even it stays homogeneous (a class whose members genuinely
+    all share one sensitive value can never be diversified by
+    widening a numeric bucket)."""
+    classes = None
+    min_l = None
+    for level in range(max_level + 1):
+        classes = l_diversity_classes(
+            df, group_cols, numeric_col, sensitive_col, level,
+            base_width_cents,
+        )
+        min_l = classes.agg(F.min("l_distinct")).first()[0]
+        if min_l is not None and min_l >= l_min:
+            return classes, level, True
+    if on_fail == "max_level":
+        return classes, max_level, False
+    raise ValueError(
+        f"no level <= {max_level} reaches l={l_min}; least-diverse "
+        f"class still {min_l} — drop or merge categorical "
+        "quasi-identifiers, or suppress the homogeneous classes"
+    )

@@ -5321,6 +5321,163 @@ FROM documents
 """
 
 
+def r154_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k driver check (`dbs.datapipe.text.bm25_scores`): rank
+    every document against a 3-term query with integer-rational BM25
+    (exact tf-saturation algebra over the common denominator
+    20·L·tf + 6·L + 18·dl·N; Lucene idf quantized to quarter-bits via
+    ``length(bin((2N+2)⁴ div (2df+1)⁴)) − 1`` — pure BIGINT/string ops
+    both engines share) and release the top 20 by (score desc, doc_id).
+    The DuckDB twin recomputes every factor from the same tokenizer;
+    a tokenizer drift, an avgdl off-by-one, an idf rounding flip, or
+    an unstable tie-break all break the hash."""
+    from datalake_backend_spark.datapipe.text import bm25_scores
+
+    docs = table(spark, sf_dir, "documents")
+    return bm25_scores(docs, ["hash", "scan", "batch"], top_k=20)
+
+
+R154_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents
+),
+tk AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id),
+corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS l
+  FROM dl
+),
+qtf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tk WHERE term IN ('hash', 'scan', 'batch')
+  GROUP BY doc_id, term
+),
+dft AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM qtf GROUP BY term
+),
+scored AS (
+  SELECT q.doc_id,
+         (CAST(length(bin(CAST(
+             ((2*c.n + 2) * (2*c.n + 2) * (2*c.n + 2) * (2*c.n + 2))
+             // ((2*f.df_t + 1) * (2*f.df_t + 1) * (2*f.df_t + 1)
+                 * (2*f.df_t + 1)) AS BIGINT))) - 1 AS BIGINT)
+          * 44 * c.l * q.tf * 1000000)
+         // (20 * c.l * q.tf + 6 * c.l + 18 * d.dl * c.n) AS term_score
+  FROM qtf q JOIN dft f USING (term) JOIN dl d USING (doc_id), corpus c
+)
+SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score_scaled
+FROM scored GROUP BY doc_id
+ORDER BY score_scaled DESC, doc_id LIMIT 20
+"""
+
+
+def r155_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity driver check (`dbs.operators.privacy
+    .l_diversify`): coarsen the balance quasi-identifier until every
+    (segment, bucket) class contains customers from ≥ 3 distinct
+    nations — k-anonymity's homogeneity-attack complement. The same
+    pmod floor-div bucketing and COALESCE max-level fallback as r152;
+    the twin recomputes l_distinct per class at every level and must
+    choose the identical minimal level."""
+    from datalake_backend_spark.operators.privacy import l_diversify
+
+    cust = table(spark, sf_dir, "customer")
+    classes, level, achieved = l_diversify(
+        cust, ["c_mktsegment"], "c_acctbal", "c_nationkey",
+        l_min=3, max_level=12, on_fail="max_level",
+    )
+    return (
+        classes.withColumn("level", F.lit(level).cast("bigint"))
+        .withColumn("achieved", F.lit(achieved))
+    )
+
+
+R155_SQL = """
+WITH lv AS (SELECT unnest(range(0, 13)) AS l),
+base AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS v
+  FROM customer
+),
+cls AS (
+  SELECT lv.l, c_mktsegment,
+         (v - (((v % (10000 * (1 << lv.l))) + (10000 * (1 << lv.l)))
+               % (10000 * (1 << lv.l)))) // (10000 * (1 << lv.l))
+           AS bucket,
+         COUNT(*) AS n, COUNT(DISTINCT c_nationkey) AS nd
+  FROM base, lv GROUP BY 1, 2, 3
+),
+mins AS (SELECT l, MIN(nd) AS mn FROM cls GROUP BY l),
+ok AS (SELECT MIN(l) AS l FROM mins WHERE mn >= 3),
+chosen AS (
+  SELECT COALESCE((SELECT l FROM ok), 12) AS l,
+         (SELECT l FROM ok) IS NOT NULL AS achieved
+)
+SELECT c_mktsegment, bucket, CAST(n AS BIGINT) AS k_size,
+       CAST(nd AS BIGINT) AS l_distinct,
+       CAST((SELECT l FROM chosen) AS BIGINT) AS level,
+       (SELECT achieved FROM chosen) AS achieved
+FROM cls WHERE l = (SELECT l FROM chosen)
+"""
+
+
+def r156_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup driver check (`dbs.datapipe
+    .dedup.cdc_chunk_stats`): FastCDC-style token chunking — cut where
+    the 4-gram fingerprint ≡ 0 mod 8, hash each chunk, count per doc
+    how many chunks are corpus-shared. The DuckDB twin recomputes the
+    identical boundary set from the same md5-60 fingerprints, so a
+    boundary off-by-one (window ENDING at p, break AFTER p), a prefix-
+    sum drift, an unstable chunk-token order, or a frequency-join bug
+    all shift a count."""
+    from datalake_backend_spark.datapipe.dedup import cdc_chunk_stats
+
+    docs = table(spark, sf_dir, "documents")
+    return cdc_chunk_stats(docs, k=4, divisor=8)
+
+
+R156_SQL = r"""
+WITH tl AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
+  FROM documents WHERE trim(text) <> ''
+),
+rws AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS p, l[p] AS w,
+         CASE WHEN p >= 4 AND
+              ('0x' || substr(md5(array_to_string(l[p - 3 : p], ' ')),
+                              1, 15))::BIGINT % 8 = 0
+              THEN 1 ELSE 0 END AS b
+  FROM tl, unnest(range(1, len(l) + 1)) AS t(p)
+),
+chunked AS (
+  SELECT doc_id, p, w,
+         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk
+  FROM rws
+),
+chunks AS (
+  SELECT doc_id, chunk, string_agg(w, ' ' ORDER BY p) AS chunk_text,
+         COUNT(*) AS n_tok
+  FROM chunked GROUP BY doc_id, chunk
+),
+hashed AS (
+  SELECT doc_id, n_tok,
+         ('0x' || substr(md5(chunk_text), 1, 15))::BIGINT AS chunk_hash
+  FROM chunks
+),
+freq AS (SELECT chunk_hash, COUNT(*) AS f FROM hashed GROUP BY chunk_hash)
+SELECT h.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(h.n_tok) AS BIGINT) AS n_chunk_tokens,
+       CAST(SUM(CASE WHEN q.f > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_chunks
+FROM hashed h JOIN freq q USING (chunk_hash)
+GROUP BY h.doc_id
+"""
+
+
 def q77_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic shard assignment driver check
     (`dbs.datapipe.sampling.assign_shards`): every document lands in a
@@ -8165,6 +8322,15 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r153_media_lifecycle": QuerySpec(
         r153_media_lifecycle, R153_SQL, "media-ingest-lifecycle,composite"
+    ),
+    "r154_bm25_topk": QuerySpec(
+        r154_bm25_topk, R154_SQL, "search-bm25-ranking,integer-idf"
+    ),
+    "r155_l_diversity": QuerySpec(
+        r155_l_diversity, R155_SQL, "privacy-l-diversity,homogeneity"
+    ),
+    "r156_cdc_chunks": QuerySpec(
+        r156_cdc_chunks, R156_SQL, "dedup-content-defined-chunking,storage"
     ),
     "r16_distinct_users": QuerySpec(q16_distinct_users, Q16_SQL, "U1,U2,A14"),
     "r17_renest_lineitems": QuerySpec(q17_renest_lineitems, Q17_SQL, "E5,A7,O1"),

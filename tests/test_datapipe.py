@@ -1602,3 +1602,77 @@ def test_nb_quality_score_generalizes_gate(spark):
     assert out[4].mean_p_scaled == out[1].mean_p_scaled  # generalized
     assert out[3].mean_p_scaled == 333333
     assert out[4].mean_p_scaled > out[3].mean_p_scaled
+
+
+def test_bm25_scores_hand_computed(spark):
+    """Integer-rational BM25 (datapipe/text.py:bm25_scores; oracle twin
+    r154) on a 3-doc corpus small enough to verify every factor by
+    hand: idf quarter-bit quantization, the 44L/20L/6L/18dlN common-
+    denominator tf algebra, and the (score desc, doc_id) tie-break."""
+    from datalake_backend_spark.datapipe.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog cat"),          # dl=3, tf(cat)=2
+            (2, "cat fish"),             # dl=2, tf(cat)=1
+            (3, "fish fish fish dog"),   # dl=4, no cat
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.score_scaled for r in bm25_scores(docs, ["cat"]).collect()}
+    # N=3, L=9, df(cat)=2 -> idf_q = bitlen(8^4 // 5^4) - 1
+    #   = bitlen(4096 // 625) - 1 = bitlen(6) - 1 = 2
+    n, length, df = 3, 9, 2
+    idf_q = (((2 * n + 2) ** 4) // ((2 * df + 1) ** 4)).bit_length() - 1
+    assert idf_q == 2
+
+    def score(tf, dl):
+        return (idf_q * 44 * length * tf * 10**6) // (
+            20 * length * tf + 6 * length + 18 * dl * n
+        )
+
+    assert out == {1: score(2, 3), 2: score(1, 2)}
+    # saturation: doubling tf must NOT double the score
+    assert out[1] < 2 * out[2]
+    # longer doc with same tf scores lower (length normalization)
+    docs2 = spark.createDataFrame(
+        [(1, "cat a b"), (2, "cat a b c d e")], "doc_id long, text string"
+    )
+    o2 = {r.doc_id: r.score_scaled for r in bm25_scores(docs2, ["cat"]).collect()}
+    assert o2[1] > o2[2]
+
+
+def test_cdc_chunks_resynchronize_after_insertion(spark):
+    """Content-defined chunking (datapipe/dedup.py:cdc_chunk_stats;
+    oracle twin r156): a prefix insertion shifts every token position,
+    but because boundaries depend only on the local k-gram, the chunk
+    stream re-synchronizes at the first boundary after the edit — the
+    two documents share every chunk beyond it. Fixed-size blocks would
+    share nothing."""
+    import random
+
+    from datalake_backend_spark.datapipe.dedup import cdc_chunk_stats
+
+    rng = random.Random(7)
+    body = " ".join(rng.choice("abcdefghij") + str(rng.randrange(50))
+                    for _ in range(400))
+    docs = spark.createDataFrame(
+        [(1, body), (2, "inserted prefix tokens " + body)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in cdc_chunk_stats(docs, k=4, divisor=8).collect()}
+    # both docs carry many chunks, and almost all of doc 1's are shared
+    assert out[1].n_chunks > 20
+    assert out[1].n_shared_chunks >= out[1].n_chunks - 2
+    assert out[2].n_shared_chunks >= out[1].n_chunks - 2
+    # token accounting is exact
+    assert out[1].n_chunk_tokens == 400
+    assert out[2].n_chunk_tokens == 403
+    # determinism under different partitioning
+    again = {
+        r.doc_id: r
+        for r in cdc_chunk_stats(docs.repartition(5), k=4, divisor=8).collect()
+    }
+    assert {d: (v.n_chunks, v.n_shared_chunks) for d, v in again.items()} == {
+        d: (v.n_chunks, v.n_shared_chunks) for d, v in out.items()
+    }

@@ -36,3 +36,36 @@ def test_k_anonymize_minimal_level_and_floor_div(spark):
         df, ["seg", "id"], "bal", k=2, max_level=3, on_fail="max_level"
     )
     assert lvl == 3 and ok is False and cl.count() == 36
+
+
+def test_l_diversify_homogeneity(spark):
+    """Distinct l-diversity (operators/privacy.py:l_diversify; oracle
+    twin r155): segment A's two $100-apart sub-groups carry different
+    diagnoses, so level 0 ($100 buckets) is 10-anonymous yet FULLY
+    homogeneous — only widening to level 1 merges them and reaches
+    l=2. No level can reach l=3 (neither segment has a third value),
+    so that falls back with achieved=False."""
+    import pytest
+
+    from datalake_backend_spark.operators.privacy import l_diversify
+
+    rows = []
+    for i in range(10):
+        rows.append((f"a{i}", "A", 10.0, "flu"))
+        rows.append((f"b{i}", "A", 110.0, "cold"))
+        rows.append((f"c{i}", "B", 10.0, "flu" if i % 2 else "cold"))
+    df = spark.createDataFrame(
+        rows, "id string, seg string, bal double, diag string"
+    )
+    classes, level, ok = l_diversify(
+        df, ["seg"], "bal", "diag", l_min=2, max_level=4
+    )
+    assert level == 1 and ok is True
+    got = {(r.seg, r.bucket): (r.k_size, r.l_distinct) for r in classes.collect()}
+    assert got == {("A", 0): (20, 2), ("B", 0): (10, 2)}
+    with pytest.raises(ValueError, match="suppress"):
+        l_diversify(df, ["seg"], "bal", "diag", l_min=3, max_level=4)
+    _, lvl, ok3 = l_diversify(
+        df, ["seg"], "bal", "diag", l_min=3, max_level=4, on_fail="max_level"
+    )
+    assert lvl == 4 and ok3 is False
