@@ -5478,6 +5478,110 @@ GROUP BY h.doc_id
 """
 
 
+def r157_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize driver check (`dbs.datapipe.multimodal
+    .resize_images`): every q75 synthetic image (mixed PPM/BMP/PNG
+    containers, closed-form pixels) is nearest-neighbor resampled to
+    6×5, RE-ENCODED in its original container, decoded AGAIN by
+    `image_stats` — the full decode→resize→encode→decode round trip.
+    The resample is integer-exact (``src = (dst·src_dim) div
+    dst_dim``), so the twin recomputes every output pixel from the
+    pixel formula at the mapped source coordinates; an index rounding
+    drift, a channel swap in re-encode, or a stale meta dim breaks
+    the hash."""
+    from datalake_backend_spark.datapipe.multimodal import (
+        image_stats,
+        resize_images,
+        synthetic_image_table,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return image_stats(
+        resize_images(synthetic_image_table(docs), width=6, height=5)
+    )
+
+
+R157_SQL = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(4 + doc_id % 5 AS BIGINT) AS sw,
+         CAST(3 + doc_id % 4 AS BIGINT) AS sh
+  FROM documents
+),
+rws AS (SELECT media_id, sw, sh, unnest(range(0, 5)) AS r FROM dims),
+cls AS (SELECT media_id, sw, sh, r, unnest(range(0, 6)) AS c FROM rws),
+px AS (
+  SELECT media_id,
+         (media_id * 31 + ((r * sh) // 5) * 7 + ((c * sw) // 6) * 3)
+           % 256 AS v_r,
+         (media_id * 31 + ((r * sh) // 5) * 7 + ((c * sw) // 6) * 3 + 11)
+           % 256 AS v_g,
+         (media_id * 31 + ((r * sh) // 5) * 7 + ((c * sw) // 6) * 3 + 22)
+           % 256 AS v_b
+  FROM cls
+)
+SELECT media_id, CAST(6 AS INT) AS width, CAST(5 AS INT) AS height,
+  CAST(3 AS INT) AS channels,
+  CAST(30 AS BIGINT) AS n_pixels,
+  CAST(SUM(v_r) AS BIGINT) AS sum_r,
+  CAST(SUM(v_g) AS BIGINT) AS sum_g,
+  CAST(SUM(v_b) AS BIGINT) AS sum_b,
+  CAST(SUM(v_r) AS BIGINT) / 30.0 AS mean_r,
+  CAST(SUM(v_g) AS BIGINT) / 30.0 AS mean_g,
+  CAST(SUM(v_b) AS BIGINT) / 30.0 AS mean_b
+FROM px GROUP BY media_id
+"""
+
+
+def r158_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment driver check (`dbs.streaming.pipeline
+    .stream_static_enrich`): the events feed is replayed as a stream
+    and every micro-batch is broadcast-joined against the STATIC
+    customer dimension (user_id → market segment) — the stateless
+    lookup-table shape, no watermark, no streaming state — then
+    aggregated per segment. The DuckDB twin is the equivalent batch
+    join+aggregate; a dropped event (enrichment must left-join), a
+    duplicated batch, or a key mismatch breaks the integer checksums."""
+    from datalake_backend_spark.streaming.pipeline import (
+        streaming_session,
+    )
+
+    spark = streaming_session(spark)
+    from datalake_backend_spark.streaming.pipeline import (
+        read_event_stream,
+        start_to_memory,
+        stream_static_enrich,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer")
+    stream = read_event_stream(
+        spark, f"{sf_dir}/events.parquet*", spark.read.parquet(path).schema
+    )
+    enriched = stream_static_enrich(
+        stream, cust, "user_id", "c_custkey", ["c_mktsegment"]
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.max("user_id").alias("max_user"),
+        F.sum("event_id").cast("bigint").alias("event_id_checksum"),
+    )
+    q = start_to_memory(agg, "r158_enriched", output_mode="complete")
+    q.awaitTermination()
+    return spark.table("r158_enriched")
+
+
+R158_SQL = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(e.user_id) AS BIGINT) AS max_user,
+       CAST(SUM(e.event_id) AS BIGINT) AS event_id_checksum
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 def q77_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic shard assignment driver check
     (`dbs.datapipe.sampling.assign_shards`): every document lands in a
@@ -8331,6 +8435,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r156_cdc_chunks": QuerySpec(
         r156_cdc_chunks, R156_SQL, "dedup-content-defined-chunking,storage"
+    ),
+    "r157_image_resize": QuerySpec(
+        r157_image_resize, R157_SQL, "multimodal-resize,reencode-roundtrip"
+    ),
+    "r158_stream_static_join": QuerySpec(
+        r158_stream_static_join, R158_SQL, "streaming-static-enrichment"
     ),
     "r16_distinct_users": QuerySpec(q16_distinct_users, Q16_SQL, "U1,U2,A14"),
     "r17_renest_lineitems": QuerySpec(q17_renest_lineitems, Q17_SQL, "E5,A7,O1"),

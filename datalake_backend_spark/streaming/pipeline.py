@@ -482,6 +482,29 @@ def streaming_tws_session(spark: SparkSession, shuffle_partitions: int = 8):
     return ns
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    dim_cols: list[str],
+) -> DataFrame:
+    """Stream-static enrichment: every micro-batch of ``stream`` is
+    joined against the STATIC dimension ``dim`` (the lookup-table
+    shape — user→account, device→model, sku→category). The static
+    side is broadcast, so enrichment is stateless and map-side: no
+    streaming state, no watermark requirement, and the dimension is
+    re-resolved per micro-batch (a dim refreshed between batches is
+    picked up — Spark re-plans the static side each trigger).
+    Left join keeps stream rows whose key has no dim match, with NULL
+    attributes — an enrichment must never drop events."""
+    d = dim.select(
+        F.col(dim_key).alias(stream_key),
+        *[F.col(c) for c in dim_cols],
+    )
+    return stream.join(F.broadcast(d), stream_key, "left")
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -223,3 +223,34 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         for r in spark.table("ssj_test").collect()
     }
     assert got == {(10, 20), (11, 20), (11, 21)}
+
+
+def test_stream_static_enrich_keeps_unmatched(spark, tmp_path):
+    """Stream-static enrichment (streaming/pipeline.py:
+    stream_static_enrich; oracle twin r158): the static dim is
+    broadcast per micro-batch and the join is LEFT — an event whose
+    key has no dim row must survive with NULL attributes, never be
+    dropped."""
+    from datalake_backend_spark.streaming.pipeline import (
+        stream_static_enrich,
+    )
+
+    sdir = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 999)], "event_id long, user_id long"
+    ).write.parquet(sdir)
+    dim = spark.createDataFrame(
+        [(100, "gold"), (200, "basic")], "uid long, tier string"
+    )
+    stream = spark.readStream.schema("event_id long, user_id long").parquet(sdir)
+    out = stream_static_enrich(stream, dim, "user_id", "uid", ["tier"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sse_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.event_id, r.tier) for r in spark.table("sse_test").collect()}
+    assert got == {(1, "gold"), (2, "basic"), (3, None)}
