@@ -351,3 +351,99 @@ def exact_corr(
     num = n * sxy - sx * sy
     den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
     return agg.select(*keys, "n", (num / den).alias("corr"))
+
+
+def group_ols(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    keys: list[str] | None = None,
+    scale: int = 4,
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit ``y = slope·x + intercept``
+    that is bit-identical in any engine — the same five integer
+    moments as :func:`exact_corr` (floor-scaled, order-independent
+    sums), with only the closed-form combination in floats and the
+    same expression SHAPE on both sides (identical IEEE results).
+    Returns ``(keys..., n, slope, intercept, r2)`` — the trend/
+    drift-detection primitive (is price still linear in quantity? is
+    latency creeping with load?) that native ``regr_slope`` computes
+    with engine-specific double accumulation order."""
+    keys = keys or []
+    x, y = F.col(x_col), F.col(y_col)
+
+    def ssum(e):
+        return F.sum(F.floor(e * F.lit(10**scale)).cast("decimal(38,0)"))
+
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        ssum(x).alias("_sx"),
+        ssum(y).alias("_sy"),
+        ssum(x * y).alias("_sxy"),
+        ssum(x * x).alias("_sxx"),
+        ssum(y * y).alias("_syy"),
+    )
+    f = float(10**scale)
+    sx = F.col("_sx").cast("double") / f
+    sy = F.col("_sy").cast("double") / f
+    sxy = F.col("_sxy").cast("double") / f
+    sxx = F.col("_sxx").cast("double") / f
+    syy = F.col("_syy").cast("double") / f
+    n = F.col("n")
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    slope = num / denx
+    return agg.select(
+        *keys,
+        "n",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        ((num * num) / (denx * deny)).alias("r2"),
+    )
+
+
+def chi_square_contingency(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Chi-square independence statistic between two categorical
+    columns, computed ENTIRELY in BIGINT so it hashes identically in
+    any engine: with observed count o, row total r, column total c and
+    grand total T, each cell contributes
+
+        (o·T − r·c)² div max(1, (r·c·T) div scale)
+
+    — algebraically ``scale · (o − rc/T)²/(rc/T)`` with the divisor
+    pre-floored so no intermediate exceeds int64 (o·T ≤ T² and the
+    square stays < 2⁶³ for T up to ~55 M rows per table; beyond that,
+    pre-aggregate). Returns one row per ``row_col`` value with its
+    cells' contribution plus the shared totals — the screening
+    statistic for "are these two columns independent?" (feature
+    selection, drift between categorical marginals, stratification
+    checks). Plain two-level hash aggregation, no shuffle beyond the
+    contingency groupBy."""
+    cells = df.groupBy(row_col, col_col).agg(F.count("*").alias("o"))
+    rows = cells.groupBy(row_col).agg(F.sum("o").alias("r"))
+    cols = cells.groupBy(col_col).agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("t"))
+    return (
+        cells.join(rows, row_col)
+        .join(F.broadcast(cols), col_col)
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_term",
+            F.expr(
+                "((o * t - r * c) * (o * t - r * c))"
+                f" div greatest(1L, (r * c * t) div {scale}L)"
+            ),
+        )
+        .groupBy(row_col)
+        .agg(
+            F.sum("_term").alias("chi2_part_scaled"),
+            F.count("*").alias("n_cells"),
+            F.max("t").alias("n_total"),
+        )
+    )

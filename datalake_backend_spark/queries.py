@@ -5582,6 +5582,96 @@ GROUP BY c.c_mktsegment
 """
 
 
+def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression driver check (`dbs.operators
+    .distributions.group_ols`): extended price regressed on quantity
+    per return flag, from the same floor-scaled integer moments as
+    r123 (order-independent sums; only the closed-form combination in
+    doubles, identical expression shape in the twin — so slope,
+    intercept and R² compare BIT-exactly, no tolerance)."""
+    from datalake_backend_spark.operators.distributions import group_ols
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return group_ols(li, "l_quantity", "l_extendedprice", keys=["l_returnflag"])
+
+
+R159_SQL = """
+WITH m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+    SUM(CAST(FLOOR(l_quantity * 10000) AS HUGEINT)) AS sx,
+    SUM(CAST(FLOOR(l_extendedprice * 10000) AS HUGEINT)) AS sy,
+    SUM(CAST(FLOOR(l_quantity * l_extendedprice * 10000) AS HUGEINT))
+      AS sxy,
+    SUM(CAST(FLOOR(l_quantity * l_quantity * 10000) AS HUGEINT)) AS sxx,
+    SUM(CAST(FLOOR(l_extendedprice * l_extendedprice * 10000) AS HUGEINT))
+      AS syy
+  FROM lineitem GROUP BY l_returnflag
+),
+d AS (
+  SELECT l_returnflag, n,
+         CAST(sx AS DOUBLE) / 10000.0 AS sxd,
+         CAST(sy AS DOUBLE) / 10000.0 AS syd,
+         CAST(sxy AS DOUBLE) / 10000.0 AS sxyd,
+         CAST(sxx AS DOUBLE) / 10000.0 AS sxxd,
+         CAST(syy AS DOUBLE) / 10000.0 AS syyd
+  FROM m
+),
+e AS (
+  SELECT l_returnflag, n, sxd, syd,
+         n * sxyd - sxd * syd AS num,
+         n * sxxd - sxd * sxd AS denx,
+         n * syyd - syd * syd AS deny
+  FROM d
+)
+SELECT l_returnflag, n,
+       num / denx AS slope,
+       (syd - (num / denx) * sxd) / n AS intercept,
+       (num * num) / (denx * deny) AS r2
+FROM e
+"""
+
+
+def r160_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency driver check (`dbs.operators
+    .distributions.chi_square_contingency`): the independence
+    statistic between market segment and nation over customers,
+    computed entirely in BIGINT (pre-floored divisor keeps every
+    intermediate inside int64) so the per-segment contributions hash
+    identically — a marginal-total bug, a missing cell, or an integer
+    overflow all shift a value."""
+    from datalake_backend_spark.operators.distributions import (
+        chi_square_contingency,
+    )
+
+    cust = table(spark, sf_dir, "customer")
+    return chi_square_contingency(cust, "c_mktsegment", "c_nationkey")
+
+
+R160_SQL = """
+WITH cells AS (
+  SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS o
+  FROM customer GROUP BY 1, 2
+),
+rt AS (SELECT c_mktsegment, CAST(SUM(o) AS BIGINT) AS r
+       FROM cells GROUP BY 1),
+ct AS (SELECT c_nationkey, CAST(SUM(o) AS BIGINT) AS c
+       FROM cells GROUP BY 1),
+tt AS (SELECT CAST(SUM(o) AS BIGINT) AS t FROM cells)
+SELECT cells.c_mktsegment,
+  CAST(SUM(((o * t - r * c) * (o * t - r * c))
+           // GREATEST(1, (r * c * t) // 1000000)) AS BIGINT)
+    AS chi2_part_scaled,
+  CAST(COUNT(*) AS BIGINT) AS n_cells,
+  CAST(MAX(t) AS BIGINT) AS n_total
+FROM cells
+JOIN rt USING (c_mktsegment)
+JOIN ct USING (c_nationkey), tt
+GROUP BY cells.c_mktsegment
+"""
+
+
 def q77_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic shard assignment driver check
     (`dbs.datapipe.sampling.assign_shards`): every document lands in a
@@ -8441,6 +8531,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r158_stream_static_join": QuerySpec(
         r158_stream_static_join, R158_SQL, "streaming-static-enrichment"
+    ),
+    "r159_group_ols": QuerySpec(
+        r159_group_ols, R159_SQL, "stats-ols-regression,exact-moments"
+    ),
+    "r160_chi_square": QuerySpec(
+        r160_chi_square, R160_SQL, "stats-chi-square,independence"
     ),
     "r16_distinct_users": QuerySpec(q16_distinct_users, Q16_SQL, "U1,U2,A14"),
     "r17_renest_lineitems": QuerySpec(q17_renest_lineitems, Q17_SQL, "E5,A7,O1"),

@@ -534,3 +534,55 @@ def test_exact_corr_matches_native(spark):
     assert abs(ours - native) < 1e-3  # quantization-level agreement
     again = exact_corr(noisy.repartition(13), "x", "y").collect()[0].corr
     assert again == ours  # bit-identical under any partitioning
+
+
+def test_group_ols_exact_line(spark):
+    """OLS (operators/distributions.py:group_ols; oracle twin r159):
+    a perfect line must recover slope/intercept exactly with r2 = 1;
+    results are bit-identical under any partitioning."""
+    from datalake_backend_spark.operators.distributions import group_ols
+
+    pts = [("g", float(x), 3.0 * x + 7.0) for x in range(1, 21)]
+    df = spark.createDataFrame(pts, "k string, x double, y double")
+    row = group_ols(df, "x", "y", keys=["k"]).collect()[0]
+    assert row.n == 20
+    assert abs(row.slope - 3.0) < 1e-9
+    assert abs(row.intercept - 7.0) < 1e-9
+    assert abs(row.r2 - 1.0) < 1e-12
+    again = group_ols(df.repartition(7), "x", "y", keys=["k"]).collect()[0]
+    assert (again.slope, again.intercept, again.r2) == (
+        row.slope, row.intercept, row.r2,
+    )
+
+
+def test_chi_square_contingency_known_table(spark):
+    """Chi-square (operators/distributions.py:chi_square_contingency;
+    oracle twin r160): an exactly independent 2x2 table scores ~0 in
+    every cell; a perfectly dependent one scores ~scale x T per row
+    block. All integer — verified against the closed-form python
+    computation."""
+    from datalake_backend_spark.operators.distributions import (
+        chi_square_contingency,
+    )
+
+    # independent: P(row, col) = P(row)P(col); o = r*c/T exactly
+    indep = (
+        [("a", "x")] * 20 + [("a", "y")] * 20
+        + [("b", "x")] * 30 + [("b", "y")] * 30
+    )
+    df = spark.createDataFrame(indep, "rk string, ck string")
+    out = {r.rk: r for r in chi_square_contingency(df, "rk", "ck").collect()}
+    assert out["a"].chi2_part_scaled == 0 and out["b"].chi2_part_scaled == 0
+    assert out["a"].n_cells == 2 and out["a"].n_total == 100
+
+    # dependent: row fully determines column
+    dep = [("a", "x")] * 50 + [("b", "y")] * 50
+    df2 = spark.createDataFrame(dep, "rk string, ck string")
+    got = {r.rk: r.chi2_part_scaled
+           for r in chi_square_contingency(df2, "rk", "ck").collect()}
+
+    def term(o, r, c, t, s=10**6):
+        return (o * t - r * c) ** 2 // max(1, (r * c * t) // s)
+
+    exp = term(50, 50, 50, 100)
+    assert got == {"a": exp, "b": exp}
