@@ -5582,6 +5582,68 @@ GROUP BY c.c_mktsegment
 """
 
 
+def r161_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution driver check (`dbs.sources.versioned`,
+    Iceberg-style): half the orders are committed UNPARTITIONED, the
+    other half appended under an evolved ``partition_by=
+    ["o_orderstatus"]`` spec — nothing rewritten, each dir keeps its
+    own scheme. The snapshot read must surface o_orderstatus from file
+    data (old dir) and from hive dir names (new dirs) alike, so the
+    per-status totals equal the plain oracle; `specs_evolved` pins
+    that the manifest really holds two distinct specs and
+    `files_skipped` that a status predicate prunes the evolved dirs
+    at the directory level."""
+    import shutil
+
+    from datalake_backend_spark.sources.versioned import VersionedTable
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    warehouse = os.path.join(repo_root, "spark-warehouse")
+    base = os.path.join(
+        warehouse,
+        f"r161_pevo_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    tbl = VersionedTable(base)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    mid = orders.agg(
+        F.percentile_approx("o_orderkey", 0.5, 1).alias("m")
+    ).first()[0]
+    with _VT_BUILD_LOCK:
+        _sweep_stale_fixtures(warehouse, "r161_pevo_")
+        if tbl.latest_version() != 2:
+            shutil.rmtree(base, ignore_errors=True)
+            tbl.commit(orders.where(F.col("o_orderkey") <= mid))
+            tbl.commit(
+                orders.where(F.col("o_orderkey") > mid),
+                mode="append",
+                partition_by=["o_orderstatus"],
+            )
+    man = tbl.manifest()
+    specs = man.get("partition_specs", {})
+    evolved = len({tuple(s) for s in specs.values()}) > 1
+    _kept, total, n_kept = tbl.prune_files([("o_orderstatus", "=", "F")])
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+        )
+        .withColumn("specs_evolved", F.lit(bool(evolved)))
+        .withColumn("files_skipped", F.lit(bool(n_kept < total)))
+    )
+
+
+R161_SQL = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+       TRUE AS specs_evolved, TRUE AS files_skipped
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OLS regression driver check (`dbs.operators
     .distributions.group_ols`): extended price regressed on quantity
@@ -8537,6 +8599,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r160_chi_square": QuerySpec(
         r160_chi_square, R160_SQL, "stats-chi-square,independence"
+    ),
+    "r161_partition_evolution": QuerySpec(
+        r161_partition_evolution, R161_SQL, "lakehouse-partition-spec-evolution"
     ),
     "r16_distinct_users": QuerySpec(q16_distinct_users, Q16_SQL, "U1,U2,A14"),
     "r17_renest_lineitems": QuerySpec(q17_renest_lineitems, Q17_SQL, "E5,A7,O1"),

@@ -200,6 +200,16 @@ _PRED_OPS = {
 }
 
 
+def _dir_specs(man: dict) -> dict:
+    """Per-dir partition scheme of a manifest. Evolved manifests carry
+    ``partition_specs`` explicitly; pre-evolution manifests recorded
+    one table-wide ``partition_by`` — expand it so every caller sees
+    the same shape (back-compat read path)."""
+    return man.get("partition_specs") or {
+        d: man.get("partition_by", []) for d in man["dirs"]
+    }
+
+
 def _partition_can_match(rel_path: str, predicates: list[tuple]) -> bool:
     """Hive partition pruning from the file PATH: a segment
     ``col=value`` pins that column to one value for every row in the
@@ -394,9 +404,13 @@ class VersionedTable:
         directories plus ``df``'s. Returns the committed version.
 
         ``partition_by`` writes the data directory hive-partitioned;
-        the manifest records the scheme and reads recover the partition
-        columns (and their directory-level pruning) via ``basePath``.
-        An append must use the same scheme as the snapshot it extends.
+        the manifest records the scheme PER DIRECTORY and reads recover
+        the partition columns (and their directory-level pruning) via
+        ``basePath``. An append may use a DIFFERENT scheme than the
+        snapshot it extends — Iceberg-style partition-spec evolution:
+        old dirs keep their spec, nothing is rewritten, and the next
+        full rewrite (compact/merge/copy-delete) materializes the
+        current spec across the whole table.
 
         The data directory is written ONCE; only the tiny manifest
         create is retried on conflict.
@@ -479,12 +493,18 @@ class VersionedTable:
             mixed = False
             if mode == "append" and head is not None:
                 prev = self.manifest(head)
-                if prev.get("partition_by", []) != (partition_by or []):
-                    raise ValueError(
-                        "append partition scheme "
-                        f"{partition_by or []} != snapshot's "
-                        f"{prev.get('partition_by', [])}"
-                    )
+                # partition-spec EVOLUTION (Iceberg-style): an append
+                # may use a different scheme than the snapshot it
+                # extends — each data dir records its own spec and
+                # reads recover every dir under its own basePath. Old
+                # data is never rewritten; rows from dirs that lack a
+                # partition column surface it from their file data (or
+                # as NULL), exactly Iceberg's evolved-spec contract.
+                prev_specs = prev.get("partition_specs") or {
+                    d: prev.get("partition_by", []) for d in prev["dirs"]
+                }
+                specs = dict(prev_specs)
+                specs[rel_dir] = partition_by or []
                 dirs = prev["dirs"] + [rel_dir]
                 total = prev["num_rows"] + num_rows
                 files = prev.get("files", []) + file_entries
@@ -502,6 +522,7 @@ class VersionedTable:
                 total = num_rows
                 files = file_entries
                 dvs = []
+                specs = {rel_dir: partition_by or []}
             man = {
                 "version": version,
                 "op": op or mode,
@@ -509,6 +530,9 @@ class VersionedTable:
                 "dirs": dirs,
                 "num_rows": total,
                 "partition_by": partition_by or [],
+                # per-dir partition scheme (Iceberg spec evolution);
+                # partition_by above stays the CURRENT spec
+                "partition_specs": specs,
                 # per-file footer stats (Delta add-action "stats"):
                 # the data-skipping index, O(files) manifest cost
                 "files": files,
@@ -777,13 +801,21 @@ class VersionedTable:
                 r = r.option("mergeSchema", "true")
             return r
 
-        if man.get("partition_by"):
+        specs = _dir_specs(man)
+        if any(specs.values()):
             # hive-partitioned dirs: each data dir is its own partition
-            # root (basePath), so partition columns are recovered and
-            # directory pruning applies per branch; the union of a few
-            # branches keeps pushdown and pruning on every one
+            # root (basePath) under its OWN spec (partition-spec
+            # evolution: specs may differ per dir), so partition
+            # columns are recovered and directory pruning applies per
+            # branch; the union of a few branches keeps pushdown and
+            # pruning on every one. An unpartitioned dir in an evolved
+            # table reads plain — its rows carry the column in-file or
+            # surface NULL via allowMissingColumns.
             dfs = [
-                reader().option("basePath", p).parquet(p) for p in paths
+                reader().option("basePath", p).parquet(p)
+                if specs.get(d)
+                else reader().parquet(p)
+                for d, p in zip(man["dirs"], paths)
             ]
             out = dfs[0]
             for d in dfs[1:]:
@@ -843,18 +875,21 @@ class VersionedTable:
                 df = df.where(PRED_COL_OPS[op](F.col(col), F.lit(val)))
             return df
 
+        specs = _dir_specs(man)
         if not kept:
             schema = ST.StructType.fromJson(man["schema"])
-            for pcol in man.get("partition_by", []):
-                if pcol not in schema.fieldNames():
-                    schema = schema.add(pcol, ST.StringType())
+            for spec in specs.values():
+                for pcol in spec:
+                    if pcol not in schema.fieldNames():
+                        schema = schema.add(pcol, ST.StringType())
             return spark.createDataFrame([], schema)
         r = spark.read
         if man.get("mixed_schema"):
             r = r.option("mergeSchema", "true")
-        if man.get("partition_by"):
+        if any(specs.values()):
             # group kept paths by their data dir so each keeps its own
-            # basePath (partition-column recovery per dir)
+            # basePath under its OWN spec (partition-column recovery
+            # per dir; specs may differ — spec evolution)
             out = None
             for d in man["dirs"]:
                 paths = [
@@ -864,9 +899,12 @@ class VersionedTable:
                 ]
                 if not paths:
                     continue
-                part = r.option("basePath", os.path.join(self.path, d)).parquet(
-                    *paths
-                )
+                if specs.get(d):
+                    part = r.option(
+                        "basePath", os.path.join(self.path, d)
+                    ).parquet(*paths)
+                else:
+                    part = r.parquet(*paths)
                 out = part if out is None else out.unionByName(
                     part, allowMissingColumns=True
                 )

@@ -387,12 +387,17 @@ def test_partitioned_commits_prune_directories(spark, tbl):
             F.input_file_name().alias("f")
         ).distinct().count()
     assert n_files(pruned) < n_files(full)
-    # scheme mismatch on append is rejected
-    with pytest.raises(ValueError, match="partition scheme"):
-        tbl.commit(
-            spark.createDataFrame([(1, 1)], "key int, day int"),
-            mode="append",
-        )
+    # partition-spec EVOLUTION: an unpartitioned append is accepted —
+    # its dir records spec [] while the old dirs keep ["day"], and the
+    # read surfaces day from the new dir's file data
+    tbl.commit(
+        spark.createDataFrame([(2000, 7)], "key int, day int"),
+        mode="append",
+    )
+    evolved = tbl.read(spark)
+    assert evolved.count() == 402
+    assert evolved.where(F.col("day") == 7).count() == 1
+    assert tbl.manifest()["partition_specs"][tbl.manifest()["dirs"][-1]] == []
     # time travel to v1 excludes the appended partition
     assert tbl.read(spark, 1).where(F.col("day") == 9).count() == 0
 
@@ -1317,3 +1322,42 @@ def test_deep_clone_survives_source_removal(spark, tbl, tmp_path):
     assert {r.key for r in clone.read(spark).collect()} == {1, 3, 4, 5}
     with pytest.raises(ValueError):
         clone.deep_clone_to(str(tmp_path / "deep"))
+
+
+def test_partition_spec_evolution_full_lifecycle(spark, tbl):
+    """Iceberg-style spec evolution (round 7): start unpartitioned,
+    evolve to day-partitioning on append — old data is NOT rewritten,
+    each dir keeps its own spec, reads recover day from file data or
+    dir names per branch, read_where prunes the partitioned dirs at
+    the directory level, and a compact materializes the CURRENT spec
+    across the whole table."""
+    from pyspark.sql import functions as F
+
+    v0 = spark.range(0, 100).select(
+        F.col("id").cast("int").alias("key"),
+        (F.col("id") % 4).cast("int").alias("day"),
+    )
+    tbl.commit(v0)  # spec []
+    tbl.commit(
+        spark.createDataFrame([(500, 5), (501, 6)], "key int, day int"),
+        mode="append",
+        partition_by=["day"],  # evolved spec
+    )
+    man = tbl.manifest()
+    specs = man["partition_specs"]
+    assert sorted(specs.values()) == [[], ["day"]]
+    full = tbl.read(spark)
+    assert full.count() == 102
+    # day is queryable across both specs
+    assert full.where(F.col("day") == 5).count() == 1
+    assert full.where(F.col("day") == 2).count() == 25
+    # selective read: the evolved dir prunes at the directory level
+    kept, total, n_kept = tbl.prune_files([("day", "=", 5)])
+    assert n_kept < total
+    hit = tbl.read_where(spark, [("day", "=", 5)])
+    assert [r.key for r in hit.collect()] == [500]
+    # a full rewrite materializes the current (latest) spec everywhere
+    tbl.compact(spark)
+    man2 = tbl.manifest()
+    assert list(man2["partition_specs"].values()) == [["day"]]
+    assert tbl.read(spark).count() == 102
