@@ -278,6 +278,12 @@ def _lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
         seq = (k,)
     if seq:
         emit(table[seq] if len(seq) > 1 else seq[0], width)
+        # Decoders append one delayed table entry after reading the final
+        # sequence code; when that entry fills the table to 2^width they
+        # bump the width BEFORE reading EOI, so EOI must be emitted at the
+        # post-bump width even though no assignment happens here.
+        if next_code < 4096 and next_code == (1 << width) and width < 12:
+            width += 1
     emit(eoi, width)
     if bitpos:
         out.append(acc & 0xFF)

@@ -1214,12 +1214,21 @@ class VersionedTable:
             os.path.relpath(os.path.join(self.path, d), dst.path)
             for d in man["dirs"]
         ]
+        src_specs = _dir_specs(man)
         new_man = dict(
             man,
             version=1,
             op="clone",
             ts=time.time(),
             dirs=src_dirs,
+            # per-dir partition specs are keyed by dir NAME — remap the
+            # keys alongside the relpath'd dirs or a partitioned (or
+            # spec-evolved) source would lose its partition columns on
+            # every clone read (specs.get(new_dir) misses).
+            partition_specs={
+                new_d: src_specs[old_d]
+                for old_d, new_d in zip(man["dirs"], src_dirs)
+            },
             metadata={"cloned_from": self.path, "source_version": man["version"]},
             files=[
                 dict(e, path=os.path.relpath(

@@ -719,6 +719,36 @@ def test_maybe_compact_policy(spark, tbl):
     assert {r.key for r in tbl.read(spark).collect()} == set(range(12))
 
 
+def test_shallow_clone_of_partitioned_table(spark, tbl, tmp_path):
+    """Regression: clone_to must remap partition_specs KEYS alongside
+    the relpath'd dirs — a spec-evolved source otherwise loses its
+    partition columns on every clone read (specs.get(new_dir) misses),
+    and read_where on a partition column raises AnalysisException."""
+    from pyspark.sql import functions as F
+
+    v0 = spark.range(0, 40).select(
+        F.col("id").cast("int").alias("key"),
+        (F.col("id") % 4).cast("int").alias("day"),
+    )
+    tbl.commit(v0)  # spec []
+    tbl.commit(
+        spark.createDataFrame([(500, 5), (501, 6)], "key int, day int"),
+        mode="append",
+        partition_by=["day"],  # evolved spec → per-dir partition_specs
+    )
+    clone = tbl.clone_to(str(tmp_path / "pclone"))
+    man = clone.manifest()
+    # every dir key in the clone's specs refers to a dir the clone has
+    assert set(man["partition_specs"]) == set(man["dirs"])
+    full = clone.read(spark)
+    assert full.count() == 42
+    assert full.where(F.col("day") == 5).count() == 1  # recovered col
+    hit = clone.read_where(spark, [("day", "=", 5)])
+    assert [r.key for r in hit.collect()] == [500]
+    # empty-result branch keeps the partition column in the schema too
+    assert "day" in clone.read_where(spark, [("day", "=", 99)]).columns
+
+
 def test_shallow_clone_independent_evolution(spark, tbl, tmp_path):
     tbl.commit(_mk(spark, [(1, "a"), (2, "b")]))
     clone = tbl.clone_to(str(tmp_path / "clone"))
