@@ -1341,3 +1341,96 @@ def cdc_chunk_stats(
             ),
         )
     )
+
+
+def set_similarity_join(
+    df: DataFrame,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT Jaccard set-similarity self-join with PPJoin-style prefix
+    filtering (Chaudhuri et al. SSJoin / Xiao et al. PPJoin — public
+    literature): all pairs whose DISTINCT-token Jaccard is ≥
+    ``tau_num/tau_den``, without ever forming the all-pairs product.
+
+    Why it scales: order every document's token set by GLOBAL rarity
+    (ascending document frequency, ties by token). If J(A,B) ≥ t then
+    A and B share at least ``ceil(t·|A|)`` tokens, so by pigeonhole the
+    globally-smallest shared token sits inside A's first
+    ``|A| − ceil(t·|A|) + 1`` tokens (its PREFIX) — and inside B's.
+    Candidates therefore come from an equi-join on PREFIX tokens only:
+    rare-first ordering makes prefix postings short, so the join is
+    linear-ish in corpus size instead of quadratic. Candidates then
+    verify with the exact integer test ``inter·den ≥ num·union`` —
+    the filter changes WORK, never the result (LSH's probabilistic
+    recall is the contrast: this join is exact).
+
+    Returns ``(id_a, id_b, n_inter, n_union)`` with ``id_a < id_b``.
+    All-integer — bit-exact in any engine (oracle r166 brute-forces
+    the same pairs in DuckDB)."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            F.filter(tokens(text_col), lambda t: t != "")
+        ).alias("_toks"),
+    )
+    tok = base.select("_id", F.explode("_toks").alias("term"))
+    dft = tok.groupBy("term").agg(F.count("*").alias("_df"))
+    # per-doc rare-first ordered token array (one shuffle back to _id)
+    ordered = (
+        tok.join(dft, "term")
+        .groupBy("_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_df", "term"))),
+                lambda s: s["term"],
+            ).alias("_toks")
+        )
+        .withColumn("_n", F.size("_toks"))
+        .withColumn(
+            "_prefix",
+            F.slice(
+                "_toks",
+                1,
+                F.col("_n")
+                - F.ceil(F.col("_n") * tau_num / F.lit(tau_den)).cast("int")
+                + 1,
+            ),
+        )
+    )
+    pref = ordered.select(
+        "_id", "_n", "_toks", F.explode("_prefix").alias("term")
+    )
+    a = pref.select(
+        F.col("_id").alias("id_a"),
+        F.col("_n").alias("na"),
+        F.col("_toks").alias("ta"),
+        "term",
+    )
+    b = pref.select(
+        F.col("_id").alias("id_b"),
+        F.col("_n").alias("nb"),
+        F.col("_toks").alias("tb"),
+        "term",
+    )
+    cand = (
+        a.join(b, "term")
+        .where(F.col("id_a") < F.col("id_b"))
+        # length filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
+        .where(
+            F.greatest("na", "nb") * tau_num
+            <= F.least("na", "nb") * F.lit(tau_den)
+        )
+        .select("id_a", "id_b", "na", "nb", "ta", "tb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.col("na") + F.col("nb") - inter
+    return (
+        cand.withColumn("n_inter", inter)
+        .withColumn("n_union", union)
+        .where(F.col("n_inter") * tau_den >= F.lit(tau_num) * F.col("n_union"))
+        .select("id_a", "id_b", "n_inter", "n_union")
+    )

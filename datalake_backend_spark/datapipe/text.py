@@ -797,6 +797,12 @@ def bm25_scores(
     BIGINT ``div``; integer sums are order-independent, so the ranking
     is a bit-exact function of the corpus (oracle r154).
 
+    Int64 bound: ``(2N+2)⁴`` wraps signed-64 once the corpus passes
+    N ≈ 27,550 documents (and ``idf·44·L·tf·scale`` approaches it for
+    huge L·tf) — past that, pre-aggregate/shard the corpus or use
+    :func:`bm25_multi_query`, whose half-bit idf squares only once
+    (int64-safe to N ≈ 1.5·10⁹).
+
     Scale shape: one explode (O(tokens)), tf restricted to the query
     terms BEFORE any shuffle (the per-doc groupBy aggregates only
     matching postings), corpus scalars via the broadcast 1-row-agg
@@ -841,4 +847,83 @@ def bm25_scores(
         .agg(F.sum("term_score").alias("score_scaled"))
         .orderBy(F.desc("score_scaled"), F.asc("doc_id"))
         .limit(top_k)
+    )
+
+
+def bm25_multi_query(
+    df: DataFrame,
+    queries: dict[str, list[str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 10**6,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 over a QUERY SET in one pass — the serving-layer shape
+    (rank every outstanding query per batch) instead of one Spark job
+    per query: the query set becomes a tiny broadcast ``(query_id,
+    term)`` table, postings join it once, and the per-query top-k is a
+    single ``row_number`` window partitioned by query. Returns
+    ``(query_id, doc_id, score_scaled, rank)`` with ``rank ≤ top_k``.
+
+    Same integer-rational tf algebra as :func:`bm25_scores`
+    (k1 = 1.2, b = 0.75 over the common denominator), but built for
+    corpus scale: the idf is HALF-bit quantized —
+    ``floor(2·log2((2N+2)/(2df+1))) = length(bin((2N+2)² div
+    (2df+1)²)) − 1`` — squaring only once so the intermediate stays
+    int64 to N ≈ 1.5·10⁹ documents (the quarter-bit form wraps at
+    N ≈ 27.5 K), and the ``idf·44·L·tf·scale`` numerator accumulates
+    in DECIMAL(38,0) (HUGEINT in the DuckDB twin) so token mass
+    L ~ 10¹³ at 100 TB cannot wrap it. One explode, postings
+    restricted to query terms before any shuffle, corpus scalars via
+    the broadcast 1-row-agg idiom; scores are a bit-exact function of
+    the corpus in any engine (oracle r162)."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    qrows = [
+        (qid, t) for qid, terms in sorted(queries.items()) for t in terms
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id string, term string")
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    ).where(F.col("term") != "")
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = dl.agg(F.count("*").alias("_n"), F.sum("dl").alias("_l"))
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    tf = (
+        tok.where(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf_q",
+            F.expr(
+                "length(bin(((2L*_n + 2L) * (2L*_n + 2L))"
+                " div ((2L*df_t + 1L) * (2L*df_t + 1L)))) - 1"
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "term_score",
+            F.expr(
+                f"cast(floor((cast(idf_q as decimal(38,0)) * 44 * _l"
+                f" * tf * {scale})"
+                " / (20L * _l * tf + 6L * _l + 18L * dl * _n))"
+                " as bigint)"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_scaled"), F.asc("doc_id")
+    )
+    return (
+        scored.groupBy("query_id", "doc_id")
+        .agg(F.sum("term_score").alias("score_scaled"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
     )

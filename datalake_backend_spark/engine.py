@@ -265,16 +265,25 @@ class Engine:
         media = (
             self.spark.read.format("mediafile").option("path", path).load()
         )
-        n_files = media.count()
 
-        # exact pass: byte-identical copies collapse on sha256
+        # exact pass: byte-identical copies collapse on sha256. The
+        # ranked frame is PERSISTED so the directory scan (the most
+        # expensive stage at a 100 TB media dir: every payload read +
+        # hashed) materializes exactly once; every later stage — the
+        # perceptual hashers, the stat aggregates, the commit — replays
+        # from cache, never from the source.
         hashed = media_fingerprint(media)
         w = Window.partitionBy("content_sha").orderBy("media_id")
-        exact = hashed.withColumn("_rk", F.row_number().over(w))
-        n_exact_dups = exact.where(F.col("_rk") > 1).count()
+        exact = hashed.withColumn("_rk", F.row_number().over(w)).persist()
+        row = exact.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("_rk") > 1).cast("long")).alias("d"),
+        ).first()
+        n_files, n_exact_dups = int(row["n"]), int(row["d"] or 0)
         kept = exact.where(F.col("_rk") == 1).drop("_rk")
 
         n_perceptual_dups = 0
+        n_kept = n_files - n_exact_dups
         if perceptual:
             # one perceptual key column per modality; NULL = no key
             # (undecodable / below-grid), which never collapses rows
@@ -315,23 +324,38 @@ class Engine:
                 F.concat(F.lit("id-"), F.col("media_id").cast("string")),
             )
             pw = Window.partitionBy(pkey).orderBy("media_id")
-            keyed = keyed.withColumn("_prk", F.row_number().over(pw))
-            n_perceptual_dups = keyed.where(F.col("_prk") > 1).count()
+            # persisted: the count aggregate and the zone commit both
+            # consume this frame — without the cache the second action
+            # would re-decode every image/audio/video payload
+            keyed = keyed.withColumn("_prk", F.row_number().over(pw)).persist()
+            prow = keyed.agg(
+                F.sum((F.col("_prk") > 1).cast("long")).alias("d"),
+                F.sum((F.col("_prk") == 1).cast("long")).alias("k"),
+            ).first()
+            n_perceptual_dups = int(prow["d"] or 0)
+            n_kept = int(prow["k"] or 0)
             kept = keyed.where(F.col("_prk") == 1).drop("_prk")
 
         zone = _os.path.join(out_dir, "media")
         version = None
-        if versioned:
-            from datalake_backend_spark.sources.versioned import VersionedTable
+        try:
+            if versioned:
+                from datalake_backend_spark.sources.versioned import (
+                    VersionedTable,
+                )
 
-            version = VersionedTable(zone).commit(kept, op="media-ingest")
-        else:
-            kept.write.mode("overwrite").parquet(zone)
+                version = VersionedTable(zone).commit(kept, op="media-ingest")
+            else:
+                kept.write.mode("overwrite").parquet(zone)
+        finally:
+            exact.unpersist()
+            if perceptual:
+                keyed.unpersist()
         return {
             "n_files": n_files,
             "n_exact_dups": n_exact_dups,
             "n_perceptual_dups": n_perceptual_dups,
-            "n_kept": kept.count(),
+            "n_kept": n_kept,
             "version": version,
             "zone": zone,
         }

@@ -414,12 +414,15 @@ def chi_square_contingency(
     any engine: with observed count o, row total r, column total c and
     grand total T, each cell contributes
 
-        (o·T − r·c)² div max(1, (r·c·T) div scale)
+        floor((o·T − r·c)² / max(1, floor((r·c·T) / scale)))
 
-    — algebraically ``scale · (o − rc/T)²/(rc/T)`` with the divisor
-    pre-floored so no intermediate exceeds int64 (o·T ≤ T² and the
-    square stays < 2⁶³ for T up to ~55 M rows per table; beyond that,
-    pre-aggregate). Returns one row per ``row_col`` value with its
+    — algebraically ``scale · (o − rc/T)²/(rc/T)``. The difference
+    ``o·T − r·c`` stays in BIGINT (|o·T − r·c| ≤ T², int64-safe to
+    T ≈ 3·10⁹ rows) but its SQUARE and the ``r·c·T`` divisor are
+    Θ(T⁴)/Θ(T³) and are accumulated in DECIMAL(38,0) like
+    :func:`group_ols` — a pure-int64 square wraps silently past
+    T ≈ 5·10⁴ worst case. Exact for tables up to ~3·10⁹ rows; beyond
+    that, pre-aggregate. Returns one row per ``row_col`` value with its
     cells' contribution plus the shared totals — the screening
     statistic for "are these two columns independent?" (feature
     selection, drift between categorical marginals, stratification
@@ -436,8 +439,14 @@ def chi_square_contingency(
         .withColumn(
             "_term",
             F.expr(
-                "((o * t - r * c) * (o * t - r * c))"
-                f" div greatest(1L, (r * c * t) div {scale}L)"
+                # square and divisor in decimal(38,0); the quotient is
+                # ≤ scale·T (fits bigint), so only intermediates widen
+                "cast(floor("
+                "  (cast(o * t - r * c as decimal(38,0))"
+                "   * cast(o * t - r * c as decimal(38,0)))"
+                "  / greatest(cast(1 as decimal(38,0)),"
+                f"             floor(cast(r as decimal(38,0)) * c * t / {scale}))"
+                ") as bigint)"
             ),
         )
         .groupBy(row_col)

@@ -117,8 +117,11 @@ def bfs_hops(
     re-expands already-settled nodes (at web scale this pruning is the
     difference between |V| and Σ|paths|). Each level's frontier is
     persisted — the union chain would otherwise re-execute every prior
-    join once per remaining level.
+    join once per remaining level — and so is the EDGE table: callers
+    typically derive it (join + distinct + symmetrize), and without the
+    cache that derivation re-executes once per level.
     """
+    edges = edges.persist()
     frontier = sources.select("node").distinct().withColumn(
         "hop", F.lit(0).cast("bigint")
     ).persist()

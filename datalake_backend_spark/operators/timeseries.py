@@ -296,3 +296,59 @@ def rolling_robust_anomaly(
             F.abs(F.col("v_scaled") - F.col("med")) > k * F.col("mad"),
         ),
     ).drop("_win")
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    scale: int = 2,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Time-weighted average (TWAP): each observation holds its value
+    until the NEXT observation, so the mean weights every value by its
+    holding duration — the correct summary for irregularly-sampled
+    state (price, queue depth, sensor reading), where the plain AVG
+    over-counts bursts of rapid updates.
+
+    Exactness: values floor-scale to integers (``10^scale``), durations
+    are integer MICROSECONDS (``unix_micros`` here, ``epoch_us`` in the
+    DuckDB twin), and the weighted sum accumulates in DECIMAL(38,0) —
+    order-independent integer addition, so the result is bit-identical
+    in any engine. Output: ``(keys..., n_obs, twap_scaled)`` where
+    ``twap_scaled = floor(Σ v·Δt / Σ Δt)`` over the scaled values (the
+    open-ended LAST interval carries no weight; groups with a single
+    observation have no intervals and report NULL).
+
+    Scale shape: ONE shuffle (the per-key window for ``lead``), then a
+    hash aggregate — at 100 TB the window partitions by key, never
+    globally sorts.
+
+    ``tiebreak`` columns pin the lead order under EQUAL timestamps —
+    without them, tied rows swap which value carries the next nonzero
+    interval and the sum diverges across engines; pass a unique id."""
+    w = Window.partitionBy(*keys).orderBy(ts_col, *(tiebreak or []))
+    us = F.unix_micros(F.col(ts_col))
+    nxt = F.lead(us).over(w)
+    dt = (nxt - us).alias("_dt")
+    v = F.floor(F.col(value_col) * F.lit(10**scale)).cast("decimal(38,0)")
+    stepped = df.select(
+        *keys,
+        us.alias("_us"),
+        (v * (nxt - us).cast("decimal(38,0)")).alias("_wv"),
+        (nxt - us).alias("_dt"),
+    )
+    return (
+        stepped.groupBy(*keys)
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.sum("_wv").alias("_swv"),
+            F.sum("_dt").alias("_sdt"),
+        )
+        .select(
+            *keys,
+            "n_obs",
+            F.expr("cast(floor(_swv / _sdt) as bigint)").alias("twap_scaled"),
+        )
+    )

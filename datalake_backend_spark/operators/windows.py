@@ -169,3 +169,80 @@ def frame_gap_durations(
         .groupBy(*entity_cols)
         .agg(F.sum("_dur").alias(out_col))
     )
+
+
+def conversion_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    touch_type: str,
+    conversion_type: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """First/last-touch conversion attribution: for every CONVERSION
+    event, the timestamps of the first and last preceding TOUCH event
+    by the same user, plus how many touches preceded it — the
+    marketing-attribution primitive (which click gets credit for this
+    purchase?) computed in ONE per-user window pass, no self-join.
+
+    Timestamps are emitted as integer ``unix_micros`` so the row is
+    engine-neutral; ``tiebreak`` columns pin the window order under
+    equal timestamps (pass a unique id). Strictly-preceding semantics:
+    a touch at the conversion's own (ts, tiebreak) position does not
+    count (ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING).
+
+    Scale shape: one shuffle (the per-user window); conversions filter
+    AFTER the window, so no second pass over the touches."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, *(tiebreak or []))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col(ts_col))
+    touch_us = F.when(F.col(type_col) == touch_type, us)
+    out = df.withColumns(
+        {
+            "first_touch_us": F.min(touch_us).over(w),
+            "last_touch_us": F.max(touch_us).over(w),
+            "n_touches_before": F.count(touch_us).over(w),
+        }
+    )
+    return out.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("user_id"),
+        us.alias("conversion_us"),
+        "first_touch_us",
+        "last_touch_us",
+        "n_touches_before",
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Cohort retention triangle: users cohort by their FIRST active
+    day; every later active day contributes to that cohort's
+    ``day_offset`` bucket. Returns ``(cohort_day, day_offset,
+    n_users)`` — the day-N retention matrix every product-analytics
+    stack draws, as two hash aggregates (distinct user-days, then a
+    broadcast-joinable per-user min) with integer day arithmetic only.
+
+    Scale shape: the distinct and both groupBys all shuffle on
+    ``user_col`` first, so Catalyst reuses one exchange; no window, no
+    self-join — linear in events."""
+    # integer div (not float floor): exact at any epoch, both engines
+    day = F.expr(f"unix_micros({ts_col}) div 86400000000")
+    ud = df.select(
+        F.col(user_col).alias("_u"), day.alias("_day").cast("long")
+    ).distinct()
+    first = ud.groupBy("_u").agg(F.min("_day").alias("_cohort"))
+    return (
+        ud.join(first, "_u")
+        .groupBy(
+            F.col("_cohort").alias("cohort_day"),
+            (F.col("_day") - F.col("_cohort")).alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

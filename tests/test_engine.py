@@ -256,3 +256,36 @@ def test_process_media_dir(spark, tmp_path):
     assert {r.media_id for r in kept.select("media_id").collect()} == {1, 4, 5, 7}
     # dedup keys ride along for incremental probes
     assert {"content_sha", "phash_hi", "vsig"} <= set(kept.columns)
+
+
+def test_process_media_dir_scans_source_once(spark, tmp_path, monkeypatch):
+    """The media lifecycle's ranked frames are persisted, so the
+    expensive directory scan (payload read + sha/decode) materializes
+    at most twice across the five lifecycle actions — at a 100 TB
+    media dir an uncached lineage would re-read every payload 4-5x.
+    partitions() runs driver-side once per scan materialization, so
+    counting its calls counts source scans."""
+    import numpy as np
+
+    from datalake_backend_spark.datapipe.multimodal import encode_ppm
+    from datalake_backend_spark.engine import Engine
+    from datalake_backend_spark.sources import media_source as ms
+
+    d = tmp_path / "incoming"
+    d.mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(4):
+        img = rng.integers(0, 255, (8, 9, 3), dtype=np.uint8)
+        (d / f"{i}.ppm").write_bytes(encode_ppm(img))
+
+    calls = []
+    orig = ms.MediaFileReader.partitions
+
+    def counted(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(ms.MediaFileReader, "partitions", counted)
+    res = Engine(spark).process_media_dir(str(d), str(tmp_path / "lake"))
+    assert res["n_files"] == 4 and res["n_kept"] == 4
+    assert len(calls) <= 2, f"media source scanned {len(calls)} times"

@@ -36,12 +36,16 @@ def test_primary_tier_fills_driver_window():
     must_have = (
         [f"q{n}" for n in range(51, 61)]  # domain pipelines
         + ["q47", "q66", "q73", "q74"]
-        # round-5 rotation survivors (q75/q82/q86 demoted round 7)
-        + [f"q{n}" for n in (76, 77, 78, 79, 80, 81, 83, 84, 85)]
-        # second round-5 rotation: lakehouse + audio + streaming dedup
-        + ["q91", "q94", "q95", "q96"]
+        # round-5 rotation survivors (q75/q82/q86 demoted round 7;
+        # q77/q85/q94/q96 demoted round 8 with family cover)
+        + [f"q{n}" for n in (76, 78, 79, 80, 81, 83, 84)]
+        # second round-5 rotation: lakehouse + streaming dedup
+        + ["q91", "q95"]
         # round-7 rotation: codec / DV / source-API / graph families
         + ["q127", "q135", "q137", "q145"]
+        # round-8 rotation: VARIANT, span-rewrite dedup, SemDeDup,
+        # media lifecycle
+        + ["q139", "q141", "q148", "q153"]
     )
     for prefix in must_have:
         assert any(k.startswith(prefix + "_") for k in primary), prefix
@@ -84,8 +88,10 @@ def test_bench_emits_one_json_line():
     assert out.returncode == 0, out.stderr[-2000:]
     line = out.stdout.strip().splitlines()[-1]
     # the driver captures only the tail of stdout: the LAST line must be
-    # complete JSON and small enough to survive tail-truncation
-    assert len(line.encode()) < 2000, len(line.encode())
+    # complete JSON and small enough to survive tail-truncation. ~12
+    # bytes per registry query; 4 KB covers ~330 queries (168 now) and
+    # stays inside any plausible tail capture window.
+    assert len(line.encode()) < 4000, len(line.encode())
     d = json.loads(line)
     assert {"metric", "value", "unit", "queries", "sf"} <= set(d)
     from datalake_backend_spark.queries import QUERIES

@@ -586,3 +586,160 @@ def test_chi_square_contingency_known_table(spark):
 
     exp = term(50, 50, 50, 100)
     assert got == {"a": exp, "b": exp}
+
+
+def test_chi_square_contingency_past_int64_square(spark):
+    """Regression: the (o*t - r*c)^2 term is Theta(T^4) — a dependent
+    2x2 table at T=200k wrapped signed-64 under the old pure-BIGINT
+    expression (square ~ 10^20 > 2^63). The decimal(38,0) accumulation
+    must match the exact python integers."""
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.operators.distributions import (
+        chi_square_contingency,
+    )
+
+    n = 100_000  # per block; T = 200k
+    df = spark.range(2 * n).select(
+        F.when(F.col("id") < n, "a").otherwise("b").alias("rk"),
+        F.when(F.col("id") < n, "x").otherwise("y").alias("ck"),
+    )
+    got = {r.rk: r.chi2_part_scaled
+           for r in chi_square_contingency(df, "rk", "ck").collect()}
+
+    def term(o, r, c, t, s=10**6):
+        return (o * t - r * c) ** 2 // max(1, (r * c * t) // s)
+
+    exp = term(n, n, n, 2 * n)
+    # the SQUARE intermediate exceeds int64 — the old expression wrapped
+    assert (n * (2 * n) - n * n) ** 2 > 2**63
+    assert got == {"a": exp, "b": exp}
+
+
+def test_time_weighted_avg_known_values(spark):
+    """TWAP (operators/timeseries.py:time_weighted_avg; oracle twin
+    r165): hand-computed holding-time weights, including a timestamp
+    TIE whose pairing is pinned by the tiebreak column, and a
+    single-observation group that reports NULL (no intervals)."""
+    import datetime as dt
+
+    from datalake_backend_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # key a: v=1.00 held 10s, v=3.00 held 30s, tail dropped
+        ("a", ts(0), 1.0, 1),
+        ("a", ts(10), 3.0, 2),
+        ("a", ts(40), 99.0, 3),
+        # key b: tie at t=0 — event_id pins (5.0 then 7.0)
+        ("b", ts(0), 5.0, 4),
+        ("b", ts(0), 7.0, 5),
+        ("b", ts(20), 0.0, 6),
+        # key c: single observation -> NULL
+        ("c", ts(0), 42.0, 7),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double, eid int")
+    out = {
+        r.k: r
+        for r in time_weighted_avg(
+            df, ["k"], "ts", "v", scale=2, tiebreak=["eid"]
+        ).collect()
+    }
+    # a: (100*10 + 300*30) / 40 = 250.0 scaled
+    assert out["a"].twap_scaled == 250 and out["a"].n_obs == 3
+    # b: 5.0 holds 0s (tie), 7.0 holds 20s -> 700*20/20 = 700
+    assert out["b"].twap_scaled == 700
+    assert out["c"].twap_scaled is None and out["c"].n_obs == 1
+
+
+def test_set_similarity_join_exact_vs_brute(spark):
+    """PPJoin-style exact Jaccard join (datapipe/dedup.py:
+    set_similarity_join; oracle twin r166): the prefix filter must
+    change WORK only — the pair set equals the brute-force join at
+    every threshold, including docs with no qualifying partner."""
+    import itertools
+
+    from datalake_backend_spark.datapipe.dedup import set_similarity_join
+
+    docs = [
+        (0, "a b c d"),
+        (1, "a b c e"),
+        (2, "a b x y z"),
+        (3, "p q r"),
+        (4, "p q r"),
+        (5, "lonely"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sets = {i: set(t.split()) if t else set() for i, t in docs}
+    for num, den in ((1, 2), (2, 3), (1, 1)):
+        got = {
+            (r.id_a, r.id_b, r.n_inter, r.n_union)
+            for r in set_similarity_join(df, num, den).collect()
+        }
+        exp = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            A, B = sets[a], sets[b]
+            i, u = len(A & B), len(A | B)
+            if u and i * den >= num * u:
+                exp.add((a, b, i, u))
+        assert got == exp, (num, den)
+
+
+def test_conversion_attribution_and_cohorts(spark):
+    """Attribution (operators/windows.py:conversion_attribution;
+    oracle twin r167): strictly-preceding frame, no-click users get
+    NULL touches, tie at the conversion timestamp does not count.
+    Cohorts (retention_cohorts; twin r168): day-offset triangle."""
+    import datetime as dt
+
+    from datalake_backend_spark.operators.windows import (
+        conversion_attribution,
+        retention_cohorts,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        (1, ts(0), "click", 1),
+        (1, ts(10), "click", 2),
+        (1, ts(20), "purchase", 3),
+        (1, ts(20), "click", 4),   # tie AFTER the purchase (eid 4 > 3)
+        (2, ts(5), "purchase", 5),  # no touches at all
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    got = {
+        r.user_id: r
+        for r in conversion_attribution(
+            ev, "user_id", "ts", "event_type", "click", "purchase",
+            tiebreak=["event_id"],
+        ).collect()
+    }
+    u1, u2 = got[1], got[2]
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    assert u1.first_touch_us == base and u1.last_touch_us == base + 10_000_000
+    assert u1.n_touches_before == 2  # the tied click at ts(20) excluded
+    assert u2.first_touch_us is None and u2.n_touches_before == 0
+
+    days = [
+        (1, t0), (1, t0 + dt.timedelta(days=1)), (1, t0 + dt.timedelta(days=3)),
+        (2, t0 + dt.timedelta(days=1)),
+    ]
+    cdf = spark.createDataFrame(days, "user_id long, ts timestamp")
+    cohorts = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in retention_cohorts(cdf, "user_id", "ts").collect()
+    }
+    d0 = base // 86_400_000_000
+    assert cohorts == {(d0, 0): 1, (d0, 1): 1, (d0, 3): 1, (d0 + 1, 0): 1}

@@ -88,6 +88,39 @@ def gen_documents(spark, n: int, seed: int, path: str) -> None:
     spark.createDataFrame(pdf).repartition(32).write.parquet(path)
 
 
+def gen_wide_documents(spark, n: int, seed: int, path: str) -> None:
+    """n docs over a WIDE vocabulary (50k tokens) for the exact
+    set-similarity join stress: the testdata's 31-token vocabulary
+    makes ANY two long documents set-similar (J >= 0.8 for most
+    pairs), which would measure the data's quadratic pair structure,
+    not the prefix filter. With 50k tokens, random 20-60-token sets
+    share ~0 tokens, so the true pair set is exactly the 2% injected
+    near-copies (1 token edited: J >= (L-1)/(L+1) ~ 0.9) and the
+    prefix-filter join's cost can be read off the ratio."""
+    if os.path.exists(path):
+        return
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(20, 61, size=n)
+    toks = [
+        np.char.add("w", rng.integers(0, 50_000, size=ln).astype(str))
+        for ln in lens
+    ]
+    for i in range(50, n, 50):  # 2% injected near-dups, 1 token edited
+        src = int(rng.integers(max(0, i - 1000), i))
+        dup = toks[src].copy()
+        dup[rng.integers(0, len(dup))] = "w" + str(rng.integers(0, 50_000))
+        toks[i] = dup
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": [" ".join(t) for t in toks],
+        }
+    )
+    spark.createDataFrame(pdf).repartition(32).write.parquet(path)
+
+
 def gen_events(spark, n: int, n_users: int, seed: int, path: str) -> None:
     """n events uniform over a 30-day window across n_users users."""
     if os.path.exists(path):
@@ -284,6 +317,48 @@ def run_ops(spark, docs_path: str, events_path: str) -> dict[str, float]:
         .limit(1)
     )
     timed("bfs_hops", lambda: _force(bfs_hops(gedges, src1, max_hops=4)))
+
+    # round-8 additions: the per-token CDC chunk window and the full
+    # media-ingest lifecycle (directory scan -> exact -> perceptual ->
+    # versioned zone, now a single persisted source materialization)
+    from datalake_backend_spark.datapipe.dedup import cdc_chunk_stats
+    from datalake_backend_spark.engine import Engine
+
+    timed("cdc_chunks", lambda: _force(cdc_chunk_stats(docs)))
+    media_dir = os.path.join(os.path.dirname(docs_path), "media_dir")
+    n_media = media.count()
+    if not os.path.isdir(media_dir) or len(os.listdir(media_dir)) != n_media:
+        os.makedirs(media_dir, exist_ok=True)
+        for row in media.select("media_id", "payload").toLocalIterator():
+            pl = bytes(row.payload)
+            if pl.startswith(b"P6"):
+                ext = "ppm"
+            elif pl[:4] == b"\x89PNG":
+                ext = "png"
+            elif pl.startswith(b"RIFF"):
+                ext = "wav"
+            else:
+                ext = "rawv"
+            with open(os.path.join(media_dir, f"{row.media_id}.{ext}"), "wb") as fh:
+                fh.write(pl)
+    lake_dir = os.path.join(os.path.dirname(docs_path), "media_lake")
+    import shutil as _sh
+
+    _sh.rmtree(lake_dir, ignore_errors=True)
+    timed(
+        "media_lifecycle",
+        lambda: Engine(spark).process_media_dir(media_dir, lake_dir),
+    )
+
+    # exact set-similarity join over a WIDE-vocab corpus (see
+    # gen_wide_documents for why the 31-token corpus is unusable here)
+    from datalake_backend_spark.datapipe.dedup import set_similarity_join
+
+    wide_path = os.path.join(os.path.dirname(docs_path), "wide_docs.parquet")
+    gen_wide_documents(spark, docs.count(), seed=44, path=wide_path)
+    wide = spark.read.parquet(wide_path)
+    timed("ssj_exact", lambda: _force(set_similarity_join(wide, 4, 5)))
+    out["n_ssj_pairs"] = set_similarity_join(wide, 4, 5).count()
     return out
 
 
@@ -310,6 +385,7 @@ def main() -> int:
         "packing", "span_dedup", "img_near_dup", "audio_near_dup",
         "video_near_dup", "inverted_index", "fingerprint",
         "lm_score", "tf_cosine", "pagerank", "bfs_hops",
+        "cdc_chunks", "media_lifecycle", "ssj_exact",
     ]
     lines = [
         "| op | 1x sec | 10x sec | ratio | exponent |",
