@@ -138,3 +138,126 @@ def bfs_hops(
         visited = visited.union(nxt)
         frontier = nxt
     return visited
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED graph (``src``/
+    ``dst`` in either orientation; self-loops and duplicates dropped).
+    Returns ``(node, n_triangles)`` for every node in ≥1 triangle —
+    the local clustering primitive (community density, spam-graph
+    detection).
+
+    Scale shape: the classic degree-ordered orientation — canonicalize
+    each edge, then point it from the (degree, node)-SMALLER endpoint
+    to the larger, which turns the graph into a DAG where every
+    triangle appears exactly once as a wedge u→v, v→w closed by u→w.
+    The wedge join fans out by ORIENTED out-degree, bounded by
+    O(sqrt(E)) per node (arboricity bound) instead of the raw max
+    degree — the difference between a feasible join and a hub-squared
+    explosion on power-law graphs. Three hash joins, all-integer."""
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("u").alias("n"))
+        .union(canon.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient by (degree, node): strict total order, no 2-cycles
+    ranked = (
+        canon.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    # persisted: the oriented edge list is consumed THREE times (both
+    # wedge sides + the closing-edge probe) — uncached, the whole
+    # canon->deg->join lineage would re-execute per consumer
+    arrows = ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+    ).persist()
+    wedges = arrows.alias("e1").join(
+        arrows.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    ).select(
+        F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+    )
+    tris = wedges.join(
+        arrows.select(F.col("a").alias("x"), F.col("b").alias("z")),
+        ["x", "z"],
+    )
+    return (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    iterations: int = 3,
+    scale: int = 10**12,
+    teleport_pct: int = 15,
+) -> DataFrame:
+    """Personalized PageRank: identical integer update to
+    :func:`pagerank`, but ALL teleport mass returns to the ``sources``
+    set (uniform over it) instead of the whole graph — the random walk
+    with restart that scores every node by proximity to a seed set
+    (recommendation, related-entity expansion, fraud neighborhoods).
+
+    ``sources`` must have a ``node`` column. Start: ``scale div S`` on
+    each of the S sources, 0 elsewhere; per iteration each node gets
+    ``teleport·scale div (100·S)`` if it is a source (else 0) plus the
+    damped in-neighbor contributions. All-BIGINT div arithmetic —
+    bit-exact in any engine; nodes never reached keep rank 0 and are
+    still returned (the twin must too)."""
+    if not 0 < teleport_pct < 100:
+        raise ValueError("teleport_pct must be in (0, 100)")
+    damping = 100 - teleport_pct
+    edges = edges.persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    src_set = sources.select("node").distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .union(src_set.select("node"))
+        .distinct()
+        .join(deg.withColumnRenamed("src", "node"), "node", "left")
+        .withColumn("deg", F.coalesce("deg", F.lit(0)).cast("bigint"))
+        .join(src_set.withColumn("_is_src", F.lit(1)), "node", "left")
+        .withColumn("_is_src", F.coalesce("_is_src", F.lit(0)))
+        .persist()
+    )
+    scnt = nodes.agg(F.sum("_is_src").alias("_s"))
+    ranks = (
+        nodes.crossJoin(F.broadcast(scnt))
+        .withColumn(
+            "r", F.expr(f"case when _is_src = 1 then {scale}L div _s else 0L end")
+        )
+        .select("node", "deg", "_is_src", "r")
+    )
+    for _ in range(iterations):
+        contrib = ranks.join(edges, ranks.node == edges.src).select(
+            F.col("dst").alias("node"),
+            F.expr(f"({damping}L * r) div (100L * deg)").alias("c"),
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+        ranks = (
+            nodes.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(scnt))
+            .withColumn(
+                "r",
+                F.expr(
+                    f"case when _is_src = 1 then"
+                    f" ({teleport_pct}L * {scale}L) div (100L * _s)"
+                    " else 0L end + coalesce(inflow, 0L)"
+                ),
+            )
+            .select("node", "deg", "_is_src", "r")
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled"))

@@ -5934,6 +5934,206 @@ FROM ud JOIN f USING (u) GROUP BY 1, 2
 """
 
 
+def r169_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle-count driver check (`dbs.operators.graph
+    .triangle_count`): per-supplier triangle counts over the co-supply
+    graph (suppliers sharing an order), capped to suppkey < 60 so the
+    graph stays bounded at every SF (the uncapped sf0.1 graph is
+    near-complete — that measures the fixture's density, not the
+    operator). The Spark side counts each triangle once via
+    degree-ordered orientation; the twin brute-forces u<v<w ordered
+    edge triples — same integers by construction."""
+    from datalake_backend_spark.operators.graph import triangle_count
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_suppkey") < 60)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+    )
+    return triangle_count(e)
+
+
+R169_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+  FROM lineitem WHERE l_suppkey < 60
+),
+e AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.s < b.s
+),
+tri AS (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM e a
+  JOIN e b ON b.u = a.v
+  JOIN e c ON c.u = a.u AND c.v = b.v
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+) GROUP BY node
+"""
+
+
+def r170_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized-PageRank driver check (`dbs.operators.graph
+    .personalized_pagerank`): random walk with restart over the
+    symmetrized co-purchase graph (same graph as q145), all teleport
+    mass returning to the nation-0 supplier seed set — proximity to
+    the seeds, not global centrality. 3 synchronous all-BIGINT
+    iterations; the twin unrolls them as CTEs (same shape as R145)
+    with the source-CASE teleport, so every rank reproduces exactly,
+    including the 0 ranks of unreached nodes."""
+    from datalake_backend_spark.operators.graph import personalized_pagerank
+
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    supplier = table(spark, sf_dir, "supplier")
+    e0 = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    sources = supplier.where(F.col("s_nationkey") == 0).select(
+        F.concat(F.lit("s"), F.col("s_suppkey")).alias("node")
+    )
+    return personalized_pagerank(edges, sources, iterations=3)
+
+
+_R170_PREFIX = r"""
+WITH e0 AS (
+  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM e0
+  UNION ALL
+  SELECT s AS src, c AS dst FROM e0
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+srcs AS (
+  SELECT DISTINCT 's' || s_suppkey AS node FROM supplier
+  WHERE s_nationkey = 0
+),
+nodes AS (
+  SELECT n.node, CAST(COALESCE(deg.deg, 0) AS BIGINT) AS deg,
+         CASE WHEN sr.node IS NOT NULL THEN 1 ELSE 0 END AS is_src
+  FROM (
+    SELECT src AS node FROM edges
+    UNION SELECT dst FROM edges
+    UNION SELECT node FROM srcs
+  ) n
+  LEFT JOIN deg ON n.node = deg.src
+  LEFT JOIN srcs sr ON sr.node = n.node
+),
+scnt AS (SELECT COUNT(*) AS s FROM srcs),
+it0 AS (
+  SELECT node, deg, is_src,
+         CASE WHEN is_src = 1
+              THEN 1000000000000 // (SELECT s FROM scnt) ELSE 0 END AS r
+  FROM nodes
+)"""
+
+
+def _r170_iter(k: int) -> str:
+    return f""",
+it{k} AS (
+  SELECT nd.node, nd.deg, nd.is_src,
+         CASE WHEN nd.is_src = 1
+              THEN (15 * 1000000000000) // (100 * (SELECT s FROM scnt))
+              ELSE 0 END
+         + CAST(COALESCE(SUM((85 * p.r) // (100 * p.deg)), 0) AS BIGINT)
+           AS r
+  FROM nodes nd
+  LEFT JOIN edges e ON e.dst = nd.node
+  LEFT JOIN it{k - 1} p ON p.node = e.src
+  GROUP BY nd.node, nd.deg, nd.is_src
+)"""
+
+
+R170_SQL = (
+    _R170_PREFIX
+    + "".join(_r170_iter(k) for k in range(1, 4))
+    + "\nSELECT node, r AS rank_scaled FROM it3\n"
+)
+
+
+def r171_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness driver check (`dbs.operators.privacy
+    .t_closeness_classes`): per equivalence class at a FIXED
+    generalization level (6 — $6,400 balance buckets x segment), the
+    total-variation distance between the class's nation distribution
+    and the global one — the skewness-attack measurement that
+    completes the k-anonymity (r152) / l-diversity (r155) ladder.
+    All-BIGINT numerators over the common denominator, DECIMAL(38,0)
+    fold, same pmod floor-div bucketing as the ladder rows."""
+    from datalake_backend_spark.operators.privacy import (
+        t_closeness_classes,
+    )
+
+    cust = table(spark, sf_dir, "customer")
+    return t_closeness_classes(
+        cust, ["c_mktsegment"], "c_acctbal", "c_nationkey", level=6
+    )
+
+
+R171_SQL = """
+WITH base AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS v
+  FROM customer
+),
+k AS (
+  SELECT c_mktsegment,
+         (v - (((v % 640000) + 640000) % 640000)) // 640000 AS bucket,
+         c_nationkey
+  FROM base
+),
+cells AS (
+  SELECT c_mktsegment, bucket, c_nationkey, CAST(COUNT(*) AS BIGINT) AS c
+  FROM k GROUP BY 1, 2, 3
+),
+sizes AS (
+  SELECT c_mktsegment, bucket, CAST(SUM(c) AS BIGINT) AS n
+  FROM cells GROUP BY 1, 2
+),
+gdist AS (
+  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS g FROM k GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM k),
+j AS (
+  SELECT f.c_mktsegment, f.bucket, f.n, f.g, COALESCE(c.c, 0) AS c
+  FROM (SELECT s.c_mktsegment, s.bucket, s.n, gl.c_nationkey, gl.g
+        FROM sizes s, gdist gl) f
+  LEFT JOIN cells c
+    ON c.c_mktsegment = f.c_mktsegment AND c.bucket = f.bucket
+   AND c.c_nationkey = f.c_nationkey
+)
+SELECT c_mktsegment, bucket, MAX(n) AS k_size,
+       CAST(FLOOR(1000000 * SUM(CAST(
+              ABS(c * (SELECT nn FROM tot) - g * n) AS HUGEINT))
+            / (2 * MAX(n) * (SELECT nn FROM tot))) AS BIGINT) AS t_scaled
+FROM j GROUP BY 1, 2
+"""
+
+
 def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OLS regression driver check (`dbs.operators
     .distributions.group_ols`): extended price regressed on quantity
@@ -8908,7 +9108,18 @@ QUERIES: dict[str, QuerySpec] = {
     "r168_retention_cohorts": QuerySpec(
         r168_retention_cohorts, R168_SQL, "analytics-retention-cohorts"
     ),
+    "r169_triangle_count": QuerySpec(
+        r169_triangle_count, R169_SQL, "graph-triangles,degree-orientation"
+    ),
+    # byte order: '9' (0x39) < '_' (0x5f) < nothing-relevant, so
+    # r16_* sorts AFTER r169_* and BEFORE r170_* (same rule as r13_/r140)
     "r16_distinct_users": QuerySpec(q16_distinct_users, Q16_SQL, "U1,U2,A14"),
+    "r170_personalized_pagerank": QuerySpec(
+        r170_personalized_pagerank, R170_SQL, "graph-ppr,random-walk-restart"
+    ),
+    "r171_t_closeness": QuerySpec(
+        r171_t_closeness, R171_SQL, "privacy-t-closeness,tvd"
+    ),
     "r17_renest_lineitems": QuerySpec(q17_renest_lineitems, Q17_SQL, "E5,A7,O1"),
     "r18_numeric_summary": QuerySpec(q18_numeric_summary, Q18_SQL, "A13,A8"),
     "r19_grid_buckets": QuerySpec(q19_grid_buckets, Q19_SQL, "F8,A4"),

@@ -280,3 +280,67 @@ def test_bfs_hops_min_distance(spark):
     # depth bound: e (distance 3) drops when max_hops=2
     out2 = {r.node: r.hop for r in bfs_hops(edges, srcs, max_hops=2).collect()}
     assert out2 == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_triangle_count_vs_brute_force(spark):
+    """Triangle counting (operators/graph.py:triangle_count; oracle
+    twin r169): degree-ordered orientation counts every triangle
+    exactly once — per-node counts equal the brute-force enumeration
+    on a random graph, with duplicate/reversed/self-loop edges
+    tolerated."""
+    import itertools
+    import random
+
+    from datalake_backend_spark.operators.graph import triangle_count
+
+    random.seed(11)
+    edges = set()
+    while len(edges) < 80:
+        a, b = random.sample(range(20), 2)
+        edges.add((a, b))
+    noisy = list(edges) + [(b, a) for a, b in list(edges)[:10]] + [(3, 3)]
+    edf = spark.createDataFrame(noisy, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_count(edf).collect()}
+
+    und = {tuple(sorted(e)) for e in edges}
+    adj: dict[int, set] = {n: set() for n in range(20)}
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    exp: dict[int, int] = {}
+    for u, v, w in itertools.combinations(range(20), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            for n in (u, v, w):
+                exp[n] = exp.get(n, 0) + 1
+    assert got == exp
+
+
+def test_personalized_pagerank_mass_at_sources(spark):
+    """PPR (operators/graph.py:personalized_pagerank; oracle twin
+    r170): matches the integer reference loop; unreached nodes keep
+    rank 0; sources dominate their own neighborhoods."""
+    from datalake_backend_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    # two components: 0-1-2 (source side) and 8-9 (never reached)
+    edges = [(0, 1), (1, 2), (2, 0), (8, 9)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r.node: r.rank_scaled
+        for r in personalized_pagerank(edf, sdf, iterations=3).collect()
+    }
+    scale, tp, dp = 10**12, 15, 85
+    deg = {0: 1, 1: 1, 2: 1, 8: 1}
+    r = {n: (scale if n == 0 else 0) for n in (0, 1, 2, 8, 9)}
+    for _ in range(3):
+        inflow = {n: 0 for n in r}
+        for a, b in edges:
+            inflow[b] += (dp * r[a]) // (100 * deg[a])
+        r = {
+            n: ((tp * scale) // 100 if n == 0 else 0) + inflow[n] for n in r
+        }
+    assert got == r
+    assert got[9] == 0 and got[8] == 0  # disconnected from the seed
+    assert got[0] > got[1] > 0

@@ -69,3 +69,44 @@ def test_l_diversify_homogeneity(spark):
         df, ["seg"], "bal", "diag", l_min=3, max_level=4, on_fail="max_level"
     )
     assert lvl == 4 and ok3 is False
+
+
+def test_t_closeness_known_distributions(spark):
+    """t-closeness (operators/privacy.py:t_closeness_classes; oracle
+    twin r171): a class mirroring the global distribution scores 0; a
+    fully homogeneous class scores scale*(N-g)/N via the closed form
+    (1/2)*(|n*N - g*n| + sum_other g_v*n)/(n*N)."""
+    from datalake_backend_spark.operators.privacy import (
+        t_closeness_classes,
+    )
+
+    # segment A: 2 of each nation 0/1 (mirrors global 6/6)
+    # segment B: 4 of nation 0 only (homogeneous)
+    rows = (
+        [("A", 0.0, 0)] * 2 + [("A", 0.0, 1)] * 2
+        + [("B", 0.0, 0)] * 4 + [("B", 0.0, 1)] * 4
+    )
+    # adjust: global = A(2,2) + B(4,4) -> balanced; make B homogeneous
+    rows = (
+        [("A", 0.0, 0)] * 3 + [("A", 0.0, 1)] * 3
+        + [("B", 0.0, 0)] * 6
+    )
+    df = spark.createDataFrame(rows, "seg string, bal double, nat int")
+    out = {
+        r.seg: r
+        for r in t_closeness_classes(
+            df, ["seg"], "bal", "nat", level=0
+        ).collect()
+    }
+    # global: nat0=9, nat1=3, N=12
+    # A (n=6, c0=3, c1=3): |3*12-9*6| + |3*12-3*6| = 18+18=36
+    #   t = 1e6*36 // (2*6*12) = 250000  (TVD = 0.25)
+    # B (n=6, c0=6, c1=0): |6*12-9*6| + |0-3*6| = 18+18=36 -> 250000
+    assert out["A"].t_scaled == 250000
+    assert out["B"].t_scaled == 250000 and out["B"].k_size == 6
+    # exact mirror: one class holding everything -> t = 0
+    one = spark.createDataFrame(
+        [("X", 0.0, 0), ("X", 0.0, 1)], "seg string, bal double, nat int"
+    )
+    z = t_closeness_classes(one, ["seg"], "bal", "nat", level=0).collect()
+    assert z[0].t_scaled == 0

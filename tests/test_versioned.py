@@ -1391,3 +1391,77 @@ def test_partition_spec_evolution_full_lifecycle(spark, tbl):
     man2 = tbl.manifest()
     assert list(man2["partition_specs"].values()) == [["day"]]
     assert tbl.read(spark).count() == 102
+
+
+def test_versioned_random_walk_matches_model(spark, tbl):
+    """Model-based sequencing test: a seeded 30-op random walk over
+    {overwrite, append, merge, copy-delete, dv-delete, compact,
+    restore} must keep read() identical to a plain python dict model
+    at EVERY step, and every historical version must read back as the
+    model snapshot taken when it was committed — the interleavings
+    (e.g. dv-delete then merge then restore across a compact) that
+    single-purpose tests never compose."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260815)
+    model: dict[int, str] = {}
+    snapshots: dict[int, dict[int, str]] = {}
+
+    def record(version):
+        snapshots[version] = dict(model)
+
+    def check_head():
+        got = {r.key: r.val for r in tbl.read(spark).collect()}
+        assert got == model
+
+    # op 1 must create the table
+    model = {k: f"v{k}" for k in range(8)}
+    record(tbl.commit(_mk(spark, sorted(model.items()))))
+    for step in range(29):
+        op = rng.choice(
+            ["append", "merge", "del_copy", "del_dv", "compact", "restore"]
+        )
+        if op == "append":
+            new = {
+                k: f"a{step}" for k in rng.sample(range(100, 140), 3)
+                if k not in model
+            }
+            if not new:
+                continue
+            model.update(new)
+            record(
+                tbl.commit(_mk(spark, sorted(new.items())), mode="append")
+            )
+        elif op == "merge":
+            ups = {
+                rng.randrange(0, 150): f"m{step}" for _ in range(4)
+            }
+            model.update(ups)
+            record(tbl.merge(spark, _mk(spark, sorted(ups.items())), ["key"]))
+        elif op in ("del_copy", "del_dv"):
+            if not model:
+                continue
+            # delete a random existing key plus everything 2 below it
+            cut = rng.choice(sorted(model))
+            model = {k: v for k, v in model.items() if not (cut - 2 <= k <= cut)}
+            record(
+                tbl.delete_where(
+                    spark,
+                    (F.col("key") >= cut - 2) & (F.col("key") <= cut),
+                    mode="dv" if op == "del_dv" else "copy",
+                )
+            )
+        elif op == "compact":
+            record(tbl.compact(spark))
+        else:  # restore
+            target = rng.choice(sorted(snapshots))
+            model = dict(snapshots[target])
+            record(tbl.restore(target))
+        check_head()
+
+    # every recorded version still reads back as its snapshot
+    for v in sorted(snapshots):
+        got = {r.key: r.val for r in tbl.read(spark, version=v).collect()}
+        assert got == snapshots[v], f"version {v}"
