@@ -918,12 +918,27 @@ def bm25_multi_query(
             ),
         )
     )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score").alias("score_scaled")
+    )
+    # two-phase top-k: a partition-LOCAL top-k first, so the final
+    # per-query window sorts at most top_k x n_partitions rows — a
+    # query matching the whole corpus would otherwise funnel every
+    # scored doc into one partition for the global sort. The local
+    # prune is a superset of the global top-k, so results are
+    # identical.
+    w_local = Window.partitionBy("query_id", "_p").orderBy(
+        F.desc("score_scaled"), F.asc("doc_id")
+    )
+    pruned = (
+        agg.withColumn("_p", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(w_local))
+        .where(F.col("_lr") <= top_k)
+        .drop("_p", "_lr")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_scaled"), F.asc("doc_id")
     )
-    return (
-        scored.groupBy("query_id", "doc_id")
-        .agg(F.sum("term_score").alias("score_scaled"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_k)
+    return pruned.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= top_k
     )

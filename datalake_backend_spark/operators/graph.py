@@ -63,6 +63,10 @@ def pagerank(
     if not 0 < teleport_pct < 100:
         raise ValueError("teleport_pct must be in (0, 100)")
     damping = 100 - teleport_pct
+    # persist the edge table: callers derive it (join + distinct +
+    # symmetrize) and the per-iteration contribution join would
+    # otherwise re-execute that derivation once per iteration
+    edges = edges.persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = (
         edges.select(F.col("src").alias("node"))

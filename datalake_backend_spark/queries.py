@@ -6134,6 +6134,51 @@ FROM j GROUP BY 1, 2
 """
 
 
+def r172_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function driver check (Spark-native window suite):
+    rank, dense_rank, ntile(4) and an integer-scaled percent_rank for
+    every customer by account balance within market segment — the
+    core SQL-window quartet under ONE window spec (one shuffle, no
+    join). percent_rank is ``(rank−1)/(n−1)`` — emitted as
+    ``floor(10⁶·(rank−1) / (n−1))`` so it is an integer in any engine
+    (native percent_rank returns engine-ordered doubles). Balance
+    ties broken by custkey so every rank is deterministic."""
+    cust = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    wall = Window.partitionBy("c_mktsegment")
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.expr(
+            "cast(floor(1000000 * (cast(rank() over ("
+            "partition by c_mktsegment order by c_acctbal desc,"
+            " c_custkey asc) as bigint) - 1)"
+            " / greatest(count(*) over (partition by c_mktsegment) - 1, 1))"
+            " as bigint)"
+        ).alias("pct_rank_scaled"),
+    )
+
+
+R172_SQL = """
+SELECT c_mktsegment, c_custkey,
+       CAST(RANK() OVER w AS INTEGER) AS rnk,
+       CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+       CAST(FLOOR(1000000 * (CAST(RANK() OVER w AS BIGINT) - 1)
+            / GREATEST(COUNT(*) OVER (PARTITION BY c_mktsegment) - 1, 1))
+         AS BIGINT) AS pct_rank_scaled
+FROM customer
+WINDOW w AS (
+  PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC
+)
+"""
+
+
 def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OLS regression driver check (`dbs.operators
     .distributions.group_ols`): extended price regressed on quantity
@@ -9119,6 +9164,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r171_t_closeness": QuerySpec(
         r171_t_closeness, R171_SQL, "privacy-t-closeness,tvd"
+    ),
+    "r172_rank_functions": QuerySpec(
+        r172_rank_functions, R172_SQL, "window-rank-suite,integer-pctrank"
     ),
     "r17_renest_lineitems": QuerySpec(q17_renest_lineitems, Q17_SQL, "E5,A7,O1"),
     "r18_numeric_summary": QuerySpec(q18_numeric_summary, Q18_SQL, "A13,A8"),

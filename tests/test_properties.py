@@ -584,3 +584,29 @@ def test_dhash_matches_float_reference_property(h, w, seed):
                 else:
                     exp_hi |= 1 << (idx - 32)
     assert (hi, lo) == (exp_hi, exp_lo)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(min_size=0, max_size=200))
+def test_normalize_and_redact_idempotent(spark, s):
+    """normalize_text and redact_pii are idempotent: applying either
+    twice equals applying it once (the property that makes re-running
+    a cleaning pipeline safe), for ANY input string including ones
+    containing the replacement placeholders themselves."""
+    from datalake_backend_spark.datapipe.text import (
+        normalize_text,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame([(s,)], "text string")
+    n1 = normalize_text(df).collect()[0].text
+    n2 = normalize_text(
+        spark.createDataFrame([(n1,)], "text string")
+    ).collect()[0].text
+    assert n2 == n1
+
+    r1 = redact_pii(df).collect()[0].text
+    r2 = redact_pii(
+        spark.createDataFrame([(r1,)], "text string")
+    ).collect()[0].text
+    assert r2 == r1
