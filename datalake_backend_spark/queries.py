@@ -8835,9 +8835,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q116_incremental_dedup": QuerySpec(
         r116_incremental_dedup, Q26_SQL, "dedup-incremental,lsh-index"
     ),
-    "q120_linear_gap_fill": QuerySpec(
-        r120_linear_gap_fill, R120_SQL, "W-gap-fill-linear,timeseries"
-    ),
     # fifth rotation (round 7): the codec, lakehouse-DV, source-API and
     # graph families earn their first hard driver rows (JPEG decode,
     # deletion vectors, Python DataSource, integer PageRank);
@@ -8846,6 +8843,19 @@ QUERIES: dict[str, QuerySpec] = {
     # q62+r101 (embedding/ANN), q48/q52 (funnel→sessionized state)
     "q127_jpeg_decode_stats": QuerySpec(
         r127_jpeg_decode_stats, R127_SQL, "multimodal-jpeg-codec"
+    ),
+    # Round 9 (seventh) rotation: the Bloom decontamination composite,
+    # the inverted-index write side of the promoted BM25 reads, the
+    # privacy ladder's global-recoding operator, and the exact-Jaccard
+    # prefix-filter join earn driver-green rows; q34/q76/q83/q120 move
+    # to reserve (families stay covered: as-of→q45 range join + r90
+    # interval union + r115 forward as-of, clusters→q26 minhash + q116
+    # incremental, TF-IDF→r103/r112/r113, gap fill→r100 + r121).
+    "q128_bloom_decontamination": QuerySpec(
+        r128_bloom_decontamination, Q71_SQL, "decontamination-bloom,scale-prefilter"
+    ),
+    "q134_inverted_index": QuerySpec(
+        r134_inverted_index, R134_SQL, "search-inverted-index,postings"
     ),
     "q135_dv_delete": QuerySpec(
         r135_dv_delete, R135_SQL, "lakehouse-deletion-vectors,merge-on-read"
@@ -8871,12 +8881,17 @@ QUERIES: dict[str, QuerySpec] = {
     "q148_semantic_dedup": QuerySpec(
         r148_semantic_dedup, R148_SQL, "dedup-semantic,semdedup"
     ),
+    "q152_k_anonymize": QuerySpec(
+        r152_k_anonymize, R152_SQL, "privacy-k-anonymity,global-recoding"
+    ),
     "q153_media_lifecycle": QuerySpec(
         r153_media_lifecycle, R153_SQL, "media-ingest-lifecycle,composite"
     ),
     "q15_top_orders_per_segment": QuerySpec(q15_top_orders_per_segment, Q15_SQL, "W8,O4"),
+    "q166_set_similarity_join": QuerySpec(
+        r166_set_similarity_join, R166_SQL, "dedup-exact-jaccard,prefix-filter"
+    ),
     "q26_minhash_near_dup": QuerySpec(q26_minhash_near_dup, Q26_SQL, "dedup-minhash-lsh"),
-    "q34_asof_join": QuerySpec(q34_asof_join, Q34_SQL, "J-asof (custom operator)"),
     "q45_range_join": QuerySpec(q45_range_join, Q45_SQL, "J-range (custom operator)"),
     "q47_vehicle_pipeline": QuerySpec(
         q47_vehicle_pipeline,
@@ -8942,9 +8957,6 @@ QUERIES: dict[str, QuerySpec] = {
     # long-stable rows whose operators are redundantly covered by a
     # remaining primary or reserve twin (r05/r13/r20/r22/r24/r28/r30/
     # r38/r39/r65/r68 below) moved to the reserve tier to make room.
-    "q76_dedup_clusters": QuerySpec(
-        q76_dedup_clusters, Q76_SQL, "dedup-clusters,connected-components"
-    ),
     "q78_source_caps": QuerySpec(
         q78_source_caps, Q78_SQL, "sampling-domain-caps,topk-per-group"
     ),
@@ -8956,9 +8968,6 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q81_line_dedup": QuerySpec(
         q81_line_dedup, Q81_SQL, "dedup-lines,paragraph-dedup"
-    ),
-    "q83_tfidf_terms": QuerySpec(
-        q83_tfidf_terms, Q83_SQL, "text-tfidf,keyword-extraction"
     ),
     "q84_stream_stream_join": QuerySpec(
         q84_stream_stream_join, Q84_SQL, "streaming-join,interval-join"
@@ -9029,6 +9038,11 @@ QUERIES: dict[str, QuerySpec] = {
         r119_scene_changes, R119_SQL, "multimodal-video-scene-detect"
     ),
     "r11_session_summary": QuerySpec(q11_session_summary, Q11_SQL, "W7,A13"),
+    # demoted round 9 (gap-fill family keeps r100 step-fill + r121
+    # quantile buckets in-window via the reserve oracle sweep)
+    "r120_linear_gap_fill": QuerySpec(
+        r120_linear_gap_fill, R120_SQL, "W-gap-fill-linear,timeseries"
+    ),
     "r121_quantile_buckets": QuerySpec(
         r121_quantile_buckets, R121_SQL, "A13-quantile-discretize"
     ),
@@ -9047,9 +9061,6 @@ QUERIES: dict[str, QuerySpec] = {
     "r126_leakage_safe_split": QuerySpec(
         r126_leakage_safe_split, _r126_sql(), "split-by-cluster,decontamination"
     ),
-    "r128_bloom_decontamination": QuerySpec(
-        r128_bloom_decontamination, Q71_SQL, "decontamination-bloom,scale-prefilter"
-    ),
     "r129_restore": QuerySpec(
         r129_restore, R129_SQL, "lakehouse-restore,rollback"
     ),
@@ -9065,9 +9076,6 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r133_table_fingerprint": QuerySpec(
         r133_table_fingerprint, R133_SQL, "fingerprint-checksum,replication-verify"
-    ),
-    "r134_inverted_index": QuerySpec(
-        r134_inverted_index, R134_SQL, "search-inverted-index,postings"
     ),
     "r136_audio_near_dup": QuerySpec(
         r136_audio_near_dup, R136_SQL, "dedup-audio-perceptual,fingerprint"
@@ -9105,9 +9113,6 @@ QUERIES: dict[str, QuerySpec] = {
     "r151_nb_quality_score": QuerySpec(
         r151_nb_quality_score, R151_SQL, "text-quality-classifier,ccnet"
     ),
-    "r152_k_anonymize": QuerySpec(
-        r152_k_anonymize, R152_SQL, "privacy-k-anonymity,global-recoding"
-    ),
     "r154_bm25_topk": QuerySpec(
         r154_bm25_topk, R154_SQL, "search-bm25-ranking,integer-idf"
     ),
@@ -9143,9 +9148,6 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r165_twap": QuerySpec(
         r165_twap, R165_SQL, "timeseries-twap,interval-weighted"
-    ),
-    "r166_set_similarity_join": QuerySpec(
-        r166_set_similarity_join, R166_SQL, "dedup-exact-jaccard,prefix-filter"
     ),
     "r167_attribution": QuerySpec(
         r167_attribution, R167_SQL, "analytics-attribution,first-last-touch"
@@ -9184,6 +9186,9 @@ QUERIES: dict[str, QuerySpec] = {
     "r31_pivot": QuerySpec(q31_pivot, Q31_SQL, "A13-pivot"),
     "r32_rollup_totals": QuerySpec(q32_rollup_totals, Q32_SQL, "A8-rollup"),
     "r33_token_explode": QuerySpec(q33_token_explode, Q33_SQL, "E1,E2"),
+    # demoted round 9 (as-of family keeps q45 range join + r90
+    # interval union + r115 forward as-of)
+    "r34_asof_join": QuerySpec(q34_asof_join, Q34_SQL, "J-asof (custom operator)"),
     "r35_semi_join": QuerySpec(q35_semi_join, Q35_SQL, "J-semi"),
     "r36_anti_join": QuerySpec(q36_anti_join, Q36_SQL, "J-anti"),
     "r37_union_distinct": QuerySpec(q37_union_distinct, Q37_SQL, "U-union,U1"),
@@ -9223,11 +9228,21 @@ QUERIES: dict[str, QuerySpec] = {
     "r75_image_decode_stats": QuerySpec(
         q75_image_decode_stats, Q75_SQL, "multimodal-decode,image-codec"
     ),
+    # demoted round 9 (cluster family keeps q26 minhash-LSH + q116
+    # incremental dedup in-window)
+    "r76_dedup_clusters": QuerySpec(
+        q76_dedup_clusters, Q76_SQL, "dedup-clusters,connected-components"
+    ),
     "r77_training_shards": QuerySpec(
         q77_training_shards, Q77_SQL, "sharding-deterministic,export"
     ),
     "r82_quantized_cosine": QuerySpec(
         q82_quantized_cosine, Q82_SQL, "embedding-quantization,ann-storage"
+    ),
+    # demoted round 9 (TF-IDF family keeps r103 corpus frequency +
+    # r112 vocab coverage + r113 doc chunks)
+    "r83_tfidf_terms": QuerySpec(
+        q83_tfidf_terms, Q83_SQL, "text-tfidf,keyword-extraction"
     ),
     "r85_sliding_window_counts": QuerySpec(
         q85_sliding_window_counts, Q85_SQL, "streaming-sliding-windows"

@@ -995,40 +995,60 @@ class VersionedTable:
             )
         if mode != "dv":
             raise ValueError(f"mode must be copy|dv, got {mode!r}")
+        from pyspark.sql import Window
+
         last: CommitConflict | None = None
         for _ in range(rederive_retries):
             head = self.latest_version()
             if head is None:
                 raise FileNotFoundError(f"no snapshot at {self.path}")
-            matched = (
+            prev_man = self.manifest(head)
+            n_prev_ranges = sum(
+                len(e["ranges"]) for e in prev_man.get("dvs", [])
+            )
+            # range-compress EXECUTOR-side (gaps-and-islands: consecutive
+            # row indexes share `_ri - row_number()`), so the driver only
+            # ever sees [lo, hi] runs — a delete matching millions of
+            # contiguous rows collects a handful of ranges, never the
+            # per-row index list. The cap is enforced BEFORE the collect:
+            # take(budget + 1) bounds driver materialization to
+            # max_range_entries + 1 rows even when the delete is so
+            # fragmented that ranges ≈ rows (the copy-on-write fallback
+            # then rewrites instead). Conservative vs the old post-merge
+            # check: new + existing ranges over the cap falls back even
+            # if merging adjacent runs would have compressed below it.
+            w = Window.partitionBy("_fp").orderBy("_ri")
+            runs = (
                 self.read(spark, head)
                 .where(predicate)
                 .select(
                     F.col("_metadata.file_path").alias("_fp"),
                     F.col("_metadata.row_index").alias("_ri"),
                 )
-                .groupBy("_fp")
-                .agg(F.array_sort(F.collect_list("_ri")).alias("_ris"))
-                .collect()
+                .withColumn("_grp", F.col("_ri") - F.row_number().over(w))
+                .groupBy("_fp", "_grp")
+                .agg(F.min("_ri").alias("_lo"), F.max("_ri").alias("_hi"))
             )
+            budget = max(0, max_range_entries - n_prev_ranges)
+            matched = runs.select("_fp", "_lo", "_hi").take(budget + 1)
             if not matched:
                 return head
+            if len(matched) > budget:
+                return self._rmw_commit(
+                    spark, lambda base: base.where(~predicate), "delete"
+                )
             new_dvs: dict[str, list[list[int]]] = {}
             n_deleted = 0
             for row in matched:
                 uri = row["_fp"]
                 idx = uri.rfind(self.path)
                 rel = uri[idx + len(self.path) + 1 :] if idx >= 0 else uri
-                ranges: list[list[int]] = []
-                for ri in row["_ris"]:
-                    ri = int(ri)
-                    if ranges and ri == ranges[-1][1] + 1:
-                        ranges[-1][1] = ri
-                    else:
-                        ranges.append([ri, ri])
-                    n_deleted += 1
-                new_dvs[rel] = ranges
-            prev_man = self.manifest(head)
+                new_dvs.setdefault(rel, []).append(
+                    [int(row["_lo"]), int(row["_hi"])]
+                )
+                n_deleted += int(row["_hi"]) - int(row["_lo"]) + 1
+            for ranges in new_dvs.values():
+                ranges.sort()
             merged: dict[str, list[list[int]]] = {
                 e["path"]: [list(r) for r in e["ranges"]]
                 for e in prev_man.get("dvs", [])
@@ -1045,10 +1065,6 @@ class VersionedTable:
                     merged[rel] = packed
                 else:
                     merged[rel] = ranges
-            if sum(len(r) for r in merged.values()) > max_range_entries:
-                return self._rmw_commit(
-                    spark, lambda base: base.where(~predicate), "delete"
-                )
             dvs = [
                 {
                     "path": rel,
@@ -1224,9 +1240,11 @@ class VersionedTable:
             # per-dir partition specs are keyed by dir NAME — remap the
             # keys alongside the relpath'd dirs or a partitioned (or
             # spec-evolved) source would lose its partition columns on
-            # every clone read (specs.get(new_dir) misses).
+            # every clone read (specs.get(new_dir) misses). Tolerate a
+            # spec dict missing a dir entry (externally produced or
+            # older manifests) the same way every read path does.
             partition_specs={
-                new_d: src_specs[old_d]
+                new_d: src_specs.get(old_d, [])
                 for old_d, new_d in zip(man["dirs"], src_dirs)
             },
             metadata={"cloned_from": self.path, "source_version": man["version"]},

@@ -37,8 +37,9 @@ def test_primary_tier_fills_driver_window():
         [f"q{n}" for n in range(51, 61)]  # domain pipelines
         + ["q47", "q66", "q73", "q74"]
         # round-5 rotation survivors (q75/q82/q86 demoted round 7;
-        # q77/q85/q94/q96 demoted round 8 with family cover)
-        + [f"q{n}" for n in (76, 78, 79, 80, 81, 83, 84)]
+        # q77/q85/q94/q96 demoted round 8; q34/q76/q83/q120 demoted
+        # round 9 with family cover)
+        + [f"q{n}" for n in (78, 79, 80, 81, 84)]
         # second round-5 rotation: lakehouse + streaming dedup
         + ["q91", "q95"]
         # round-7 rotation: codec / DV / source-API / graph families
@@ -46,6 +47,9 @@ def test_primary_tier_fills_driver_window():
         # round-8 rotation: VARIANT, span-rewrite dedup, SemDeDup,
         # media lifecycle
         + ["q139", "q141", "q148", "q153"]
+        # round-9 rotation: Bloom decontamination, inverted index,
+        # k-anonymity, exact set-similarity join
+        + ["q128", "q134", "q152", "q166"]
     )
     for prefix in must_have:
         assert any(k.startswith(prefix + "_") for k in primary), prefix

@@ -749,6 +749,27 @@ def test_shallow_clone_of_partitioned_table(spark, tbl, tmp_path):
     assert "day" in clone.read_where(spark, [("day", "=", 99)]).columns
 
 
+def test_clone_tolerates_manifest_missing_spec_entry(spark, tbl, tmp_path):
+    """An externally produced (or older) manifest whose explicit
+    partition_specs dict lacks a dir entry READS fine (every read path
+    uses specs.get) — clone_to must be equally tolerant instead of
+    raising KeyError on the remap."""
+    import json
+
+    tbl.commit(_mk(spark, [(1, "a"), (2, "b")]))
+    man_path = tbl._manifest_path(1)
+    with open(man_path) as fh:
+        man = json.load(fh)
+    # truthy explicit dict that lacks the table's actual dir entry
+    # (an empty dict would fall back to partition_by in _dir_specs)
+    man["partition_specs"] = {"not_a_real_dir": []}
+    with open(man_path, "w") as fh:
+        json.dump(man, fh)
+    assert tbl.read(spark).count() == 2  # read path tolerates it
+    clone = tbl.clone_to(str(tmp_path / "clone_nospec"))
+    assert {r.key for r in clone.read(spark).collect()} == {1, 2}
+
+
 def test_shallow_clone_independent_evolution(spark, tbl, tmp_path):
     tbl.commit(_mk(spark, [(1, "a"), (2, "b")]))
     clone = tbl.clone_to(str(tmp_path / "clone"))
@@ -1227,6 +1248,64 @@ def test_dv_fragmentation_falls_back_to_rewrite(spark, tmp_path):
     assert tbl.manifest(v)["op"] == "delete"  # copy-on-write fallback
     assert tbl.manifest(v)["dvs"] == []
     assert tbl.read(spark).count() == 100
+
+
+def test_dv_contiguous_delete_compresses_to_ranges(spark, tmp_path):
+    """Range compression happens EXECUTOR-side: a contiguous 100-row
+    delete lands as one [lo, hi] range per touched file in the
+    manifest, never 100 singleton entries."""
+    tbl = VersionedTable(str(tmp_path / "dv"))
+    tbl.commit(
+        spark.range(200)
+        .select(F.col("id").cast("long"))
+        .coalesce(2)
+    )
+    v = tbl.delete_where(
+        spark, (F.col("id") >= 50) & (F.col("id") < 150), mode="dv"
+    )
+    man = tbl.manifest(v)
+    assert man["op"] == "delete-dv"
+    n_ranges = sum(len(e["ranges"]) for e in man["dvs"])
+    assert 1 <= n_ranges <= 4  # one run per touched file
+    assert {r.id for r in tbl.read(spark).collect()} == (
+        set(range(50)) | set(range(150, 200))
+    )
+
+
+def test_dv_scattered_delete_never_materializes_rows(spark, tmp_path, monkeypatch):
+    """A delete so fragmented that ranges ≈ rows (every other row of a
+    200k table, default 100k cap) must fall back to copy-on-write
+    WITHOUT the driver ever collecting per-row indexes: the cap is a
+    take(budget+1) probe, so no driver collect sees more than
+    max_range_entries + 1 rows."""
+    # patch the CONCRETE class: pyspark.sql.DataFrame is the facade,
+    # instances are classic.DataFrame whose own collect() would shadow
+    # a patched parent attribute
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    tbl = VersionedTable(str(tmp_path / "dv"))
+    n = 200_002
+    tbl.commit(
+        spark.range(n).select(
+            F.col("id").cast("long"),
+            (F.col("id") % 2).cast("long").alias("v"),
+        )
+    )
+    seen: list[int] = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        out = orig(self)
+        seen.append(len(out))
+        return out
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    v = tbl.delete_where(spark, F.col("v") == 1, mode="dv")
+    monkeypatch.setattr(DataFrame, "collect", orig)
+    assert tbl.manifest(v)["op"] == "delete"  # copy-on-write fallback
+    assert tbl.manifest(v)["dvs"] == []
+    assert tbl.read(spark).count() == n // 2
+    assert seen and max(seen) <= 100_000 + 1
 
 
 def test_dv_delete_concurrent_with_append(spark, tmp_path):
