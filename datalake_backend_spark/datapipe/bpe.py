@@ -35,6 +35,9 @@ from pyspark.sql import functions as F
 #: end-of-word marker (the classic BPE word-boundary symbol)
 EOW = "</w>"
 
+#: hard ceiling on the driver-side vocab collect in :func:`bpe_train`
+_MAX_DRIVER_WORDS = 2_000_000
+
 
 def word_counts(
     df: DataFrame, text_col: str = "text", top_words: int | None = None
@@ -105,7 +108,20 @@ def bpe_train(
     ordered merge list (rank = index). See module docstring for the
     distributed/driver split; stops early when no pair reaches
     ``min_pair_count``."""
-    rows = word_counts(df, text_col, top_words).collect()
+    wc = word_counts(df, text_col, top_words)
+    # the vocab collect is bounded by top_words when set, but
+    # top_words=None (or an absurd value) would materialize the whole
+    # distinct-word table on the driver — probe the size distributedly
+    # and fail loud instead of OOMing
+    if top_words is None or top_words > _MAX_DRIVER_WORDS:
+        n_words = wc.count()
+        if n_words > _MAX_DRIVER_WORDS:
+            raise ValueError(
+                f"bpe_train would collect {n_words:,} distinct words "
+                f"(> {_MAX_DRIVER_WORDS:,}); pass top_words <= "
+                f"{_MAX_DRIVER_WORDS:,}"
+            )
+    rows = wc.collect()
     # r["count"], not r.count — Row.count is the tuple method
     vocab = {r.word: (list(r.word) + [EOW], int(r["count"])) for r in rows}
     merges: list[tuple[str, str]] = []

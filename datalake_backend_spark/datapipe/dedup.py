@@ -620,6 +620,16 @@ def build_bloom_filter(
     filter is 128 KB however large the input is."""
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
+    # the collect below is bounded by m_bits/64 longs — loud cap so a
+    # caller can't turn the driver-side bitset into a multi-GB
+    # materialization (2^30 bits = 16M longs = 128 MB is already
+    # generous; a filter that big belongs in a DataFrame join)
+    if m_bits > 1 << 30:
+        raise ValueError(
+            f"m_bits={m_bits} would materialize {m_bits // 64:,} longs "
+            "on the driver; cap is 2^30 bits (use a join-based "
+            "decontamination for larger key sets)"
+        )
     c = F.col(col).cast("long")
     positions = F.array(
         *[F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m_bits)) for i in range(k_hashes)]
@@ -1370,6 +1380,45 @@ def set_similarity_join(
     Returns ``(id_a, id_b, n_inter, n_union)`` with ``id_a < id_b``.
     All-integer — bit-exact in any engine (oracle r166 brute-forces
     the same pairs in DuckDB)."""
+    ordered = _ssj_ordered(df, tau_num, tau_den, text_col, id_col)
+    cand = _ssj_candidates(ordered, tau_num, tau_den)
+    # exact verify: fetch the ordered token arrays for the surviving
+    # candidate pairs only (two narrow equi-joins on id)
+    sets = ordered.select("_id", "_n", "_toks")
+    ver = cand.join(
+        sets.select(
+            F.col("_id").alias("id_a"),
+            F.col("_n").alias("na"),
+            F.col("_toks").alias("ta"),
+        ),
+        "id_a",
+    ).join(
+        sets.select(
+            F.col("_id").alias("id_b"),
+            F.col("_n").alias("nb"),
+            F.col("_toks").alias("tb"),
+        ),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.col("na") + F.col("nb") - inter
+    return (
+        ver.withColumn("n_inter", inter)
+        .withColumn("n_union", union)
+        .where(F.col("n_inter") * tau_den >= F.lit(tau_num) * F.col("n_union"))
+        .select("id_a", "id_b", "n_inter", "n_union")
+    )
+
+
+def _ssj_ordered(
+    df: DataFrame,
+    tau_num: int,
+    tau_den: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rare-first ordered token arrays + prefixes for the PPJoin
+    pipeline: ``(_id, _toks, _n, _prefix)``."""
     base = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(
@@ -1400,37 +1449,138 @@ def set_similarity_join(
             ),
         )
     )
+    return ordered
+
+
+def _ssj_candidates(
+    ordered: DataFrame,
+    tau_num: int,
+    tau_den: int,
+    positional: bool = True,
+) -> DataFrame:
+    """Slim PPJoin candidate pairs ``(id_a, id_b)`` from the prefix
+    equi-join. The join carries only (id, set size, prefix position,
+    64-bit term hash) — never the token arrays — so its shuffle width
+    is a few fixed-width columns instead of whole documents. Hash
+    collisions and unequal-but-cohashed terms can only ADD candidates;
+    the exact verify in :func:`set_similarity_join` removes them, so
+    the result is unchanged. Joining on the hash also keeps shuffle
+    keys fixed-width for long terms. ``positional=False`` disables the
+    positional filter (same pairs plus extras — used by the scaling
+    harness to measure how many candidates the filter prunes)."""
     pref = ordered.select(
-        "_id", "_n", "_toks", F.explode("_prefix").alias("term")
+        "_id", "_n", F.posexplode("_prefix").alias("_pos", "term")
     )
     a = pref.select(
         F.col("_id").alias("id_a"),
         F.col("_n").alias("na"),
-        F.col("_toks").alias("ta"),
-        "term",
+        (F.col("_pos") + 1).alias("pa"),
+        F.xxhash64("term").alias("_th"),
     )
     b = pref.select(
         F.col("_id").alias("id_b"),
         F.col("_n").alias("nb"),
-        F.col("_toks").alias("tb"),
-        "term",
+        (F.col("_pos") + 1).alias("pb"),
+        F.xxhash64("term").alias("_th"),
     )
+    # positional filter (PPJoin): from a shared prefix token at
+    # (1-based) positions pa/pb, overlap ≤ 1 + min(na−pa, nb−pb);
+    # J ≥ num/den ⟺ inter·(num+den) ≥ num·(na+nb), so a match row
+    # whose upper bound misses that threshold can't be the FIRST
+    # shared token of a qualifying pair. Pairs survive if ANY match
+    # row passes — the genuinely-first shared token has no shared
+    # token before it in either array, so its bound is valid and a
+    # qualifying pair always keeps at least that row (no false
+    # negatives; the filter changes WORK, never the result).
     cand = (
-        a.join(b, "term")
+        a.join(b, "_th")
         .where(F.col("id_a") < F.col("id_b"))
         # length filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
         .where(
             F.greatest("na", "nb") * tau_num
             <= F.least("na", "nb") * F.lit(tau_den)
         )
-        .select("id_a", "id_b", "na", "nb", "ta", "tb")
-        .dropDuplicates(["id_a", "id_b"])
     )
-    inter = F.size(F.array_intersect("ta", "tb"))
-    union = F.col("na") + F.col("nb") - inter
+    if positional:
+        cand = cand.where(
+            (
+                F.lit(1)
+                + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
+            )
+            * F.lit(tau_num + tau_den)
+            >= F.lit(tau_num) * (F.col("na") + F.col("nb"))
+        )
+    return cand.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str = "doc_id",
+    window: int = 5,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo's merge/purge
+    method — public literature): order all records by a blocking key
+    and emit every pair whose GLOBAL rank distance is < ``window`` —
+    the classic entity-resolution candidate generator when similarity
+    is monotone in a sortable key (name prefixes, normalized
+    addresses), complementing the set-overlap blocking of
+    :func:`set_similarity_join` and the probabilistic blocking of
+    :func:`near_dup_minhash`.
+
+    Scale shape: the global rank is computed WITHOUT a single-
+    partition window — range-repartition by (key, id), rank within
+    partitions, then add per-partition offsets from a prefix sum over
+    #partitions metadata rows (the same two-phase idiom as
+    packing.py). Neighbor pairs come from an equi-join on rank-block
+    ``r div window``: each left row probes its own block and the next
+    one, so every qualifying pair joins exactly once and no sort ever
+    funnels through one reducer. Output is a deterministic function of
+    the (key, id) total order — identical in any engine.
+
+    Returns ``(id_a, id_b, rank_gap)`` with ``id_a``'s rank strictly
+    below ``id_b``'s and ``0 < rank_gap < window``."""
+    from pyspark.sql import Window
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    part = Window.partitionBy("_p").orderBy("_k", "_id")
+    base = (
+        df.select(F.col(key_col).alias("_k"), F.col(id_col).alias("_id"))
+        .repartitionByRange("_k", "_id")
+        .withColumn("_p", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(part).cast("bigint"))
+    )
+    # tiny frame: one row per partition — the unpartitioned window
+    # below runs over #partitions rows of metadata, never data
+    sizes = base.groupBy("_p").agg(F.count("*").alias("_n"))
+    off_w = Window.orderBy("_p").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "_p", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
+    )
+    ranked = base.join(F.broadcast(offsets), "_p").select(
+        "_id", (F.col("_lr") + F.col("_off")).alias("_r")
+    )
+    lhs = ranked.select(
+        F.col("_id").alias("id_a"),
+        F.col("_r").alias("_ra"),
+        F.explode(
+            F.array(
+                F.expr(f"_r div {window}"),
+                F.expr(f"_r div {window} + 1"),
+            )
+        ).alias("_blk"),
+    )
+    rhs = ranked.select(
+        F.col("_id").alias("id_b"),
+        F.col("_r").alias("_rb"),
+        F.expr(f"_r div {window}").alias("_blk"),
+    )
     return (
-        cand.withColumn("n_inter", inter)
-        .withColumn("n_union", union)
-        .where(F.col("n_inter") * tau_den >= F.lit(tau_num) * F.col("n_union"))
-        .select("id_a", "id_b", "n_inter", "n_union")
+        lhs.join(rhs, "_blk")
+        .where(
+            (F.col("_rb") > F.col("_ra"))
+            & (F.col("_rb") - F.col("_ra") < window)
+        )
+        .select("id_a", "id_b", (F.col("_rb") - F.col("_ra")).alias("rank_gap"))
     )

@@ -25,6 +25,9 @@ from pyspark.sql import functions as F
 
 from datalake_backend_spark.datapipe.dedup import portable_hash60
 
+#: ceiling on the per-source count collect in :func:`mix_with_temperature`
+_MAX_SOURCES = 100_000
+
 #: 2^60 — portable_hash60 is uniform on [0, 2^60).
 _HASH_SPACE = float(1 << 60)
 
@@ -188,6 +191,9 @@ def mix_to_proportions(
         raise ValueError("proportions must be non-empty")
     total_p = sum(proportions.values())
     p = {s: v / total_p for s, v in proportions.items()}
+    # collect bounded by len(proportions): the isin filter keeps only
+    # the proposal's keys, and that dict already lives on the driver —
+    # no additional cap needed (audited round 9)
     counts = {
         r[0]: r[1]
         for r in df.where(F.col(source_col).isin(list(p)))
@@ -312,9 +318,18 @@ def mix_with_temperature(
     specific (fine within one engine, not guaranteed cross-engine)."""
     import math
 
-    counts = {
-        r[0]: r[1] for r in df.groupBy(source_col).count().collect()
-    }
+    # the per-source count collect is bounded by the DATA's source
+    # cardinality, not by an argument — a caller pointing source_col
+    # at a high-cardinality column (doc_id) would collect the whole
+    # table; probe distinctness distributedly and fail loud
+    per_source = df.groupBy(source_col).count()
+    if per_source.limit(_MAX_SOURCES + 1).count() > _MAX_SOURCES:
+        raise ValueError(
+            f"{source_col} has more than {_MAX_SOURCES:,} distinct "
+            "values — not a source/domain column; refusing the "
+            "driver collect"
+        )
+    counts = {r[0]: r[1] for r in per_source.collect()}
     if not counts:
         raise ValueError("empty corpus")
     if alpha == 0.5:

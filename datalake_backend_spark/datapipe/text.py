@@ -911,10 +911,13 @@ def bm25_multi_query(
         .withColumn(
             "term_score",
             F.expr(
-                f"cast(floor((cast(idf_q as decimal(38,0)) * 44 * _l"
+                # exact integer quotient (`div`, not floor(a/b)): the
+                # decimal divide rounds HALF_UP at scale 6, flooring
+                # one high within 5e-7 of an integer; the quotient is
+                # ≤ 44·idf·scale/20 so bigint cannot overflow
+                f"(cast(idf_q as decimal(38,0)) * 44 * _l"
                 f" * tf * {scale})"
-                " / (20L * _l * tf + 6L * _l + 18L * dl * _n))"
-                " as bigint)"
+                " div (20L * _l * tf + 6L * _l + 18L * dl * _n)"
             ),
         )
     )
@@ -927,6 +930,94 @@ def bm25_multi_query(
     # scored doc into one partition for the global sort. The local
     # prune is a superset of the global top-k, so results are
     # identical.
+    w_local = Window.partitionBy("query_id", "_p").orderBy(
+        F.desc("score_scaled"), F.asc("doc_id")
+    )
+    pruned = (
+        agg.withColumn("_p", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(w_local))
+        .where(F.col("_lr") <= top_k)
+        .drop("_p", "_lr")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_scaled"), F.asc("doc_id")
+    )
+    return pruned.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= top_k
+    )
+
+
+def bm25_search_from_index(
+    index: DataFrame,
+    doc_lens: DataFrame,
+    queries: dict[str, list[str]],
+    scale: int = 10**6,
+    top_k: int = 10,
+) -> DataFrame:
+    """The READ side of the search pair: BM25 top-k for a query set
+    scored from a PRE-BUILT :func:`inverted_index` frame — no corpus
+    pass. :func:`bm25_multi_query` tokenizes the documents per batch;
+    a serving layer doesn't re-read 100 TB of text per query set, it
+    keeps the index (terms ≪ tokens) plus a tiny ``(doc_id, dl)``
+    table and touches only the query terms' rows: the broadcast query
+    join selects |query terms| index rows, their serialized postings
+    explode back into (doc_id, tf), and the identical integer BM25
+    algebra (half-bit idf, DECIMAL numerator, exact `div`) ranks them.
+    Per-posting work is proportional to the matched postings, not the
+    corpus — the Kibana-style "top documents for this term set"
+    without a per-query Spark job over raw text.
+
+    ``index`` needs columns (term, df, postings); ``doc_lens`` needs
+    (doc_id, dl) with exactly one row per indexed document. Returns
+    ``(query_id, doc_id, score_scaled, rank)`` — identical integers to
+    :func:`bm25_multi_query` over the same corpus (oracle r173 pins
+    the round-trip through the serialized posting strings)."""
+    from pyspark.sql import Window
+
+    spark = index.sparkSession
+    qrows = [
+        (qid, t) for qid, terms in sorted(queries.items()) for t in terms
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id string, term string")
+    corpus = doc_lens.agg(F.count("*").alias("_n"), F.sum("dl").alias("_l"))
+    posts = (
+        index.join(F.broadcast(qdf), "term")
+        .select(
+            "query_id",
+            F.col("df").alias("df_t"),
+            F.explode(F.split("postings", ",")).alias("_p"),
+        )
+        .select(
+            "query_id",
+            "df_t",
+            F.substring_index("_p", ":", 1).cast("bigint").alias("doc_id"),
+            F.substring_index("_p", ":", -1).cast("bigint").alias("tf"),
+        )
+    )
+    scored = (
+        posts.join(doc_lens, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf_q",
+            F.expr(
+                "length(bin(((2L*_n + 2L) * (2L*_n + 2L))"
+                " div ((2L*df_t + 1L) * (2L*df_t + 1L)))) - 1"
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "term_score",
+            F.expr(
+                f"(cast(idf_q as decimal(38,0)) * 44 * _l"
+                f" * tf * {scale})"
+                " div (20L * _l * tf + 6L * _l + 18L * dl * _n)"
+            ),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score").alias("score_scaled")
+    )
+    # same two-phase top-k as bm25_multi_query: partition-local prune
+    # first so the per-query global sort sees ≤ top_k × n_partitions
     w_local = Window.partitionBy("query_id", "_p").orderBy(
         F.desc("score_scaled"), F.asc("doc_id")
     )

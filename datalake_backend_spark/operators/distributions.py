@@ -440,13 +440,23 @@ def chi_square_contingency(
             "_term",
             F.expr(
                 # square and divisor in decimal(38,0); the quotient is
-                # ≤ scale·T (fits bigint), so only intermediates widen
-                "cast(floor("
+                # ≤ scale·T (fits bigint), so only intermediates widen.
+                # Division must be EXACT: decimal `/` rounds HALF_UP at
+                # scale 6, so floor(a/b) floors one high when the true
+                # quotient sits within 5e-7 below an integer. The outer
+                # division uses `div` (IntegralDivide: exact integer
+                # quotient, truncation == floor for these non-negative
+                # operands, matches DuckDB //). The INNER quotient
+                # r·c·t/scale can reach T³/scale ≫ bigint, where `div`
+                # silently wraps — so it uses the remainder identity
+                # (a - a % b) / b, whose quotient is an exact integer
+                # and therefore representable at the result scale.
                 "  (cast(o * t - r * c as decimal(38,0))"
                 "   * cast(o * t - r * c as decimal(38,0)))"
-                "  / greatest(cast(1 as decimal(38,0)),"
-                f"             floor(cast(r as decimal(38,0)) * c * t / {scale}))"
-                ") as bigint)"
+                " div greatest(cast(1 as decimal(38,0)),"
+                f"  (cast(r as decimal(38,0)) * c * t"
+                f"   - (cast(r as decimal(38,0)) * c * t) % {scale})"
+                f"  / {scale})"
             ),
         )
         .groupBy(row_col)

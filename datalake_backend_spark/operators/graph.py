@@ -36,12 +36,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _finish(result: DataFrame, cached: list[DataFrame], materialize: bool) -> DataFrame:
+    """Pin-then-release discipline shared by every graph operator: the
+    iterative loops persist edge/node/frontier frames (re-derivation
+    per iteration is the alternative), but a lazily-returned result
+    would leave those pinned in executor storage for the life of the
+    session — repeated calls accumulate until LRU eviction. With
+    ``materialize=True`` (the default) the result is computed ONCE via
+    an eager localCheckpoint and every cached intermediate is
+    unpersisted in a finally, so the caller gets a self-contained frame
+    and the operator leaves no storage behind. ``materialize=False``
+    returns the lazy plan (plan-inspection tests, callers composing
+    further before acting) — those callers own the unpersist."""
+    if not materialize:
+        return result
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        for df in cached:
+            df.unpersist()
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,
     scale: int = 10**12,
     teleport_pct: int = 15,
     checkpoint_every: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a directed edge list.
 
@@ -67,13 +89,22 @@ def pagerank(
     # symmetrize) and the per-iteration contribution join would
     # otherwise re-execute that derivation once per iteration
     edges = edges.persist()
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # node set + out-degree in ONE aggregate (explode each edge to a
+    # src row carrying 1 and a dst row carrying 0, sum per node) —
+    # the union+distinct / groupBy-degree / join formulation costs
+    # three shuffles for the same table
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .join(deg.withColumnRenamed("src", "node"), "node", "left")
-        .withColumn("deg", F.coalesce("deg", F.lit(0)).cast("bigint"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("node"), F.lit(1).alias("_o")),
+                    F.struct(F.col("dst").alias("node"), F.lit(0).alias("_o")),
+                )
+            ).alias("_x")
+        )
+        .select(F.col("_x.node").alias("node"), F.col("_x._o").alias("_o"))
+        .groupBy("node")
+        .agg(F.sum("_o").cast("bigint").alias("deg"))
         .persist()
     )
     ncnt = nodes.agg(F.count("*").alias("_n"))
@@ -103,11 +134,18 @@ def pagerank(
         if checkpoint_every and it % checkpoint_every == 0 and it < iterations:
             # lazy checkpoint: the caller's first action materializes it
             ranks = ranks.localCheckpoint(eager=False)
-    return ranks.select("node", F.col("r").alias("rank_scaled"))
+    return _finish(
+        ranks.select("node", F.col("r").alias("rank_scaled")),
+        [edges, nodes],
+        materialize,
+    )
 
 
 def bfs_hops(
-    edges: DataFrame, sources: DataFrame, max_hops: int = 4
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Bounded-depth BFS: the minimum hop count (0..max_hops) from any
     source node to every reachable node. All-integer, so bit-exact in
@@ -129,6 +167,7 @@ def bfs_hops(
     frontier = sources.select("node").distinct().withColumn(
         "hop", F.lit(0).cast("bigint")
     ).persist()
+    cached = [edges, frontier]
     visited = frontier
     for k in range(1, max_hops + 1):
         nxt = (
@@ -139,12 +178,13 @@ def bfs_hops(
             .withColumn("hop", F.lit(k).cast("bigint"))
             .persist()
         )
+        cached.append(nxt)
         visited = visited.union(nxt)
         frontier = nxt
-    return visited
+    return _finish(visited, cached, materialize)
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
     """Per-node triangle counts over an UNDIRECTED graph (``src``/
     ``dst`` in either orientation; self-loops and duplicates dropped).
     Returns ``(node, n_triangles)`` for every node in ≥1 triangle —
@@ -194,10 +234,12 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         arrows.select(F.col("a").alias("x"), F.col("b").alias("z")),
         ["x", "z"],
     )
-    return (
+    return _finish(
         tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")
-        .agg(F.count("*").alias("n_triangles"))
+        .agg(F.count("*").alias("n_triangles")),
+        [arrows],
+        materialize,
     )
 
 
@@ -207,6 +249,8 @@ def personalized_pagerank(
     iterations: int = 3,
     scale: int = 10**12,
     teleport_pct: int = 15,
+    checkpoint_every: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Personalized PageRank: identical integer update to
     :func:`pagerank`, but ALL teleport mass returns to the ``sources``
@@ -223,17 +267,30 @@ def personalized_pagerank(
     if not 0 < teleport_pct < 100:
         raise ValueError("teleport_pct must be in (0, 100)")
     damping = 100 - teleport_pct
-    edges = edges.persist()
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     src_set = sources.select("node").distinct()
+    # fail fast on an empty seed set: `scale div _s` with _s=0 is NULL
+    # in Spark, which would quietly yield all-NULL ranks instead of an
+    # error (the eager count is one tiny job over the seed frame)
+    if src_set.isEmpty():
+        raise ValueError("personalized_pagerank needs a non-empty sources frame")
+    edges = edges.persist()
+    # node set + out-degree in ONE aggregate (see pagerank), then a
+    # FULL outer join with the seed set so seeds outside the edge set
+    # still rank (teleport-only mass)
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .union(src_set.select("node"))
-        .distinct()
-        .join(deg.withColumnRenamed("src", "node"), "node", "left")
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("node"), F.lit(1).alias("_o")),
+                    F.struct(F.col("dst").alias("node"), F.lit(0).alias("_o")),
+                )
+            ).alias("_x")
+        )
+        .select(F.col("_x.node").alias("node"), F.col("_x._o").alias("_o"))
+        .groupBy("node")
+        .agg(F.sum("_o").cast("bigint").alias("deg"))
+        .join(src_set.withColumn("_is_src", F.lit(1)), "node", "full")
         .withColumn("deg", F.coalesce("deg", F.lit(0)).cast("bigint"))
-        .join(src_set.withColumn("_is_src", F.lit(1)), "node", "left")
         .withColumn("_is_src", F.coalesce("_is_src", F.lit(0)))
         .persist()
     )
@@ -245,7 +302,7 @@ def personalized_pagerank(
         )
         .select("node", "deg", "_is_src", "r")
     )
-    for _ in range(iterations):
+    for it in range(1, iterations + 1):
         contrib = ranks.join(edges, ranks.node == edges.src).select(
             F.col("dst").alias("node"),
             F.expr(f"({damping}L * r) div (100L * deg)").alias("c"),
@@ -264,4 +321,11 @@ def personalized_pagerank(
             )
             .select("node", "deg", "_is_src", "r")
         )
-    return ranks.select("node", F.col("r").alias("rank_scaled"))
+        if checkpoint_every and it % checkpoint_every == 0 and it < iterations:
+            # lazy lineage cut, same discipline as pagerank
+            ranks = ranks.localCheckpoint(eager=False)
+    return _finish(
+        ranks.select("node", F.col("r").alias("rank_scaled")),
+        [edges, nodes],
+        materialize,
+    )

@@ -233,7 +233,11 @@ def t_closeness_classes(
             "bucket",
             F.col("n").alias("k_size"),
             F.expr(
-                f"cast(floor({scale} * _num / (2 * n * NN)) as bigint)"
+                # exact integer quotient (`div`, not floor(a/b)): the
+                # decimal divide rounds HALF_UP at scale 6, flooring
+                # one high within 5e-7 of an integer; quotient ≤ scale
+                # so the bigint result cannot overflow
+                f"({scale} * _num) div (2 * n * NN)"
             ).alias("t_scaled"),
         )
     )

@@ -349,6 +349,11 @@ def time_weighted_avg(
         .select(
             *keys,
             "n_obs",
-            F.expr("cast(floor(_swv / _sdt) as bigint)").alias("twap_scaled"),
+            # `div`, not floor(_swv/_sdt): decimal divide rounds
+            # HALF_UP at scale 6 (floors one high within 5e-7 of an
+            # integer), and for a NEGATIVE weighted sum `div`'s
+            # truncation matches the DuckDB twin's `//` where floor
+            # would sit one lower
+            F.expr("_swv div _sdt").alias("twap_scaled"),
         )
     )

@@ -4765,7 +4765,9 @@ def r145_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
         e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    return pagerank(edges, iterations=5)
+    # checkpoint_every=2: bounds the driver-side plan analysis cost of
+    # the 5-iteration lazy DAG (scheduling, never arithmetic)
+    return pagerank(edges, iterations=5, checkpoint_every=2)
 
 
 _R145_PREFIX = r"""
@@ -5990,8 +5992,11 @@ def r170_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized-PageRank driver check (`dbs.operators.graph
     .personalized_pagerank`): random walk with restart over the
     symmetrized co-purchase graph (same graph as q145), all teleport
-    mass returning to the nation-0 supplier seed set — proximity to
-    the seeds, not global centrality. 3 synchronous all-BIGINT
+    mass returning to the two lowest-keyed suppliers (s_suppkey <= 2 —
+    present at EVERY scale factor; the earlier nation-0 seed set was
+    EMPTY at sf0.001, which the operator's fail-fast guard now
+    rejects instead of silently returning all-NULL ranks) — proximity
+    to the seeds, not global centrality. 3 synchronous all-BIGINT
     iterations; the twin unrolls them as CTEs (same shape as R145)
     with the source-CASE teleport, so every rank reproduces exactly,
     including the 0 ranks of unreached nodes."""
@@ -6011,10 +6016,10 @@ def r170_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
         e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    sources = supplier.where(F.col("s_nationkey") == 0).select(
+    sources = supplier.where(F.col("s_suppkey") <= 2).select(
         F.concat(F.lit("s"), F.col("s_suppkey")).alias("node")
     )
-    return personalized_pagerank(edges, sources, iterations=3)
+    return personalized_pagerank(edges, sources, iterations=3, checkpoint_every=2)
 
 
 _R170_PREFIX = r"""
@@ -6030,7 +6035,7 @@ edges AS (
 deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
 srcs AS (
   SELECT DISTINCT 's' || s_suppkey AS node FROM supplier
-  WHERE s_nationkey = 0
+  WHERE s_suppkey <= 2
 ),
 nodes AS (
   SELECT n.node, CAST(COALESCE(deg.deg, 0) AS BIGINT) AS deg,
@@ -6176,6 +6181,147 @@ FROM customer
 WINDOW w AS (
   PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC
 )
+"""
+
+
+_R173_QUERIES = {
+    "s1": ["dup", "scan"],
+    "s2": ["merge", "hash", "window"],
+}
+
+
+def r173_search_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked-search SERVING view driver check (`dbs.serving.views`:
+    register_search_index + search_top_docs over `dbs.datapipe.text
+    .bm25_search_from_index`): BM25 top-3 for two query sets scored
+    entirely from the registered inverted-index view — the q134 write
+    side's serialized ``doc:tf,...`` postings round-trip back into
+    (doc_id, tf) and rank with the identical integer algebra as r162's
+    corpus-pass scorer. The DuckDB twin recomputes from the RAW
+    corpus, so a lossy posting serialization, a parse drift, or a
+    df/idf mismatch between the index write and read sides breaks the
+    hash. This is the reference's Kibana 'top documents for term set'
+    served without a per-query job over raw text."""
+    from datalake_backend_spark.serving.views import (
+        register_search_index,
+        search_top_docs,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    register_search_index(spark, docs)
+    return search_top_docs(spark, _R173_QUERIES, top_k=3)
+
+
+R173_SQL = r"""
+WITH q(query_id, term) AS (
+  VALUES ('s1', 'dup'), ('s1', 'scan'), ('s2', 'merge'), ('s2', 'hash'),
+         ('s2', 'window')
+),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents
+),
+tk AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id),
+corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS l
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tk WHERE term IN (SELECT term FROM q)
+  GROUP BY doc_id, term
+),
+dft AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY term
+),
+scored AS (
+  SELECT s.query_id, t.doc_id,
+         CAST((CAST(length(bin(CAST(
+             ((2*c.n + 2) * (2*c.n + 2))
+             // ((2*f.df_t + 1) * (2*f.df_t + 1)) AS BIGINT))) - 1
+             AS HUGEINT)
+          * 44 * c.l * t.tf * 1000000)
+         // (20 * c.l * t.tf + 6 * c.l + 18 * d.dl * c.n) AS BIGINT)
+           AS term_score
+  FROM tf t JOIN q s USING (term) JOIN dft f USING (term)
+       JOIN dl d USING (doc_id), corpus c
+),
+agg AS (
+  SELECT query_id, doc_id, CAST(SUM(term_score) AS BIGINT) AS score_scaled
+  FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score_scaled, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score_scaled DESC, doc_id
+    ) AS INTEGER) AS rank
+  FROM agg
+) WHERE rank <= 3
+"""
+
+
+def r174_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER blocking driver check (`dbs.datapipe
+    .dedup.sorted_neighborhood_pairs`): every document pair within
+    rank distance < 4 under the (12-char text prefix, doc_id) total
+    order. The global rank is two-phase (range partition + local
+    row_number + broadcast offsets — never a one-reducer sort), so the
+    DuckDB twin's single ROW_NUMBER over the same order must produce
+    the identical pair set: an offset off-by-one, an unstable
+    tiebreak, or a block-boundary miss all break the hash."""
+    from datalake_backend_spark.datapipe.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(F.trim("text"), 1, 12).alias("blk_key")
+    )
+    return sorted_neighborhood_pairs(docs, "blk_key", window=4)
+
+
+R174_SQL = """
+WITH r AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY substr(trim(text), 1, 12), doc_id
+         ) AS rnk
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap
+FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4
+"""
+
+
+def r175_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence driver check (`dbs.operators
+    .association.item_cooccurrence`): part pairs shipping together in
+    >= 2 orders — the A-priori k=2 pass as a basket-co-located
+    self-join with a distributed megabasket cap. The DuckDB twin is
+    the same relational algebra, so a lost basket, a dropped pair
+    orientation, or a support off-by-one breaks the hash."""
+    from datalake_backend_spark.operators.association import (
+        item_cooccurrence,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return item_cooccurrence(
+        li, "l_orderkey", "l_partkey", min_support=2, max_basket_items=1000
+    )
+
+
+R175_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+),
+ok AS (
+  SELECT b FROM items GROUP BY b HAVING COUNT(*) <= 1000
+),
+kept AS (SELECT items.b, items.i FROM items JOIN ok USING (b))
+SELECT a.i AS item_a, z.i AS item_b, CAST(COUNT(*) AS BIGINT) AS n_baskets
+FROM kept a JOIN kept z ON a.b = z.b AND a.i < z.i
+GROUP BY a.i, z.i HAVING COUNT(*) >= 2
 """
 
 
@@ -9169,6 +9315,15 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r172_rank_functions": QuerySpec(
         r172_rank_functions, R172_SQL, "window-rank-suite,integer-pctrank"
+    ),
+    "r173_search_serving": QuerySpec(
+        r173_search_serving, R173_SQL, "search-serving-view,bm25-from-index"
+    ),
+    "r174_sorted_neighborhood": QuerySpec(
+        r174_sorted_neighborhood, R174_SQL, "er-blocking-sorted-neighborhood"
+    ),
+    "r175_item_cooccurrence": QuerySpec(
+        r175_item_cooccurrence, R175_SQL, "association-cooccurrence,apriori-k2"
     ),
     "r17_renest_lineitems": QuerySpec(q17_renest_lineitems, Q17_SQL, "E5,A7,O1"),
     "r18_numeric_summary": QuerySpec(q18_numeric_summary, Q18_SQL, "A13,A8"),

@@ -16,6 +16,7 @@ no per-document HTTP indexing loop (S11 anti-pattern,
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: view name → (source gold view it selects from, SQL)
 DASHBOARD_VIEWS: dict[str, str] = {
@@ -193,6 +194,52 @@ def serve_gold_where(
         for col, op, val in predicates:
             df = df.where(PRED_COL_OPS[op](F.col(col), F.lit(val)))
     return df.select(*columns) if columns else df
+
+
+def register_search_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> None:
+    """Build and register the ranked-search serving pair: the
+    ``serving_search_index`` inverted-index view (term → df, tf_total,
+    serialized postings — the structure the search-index sink ships,
+    see serving/export.py) and the ``serving_search_doclens`` document
+    length table its scorer needs. The reference serves "top documents
+    for this term set" from Elasticsearch; here the pair of views IS
+    the index, and :func:`search_top_docs` ranks against it without a
+    per-query pass over the raw corpus."""
+    from datalake_backend_spark.datapipe.text import inverted_index, tokens
+
+    inverted_index(docs, text_col, id_col, max_df).createOrReplaceTempView(
+        "serving_search_index"
+    )
+    docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    ).where(F.col("term") != "").groupBy("doc_id").agg(
+        F.count("*").alias("dl")
+    ).createOrReplaceTempView("serving_search_doclens")
+
+
+def search_top_docs(
+    spark: SparkSession,
+    queries: dict[str, list[str]],
+    top_k: int = 10,
+) -> DataFrame:
+    """Ranked search over the registered index views: BM25 top-k per
+    query, scored ENTIRELY from ``serving_search_index`` /
+    ``serving_search_doclens`` (register first) — the broadcast query
+    join touches only the query terms' postings, never the corpus."""
+    from datalake_backend_spark.datapipe.text import bm25_search_from_index
+
+    return bm25_search_from_index(
+        spark.table("serving_search_index"),
+        spark.table("serving_search_doclens"),
+        queries,
+        top_k=top_k,
+    )
 
 
 def register_serving_views(spark: SparkSession, domains: list[str] | None = None) -> list[str]:

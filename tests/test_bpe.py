@@ -71,3 +71,24 @@ def test_bpe_encode_unknown_words_fall_back_to_chars(spark):
     other = spark.createDataFrame([("zzq",)], "text string")
     toks = bpe_encode(other, merges).first().bpe_tokens
     assert toks == ["z", "z", "q", EOW]
+
+
+def test_bpe_train_word_cap_guard_fires(spark, monkeypatch):
+    """bpe_train must probe the distinct-word count distributedly and
+    refuse the driver collect when it exceeds the cap — a caller
+    passing top_words=10**9 (or None over a huge corpus) must get a
+    loud ValueError, not a driver OOM. The cap is shrunk via the
+    module constant instead of building a 2M-word corpus."""
+    import pytest
+
+    import datalake_backend_spark.datapipe.bpe as bpe_mod
+
+    docs = _corpus(spark)  # > 2 distinct words
+    monkeypatch.setattr(bpe_mod, "_MAX_DRIVER_WORDS", 2)
+    with pytest.raises(ValueError, match="distinct words"):
+        bpe_mod.bpe_train(docs, 1, top_words=10**9)
+    with pytest.raises(ValueError, match="distinct words"):
+        bpe_mod.bpe_train(docs, 1, top_words=None)
+    # under the cap (explicitly or via top_words) still trains
+    monkeypatch.setattr(bpe_mod, "_MAX_DRIVER_WORDS", 2_000_000)
+    assert bpe_mod.bpe_train(docs, 1, top_words=None)

@@ -1676,3 +1676,35 @@ def test_cdc_chunks_resynchronize_after_insertion(spark):
     assert {d: (v.n_chunks, v.n_shared_chunks) for d, v in again.items()} == {
         d: (v.n_chunks, v.n_shared_chunks) for d, v in out.items()
     }
+
+
+def test_mix_with_temperature_source_cardinality_guard(spark, monkeypatch):
+    """mix_with_temperature collects one row per DISTINCT source — a
+    caller pointing source_col at a high-cardinality column (doc_id)
+    must get a loud ValueError from a distributed probe, never a
+    whole-table driver collect."""
+    import pytest
+
+    import datalake_backend_spark.datapipe.sampling as sampling_mod
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 2).alias("src")
+    )
+    monkeypatch.setattr(sampling_mod, "_MAX_SOURCES", 3)
+    with pytest.raises(ValueError, match="distinct"):
+        sampling_mod.mix_with_temperature(df, "doc_id", "doc_id")
+    # a genuine low-cardinality source column still mixes
+    assert sampling_mod.mix_with_temperature(df, "src", "doc_id").count() > 0
+
+
+def test_build_bloom_filter_m_bits_cap(spark):
+    """build_bloom_filter materializes m_bits/64 longs on the driver;
+    an absurd m_bits must raise before any job runs."""
+    import pytest
+
+    from datalake_backend_spark.datapipe.dedup import build_bloom_filter
+
+    df = spark.range(3).select(F.col("id"))
+    with pytest.raises(ValueError, match="driver"):
+        build_bloom_filter(df, "id", m_bits=1 << 40)
+    assert len(build_bloom_filter(df, "id", m_bits=1 << 10)) == (1 << 10) // 64

@@ -658,6 +658,37 @@ def test_time_weighted_avg_known_values(spark):
     assert out["c"].twap_scaled is None and out["c"].n_obs == 1
 
 
+def test_time_weighted_avg_exact_on_rounding_knife_edge(spark):
+    """Regression for the HALF_UP knife edge: Spark's decimal divide
+    rounds at scale 6, so floor(_swv/_sdt) floors ONE HIGH whenever
+    the true quotient is within 5e-7 below an integer. Quotient here
+    is 19_999_999 / 10_000_000 = 1.9999999 → the exact TWAP is 1; the
+    pre-`div` implementation returned 2."""
+    import datetime as dt
+
+    from datalake_backend_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(us):
+        return t0 + dt.timedelta(microseconds=us)
+
+    rows = [
+        # scale=6: v=2e-6 → 2 units held 9_999_999 µs, then 1 unit
+        # held 1 µs: swv = 2*9_999_999 + 1 = 19_999_999, sdt = 10^7
+        ("k", ts(0), 2e-6, 1),
+        ("k", ts(9_999_999), 1e-6, 2),
+        ("k", ts(10_000_000), 0.0, 3),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double, eid int")
+    out = time_weighted_avg(
+        df, ["k"], "ts", "v", scale=6, tiebreak=["eid"]
+    ).collect()[0]
+    assert out.twap_scaled == 1
+
+
 def test_set_similarity_join_exact_vs_brute(spark):
     """PPJoin-style exact Jaccard join (datapipe/dedup.py:
     set_similarity_join; oracle twin r166): the prefix filter must
@@ -743,3 +774,69 @@ def test_conversion_attribution_and_cohorts(spark):
     }
     d0 = base // 86_400_000_000
     assert cohorts == {(d0, 0): 1, (d0, 1): 1, (d0, 3): 1, (d0 + 1, 0): 1}
+
+
+def test_sorted_neighborhood_pairs_matches_single_sort(spark):
+    """ER blocking (datapipe/dedup.py:sorted_neighborhood_pairs;
+    oracle twin r174): the two-phase global rank + block join must
+    produce exactly the pairs within rank distance < w of a single
+    total sort — verified against a driver-side computation, and
+    invariant under input partitioning."""
+    from datalake_backend_spark.datapipe.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, f"k{(i * 7) % 13:02d}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, blk_key string")
+    w = 4
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    want = {
+        (order[i][0], order[j][0], j - i)
+        for i in range(len(order))
+        for j in range(i + 1, min(i + w, len(order)))
+    }
+    got = {
+        (r.id_a, r.id_b, r.rank_gap)
+        for r in sorted_neighborhood_pairs(df, "blk_key", window=w).collect()
+    }
+    assert got == want
+    again = {
+        (r.id_a, r.id_b, r.rank_gap)
+        for r in sorted_neighborhood_pairs(
+            df.repartition(7), "blk_key", window=w
+        ).collect()
+    }
+    assert again == want
+
+
+def test_item_cooccurrence_counts_and_caps(spark):
+    """Market-basket pairs (operators/association.py:item_cooccurrence;
+    oracle twin r175): distinct-item pairs per basket, support
+    threshold, and the megabasket cap that drops oversized baskets
+    BEFORE the quadratic self-join."""
+    from datalake_backend_spark.operators.association import (
+        item_cooccurrence,
+    )
+
+    rows = (
+        [(1, "a"), (1, "b"), (1, "c"), (1, "a")]  # dup (1,a) collapses
+        + [(2, "a"), (2, "b")]
+        + [(3, "a"), (3, "c")]
+        + [(4, "x"), (4, "y"), (4, "z")]  # dropped by cap below
+    )
+    df = spark.createDataFrame(rows, "basket int, item string")
+    got = {
+        (r.item_a, r.item_b): r.n_baskets
+        for r in item_cooccurrence(
+            df, "basket", "item", min_support=2, max_basket_items=10
+        ).collect()
+    }
+    assert got == {("a", "b"): 2, ("a", "c"): 2}
+    capped = {
+        (r.item_a, r.item_b): r.n_baskets
+        for r in item_cooccurrence(
+            df, "basket", "item", min_support=1, max_basket_items=2
+        ).collect()
+    }
+    # baskets 1 (3 distinct) and 4 (3 distinct) dropped by the cap
+    assert capped == {("a", "b"): 1, ("a", "c"): 1}

@@ -249,15 +249,91 @@ def test_pagerank_checkpoint_bounds_plan_depth(spark):
         [("a", "b"), ("c", "b"), ("b", "a"), ("b", "c"), ("a", "c")],
         "src string, dst string",
     )
-    plain = pagerank(edges, iterations=20)
-    cut = pagerank(edges, iterations=20, checkpoint_every=5)
+    # materialize=False exposes the lazy loop plan for inspection
+    # (the default eagerly checkpoints, which flattens the returned
+    # plan to a scan regardless of checkpoint_every)
+    plain = pagerank(edges, iterations=20, materialize=False)
+    cut = pagerank(edges, iterations=20, checkpoint_every=5, materialize=False)
     deep = plain._jdf.queryExecution().analyzed().toString()
     shallow = cut._jdf.queryExecution().analyzed().toString()
     # 20 chained join+agg rounds vs the ≤5 rounds after the last cut
-    assert deep.count("Join") >= 4 * shallow.count("Join")
+    assert deep.count("Join") >= 4 * shallow.count("Join") > 0
     assert {r.node: r.rank_scaled for r in cut.collect()} == {
         r.node: r.rank_scaled for r in plain.collect()
     }
+
+
+def test_ppr_checkpoint_bounds_plan_depth(spark):
+    """personalized_pagerank mirrors pagerank's checkpoint_every: at 20
+    iterations the un-checkpointed lazy plan grows O(iterations) deep
+    while checkpoint_every=5 stays bounded — integer ranks identical,
+    including via the default materialized path."""
+    from datalake_backend_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("c", "b"), ("b", "a"), ("b", "c"), ("a", "c")],
+        "src string, dst string",
+    )
+    srcs = spark.createDataFrame([("a",)], "node string")
+    plain = personalized_pagerank(edges, srcs, iterations=20, materialize=False)
+    cut = personalized_pagerank(
+        edges, srcs, iterations=20, checkpoint_every=5, materialize=False
+    )
+    deep = plain._jdf.queryExecution().analyzed().toString()
+    shallow = cut._jdf.queryExecution().analyzed().toString()
+    assert deep.count("Join") >= 4 * shallow.count("Join") > 0
+    want = {r.node: r.rank_scaled for r in plain.collect()}
+    assert {r.node: r.rank_scaled for r in cut.collect()} == want
+    # default path (eager checkpoint + unpersist) computes the same ranks
+    dflt = personalized_pagerank(edges, srcs, iterations=20)
+    assert {r.node: r.rank_scaled for r in dflt.collect()} == want
+
+
+def test_graph_ops_release_cached_frames(spark):
+    """All four graph operators persist their edge (and node/frontier)
+    frames internally; with the default materialize=True they must
+    unpersist them on exit — a long-lived session running graph queries
+    repeatedly must not accumulate pinned executor storage."""
+    from pyspark import StorageLevel
+    from datalake_backend_spark.operators.graph import (
+        bfs_hops,
+        pagerank,
+        personalized_pagerank,
+        triangle_count,
+    )
+
+    srcs = spark.createDataFrame([("a",)], "node string")
+
+    def fresh():
+        return spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c"), ("c", "a")],
+            "src string, dst string",
+        )
+
+    for call in (
+        lambda e: pagerank(e, iterations=2),
+        lambda e: bfs_hops(e, srcs, max_hops=2),
+        lambda e: triangle_count(e),
+        lambda e: personalized_pagerank(e, srcs, iterations=2),
+    ):
+        e = fresh()
+        assert call(e).count() > 0
+        # the caller's frame was persisted inside; it must be released
+        assert e.storageLevel == StorageLevel.NONE
+
+
+def test_ppr_empty_sources_raises(spark):
+    """An empty seed set would make every teleport term `scale div 0`
+    → NULL, silently yielding meaningless all-NULL ranks; the operator
+    must fail fast instead (mirrors the teleport_pct validation)."""
+    import pytest as _pytest
+
+    from datalake_backend_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    empty = spark.createDataFrame([], "node string")
+    with _pytest.raises(ValueError, match="non-empty sources"):
+        personalized_pagerank(edges, empty)
 
 
 def test_bfs_hops_min_distance(spark):

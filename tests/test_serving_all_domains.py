@@ -167,3 +167,45 @@ def test_serving_composes_dv_and_skipping(spark, tmp_path):
     finally:
         spark.catalog.dropTempView("gold_parking")
         _VERSIONED_GOLD.pop("parking", None)
+
+
+def test_search_serving_matches_corpus_pass_scorer(spark):
+    """The ranked-search serving pair (register_search_index +
+    search_top_docs) must produce IDENTICAL integers to the corpus-
+    pass multi-query scorer: the index write side serializes postings
+    as 'doc:tf,...' strings and the read side parses them back — any
+    loss in the round-trip, or df/idf drift between sides, breaks the
+    equality."""
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.datapipe.text import bm25_multi_query
+    from datalake_backend_spark.serving.views import (
+        register_search_index,
+        search_top_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "red fox jumps over the lazy dog"),
+            (2, "red red wine and a lazy afternoon"),
+            (3, "the quick brown fox and the slow fox"),
+            (4, "wine dog wine fox"),
+            (5, "entirely unrelated tokens here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    queries = {"qa": ["fox", "wine"], "qb": ["red", "dog", "lazy"]}
+    want = {
+        (r.query_id, r.doc_id): (r.score_scaled, r.rank)
+        for r in bm25_multi_query(docs, queries, top_k=3).collect()
+    }
+    try:
+        register_search_index(spark, docs)
+        got = {
+            (r.query_id, r.doc_id): (r.score_scaled, r.rank)
+            for r in search_top_docs(spark, queries, top_k=3).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("serving_search_index")
+        spark.catalog.dropTempView("serving_search_doclens")
+    assert got == want and len(got) > 0

@@ -318,6 +318,39 @@ def run_ops(spark, docs_path: str, events_path: str) -> dict[str, float]:
     )
     timed("bfs_hops", lambda: _force(bfs_hops(gedges, src1, max_hops=4)))
 
+    # round-9 additions: personalized PageRank (same join+agg shape as
+    # pagerank, teleport mass to a 10-user seed set) and per-node
+    # triangle counting. The bipartite user↔day graph has NO triangles,
+    # so triangles get a dedicated graph that scales with the corpus:
+    # chain (i,i+1) + skip (i,i+2) edges make every i close a triangle
+    # (linear truth), and mod-97 hub edges give the degree-ordered
+    # orientation real power-law skew to absorb (the blow-up surface
+    # the wedge join must bound).
+    from datalake_backend_spark.operators.graph import (
+        personalized_pagerank,
+        triangle_count,
+    )
+
+    seeds = (
+        gedges.select(F.col("src").alias("node"))
+        .where(F.col("node").startswith("u"))
+        .distinct()
+        .orderBy("node")
+        .limit(10)
+    )
+    timed("ppr", lambda: _force(personalized_pagerank(gedges, seeds, iterations=3)))
+    n_tri_nodes = docs.count() * 4
+    ids = spark.range(n_tri_nodes)
+    tri_edges = (
+        ids.selectExpr("id as src", "id + 1 as dst")
+        .union(ids.selectExpr("id as src", "id + 2 as dst"))
+        .union(ids.where(F.col("id") % 97 != F.col("id")).selectExpr(
+            "id as src", "id % 97 as dst"
+        ))
+    )
+    timed("triangles", lambda: _force(triangle_count(tri_edges)))
+    out["n_tri_nodes"] = triangle_count(tri_edges).count()
+
     # round-8 additions: the per-token CDC chunk window and the full
     # media-ingest lifecycle (directory scan -> exact -> perceptual ->
     # versioned zone, now a single persisted source materialization)
@@ -359,6 +392,18 @@ def run_ops(spark, docs_path: str, events_path: str) -> dict[str, float]:
     wide = spark.read.parquet(wide_path)
     timed("ssj_exact", lambda: _force(set_similarity_join(wide, 4, 5)))
     out["n_ssj_pairs"] = set_similarity_join(wide, 4, 5).count()
+    # candidate-pruning evidence: how many pairs reach exact verify
+    # with and without the PPJoin positional filter (same final pairs)
+    from datalake_backend_spark.datapipe.dedup import (
+        _ssj_candidates,
+        _ssj_ordered,
+    )
+
+    ordw = _ssj_ordered(wide, 4, 5, "text", "doc_id")
+    out["n_ssj_cand"] = _ssj_candidates(ordw, 4, 5).count()
+    out["n_ssj_cand_nopos"] = _ssj_candidates(
+        ordw, 4, 5, positional=False
+    ).count()
     return out
 
 
@@ -385,6 +430,7 @@ def main() -> int:
         "packing", "span_dedup", "img_near_dup", "audio_near_dup",
         "video_near_dup", "inverted_index", "fingerprint",
         "lm_score", "tf_cosine", "pagerank", "bfs_hops",
+        "ppr", "triangles",
         "cdc_chunks", "media_lifecycle", "ssj_exact",
     ]
     lines = [
@@ -402,7 +448,13 @@ def main() -> int:
         f"pairs: 1x={results['1x']['n_pairs']} 10x={results['10x']['n_pairs']}; "
         f"grid rows: 1x={results['1x']['n_grid']} 10x={results['10x']['n_grid']}; "
         f"img pairs: 1x={results['1x']['n_img_pairs']} "
-        f"10x={results['10x']['n_img_pairs']}"
+        f"10x={results['10x']['n_img_pairs']}; "
+        f"tri nodes: 1x={results['1x']['n_tri_nodes']} "
+        f"10x={results['10x']['n_tri_nodes']}; "
+        f"ssj cand (pos/no-pos): 1x={results['1x']['n_ssj_cand']}/"
+        f"{results['1x']['n_ssj_cand_nopos']} "
+        f"10x={results['10x']['n_ssj_cand']}/"
+        f"{results['10x']['n_ssj_cand_nopos']}"
     )
     print("\n".join(lines))
     print(meta)
