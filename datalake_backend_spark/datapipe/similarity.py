@@ -580,3 +580,51 @@ def semantic_dedup(
             ),
         )
     )
+
+
+def random_projection(
+    df: DataFrame,
+    k: int = 4,
+    scale: int = 6,
+    vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a ±1 sign
+    matrix (Achlioptas' database-friendly projections — public
+    literature): each output coordinate is ``y_j = Σ_i sign(i,j) ·
+    floor(v_i · 10^scale)``, an INTEGER dot product with a fixed
+    pseudo-random sign pattern, so the projection is a bit-exact
+    function of the vector in any engine (floor of identical doubles,
+    integer sums) while preserving pairwise distances in expectation —
+    the cheap precursor to LSH/IVF when the raw dimension is the cost
+    driver.
+
+    The sign matrix is arithmetic, not a library RNG, so any engine
+    reproduces it: ``m = 1009·i + j + 7``; ``sign = +1`` iff
+    ``(m³ mod 1000003)`` is even (cubing modulo a prime breaks the
+    parity regularity a plain linear form would have; m³ ≤ ~3·10¹⁴ at
+    d = 4096, safely inside int64).
+
+    Scale shape: pure per-row column arithmetic inside whole-stage
+    codegen — zero shuffles, zero UDFs; cost is O(d·k) per row, the
+    JL price itself. Returns ``keep_cols`` (default: everything but
+    the vector) plus ``y0..y{k-1}`` bigints."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    keep = keep_cols if keep_cols is not None else [
+        c for c in df.columns if c != vec_col
+    ]
+    factor = 10**scale
+    outs = []
+    for j in range(k):
+        m = f"(1009L * CAST(i AS BIGINT) + {j}L + 7L)"
+        outs.append(
+            F.expr(
+                f"aggregate(transform({vec_col}, (x, i) -> "
+                f"(CASE WHEN pmod({m} * {m} * {m}, 1000003L) % 2 = 0 "
+                f"THEN 1L ELSE -1L END)"
+                f" * CAST(FLOOR(CAST(x AS DOUBLE) * {factor}) AS BIGINT)"
+                f"), 0L, (acc, v) -> acc + v)"
+            ).alias(f"y{j}")
+        )
+    return df.select(*keep, *outs)

@@ -6325,6 +6325,207 @@ GROUP BY a.i, z.i HAVING COUNT(*) >= 2
 """
 
 
+def r176_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped snowflake star join: local-supplier revenue by
+    nation for one region and one order year — six tables, the
+    co-membership predicate c_nationkey = s_nationkey, and money in
+    the floor-scaled integer pattern (`scaled_sum`) so the double
+    revenue is bit-exact cross-engine. Spark-first plan shape: only
+    lineitem/orders are fact-sized; nation/region carry explicit
+    broadcast hints (always tiny) while customer/supplier are left to
+    Catalyst/AQE — at sf0.1 they broadcast too, at 100 TB they
+    shuffle, both correct. The year filter sits on the orders scan
+    (pushed to parquet), not after the join."""
+    region = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = table(spark, sf_dir, "nation")
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    lineitem = table(spark, sf_dir, "lineitem")
+    cdim = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    j = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(cdim, orders.o_custkey == cdim.c_custkey)
+        .join(
+            supplier,
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (F.col("c_nationkey") == supplier.s_nationkey),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        scaled_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+R176_SQL = """
+SELECT n_name,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000)
+           AS BIGINT)) AS DOUBLE) / 1000000 AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def r177_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random-projection driver check (`dbs.datapipe.similarity
+    .random_projection`): every embedding reduced to 4 integer
+    coordinates via the arithmetic ±1 sign matrix — pure codegen
+    column math, zero shuffles/UDFs. The DuckDB twin recomputes every
+    sign from the same m³-mod-prime formula over parallel unnests, so
+    an index-origin drift, a sign-formula mismatch, or a floor/scale
+    difference breaks the hash on all 4 coordinates."""
+    from datalake_backend_spark.datapipe.similarity import random_projection
+
+    emb = table(spark, sf_dir, "embeddings")
+    return random_projection(emb, k=4, scale=6).select(
+        "vec_id", "label", "y0", "y1", "y2", "y3"
+    )
+
+
+R177_SQL = """
+WITH el AS (
+  SELECT vec_id, label,
+         unnest(embedding) AS e,
+         unnest(generate_series(0, len(embedding) - 1)) AS i
+  FROM embeddings
+),
+ej AS (
+  SELECT vec_id, label, i, e, j,
+         (1009 * i + j + 7) AS m
+  FROM el CROSS JOIN (VALUES (0), (1), (2), (3)) AS jt(j)
+),
+s AS (
+  SELECT vec_id, label, j,
+    SUM((CASE WHEN (m*m*m) % 1000003 % 2 = 0 THEN 1 ELSE -1 END)
+        * CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS y
+  FROM ej GROUP BY vec_id, label, j
+)
+SELECT vec_id, label,
+  CAST(SUM(CASE WHEN j = 0 THEN y END) AS BIGINT) AS y0,
+  CAST(SUM(CASE WHEN j = 1 THEN y END) AS BIGINT) AS y1,
+  CAST(SUM(CASE WHEN j = 2 THEN y END) AS BIGINT) AS y2,
+  CAST(SUM(CASE WHEN j = 3 THEN y END) AS BIGINT) AS y3
+FROM s GROUP BY vec_id, label
+"""
+
+
+def r178_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution driver check: sorted-neighborhood
+    BLOCKING (r174's operator, window 8 over the name order) →
+    Levenshtein ≤ 2 VERIFY (native both engines) → connected-component
+    CLUSTERING (q76-family min-label propagation) → one row per
+    resolved entity with member count and id checksum. The classic
+    merge/purge pipeline composed from audited pieces; the DuckDB twin
+    rebuilds it with a single ROW_NUMBER, native levenshtein, and a
+    recursive CTE, so a blocking miss, a distance disagreement, or a
+    label-propagation bug all break the hash."""
+    from datalake_backend_spark.datapipe.dedup import (
+        cluster_near_dups,
+        sorted_neighborhood_pairs,
+    )
+
+    parts = (
+        table(spark, sf_dir, "part")
+        .where(F.pmod("p_partkey", F.lit(10)) == 0)
+        .select(F.col("p_partkey").alias("doc_id"), F.col("p_name").alias("name"))
+    )
+    cands = sorted_neighborhood_pairs(parts, "name", id_col="doc_id", window=8)
+    named = cands.join(
+        parts.select(F.col("doc_id").alias("id_a"), F.col("name").alias("_na")),
+        "id_a",
+    ).join(
+        parts.select(F.col("doc_id").alias("id_b"), F.col("name").alias("_nb")),
+        "id_b",
+    )
+    matches = named.where(F.levenshtein("_na", "_nb") <= 2).select("id_a", "id_b")
+    ents = cluster_near_dups(matches)
+    return ents.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.sum("node").alias("id_checksum"),
+    )
+
+
+R178_SQL = """
+WITH RECURSIVE p AS (
+  SELECT p_partkey AS doc_id, p_name AS name FROM part
+  WHERE p_partkey % 10 = 0
+),
+r AS (
+  SELECT doc_id, name,
+         ROW_NUMBER() OVER (ORDER BY name, doc_id) AS rnk
+  FROM p
+),
+cand AS (
+  SELECT a.doc_id AS id_a, a.name AS na, b.doc_id AS id_b, b.name AS nb
+  FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk < 8
+),
+pairs AS (SELECT id_a, id_b FROM cand WHERE levenshtein(na, nb) <= 2),
+und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+reach(node, r2) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.src, reach.r2 FROM und u JOIN reach ON u.dst = reach.node
+),
+lab AS (SELECT node, MIN(r2) AS cluster_id FROM reach GROUP BY node)
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(node) AS BIGINT) AS id_checksum
+FROM lab GROUP BY cluster_id
+"""
+
+
+def r179_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-skyline driver check (`dbs.operators.skyline
+    .skyline_2d`): orders undominated on (o_totalprice, o_orderdate),
+    both maximized — per-x max aggregate, partition-local running-max
+    prune (a provable frontier superset), then one ordered sweep over
+    the pruned remnant. The DuckDB twin is the same per-price max +
+    QUALIFY running-max sweep, so a strictness off-by-one (≥ vs >), a
+    tie mishandled at equal prices, or a local prune that drops a
+    frontier point all break the hash."""
+    from datalake_backend_spark.operators.skyline import skyline_2d
+
+    orders = table(spark, sf_dir, "orders")
+    return skyline_2d(orders, "o_totalprice", "o_orderdate").select(
+        "o_totalprice", F.unix_micros("o_orderdate").alias("odate_us")
+    )
+
+
+R179_SQL = """
+WITH px AS (
+  SELECT o_totalprice, MAX(o_orderdate) AS d
+  FROM orders GROUP BY o_totalprice
+)
+SELECT o_totalprice, CAST(epoch_us(d) AS BIGINT) AS odate_us
+FROM px
+QUALIFY d > COALESCE(MAX(d) OVER (
+    ORDER BY o_totalprice DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ), TIMESTAMP '0001-01-01')
+"""
+
+
 def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OLS regression driver check (`dbs.operators
     .distributions.group_ols`): extended price regressed on quantity
@@ -9324,6 +9525,18 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r175_item_cooccurrence": QuerySpec(
         r175_item_cooccurrence, R175_SQL, "association-cooccurrence,apriori-k2"
+    ),
+    "r176_star_join": QuerySpec(
+        r176_star_join, R176_SQL, "J-star-snowflake,broadcast-dims"
+    ),
+    "r177_random_projection": QuerySpec(
+        r177_random_projection, R177_SQL, "embedding-jl-projection,dim-reduce"
+    ),
+    "r178_entity_resolution": QuerySpec(
+        r178_entity_resolution, R178_SQL, "er-pipeline,block-verify-cluster"
+    ),
+    "r179_skyline": QuerySpec(
+        r179_skyline, R179_SQL, "skyline-pareto-frontier,dominance"
     ),
     "r17_renest_lineitems": QuerySpec(q17_renest_lineitems, Q17_SQL, "E5,A7,O1"),
     "r18_numeric_summary": QuerySpec(q18_numeric_summary, Q18_SQL, "A13,A8"),

@@ -1708,3 +1708,34 @@ def test_build_bloom_filter_m_bits_cap(spark):
     with pytest.raises(ValueError, match="driver"):
         build_bloom_filter(df, "id", m_bits=1 << 40)
     assert len(build_bloom_filter(df, "id", m_bits=1 << 10)) == (1 << 10) // 64
+
+
+def test_random_projection_matches_formula_and_stays_mapside(spark):
+    """JL projection (datapipe/similarity.py:random_projection; oracle
+    twin r177): coordinates equal a driver-side recomputation of the
+    arithmetic sign matrix, and the plan has NO shuffle — pure
+    per-row codegen arithmetic."""
+    import math
+
+    from datalake_backend_spark.datapipe.similarity import random_projection
+
+    vecs = [(1, [0.5, -1.25, 2.0]), (2, [0.0, 3.5, -0.75])]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<float>")
+    out = {r.vec_id: r for r in random_projection(df, k=2, scale=6).collect()}
+
+    def sign(i, j):
+        m = 1009 * i + j + 7
+        return 1 if (m * m * m) % 1000003 % 2 == 0 else -1
+
+    for vid, v in vecs:
+        for j in range(2):
+            want = sum(
+                sign(i, j) * math.floor(float(x) * 10**6)
+                for i, x in enumerate(v)
+            )
+            assert out[vid][f"y{j}"] == want, (vid, j)
+    plan = (
+        random_projection(df, k=2)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Exchange" not in plan

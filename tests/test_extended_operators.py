@@ -840,3 +840,30 @@ def test_item_cooccurrence_counts_and_caps(spark):
     }
     # baskets 1 (3 distinct) and 4 (3 distinct) dropped by the cap
     assert capped == {("a", "b"): 1, ("a", "c"): 1}
+
+
+def test_skyline_2d_matches_brute_force(spark):
+    """Pareto frontier (operators/skyline.py:skyline_2d; oracle twin
+    r179): exact dominance semantics vs a driver-side brute force —
+    ties on one axis, exact-duplicate points, and partitioning
+    invariance (the local prune is a frontier superset)."""
+    from datalake_backend_spark.operators.skyline import skyline_2d
+
+    pts = [(1, 9), (2, 8), (2, 8), (3, 8), (3, 2), (5, 5), (5, 1),
+           (7, 3), (7, 3), (9, 1), (4, 4), (6, 2)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    dpts = set(pts)
+
+    def dominated(p):
+        return any(
+            q[0] >= p[0] and q[1] >= p[1] and q != p for q in dpts
+        )
+
+    want = {p for p in dpts if not dominated(p)}
+    got = {(r.x, r.y) for r in skyline_2d(df, "x", "y").collect()}
+    assert got == want
+    again = {
+        (r.x, r.y)
+        for r in skyline_2d(df.repartition(5), "x", "y").collect()
+    }
+    assert again == want
