@@ -403,6 +403,68 @@ def group_ols(
     )
 
 
+def cuped_adjusted(
+    df: DataFrame,
+    arm_col: str,
+    x_col: str,
+    y_col: str,
+    scale: int = 4,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al.,
+    controlled-experiment variance reduction using pre-experiment data
+    — public literature): per experiment arm, the raw metric mean and
+    the covariate-adjusted mean ``ȳ_a − θ·(x̄_a − x̄)`` with
+    ``θ = cov(X,Y)/var(X)`` estimated over ALL units — the standard
+    trick that removes pre-period variance from an A/B readout without
+    changing its expectation.
+
+    Exactness: the five moments accumulate as floor-scaled
+    DECIMAL(38,0) integers (order-independent), and only the
+    closed-form combination runs in doubles with the same expression
+    SHAPE as the SQL twin (identical IEEE results) — the
+    :func:`group_ols` discipline. One unit-level aggregate, one
+    arm-level aggregate, one broadcast of the 1-row global moments."""
+    x, y = F.col(x_col), F.col(y_col)
+
+    def ssum(e):
+        return F.sum(F.floor(e * F.lit(10**scale)).cast("decimal(38,0)"))
+
+    per_arm = df.groupBy(arm_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        ssum(x).alias("_sx"),
+        ssum(y).alias("_sy"),
+        ssum(x * y).alias("_sxy"),
+        ssum(x * x).alias("_sxx"),
+    )
+    glob = per_arm.agg(
+        F.sum("n").alias("_bn"),
+        F.sum("_sx").alias("_gx"),
+        F.sum("_sy").alias("_gy"),
+        F.sum("_sxy").alias("_gxy"),
+        F.sum("_sxx").alias("_gxx"),
+    )
+    f = float(10**scale)
+    bn = F.col("_bn")
+    gx = F.col("_gx").cast("double") / f
+    gy = F.col("_gy").cast("double") / f
+    gxy = F.col("_gxy").cast("double") / f
+    gxx = F.col("_gxx").cast("double") / f
+    theta = (bn * gxy - gx * gy) / (bn * gxx - gx * gx)
+    n = F.col("n")
+    sx = F.col("_sx").cast("double") / f
+    sy = F.col("_sy").cast("double") / f
+    return (
+        per_arm.crossJoin(F.broadcast(glob))
+        .select(
+            arm_col,
+            "n",
+            (sy / n).alias("mean_y"),
+            (sy / n - theta * (sx / n - gx / bn)).alias("mean_y_adj"),
+            theta.alias("theta"),
+        )
+    )
+
+
 def chi_square_contingency(
     df: DataFrame,
     row_col: str,

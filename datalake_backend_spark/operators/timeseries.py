@@ -357,3 +357,63 @@ def time_weighted_avg(
             F.expr("_swv div _sdt").alias("twap_scaled"),
         )
     )
+
+
+def cusum_stats(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    scale: int = 2,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-key CUSUM change-point statistic (Page's cumulative-sum
+    chart — public literature): how far, and when, the series drifts
+    above its own mean. The one-sided CUSUM recursion
+    ``S_i = max(0, S_{i-1} + d_i)`` is not a plain prefix sum, but the
+    classic identity ``S_i = R_i − min(0, min_{j≤i} R_j)`` (R = raw
+    cumsum of deviations) turns it into TWO window functions — no
+    recursion, no UDF, one shuffle on the key.
+
+    Cross-engine exactness: deviations from the mean are kept as
+    integers by multiplying through by the count —
+    ``d_i = n·floor(v_i·10^scale) − Σ floor(v·10^scale)`` — so every
+    S_i is an exact integer in units of n·10^-scale and any engine
+    reproduces it bit-for-bit. Returns per key: ``n_obs``,
+    ``max_cusum_scaled`` (peak upward drift, × n·10^scale),
+    ``max_at_us`` (timestamp of the peak, earliest on ties — pinned by
+    a rank over (S desc, ts asc, tiebreak)), and
+    ``final_cusum_scaled``."""
+    v = F.floor(F.col(value_col) * F.lit(10**scale)).cast("long")
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
+    wk = Window.partitionBy(*keys)
+    wcum = wk.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    stepped = (
+        df.select(*keys, F.col(ts_col), *(tiebreak or []), v.alias("_v"))
+        .withColumn("_n", F.count("*").over(wk))
+        .withColumn("_t", F.sum("_v").over(wk))
+        .withColumn("_d", F.col("_n") * F.col("_v") - F.col("_t"))
+        .withColumn("_r", F.sum("_d").over(wcum))
+        .withColumn("_m", F.least(F.lit(0).cast("long"), F.min("_r").over(wcum)))
+        .withColumn("_s", F.col("_r") - F.col("_m"))
+    )
+    wpick = Window.partitionBy(*keys).orderBy(F.desc("_s"), *order)
+    order_desc = [F.col(ts_col).desc()] + [
+        F.col(c).desc() for c in (tiebreak or [])
+    ]
+    wlast = Window.partitionBy(*keys).orderBy(*order_desc)
+    return (
+        stepped.withColumn("_rk", F.row_number().over(wpick))
+        .withColumn("_rl", F.row_number().over(wlast))
+        .groupBy(*keys)
+        .agg(
+            F.max("_n").alias("n_obs"),
+            F.max("_s").alias("max_cusum_scaled"),
+            F.max(
+                F.when(F.col("_rk") == 1, F.unix_micros(F.col(ts_col)))
+            ).alias("max_at_us"),
+            F.max(F.when(F.col("_rl") == 1, F.col("_s"))).alias(
+                "final_cusum_scaled"
+            ),
+        )
+    )

@@ -6526,6 +6526,123 @@ QUALIFY d > COALESCE(MAX(d) OVER (
 """
 
 
+def r180_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point driver check (`dbs.operators.timeseries
+    .cusum_stats`): per event type, the peak upward drift of value
+    against its own mean, when it peaked, and where the walk ended.
+    The clamped recursion is rewritten as cumsum − prefix-min (two
+    window passes, one shuffle); deviations are count-multiplied
+    integers, so every statistic is bit-exact cross-engine (bound:
+    |R| ≤ n²·v_max·10^scale ≈ 2·10¹³ here, int64-safe to ~50M rows
+    per key at these magnitudes). The twin replays the identity in
+    DuckDB windows, so a frame off-by-one, a clamp at the wrong end,
+    or a tie at the peak resolved differently all break the hash."""
+    from datalake_backend_spark.operators.timeseries import cusum_stats
+
+    ev = table(spark, sf_dir, "events")
+    return cusum_stats(
+        ev, ["event_type"], "ts", "value", scale=2, tiebreak=["event_id"]
+    )
+
+
+R180_SQL = """
+WITH s AS (
+  SELECT event_type, ts, event_id,
+         CAST(FLOOR(value * 100) AS BIGINT) AS v,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(CAST(FLOOR(value * 100) AS BIGINT))
+           OVER (PARTITION BY event_type) AS t
+  FROM events
+),
+d AS (SELECT *, n * v - t AS dd FROM s),
+r AS (
+  SELECT *, SUM(dd) OVER (
+      PARTITION BY event_type ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rr
+  FROM d
+),
+m AS (
+  SELECT *, rr - LEAST(CAST(0 AS HUGEINT), MIN(rr) OVER (
+      PARTITION BY event_type ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS ss
+  FROM r
+),
+p AS (
+  SELECT *,
+    ROW_NUMBER() OVER (
+      PARTITION BY event_type ORDER BY ss DESC, ts, event_id) AS rk,
+    ROW_NUMBER() OVER (
+      PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rl
+  FROM m
+)
+SELECT event_type,
+  CAST(MAX(n) AS BIGINT) AS n_obs,
+  CAST(MAX(ss) AS BIGINT) AS max_cusum_scaled,
+  CAST(MAX(CASE WHEN rk = 1 THEN epoch_us(ts) END) AS BIGINT) AS max_at_us,
+  CAST(MAX(CASE WHEN rl = 1 THEN ss END) AS BIGINT) AS final_cusum_scaled
+FROM p GROUP BY event_type
+"""
+
+
+def r181_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED experiment-readout driver check (`dbs.operators
+    .distributions.cuped_adjusted`): users hashed into two arms
+    (user_id % 2), pre-period value sum (ts < 2024-01-16) as the
+    covariate, post-period sum as the metric; per arm the raw and
+    variance-adjusted means plus the shared θ. Moments are
+    floor-scaled DECIMAL integers, the closed form is shape-identical
+    doubles — so the twin must land on the same bits, catching a
+    moment-order drift, a θ denominator slip, or a per-arm/global
+    mean mix-up."""
+    from datalake_backend_spark.operators.distributions import cuped_adjusted
+
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    units = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < cutoff, F.col("value"))), F.lit(0.0)
+        ).alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= cutoff, F.col("value"))), F.lit(0.0)
+        ).alias("y"),
+    ).withColumn("arm", F.pmod("user_id", F.lit(2)).cast("int"))
+    return cuped_adjusted(units, "arm", "x", "y", scale=4)
+
+
+R181_SQL = """
+WITH units AS (
+  SELECT user_id,
+    COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value END), 0.0) AS x,
+    COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value END), 0.0) AS y,
+    CAST(user_id % 2 AS INTEGER) AS arm
+  FROM events GROUP BY user_id
+),
+per_arm AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(FLOOR(x * 10000) AS HUGEINT)) AS sx,
+    SUM(CAST(FLOOR(y * 10000) AS HUGEINT)) AS sy,
+    SUM(CAST(FLOOR(x * y * 10000) AS HUGEINT)) AS sxy,
+    SUM(CAST(FLOOR(x * x * 10000) AS HUGEINT)) AS sxx
+  FROM units GROUP BY arm
+),
+gm AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS bn,
+    CAST(SUM(sx) AS DOUBLE) / 10000 AS gx,
+    CAST(SUM(sy) AS DOUBLE) / 10000 AS gy,
+    CAST(SUM(sxy) AS DOUBLE) / 10000 AS gxy,
+    CAST(SUM(sxx) AS DOUBLE) / 10000 AS gxx
+  FROM per_arm
+)
+SELECT arm, n,
+  (CAST(sy AS DOUBLE) / 10000) / n AS mean_y,
+  (CAST(sy AS DOUBLE) / 10000) / n
+    - ((bn * gxy - gx * gy) / (bn * gxx - gx * gx))
+      * ((CAST(sx AS DOUBLE) / 10000) / n - gx / bn) AS mean_y_adj,
+  (bn * gxy - gx * gy) / (bn * gxx - gx * gx) AS theta
+FROM per_arm, gm
+"""
+
+
 def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OLS regression driver check (`dbs.operators
     .distributions.group_ols`): extended price regressed on quantity
@@ -9539,6 +9656,12 @@ QUERIES: dict[str, QuerySpec] = {
         r179_skyline, R179_SQL, "skyline-pareto-frontier,dominance"
     ),
     "r17_renest_lineitems": QuerySpec(q17_renest_lineitems, Q17_SQL, "E5,A7,O1"),
+    "r180_cusum": QuerySpec(
+        r180_cusum, R180_SQL, "timeseries-cusum,change-point"
+    ),
+    "r181_cuped": QuerySpec(
+        r181_cuped, R181_SQL, "experiment-cuped,variance-reduction"
+    ),
     "r18_numeric_summary": QuerySpec(q18_numeric_summary, Q18_SQL, "A13,A8"),
     "r19_grid_buckets": QuerySpec(q19_grid_buckets, Q19_SQL, "F8,A4"),
     "r20_exact_dedup": QuerySpec(q20_exact_dedup, Q20_SQL, "dedup-exact,U3"),

@@ -867,3 +867,84 @@ def test_skyline_2d_matches_brute_force(spark):
         for r in skyline_2d(df.repartition(5), "x", "y").collect()
     }
     assert again == want
+
+
+def test_cusum_stats_matches_reference_recursion(spark):
+    """CUSUM (operators/timeseries.py:cusum_stats; oracle twin r180):
+    the cumsum − prefix-min identity must equal the textbook clamped
+    recursion S_i = max(0, S_{i-1} + d_i), including peak position
+    (earliest on ties) and final value."""
+    import datetime as dt
+
+    from datalake_backend_spark.operators.timeseries import cusum_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [1.0, 5.0, 2.0, 9.0, 9.0, 0.0, 0.0, 4.0]
+    rows = [
+        ("k", t0 + dt.timedelta(seconds=i), v, i) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double, eid int")
+    out = cusum_stats(df, ["k"], "ts", "v", scale=2, tiebreak=["eid"]).collect()[0]
+    n = len(vals)
+    sv = [int(v * 100) for v in vals]
+    tot = sum(sv)
+    d = [n * x - tot for x in sv]
+    s, smax, argmax = 0, 0, None
+    for i, di in enumerate(d):
+        s = max(0, s + di)
+        if s > smax:
+            smax, argmax = s, i
+    assert out.n_obs == n
+    assert out.max_cusum_scaled == smax
+    assert out.final_cusum_scaled == s
+    import calendar
+
+    want_us = int(
+        calendar.timegm((t0 + dt.timedelta(seconds=argmax)).timetuple())
+    ) * 10**6
+    assert out.max_at_us == want_us
+
+
+def test_cuped_adjusted_matches_closed_form(spark):
+    """CUPED (operators/distributions.py:cuped_adjusted; oracle twin
+    r181): θ and per-arm adjusted means equal a driver-side
+    recomputation from the same floor-scaled moments, and a covariate
+    perfectly uncorrelated with Y leaves the means untouched."""
+    import math
+
+    from datalake_backend_spark.operators.distributions import cuped_adjusted
+
+    rows = [
+        (0, 1.5, 10.0), (0, 2.5, 14.0), (0, 4.0, 18.5),
+        (1, 1.0, 11.0), (1, 3.0, 15.5), (1, 5.0, 21.0),
+    ]
+    df = spark.createDataFrame(rows, "arm int, x double, y double")
+    out = {r.arm: r for r in cuped_adjusted(df, "arm", "x", "y", scale=4).collect()}
+
+    f = 10**4
+    sc = [(a, math.floor(x * f), math.floor(y * f),
+           math.floor(x * y * f), math.floor(x * x * f)) for a, x, y in rows]
+    bn = len(sc)
+    gx = sum(r[1] for r in sc) / f
+    gy = sum(r[2] for r in sc) / f
+    gxy = sum(r[3] for r in sc) / f
+    gxx = sum(r[4] for r in sc) / f
+    theta = (bn * gxy - gx * gy) / (bn * gxx - gx * gx)
+    for arm in (0, 1):
+        arm_rows = [r for r in sc if r[0] == arm]
+        n = len(arm_rows)
+        sx = sum(r[1] for r in arm_rows) / f
+        sy = sum(r[2] for r in arm_rows) / f
+        assert out[arm].n == n
+        assert out[arm].mean_y == sy / n
+        assert out[arm].theta == theta
+        assert out[arm].mean_y_adj == sy / n - theta * (sx / n - gx / bn)
+    # zero-covariance covariate: adjustment is a no-op (θ == 0)
+    flat = spark.createDataFrame(
+        [(0, 1.0, 5.0), (0, 2.0, 5.0), (1, 1.0, 7.0), (1, 2.0, 7.0)],
+        "arm int, x double, y double",
+    )
+    res = {r.arm: r for r in cuped_adjusted(flat, "arm", "x", "y").collect()}
+    for arm in (0, 1):
+        assert res[arm].theta == 0.0
+        assert res[arm].mean_y_adj == res[arm].mean_y
