@@ -404,6 +404,42 @@ def run_ops(spark, docs_path: str, events_path: str) -> dict[str, float]:
     out["n_ssj_cand_nopos"] = _ssj_candidates(
         ordw, 4, 5, positional=False
     ).count()
+
+    # round-9 additions: sorted-neighborhood blocking (two-phase global
+    # rank — the hazard is the rank plumbing, pairs are w·n by
+    # construction) and basket co-occurrence (quadratic per basket —
+    # the events day-basket densifies 10× in items per basket, the cap
+    # is the bound being exercised)
+    from datalake_backend_spark.datapipe.dedup import (
+        sorted_neighborhood_pairs,
+    )
+    from datalake_backend_spark.operators.association import (
+        item_cooccurrence,
+    )
+
+    sn_in = docs.select(
+        "doc_id", F.substring(F.trim("text"), 1, 12).alias("blk_key")
+    )
+    timed(
+        "sn_blocking",
+        lambda: _force(sorted_neighborhood_pairs(sn_in, "blk_key", window=8)),
+    )
+    # basket = user, items = active days (≤ 30 per basket): many
+    # baskets × bounded basket size — the shape the cap is FOR; a
+    # day-keyed basket would put ~all users in one basket and the
+    # operator would (correctly) refuse the 10⁹-pair explosion
+    baskets = events.select(
+        "user_id", (F.col("t") / DAY_US).cast("long").alias("day")
+    )
+    timed(
+        "cooccur",
+        lambda: _force(
+            item_cooccurrence(
+                baskets, "user_id", "day", min_support=2,
+                max_basket_items=100,
+            )
+        ),
+    )
     return out
 
 
@@ -432,6 +468,7 @@ def main() -> int:
         "lm_score", "tf_cosine", "pagerank", "bfs_hops",
         "ppr", "triangles",
         "cdc_chunks", "media_lifecycle", "ssj_exact",
+        "sn_blocking", "cooccur",
     ]
     lines = [
         "| op | 1x sec | 10x sec | ratio | exponent |",
