@@ -610,3 +610,80 @@ def test_normalize_and_redact_idempotent(spark, s):
         spark.createDataFrame([(r1,)], "text string")
     ).collect()[0].text
     assert r2 == r1
+
+
+@given(st.lists(st.integers(-10**6, 10**6), min_size=1, max_size=60))
+@example([1, -1, 1, -1, 1])
+@example([-5, -5, -5])
+def test_cusum_prefix_min_identity(deltas):
+    """The window rewrite inside cusum_stats relies on the identity
+    S_i = R_i − min(0, min_{j≤i} R_j) for the clamped recursion
+    S_i = max(0, S_{i−1} + d_i) — pure integer math, so property-check
+    it directly against the recursion for arbitrary deviation
+    sequences (the Spark side is pinned separately by
+    test_cusum_stats_matches_reference_recursion)."""
+    s = 0
+    recursion = []
+    for d in deltas:
+        s = max(0, s + d)
+        recursion.append(s)
+    r = 0
+    mn = 0
+    identity = []
+    for d in deltas:
+        r += d
+        mn = min(mn, r)
+        identity.append(r - min(0, mn))
+    assert identity == recursion
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 12), min_size=1, max_size=10),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([(1, 2), (2, 3), (4, 5)]),
+)
+def test_ppjoin_filters_never_lose_a_true_pair(corpus, tau):
+    """Soundness of the PPJoin candidate rules in set_similarity_join
+    (prefix pigeonhole + length filter + positional filter with
+    OR-over-match-rows): pure-Python mirror over arbitrary small
+    corpora — every pair with Jaccard ≥ num/den must survive candidate
+    generation. The filters may only ever ADD work (false candidates),
+    never drop a qualifying pair."""
+    import math
+    from collections import Counter
+
+    num, den = tau
+    sets = [sorted(set(toks)) for toks in corpus]
+    df_count = Counter(t for s in sets for t in s)
+    ordered = [
+        sorted(s, key=lambda t: (df_count[t], t)) for s in sets
+    ]
+
+    def prefix(o):
+        n = len(o)
+        return o[: n - math.ceil(n * num / den) + 1]
+
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            sa, sb = set(sets[a]), set(sets[b])
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if inter * den < num * union:
+                continue  # not a true pair
+            na, nb = len(sets[a]), len(sets[b])
+            # length filter must pass for a qualifying pair
+            assert max(na, nb) * num <= min(na, nb) * den
+            # some shared PREFIX token must pass the positional bound
+            pa = {t: i + 1 for i, t in enumerate(prefix(ordered[a]))}
+            pb = {t: i + 1 for i, t in enumerate(prefix(ordered[b]))}
+            shared = set(pa) & set(pb)
+            assert shared, "prefix pigeonhole violated"
+            ok = any(
+                (1 + min(na - pa[t], nb - pb[t])) * (num + den)
+                >= num * (na + nb)
+                for t in shared
+            )
+            assert ok, "positional filter dropped a qualifying pair"
