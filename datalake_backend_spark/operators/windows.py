@@ -246,3 +246,47 @@ def retention_cohorts(
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    state_col: str,
+    scale: int = 10**6,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key ordered state
+    sequences: for every observed (from_state, to_state) pair, the
+    transition count and the row-normalized probability as a scaled
+    integer (``count·scale div row_total`` — exact `div`, so the
+    matrix hashes identically in any engine). The behavioral-sequence
+    primitive (what do users do AFTER a purchase? which pipeline state
+    follows failure?) the reference's per-track Python loops could
+    only answer per entity.
+
+    One lag window partitioned by key (a shuffle on the key), one hash
+    aggregate on (from, to), one tiny aggregate for row totals joined
+    back broadcast — counts are per-PAIR global, not per key."""
+    w = Window.partitionBy(*keys).orderBy(ts_col, *(tiebreak or []))
+    steps = (
+        df.select(*keys, F.col(ts_col), *(tiebreak or []), F.col(state_col))
+        .withColumn("_next", F.lead(state_col).over(w))
+        .where(F.col("_next").isNotNull())
+        .groupBy(
+            F.col(state_col).alias("from_state"),
+            F.col("_next").alias("to_state"),
+        )
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    totals = steps.groupBy("from_state").agg(
+        F.sum("n_transitions").alias("_row_total")
+    )
+    return steps.join(F.broadcast(totals), "from_state").select(
+        "from_state",
+        "to_state",
+        "n_transitions",
+        F.expr(f"(n_transitions * {scale}L) div _row_total").alias(
+            "prob_scaled"
+        ),
+    )

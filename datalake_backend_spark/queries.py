@@ -6643,6 +6643,44 @@ FROM per_arm, gm
 """
 
 
+def r182_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition-matrix driver check (`dbs.operators.windows
+    .markov_transitions`): per-user event sequences ordered by
+    (ts, event_id) folded into a global (from, to) transition count
+    matrix with `div`-exact scaled probabilities. The twin replays the
+    LEAD window and the same integer division, so an ordering drift, a
+    dropped last-event edge, or a rounding difference in the
+    probability all break the hash."""
+    from datalake_backend_spark.operators.windows import markov_transitions
+
+    ev = table(spark, sf_dir, "events")
+    return markov_transitions(
+        ev, ["user_id"], "ts", "event_type", tiebreak=["event_id"]
+    )
+
+
+R182_SQL = """
+WITH steps AS (
+  SELECT event_type AS from_state,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_state
+  FROM events
+),
+c AS (
+  SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM steps WHERE to_state IS NOT NULL GROUP BY from_state, to_state
+),
+t AS (
+  SELECT from_state, CAST(SUM(n_transitions) AS BIGINT) AS row_total
+  FROM c GROUP BY from_state
+)
+SELECT from_state, to_state, n_transitions,
+       CAST((n_transitions * 1000000) // row_total AS BIGINT) AS prob_scaled
+FROM c JOIN t USING (from_state)
+"""
+
+
 def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OLS regression driver check (`dbs.operators
     .distributions.group_ols`): extended price regressed on quantity
@@ -9661,6 +9699,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r181_cuped": QuerySpec(
         r181_cuped, R181_SQL, "experiment-cuped,variance-reduction"
+    ),
+    "r182_markov_transitions": QuerySpec(
+        r182_markov_transitions, R182_SQL, "sequence-markov-matrix,behavior"
     ),
     "r18_numeric_summary": QuerySpec(q18_numeric_summary, Q18_SQL, "A13,A8"),
     "r19_grid_buckets": QuerySpec(q19_grid_buckets, Q19_SQL, "F8,A4"),
