@@ -1545,10 +1545,17 @@ def sorted_neighborhood_pairs(
     if window < 2:
         raise ValueError("window must be >= 2")
     part = Window.partitionBy("_p").orderBy("_k", "_id")
+    # FREEZE the partitioning before the offsets branch and the rank
+    # branch both consume it: spark_partition_id() is assigned on the
+    # shuffle READ side, where AQE coalescing and range-boundary
+    # resampling can differ per consumer — offsets from one
+    # partitioning joined to ranks from another corrupt the global
+    # rank. The eager localCheckpoint pins one materialization.
     base = (
         df.select(F.col(key_col).alias("_k"), F.col(id_col).alias("_id"))
         .repartitionByRange("_k", "_id")
         .withColumn("_p", F.spark_partition_id())
+        .localCheckpoint(eager=True)
         .withColumn("_lr", F.row_number().over(part).cast("bigint"))
     )
     # tiny frame: one row per partition — the unpartitioned window

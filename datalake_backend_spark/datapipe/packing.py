@@ -53,7 +53,14 @@ def token_stream_offsets(
         d = df.withColumn("_n_tok", F.col(token_count_col).cast("long"))
         token_count_col = "_n_tok"
     d = d.repartitionByRange(F.col(key_col)).sortWithinPartitions(key_col)
-    d = d.withColumn("_pid", F.spark_partition_id())
+    # FREEZE the partitioning before the totals branch and the final
+    # join both consume it: spark_partition_id() is assigned on the
+    # shuffle READ side, where AQE coalescing and range-boundary
+    # resampling can differ per consumer — offsets from one
+    # partitioning joined to rows from another corrupt the prefix sum.
+    d = d.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
     totals = d.groupBy("_pid").agg(F.sum("_n_tok").alias("_pt"))
     # exclusive prefix over per-partition totals: #partitions rows, so
     # the partition-less window is metadata-sized by construction

@@ -460,6 +460,10 @@ def vocab_coverage(
         counts.repartitionByRange(F.col("cnt").desc(), F.col("token"))
         .sortWithinPartitions(F.col("cnt").desc(), F.col("token"))
         .withColumn("_pid", F.spark_partition_id())
+        # freeze: offsets and the stitched join must read the SAME
+        # partitioning — read-side AQE coalescing / boundary
+        # resampling can differ per consumer (see packing.py)
+        .localCheckpoint(eager=True)
     )
     totals = d.groupBy("_pid").agg(F.sum("cnt").alias("_pt"))
     w_parts = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

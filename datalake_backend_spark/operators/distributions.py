@@ -528,3 +528,75 @@ def chi_square_contingency(
             F.max("t").alias("n_total"),
         )
     )
+
+
+def ecdf_percentile(
+    probe: DataFrame,
+    probe_col: str,
+    ref: DataFrame,
+    ref_col: str,
+    keep_cols: list[str] | None = None,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Score calibration against an empirical CDF: for every probe row,
+    the EXACT percentile of its value under the reference
+    distribution — ``count(ref ≤ v) · scale div |ref|`` — the
+    quantile-transform / model-score-calibration primitive (map a raw
+    score onto the reference population's CDF).
+
+    Scale shape: no correlated lookups, no global sort through one
+    reducer. Reference and probe rows union with a weight tag (ref=1,
+    probe=0), range-repartition by value, and a partition-LOCAL
+    running weight sum plus broadcast per-partition offsets (the
+    two-phase prefix idiom — the only unpartitioned window runs over
+    #partitions metadata rows) yields each probe's exact inclusive
+    rank in ONE range shuffle. Equal values: reference rows order
+    before probe rows within a tie, so ``≤`` is inclusive; probe rows
+    contribute weight 0, so probes never perturb each other. Exact
+    `div` keeps the scaled percentile engine-independent."""
+    keep = keep_cols or []
+    u = ref.select(
+        F.col(ref_col).cast("double").alias("_v"),
+        F.lit(1).cast("bigint").alias("_w"),
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(c) for c in keep],
+    ).unionByName(
+        probe.select(
+            F.col(probe_col).cast("double").alias("_v"),
+            F.lit(0).cast("bigint").alias("_w"),
+            *keep,
+        )
+    )
+    part = Window.partitionBy("_p").orderBy(F.col("_v"), F.desc("_w"))
+    # FREEZE the partitioning before fanning out to the offsets branch
+    # and the data branch: spark_partition_id() is assigned on the
+    # shuffle READ side, where AQE coalescing and range-boundary
+    # RESAMPLING can differ between two consumers of the same subtree
+    # — offsets computed under one partitioning joined to rows under
+    # another silently corrupts or drops rows (observed: a 5-partition
+    # offsets branch inner-joined against a 32-partition data branch).
+    # The eager localCheckpoint pins ONE materialization for both.
+    parted = (
+        u.repartitionByRange(F.col("_v"))
+        .withColumn("_p", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    base = parted.withColumn(
+        "_cnt",
+        F.sum("_w").over(part.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sizes = parted.groupBy("_p").agg(F.sum("_w").alias("_n"))
+    off_w = Window.orderBy("_p").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "_p", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
+    )
+    nref = ref.agg(F.count("*").alias("_nr"))
+    return (
+        base.where(F.col("_w") == 0)
+        .join(F.broadcast(offsets), "_p")
+        .crossJoin(F.broadcast(nref))
+        .select(
+            *keep,
+            F.col("_v").alias(probe_col),
+            F.expr(f"((_cnt + _off) * {scale}L) div _nr").alias("pct_scaled"),
+        )
+    )

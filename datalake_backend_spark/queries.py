@@ -6681,6 +6681,47 @@ FROM c JOIN t USING (from_state)
 """
 
 
+def r183_ecdf_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECDF score-calibration driver check (`dbs.operators
+    .distributions.ecdf_percentile`): every order's total price mapped
+    to its exact percentile under the lineitem price distribution —
+    count(ref ≤ v)·10⁶ div |ref| via the two-phase weighted-rank union
+    (one range shuffle, no correlated lookups, no one-reducer sort).
+    The twin computes the same inclusive rank with a single global
+    window, so a tie ordered the wrong way (probe before ref), an
+    off-by-one at a partition boundary, or a rounding drift in the
+    scaled division all break the hash."""
+    from datalake_backend_spark.operators.distributions import (
+        ecdf_percentile,
+    )
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ref = table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    return ecdf_percentile(
+        orders, "o_totalprice", ref, "l_extendedprice",
+        keep_cols=["o_orderkey"],
+    )
+
+
+R183_SQL = """
+WITH u AS (
+  SELECT l_extendedprice AS v, 1 AS w, NULL AS o_orderkey FROM lineitem
+  UNION ALL
+  SELECT o_totalprice, 0, o_orderkey FROM orders
+),
+c AS (
+  SELECT *, SUM(w) OVER (
+      ORDER BY v, w DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt
+  FROM u
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM lineitem)
+SELECT o_orderkey, v AS o_totalprice,
+       CAST((cnt * 1000000) // nr AS BIGINT) AS pct_scaled
+FROM c, n WHERE w = 0
+"""
+
+
 def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OLS regression driver check (`dbs.operators
     .distributions.group_ols`): extended price regressed on quantity
@@ -9702,6 +9743,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r182_markov_transitions": QuerySpec(
         r182_markov_transitions, R182_SQL, "sequence-markov-matrix,behavior"
+    ),
+    "r183_ecdf_percentile": QuerySpec(
+        r183_ecdf_percentile, R183_SQL, "calibration-ecdf,quantile-transform"
     ),
     "r18_numeric_summary": QuerySpec(q18_numeric_summary, Q18_SQL, "A13,A8"),
     "r19_grid_buckets": QuerySpec(q19_grid_buckets, Q19_SQL, "F8,A4"),

@@ -948,3 +948,31 @@ def test_cuped_adjusted_matches_closed_form(spark):
     for arm in (0, 1):
         assert res[arm].theta == 0.0
         assert res[arm].mean_y_adj == res[arm].mean_y
+
+
+def test_ecdf_percentile_exact_inclusive_rank(spark):
+    """ECDF calibration (operators/distributions.py:ecdf_percentile;
+    oracle twin r183): percentiles equal the driver-computed inclusive
+    rank count(ref <= v) * scale div n_ref, including tie values and
+    probes below/above the reference range, and are invariant under
+    input partitioning (the frozen two-phase rank)."""
+    from datalake_backend_spark.operators.distributions import (
+        ecdf_percentile,
+    )
+
+    ref_vals = [1.0, 2.0, 2.0, 5.0, 9.0]
+    probes = [(1, 0.5), (2, 2.0), (3, 4.0), (4, 9.0), (5, 20.0)]
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "x double")
+    probe = spark.createDataFrame(probes, "pid int, v double")
+
+    def want(v):
+        return sum(1 for x in ref_vals if x <= v) * 10**6 // len(ref_vals)
+
+    for pdf in (probe, probe.repartition(7)):
+        got = {
+            r.pid: r.pct_scaled
+            for r in ecdf_percentile(
+                pdf, "v", ref, "x", keep_cols=["pid"]
+            ).collect()
+        }
+        assert got == {pid: want(v) for pid, v in probes}
