@@ -976,3 +976,33 @@ def test_ecdf_percentile_exact_inclusive_rank(spark):
             ).collect()
         }
         assert got == {pid: want(v) for pid, v in probes}
+
+
+def test_markov_transitions_counts_and_probs(spark):
+    """Transition matrix (operators/windows.py:markov_transitions;
+    oracle twin r182): per-key ordered sequences fold into global
+    (from, to) counts; last events emit no edge; probabilities are
+    div-exact row-normalized integers."""
+    import datetime as dt
+
+    from datalake_backend_spark.operators.windows import markov_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> b ; user 3: c (no edge)
+        (1, t0, "a", 1), (1, t0 + dt.timedelta(1), "b", 2),
+        (1, t0 + dt.timedelta(2), "a", 3),
+        (2, t0, "a", 4), (2, t0 + dt.timedelta(1), "b", 5),
+        (3, t0, "c", 6),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, state string, eid int")
+    got = {
+        (r.from_state, r.to_state): (r.n_transitions, r.prob_scaled)
+        for r in markov_transitions(
+            df, ["user_id"], "ts", "state", tiebreak=["eid"]
+        ).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 1_000_000),  # a always goes to b
+        ("b", "a"): (1, 1_000_000),  # b row-total is 1
+    }
