@@ -4749,22 +4749,16 @@ def r145_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pure BIGINT ``div`` arithmetic — the DuckDB twin unrolls the
     same 5 iterations as chained CTEs and must reproduce every node's
     rank bit-for-bit; any drift in degree handling, teleport share, or
-    the join direction breaks the hash."""
+    the join direction breaks the hash.
+
+    The edges come from the engine's silver edge table
+    (`dbs.engine.copurchase_edges`): derived once per process into a
+    `VersionedTable`, then shared by q145/q147/r170 — nobody
+    re-derives a graph per query at 100 TB."""
+    from datalake_backend_spark.engine import copurchase_edges
     from datalake_backend_spark.operators.graph import pagerank
 
-    orders = table(spark, sf_dir, "orders")
-    lineitem = table(spark, sf_dir, "lineitem")
-    e0 = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
-        )
-        .distinct()
-    )
-    edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    edges = copurchase_edges(spark, sf_dir)
     # checkpoint_every=2: bounds the driver-side plan analysis cost of
     # the 5-iteration lazy DAG (scheduling, never arithmetic)
     return pagerank(edges, iterations=5, checkpoint_every=2)
@@ -4885,23 +4879,13 @@ def r147_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited anti-join (the at-scale shape); the DuckDB twin expands
     plain per-level distinct frontiers and takes MIN(hop) — same
     result by construction, so a hop-off-by-one or a leaky visited set
-    breaks the hash."""
+    breaks the hash. Edges served from the shared silver table
+    (`dbs.engine.copurchase_edges`)."""
+    from datalake_backend_spark.engine import copurchase_edges
     from datalake_backend_spark.operators.graph import bfs_hops
 
-    orders = table(spark, sf_dir, "orders")
-    lineitem = table(spark, sf_dir, "lineitem")
     supplier = table(spark, sf_dir, "supplier")
-    e0 = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
-        )
-        .distinct()
-    )
-    edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    edges = copurchase_edges(spark, sf_dir)
     sources = supplier.where(F.col("s_nationkey") == 0).select(
         F.concat(F.lit("s"), F.col("s_suppkey")).alias("node")
     )
@@ -5999,23 +5983,13 @@ def r170_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the seeds, not global centrality. 3 synchronous all-BIGINT
     iterations; the twin unrolls them as CTEs (same shape as R145)
     with the source-CASE teleport, so every rank reproduces exactly,
-    including the 0 ranks of unreached nodes."""
+    including the 0 ranks of unreached nodes. Edges served from the
+    shared silver table (`dbs.engine.copurchase_edges`)."""
+    from datalake_backend_spark.engine import copurchase_edges
     from datalake_backend_spark.operators.graph import personalized_pagerank
 
-    orders = table(spark, sf_dir, "orders")
-    lineitem = table(spark, sf_dir, "lineitem")
     supplier = table(spark, sf_dir, "supplier")
-    e0 = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
-        )
-        .distinct()
-    )
-    edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    edges = copurchase_edges(spark, sf_dir)
     sources = supplier.where(F.col("s_suppkey") <= 2).select(
         F.concat(F.lit("s"), F.col("s_suppkey")).alias("node")
     )
@@ -6411,8 +6385,10 @@ WITH el AS (
   FROM embeddings
 ),
 ej AS (
+  -- m reduced mod the prime BEFORE cubing: (m mod p)^3 mod p ==
+  -- m^3 mod p, and (p-1)^3 stays inside BIGINT for any dimension
   SELECT vec_id, label, i, e, j,
-         (1009 * i + j + 7) AS m
+         ((1009 * i + j + 7) % 1000003) AS m
   FROM el CROSS JOIN (VALUES (0), (1), (2), (3)) AS jt(j)
 ),
 s AS (
@@ -6439,7 +6415,9 @@ def r178_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge/purge pipeline composed from audited pieces; the DuckDB twin
     rebuilds it with a single ROW_NUMBER, native levenshtein, and a
     recursive CTE, so a blocking miss, a distance disagreement, or a
-    label-propagation bug all break the hash."""
+    label-propagation bug all break the hash. The names ride through
+    the blocking via ``carry_cols`` — the verify stage does NOT
+    re-join the base table (two shuffled joins gone)."""
     from datalake_backend_spark.datapipe.dedup import (
         cluster_near_dups,
         sorted_neighborhood_pairs,
@@ -6450,15 +6428,12 @@ def r178_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.pmod("p_partkey", F.lit(10)) == 0)
         .select(F.col("p_partkey").alias("doc_id"), F.col("p_name").alias("name"))
     )
-    cands = sorted_neighborhood_pairs(parts, "name", id_col="doc_id", window=8)
-    named = cands.join(
-        parts.select(F.col("doc_id").alias("id_a"), F.col("name").alias("_na")),
-        "id_a",
-    ).join(
-        parts.select(F.col("doc_id").alias("id_b"), F.col("name").alias("_nb")),
-        "id_b",
+    cands = sorted_neighborhood_pairs(
+        parts, "name", id_col="doc_id", window=8, carry_cols=["name"]
     )
-    matches = named.where(F.levenshtein("_na", "_nb") <= 2).select("id_a", "id_b")
+    matches = cands.where(
+        F.levenshtein("name_a", "name_b") <= 2
+    ).select("id_a", "id_b")
     ents = cluster_near_dups(matches)
     return ents.groupBy("cluster_id").agg(
         F.count("*").alias("n_members"),
@@ -9387,15 +9362,14 @@ QUERIES: dict[str, QuerySpec] = {
     "q127_jpeg_decode_stats": QuerySpec(
         r127_jpeg_decode_stats, R127_SQL, "multimodal-jpeg-codec"
     ),
-    # Round 9 (seventh) rotation: the Bloom decontamination composite,
-    # the inverted-index write side of the promoted BM25 reads, the
-    # privacy ladder's global-recoding operator, and the exact-Jaccard
-    # prefix-filter join earn driver-green rows; q34/q76/q83/q120 move
-    # to reserve (families stay covered: as-of→q45 range join + r90
-    # interval union + r115 forward as-of, clusters→q26 minhash + q116
-    # incremental, TF-IDF→r103/r112/r113, gap fill→r100 + r121).
-    "q128_bloom_decontamination": QuerySpec(
-        r128_bloom_decontamination, Q71_SQL, "decontamination-bloom,scale-prefilter"
+    # Round 10 (eighth) rotation: the real-codec family's second
+    # container (GIF/LZW), the graph tier's BFS, the lakehouse deep
+    # clone, and the search-serving read side of q134's index earn
+    # driver-green rows; q128/q139/q148/q152 move to reserve
+    # (families stay covered: decontamination→q71, VARIANT source
+    # API→q137, embedding dedup→q26+q62, privacy→r152/r155/r171).
+    "q131_gif_decode_stats": QuerySpec(
+        r131_gif_decode_stats, Q75_SQL, "multimodal-gif-codec,lzw"
     ),
     "q134_inverted_index": QuerySpec(
         r134_inverted_index, R134_SQL, "search-inverted-index,postings"
@@ -9406,26 +9380,20 @@ QUERIES: dict[str, QuerySpec] = {
     "q137_media_source": QuerySpec(
         r137_media_source, _r137_sql(), "source-python-datasource,media-files"
     ),
-    # Round 8 (sixth) rotation: the VARIANT source tier, the only
-    # text-REWRITING dedup, embedding-space dedup, and the end-to-end
-    # media lifecycle earn driver-green rows; q77/q85/q94/q96 move to
-    # reserve (families stay covered: sharding→q78 caps + r108 mixing,
-    # sliding→q79 tumbling + q66 sessions, audio codec→q127 JPEG +
-    # r118 resample, versioned sink→q111 CDC-upsert + q91 time travel).
-    "q139_variant_shred": QuerySpec(
-        r139_variant_shred, R139_SQL, "source-variant-json,schema-on-read"
-    ),
+    # Round 8 (sixth) rotation survivors: the only text-REWRITING
+    # dedup and the end-to-end media lifecycle (q139 VARIANT and q148
+    # SemDeDup rotated back to reserve in round 10).
     "q141_span_dedup": QuerySpec(
         r141_span_dedup, R141_SQL, "dedup-substring-spans,text-rewrite"
     ),
     "q145_pagerank": QuerySpec(
         r145_pagerank, R145_SQL, "graph-pagerank,iterative"
     ),
-    "q148_semantic_dedup": QuerySpec(
-        r148_semantic_dedup, R148_SQL, "dedup-semantic,semdedup"
+    "q147_bfs_hops": QuerySpec(
+        r147_bfs_hops, R147_SQL, "graph-bfs,reachability"
     ),
-    "q152_k_anonymize": QuerySpec(
-        r152_k_anonymize, R152_SQL, "privacy-k-anonymity,global-recoding"
+    "q150_deep_clone": QuerySpec(
+        r150_deep_clone, R150_SQL, "lakehouse-deep-clone,dv-carryover"
     ),
     "q153_media_lifecycle": QuerySpec(
         r153_media_lifecycle, R153_SQL, "media-ingest-lifecycle,composite"
@@ -9433,6 +9401,11 @@ QUERIES: dict[str, QuerySpec] = {
     "q15_top_orders_per_segment": QuerySpec(q15_top_orders_per_segment, Q15_SQL, "W8,O4"),
     "q166_set_similarity_join": QuerySpec(
         r166_set_similarity_join, R166_SQL, "dedup-exact-jaccard,prefix-filter"
+    ),
+    # byte order: 'q173' < 'q26' ('1' < '2'), so the promoted search
+    # serving row sits between q166 and q26
+    "q173_search_serving": QuerySpec(
+        r173_search_serving, R173_SQL, "search-serving-view,bm25-from-index"
     ),
     "q26_minhash_near_dup": QuerySpec(q26_minhash_near_dup, Q26_SQL, "dedup-minhash-lsh"),
     "q45_range_join": QuerySpec(q45_range_join, Q45_SQL, "J-range (custom operator)"),
@@ -9604,15 +9577,15 @@ QUERIES: dict[str, QuerySpec] = {
     "r126_leakage_safe_split": QuerySpec(
         r126_leakage_safe_split, _r126_sql(), "split-by-cluster,decontamination"
     ),
+    "r128_bloom_decontamination": QuerySpec(
+        r128_bloom_decontamination, Q71_SQL, "decontamination-bloom,scale-prefilter"
+    ),
     "r129_restore": QuerySpec(
         r129_restore, R129_SQL, "lakehouse-restore,rollback"
     ),
     "r12_first_purchase": QuerySpec(q12_first_purchase, Q12_SQL, "W5"),
     "r130_bpe_pair_counts": QuerySpec(
         r130_bpe_pair_counts, R130_SQL, "tokenizer-bpe-train,text"
-    ),
-    "r131_gif_decode_stats": QuerySpec(
-        r131_gif_decode_stats, Q75_SQL, "multimodal-gif-codec,lzw"
     ),
     "r132_image_near_dup": QuerySpec(
         r132_image_near_dup, R132_SQL, "dedup-image-perceptual,phash"
@@ -9625,6 +9598,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r138_video_near_dup": QuerySpec(
         r138_video_near_dup, R138_SQL, "dedup-video-perceptual,frame-signature"
+    ),
+    "r139_variant_shred": QuerySpec(
+        r139_variant_shred, R139_SQL, "source-variant-json,schema-on-read"
     ),
     "r13_orders_left_join": QuerySpec(q13_orders_left_join, Q13_SQL, "J1,J2,F2"),
     # byte order: '0' < '_', so r140 sorts AFTER r13_* but BEFORE r14_*
@@ -9643,18 +9619,18 @@ QUERIES: dict[str, QuerySpec] = {
     "r146_tf_cosine_pairs": QuerySpec(
         r146_tf_cosine_pairs, R146_SQL, "dedup-tf-cosine,integer-exact"
     ),
-    "r147_bfs_hops": QuerySpec(
-        r147_bfs_hops, R147_SQL, "graph-bfs,reachability"
+    "r148_semantic_dedup": QuerySpec(
+        r148_semantic_dedup, R148_SQL, "dedup-semantic,semdedup"
     ),
     "r149_rolling_anomaly": QuerySpec(
         r149_rolling_anomaly, R149_SQL, "timeseries-hampel,robust-anomaly"
     ),
     "r14_event_distribution": QuerySpec(q14_event_distribution, Q14_SQL, "A13"),
-    "r150_deep_clone": QuerySpec(
-        r150_deep_clone, R150_SQL, "lakehouse-deep-clone,dv-carryover"
-    ),
     "r151_nb_quality_score": QuerySpec(
         r151_nb_quality_score, R151_SQL, "text-quality-classifier,ccnet"
+    ),
+    "r152_k_anonymize": QuerySpec(
+        r152_k_anonymize, R152_SQL, "privacy-k-anonymity,global-recoding"
     ),
     "r154_bm25_topk": QuerySpec(
         r154_bm25_topk, R154_SQL, "search-bm25-ranking,integer-idf"
@@ -9712,9 +9688,6 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r172_rank_functions": QuerySpec(
         r172_rank_functions, R172_SQL, "window-rank-suite,integer-pctrank"
-    ),
-    "r173_search_serving": QuerySpec(
-        r173_search_serving, R173_SQL, "search-serving-view,bm25-from-index"
     ),
     "r174_sorted_neighborhood": QuerySpec(
         r174_sorted_neighborhood, R174_SQL, "er-blocking-sorted-neighborhood"

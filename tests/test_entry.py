@@ -44,12 +44,15 @@ def test_primary_tier_fills_driver_window():
         + ["q91", "q95"]
         # round-7 rotation: codec / DV / source-API / graph families
         + ["q127", "q135", "q137", "q145"]
-        # round-8 rotation: VARIANT, span-rewrite dedup, SemDeDup,
-        # media lifecycle
-        + ["q139", "q141", "q148", "q153"]
-        # round-9 rotation: Bloom decontamination, inverted index,
-        # k-anonymity, exact set-similarity join
-        + ["q128", "q134", "q152", "q166"]
+        # round-8 rotation survivors: span-rewrite dedup, media
+        # lifecycle (q139/q148 demoted round 10)
+        + ["q141", "q153"]
+        # round-9 rotation survivors: inverted index, exact
+        # set-similarity join (q128/q152 demoted round 10)
+        + ["q134", "q166"]
+        # round-10 rotation: GIF/LZW codec, BFS, deep clone,
+        # search serving
+        + ["q131", "q147", "q150", "q173"]
     )
     for prefix in must_have:
         assert any(k.startswith(prefix + "_") for k in primary), prefix
