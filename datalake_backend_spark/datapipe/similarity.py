@@ -602,8 +602,11 @@ def random_projection(
     The sign matrix is arithmetic, not a library RNG, so any engine
     reproduces it: ``m = 1009·i + j + 7``; ``sign = +1`` iff
     ``(m³ mod 1000003)`` is even (cubing modulo a prime breaks the
-    parity regularity a plain linear form would have; m³ ≤ ~3·10¹⁴ at
-    d = 4096, safely inside int64).
+    parity regularity a plain linear form would have). ``m`` is
+    reduced modulo the prime BEFORE cubing — ``(m mod p)³ mod p ==
+    m³ mod p``, and ``(p−1)³ ≈ 1.0·10¹⁸`` stays inside int64 for ANY
+    dimension, whereas a raw ``m³`` overflows at d ≳ 2080 (Spark
+    would silently wrap in non-ANSI mode; DuckDB errors).
 
     Scale shape: pure per-row column arithmetic inside whole-stage
     codegen — zero shuffles, zero UDFs; cost is O(d·k) per row, the
@@ -617,7 +620,8 @@ def random_projection(
     factor = 10**scale
     outs = []
     for j in range(k):
-        m = f"(1009L * CAST(i AS BIGINT) + {j}L + 7L)"
+        # reduce mod the prime BEFORE cubing: int64-safe for any d
+        m = f"pmod(1009L * CAST(i AS BIGINT) + {j}L + 7L, 1000003L)"
         outs.append(
             F.expr(
                 f"aggregate(transform({vec_col}, (x, i) -> "

@@ -555,6 +555,12 @@ def ecdf_percentile(
     contribute weight 0, so probes never perturb each other. Exact
     `div` keeps the scaled percentile engine-independent."""
     keep = keep_cols or []
+    # fail fast on an empty reference: `pct div _nr` with _nr=0 is NULL
+    # in Spark, which would quietly yield all-NULL percentiles instead
+    # of an error (same hazard class as personalized_pagerank's
+    # empty-seed guard; the eager probe is one tiny job)
+    if ref.isEmpty():
+        raise ValueError("ecdf_percentile needs a non-empty reference frame")
     u = ref.select(
         F.col(ref_col).cast("double").alias("_v"),
         F.lit(1).cast("bigint").alias("_w"),

@@ -1739,3 +1739,33 @@ def test_random_projection_matches_formula_and_stays_mapside(spark):
         .executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_random_projection_large_dim_no_int64_overflow(spark):
+    """At d >= ~2080 the raw sign formula's m³ exceeds int64 (m =
+    1009·i + j + 7 ≈ 4.1e6 at i = 4095 → m³ ≈ 7e19 > 9.2e18): Spark
+    would silently WRAP in non-ANSI mode and the DuckDB twin errors.
+    The fix reduces m modulo the prime BEFORE cubing ((m mod p)³ mod
+    p == m³ mod p), so a d = 4096 vector must match the unbounded-int
+    Python ground truth bit-for-bit — pre-fix this mismatched."""
+    import math
+
+    from datalake_backend_spark.datapipe.similarity import random_projection
+
+    d = 4096
+    # ±0.5 steps are exact in float32 → no cast noise in the floor
+    vec = [((i % 7) - 3) * 0.5 for i in range(d)]
+    df = spark.createDataFrame(
+        [(1, vec)], "vec_id int, embedding array<float>"
+    )
+    row = random_projection(df, k=2, scale=6).collect()[0]
+
+    def sign(i, j):
+        m = 1009 * i + j + 7  # unbounded Python int: exact m³ mod p
+        return 1 if (m * m * m) % 1000003 % 2 == 0 else -1
+
+    for j in range(2):
+        want = sum(
+            sign(i, j) * math.floor(x * 10**6) for i, x in enumerate(vec)
+        )
+        assert row[f"y{j}"] == want, j

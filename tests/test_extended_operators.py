@@ -809,6 +809,30 @@ def test_sorted_neighborhood_pairs_matches_single_sort(spark):
     assert again == want
 
 
+def test_sorted_neighborhood_carry_cols_passthrough(spark):
+    """carry_cols rides payload columns through the blocking so
+    verify stages need no re-join: each carried column comes back as
+    {col}_a/{col}_b with exactly the base row's value, and the pair
+    set is identical to the no-carry call (r178 relies on this for
+    hash stability after dropping its two name re-joins)."""
+    from datalake_backend_spark.datapipe.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, f"k{(i * 7) % 13:02d}", f"name-{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, blk_key string, nm string")
+    plain = {
+        (r.id_a, r.id_b, r.rank_gap)
+        for r in sorted_neighborhood_pairs(df, "blk_key", window=4).collect()
+    }
+    carried = sorted_neighborhood_pairs(
+        df, "blk_key", window=4, carry_cols=["nm"]
+    ).collect()
+    assert {(r.id_a, r.id_b, r.rank_gap) for r in carried} == plain
+    for r in carried:
+        assert r.nm_a == f"name-{r.id_a}" and r.nm_b == f"name-{r.id_b}"
+
+
 def test_item_cooccurrence_counts_and_caps(spark):
     """Market-basket pairs (operators/association.py:item_cooccurrence;
     oracle twin r175): distinct-item pairs per basket, support
@@ -976,6 +1000,22 @@ def test_ecdf_percentile_exact_inclusive_rank(spark):
             ).collect()
         }
         assert got == {pid: want(v) for pid, v in probes}
+
+
+def test_ecdf_percentile_empty_reference_fails_fast(spark):
+    """An empty reference makes `div _nr` NULL for every probe — the
+    all-NULL-percentiles hazard must be a loud ValueError, mirroring
+    personalized_pagerank's empty-seed guard."""
+    import pytest
+
+    from datalake_backend_spark.operators.distributions import (
+        ecdf_percentile,
+    )
+
+    probe = spark.createDataFrame([(1, 2.0)], "pid int, v double")
+    empty_ref = spark.createDataFrame([], "x double")
+    with pytest.raises(ValueError, match="non-empty reference"):
+        ecdf_percentile(probe, "v", empty_ref, "x", keep_cols=["pid"])
 
 
 def test_markov_transitions_counts_and_probs(spark):

@@ -339,8 +339,8 @@ def run_ops(spark, docs_path: str, events_path: str) -> dict[str, float]:
         .limit(10)
     )
     timed("ppr", lambda: _force(personalized_pagerank(gedges, seeds, iterations=3)))
-    n_tri_nodes = docs.count() * 4
-    ids = spark.range(n_tri_nodes)
+    n_graph_nodes = docs.count() * 4
+    ids = spark.range(n_graph_nodes)
     tri_edges = (
         ids.selectExpr("id as src", "id + 1 as dst")
         .union(ids.selectExpr("id as src", "id + 2 as dst"))
@@ -348,8 +348,16 @@ def run_ops(spark, docs_path: str, events_path: str) -> dict[str, float]:
             "id as src", "id % 97 as dst"
         ))
     )
-    timed("triangles", lambda: _force(triangle_count(tri_edges)))
-    out["n_tri_nodes"] = triangle_count(tri_edges).count()
+    # ONE materialization serves both the timing and the result-size
+    # metric (count() forces the same plan noop-write would); the key
+    # says what it counts: nodes appearing in >= 1 triangle, not the
+    # graph's node count (that is n_graph_nodes above)
+    tri_res = {}
+    timed(
+        "triangles",
+        lambda: tri_res.setdefault("n", triangle_count(tri_edges).count()),
+    )
+    out["n_triangle_nodes"] = tri_res["n"]
 
     # round-8 additions: the per-token CDC chunk window and the full
     # media-ingest lifecycle (directory scan -> exact -> perceptual ->
