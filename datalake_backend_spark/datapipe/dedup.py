@@ -1518,6 +1518,7 @@ def sorted_neighborhood_pairs(
     key_col: str,
     id_col: str = "doc_id",
     window: int = 5,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Sorted-neighborhood blocking (Hernández & Stolfo's merge/purge
     method — public literature): order all records by a blocking key
@@ -1539,11 +1540,18 @@ def sorted_neighborhood_pairs(
     the (key, id) total order — identical in any engine.
 
     Returns ``(id_a, id_b, rank_gap)`` with ``id_a``'s rank strictly
-    below ``id_b``'s and ``0 < rank_gap < window``."""
+    below ``id_b``'s and ``0 < rank_gap < window``. ``carry_cols``
+    rides payload columns through the blocking so verify stages
+    (levenshtein, feature compare) need NO re-join against the base
+    table — each named column comes back twice as ``{col}_a`` /
+    ``{col}_b``. Carrying widens the block-join shuffle by the
+    payload width, but replaces TWO full shuffled joins back to the
+    base table — at 100 TB the joins lose."""
     from pyspark.sql import Window
 
     if window < 2:
         raise ValueError("window must be >= 2")
+    carry = carry_cols or []
     part = Window.partitionBy("_p").orderBy("_k", "_id")
     # FREEZE the partitioning before the offsets branch and the rank
     # branch both consume it: spark_partition_id() is assigned on the
@@ -1552,7 +1560,11 @@ def sorted_neighborhood_pairs(
     # partitioning joined to ranks from another corrupt the global
     # rank. The eager localCheckpoint pins one materialization.
     base = (
-        df.select(F.col(key_col).alias("_k"), F.col(id_col).alias("_id"))
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.col(id_col).alias("_id"),
+            *[F.col(c).alias(f"_c{i}") for i, c in enumerate(carry)],
+        )
         .repartitionByRange("_k", "_id")
         .withColumn("_p", F.spark_partition_id())
         .localCheckpoint(eager=True)
@@ -1566,11 +1578,17 @@ def sorted_neighborhood_pairs(
         "_p", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
     )
     ranked = base.join(F.broadcast(offsets), "_p").select(
-        "_id", (F.col("_lr") + F.col("_off")).alias("_r")
+        "_id",
+        (F.col("_lr") + F.col("_off")).alias("_r"),
+        *[f"_c{i}" for i in range(len(carry))],
     )
     lhs = ranked.select(
         F.col("_id").alias("id_a"),
         F.col("_r").alias("_ra"),
+        *[
+            F.col(f"_c{i}").alias(f"{c}_a")
+            for i, c in enumerate(carry)
+        ],
         F.explode(
             F.array(
                 F.expr(f"_r div {window}"),
@@ -1581,6 +1599,10 @@ def sorted_neighborhood_pairs(
     rhs = ranked.select(
         F.col("_id").alias("id_b"),
         F.col("_r").alias("_rb"),
+        *[
+            F.col(f"_c{i}").alias(f"{c}_b")
+            for i, c in enumerate(carry)
+        ],
         F.expr(f"_r div {window}").alias("_blk"),
     )
     return (
@@ -1589,5 +1611,11 @@ def sorted_neighborhood_pairs(
             (F.col("_rb") > F.col("_ra"))
             & (F.col("_rb") - F.col("_ra") < window)
         )
-        .select("id_a", "id_b", (F.col("_rb") - F.col("_ra")).alias("rank_gap"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("_rb") - F.col("_ra")).alias("rank_gap"),
+            *[f"{c}_a" for c in carry],
+            *[f"{c}_b" for c in carry],
+        )
     )
