@@ -62,6 +62,22 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.codegen.hugeMethodLimit": "8000",
     # Quieter, faster local runs; harmless on a cluster.
     "spark.ui.showConsoleProgress": "false",
+    # Storage-release path for the eager-localCheckpoint two-phase
+    # operators (ecdf_percentile, token_stream_offsets,
+    # sorted_neighborhood_pairs, text vocab-coverage): a checkpointed
+    # RDD is persisted MEMORY_AND_DISK and has NO public unpersist
+    # hook from the DataFrame API — it is released by the
+    # ContextCleaner when a JVM GC collects the last reference to the
+    # RDD. On a long-lived session with a large, lazily-collected
+    # heap that GC may not happen for a long time, so checkpoint
+    # storage accumulates across queries. Spark's own backstop is
+    # this periodic driver System.gc(); tightening it from the 30min
+    # default to 10min bounds the accumulation window on sessions
+    # that run thousands of queries (storage growth is bounded by
+    # ~10min of checkpoint output, not by session lifetime).
+    # tests/test_engine.py::test_two_phase_checkpoint_storage_released
+    # proves the release end-to-end.
+    "spark.cleaner.periodicGC.interval": "10min",
 }
 
 
