@@ -6697,6 +6697,60 @@ FROM c, n WHERE w = 0
 """
 
 
+def r184_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/ISO-BMFF container demux driver check (`dbs.datapipe.mp4`):
+    every document becomes a REAL metadata-only mp4 (genuine nested
+    box framing — ftyp/moov/mvhd/trak/tkhd/mdia/mdhd/hdlr/stbl/stsd/
+    stts — with variant structure by id: mdat BEFORE moov at id%3==0,
+    64-bit largesize mdat at id%5==0, version-1 64-bit headers at
+    id%11==0), then `mp4_track_stats` demuxes one row per track with
+    NO codec decode (mdat is skipped by its size field — the ranged-
+    GET-of-moov access pattern at 100 TB). The reference's video
+    domains all ingest mp4s (Create_Json_Data/* consume .mp4 inputs);
+    this is the container half of that surface. The DuckDB twin
+    recomputes every field arithmetically from doc_id, so a walker
+    that assumes one fixed layout, misreads a largesize, truncates a
+    16.16 width, or sums stts runs wrong breaks the hash."""
+    from datalake_backend_spark.datapipe.mp4 import (
+        mp4_track_stats,
+        synthetic_mp4_table,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return mp4_track_stats(synthetic_mp4_table(docs))
+
+
+R184_SQL = """
+WITH v AS (
+  SELECT doc_id AS media_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'mp42' ELSE 'isom' END AS brand,
+    CAST((123 + doc_id % 1000) * 1000 // (600 * (1 + doc_id % 3))
+         AS BIGINT) AS movie_dur_ms,
+    CAST(1 AS INTEGER) AS track_id, 'vide' AS handler, 'avc1' AS codec,
+    CAST(16 * (1 + doc_id % 4) AS INTEGER) AS width,
+    CAST(16 * (1 + doc_id % 3) AS INTEGER) AS height,
+    CAST(2 + doc_id % 5 AS BIGINT) AS n_samples,
+    CAST(CASE WHEN 2 + doc_id % 5 >= 4 THEN (3 + doc_id % 5) * 1001
+         ELSE (2 + doc_id % 5) * 1001 END AS BIGINT) AS sample_dur_sum,
+    CAST(30000 AS BIGINT) AS media_timescale
+  FROM documents
+),
+a AS (
+  SELECT doc_id AS media_id, 'mp42' AS brand,
+    CAST((123 + doc_id % 1000) * 1000 // (600 * (1 + doc_id % 3))
+         AS BIGINT) AS movie_dur_ms,
+    CAST(2 AS INTEGER) AS track_id, 'soun' AS handler, 'mp4a' AS codec,
+    CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
+    CAST(3 + doc_id % 4 AS BIGINT) AS n_samples,
+    CAST(CASE WHEN 3 + doc_id % 4 >= 4 THEN (4 + doc_id % 4) * 1024
+         ELSE (3 + doc_id % 4) * 1024 END AS BIGINT) AS sample_dur_sum,
+    CAST(48000 AS BIGINT) AS media_timescale
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT * FROM v UNION ALL SELECT * FROM a
+"""
+
+
 def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OLS regression driver check (`dbs.operators
     .distributions.group_ols`): extended price regressed on quantity
@@ -9719,6 +9773,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r183_ecdf_percentile": QuerySpec(
         r183_ecdf_percentile, R183_SQL, "calibration-ecdf,quantile-transform"
+    ),
+    # byte order: '4' < '_', so r184 sorts after r183_* but before r18_*
+    "r184_mp4_metadata": QuerySpec(
+        r184_mp4_metadata, R184_SQL, "multimodal-mp4-demux,container-metadata"
     ),
     "r18_numeric_summary": QuerySpec(q18_numeric_summary, Q18_SQL, "A13,A8"),
     "r19_grid_buckets": QuerySpec(q19_grid_buckets, Q19_SQL, "F8,A4"),
