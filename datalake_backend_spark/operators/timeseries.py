@@ -417,3 +417,63 @@ def cusum_stats(
             ),
         )
     )
+
+
+def seasonal_index(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: list[str] | None = None,
+    period: str = "dow",
+    scale: int = 4,
+) -> DataFrame:
+    """Multiplicative seasonal indices: per (key, season-bucket), the
+    bucket's mean as a scaled-integer ratio of the key's overall mean
+    — the classical ratio-to-moving-average seasonality fingerprint
+    reduced to its exact, order-independent core (bucket means vs
+    grand mean), the first thing a forecasting pipeline computes over
+    event history. ``period``: ``dow`` (ISO 1=Mon..7=Sun) or ``hour``
+    (0-23).
+
+    Exactness: values floor-scale to integers (10^scale), means are
+    truncating integer division (``div``), and the final index is
+    ``bucket_mean_scaled * 10^6 div grand_mean_scaled`` — every step
+    reproduces bit-for-bit in any engine (DuckDB ``//`` truncates the
+    same way for non-negative operands).
+
+    Scale shape: ONE partial-aggregable groupBy over (keys, bucket)
+    and a broadcast join of the per-key grand totals (|keys| rows) —
+    no window, no second scan of the fact table; at 100 TB this is a
+    map-side-combine aggregate plus a metadata-sized join.
+    """
+    if period == "dow":
+        bucket = (F.weekday(F.col(ts_col)) + F.lit(1)).alias("season")
+    elif period == "hour":
+        bucket = F.hour(F.col(ts_col)).alias("season")
+    else:
+        raise ValueError("period must be 'dow' or 'hour'")
+    keys = keys or []
+    factor = 10**scale
+    scaled = F.floor(F.col(value_col) * factor).cast("bigint")
+    per_bucket = df.select(
+        *keys, bucket, scaled.alias("_v")
+    ).groupBy(*keys, "season").agg(
+        F.count("*").alias("n_obs"), F.sum("_v").alias("_s")
+    )
+    grand = per_bucket.groupBy(*keys).agg(
+        F.sum("n_obs").alias("_gn"), F.sum("_s").alias("_gs")
+    )
+    joined = (
+        per_bucket.join(F.broadcast(grand), keys)
+        if keys
+        else per_bucket.crossJoin(F.broadcast(grand))
+    )
+    return joined.select(
+        *keys,
+        "season",
+        "n_obs",
+        F.expr("_s div n_obs").alias("bucket_mean_scaled"),
+        F.expr("(_s div n_obs) * 1000000 div (_gs div _gn)").alias(
+            "index_scaled"
+        ),
+    )

@@ -6751,6 +6751,113 @@ SELECT * FROM v UNION ALL SELECT * FROM a
 """
 
 
+def r185_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-decomposition driver check (`dbs.operators.timeseries
+    .seasonal_index`): per (event_type, ISO day-of-week), the bucket
+    mean of `value` as an exact scaled ratio of the type's grand mean
+    — floor-scaled integer sums, truncating `div` means, `div` index.
+    ONE partial-aggregable groupBy + a broadcast join of per-key grand
+    totals; the DuckDB twin recomputes the same arithmetic over
+    isodow (== Spark weekday()+1), so a week-start convention drift,
+    a mean rounding difference, or a lost bucket breaks the hash."""
+    from datalake_backend_spark.operators.timeseries import seasonal_index
+
+    ev = table(spark, sf_dir, "events")
+    return seasonal_index(ev, "ts", "value", keys=["event_type"], period="dow")
+
+
+R185_SQL = """
+WITH b AS (
+  SELECT event_type, isodow(ts) AS season,
+         COUNT(*) AS n_obs,
+         SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS s
+  FROM events GROUP BY 1, 2
+),
+g AS (SELECT event_type, SUM(n_obs) AS gn, SUM(s) AS gs FROM b GROUP BY 1)
+SELECT b.event_type, CAST(b.season AS INTEGER) AS season,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(s // n_obs AS BIGINT) AS bucket_mean_scaled,
+       CAST(((s // n_obs) * 1000000) // (gs // gn) AS BIGINT)
+         AS index_scaled
+FROM b JOIN g USING (event_type)
+"""
+
+
+def r186_match_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage weight-estimation driver check (`dbs.operators
+    .linkage.match_weights`): Fellegi-Sunter m/u agreement rates per
+    field over sorted-neighborhood candidates on part names — u from
+    ALL candidates, m from the rank-gap-1 adjacent subset, every rate
+    a truncating scaled `div`. The candidate payloads ride through
+    the blocking via `carry_cols` (no re-join), and the estimation is
+    ONE conditional-count aggregate + a stack() unpivot. The DuckDB
+    twin rebuilds the candidates with ROW_NUMBER and the same integer
+    arithmetic, so a blocking drift, an agreement-count miss, or a
+    division rounding difference breaks the hash."""
+    from datalake_backend_spark.datapipe.dedup import (
+        sorted_neighborhood_pairs,
+    )
+    from datalake_backend_spark.operators.linkage import match_weights
+
+    parts = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("doc_id"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("ptype"),
+        F.col("p_size").alias("psize"),
+    )
+    cands = sorted_neighborhood_pairs(
+        parts,
+        "name",
+        id_col="doc_id",
+        window=6,
+        carry_cols=["brand", "ptype", "psize"],
+    )
+    return match_weights(cands, ["brand", "ptype", "psize"])
+
+
+R186_SQL = """
+WITH p AS (
+  SELECT p_partkey AS id, p_name AS name, p_brand AS brand,
+         p_type AS ptype, p_size AS psize
+  FROM part
+),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY name, id) AS rnk FROM p),
+cand AS (
+  SELECT a.brand AS ba, b.brand AS bb, a.ptype AS ta, b.ptype AS tb,
+         a.psize AS sa, b.psize AS sb, (b.rnk - a.rnk = 1) AS strong
+  FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk < 6
+),
+agg AS (
+  SELECT COUNT(*) AS n_pairs,
+    SUM(CASE WHEN strong THEN 1 ELSE 0 END) AS n_strong,
+    SUM(CASE WHEN ba = bb THEN 1 ELSE 0 END) AS all_brand,
+    SUM(CASE WHEN ba = bb AND strong THEN 1 ELSE 0 END) AS str_brand,
+    SUM(CASE WHEN ta = tb THEN 1 ELSE 0 END) AS all_ptype,
+    SUM(CASE WHEN ta = tb AND strong THEN 1 ELSE 0 END) AS str_ptype,
+    SUM(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS all_psize,
+    SUM(CASE WHEN sa = sb AND strong THEN 1 ELSE 0 END) AS str_psize
+  FROM cand
+),
+f AS (
+  SELECT 'brand' AS field, n_pairs, n_strong,
+         all_brand AS n_agree_all, str_brand AS n_agree_strong FROM agg
+  UNION ALL
+  SELECT 'ptype', n_pairs, n_strong, all_ptype, str_ptype FROM agg
+  UNION ALL
+  SELECT 'psize', n_pairs, n_strong, all_psize, str_psize FROM agg
+)
+SELECT field, CAST(n_pairs AS BIGINT) AS n_pairs,
+  CAST(n_strong AS BIGINT) AS n_strong,
+  CAST((n_agree_all * 1000000) // n_pairs AS BIGINT) AS u_scaled,
+  CAST((n_agree_strong * 1000000) // n_strong AS BIGINT) AS m_scaled,
+  CAST(((n_agree_strong * 1000000) // n_strong) * 1000000
+       // GREATEST((n_agree_all * 1000000) // n_pairs, 1) AS BIGINT)
+    AS weight_ratio_scaled
+FROM f
+"""
+
+
 def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OLS regression driver check (`dbs.operators
     .distributions.group_ols`): extended price regressed on quantity
@@ -9777,6 +9884,12 @@ QUERIES: dict[str, QuerySpec] = {
     # byte order: '4' < '_', so r184 sorts after r183_* but before r18_*
     "r184_mp4_metadata": QuerySpec(
         r184_mp4_metadata, R184_SQL, "multimodal-mp4-demux,container-metadata"
+    ),
+    "r185_seasonal_index": QuerySpec(
+        r185_seasonal_index, R185_SQL, "timeseries-seasonality,ratio-to-mean"
+    ),
+    "r186_match_weights": QuerySpec(
+        r186_match_weights, R186_SQL, "er-match-weights,fellegi-sunter"
     ),
     "r18_numeric_summary": QuerySpec(q18_numeric_summary, Q18_SQL, "A13,A8"),
     "r19_grid_buckets": QuerySpec(q19_grid_buckets, Q19_SQL, "F8,A4"),

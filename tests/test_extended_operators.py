@@ -1046,3 +1046,43 @@ def test_markov_transitions_counts_and_probs(spark):
         ("a", "b"): (2, 1_000_000),  # a always goes to b
         ("b", "a"): (1, 1_000_000),  # b row-total is 1
     }
+
+
+def test_match_weights_counts_and_guards(spark):
+    """Fellegi-Sunter weight estimation (operators/linkage.py:
+    match_weights; oracle twin r186): u from all pairs, m from the
+    strong subset, truncating scaled divisions, NULLs never agree,
+    and loud errors for empty fields / missing strong marker."""
+    import pytest
+
+    from datalake_backend_spark.operators.linkage import match_weights
+
+    rows = [
+        # (brand_a, brand_b, size_a, size_b, rank_gap)
+        ("x", "x", 1, 1, 1),      # strong, agrees on both
+        ("x", "y", 1, 2, 1),      # strong, agrees on neither
+        ("x", "x", None, 1, 2),   # weak, brand agrees, size NULL
+        ("z", "w", 3, 3, 3),      # weak, size agrees
+    ]
+    df = spark.createDataFrame(
+        rows, "brand_a string, brand_b string, size_a int, size_b int, "
+        "rank_gap int"
+    )
+    got = {r.field: r for r in match_weights(df, ["brand", "size"]).collect()}
+    b = got["brand"]
+    assert (b.n_pairs, b.n_strong) == (4, 2)
+    assert b.u_scaled == 2 * 10**6 // 4 and b.m_scaled == 1 * 10**6 // 2
+    assert b.weight_ratio_scaled == b.m_scaled * 10**6 // b.u_scaled
+    s = got["size"]
+    # NULL size never agrees: all-agreement = rows 1 and 4 only
+    assert s.u_scaled == 2 * 10**6 // 4
+    assert s.m_scaled == 1 * 10**6 // 2
+    with pytest.raises(ValueError, match="non-empty"):
+        match_weights(df, [])
+    with pytest.raises(ValueError, match="rank_gap"):
+        match_weights(df.drop("rank_gap"), ["brand"])
+    # custom strong marker: everything strong -> m == u
+    allstrong = match_weights(
+        df.withColumn("s", F.lit(True)), ["brand"], strong_col="s"
+    ).collect()[0]
+    assert allstrong.m_scaled == allstrong.u_scaled

@@ -177,3 +177,46 @@ def test_rolling_robust_anomaly(spark):
         ).collect()
     }
     assert again == {k: v.is_anomaly for k, v in out.items()}
+
+
+def test_seasonal_index_exact_ratios_and_iso_dow(spark):
+    """Seasonal indices (operators/timeseries.py:seasonal_index;
+    oracle twin r185): bucket means and indices equal the driver-side
+    truncating-integer arithmetic, the dow convention is ISO
+    (2024-01-01 is a Monday -> season 1), and a 'hour' period
+    buckets by hour."""
+    import datetime as dt
+
+    from datalake_backend_spark.operators.timeseries import seasonal_index
+
+    mon = dt.datetime(2024, 1, 1, 10)   # Monday
+    sun = dt.datetime(2024, 1, 7, 22)   # Sunday
+    rows = [
+        ("a", mon, 10.5), ("a", mon, 20.5),      # Mon mean 15.5
+        ("a", sun, 31.0),                        # Sun mean 31.0
+        ("b", mon, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {
+        (r.k, r.season): r
+        for r in seasonal_index(df, "ts", "v", keys=["k"]).collect()
+    }
+    a_mon = got[("a", 1)]
+    assert a_mon.n_obs == 2
+    # floor-scaled sums: (105000 + 205000) div 2 = 155000
+    assert a_mon.bucket_mean_scaled == 155000
+    # grand mean a: 620000 div 3 = 206666; index = 155000*1e6 div 206666
+    assert a_mon.index_scaled == 155000 * 1000000 // 206666
+    a_sun = got[("a", 7)]
+    assert a_sun.bucket_mean_scaled == 310000
+    assert got[("b", 1)].index_scaled == 1000000  # single bucket == grand
+    hours = {
+        r.season
+        for r in seasonal_index(df, "ts", "v", keys=["k"], period="hour")
+        .collect()
+    }
+    assert hours == {10, 22}
+    import pytest
+
+    with pytest.raises(ValueError, match="period"):
+        seasonal_index(df, "ts", "v", period="month")
