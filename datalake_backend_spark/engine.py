@@ -434,7 +434,10 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .distinct()
             )
-            tbl.commit(e0.repartition(8), op="graph-edges-silver")
+            # coalesce, not repartition: the distinct already shuffled,
+            # so merging its output partitions is a narrow dependency —
+            # no second full shuffle just to control file count
+            tbl.commit(e0.coalesce(8), op="graph-edges-silver")
     e0 = tbl.read(spark)
     return e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
         e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
