@@ -329,3 +329,56 @@ def personalized_pagerank(
         [edges, nodes],
         materialize,
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+    checkpoint_every: int = 2,
+    materialize: bool = True,
+) -> DataFrame:
+    """k-core peeling with a FIXED round budget: repeatedly drop every
+    node whose current degree is below ``k`` (and all its edges), then
+    report each survivor's residual degree. The R-round peel is a
+    deterministic, engine-independent function of the edge list —
+    exactly like :func:`pagerank`'s fixed iterations, the bounded
+    budget IS the defined semantics (full-convergence k-core is the
+    fixed point; a bounded peel is the standard scalable
+    approximation and converges in practice within a few rounds on
+    power-law graphs). Integer degrees, no floats anywhere.
+
+    Scale shape: per round ONE groupBy(src) degree aggregate over the
+    live edge set and TWO semi-joins (src-keep, dst-keep) — the keep
+    set is node-sized, so AQE broadcasts it when small and
+    shuffle-joins when not; the edge set never visits the driver.
+    ``checkpoint_every`` truncates the growing lazy plan the same way
+    the other iterative operators do.
+
+    Expects SYMMETRIZED edges (every undirected edge present in both
+    directions) so groupBy(src) counts the full degree; the engine's
+    silver co-purchase table feeds it that shape.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    cached: list[DataFrame] = []
+    live = edges.select("src", "dst").persist()
+    cached.append(live)
+    for i in range(rounds):
+        deg = live.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("src").persist()
+        cached.append(keep)
+        live = (
+            live.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
+            live = live.localCheckpoint(eager=True)
+        live = live.persist()
+        cached.append(live)
+    result = live.groupBy("src").agg(F.count("*").alias("core_degree")).select(
+        F.col("src").alias("node"), "core_degree"
+    )
+    return _finish(result, cached, materialize)

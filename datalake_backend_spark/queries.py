@@ -6858,6 +6858,53 @@ FROM f
 """
 
 
+def r187_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling driver check (`dbs.operators.graph.kcore_peel`):
+    3 fixed peel rounds at k=4 over the SAME silver co-purchase edge
+    table q145/q147/r170 read (derive once, read four times) —
+    survivors with residual degree. The fixed round budget is the
+    defined semantics (pagerank-style unrolled determinism); the
+    DuckDB twin unrolls the same 3 keep/filter rounds as chained
+    CTEs, so a degree-count drift, an endpoint filter missed on one
+    side, or an extra/missing peel round breaks the hash."""
+    from datalake_backend_spark.engine import copurchase_edges
+    from datalake_backend_spark.operators.graph import kcore_peel
+
+    edges = copurchase_edges(spark, sf_dir)
+    return kcore_peel(edges, k=4, rounds=3)
+
+
+_R187_EDGES = r"""
+WITH e0b AS (
+  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e0 AS (
+  SELECT c AS src, s AS dst FROM e0b
+  UNION ALL
+  SELECT s AS src, c AS dst FROM e0b
+)"""
+
+
+def _r187_round(i: int, k: int) -> str:
+    return f""",
+k{i} AS (SELECT src FROM e{i - 1} GROUP BY src HAVING COUNT(*) >= {k}),
+e{i} AS (
+  SELECT e.src, e.dst
+  FROM e{i - 1} e
+  JOIN k{i} a ON e.src = a.src
+  JOIN k{i} b ON e.dst = b.src
+)"""
+
+
+R187_SQL = (
+    _R187_EDGES
+    + "".join(_r187_round(i, 4) for i in range(1, 4))
+    + "\nSELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree"
+    + "\nFROM e3 GROUP BY src\n"
+)
+
+
 def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OLS regression driver check (`dbs.operators
     .distributions.group_ols`): extended price regressed on quantity
@@ -9890,6 +9937,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r186_match_weights": QuerySpec(
         r186_match_weights, R186_SQL, "er-match-weights,fellegi-sunter"
+    ),
+    "r187_kcore": QuerySpec(
+        r187_kcore, R187_SQL, "graph-kcore,iterative-peel"
     ),
     "r18_numeric_summary": QuerySpec(q18_numeric_summary, Q18_SQL, "A13,A8"),
     "r19_grid_buckets": QuerySpec(q19_grid_buckets, Q19_SQL, "F8,A4"),

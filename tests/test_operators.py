@@ -420,3 +420,36 @@ def test_personalized_pagerank_mass_at_sources(spark):
     assert got == r
     assert got[9] == 0 and got[8] == 0  # disconnected from the seed
     assert got[0] > got[1] > 0
+
+
+def test_kcore_peel_cascades_and_reports_residual_degree(spark):
+    """k-core peeling (operators/graph.py:kcore_peel; oracle twin
+    r187): a path hanging off a triangle peels CASCADE-style — the
+    leaf's removal drops its neighbor below k next round — while the
+    triangle survives with residual degree 2. Fixed-round semantics:
+    1 round removes only the leaf; 3 rounds drain the whole path."""
+    import pytest
+
+    from datalake_backend_spark.operators.graph import kcore_peel
+
+    und = [("a", "b"), ("b", "c"), ("c", "a"),  # triangle (2-core)
+           ("c", "d"), ("d", "e")]              # path tail
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], "src string, dst string"
+    )
+    full = {
+        r.node: r.core_degree
+        for r in kcore_peel(edges, k=2, rounds=3).collect()
+    }
+    assert full == {"a": 2, "b": 2, "c": 2}
+    one_round = {
+        r.node: r.core_degree
+        for r in kcore_peel(edges, k=2, rounds=1).collect()
+    }
+    # only e (deg 1) peels in round 1; d survives with its degree
+    # RECOUNTED on the filtered edges (d-e gone, d-c remains)
+    assert one_round == {"a": 2, "b": 2, "c": 3, "d": 1}
+    with pytest.raises(ValueError):
+        kcore_peel(edges, k=0)
+    with pytest.raises(ValueError):
+        kcore_peel(edges, rounds=0)
