@@ -6905,6 +6905,67 @@ R187_SQL = (
 )
 
 
+def r188_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML source round-trip driver check (Spark 4 built-in
+    `xml` format, both directions): a closed-form projection of
+    `documents` is WRITTEN as XML by the distributed writer
+    (rowTag/rootTag), then READ BACK with a DECLARED schema (no
+    sampling inference — inference is a second full scan and a
+    nondeterminism hazard at 100 TB) and aggregated per category.
+    The DuckDB twin recomputes the aggregate straight from the
+    arithmetic, so a row lost to tag framing, a type coerced wrong,
+    or a writer/reader escaping mismatch breaks the hash. Fixture dir
+    is pid-scoped + marker-gated like every replay fixture; stale
+    dirs from dead pids are swept."""
+    import shutil
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    warehouse = os.path.join(repo_root, "spark-warehouse")
+    base = os.path.join(
+        warehouse,
+        f"r188_xml_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    data_dir = os.path.join(base, "data")
+    with _VT_BUILD_LOCK:
+        _sweep_stale_fixtures(warehouse, "r188_xml_")
+        marker = os.path.join(base, ".complete")
+        if not os.path.exists(marker):
+            shutil.rmtree(base, ignore_errors=True)
+            (
+                table(spark, sf_dir, "documents")
+                .select(
+                    F.col("doc_id"),
+                    F.pmod("doc_id", F.lit(5)).cast("int").alias("cat"),
+                    F.pmod(F.col("doc_id") * 7, F.lit(1000)).alias("val"),
+                )
+                .write.format("xml")
+                .option("rowTag", "rec")
+                .option("rootTag", "recs")
+                .save(data_dir)
+            )
+            open(marker, "w").close()
+    recs = (
+        spark.read.format("xml")
+        .option("rowTag", "rec")
+        .schema("doc_id bigint, cat int, val bigint")
+        .load(data_dir)
+    )
+    return recs.groupBy("cat").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("val").alias("sum_val"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+R188_SQL = """
+SELECT CAST(doc_id % 5 AS INTEGER) AS cat,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM((doc_id * 7) % 1000) AS BIGINT) AS sum_val,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM documents GROUP BY 1
+"""
+
+
 def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OLS regression driver check (`dbs.operators
     .distributions.group_ols`): extended price regressed on quantity
@@ -9940,6 +10001,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r187_kcore": QuerySpec(
         r187_kcore, R187_SQL, "graph-kcore,iterative-peel"
+    ),
+    "r188_xml_source": QuerySpec(
+        r188_xml_source, R188_SQL, "source-xml-native,write-read-roundtrip"
     ),
     "r18_numeric_summary": QuerySpec(q18_numeric_summary, Q18_SQL, "A13,A8"),
     "r19_grid_buckets": QuerySpec(q19_grid_buckets, Q19_SQL, "F8,A4"),
