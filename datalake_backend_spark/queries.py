@@ -6966,6 +6966,61 @@ FROM documents GROUP BY 1
 """
 
 
+def r189_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching driver check (MATCH_RECOGNIZE-lite):
+    each user's event history collapses to an ORDERED journey string
+    (one initial per event — 's'ignup/'c'lick/'e'rror/'v'iew/
+    'p'urchase, all distinct), then plain regexp/position machinery
+    answers the classic behavioral questions: did signup ever lead to
+    a purchase (`s.*p`), and where is the first purchase. The order
+    is pinned by (ts, event_id) inside `array_sort` over collected
+    structs — a deterministic function of the data, independent of
+    shuffle order — so the DuckDB twin's `STRING_AGG(... ORDER BY ts,
+    event_id)` must reproduce every journey byte-for-byte; any
+    nondeterministic collect, tie-break drift, or off-by-one in the
+    position breaks the hash. Scale shape: ONE groupBy(user) with a
+    map-side-combinable collect, per-row string ops in codegen — no
+    window over the full event stream, no self-join."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("i"))
+        .alias("e"),
+    )
+    j = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("e")).alias("a")
+    )
+    return j.select(
+        "user_id",
+        F.concat_ws("", F.expr("transform(a, x -> x.i)")).alias("journey"),
+        F.size("a").alias("n_events"),
+        F.expr("a[0].i = 's'").alias("starts_signup"),
+    ).select(
+        "user_id",
+        "journey",
+        "n_events",
+        "starts_signup",
+        F.col("journey").rlike("s.*p").alias("has_funnel"),
+        F.locate("p", F.col("journey")).cast("int").alias("first_p_pos"),
+    )
+
+
+R189_SQL = """
+WITH j AS (
+  SELECT user_id,
+         STRING_AGG(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS journey,
+         CAST(COUNT(*) AS INTEGER) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, journey, n_events,
+       substr(journey, 1, 1) = 's' AS starts_signup,
+       regexp_matches(journey, 's.*p') AS has_funnel,
+       CAST(COALESCE(POSITION('p' IN journey), 0) AS INTEGER)
+         AS first_p_pos
+FROM j
+"""
+
+
 def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OLS regression driver check (`dbs.operators
     .distributions.group_ols`): extended price regressed on quantity
@@ -10004,6 +10059,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r188_xml_source": QuerySpec(
         r188_xml_source, R188_SQL, "source-xml-native,write-read-roundtrip"
+    ),
+    "r189_sequence_pattern": QuerySpec(
+        r189_sequence_pattern, R189_SQL, "sequence-pattern-match,journey-regex"
     ),
     "r18_numeric_summary": QuerySpec(q18_numeric_summary, Q18_SQL, "A13,A8"),
     "r19_grid_buckets": QuerySpec(q19_grid_buckets, Q19_SQL, "F8,A4"),
