@@ -342,3 +342,56 @@ def mix_with_temperature(
     for s, f in fracs.items():
         keep = F.when(F.col(source_col) == s, F.lit(float(f))).otherwise(keep)
     return df.where(hash_fraction(key_col, salt) < keep)
+
+
+def quality_budget_keep(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    budget_pct: int = 80,
+    scale: int = 4,
+) -> DataFrame:
+    """Nucleus-style curation: per group, keep the highest-scoring
+    rows until they account for ``budget_pct`` percent of the group's
+    total score mass — "spend 80% of the quality budget on the best
+    documents", the top-p analogue for corpus curation (keep-best
+    until the mass budget is hit, drop the long tail).
+
+    A row is kept iff the cumulative scaled score of all STRICTLY
+    better rows (score desc, id asc — a deterministic total order) is
+    below ``budget_pct`` percent of the group total, so the first row
+    crossing the boundary is still kept (the budget is a floor, never
+    an empty group). Floor-scaled integer scores and an integer
+    cross-multiplied comparison (``100·cum_before < pct·total``) make
+    the kept set engine-exact.
+
+    Scale shape: one per-group window cumsum over (score desc, id) —
+    a single hash-partitioned sort per group, no global sort, no
+    self-join; group totals ride the same window (unbounded frame)."""
+    from pyspark.sql import Window
+
+    if not 0 < budget_pct <= 100:
+        raise ValueError("budget_pct must be in (0, 100]")
+    factor = 10**scale
+    s = F.floor(F.col(score_col) * factor).cast("bigint")
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(score_col), F.col(id_col)
+    )
+    d = df.withColumn("_s", s).withColumn(
+        "_cum_before",
+        F.coalesce(
+            F.sum("_s").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "_total",
+        F.sum("_s").over(
+            w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    return d.where(
+        F.col("_cum_before") * 100 < F.lit(budget_pct) * F.col("_total")
+    ).drop("_s", "_cum_before", "_total")

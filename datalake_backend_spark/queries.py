@@ -7021,6 +7021,147 @@ FROM j
 """
 
 
+def r190_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read driver check (parquet mergeSchema): two
+    batches of the same logical table land with DIFFERENT physical
+    schemas — v1 (doc_id, lang), v2 adds an `extra` column — and a
+    single mergeSchema read must surface the union schema with NULLs
+    where v1 files have no column, the additive-evolution contract a
+    lakehouse ingests under daily (new producers add fields; old
+    files stay valid). Aggregated per lang against an arithmetic
+    twin, so a dropped batch, a column misaligned by position instead
+    of name, or a NULL-fill drift breaks the hash. Fixture dir is
+    pid-scoped + marker-gated; the two batches are written by Spark
+    itself (append with a wider schema)."""
+    import shutil
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    warehouse = os.path.join(repo_root, "spark-warehouse")
+    base = os.path.join(
+        warehouse,
+        f"r190_sm_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    data_dir = os.path.join(base, "data")
+    with _VT_BUILD_LOCK:
+        _sweep_stale_fixtures(warehouse, "r190_sm_")
+        marker = os.path.join(base, ".complete")
+        if not os.path.exists(marker):
+            shutil.rmtree(base, ignore_errors=True)
+            docs = table(spark, sf_dir, "documents")
+            (
+                docs.where(F.pmod("doc_id", F.lit(2)) == 1)
+                .select("doc_id", "lang")
+                .write.parquet(data_dir, mode="overwrite")
+            )
+            (
+                docs.where(F.pmod("doc_id", F.lit(2)) == 0)
+                .select(
+                    "doc_id", "lang", (F.col("doc_id") * 3).alias("extra")
+                )
+                .write.parquet(data_dir, mode="append")
+            )
+            open(marker, "w").close()
+    merged = spark.read.option("mergeSchema", "true").parquet(data_dir)
+    return merged.groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        F.count("extra").alias("n_with_extra"),
+        F.sum(F.coalesce(F.col("extra"), F.lit(0))).alias("extra_sum"),
+    )
+
+
+R190_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_extra,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN doc_id * 3 ELSE 0 END)
+         AS BIGINT) AS extra_sum
+FROM documents GROUP BY lang
+"""
+
+
+def r191_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus-style curation driver check (`dbs.datapipe.sampling
+    .quality_budget_keep`): per event_type, keep the highest-value
+    rows until they hold 80% of the type's floor-scaled score mass —
+    the top-p analogue for corpus curation (spend the quality budget
+    on the best documents, drop the tail). Kept set decided by the
+    integer cross-multiplied comparison 100·cum_before < 80·total
+    over the deterministic (value desc, event_id) order; the DuckDB
+    twin is the same window cumsum, so an ordering tie-break drift,
+    an off-by-one at the budget boundary, or a scale mismatch breaks
+    the hash."""
+    from datalake_backend_spark.datapipe.sampling import quality_budget_keep
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    return quality_budget_keep(
+        ev, "event_type", "value", "event_id", budget_pct=80
+    )
+
+
+R191_SQL = """
+WITH d AS (
+  SELECT event_type, event_id, value,
+         CAST(FLOOR(value * 10000) AS BIGINT) AS s
+  FROM events
+),
+c AS (
+  SELECT event_type, event_id, value,
+    COALESCE(SUM(s) OVER (
+        PARTITION BY event_type ORDER BY value DESC, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+    SUM(s) OVER (PARTITION BY event_type) AS tot
+  FROM d
+)
+SELECT event_type, event_id, value FROM c WHERE cb * 100 < 80 * tot
+"""
+
+
+def r192_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index distinct driver check: exact distinct users per
+    event_type computed the roaring-bitmap way — user ids bucket into
+    64-bit words (``bucket = id div 64``, ``bit = 1 << (id mod
+    64)``), a ``bit_or`` aggregate folds each bucket's word, and
+    ``bit_count`` over the words sums to the EXACT distinct count —
+    the OLAP-serving structure that makes COUNT(DISTINCT) mergeable
+    across partitions and time (unlike the raw distinct, the words
+    union with OR). ``bit_xor`` of the words is the order-independent
+    checksum (an overflow-free alternative to SUM). The DuckDB twin
+    builds the same words, so a shift off-by-one, a signedness slip,
+    or a bucket-boundary error breaks the hash."""
+    ev = table(spark, sf_dir, "events")
+    words = (
+        ev.selectExpr(
+            "event_type",
+            "user_id div 32 AS bucket",
+            "shiftleft(1L, CAST(pmod(user_id, 32) AS INT)) AS bit",
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    return words.groupBy("event_type").agg(
+        F.count("*").alias("n_buckets"),
+        F.expr("CAST(SUM(bit_count(word)) AS BIGINT)").alias(
+            "n_distinct_users"
+        ),
+        F.expr("bit_xor(word)").alias("word_xor"),
+    )
+
+
+R192_SQL = """
+WITH w AS (
+  SELECT event_type, user_id // 32 AS bucket,
+         bit_or(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS word
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(bit_count(word)) AS BIGINT) AS n_distinct_users,
+       CAST(bit_xor(word) AS BIGINT) AS word_xor
+FROM w GROUP BY event_type
+"""
+
+
 def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OLS regression driver check (`dbs.operators
     .distributions.group_ols`): extended price regressed on quantity
@@ -10064,6 +10205,17 @@ QUERIES: dict[str, QuerySpec] = {
         r189_sequence_pattern, R189_SQL, "sequence-pattern-match,journey-regex"
     ),
     "r18_numeric_summary": QuerySpec(q18_numeric_summary, Q18_SQL, "A13,A8"),
+    # byte order: r190 > r18_ at index 2 ('9' > '8') but r190_ < r19_
+    # at index 3 ('0' < '_'), so r190-r192 sit BETWEEN r18_* and r19_*
+    "r190_schema_merge": QuerySpec(
+        r190_schema_merge, R190_SQL, "source-schema-evolution,merge-schema"
+    ),
+    "r191_quality_budget": QuerySpec(
+        r191_quality_budget, R191_SQL, "curation-quality-budget,top-p"
+    ),
+    "r192_bitmap_distinct": QuerySpec(
+        r192_bitmap_distinct, R192_SQL, "olap-bitmap-index,exact-distinct"
+    ),
     "r19_grid_buckets": QuerySpec(q19_grid_buckets, Q19_SQL, "F8,A4"),
     "r20_exact_dedup": QuerySpec(q20_exact_dedup, Q20_SQL, "dedup-exact,U3"),
     "r21_doc_fingerprint": QuerySpec(q21_doc_fingerprint, Q21_SQL, "text-fingerprint"),

@@ -1769,3 +1769,29 @@ def test_random_projection_large_dim_no_int64_overflow(spark):
             sign(i, j) * math.floor(x * 10**6) for i, x in enumerate(vec)
         )
         assert row[f"y{j}"] == want, j
+
+
+def test_quality_budget_keep_boundary_semantics(spark):
+    """Nucleus curation (datapipe/sampling.py:quality_budget_keep;
+    oracle twin r191): keep while strictly-better mass is below the
+    budget — the row LANDING on the boundary is dropped only when the
+    budget is exactly consumed, ties order by id, and pct=100 keeps
+    everything."""
+    import pytest
+
+    from datalake_backend_spark.datapipe.sampling import quality_budget_keep
+
+    rows = [("g", 1, 50.0), ("g", 2, 30.0), ("g", 3, 20.0),
+            ("h", 4, 10.0), ("h", 5, 10.0)]
+    df = spark.createDataFrame(rows, "grp string, id int, score double")
+    kept = {
+        r.id
+        for r in quality_budget_keep(df, "grp", "score", "id", 80).collect()
+    }
+    # g: cum_before 0, 50, 80 -> 80*100 < 80*100 is false -> id 3 drops
+    # h: tie at 10.0 orders by id; cum_before 0, 10 -> both kept (<16)
+    assert kept == {1, 2, 4, 5}
+    all_kept = quality_budget_keep(df, "grp", "score", "id", 100).count()
+    assert all_kept == 5
+    with pytest.raises(ValueError, match="budget_pct"):
+        quality_budget_keep(df, "grp", "score", "id", 0)
