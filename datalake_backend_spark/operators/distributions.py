@@ -606,3 +606,132 @@ def ecdf_percentile(
             F.expr(f"((_cnt + _off) * {scale}L) div _nr").alias("pct_scaled"),
         )
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    arm_col: str,
+    value_col: str,
+    keys: list[str] | None = None,
+    scale: int = 4,
+) -> DataFrame:
+    """Per-group Welch two-sample t statistic that is bit-identical in
+    any engine — the A/B-experiment primitive, built like
+    :func:`group_ols`: per-arm integer moments (floor-scaled,
+    order-independent sums), then ONE closed-form float combination
+    with the identical expression shape on both sides.
+    ``arm_col`` must be boolean-like (true = treatment). Returns
+    ``(keys..., n_a, n_b, mean_a, mean_b, t_stat)`` where ``t =
+    (mean_a − mean_b) / sqrt(var_a/n_a + var_b/n_b)`` with sample
+    variances. Groups need ≥ 2 observations per arm for a finite t.
+
+    Scale shape: ONE partial-aggregable groupBy with conditional
+    sums — no pivot shuffle, no self-join."""
+    keys = keys or []
+    arm = F.col(arm_col).cast("boolean")
+    s = F.floor(F.col(value_col) * F.lit(10**scale)).cast("decimal(38,0)")
+
+    def csum(cond, e):
+        return F.sum(F.when(cond, e).otherwise(F.lit(0).cast("decimal(38,0)")))
+
+    agg = df.groupBy(*keys).agg(
+        F.sum(arm.cast("bigint")).alias("n_a"),
+        F.sum((~arm).cast("bigint")).alias("n_b"),
+        csum(arm, s).alias("_sa"),
+        csum(~arm, s).alias("_sb"),
+        csum(arm, s * s).alias("_saa"),
+        csum(~arm, s * s).alias("_sbb"),
+    )
+    f = float(10**scale)
+    sa = F.col("_sa").cast("double") / f
+    sb = F.col("_sb").cast("double") / f
+    saa = F.col("_saa").cast("double") / (f * f)
+    sbb = F.col("_sbb").cast("double") / (f * f)
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    mean_a = sa / na
+    mean_b = sb / nb
+    var_a = (saa - sa * sa / na) / (na - 1)
+    var_b = (sbb - sb * sb / nb) / (nb - 1)
+    return agg.select(
+        *keys,
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        ((mean_a - mean_b) / F.sqrt(var_a / na + var_b / nb)).alias(
+            "t_stat"
+        ),
+    )
+
+
+def winsorized_mean(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    keys: list[str] | None = None,
+    low_pct: int = 5,
+    high_pct: int = 95,
+    scale: int = 4,
+) -> DataFrame:
+    """Per-group winsorized mean with EXACT rank-based bounds: values
+    clamp to the group's [p_low, p_high] order statistics (rank over
+    the deterministic (value, id) order; ``low_rank = max(1, low·n
+    div 100)``, ``high_rank = min(n, high·n div 100 + 1)``) before a
+    floor-scaled integer mean — the robust-metric primitive that kills
+    outliers without dropping rows. Every step is integer arithmetic,
+    so the clamped mean reproduces bit-for-bit in any engine.
+
+    Scale shape: one per-group window rank (hash-partitioned by the
+    group — parallel, never a global sort), a group-level bounds
+    aggregate, a broadcast join of the |groups|-row bounds back, and
+    the final partial-aggregable mean."""
+    from pyspark.sql import Window
+
+    keys = keys or []
+    if not keys:
+        raise ValueError("winsorized_mean needs at least one group key")
+    if not 0 <= low_pct < high_pct <= 100:
+        raise ValueError("need 0 <= low_pct < high_pct <= 100")
+    s = F.floor(F.col(value_col) * F.lit(10**scale)).cast("bigint")
+    w = Window.partitionBy(*keys).orderBy(value_col, id_col)
+    d = df.select(
+        *keys, s.alias("_s"),
+        F.row_number().over(w).cast("bigint").alias("_r"),
+    )
+    # two-step: per-group n first, then the rank-indexed bounds via a
+    # conditional aggregate against the broadcast n
+    bounds = d.groupBy(*keys).agg(F.count("*").alias("n"))
+    ranked = d.join(F.broadcast(bounds), keys)
+    lims = ranked.groupBy(*keys).agg(
+        F.max(
+            F.when(
+                F.col("_r")
+                == F.greatest(
+                    F.lit(1).cast("bigint"),
+                    F.expr(f"{low_pct} * n div 100"),
+                ),
+                F.col("_s"),
+            )
+        ).alias("_lo"),
+        F.max(
+            F.when(
+                F.col("_r")
+                == F.least(
+                    F.col("n"), F.expr(f"{high_pct} * n div 100 + 1")
+                ),
+                F.col("_s"),
+            )
+        ).alias("_hi"),
+    )
+    clamped = ranked.join(F.broadcast(lims), keys).select(
+        *keys,
+        "n",
+        F.greatest(F.least(F.col("_s"), F.col("_hi")), F.col("_lo")).alias(
+            "_c"
+        ),
+    )
+    return clamped.groupBy(*keys).agg(
+        F.max("n").alias("n"),
+        F.expr("sum(_c) div max(n)").alias("win_mean_scaled"),
+    )

@@ -477,3 +477,37 @@ def seasonal_index(
             "index_scaled"
         ),
     )
+
+
+def decayed_sum(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: list[str] | None = None,
+    anchor: str = "2024-02-01",
+    scale: int = 4,
+    max_age_days: int = 62,
+) -> DataFrame:
+    """Exponentially time-decayed score with EXACT half-life-per-day
+    decay: each observation contributes ``floor(value·10^scale) >>
+    age_days`` (a right shift IS division by 2^age for non-negative
+    ints), so the trending score is a bit-exact integer in any engine
+    — the recency-weighting primitive behind "what is hot now"
+    rankings, with none of the float-pow drift ``value·0.5^age``
+    accumulates. ``anchor`` pins "now" so the result is a pure
+    function of the data; ages clamp to ``max_age_days`` (shifts past
+    62 are sign-bit territory and contribute 0 anyway).
+
+    Scale shape: pure per-row arithmetic + ONE partial-aggregable
+    groupBy — no window, no join."""
+    keys = keys or []
+    age = F.datediff(F.lit(anchor).cast("date"), F.col(ts_col).cast("date"))
+    age = F.least(F.greatest(age, F.lit(0)), F.lit(max_age_days))
+    s = F.floor(F.col(value_col) * F.lit(10**scale)).cast("bigint")
+    # pyspark's shiftright() only takes a LITERAL bit count — a
+    # per-row shift needs the SQL form
+    d = df.withColumn("_age", age.cast("int")).withColumn("_s", s)
+    return d.groupBy(*keys).agg(
+        F.count("*").alias("n_obs"),
+        F.sum(F.expr("shiftright(_s, _age)")).alias("decayed_scaled"),
+    )

@@ -7162,6 +7162,129 @@ FROM w GROUP BY event_type
 """
 
 
+def r193_decayed_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed trending-score driver check (`dbs.operators
+    .timeseries.decayed_sum`): half-life-per-day recency weighting
+    computed EXACTLY — each observation contributes its floor-scaled
+    value right-shifted by its age in days (shift IS division by
+    2^age on non-negative ints), so the "what is hot now" score is a
+    bit-exact integer both engines must agree on, with none of the
+    float-pow drift of value·0.5^age. Anchor pinned to 2024-02-01 so
+    the result is a pure function of the data. The twin recomputes
+    the same shift arithmetic, so an age off-by-one, a clamp miss, or
+    a scale drift breaks the hash."""
+    from datalake_backend_spark.operators.timeseries import decayed_sum
+
+    ev = table(spark, sf_dir, "events")
+    return decayed_sum(ev, "ts", "value", keys=["event_type"])
+
+
+R193_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+  CAST(SUM(
+    CAST(FLOOR(value * 10000) AS BIGINT)
+    >> LEAST(GREATEST(datediff('day', CAST(ts AS DATE),
+                               DATE '2024-02-01'), 0), 62)
+  ) AS BIGINT) AS decayed_scaled
+FROM events GROUP BY event_type
+"""
+
+
+def r194_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-statistic driver check (`dbs.operators
+    .distributions.welch_ttest`): per event_type, the A/B split by
+    user parity compared with the r159/r123 integer-moments recipe —
+    conditional floor-scaled sums per arm, then ONE closed-form float
+    combination whose expression shape is IDENTICAL in the twin, so
+    every mean, and the t statistic itself, compares BIT-exactly (no
+    tolerance). The experiment-analysis primitive next to r181's
+    CUPED variance reduction."""
+    from datalake_backend_spark.operators.distributions import welch_ttest
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "arm", F.pmod("user_id", F.lit(2)) == 0
+    )
+    return welch_ttest(ev, "arm", "value", keys=["event_type"])
+
+
+R194_SQL = """
+WITH m AS (
+  SELECT event_type,
+    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+    SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS n_b,
+    SUM(CASE WHEN user_id % 2 = 0
+        THEN CAST(FLOOR(value * 10000) AS HUGEINT) ELSE 0 END) AS sa0,
+    SUM(CASE WHEN user_id % 2 <> 0
+        THEN CAST(FLOOR(value * 10000) AS HUGEINT) ELSE 0 END) AS sb0,
+    SUM(CASE WHEN user_id % 2 = 0
+        THEN CAST(FLOOR(value * 10000) AS HUGEINT)
+             * CAST(FLOOR(value * 10000) AS HUGEINT) ELSE 0 END) AS saa0,
+    SUM(CASE WHEN user_id % 2 <> 0
+        THEN CAST(FLOOR(value * 10000) AS HUGEINT)
+             * CAST(FLOOR(value * 10000) AS HUGEINT) ELSE 0 END) AS sbb0
+  FROM events GROUP BY event_type
+),
+d AS (
+  SELECT event_type,
+    CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+    CAST(sa0 AS DOUBLE) / 10000.0 AS sa,
+    CAST(sb0 AS DOUBLE) / 10000.0 AS sb,
+    CAST(saa0 AS DOUBLE) / (10000.0 * 10000.0) AS saa,
+    CAST(sbb0 AS DOUBLE) / (10000.0 * 10000.0) AS sbb,
+    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
+  FROM m
+)
+SELECT event_type, n_a, n_b,
+  sa / na AS mean_a,
+  sb / nb AS mean_b,
+  (sa / na - sb / nb) / sqrt(
+    ((saa - sa * sa / na) / (na - 1)) / na
+    + ((sbb - sb * sb / nb) / (nb - 1)) / nb
+  ) AS t_stat
+FROM d
+"""
+
+
+def r195_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized-mean driver check (`dbs.operators.distributions
+    .winsorized_mean`): per event_type, values clamp to the exact
+    [p5, p95] rank-based order statistics ((value, event_id) total
+    order; integer rank formulas) before a floor-scaled `div` mean —
+    the robust metric that kills outliers without dropping rows. The
+    twin rebuilds the same ranks, bounds, clamps and integer mean, so
+    a rank formula off-by-one, a tie-break drift, or a clamp-side
+    error breaks the hash."""
+    from datalake_backend_spark.operators.distributions import (
+        winsorized_mean,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return winsorized_mean(ev, "value", "event_id", keys=["event_type"])
+
+
+R195_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(FLOOR(value * 10000) AS BIGINT) AS s,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY event_type ORDER BY value, event_id
+         ) AS BIGINT) AS r
+  FROM events
+),
+b AS (SELECT event_type, COUNT(*) AS n FROM d GROUP BY 1),
+l AS (
+  SELECT d.event_type,
+    MAX(CASE WHEN r = GREATEST(1, 5 * n // 100) THEN s END) AS lo,
+    MAX(CASE WHEN r = LEAST(n, 95 * n // 100 + 1) THEN s END) AS hi
+  FROM d JOIN b USING (event_type) GROUP BY 1
+)
+SELECT d.event_type, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(SUM(GREATEST(LEAST(s, hi), lo)) // MAX(n) AS BIGINT)
+         AS win_mean_scaled
+FROM d JOIN b USING (event_type) JOIN l USING (event_type)
+GROUP BY 1
+"""
+
+
 def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OLS regression driver check (`dbs.operators
     .distributions.group_ols`): extended price regressed on quantity
@@ -10215,6 +10338,15 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r192_bitmap_distinct": QuerySpec(
         r192_bitmap_distinct, R192_SQL, "olap-bitmap-index,exact-distinct"
+    ),
+    "r193_decayed_trend": QuerySpec(
+        r193_decayed_trend, R193_SQL, "timeseries-decay,trending-exact"
+    ),
+    "r194_ab_ttest": QuerySpec(
+        r194_ab_ttest, R194_SQL, "experiment-welch-ttest,exact-moments"
+    ),
+    "r195_winsorized_mean": QuerySpec(
+        r195_winsorized_mean, R195_SQL, "stats-winsorize,robust-mean"
     ),
     "r19_grid_buckets": QuerySpec(q19_grid_buckets, Q19_SQL, "F8,A4"),
     "r20_exact_dedup": QuerySpec(q20_exact_dedup, Q20_SQL, "dedup-exact,U3"),

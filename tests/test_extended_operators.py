@@ -1086,3 +1086,65 @@ def test_match_weights_counts_and_guards(spark):
         df.withColumn("s", F.lit(True)), ["brand"], strong_col="s"
     ).collect()[0]
     assert allstrong.m_scaled == allstrong.u_scaled
+
+
+def test_welch_ttest_matches_closed_form(spark):
+    """Welch t (operators/distributions.py:welch_ttest; oracle twin
+    r194): means and t equal the driver-side recomputation over the
+    floor-scaled integers — same formula, same order of operations."""
+    import math
+
+    from datalake_backend_spark.operators.distributions import welch_ttest
+
+    a = [10.5, 12.25, 9.75, 11.0]
+    b = [8.0, 7.5, 9.25]
+    rows = [("g", True, v) for v in a] + [("g", False, v) for v in b]
+    df = spark.createDataFrame(rows, "k string, arm boolean, v double")
+    r = welch_ttest(df, "arm", "v", keys=["k"]).collect()[0]
+
+    def moments(vals):
+        s = sum(math.floor(v * 10**4) for v in vals) / 1e4
+        ss = sum(math.floor(v * 10**4) ** 2 for v in vals) / 1e8
+        n = float(len(vals))
+        return s, ss, n
+
+    sa, saa, na = moments(a)
+    sb, sbb, nb = moments(b)
+    mean_a, mean_b = sa / na, sb / nb
+    var_a = (saa - sa * sa / na) / (na - 1)
+    var_b = (sbb - sb * sb / nb) / (nb - 1)
+    want_t = (mean_a - mean_b) / math.sqrt(var_a / na + var_b / nb)
+    assert (r.n_a, r.n_b) == (4, 3)
+    assert r.mean_a == mean_a and r.mean_b == mean_b
+    assert r.t_stat == want_t  # bit-exact, no tolerance
+
+
+def test_winsorized_mean_clamps_outliers(spark):
+    """Winsorized mean (operators/distributions.py:winsorized_mean;
+    oracle twin r195): with 20 rows, p5 rank = max(1, 100 div 100) = 1
+    and p95 rank = min(20, 19+1) = 20 -> identity; with an outlier and
+    tighter bounds the clamp bites exactly at the rank-order values."""
+    import pytest
+
+    from datalake_backend_spark.operators.distributions import (
+        winsorized_mean,
+    )
+
+    rows = [("g", i, float(i)) for i in range(1, 11)] + [("g", 99, 1000.0)]
+    df = spark.createDataFrame(rows, "k string, id int, v double")
+    # n=11: lo rank = max(1, 55 div 100)=1 -> lo=v(1)=1.0;
+    # hi rank = min(11, (95*11) div 100 + 1)=min(11,11)=11 -> identity
+    r = winsorized_mean(df, "v", "id", keys=["k"]).collect()[0]
+    ident = (sum(i * 10**4 for i in range(1, 11)) + 1000 * 10**4) // 11
+    assert (r.n, r.win_mean_scaled) == (11, ident)
+    # tighter: p10-p90 -> hi rank = min(11, (90*11) div 100 + 1) = 10
+    # -> hi = v(10) = 10.0; the 1000.0 outlier clamps to 10.0
+    r2 = winsorized_mean(
+        df, "v", "id", keys=["k"], low_pct=10, high_pct=90
+    ).collect()[0]
+    want = (sum(i * 10**4 for i in range(1, 11)) + 10 * 10**4) // 11
+    assert r2.win_mean_scaled == want
+    with pytest.raises(ValueError, match="group key"):
+        winsorized_mean(df, "v", "id", keys=[])
+    with pytest.raises(ValueError, match="pct"):
+        winsorized_mean(df, "v", "id", keys=["k"], low_pct=50, high_pct=40)

@@ -220,3 +220,28 @@ def test_seasonal_index_exact_ratios_and_iso_dow(spark):
 
     with pytest.raises(ValueError, match="period"):
         seasonal_index(df, "ts", "v", period="month")
+
+
+def test_decayed_sum_shift_exact(spark):
+    """Exponential decay (operators/timeseries.py:decayed_sum; oracle
+    twin r193): contribution = floor-scaled value >> age-in-days,
+    clamped to [0, max]; anchor pins 'now'."""
+    import datetime as dt
+
+    from datalake_backend_spark.operators.timeseries import decayed_sum
+
+    anchor = dt.datetime(2024, 2, 1)
+    rows = [
+        ("a", anchor, 10.0),                       # age 0: 100000
+        ("a", anchor - dt.timedelta(days=1), 10.0),  # age 1: 50000
+        ("a", anchor - dt.timedelta(days=3), 10.0),  # age 3: 12500
+        ("a", anchor + dt.timedelta(days=5), 8.0),   # future -> age 0: 80000
+        ("b", anchor - dt.timedelta(days=100), 10.0),  # clamped to 62 -> ~0
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {
+        r.k: (r.n_obs, r.decayed_scaled)
+        for r in decayed_sum(df, "ts", "v", keys=["k"]).collect()
+    }
+    assert got["a"] == (4, 100000 + 50000 + 12500 + 80000)
+    assert got["b"] == (1, 100000 >> 62)
