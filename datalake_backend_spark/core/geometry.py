@@ -133,3 +133,52 @@ def zorder_key(*cols: Column, bits: int = 16) -> Column:
             out = bit if out is None else out.bitwiseOR(bit)
     assert out is not None
     return out.alias("zkey")
+
+
+def radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius: int,
+    left_xy: tuple[str, str] = ("x", "y"),
+    right_xy: tuple[str, str] = ("x", "y"),
+) -> DataFrame:
+    """Spatial radius join on INTEGER coordinates: every (left, right)
+    pair within Euclidean distance ``radius``, found with grid
+    blocking + exact refine — never a cross join. The left side
+    explodes into its own cell plus the 8 neighbors (any point within
+    ``radius`` of it lives in one of those cells when the cell width
+    IS the radius), the equi-join on cell keys prunes the space, and
+    the integer predicate ``dx² + dy² ≤ radius²`` refines exactly —
+    no floats, no sqrt, so the pair set is engine-independent.
+
+    Scale shape: candidates = one equi-join on (cx, cy) after a 9×
+    explode of the (usually smaller) left side; density decides the
+    candidate count, the join never materializes the cross product.
+    Output: every left column, every right column, plus ``dist2``.
+    """
+    if radius < 1:
+        raise ValueError("radius must be >= 1")
+    lx, ly = left_xy
+    rx, ry = right_xy
+    r2 = radius * radius
+    neigh = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    lhs = (
+        left.withColumn("_dx", F.explode(neigh))
+        .withColumn("_dy", F.explode(neigh))
+        .withColumn("_cx", F.expr(f"{lx} div {radius} + _dx"))
+        .withColumn("_cy", F.expr(f"{ly} div {radius} + _dy"))
+        .drop("_dx", "_dy")
+    )
+    rhs = right.withColumn(
+        "_cx", F.expr(f"{rx} div {radius}")
+    ).withColumn("_cy", F.expr(f"{ry} div {radius}"))
+    return (
+        lhs.join(rhs, ["_cx", "_cy"])
+        .withColumn(
+            "dist2",
+            (F.col(lx) - F.col(rx)) * (F.col(lx) - F.col(rx))
+            + (F.col(ly) - F.col(ry)) * (F.col(ly) - F.col(ry)),
+        )
+        .where(F.col("dist2") <= F.lit(r2))
+        .drop("_cx", "_cy")
+    )

@@ -54,3 +54,58 @@ def item_cooccurrence(
         .agg(F.count("*").alias("n_baskets"))
         .where(F.col("n_baskets") >= min_support)
     )
+
+
+def association_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket_items: int = 1000,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Market-basket LIFT scoring on top of
+    :func:`item_cooccurrence`: for every supported pair, how much more
+    often the items co-occur than independence predicts —
+    ``lift = P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b)`` — the
+    recommendation/affinity signal behind "customers also bought".
+    Returned as the exact scaled integer ``n_ab·N·scale div
+    (n_a·n_b)`` so the score is engine-independent (log-lift / PMI is
+    the consumer's monotone transform; log is not div-exact).
+
+    Scale shape: the pair pass IS item_cooccurrence (self-join with
+    the megabasket cap); item supports and the basket total are two
+    partial-aggregable aggregates over the same deduped (basket,
+    item) frame, joined back via broadcast (item-support table is
+    |items| rows)."""
+    pairs = item_cooccurrence(
+        df, basket_col, item_col, min_support, max_basket_items
+    )
+    items = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    supp = items.groupBy("_i").agg(F.count("*").alias("_n_item"))
+    total = items.select("_b").distinct().agg(
+        F.count("*").alias("_n_total")
+    )
+    return (
+        pairs.join(
+            F.broadcast(supp.select(F.col("_i").alias("item_a"),
+                                    F.col("_n_item").alias("_na"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(supp.select(F.col("_i").alias("item_b"),
+                                    F.col("_n_item").alias("_nb"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "item_a",
+            "item_b",
+            "n_baskets",
+            F.expr(
+                f"n_baskets * _n_total * {scale}L div (_na * _nb)"
+            ).alias("lift_scaled"),
+        )
+    )

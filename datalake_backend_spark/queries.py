@@ -7285,6 +7285,100 @@ GROUP BY 1
 """
 
 
+def r196_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius-join driver check (`dbs.core.geometry
+    .radius_join`): supplier↔customer pairs within integer Euclidean
+    distance 50000 on closed-form synthetic coordinates (multiplicative
+    -hash points in [0, 10⁶)²) — grid blocking with cell width ==
+    radius (the 9-cell neighborhood provably covers the disk), then
+    the exact integer refine dx²+dy² ≤ r², never a cross join. The
+    DuckDB twin is the BRUTE-FORCE quadratic filter — a genuinely
+    different algorithm that must produce the identical pair set, so
+    a cell off-by-one at a boundary, a missed neighbor cell, or a
+    strictness drift breaks the hash."""
+    from datalake_backend_spark.core.geometry import radius_join
+
+    def coords(df, key):
+        return df.select(
+            F.col(key),
+            F.expr(f"({key} * 2654435761L) % 1000000").alias("x"),
+            F.expr(f"({key} * 40503L) % 1000000").alias("y"),
+        )
+
+    supp = coords(table(spark, sf_dir, "supplier"), "s_suppkey")
+    cust = coords(
+        table(spark, sf_dir, "customer"), "c_custkey"
+    ).withColumnsRenamed({"x": "cx", "y": "cy"})
+    return radius_join(
+        supp, cust, radius=50000, left_xy=("x", "y"), right_xy=("cx", "cy")
+    ).select("s_suppkey", "c_custkey", "dist2")
+
+
+R196_SQL = """
+WITH s AS (
+  SELECT s_suppkey, (s_suppkey * 2654435761) % 1000000 AS x,
+         (s_suppkey * 40503) % 1000000 AS y
+  FROM supplier
+),
+c AS (
+  SELECT c_custkey, (c_custkey * 2654435761) % 1000000 AS x,
+         (c_custkey * 40503) % 1000000 AS y
+  FROM customer
+)
+SELECT s_suppkey, c_custkey,
+       CAST((s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y)
+            AS BIGINT) AS dist2
+FROM s, c
+WHERE (s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y)
+      <= CAST(50000 AS BIGINT) * 50000
+"""
+
+
+def r197_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift driver check (`dbs.operators.association
+    .association_lift`): r175's supported pairs scored by how much
+    more often they co-occur than independence predicts — the exact
+    scaled integer ``n_ab·N·10⁶ div (n_a·n_b)`` (PMI's argument; the
+    log transform is the consumer's). Item supports and the basket
+    total come from the UNCAPPED deduped frame (the cap only guards
+    the quadratic pair pass); the twin recomputes both, so a support
+    taken from the capped frame, a basket total miscounted, or a
+    division rounding drift breaks the hash."""
+    from datalake_backend_spark.operators.association import (
+        association_lift,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return association_lift(
+        li, "l_orderkey", "l_partkey", min_support=2, max_basket_items=1000
+    )
+
+
+R197_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+),
+ok AS (
+  SELECT b FROM items GROUP BY b HAVING COUNT(*) <= 1000
+),
+kept AS (SELECT items.b, items.i FROM items JOIN ok USING (b)),
+pairs AS (
+  SELECT a.i AS item_a, z.i AS item_b, COUNT(*) AS n_ab
+  FROM kept a JOIN kept z ON a.b = z.b AND a.i < z.i
+  GROUP BY a.i, z.i HAVING COUNT(*) >= 2
+),
+supp AS (SELECT i, COUNT(*) AS n_item FROM items GROUP BY i),
+tot AS (SELECT COUNT(DISTINCT b) AS n_total FROM items)
+SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_baskets,
+       CAST((n_ab * n_total * 1000000) // (sa.n_item * sb.n_item)
+            AS BIGINT) AS lift_scaled
+FROM pairs
+JOIN supp sa ON pairs.item_a = sa.i
+JOIN supp sb ON pairs.item_b = sb.i
+CROSS JOIN tot
+"""
+
+
 def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OLS regression driver check (`dbs.operators
     .distributions.group_ols`): extended price regressed on quantity
@@ -10347,6 +10441,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r195_winsorized_mean": QuerySpec(
         r195_winsorized_mean, R195_SQL, "stats-winsorize,robust-mean"
+    ),
+    "r196_radius_join": QuerySpec(
+        r196_radius_join, R196_SQL, "geo-radius-join,grid-blocking"
+    ),
+    "r197_association_lift": QuerySpec(
+        r197_association_lift, R197_SQL, "association-lift,affinity-score"
     ),
     "r19_grid_buckets": QuerySpec(q19_grid_buckets, Q19_SQL, "F8,A4"),
     "r20_exact_dedup": QuerySpec(q20_exact_dedup, Q20_SQL, "dedup-exact,U3"),

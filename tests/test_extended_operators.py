@@ -1148,3 +1148,54 @@ def test_winsorized_mean_clamps_outliers(spark):
         winsorized_mean(df, "v", "id", keys=[])
     with pytest.raises(ValueError, match="pct"):
         winsorized_mean(df, "v", "id", keys=["k"], low_pct=50, high_pct=40)
+
+
+def test_radius_join_boundaries_and_cells(spark):
+    """Grid radius join (core/geometry.py:radius_join; oracle twin
+    r196): exact boundary inclusion (dist == r matches, r+1 does
+    not), matches FOUND ACROSS CELL BORDERS (the 9-cell neighborhood),
+    and negative coordinates still bucket correctly (div truncation
+    keeps cells monotone)."""
+    import pytest
+
+    from datalake_backend_spark.core.geometry import radius_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 0), (2, 100, 100), (3, -7, -7)], "lid int, x long, y long"
+    )
+    right = spark.createDataFrame(
+        [(10, 5, 0),      # dist 5 from lid1: on the r=5 boundary -> in
+         (11, 6, 0),      # dist 6 -> out
+         (12, 103, 104),  # dist 5 from lid2 (3-4-5), crosses cells
+         (13, -4, -3)],   # dist 5 from lid3 (3-4-5), negative coords
+        "rid int, cx long, cy long",
+    )
+    got = {
+        (r.lid, r.rid): r.dist2
+        for r in radius_join(
+            left, right, radius=5,
+            left_xy=("x", "y"), right_xy=("cx", "cy"),
+        ).collect()
+    }
+    # note (1, 13): (0,0) to (-4,-3) is ALSO a 3-4-5 boundary match
+    assert got == {(1, 10): 25, (2, 12): 25, (3, 13): 25, (1, 13): 25}
+    with pytest.raises(ValueError):
+        radius_join(left, right, 0, ("x", "y"), ("cx", "cy"))
+
+
+def test_association_lift_exact_ratio(spark):
+    """Lift scoring (operators/association.py:association_lift;
+    oracle twin r197): supports come from the UNCAPPED frame, total
+    baskets likewise, and the scaled ratio is a truncating div."""
+    from datalake_backend_spark.operators.association import (
+        association_lift,
+    )
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "c")]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    got = association_lift(df, "basket", "item", min_support=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.item_a, r.item_b, r.n_baskets) == ("a", "b", 2)
+    # lift = n_ab*N/(n_a*n_b) = 2*4/(3*2) = 4/3 -> 1333333 scaled
+    assert r.lift_scaled == 2 * 4 * 10**6 // (3 * 2)
