@@ -7379,6 +7379,161 @@ CROSS JOIN tot
 """
 
 
+def r198_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit: for each foreign-key
+    relationship (orders→customer, lineitem→orders, lineitem→part,
+    lineitem→supplier), the child row count, the orphan count (child
+    keys with no parent — left ANTI join, the scalable containment
+    check), and the scaled orphan rate — the first audit a lakehouse
+    runs after every ingest, and the cross-TABLE complement of q114's
+    per-table constraint rules. Each relationship is one anti-join
+    aggregate; the four 1-row results union driver-free. The twin
+    recomputes with NOT IN subqueries, so a lost child row, a
+    miscounted orphan, or a rate rounding drift breaks the hash."""
+    checks = [
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+    ]
+    outs = []
+    for name, child_t, fk, parent_t, pk in checks:
+        child = table(spark, sf_dir, child_t).select(F.col(fk).alias("_k"))
+        parent = table(spark, sf_dir, parent_t).select(
+            F.col(pk).alias("_k")
+        ).distinct()
+        orphans = child.join(parent, "_k", "left_anti")
+        outs.append(
+            child.agg(F.count("*").alias("n_child")).crossJoin(
+                orphans.agg(F.count("*").alias("n_orphans"))
+            ).select(
+                F.lit(name).alias("fk"),
+                "n_child",
+                "n_orphans",
+                F.expr("n_orphans * 1000000L div n_child").alias(
+                    "orphan_rate_scaled"
+                ),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+R198_SQL = """
+SELECT 'orders.o_custkey->customer' AS fk,
+  CAST(COUNT(*) AS BIGINT) AS n_child,
+  CAST(SUM(CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM customer)
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+  CAST(SUM(CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM customer)
+      THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+    AS orphan_rate_scaled
+FROM orders
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders',
+  CAST(COUNT(*) AS BIGINT),
+  CAST(SUM(CASE WHEN l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(SUM(CASE WHEN l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+  CAST(COUNT(*) AS BIGINT),
+  CAST(SUM(CASE WHEN l_partkey NOT IN (SELECT p_partkey FROM part)
+      THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(SUM(CASE WHEN l_partkey NOT IN (SELECT p_partkey FROM part)
+      THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+  CAST(COUNT(*) AS BIGINT),
+  CAST(SUM(CASE WHEN l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+      THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(SUM(CASE WHEN l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+      THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+FROM lineitem
+"""
+
+
+def r199_deadline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadline-funnel driver check: per signed-up user, did a
+    purchase land within 7 DAYS of the FIRST signup — conversion with
+    a deadline, the funnel question r86's unordered cascade and
+    r189's order-only regexp cannot answer (both ignore elapsed
+    time). Exact microsecond timestamps (`unix_micros`): first signup,
+    first qualifying purchase (NULL outside the window), and the
+    boolean verdict; one conditional-aggregate pass per user, no
+    self-join — the purchase-after-signup predicate folds into a
+    conditional MIN. The twin recomputes with the same micro
+    arithmetic, so an inclusive/exclusive boundary drift or a
+    first-vs-any signup mix-up breaks the hash."""
+    ev = table(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("event_type") == "signup",
+                    F.unix_micros("ts"),
+                )
+            ).alias("signup_us"),
+        )
+        .where(F.col("signup_us").isNotNull())
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("_pus")
+    )
+    window_us = 7 * 86_400_000_000
+    joined = per_user.join(purch, "user_id", "left").groupBy(
+        "user_id", "signup_us"
+    ).agg(
+        F.min(
+            F.when(
+                (F.col("_pus") >= F.col("signup_us"))
+                & (F.col("_pus") <= F.col("signup_us") + window_us),
+                F.col("_pus"),
+            )
+        ).alias("first_conv_us")
+    )
+    return joined.select(
+        "user_id",
+        "signup_us",
+        "first_conv_us",
+        F.col("first_conv_us").isNotNull().alias("converted_7d"),
+    )
+
+
+R199_SQL = """
+WITH su AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+           AS signup_us
+  FROM events GROUP BY user_id
+  HAVING MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+         IS NOT NULL
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS pus FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT su.user_id, CAST(signup_us AS BIGINT) AS signup_us,
+  CAST(MIN(CASE WHEN pus >= signup_us
+            AND pus <= signup_us + 7 * 86400000000
+            THEN pus END) AS BIGINT) AS first_conv_us,
+  MIN(CASE WHEN pus >= signup_us
+       AND pus <= signup_us + 7 * 86400000000
+       THEN pus END) IS NOT NULL AS converted_7d
+FROM su LEFT JOIN p ON su.user_id = p.user_id
+GROUP BY su.user_id, signup_us
+"""
+
+
 def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OLS regression driver check (`dbs.operators
     .distributions.group_ols`): extended price regressed on quantity
@@ -10447,6 +10602,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r197_association_lift": QuerySpec(
         r197_association_lift, R197_SQL, "association-lift,affinity-score"
+    ),
+    "r198_fk_audit": QuerySpec(
+        r198_fk_audit, R198_SQL, "data-quality-referential,fk-orphans"
+    ),
+    "r199_deadline_funnel": QuerySpec(
+        r199_deadline_funnel, R199_SQL, "funnel-deadline,conversion-window"
     ),
     "r19_grid_buckets": QuerySpec(q19_grid_buckets, Q19_SQL, "F8,A4"),
     "r20_exact_dedup": QuerySpec(q20_exact_dedup, Q20_SQL, "dedup-exact,U3"),
