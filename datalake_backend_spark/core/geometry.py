@@ -155,11 +155,23 @@ def radius_join(
     explode of the (usually smaller) left side; density decides the
     candidate count, the join never materializes the cross product.
     Output: every left column, every right column, plus ``dist2``.
+    When a right coordinate column name collides with a left column
+    (e.g. both sides use the default ``("x", "y")``), the right
+    column is suffixed ``_r`` in the output so references stay
+    unambiguous.
     """
     if radius < 1:
         raise ValueError("radius must be >= 1")
     lx, ly = left_xy
     rx, ry = right_xy
+    # the join output would make F.col(rx) ambiguous whenever the
+    # right coordinate name also exists on the left — alias the
+    # right side up front so the refine predicate always resolves
+    left_cols = set(left.columns)
+    out_rx = f"{rx}_r" if rx in left_cols else rx
+    out_ry = f"{ry}_r" if ry in left_cols else ry
+    right = right.withColumnRenamed(rx, out_rx).withColumnRenamed(ry, out_ry)
+    rx, ry = out_rx, out_ry
     r2 = radius * radius
     neigh = F.array(*[F.lit(d) for d in (-1, 0, 1)])
     lhs = (

@@ -328,16 +328,84 @@ def _jaccard_on_shingles(
     return out.select("id_a", "id_b", "jaccard")
 
 
+#: caller-supplied pair frames WARN past this many candidates — the
+#: verify stage is linear in the pair count, so an unbounded caller
+#: (e.g. an accidental cross join) goes quadratic with no LSH cap to
+#: save it; same "no silent un-caps" contract as HOT_BUCKET_WARN
+PAIR_WARN = 1_000_000
+
+
 def jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 1,
+    max_pairs: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for given candidate (id_a, id_b) pairs."""
+    """Exact n-gram Jaccard for given candidate (id_a, id_b) pairs.
+
+    The pair frame is caller-supplied, so nothing upstream bounds it
+    (unlike :func:`near_dup_minhash`, whose LSH banding + hot-bucket
+    cap keep candidates near-linear). Two guards:
+
+    - ``max_pairs`` set → eager fail-fast: one cheap
+      ``limit(max_pairs + 1)`` count probe, ``ValueError`` if the
+      frame exceeds it (the probe short-circuits the scan, it never
+      counts the full blowup).
+    - ``max_pairs`` unset → an ``observe()`` watcher WARNs when the
+      executed plan verified more than :data:`PAIR_WARN` candidates,
+      mirroring :func:`_watch_hot_buckets`.
+    """
+    if max_pairs is not None:
+        probe = pairs.limit(max_pairs + 1).count()
+        if probe > max_pairs:
+            raise ValueError(
+                f"jaccard_pairs: candidate frame exceeds max_pairs="
+                f"{max_pairs} — the verify stage is linear in the pair "
+                "count; generate candidates with a bounded blocker "
+                "(LSH bands / length bands / prefix filter) instead of "
+                "an unbounded join"
+            )
+    else:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        pairs = pairs.observe(obs, F.count(F.lit(1)).alias("n_pairs"))
+        _watch_pair_count(obs, PAIR_WARN, "jaccard_pairs")
     sh = shingle_projection(df, text_col, id_col, n)
     return _jaccard_on_shingles(sh, pairs, id_col)
+
+
+def _watch_pair_count(obs, threshold: int, where: str) -> None:
+    """WARN (on a daemon thread, post-execution) when a caller-supplied
+    candidate frame turned out larger than ``threshold`` — the
+    pair-frame twin of :func:`_watch_hot_buckets`, sharing its
+    bounded ``_WATCHERS`` pool."""
+    import threading
+
+    _WATCHERS[:] = [t for t in _WATCHERS if t.is_alive()]
+    if len(_WATCHERS) >= _MAX_WATCHERS:
+        return
+
+    def _wait() -> None:
+        try:
+            m = obs.get
+        except Exception:  # session torn down before any action
+            return
+        n = m.get("n_pairs") or 0
+        if n > threshold:
+            _LOG.warning(
+                "oversized candidate frame in %s: %d pairs verified with "
+                "no max_pairs cap — pass max_pairs to fail fast, or "
+                "generate candidates with a bounded blocker",
+                where,
+                n,
+            )
+
+    t = threading.Thread(target=_wait, daemon=True)
+    t.start()
+    _WATCHERS.append(t)
 
 
 def near_dup_minhash(

@@ -623,7 +623,10 @@ def welch_ttest(
     ``arm_col`` must be boolean-like (true = treatment). Returns
     ``(keys..., n_a, n_b, mean_a, mean_b, t_stat)`` where ``t =
     (mean_a − mean_b) / sqrt(var_a/n_a + var_b/n_b)`` with sample
-    variances. Groups need ≥ 2 observations per arm for a finite t.
+    variances. A group with < 2 observations in either arm gets a
+    NULL ``t_stat`` (and a NULL mean for an empty arm) — enforced
+    with a ``when()`` guard so downstream consumers never see an
+    engine-dependent Inf/NaN rendering.
 
     Scale shape: ONE partial-aggregable groupBy with conditional
     sums — no pivot shuffle, no self-join."""
@@ -653,15 +656,16 @@ def welch_ttest(
     mean_b = sb / nb
     var_a = (saa - sa * sa / na) / (na - 1)
     var_b = (sbb - sb * sb / nb) / (nb - 1)
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
     return agg.select(
         *keys,
         "n_a",
         "n_b",
-        mean_a.alias("mean_a"),
-        mean_b.alias("mean_b"),
-        ((mean_a - mean_b) / F.sqrt(var_a / na + var_b / nb)).alias(
-            "t_stat"
-        ),
+        F.when(F.col("n_a") >= 1, mean_a).alias("mean_a"),
+        F.when(F.col("n_b") >= 1, mean_b).alias("mean_b"),
+        F.when(
+            ok, (mean_a - mean_b) / F.sqrt(var_a / na + var_b / nb)
+        ).alias("t_stat"),
     )
 
 

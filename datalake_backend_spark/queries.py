@@ -6417,7 +6417,13 @@ def r178_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE, so a blocking miss, a distance disagreement, or a
     label-propagation bug all break the hash. The names ride through
     the blocking via ``carry_cols`` — the verify stage does NOT
-    re-join the base table (two shuffled joins gone)."""
+    re-join the base table (two shuffled joins gone). The verify is
+    double-bounded: a LOSSLESS length-band prefilter (levenshtein ≥
+    |len_a − len_b|, so |Δlen| > 2 can never match) skips the DP
+    entirely for most candidates, and the surviving calls use the
+    thresholded ``levenshtein(a, b, 2)`` form that abandons a row as
+    soon as the running distance exceeds 2 (banded O(len·k) instead
+    of O(len²))."""
     from datalake_backend_spark.datapipe.dedup import (
         cluster_near_dups,
         sorted_neighborhood_pairs,
@@ -6431,9 +6437,11 @@ def r178_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = sorted_neighborhood_pairs(
         parts, "name", id_col="doc_id", window=8, carry_cols=["name"]
     )
-    matches = cands.where(
-        F.levenshtein("name_a", "name_b") <= 2
-    ).select("id_a", "id_b")
+    band = (
+        F.abs(F.length("name_a") - F.length("name_b")) <= 2
+    )
+    lev_ok = F.levenshtein("name_a", "name_b", 2) >= 0  # -1 = over threshold
+    matches = cands.where(band & lev_ok).select("id_a", "id_b")
     ents = cluster_near_dups(matches)
     return ents.groupBy("cluster_id").agg(
         F.count("*").alias("n_members"),
@@ -6455,7 +6463,9 @@ cand AS (
   SELECT a.doc_id AS id_a, a.name AS na, b.doc_id AS id_b, b.name AS nb
   FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk < 8
 ),
-pairs AS (SELECT id_a, id_b FROM cand WHERE levenshtein(na, nb) <= 2),
+pairs AS (SELECT id_a, id_b FROM cand
+          WHERE abs(length(na) - length(nb)) <= 2
+            AND levenshtein(na, nb) <= 2),
 und AS (SELECT id_a AS src, id_b AS dst FROM pairs
         UNION ALL SELECT id_b, id_a FROM pairs),
 reach(node, r2) AS (
@@ -7121,8 +7131,10 @@ SELECT event_type, event_id, value FROM c WHERE cb * 100 < 80 * tot
 def r192_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitmap-index distinct driver check: exact distinct users per
     event_type computed the roaring-bitmap way — user ids bucket into
-    64-bit words (``bucket = id div 64``, ``bit = 1 << (id mod
-    64)``), a ``bit_or`` aggregate folds each bucket's word, and
+    32-bit words (``bucket = id div 32``, ``bit = 1 << (id mod
+    32)``; 32 not 64 because DuckDB's BIGINT ``1 << 63`` overflows
+    the sign bit and errors, so bit 63 is unusable in the twin),
+    a ``bit_or`` aggregate folds each bucket's word, and
     ``bit_count`` over the words sums to the EXACT distinct count —
     the OLAP-serving structure that makes COUNT(DISTINCT) mergeable
     across partitions and time (unlike the raw distinct, the words
@@ -7235,12 +7247,14 @@ d AS (
   FROM m
 )
 SELECT event_type, n_a, n_b,
-  sa / na AS mean_a,
-  sb / nb AS mean_b,
-  (sa / na - sb / nb) / sqrt(
-    ((saa - sa * sa / na) / (na - 1)) / na
-    + ((sbb - sb * sb / nb) / (nb - 1)) / nb
-  ) AS t_stat
+  CASE WHEN n_a >= 1 THEN sa / na END AS mean_a,
+  CASE WHEN n_b >= 1 THEN sb / nb END AS mean_b,
+  CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+    (sa / na - sb / nb) / sqrt(
+      ((saa - sa * sa / na) / (na - 1)) / na
+      + ((sbb - sb * sb / nb) / (nb - 1)) / nb
+    )
+  END AS t_stat
 FROM d
 """
 
@@ -7426,36 +7440,48 @@ def r198_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 R198_SQL = """
+-- NOT EXISTS (not NOT IN) to match the Spark side's left-anti join
+-- exactly when keys are NULL: NOT IN over a set containing NULL
+-- yields no-match for every row, while an anti-join treats a NULL
+-- child key as an orphan.
 SELECT 'orders.o_custkey->customer' AS fk,
   CAST(COUNT(*) AS BIGINT) AS n_child,
-  CAST(SUM(CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM customer)
+  CAST(SUM(CASE WHEN NOT EXISTS (
+      SELECT 1 FROM customer WHERE c_custkey = o_custkey)
       THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
-  CAST(SUM(CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM customer)
+  CAST(SUM(CASE WHEN NOT EXISTS (
+      SELECT 1 FROM customer WHERE c_custkey = o_custkey)
       THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
     AS orphan_rate_scaled
 FROM orders
 UNION ALL
 SELECT 'lineitem.l_orderkey->orders',
   CAST(COUNT(*) AS BIGINT),
-  CAST(SUM(CASE WHEN l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+  CAST(SUM(CASE WHEN NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
       THEN 1 ELSE 0 END) AS BIGINT),
-  CAST(SUM(CASE WHEN l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+  CAST(SUM(CASE WHEN NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
       THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
 FROM lineitem
 UNION ALL
 SELECT 'lineitem.l_partkey->part',
   CAST(COUNT(*) AS BIGINT),
-  CAST(SUM(CASE WHEN l_partkey NOT IN (SELECT p_partkey FROM part)
+  CAST(SUM(CASE WHEN NOT EXISTS (
+      SELECT 1 FROM part WHERE p_partkey = l_partkey)
       THEN 1 ELSE 0 END) AS BIGINT),
-  CAST(SUM(CASE WHEN l_partkey NOT IN (SELECT p_partkey FROM part)
+  CAST(SUM(CASE WHEN NOT EXISTS (
+      SELECT 1 FROM part WHERE p_partkey = l_partkey)
       THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
 FROM lineitem
 UNION ALL
 SELECT 'lineitem.l_suppkey->supplier',
   CAST(COUNT(*) AS BIGINT),
-  CAST(SUM(CASE WHEN l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+  CAST(SUM(CASE WHEN NOT EXISTS (
+      SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
       THEN 1 ELSE 0 END) AS BIGINT),
-  CAST(SUM(CASE WHEN l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+  CAST(SUM(CASE WHEN NOT EXISTS (
+      SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
       THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
 FROM lineitem
 """

@@ -72,6 +72,39 @@ def test_jaccard_pairs_exact(spark):
     assert abs(r.jaccard - 7 / 9) < 1e-9
 
 
+def test_jaccard_pairs_max_pairs_guard(spark):
+    # 4 docs → 6 unordered pairs; a cap of 3 must fail fast, a cap
+    # that fits must pass through to the verify stage unchanged
+    docs = _docs(spark)
+    ids = docs.select(F.col("doc_id").alias("id_a"))
+    blowup = ids.crossJoin(
+        docs.select(F.col("doc_id").alias("id_b"))
+    ).where(F.col("id_a") < F.col("id_b"))
+    with pytest.raises(ValueError, match="max_pairs"):
+        jaccard_pairs(docs, blowup, max_pairs=3)
+    ok = jaccard_pairs(docs, blowup, max_pairs=6).collect()
+    assert len(ok) == 6  # under the cap → verify runs normally
+
+
+def test_jaccard_pairs_uncapped_warns(spark, caplog):
+    import logging
+
+    from datalake_backend_spark.datapipe import dedup as _d
+
+    docs = _docs(spark)
+    pairs = spark.createDataFrame([(1, 3), (1, 4)], ["id_a", "id_b"])
+    old = _d.PAIR_WARN
+    _d.PAIR_WARN = 1  # 2 pairs > 1 → watcher fires
+    try:
+        with caplog.at_level(logging.WARNING, logger=_d.__name__):
+            jaccard_pairs(docs, pairs).collect()
+            for t in _d._WATCHERS:
+                t.join(timeout=10)
+        assert any("oversized candidate frame" in r.message for r in caplog.records)
+    finally:
+        _d.PAIR_WARN = old
+
+
 def test_simhash_near_identical_close(spark):
     sigs = {
         r.doc_id: r.sh
