@@ -10213,18 +10213,12 @@ QUERIES: dict[str, QuerySpec] = {
     "q114_constraints": QuerySpec(
         r114_constraints, R114_SQL, "data-quality-constraints,validation"
     ),
-    "q116_incremental_dedup": QuerySpec(
-        r116_incremental_dedup, Q26_SQL, "dedup-incremental,lsh-index"
-    ),
     # fifth rotation (round 7): the codec, lakehouse-DV, source-API and
     # graph families earn their first hard driver rows (JPEG decode,
     # deletion vectors, Python DataSource, integer PageRank);
     # q67/q75/q82/q86 demoted — their families stay in-window via
-    # q26/q71 (containment→LSH+decontam), q127+r131 (codec),
+    # q26/q71 (containment→LSH+decontam), q131 (codec),
     # q62+r101 (embedding/ANN), q48/q52 (funnel→sessionized state)
-    "q127_jpeg_decode_stats": QuerySpec(
-        r127_jpeg_decode_stats, R127_SQL, "multimodal-jpeg-codec"
-    ),
     # Round 10 (eighth) rotation: the real-codec family's second
     # container (GIF/LZW), the graph tier's BFS, the lakehouse deep
     # clone, and the search-serving read side of q134's index earn
@@ -10236,9 +10230,6 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q134_inverted_index": QuerySpec(
         r134_inverted_index, R134_SQL, "search-inverted-index,postings"
-    ),
-    "q135_dv_delete": QuerySpec(
-        r135_dv_delete, R135_SQL, "lakehouse-deletion-vectors,merge-on-read"
     ),
     "q137_media_source": QuerySpec(
         r137_media_source, _r137_sql(), "source-python-datasource,media-files"
@@ -10255,6 +10246,15 @@ QUERIES: dict[str, QuerySpec] = {
     "q147_bfs_hops": QuerySpec(
         r147_bfs_hops, R147_SQL, "graph-bfs,reachability"
     ),
+    # Round 11 (ninth) rotation: four never-driver families earn hard
+    # rows — Hampel rolling anomaly (timeseries), OLAP grouping sets,
+    # first/last-touch attribution (analytics), and the end-to-end
+    # entity-resolution pipeline; q84/q116/q127/q135 move to reserve
+    # (families stay covered: streaming→q66/q74/q79/q80/q95/q111,
+    # dedup→q26, codec→q131, lakehouse→q91/q150/q109).
+    "q149_rolling_anomaly": QuerySpec(
+        r149_rolling_anomaly, R149_SQL, "timeseries-hampel,robust-anomaly"
+    ),
     "q150_deep_clone": QuerySpec(
         r150_deep_clone, R150_SQL, "lakehouse-deep-clone,dv-carryover"
     ),
@@ -10262,13 +10262,22 @@ QUERIES: dict[str, QuerySpec] = {
         r153_media_lifecycle, R153_SQL, "media-ingest-lifecycle,composite"
     ),
     "q15_top_orders_per_segment": QuerySpec(q15_top_orders_per_segment, Q15_SQL, "W8,O4"),
+    "q163_rollup_sets": QuerySpec(
+        r163_rollup_sets, R163_SQL, "olap-rollup-grouping-sets"
+    ),
     "q166_set_similarity_join": QuerySpec(
         r166_set_similarity_join, R166_SQL, "dedup-exact-jaccard,prefix-filter"
     ),
     # byte order: 'q173' < 'q26' ('1' < '2'), so the promoted search
     # serving row sits between q166 and q26
+    "q167_attribution": QuerySpec(
+        r167_attribution, R167_SQL, "analytics-attribution,first-last-touch"
+    ),
     "q173_search_serving": QuerySpec(
         r173_search_serving, R173_SQL, "search-serving-view,bm25-from-index"
+    ),
+    "q178_entity_resolution": QuerySpec(
+        r178_entity_resolution, R178_SQL, "er-pipeline,block-verify-cluster"
     ),
     "q26_minhash_near_dup": QuerySpec(q26_minhash_near_dup, Q26_SQL, "dedup-minhash-lsh"),
     "q45_range_join": QuerySpec(q45_range_join, Q45_SQL, "J-range (custom operator)"),
@@ -10348,9 +10357,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q81_line_dedup": QuerySpec(
         q81_line_dedup, Q81_SQL, "dedup-lines,paragraph-dedup"
     ),
-    "q84_stream_stream_join": QuerySpec(
-        q84_stream_stream_join, Q84_SQL, "streaming-join,interval-join"
-    ),
     # Round 5 second rotation: the versioned-lakehouse, audio-codec,
     # and streaming-dedup surfaces earn driver-green rows; q29/q40/
     # q49/q64 moved to reserve (each operator family keeps another
@@ -10407,6 +10413,10 @@ QUERIES: dict[str, QuerySpec] = {
     "r115_asof_forward": QuerySpec(
         r115_asof_forward, R115_SQL, "J-asof-forward (custom operator)"
     ),
+    # demoted round 11 (dedup family keeps q26 minhash-LSH in-window)
+    "r116_incremental_dedup": QuerySpec(
+        r116_incremental_dedup, Q26_SQL, "dedup-incremental,lsh-index"
+    ),
     "r117_negative_samples": QuerySpec(
         r117_negative_samples, R117_SQL, "sampling-negatives,contrastive"
     ),
@@ -10440,6 +10450,10 @@ QUERIES: dict[str, QuerySpec] = {
     "r126_leakage_safe_split": QuerySpec(
         r126_leakage_safe_split, _r126_sql(), "split-by-cluster,decontamination"
     ),
+    # demoted round 11 (codec family keeps q131 GIF/LZW in-window)
+    "r127_jpeg_decode_stats": QuerySpec(
+        r127_jpeg_decode_stats, R127_SQL, "multimodal-jpeg-codec"
+    ),
     "r128_bloom_decontamination": QuerySpec(
         r128_bloom_decontamination, Q71_SQL, "decontamination-bloom,scale-prefilter"
     ),
@@ -10455,6 +10469,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r133_table_fingerprint": QuerySpec(
         r133_table_fingerprint, R133_SQL, "fingerprint-checksum,replication-verify"
+    ),
+    # demoted round 11 (lakehouse family keeps q91/q150/q109 in-window;
+    # DV read path still driver-checked via r140's reserve twin)
+    "r135_dv_delete": QuerySpec(
+        r135_dv_delete, R135_SQL, "lakehouse-deletion-vectors,merge-on-read"
     ),
     "r136_audio_near_dup": QuerySpec(
         r136_audio_near_dup, R136_SQL, "dedup-audio-perceptual,fingerprint"
@@ -10484,9 +10503,6 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r148_semantic_dedup": QuerySpec(
         r148_semantic_dedup, R148_SQL, "dedup-semantic,semdedup"
-    ),
-    "r149_rolling_anomaly": QuerySpec(
-        r149_rolling_anomaly, R149_SQL, "timeseries-hampel,robust-anomaly"
     ),
     "r14_event_distribution": QuerySpec(q14_event_distribution, Q14_SQL, "A13"),
     "r151_nb_quality_score": QuerySpec(
@@ -10522,17 +10538,11 @@ QUERIES: dict[str, QuerySpec] = {
     "r162_bm25_multi": QuerySpec(
         r162_bm25_multi, R162_SQL, "search-bm25-multi-query,serving-batch"
     ),
-    "r163_rollup_sets": QuerySpec(
-        r163_rollup_sets, R163_SQL, "olap-rollup-grouping-sets"
-    ),
     "r164_status_pivot": QuerySpec(
         r164_status_pivot, R164_SQL, "olap-pivot,conditional-agg"
     ),
     "r165_twap": QuerySpec(
         r165_twap, R165_SQL, "timeseries-twap,interval-weighted"
-    ),
-    "r167_attribution": QuerySpec(
-        r167_attribution, R167_SQL, "analytics-attribution,first-last-touch"
     ),
     "r168_retention_cohorts": QuerySpec(
         r168_retention_cohorts, R168_SQL, "analytics-retention-cohorts"
@@ -10563,9 +10573,6 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r177_random_projection": QuerySpec(
         r177_random_projection, R177_SQL, "embedding-jl-projection,dim-reduce"
-    ),
-    "r178_entity_resolution": QuerySpec(
-        r178_entity_resolution, R178_SQL, "er-pipeline,block-verify-cluster"
     ),
     "r179_skyline": QuerySpec(
         r179_skyline, R179_SQL, "skyline-pareto-frontier,dominance"
@@ -10706,6 +10713,12 @@ QUERIES: dict[str, QuerySpec] = {
     # r112 vocab coverage + r113 doc chunks)
     "r83_tfidf_terms": QuerySpec(
         q83_tfidf_terms, Q83_SQL, "text-tfidf,keyword-extraction"
+    ),
+    # demoted round 11 (streaming family keeps q66/q74/q79/q80/q95/
+    # q111 in-window; the interval-join shape stays oracle-checked
+    # here and via q45's batch range join)
+    "r84_stream_stream_join": QuerySpec(
+        q84_stream_stream_join, Q84_SQL, "streaming-join,interval-join"
     ),
     "r85_sliding_window_counts": QuerySpec(
         q85_sliding_window_counts, Q85_SQL, "streaming-sliding-windows"

@@ -38,12 +38,14 @@ def test_primary_tier_fills_driver_window():
         + ["q47", "q66", "q73", "q74"]
         # round-5 rotation survivors (q75/q82/q86 demoted round 7;
         # q77/q85/q94/q96 demoted round 8; q34/q76/q83/q120 demoted
-        # round 9 with family cover)
-        + [f"q{n}" for n in (78, 79, 80, 81, 84)]
+        # round 9 with family cover; q84 demoted round 11)
+        + [f"q{n}" for n in (78, 79, 80, 81)]
         # second round-5 rotation: lakehouse + streaming dedup
         + ["q91", "q95"]
-        # round-7 rotation: codec / DV / source-API / graph families
-        + ["q127", "q135", "q137", "q145"]
+        # round-7 rotation survivors: source-API / graph families
+        # (q127/q135 demoted round 11 — codec cover via q131,
+        # lakehouse cover via q91/q150/q109)
+        + ["q137", "q145"]
         # round-8 rotation survivors: span-rewrite dedup, media
         # lifecycle (q139/q148 demoted round 10)
         + ["q141", "q153"]
@@ -53,6 +55,9 @@ def test_primary_tier_fills_driver_window():
         # round-10 rotation: GIF/LZW codec, BFS, deep clone,
         # search serving
         + ["q131", "q147", "q150", "q173"]
+        # round-11 rotation: Hampel timeseries, OLAP grouping sets,
+        # attribution, entity resolution — the never-driver families
+        + ["q149", "q163", "q167", "q178"]
     )
     for prefix in must_have:
         assert any(k.startswith(prefix + "_") for k in primary), prefix
