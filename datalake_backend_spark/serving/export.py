@@ -188,3 +188,228 @@ def sync_index_incremental(
     ).text(path)
     con.ack(span)
     return span
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity ES export projections
+# ---------------------------------------------------------------------------
+
+#: fields the reference's uploaders stamp at ingest time, not derived
+#: from the data (``Send_Data_To_DataLake/processing_*.py``: every
+#: uploader adds @timestamp/source_file/processing_date/
+#: processing_version before indexing; @timestamp additionally via the
+#: ``*_timestamp_pipeline`` ingest pipelines in ``*_Dev_Tool.txt``)
+ES_INGEST_METADATA = frozenset(
+    {"@timestamp", "source_file", "processing_date", "processing_version"}
+)
+
+#: the reference's index names, one per domain
+#: (``Documentations/*_Dev_Tool.txt`` PUT lines)
+ES_INDEX_NAMES = {
+    "vehicle": "datalake-vehicle-data",
+    "people": "datalake-people-data",
+    "parking": "datalake-parking-data",
+    "safety": "datalake-safety-data",
+    "pose": "datalake-pose-data",
+    "animal": "datalake-animal-data",
+    "geolocation": "datalake-geolocation-data",
+    "common": "datalake-common-data",
+}
+
+#: which tier feeds each domain's index: vehicle/people/parking upload
+#: one doc per TRACKED ENTITY (the enriched per-track dicts —
+#: ``processing_vehicle.py:108-137``, ``processing_people.py:54-66``,
+#: ``processing_parkingLot.py:53-67``); the rest upload one doc per
+#: DETECTION/FRAME (``processing_animal.py:53-65`` et al. iterate
+#: ``frame_detections``)
+ES_EXPORT_TIER = {
+    "vehicle": "gold",
+    "people": "gold",
+    "parking": "gold",
+    "safety": "silver",
+    "pose": "silver",
+    "animal": "silver",
+    "geolocation": "silver",
+    "common": "silver",
+}
+
+
+def es_export_frame(domain: str, df: DataFrame) -> DataFrame:
+    """Project a domain's gold/silver frame (see :data:`ES_EXPORT_TIER`)
+    to the EXACT field names + shapes the reference's Elasticsearch
+    index expects — the de-facto schema registry in
+    ``Send_Data_To_DataLake/Documentations/*_Dev_Tool.txt`` — so a
+    user migrating dashboards can point them at our bulk export
+    unchanged. Every rename/derivation below mirrors a specific
+    uploader transform (cited inline); engine-internal columns that
+    the reference never indexes are dropped.
+
+    Feed the result to :func:`bulk_index_lines` /
+    :func:`write_bulk_export` with ``ES_INDEX_NAMES[domain]``; the
+    exporter stamps ``@timestamp`` (and callers add
+    source_file/processing_date/processing_version when tracking
+    file-level lineage) exactly like the reference's ingest pipeline.
+    """
+    if domain == "vehicle":
+        # processing_vehicle.py:118-132 — counts collapse to booleans,
+        # first/last_detection rename to entry/exit_time, vehicle key
+        # becomes vehicle_id; Vehicle_Dev_Tool.txt:36-38 flattens the
+        # time_spent_per_direction dict to one float field per key
+        tspd = F.col("time_spent_per_direction")
+        return df.select(
+            F.col("tracker_id").alias("vehicle_id"),
+            "vehicle_type",
+            "vehicle_color",
+            "confidence_avg",
+            F.col("first_detection").alias("entry_time"),
+            F.col("last_detection").alias("exit_time"),
+            "duration_seconds",
+            (F.col("stopped_duration") > 0).alias("stopped"),
+            "frame_count",
+            "avg_speed",
+            "max_speed",
+            "min_speed",
+            "speed_variation",
+            "lane_changes",
+            "initial_lane",
+            "final_lane",
+            "most_common_lane",
+            "lane_change_frequency",
+            (F.col("line_crossing_count") > 0).alias("line_crossing_violation"),
+            "direction",
+            "direction_changes",
+            (F.col("red_light_violation_count") > 0).alias("red_light_violation"),
+            F.coalesce(tspd["Unknown"], F.lit(0.0)).alias(
+                "time_spent_per_direction_Unknown"
+            ),
+            F.coalesce(tspd["Down"], F.lit(0.0)).alias(
+                "time_spent_per_direction_Down"
+            ),
+            F.coalesce(tspd["Up"], F.lit(0.0)).alias(
+                "time_spent_per_direction_Up"
+            ),
+            "total_distance",
+            "movement_angles",
+            "avg_movement_angle",
+        )
+    if domain == "people":
+        # processing_people.py:57-62
+        return df.select(
+            F.col("tracker_id").alias("people_id"),
+            "age",
+            "gender",
+            "carrying",
+            "confidence_avg",
+            "entered_restricted_area",
+            "restricted_area_entry_time",
+            F.col("first_detection").alias("entry_time"),
+            F.col("last_detection").alias("exit_time"),
+            "duration_seconds",
+            "frame_count",
+        )
+    if domain == "parking":
+        # processing_parkingLot.py:53-67 — one doc per slot; sessions
+        # ride as the nested entry_time/exit_time/duration structs of
+        # advanced_preprocessing_parkingLot.py:73-77 (session_id is
+        # engine-internal, dropped). slot_id stays string: the
+        # reference itself casts it to string
+        # (advanced_preprocessing_parkingLot.py:42) even though
+        # Parking_Dev_Tool.txt declares integer — ES coerces numeric
+        # strings on index.
+        return df.select(
+            "slot_id",
+            "slot_status",
+            "total_occupied_seconds",
+            "total_free_seconds",
+            "free_percentage",
+            "became_free",
+            "became_occupied",
+            F.transform(
+                "parking_sessions",
+                lambda s: F.struct(
+                    s["entry_time"].alias("entry_time"),
+                    s["exit_time"].alias("exit_time"),
+                    s["duration"].alias("duration"),
+                ),
+            ).alias("parking_sessions"),
+        )
+    if domain == "safety":
+        # Safety_Dev_Tool.txt:5-20 — per-detection docs; hardhat/mask/
+        # safety_vest index under wearing_* names; the engine's
+        # flattened bbox_x1..y2 convenience columns are not indexed
+        return df.select(
+            "frame_number",
+            "tracker_id",
+            F.col("hardhat").alias("wearing_hardhat"),
+            F.col("mask").alias("wearing_mask"),
+            F.col("safety_vest").alias("wearing_safety_vest"),
+            "safety_status",
+            "missing_items",
+            "bbox",
+        )
+    if domain == "pose":
+        # Pose_Dev_Tool.txt:5-40 — keypoints nested with INTEGER
+        # landmark_id (the raw emits floats; the index contract wants
+        # the ordinal)
+        return df.select(
+            "frame_number",
+            "action",
+            "confidence",
+            F.transform(
+                "keypoints",
+                lambda k: F.struct(
+                    k["landmark_id"].cast("int").alias("landmark_id"),
+                    k["x"].alias("x"),
+                    k["y"].alias("y"),
+                    k["z"].alias("z"),
+                    k["visibility"].alias("visibility"),
+                ),
+            ).alias("keypoints"),
+        )
+    if domain == "animal":
+        # Animal_Dev_Tool.txt:5-15 — per-detection docs named
+        # animal_type/video_timestamp (the doc'd example at :34-38)
+        return df.select(
+            F.col("class_name").alias("animal_type"),
+            "confidence",
+            "area",
+            "frame_number",
+            F.col("timestamp").alias("video_timestamp"),
+        )
+    if domain == "geolocation":
+        # Geolocation_Dev_Tool.txt:5-24; geolocation_latitude/
+        # longitude flattening mirrors basic_preprocessing_geolocation
+        # .py:27. class_id and timestamp are declared in the mapping
+        # but the producer never emits them
+        # (Create_Json_Data/vehicle_service/main.py:336-342) — absent
+        # here too.
+        return df.select(
+            "frame_number",
+            F.col("class_name").alias("class"),
+            "confidence",
+            "bbox",
+            "bbox_x1",
+            "bbox_y1",
+            "bbox_x2",
+            "bbox_y2",
+            F.col("latitude").alias("geolocation_latitude"),
+            F.col("longitude").alias("geolocation_longitude"),
+        )
+    if domain == "common":
+        # Common_Dev_Tool.txt:5-22 — bbox is an OBJECT of integer
+        # corners, not the engine's array form
+        b = F.col("bbox")
+        return df.select(
+            "frame_number",
+            "tracker_id",
+            "class_id",
+            "class_name",
+            "confidence",
+            F.struct(
+                b[0].cast("int").alias("x1"),
+                b[1].cast("int").alias("y1"),
+                b[2].cast("int").alias("x2"),
+                b[3].cast("int").alias("y2"),
+            ).alias("bbox"),
+        )
+    raise ValueError(f"no ES export projection for domain {domain!r}")
