@@ -52,6 +52,26 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"bench: warmup failed: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # The four graph rows (q145/q147/r170/r187) share a derive-once
+    # co-purchase edge table; whichever runs first pays the build and
+    # the rest serialize on its lock, so their per-query times were
+    # first-deriver-pays noise. Materialize it ONCE here, timed as its
+    # own line item (round-11 ask #8) — the graph rows then measure
+    # only their own iteration cost, matching a long-lived engine
+    # where silver tables already exist.
+    edge_build_seconds: float | str
+    try:
+        from datalake_backend_spark.engine import copurchase_edges
+
+        t0 = time.perf_counter()
+        copurchase_edges(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        edge_build_seconds = round(time.perf_counter() - t0, 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: edge build failed: {type(e).__name__}: {e}", file=sys.stderr)
+        edge_build_seconds = f"ERR:{type(e).__name__}"
+
     def run(item: tuple) -> tuple[str, float | str]:
         """Per-query isolation: one query's failure must not abort the
         suite (round 3's official bench died at a single crashing query
@@ -81,6 +101,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "concurrency": workers,
+        "edge_build_seconds": edge_build_seconds,
     }
 
     if workers > 1 and os.environ.get("SPARK_GRAFT_BENCH_SEQUENTIAL", "1") == "1":
@@ -122,6 +143,7 @@ def main() -> None:
         "errors": sorted(k for k, v in timings.items() if isinstance(v, str)),
         "full": "BENCH_FULL.json",
     }
+    compact["edge_build_seconds"] = edge_build_seconds
     if "sequential_seconds" in result:
         compact["sequential_seconds"] = result["sequential_seconds"]
     print(json.dumps(compact, separators=(",", ":")))
