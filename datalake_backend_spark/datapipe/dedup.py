@@ -1687,3 +1687,41 @@ def sorted_neighborhood_pairs(
             *[f"{c}_b" for c in carry],
         )
     )
+
+
+def cluster_keep_best(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup cluster CANONICALIZATION: one representative per
+    cluster, chosen by highest ``score_col`` (smallest id on ties) —
+    the curation step after :func:`cluster_near_dups` that exact
+    dedup's canonical-keep performs for byte-identical docs, extended
+    to near-dup components (keep the longest/cleanest member, drop
+    the rest). Docs in no cluster are singletons that keep themselves.
+
+    Scale shape: one left join docs⟕clusters (clusters is the small
+    side — only docs that HAD a near-dup pair appear) and one hash
+    aggregate with ``max_by`` over a (score, -id) struct; no window,
+    no collect.
+
+    Returns ``(cluster_id, n_members, kept_id, best_score)``.
+    """
+    lab = docs.join(
+        clusters.withColumnsRenamed({"node": id_col}),
+        id_col,
+        "left",
+    ).select(
+        F.col(id_col),
+        F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        F.col(score_col),
+    )
+    return lab.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.max_by(
+            id_col, F.struct(F.col(score_col), (-F.col(id_col)).alias("_t"))
+        ).alias("kept_id"),
+        F.max(score_col).alias("best_score"),
+    )

@@ -739,3 +739,102 @@ def winsorized_mean(
         F.max("n").alias("n"),
         F.expr("sum(_c) div max(n)").alias("win_mean_scaled"),
     )
+
+
+def benford_profile(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    cents: int = 2,
+) -> DataFrame:
+    """Benford first-significant-digit profile — the fraud/data-quality
+    screen: natural multi-scale amounts follow P(d) = log10(1 + 1/d),
+    fabricated or truncated columns don't. Emits per leading digit the
+    count and the observed rate in permille (exact integers).
+
+    The digit is extracted WITHOUT floating logs: ``floor(log10(v))``
+    returns 2.9999999999999996 for some exact powers of ten and the
+    digit silently drifts per engine — instead the value is scaled to
+    an integer (``floor(v·10^cents)``) and the first character of its
+    BIGINT decimal rendering is taken (both Spark and DuckDB render
+    BIGINT as plain digits). Non-positive values are excluded (Benford
+    is defined on positive magnitudes).
+
+    Scale shape: one partial-aggregable groupBy; the permille needs
+    the group total, attached by one broadcast join of #keys rows.
+    """
+    keys = keys or []
+    n = F.floor(F.col(value_col) * F.lit(10**cents)).cast("bigint")
+    digits = df.where(F.col(value_col) > 0).select(
+        *keys,
+        F.substring(n.cast("string"), 1, 1).cast("int").alias("digit"),
+    )
+    counts = digits.groupBy(*keys, "digit").agg(
+        F.count("*").alias("n_values")
+    )
+    totals = digits.groupBy(*keys).agg(F.count("*").alias("_tot"))
+    joined = (
+        counts.join(F.broadcast(totals), keys)
+        if keys
+        else counts.crossJoin(F.broadcast(totals))
+    )
+    return joined.select(
+        *keys,
+        "digit",
+        "n_values",
+        F.expr("n_values * 1000 div _tot").alias("rate_permille"),
+    )
+
+
+def moment_profile(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    scale: int = 4,
+) -> DataFrame:
+    """Per-group skewness and excess kurtosis from integer central
+    moments — distribution-SHAPE profiling (heavy tails, asymmetry)
+    beyond r104's min/max/mean table profile. Power sums s1..s4
+    accumulate as floor-scaled DECIMAL(38,0) (order-independent), then
+    ONE closed-form float combination with the identical expression
+    shape in the DuckDB twin, so both statistics compare bit-exactly
+    (the group_ols / welch_ttest recipe).
+
+    skew = m3 / m2^1.5, kurtosis_excess = m4 / m2² − 3 with population
+    central moments mk = E[(x − mean)^k]. Groups need ≥ 2 rows and
+    nonzero variance for finite output — NULL otherwise (explicit
+    when() guard, never an engine-formatted NaN).
+    """
+    keys = keys or []
+    s = F.floor(F.col(value_col) * F.lit(10**scale)).cast("decimal(38,0)")
+    agg = df.groupBy(*keys).agg(
+        F.count("*").alias("n_obs"),
+        F.sum(s).alias("_s1"),
+        F.sum(s * s).alias("_s2"),
+        F.sum(s * s * s).alias("_s3"),
+        F.sum(s * s * s * s).alias("_s4"),
+    )
+    f = float(10**scale)
+    n = F.col("n_obs").cast("double")
+    s1 = F.col("_s1").cast("double") / f
+    s2 = F.col("_s2").cast("double") / (f * f)
+    s3 = F.col("_s3").cast("double") / (f * f * f)
+    s4 = F.col("_s4").cast("double") / (f * f * f * f)
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - 3 * mean * s2 / n + 2 * mean * mean * mean
+    m4 = (
+        s4 / n
+        - 4 * mean * s3 / n
+        + 6 * mean * mean * s2 / n
+        - 3 * mean * mean * mean * mean
+    )
+    ok = (F.col("n_obs") >= 2) & (m2 > 0)
+    return agg.select(
+        *keys,
+        "n_obs",
+        mean.alias("mean"),
+        F.when(ok, m2).alias("m2"),
+        F.when(ok, m3 / F.sqrt(m2 * m2 * m2)).alias("skewness"),
+        F.when(ok, m4 / (m2 * m2) - 3).alias("kurtosis_excess"),
+    )

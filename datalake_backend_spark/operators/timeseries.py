@@ -511,3 +511,87 @@ def decayed_sum(
         F.count("*").alias("n_obs"),
         F.sum(F.expr("shiftright(_s, _age)")).alias("decayed_scaled"),
     )
+
+
+def running_distinct(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    keys: list[str] | None = None,
+    word_bits: int = 32,
+) -> DataFrame:
+    """EXACT running distinct count per day — cumulative reach / DAU
+    curves ("distinct users seen up to day d"), the query plain
+    COUNT(DISTINCT) cannot answer incrementally because distinct
+    counts don't merge. Bitmap words do (r192's structure): ids bucket
+    into ``word_bits``-bit words per (keys, day, bucket), a windowed
+    ``bit_or`` accumulates each bucket's word across days, and
+    ``bit_count`` sums to the exact cumulative distinct per day.
+
+    32-bit words, not 64: the DuckDB twin's BIGINT ``1 << 63``
+    overflows the sign bit and errors, so bit 63 is unusable there.
+
+    Scale shape: ONE groupBy to (keys, day, bucket) words — the only
+    pass over the data — then the running OR windows over
+    (keys, bucket) partitions whose row count is #days per bucket
+    (metadata-sized), never over events. Output:
+    ``(keys..., day, n_new_or_seen..)`` one row per (keys, day).
+    """
+    from pyspark.sql import Window
+
+    keys = keys or []
+    day = (F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000)).cast(
+        "bigint"
+    )
+    words = (
+        df.select(
+            *keys,
+            day.alias("day"),
+            F.expr(f"{id_col} div {word_bits}").alias("bucket"),
+            F.expr(
+                f"shiftleft(1L, CAST(pmod({id_col}, {word_bits}) AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy(*keys, "day", "bucket")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    w = (
+        Window.partitionBy(*keys, "bucket")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = words.withColumn("cum_word", F.expr("bit_or(word)").over(w))
+    # a bucket contributes its LATEST cumulative word to every later
+    # day it appears on; days where a bucket has no new ids still
+    # carry the old word because the running OR is per bucket — so the
+    # per-day total needs each bucket's most recent word as of that
+    # day. Bucket rows exist only on days with new activity, so roll
+    # the per-day sums with a second cumulative pass over the per-day
+    # DELTAS of bit_count (bit_count(cum) - bit_count(prev cum) is the
+    # bucket's new-id count that day; summing deltas per day then
+    # running-summing over days gives the exact cumulative distinct).
+    prev = F.lag("cum_word").over(
+        Window.partitionBy(*keys, "bucket").orderBy("day")
+    )
+    deltas = run.select(
+        *keys,
+        "day",
+        (
+            F.bit_count("cum_word")
+            - F.coalesce(F.bit_count(prev), F.lit(0))
+        ).alias("_new"),
+    )
+    per_day = deltas.groupBy(*keys, "day").agg(
+        F.sum("_new").alias("n_new_ids")
+    )
+    w2 = (
+        Window.partitionBy(*keys)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_day.select(
+        *keys,
+        "day",
+        "n_new_ids",
+        F.sum("n_new_ids").over(w2).alias("n_distinct_cum"),
+    )

@@ -7560,6 +7560,258 @@ GROUP BY su.user_id, signup_us
 """
 
 
+# --- round-11 additions (r200-r204) ---------------------------------------
+
+
+def r200_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation driver check (`dbs.operators.ranking
+    .rfm_segments`): purchase events fold to per-user recency /
+    frequency / monetary integers, then each metric gets an exact
+    NTILE(5) score over a deterministic (metric, user) order. The
+    engine computes NTILE with the two-phase global rank + the
+    SQL-standard closed form (first `count mod n` buckets take the
+    extra row) — never an unpartitioned data window — while the DuckDB
+    twin uses NATIVE `NTILE()`, so the distributed closed form is
+    value-checked against the SQL standard itself: an off-by-one in
+    the fat-bucket cut, a rank-phase drift, or a tie-break slip breaks
+    the hash."""
+    from datalake_backend_spark.operators.ranking import rfm_segments
+
+    ev = table(spark, sf_dir, "events")
+    return rfm_segments(
+        ev, purchase_filter=F.col("event_type") == "purchase"
+    )
+
+
+R200_SQL = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(FLOOR(value * 10000) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+u AS (
+  SELECT user_id,
+         (SELECT MAX(us) FROM p) - MAX(us) AS recency_us,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(v) AS BIGINT) AS monetary_scaled
+  FROM p GROUP BY user_id
+),
+s AS (
+  SELECT *,
+    NTILE(5) OVER (ORDER BY recency_us, user_id) AS r_score,
+    NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+    NTILE(5) OVER (ORDER BY monetary_scaled DESC, user_id) AS m_score
+  FROM u
+)
+SELECT user_id, recency_us, frequency, monetary_scaled,
+       CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment
+FROM s
+"""
+
+
+def r201_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization driver check (`dbs.datapipe
+    .dedup.cluster_keep_best`): q76's MinHash→connected-components
+    clusters, then ONE representative per cluster — highest n_chars,
+    smallest doc_id on ties — with singletons keeping themselves (the
+    left-join coalesce). This is the curation step that turns a
+    near-dup REPORT into an actual keep/drop decision. The twin
+    rebuilds clusters with the recursive CTE and picks via
+    ROW_NUMBER(ORDER BY n_chars DESC, doc_id), so a tie-break flip, a
+    lost singleton, or a wrong-member drop breaks the hash."""
+    from datalake_backend_spark.datapipe.dedup import (
+        cluster_keep_best,
+        cluster_near_dups,
+        near_dup_minhash,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    pairs = near_dup_minhash(docs, n=1, threshold=0.95, k=64, bands=16)
+    clusters = cluster_near_dups(pairs)
+    return cluster_keep_best(docs, clusters, "n_chars")
+
+
+R201_SQL = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+  FROM documents WHERE doc_id < 400
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95
+),
+und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.node
+),
+lab AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+alld AS (
+  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+         d.n_chars
+  FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 400) d
+  LEFT JOIN lab l ON d.doc_id = l.node
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+  ) AS rn,
+  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+  MAX(n_chars) OVER (PARTITION BY cluster_id) AS best_score
+  FROM alld
+)
+SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+       doc_id AS kept_id, CAST(best_score AS BIGINT) AS best_score
+FROM rk WHERE rn = 1
+"""
+
+
+def r202_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit profile driver check (`dbs.operators
+    .distributions.benford_profile`): leading-significant-digit counts
+    and permille rates of o_totalprice — the fraud / data-quality
+    screen. The digit comes from the BIGINT decimal rendering of the
+    cent-scaled value, NEVER floor(log10(v)) (log10 of exact powers of
+    ten rounds DOWN in some engines and the digit drifts). On this
+    uniform synthetic column the profile is decisively non-Benford —
+    which is exactly what the screen is for. The twin re-extracts the
+    digit from the same string form, so a scaling slip, a sign leak,
+    or a permille rounding drift breaks the hash."""
+    from datalake_backend_spark.operators.distributions import (
+        benford_profile,
+    )
+
+    return benford_profile(table(spark, sf_dir, "orders"), "o_totalprice")
+
+
+R202_SQL = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_values FROM d GROUP BY digit),
+t AS (SELECT SUM(n_values) AS tot FROM c)
+SELECT digit, n_values,
+       CAST(n_values * 1000 // tot AS BIGINT) AS rate_permille
+FROM c, t
+"""
+
+
+def r203_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-reach driver check (`dbs.operators.timeseries
+    .running_distinct`): exact distinct users seen UP TO each day, per
+    event type — the DAU/reach curve COUNT(DISTINCT) cannot answer
+    incrementally because distinct counts don't merge. The engine uses
+    r192's mergeable 32-bit bitmap words (one groupBy to (type, day,
+    bucket) words, running bit_or over metadata-sized bucket
+    partitions, bit_count deltas summed per day); the twin computes
+    the SAME numbers by the first-seen-day formulation — two different
+    algorithms, one answer, so a word-boundary error, a delta
+    double-count, or a day-bucketing drift breaks the hash."""
+    from datalake_backend_spark.operators.timeseries import (
+        running_distinct,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return running_distinct(ev, "ts", "user_id", keys=["event_type"])
+
+
+R203_SQL = """
+WITH fd AS (
+  SELECT event_type, user_id,
+         MIN(epoch_us(ts) // 86400000000) AS day
+  FROM events GROUP BY 1, 2
+),
+nd AS (SELECT event_type, day, COUNT(*) AS n_new FROM fd GROUP BY 1, 2),
+days AS (
+  SELECT DISTINCT event_type,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+j AS (
+  SELECT d.event_type, d.day, COALESCE(n.n_new, 0) AS n_new
+  FROM days d LEFT JOIN nd n
+    ON d.event_type = n.event_type AND d.day = n.day
+)
+SELECT event_type, CAST(day AS BIGINT) AS day,
+       CAST(n_new AS BIGINT) AS n_new_ids,
+       CAST(SUM(n_new) OVER (
+         PARTITION BY event_type ORDER BY day
+       ) AS BIGINT) AS n_distinct_cum
+FROM j
+"""
+
+
+def r204_moment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape driver check (`dbs.operators.distributions
+    .moment_profile`): per-event-type skewness and excess kurtosis
+    from floor-scaled integer power sums s1..s4 (order-independent
+    DECIMAL accumulation) combined in ONE closed-form float expression
+    whose shape is IDENTICAL in the twin — so both shape statistics
+    compare BIT-exactly (the r159/r194 recipe, one moment order
+    higher). The exponential synthetic values make skewness ≈ 2 and
+    kurtosis ≈ 6, so a moment-order slip is numerically loud."""
+    from datalake_backend_spark.operators.distributions import (
+        moment_profile,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return moment_profile(ev, "value", keys=["event_type"])
+
+
+R204_SQL = """
+WITH m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+    SUM(CAST(FLOOR(value * 10000) AS HUGEINT)) AS s1i,
+    SUM(CAST(FLOOR(value * 10000) AS HUGEINT)
+      * CAST(FLOOR(value * 10000) AS HUGEINT)) AS s2i,
+    SUM(CAST(FLOOR(value * 10000) AS HUGEINT)
+      * CAST(FLOOR(value * 10000) AS HUGEINT)
+      * CAST(FLOOR(value * 10000) AS HUGEINT)) AS s3i,
+    SUM(CAST(FLOOR(value * 10000) AS HUGEINT)
+      * CAST(FLOOR(value * 10000) AS HUGEINT)
+      * CAST(FLOOR(value * 10000) AS HUGEINT)
+      * CAST(FLOOR(value * 10000) AS HUGEINT)) AS s4i
+  FROM events GROUP BY event_type
+),
+d AS (
+  SELECT event_type, n_obs, CAST(n_obs AS DOUBLE) AS n,
+    CAST(s1i AS DOUBLE) / 10000.0 AS s1,
+    CAST(s2i AS DOUBLE) / 100000000.0 AS s2,
+    CAST(s3i AS DOUBLE) / 1000000000000.0 AS s3,
+    CAST(s4i AS DOUBLE) / 10000000000000000.0 AS s4
+  FROM m
+),
+e AS (
+  SELECT event_type, n_obs, n, s1 / n AS mean, s2, s3, s4 FROM d
+),
+f AS (
+  SELECT event_type, n_obs, mean,
+    s2 / n - mean * mean AS m2,
+    s3 / n - 3 * mean * s2 / n + 2 * mean * mean * mean AS m3,
+    s4 / n - 4 * mean * s3 / n + 6 * mean * mean * s2 / n
+      - 3 * mean * mean * mean * mean AS m4
+  FROM e
+)
+SELECT event_type, n_obs, mean,
+  CASE WHEN n_obs >= 2 AND m2 > 0 THEN m2 END AS m2,
+  CASE WHEN n_obs >= 2 AND m2 > 0
+       THEN m3 / sqrt(m2 * m2 * m2) END AS skewness,
+  CASE WHEN n_obs >= 2 AND m2 > 0
+       THEN m4 / (m2 * m2) - 3 END AS kurtosis_excess
+FROM f
+"""
+
+
 def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OLS regression driver check (`dbs.operators
     .distributions.group_ols`): extended price regressed on quantity
@@ -10643,6 +10895,22 @@ QUERIES: dict[str, QuerySpec] = {
         r199_deadline_funnel, R199_SQL, "funnel-deadline,conversion-window"
     ),
     "r19_grid_buckets": QuerySpec(q19_grid_buckets, Q19_SQL, "F8,A4"),
+    # ----- round-11 additions -----
+    "r200_rfm_segments": QuerySpec(
+        r200_rfm_segments, R200_SQL, "analytics-rfm,ntile-exact"
+    ),
+    "r201_cluster_keep_best": QuerySpec(
+        r201_cluster_keep_best, R201_SQL, "dedup-canonicalization,curation"
+    ),
+    "r202_benford_digits": QuerySpec(
+        r202_benford_digits, R202_SQL, "data-quality-benford,profile"
+    ),
+    "r203_running_distinct": QuerySpec(
+        r203_running_distinct, R203_SQL, "timeseries-cumulative-reach,bitmap"
+    ),
+    "r204_moment_profile": QuerySpec(
+        r204_moment_profile, R204_SQL, "stats-moments,shape-profile"
+    ),
     "r20_exact_dedup": QuerySpec(q20_exact_dedup, Q20_SQL, "dedup-exact,U3"),
     "r21_doc_fingerprint": QuerySpec(q21_doc_fingerprint, Q21_SQL, "text-fingerprint"),
     "r22_text_quality": QuerySpec(q22_text_quality, Q22_SQL, "text-quality"),

@@ -1199,3 +1199,131 @@ def test_association_lift_exact_ratio(spark):
     assert (r.item_a, r.item_b, r.n_baskets) == ("a", "b", 2)
     # lift = n_ab*N/(n_a*n_b) = 2*4/(3*2) = 4/3 -> 1333333 scaled
     assert r.lift_scaled == 2 * 4 * 10**6 // (3 * 2)
+
+
+def test_ntile_exact_matches_sql_standard(spark):
+    """ntile_exact (operators/ranking.py; oracle twin r200): the
+    closed form must reproduce SQL-standard NTILE — first (count mod
+    n) buckets take the extra row — across remainder shapes, without
+    an unpartitioned data window."""
+    from datalake_backend_spark.operators.ranking import ntile_exact
+
+    for count, n, expect in [
+        (7, 3, [1, 1, 1, 2, 2, 3, 3]),  # rem 1 -> first bucket fat
+        (8, 3, [1, 1, 1, 2, 2, 2, 3, 3]),  # rem 2
+        (6, 3, [1, 1, 2, 2, 3, 3]),  # rem 0
+        (2, 5, [1, 2]),  # count < n -> singleton buckets
+    ]:
+        df = spark.createDataFrame([(i,) for i in range(count)], "id bigint")
+        got = {
+            r.id: r.bucket
+            for r in ntile_exact(df, ["id"], n).collect()
+        }
+        assert [got[i] for i in range(count)] == expect, (count, n)
+
+
+def test_rfm_segments_deterministic(spark):
+    """rfm_segments (operators/ranking.py; r200): known tiny corpus —
+    heavy buyer scores 1/1 on frequency/monetary, stale buyer scores
+    worst recency."""
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.operators.ranking import rfm_segments
+
+    rows = [
+        # user 1: recent + frequent + big
+        (1, "2024-01-10 00:00:00", 100.0),
+        (1, "2024-01-11 00:00:00", 100.0),
+        (1, "2024-01-12 00:00:00", 100.0),
+        # user 2: stale single small purchase
+        (2, "2024-01-01 00:00:00", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, s string, value double")
+    df = df.select("user_id", F.col("s").cast("timestamp").alias("ts"), "value")
+    got = {r.user_id: r for r in rfm_segments(df, n=2).collect()}
+    assert got[1].segment == "111"
+    assert got[2].segment == "222"
+    assert got[1].recency_us == 0
+    assert got[2].frequency == 1
+
+
+def test_cluster_keep_best_picks_and_singletons(spark):
+    """cluster_keep_best (datapipe/dedup.py; r201): representative =
+    max score then min id; unclustered docs keep themselves."""
+    from datalake_backend_spark.datapipe.dedup import cluster_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (9, 7)], "doc_id bigint, n_chars bigint"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "node bigint, cluster_id bigint"
+    )
+    got = {
+        r.cluster_id: r
+        for r in cluster_keep_best(docs, clusters, "n_chars").collect()
+    }
+    assert got[1].kept_id == 2  # ties on 30 -> smaller id
+    assert got[1].n_members == 3 and got[1].best_score == 30
+    assert got[9].kept_id == 9 and got[9].n_members == 1
+
+
+def test_benford_profile_digit_extraction(spark):
+    """benford_profile (operators/distributions.py; r202): digits come
+    from the integer rendering — exact powers of ten land on their own
+    digit (the floor(log10) trap), negatives and zeros are excluded."""
+    from datalake_backend_spark.operators.distributions import (
+        benford_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(10.0,), (100.0,), (1000.0,), (19.99,), (95.0,), (-5.0,), (0.0,)],
+        "v double",
+    )
+    got = {r.digit: r for r in benford_profile(df, "v").collect()}
+    assert got[1].n_values == 4  # 10, 100, 1000, 19.99
+    assert got[9].n_values == 1
+    assert sum(r.n_values for r in got.values()) == 5  # -5 and 0 dropped
+    assert got[1].rate_permille == 800
+
+
+def test_running_distinct_counts_first_appearances(spark):
+    """running_distinct (operators/timeseries.py; r203): re-appearing
+    ids never re-count; per-day news sum to the cumulative curve."""
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.operators.timeseries import (
+        running_distinct,
+    )
+
+    rows = [
+        ("2024-01-01 01:00:00", 1),
+        ("2024-01-01 02:00:00", 2),
+        ("2024-01-02 01:00:00", 1),  # repeat — not new
+        ("2024-01-02 02:00:00", 33),  # same bucket as 1 (div 32)
+        ("2024-01-04 01:00:00", 2),  # repeat on a later day
+    ]
+    df = spark.createDataFrame(rows, "s string, user_id bigint").select(
+        F.col("s").cast("timestamp").alias("ts"), "user_id"
+    )
+    got = {r.day: r for r in running_distinct(df, "ts", "user_id").collect()}
+    days = sorted(got)
+    assert [got[d].n_new_ids for d in days] == [2, 1, 0]
+    assert [got[d].n_distinct_cum for d in days] == [2, 3, 3]
+
+
+def test_moment_profile_known_shape(spark):
+    """moment_profile (operators/distributions.py; r204): a symmetric
+    two-point distribution has skew 0 and kurtosis_excess -2; a
+    constant column guards to NULL."""
+    from datalake_backend_spark.operators.distributions import (
+        moment_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0.0), ("a", 1.0), ("b", 5.0), ("b", 5.0)],
+        "k string, v double",
+    )
+    got = {r.k: r for r in moment_profile(df, "v", keys=["k"]).collect()}
+    assert abs(got["a"].skewness) < 1e-12
+    assert abs(got["a"].kurtosis_excess + 2) < 1e-9
+    assert got["b"].skewness is None  # zero variance -> guarded NULL
