@@ -838,3 +838,163 @@ def moment_profile(
         F.when(ok, m3 / F.sqrt(m2 * m2 * m2)).alias("skewness"),
         F.when(ok, m4 / (m2 * m2) - 3).alias("kurtosis_excess"),
     )
+
+
+def cramers_v(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Cramér's V — the [0,1] association STRENGTH between two
+    categorical columns that the raw chi-square statistic (r160) can't
+    give because chi² grows with table size: V = sqrt(chi² / (T·k)),
+    k = min(rows−1, cols−1). The effect-size screen for "is this
+    feature actually related to that label, or just big-data
+    significant?".
+
+    The chi² numerator uses :func:`chi_square_contingency`'s
+    all-BIGINT per-cell floor formula (scaled by ``scale``) PLUS the
+    exact zero-cell correction that the observed-cells-only partials
+    drop: a cell with o = 0 contributes (0−e)²/e = e, and
+    Σ_all-cells e = T, so
+
+        chi² = Σ_observed (o−e)²/e + (T − Σ_observed e)
+
+    — without it, a perfectly-associated 2×2 table (half its cells
+    empty) reports HALF its true chi² and V ≈ 0.71 instead of 1.
+    Both pieces stay in DECIMAL integers; V then comes from ONE
+    closed-form float expression — exact-integer doubles through IEEE
+    division and a correctly-rounded sqrt — bit-identical in any
+    IEEE-754 engine (the r204 moment recipe). Output: one row
+    ``(n_total, n_row_cats, n_col_cats, chi2_scaled, cramers_v)``.
+
+    Scale shape: one contingency groupBy over the data; everything
+    after aggregates #cells rows — metadata. Cardinalities must be
+    categorical (cells ≪ data), which is the operator's contract.
+    """
+    cells = df.groupBy(row_col, col_col).agg(F.count("*").alias("o"))
+    rows = cells.groupBy(row_col).agg(F.sum("o").alias("r"))
+    colt = cells.groupBy(col_col).agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("t"))
+    per_cell = (
+        cells.join(rows, row_col)
+        .join(F.broadcast(colt), col_col)
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_term",
+            F.expr(
+                # r160's formula: see chi_square_contingency for the
+                # decimal-widening and remainder-identity rationale
+                "  (cast(o * t - r * c as decimal(38,0))"
+                "   * cast(o * t - r * c as decimal(38,0)))"
+                " div greatest(cast(1 as decimal(38,0)),"
+                f"  (cast(r as decimal(38,0)) * c * t"
+                f"   - (cast(r as decimal(38,0)) * c * t) % {scale})"
+                f"  / {scale})"
+            ),
+        )
+        .withColumn(
+            "_e_scaled",
+            # e·scale = r·c·scale/t, exact integer via the remainder
+            # identity (r·c·scale overflows int64 at ~3e9-row tables)
+            F.expr(
+                f"(cast(r as decimal(38,0)) * c * {scale}"
+                f" - (cast(r as decimal(38,0)) * c * {scale}) % t) / t"
+            ),
+        )
+    )
+    cols = df.groupBy().agg(
+        F.countDistinct(col_col).alias("n_col_cats")
+    )
+    agg = per_cell.groupBy().agg(
+        (
+            F.sum("_term")
+            + F.max("t").cast("decimal(38,0)") * scale
+            - F.sum("_e_scaled")
+        ).alias("_chi2"),
+        F.countDistinct(row_col).alias("n_row_cats"),
+        F.max("t").alias("n_total"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(cols))
+        .select(
+            "n_total",
+            "n_row_cats",
+            "n_col_cats",
+            F.col("_chi2").cast("double").alias("chi2_scaled"),
+            F.sqrt(
+                F.col("_chi2").cast("double")
+                / F.lit(float(scale))
+                / (
+                    F.col("n_total")
+                    * F.greatest(
+                        F.least(
+                            F.col("n_row_cats") - 1, F.col("n_col_cats") - 1
+                        ),
+                        F.lit(1),
+                    )
+                ).cast("double")
+            ).alias("cramers_v"),
+        )
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    id_col: str,
+    scale: int = 4,
+) -> DataFrame:
+    """Per-group Gini coefficient of a value column — the inequality /
+    concentration screen (revenue concentration per brand, traffic
+    concentration per source, shuffle-key skew grading). Uses the
+    rank formulation over the ascending (value, id) order:
+
+        G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ)
+
+    with floor-scaled BIGINT values, so both integer accumulators are
+    order-independent and the single final float division is
+    engine-exact (numerator and denominator are exact-integer doubles;
+    one IEEE division). 0 = perfectly equal, →1 = one row holds all
+    the mass. ``Σ i·xᵢ`` widens to DECIMAL(38,0): rank·value reaches
+    n·max_scaled, and its SUM is Θ(n²·x̄) — int64 wraps silently past
+    ~10⁵ rows · 10⁹ scaled units.
+
+    Scale shape: ONE hash-partitioned per-group sort window (the
+    row_number + running accumulators share it), one groupBy(keys) —
+    the per-group row counts bound the window, no global sort. Groups
+    must be real partitions of the data (brands, sources); for a
+    single global group reach for the two-phase
+    ``ranking.global_running_sum`` instead.
+    """
+    mult = 10**scale
+    v = F.floor(F.col(value_col) * mult).cast("bigint")
+    w = Window.partitionBy(*key_cols).orderBy(value_col, id_col)
+    d = (
+        df.withColumn("_v", v)
+        .withColumn("_i", F.row_number().over(w).cast("bigint"))
+    )
+    return d.groupBy(*key_cols).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("_v").alias("sum_scaled"),
+        F.sum(
+            (F.col("_i") * F.col("_v")).cast("decimal(38,0)")
+        ).alias("_ix"),
+    ).select(
+        *key_cols,
+        "n_rows",
+        "sum_scaled",
+        (
+            (
+                F.lit(2) * F.col("_ix").cast("double")
+                - (F.col("n_rows") + 1).cast("double")
+                * F.col("sum_scaled").cast("double")
+            )
+            / (
+                F.col("n_rows").cast("double")
+                * F.col("sum_scaled").cast("double")
+            )
+        ).alias("gini"),
+    )

@@ -382,3 +382,142 @@ def kcore_peel(
         F.col("src").alias("node"), "core_degree"
     )
     return _finish(result, cached, materialize)
+
+
+def pointer_jump_roots(
+    parents: DataFrame,
+    max_depth: int = 32,
+    materialize: bool = True,
+) -> DataFrame:
+    """Resolve every node of a forest to its root AND exact depth in
+    O(log depth) rounds via pointer jumping — the hierarchy-flattening
+    primitive (org charts, category trees, thread ancestry, BOM
+    roll-up paths). Input: ``(node, parent)`` with roots self-parented
+    (``parent == node``). Output: ``(node, root, depth)``.
+
+    The naive walk is one join per LEVEL (a 20-deep tree = 20
+    shuffles); pointer jumping squares the pointer each round —
+    state ``(node, anc, d)`` joins to ``anc``'s own state and becomes
+    ``(node, anc', d + d')`` — so ``ceil(log2(max_depth))`` rounds
+    resolve any tree of depth ≤ ``max_depth``. At 100 TB this is the
+    difference between 5 shuffles and 100+: the Wyllie-style
+    list-ranking recipe (JáJá, *Introduction to Parallel Algorithms*,
+    §3.1), expressed as self-joins Catalyst can plan. Roots carry
+    ``d = 0`` and self-loop, so converged rows are fixed points of the
+    doubling step and the round count is a safe over-estimate, never a
+    correctness knob below the true depth (callers pass a bound they
+    can defend; the depth audit is one ``max(depth)`` away).
+
+    All-integer, bit-exact in any engine; the r205 DuckDB twin walks
+    the SAME forest with a recursive CTE — one step per level, the
+    opposite algorithm — and must agree on every (root, depth) pair.
+
+    Contract: the forest is CLOSED — every ``parent`` value appears as
+    a ``node`` row (roots included, self-parented). A dangling parent
+    would silently drop its subtree at the first inner join; validate
+    upstream with an anti-join audit (q114-family) when ingesting
+    untrusted hierarchies.
+    """
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+    rounds = max(1, (max_depth - 1).bit_length())
+    cached: list[DataFrame] = []
+    state = parents.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("parent").cast("bigint").alias("anc"),
+        F.when(F.col("parent") == F.col("node"), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("d"),
+    ).persist()
+    cached.append(state)
+    for _ in range(rounds):
+        hop = state.select(
+            F.col("node").alias("_j"),
+            F.col("anc").alias("_janc"),
+            F.col("d").alias("_jd"),
+        )
+        state = (
+            state.join(hop, state.anc == hop._j)
+            .select(
+                "node",
+                F.col("_janc").alias("anc"),
+                (F.col("d") + F.col("_jd")).alias("d"),
+            )
+            .persist()
+        )
+        cached.append(state)
+    result = state.select(
+        "node", F.col("anc").alias("root"), F.col("d").alias("depth")
+    )
+    return _finish(result, cached, materialize)
+
+
+def bounded_sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    materialize: bool = True,
+) -> DataFrame:
+    """Single-source (or multi-source) shortest paths with INTEGER
+    edge costs, bounded to ``max_hops`` relaxation rounds — the
+    weighted companion of :func:`bfs_hops` (supplier closeness,
+    influence radius, cheapest referral chain). Input ``edges``:
+    ``(src, dst, cost)`` with non-negative integer costs; ``sources``:
+    a ``node`` column (distance 0). Output: ``(node, dist)`` — the
+    exact minimum cost over paths of ≤ ``max_hops`` edges, which is
+    Bellman-Ford truncated to a fixed round budget: like
+    :func:`kcore_peel`, the bound IS the semantics (an L-hop
+    neighborhood query), so the result is a deterministic integer
+    function of the edge list and the oracle can pin it bit-exactly.
+
+    Scale shape: per round ONE equi-join (current frontier ⋈ edges on
+    src) + ONE ``min`` aggregate, with the frontier pruned to rows
+    that IMPROVED this round — settled nodes stop generating work, so
+    dense graphs converge to empty frontiers well before the bound
+    (the delta-stepping observation, minus the priority buckets that
+    don't map to a shuffle engine). Costs stay BIGINT throughout; no
+    floats, no ties to break (min is total).
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    cached: list[DataFrame] = []
+    edges = edges.select(
+        "src", "dst", F.col("cost").cast("bigint").alias("cost")
+    ).persist()
+    cached.append(edges)
+    best = sources.select("node").distinct().withColumn(
+        "dist", F.lit(0).cast("bigint")
+    ).persist()
+    cached.append(best)
+    frontier = best
+    for _ in range(max_hops):
+        relaxed = (
+            frontier.join(edges, frontier.node == edges.src)
+            .groupBy("dst")
+            .agg(F.min(F.col("dist") + F.col("cost")).alias("cand"))
+            .select(F.col("dst").alias("node"), F.col("cand").alias("dist"))
+        )
+        merged = (
+            best.select("node", "dist")
+            .unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .persist()
+        )
+        cached.append(merged)
+        # frontier = nodes whose best improved this round (new nodes or
+        # strictly smaller dist) — only they can relax their neighbors
+        improved = (
+            merged.alias("m")
+            .join(best.alias("b"), "node", "left_outer")
+            .where(
+                F.col("b.dist").isNull() | (F.col("m.dist") < F.col("b.dist"))
+            )
+            .select("node", F.col("m.dist").alias("dist"))
+            .persist()
+        )
+        cached.append(improved)
+        best = merged
+        frontier = improved
+    return _finish(best, cached, materialize)

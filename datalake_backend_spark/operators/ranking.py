@@ -161,3 +161,141 @@ def rfm_segments(
             "", F.col("r_score"), F.col("f_score"), F.col("m_score")
         ).alias("segment"),
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """Append the INCLUSIVE running sum of ``value_col`` over a global
+    deterministic total order — the two-phase prefix-sum idiom of
+    :func:`global_rank` extended to carry a value: range-repartition
+    on the order keys, cumsum within partitions, then add each
+    partition's offset from a prefix sum over #partitions metadata
+    rows. Never an unpartitioned data window; ``value_col`` must be
+    integral (BIGINT) so the sum is order-independent and
+    engine-exact."""
+    part = Window.partitionBy("_p").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    base = (
+        df.repartitionByRange(*[F.col(c) for c in order_cols])
+        .withColumn("_p", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+        .withColumn("_ls", F.sum(value_col).over(part).cast("bigint"))
+    )
+    sizes = base.groupBy("_p").agg(F.sum(value_col).alias("_pv"))
+    off_w = Window.orderBy("_p").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "_p", F.coalesce(F.sum("_pv").over(off_w), F.lit(0)).alias("_off")
+    )
+    return (
+        base.join(F.broadcast(offsets), "_p")
+        .withColumn(out_col, F.col("_ls") + F.col("_off"))
+        .drop("_p", "_ls", "_off")
+    )
+
+
+def abc_classification(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    a_pct: int = 80,
+    b_pct: int = 95,
+) -> DataFrame:
+    """Pareto / ABC inventory classification — the ops-analytics
+    staple: rank items by value descending, then class A = items
+    inside the first ``a_pct``% of cumulative value, B = the next
+    slice up to ``b_pct``%, C = the tail. A row's class comes from its
+    INCLUSIVE cumulative share via integer cross-multiplication
+    (``cum·100 ≤ pct·total``), so the boundaries are engine-exact —
+    no float shares, no rounding policy to disagree on.
+
+    ``value_col`` must already be an integral (scaled) column.
+    Output: ``(id, value, cum_value, abc_class)``.
+
+    Scale shape: the ordering and cumulative sum are the two-phase
+    global prefix sum (:func:`global_running_sum`) — one range
+    shuffle, per-partition windows, #partitions-row offsets — and the
+    1-row grand total broadcasts. No single-reducer sort at any size.
+    """
+    if not 0 < a_pct < b_pct <= 100:
+        raise ValueError("need 0 < a_pct < b_pct <= 100")
+    items = df.select(
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("bigint").alias("value"),
+        (-F.col(value_col)).cast("bigint").alias("_neg"),
+    )
+    cum = global_running_sum(
+        items, ["_neg", "id"], "value", out_col="cum_value"
+    ).drop("_neg")
+    total = cum.groupBy().agg(F.sum("value").alias("_tot"))
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .withColumn(
+            "abc_class",
+            F.when(
+                F.col("cum_value") * 100 <= F.lit(a_pct) * F.col("_tot"),
+                F.lit("A"),
+            )
+            .when(
+                F.col("cum_value") * 100 <= F.lit(b_pct) * F.col("_tot"),
+                F.lit("B"),
+            )
+            .otherwise(F.lit("C")),
+        )
+        .drop("_tot")
+    )
+
+
+def score_deciles(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    id_col: str,
+    n: int = 10,
+) -> DataFrame:
+    """Decile lift / gains table — the model-evaluation report that
+    answers "if I act on the top 10% by score, what share of the
+    positives do I capture?". Rows rank by ``score_col`` DESCENDING
+    (``id_col`` breaks ties), split into ``n`` exact NTILE buckets
+    (:func:`ntile_exact` — distributed, SQL-standard fat-bucket rule),
+    and per bucket the operator reports row count, positive count,
+    the cumulative positive count, and two integer-exact rates:
+    ``rate_permille`` (positives per 1000 rows in the bucket) and
+    ``cum_capture_permille`` (share of ALL positives captured by this
+    bucket and better ones). ``label_col`` is a boolean Column or
+    column name.
+
+    All counts and both rates are integers (cross-multiplied permille
+    floors), so a DuckDB twin using native NTILE must agree
+    bit-for-bit. Scale shape: the two-phase global rank is the only
+    ordering pass; everything after aggregates n buckets — metadata.
+    """
+    label = F.col(label_col) if isinstance(label_col, str) else label_col
+    scored = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(score_col).alias("_score"),
+        label.cast("boolean").alias("_label"),
+    ).withColumn("_neg", -F.col("_score"))
+    bucketed = ntile_exact(scored, ["_neg", "_id"], n, out_col="decile")
+    per = bucketed.groupBy("decile").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("_label").cast("bigint")).alias("n_pos"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per.groupBy().agg(F.sum("n_pos").alias("_tp"))
+    return (
+        per.withColumn("cum_pos", F.sum("n_pos").over(w))  # n rows: metadata
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_rows",
+            "n_pos",
+            "cum_pos",
+            F.expr("n_pos * 1000 div n_rows").alias("rate_permille"),
+            F.expr("cum_pos * 1000 div _tp").alias("cum_capture_permille"),
+        )
+    )

@@ -595,3 +595,103 @@ def running_distinct(
         "n_new_ids",
         F.sum("n_new_ids").over(w2).alias("n_distinct_cum"),
     )
+
+
+def period_over_period(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: list[str] | None = None,
+    period: str = "month",
+    scale: int = 4,
+) -> DataFrame:
+    """Period-over-period deltas — the MoM/YoY report every OLAP
+    dashboard opens with. Per (keys, period-bucket): the floor-scaled
+    integer value sum, the PREVIOUS period's sum (lag over the
+    per-key period order), the signed absolute delta, and
+    ``ratio_permille`` = current·1000 div previous (exact integer;
+    NULL for the first period). Positive-over-positive integer
+    division truncates identically in Spark (`div`) and DuckDB (`//`),
+    so the ratio is engine-exact without touching floats or the
+    floor-vs-truncate divergence signed division would hit.
+
+    Scale shape: ONE groupBy to (keys, period) partial-aggregated
+    buckets — the only pass over the data — then the lag window runs
+    over per-key PERIOD rows (dozens), metadata-sized at any corpus
+    size. ``period`` is any ``date_trunc`` unit (month, week, day,
+    quarter, year).
+    """
+    keys = keys or []
+    mult = 10**scale
+    bucket = F.date_trunc(period, F.col(ts_col)).cast("date")
+    agg = (
+        df.select(
+            *keys,
+            bucket.alias("period_start"),
+            F.floor(F.col(value_col) * mult).cast("bigint").alias("_v"),
+        )
+        .groupBy(*keys, "period_start")
+        .agg(F.sum("_v").alias("value_scaled"))
+    )
+    w = Window.partitionBy(*keys).orderBy("period_start")
+    prev = F.lag("value_scaled").over(w)
+    return agg.select(
+        *keys,
+        "period_start",
+        "value_scaled",
+        prev.alias("prev_scaled"),
+        (F.col("value_scaled") - prev).alias("delta_scaled"),
+        F.expr("value_scaled * 1000 div prev_scaled").alias(
+            "ratio_permille"
+        ),
+    )
+
+
+def activity_streaks(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Consecutive-day activity streaks per id — the gaps-and-islands
+    classic (login streaks, SLA uptime runs, habit analytics). Days
+    with ≥1 event collapse to distinct (id, day) rows; the island key
+    is ``day − row_number`` over the per-id day order (consecutive
+    days share it — the Tabibitosan trick), and per id the operator
+    reports total active days, number of islands, the LONGEST streak
+    length, and the start day of that longest streak (earliest start
+    on ties, pinned).
+
+    Scale shape: ONE distinct to (id, day) — the only shuffle over
+    the data — then both windows partition BY ID over that id's
+    active-day rows (≤ #days each, metadata-sized per key), and the
+    final groupBy(id) folds islands. Day = epoch_us div 86400e6, the
+    engine-exact day bucket used across the registry.
+    """
+    day = (F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000)).cast(
+        "bigint"
+    )
+    days = df.select(
+        F.col(id_col).alias("id"), day.alias("day")
+    ).distinct()
+    w = Window.partitionBy("id").orderBy("day")
+    islands = days.withColumn(
+        "island", F.col("day") - F.row_number().over(w)
+    )
+    per_island = islands.groupBy("id", "island").agg(
+        F.count("*").alias("streak_len"),
+        F.min("day").alias("streak_start"),
+    )
+    return per_island.groupBy("id").agg(
+        F.sum("streak_len").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+        F.max("streak_len").alias("longest_streak"),
+        F.min_by(
+            "streak_start", F.struct(-F.col("streak_len"), F.col("streak_start"))
+        ).alias("longest_start_day"),
+    ).select(
+        F.col("id").alias("user_id"),
+        "n_active_days",
+        "n_streaks",
+        "longest_streak",
+        "longest_start_day",
+    )

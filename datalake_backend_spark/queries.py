@@ -7812,6 +7812,392 @@ FROM f
 """
 
 
+# --- round-11 additions, batch 2 (r205-r212) -------------------------------
+
+
+def r205_tree_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointer-jumping hierarchy flattening driver check (`dbs
+    .operators.graph.pointer_jump_roots`): customers form a 10-ary
+    forest (parent = custkey div 10, single-digit keys are roots) and
+    every node resolves to its root AND exact depth in
+    ceil(log2(max_depth)) doubling rounds — 4 shuffle rounds for any
+    tree up to depth 16, where the naive walk pays one join PER LEVEL.
+    The DuckDB twin walks the SAME forest with a recursive CTE (one
+    step per level — the opposite algorithm), so a doubling-step
+    distance slip, a lost root self-loop, or an early-exit bug breaks
+    the hash on every (root, depth) pair."""
+    from datalake_backend_spark.operators.graph import pointer_jump_roots
+
+    cust = table(spark, sf_dir, "customer")
+    parents = cust.select(
+        F.col("c_custkey").alias("node"),
+        F.when(F.col("c_custkey") <= 9, F.col("c_custkey"))
+        .otherwise(F.expr("c_custkey div 10"))
+        .alias("parent"),
+    )
+    return pointer_jump_roots(parents, max_depth=16)
+
+
+R205_SQL = """
+WITH RECURSIVE f AS (
+  SELECT c_custkey AS node,
+         CASE WHEN c_custkey <= 9 THEN c_custkey
+              ELSE c_custkey // 10 END AS parent
+  FROM customer
+),
+walk(node, anc, d) AS (
+  SELECT node, node, 0 FROM f
+  UNION ALL
+  SELECT w.node, p.parent, w.d + 1
+  FROM walk w JOIN f p ON p.node = w.anc
+  WHERE p.parent <> w.anc
+)
+SELECT w.node, CAST(w.anc AS BIGINT) AS root, CAST(w.d AS BIGINT) AS depth
+FROM walk w JOIN f r ON r.node = w.anc AND r.parent = r.node
+"""
+
+
+def r206_bounded_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded weighted shortest-path driver check (`dbs.operators
+    .graph.bounded_sssp`): the co-purchase bipartite graph gets
+    integer closeness costs (1 + 1e6 div shared-lineitem-count — more
+    shared lines, cheaper hop) and Bellman-Ford relaxes 4 rounds from
+    customer c1, i.e. the exact min-cost over paths of ≤ 4 edges. The
+    engine prunes the frontier to rows that IMPROVED each round
+    (settled nodes stop generating work); the twin re-relaxes the FULL
+    distance table each round (unrolled d0..d4 CTEs, no pruning) — two
+    different work schedules that must agree on every (node, dist)
+    pair, so a pruning bug that drops a still-improving node is
+    exactly what the hash catches."""
+    from datalake_backend_spark.operators.graph import bounded_sssp
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    pair = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    cost = F.expr("1 + 1000000 div cnt").alias("cost")
+    edges = pair.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), cost
+    ).unionByName(
+        pair.select(F.col("s").alias("src"), F.col("c").alias("dst"), cost)
+    )
+    seed = spark.range(1).select(F.lit("c1").alias("node"))
+    return bounded_sssp(edges, seed, max_hops=4)
+
+
+_R206_PREFIX = """
+WITH pair AS (
+  SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT c AS src, s AS dst, 1 + 1000000 // cnt AS cost FROM pair
+  UNION ALL
+  SELECT s, c, 1 + 1000000 // cnt FROM pair
+),
+d0 AS (SELECT 'c1' AS node, CAST(0 AS BIGINT) AS dist)"""
+
+
+def _r206_round(k: int) -> str:
+    return f""",
+r{k} AS (
+  SELECT e.dst AS node, MIN(d{k - 1}.dist + e.cost) AS dist
+  FROM d{k - 1} JOIN e ON e.src = d{k - 1}.node GROUP BY 1
+),
+d{k} AS (
+  SELECT node, MIN(dist) AS dist
+  FROM (SELECT * FROM d{k - 1} UNION ALL SELECT * FROM r{k}) u
+  GROUP BY 1
+)"""
+
+
+R206_SQL = (
+    _R206_PREFIX
+    + "".join(_r206_round(k) for k in range(1, 5))
+    + "\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d4"
+)
+
+
+def r207_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period driver check (`dbs.operators.timeseries
+    .period_over_period`): monthly revenue per order priority with the
+    previous month's value, the signed delta, and current·1000 div
+    previous — the MoM dashboard row. Everything is floor-scaled
+    BIGINT (positive//positive, where Spark `div` truncation equals
+    DuckDB `//` flooring), so a month-bucket drift, a lag
+    misalignment, or a ratio rounding slip breaks the hash."""
+    from datalake_backend_spark.operators.timeseries import (
+        period_over_period,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    return period_over_period(
+        orders,
+        "o_orderdate",
+        "o_totalprice",
+        keys=["o_orderpriority"],
+        period="month",
+    )
+
+
+R207_SQL = """
+WITH m AS (
+  SELECT o_orderpriority,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS period_start,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 10000) AS BIGINT))
+              AS BIGINT) AS value_scaled
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, period_start, value_scaled,
+       LAG(value_scaled) OVER w AS prev_scaled,
+       value_scaled - LAG(value_scaled) OVER w AS delta_scaled,
+       CAST(value_scaled * 1000 // LAG(value_scaled) OVER w AS BIGINT)
+         AS ratio_permille
+FROM m WINDOW w AS (PARTITION BY o_orderpriority ORDER BY period_start)
+"""
+
+
+def r208_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands driver check (`dbs.operators.timeseries
+    .activity_streaks`): per user, consecutive-day activity streaks
+    from the events table — total active days, island count, longest
+    streak, and the longest streak's start day (earliest on ties,
+    pinned via min_by over (-len, start) vs the twin's ROW_NUMBER
+    (len DESC, start)). The island key is the Tabibitosan
+    day − row_number; a distinct-day slip, an off-by-one in the island
+    key, or a tie-break flip all break the hash."""
+    from datalake_backend_spark.operators.timeseries import (
+        activity_streaks,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return activity_streaks(ev, "ts", "user_id")
+
+
+R208_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id AS id,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+isl AS (
+  SELECT id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY id ORDER BY day) AS island
+  FROM days
+),
+per AS (
+  SELECT id, island, CAST(COUNT(*) AS BIGINT) AS streak_len,
+         MIN(day) AS streak_start
+  FROM isl GROUP BY 1, 2
+),
+rk AS (
+  SELECT id, streak_len, streak_start,
+         ROW_NUMBER() OVER (
+           PARTITION BY id ORDER BY streak_len DESC, streak_start
+         ) AS rn,
+         SUM(streak_len) OVER (PARTITION BY id) AS n_active_days,
+         COUNT(*) OVER (PARTITION BY id) AS n_streaks,
+         MAX(streak_len) OVER (PARTITION BY id) AS longest_streak
+  FROM per
+)
+SELECT id AS user_id,
+       CAST(n_active_days AS BIGINT) AS n_active_days,
+       CAST(n_streaks AS BIGINT) AS n_streaks,
+       CAST(longest_streak AS BIGINT) AS longest_streak,
+       CAST(streak_start AS BIGINT) AS longest_start_day
+FROM rk WHERE rn = 1
+"""
+
+
+def r209_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V driver check (`dbs.operators.distributions
+    .cramers_v`): the [0,1] association strength between market
+    segment and nation — r160's chi-square numerator (all-BIGINT
+    per-cell floors) folded through ONE closed-form float expression
+    (exact-integer doubles, IEEE division, correctly-rounded sqrt)
+    that is shaped identically in the twin, so the effect size
+    compares BIT-exactly. A marginal slip, a wrong dof (min(r,c)−1),
+    or a scale leak all move the value."""
+    from datalake_backend_spark.operators.distributions import cramers_v
+
+    cust = table(spark, sf_dir, "customer")
+    return cramers_v(cust, "c_mktsegment", "c_nationkey")
+
+
+R209_SQL = """
+WITH cells AS (
+  SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS o
+  FROM customer GROUP BY 1, 2
+),
+rt AS (SELECT c_mktsegment, CAST(SUM(o) AS BIGINT) AS r
+       FROM cells GROUP BY 1),
+ct AS (SELECT c_nationkey, CAST(SUM(o) AS BIGINT) AS c
+       FROM cells GROUP BY 1),
+tt AS (SELECT CAST(SUM(o) AS BIGINT) AS t FROM cells),
+per_cell AS (
+  SELECT cells.c_mktsegment,
+    ((o * t - r * c) * (o * t - r * c))
+      // GREATEST(1, (r * c * t) // 1000000) AS term,
+    (r * c * 1000000) // t AS e_scaled
+  FROM cells
+  JOIN rt USING (c_mktsegment)
+  JOIN ct USING (c_nationkey), tt
+),
+agg AS (
+  SELECT SUM(term) + 1000000 * (SELECT t FROM tt) - SUM(e_scaled) AS chi2,
+         CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_row_cats,
+         (SELECT t FROM tt) AS n_total,
+         (SELECT CAST(COUNT(DISTINCT c_nationkey) AS BIGINT)
+          FROM customer) AS n_col_cats
+  FROM per_cell
+)
+SELECT n_total, n_row_cats, n_col_cats,
+       CAST(chi2 AS DOUBLE) AS chi2_scaled,
+       sqrt(CAST(chi2 AS DOUBLE) / 1000000.0
+            / CAST(n_total * GREATEST(
+                LEAST(n_row_cats - 1, n_col_cats - 1), 1) AS DOUBLE))
+         AS cramers_v
+FROM agg
+"""
+
+
+def r210_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration driver check (`dbs.operators.distributions
+    .gini_concentration`): revenue inequality per order priority via
+    the rank formulation (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over the
+    ascending (price, orderkey) order — floor-scaled BIGINT values,
+    DECIMAL(38,0) rank·value accumulation (Θ(n²·x̄) wraps int64), and
+    ONE final float division, so the coefficient compares bit-exactly.
+    A rank-order flip, an (n+1) off-by-one, or an overflow all move
+    it."""
+    from datalake_backend_spark.operators.distributions import (
+        gini_concentration,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    return gini_concentration(
+        orders, ["o_orderpriority"], "o_totalprice", "o_orderkey"
+    )
+
+
+R210_SQL = """
+WITH d AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(o_totalprice * 10000) AS BIGINT) AS v,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice, o_orderkey
+         ) AS i
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(v) AS BIGINT) AS sum_scaled,
+       (2 * CAST(SUM(CAST(i AS HUGEINT) * v) AS DOUBLE)
+        - CAST(COUNT(*) + 1 AS DOUBLE) * CAST(SUM(v) AS DOUBLE))
+       / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(v) AS DOUBLE)) AS gini
+FROM d GROUP BY 1
+"""
+
+
+def r211_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification driver check (`dbs.operators
+    .ranking.abc_classification`): parts rank by scaled lineitem
+    revenue descending and class into A (first 80% of cumulative
+    revenue), B (to 95%), C (tail) via integer cross-multiplied
+    boundaries over the two-phase global prefix sum — no
+    single-reducer sort. The twin computes the SAME classes with one
+    cumulative window, so a prefix-sum offset bug, a boundary
+    strictness flip, or an order-key tie slip reclassifies rows and
+    breaks the hash."""
+    from datalake_backend_spark.operators.ranking import abc_classification
+
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("id")).agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 10000).cast("long")
+        ).alias("value")
+    )
+    return abc_classification(rev, "id", "value")
+
+
+R211_SQL = """
+WITH rev AS (
+  SELECT l_partkey AS id,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 10000) AS BIGINT))
+              AS BIGINT) AS value
+  FROM lineitem GROUP BY 1
+),
+c AS (
+  SELECT id, value,
+         SUM(value) OVER (
+           ORDER BY value DESC, id ROWS UNBOUNDED PRECEDING
+         ) AS cum_value,
+         SUM(value) OVER () AS tot
+  FROM rev
+)
+SELECT id, value, CAST(cum_value AS BIGINT) AS cum_value,
+       CASE WHEN cum_value * 100 <= 80 * tot THEN 'A'
+            WHEN cum_value * 100 <= 95 * tot THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c
+"""
+
+
+def r212_score_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / gains-table driver check (`dbs.operators.ranking
+    .score_deciles`): documents rank by n_chars descending into 10
+    exact NTILE buckets (the r200 distributed closed form) and each
+    decile reports row count, English-document count, cumulative
+    positives, and two integer permille rates (bucket hit rate,
+    cumulative capture) — the model-evaluation gains table. The twin
+    uses NATIVE NTILE + cumulative windows, so a fat-bucket boundary
+    slip or a cumulative misorder shifts a decile's counts and breaks
+    the hash."""
+    from datalake_backend_spark.operators.ranking import score_deciles
+
+    docs = table(spark, sf_dir, "documents")
+    return score_deciles(
+        docs, "n_chars", F.col("lang") == "en", "doc_id", n=10
+    )
+
+
+R212_SQL = """
+WITH s AS (
+  SELECT doc_id, n_chars, (lang = 'en') AS pos,
+         NTILE(10) OVER (ORDER BY n_chars DESC, doc_id) AS decile
+  FROM documents
+),
+per AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) FILTER (WHERE pos) AS BIGINT) AS n_pos
+  FROM s GROUP BY 1
+),
+c AS (
+  SELECT decile, n_rows, n_pos,
+         SUM(n_pos) OVER (
+           ORDER BY decile ROWS UNBOUNDED PRECEDING
+         ) AS cum_pos,
+         SUM(n_pos) OVER () AS tp
+  FROM per
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_rows, n_pos,
+       CAST(cum_pos AS BIGINT) AS cum_pos,
+       CAST(n_pos * 1000 // n_rows AS BIGINT) AS rate_permille,
+       CAST(cum_pos * 1000 // tp AS BIGINT) AS cum_capture_permille
+FROM c
+"""
+
+
+
 def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OLS regression driver check (`dbs.operators
     .distributions.group_ols`): extended price regressed on quantity
@@ -10910,6 +11296,30 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r204_moment_profile": QuerySpec(
         r204_moment_profile, R204_SQL, "stats-moments,shape-profile"
+    ),
+    "r205_tree_paths": QuerySpec(
+        r205_tree_paths, R205_SQL, "graph-pointer-jumping,hierarchy-flatten"
+    ),
+    "r206_bounded_sssp": QuerySpec(
+        r206_bounded_sssp, R206_SQL, "graph-weighted-sssp,bounded-paths"
+    ),
+    "r207_period_over_period": QuerySpec(
+        r207_period_over_period, R207_SQL, "olap-period-over-period,mom"
+    ),
+    "r208_activity_streaks": QuerySpec(
+        r208_activity_streaks, R208_SQL, "sequence-streaks,gaps-islands"
+    ),
+    "r209_cramers_v": QuerySpec(
+        r209_cramers_v, R209_SQL, "stats-cramers-v,association-strength"
+    ),
+    "r210_gini_concentration": QuerySpec(
+        r210_gini_concentration, R210_SQL, "analytics-gini,concentration"
+    ),
+    "r211_abc_classification": QuerySpec(
+        r211_abc_classification, R211_SQL, "olap-abc,pareto"
+    ),
+    "r212_score_deciles": QuerySpec(
+        r212_score_deciles, R212_SQL, "evaluation-lift-gains,decile-capture"
     ),
     "r20_exact_dedup": QuerySpec(q20_exact_dedup, Q20_SQL, "dedup-exact,U3"),
     "r21_doc_fingerprint": QuerySpec(q21_doc_fingerprint, Q21_SQL, "text-fingerprint"),

@@ -1327,3 +1327,159 @@ def test_moment_profile_known_shape(spark):
     assert abs(got["a"].skewness) < 1e-12
     assert abs(got["a"].kurtosis_excess + 2) < 1e-9
     assert got["b"].skewness is None  # zero variance -> guarded NULL
+
+
+def test_pointer_jump_roots_forest(spark):
+    """pointer_jump_roots (operators/graph.py; r205): a two-tree
+    forest resolves every node to the right root with exact depth,
+    including depths larger than one doubling round."""
+    from datalake_backend_spark.operators.graph import pointer_jump_roots
+
+    # chain 1<-2<-3<-4<-5 (depths 0..4) and star 10<-{11,12}
+    rows = [(1, 1), (2, 1), (3, 2), (4, 3), (5, 4), (10, 10), (11, 10), (12, 10)]
+    df = spark.createDataFrame(rows, "node bigint, parent bigint")
+    got = {r.node: (r.root, r.depth) for r in pointer_jump_roots(df, max_depth=8).collect()}
+    assert got == {
+        1: (1, 0), 2: (1, 1), 3: (1, 2), 4: (1, 3), 5: (1, 4),
+        10: (10, 0), 11: (10, 1), 12: (10, 1),
+    }
+
+
+def test_bounded_sssp_prefers_cheap_two_hop(spark):
+    """bounded_sssp (operators/graph.py; r206): a cheap 2-edge path
+    beats an expensive direct edge; nodes beyond the hop bound stay
+    unreached; the frontier pruning never drops an improving node."""
+    from datalake_backend_spark.operators.graph import bounded_sssp
+
+    edges = spark.createDataFrame(
+        [("a", "b", 10), ("a", "c", 1), ("c", "b", 2), ("b", "d", 1),
+         ("d", "e", 1), ("e", "f", 1)],
+        "src string, dst string, cost bigint",
+    )
+    seed = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.dist for r in bounded_sssp(edges, seed, max_hops=3).collect()}
+    # a->c->b = 3 beats a->b = 10; d improves to 4 on round 3 via the
+    # pruned-but-improving b; e only via the expensive a->b->d->e = 12
+    # (the cheap route needs 4 hops); f beyond the bound entirely
+    assert got == {"a": 0, "c": 1, "b": 3, "d": 4, "e": 12}
+
+
+def test_period_over_period_lag_and_ratio(spark):
+    """period_over_period (operators/timeseries.py; r207): first
+    period has NULL prev/ratio; ratio is exact integer permille."""
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.operators.timeseries import (
+        period_over_period,
+    )
+
+    rows = [("2024-01-05", 10.0), ("2024-01-20", 10.0), ("2024-02-10", 30.0)]
+    df = spark.createDataFrame(rows, "d string, v double").select(
+        F.col("d").cast("date").alias("d"), "v"
+    )
+    got = sorted(
+        period_over_period(df, "d", "v").collect(),
+        key=lambda r: r.period_start,
+    )
+    assert got[0].prev_scaled is None and got[0].ratio_permille is None
+    assert got[1].prev_scaled == 200000
+    assert got[1].delta_scaled == 100000
+    assert got[1].ratio_permille == 1500
+
+
+def test_activity_streaks_islands_and_tiebreak(spark):
+    """activity_streaks (operators/timeseries.py; r208): duplicate
+    events per day collapse, islands split on gaps, and the longest
+    streak's start day picks the EARLIEST on equal lengths."""
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.operators.timeseries import (
+        activity_streaks,
+    )
+
+    days = ["01", "02", "02", "04", "05", "08"]  # streaks 2,2,1
+    rows = [(f"2024-01-{d} 12:00:00", 7) for d in days]
+    df = spark.createDataFrame(rows, "s string, user_id bigint").select(
+        F.col("s").cast("timestamp").alias("ts"), "user_id"
+    )
+    [r] = activity_streaks(df, "ts", "user_id").collect()
+    assert r.n_active_days == 5
+    assert r.n_streaks == 3
+    assert r.longest_streak == 2
+    # ties between the two length-2 streaks -> earliest start day (Jan 1)
+    assert r.longest_start_day == 19723  # 2024-01-01 epoch day
+
+
+def test_cramers_v_perfect_association(spark):
+    """cramers_v (operators/distributions.py; r209): a bijective 2x2
+    table gives V = 1 — which REQUIRES the zero-cell correction (the
+    observed-cells-only chi2 would halve it to ~0.71) — and
+    independent columns give V ~ 0. Counts are sized so r*c*t >> scale
+    (the operator's categorical-over-big-data contract; below that the
+    floored divisor coarsens the per-cell terms)."""
+    from datalake_backend_spark.operators.distributions import cramers_v
+
+    dep = spark.createDataFrame(
+        [("x", 1), ("x", 1), ("y", 2), ("y", 2)] * 1250, "a string, b bigint"
+    )
+    [r] = cramers_v(dep, "a", "b").collect()
+    assert r.n_row_cats == 2 and r.n_col_cats == 2
+    assert abs(r.cramers_v - 1.0) < 1e-6
+    ind = spark.createDataFrame(
+        [("x", 1), ("x", 2), ("y", 1), ("y", 2)] * 1250, "a string, b bigint"
+    )
+    [r2] = cramers_v(ind, "a", "b").collect()
+    assert r2.cramers_v < 1e-3
+
+
+def test_gini_extremes(spark):
+    """gini_concentration (operators/distributions.py; r210): equal
+    values -> 0; one row holding all mass -> (n-1)/n."""
+    from datalake_backend_spark.operators.distributions import (
+        gini_concentration,
+    )
+
+    eq = spark.createDataFrame(
+        [("g", i, 5.0) for i in range(4)], "k string, id bigint, v double"
+    )
+    [r] = gini_concentration(eq, ["k"], "v", "id").collect()
+    assert abs(r.gini) < 1e-12
+    one = spark.createDataFrame(
+        [("g", 1, 0.0), ("g", 2, 0.0), ("g", 3, 0.0), ("g", 4, 100.0)],
+        "k string, id bigint, v double",
+    )
+    [r2] = gini_concentration(one, ["k"], "v", "id").collect()
+    assert abs(r2.gini - 0.75) < 1e-12
+
+
+def test_abc_classification_boundaries(spark):
+    """abc_classification (operators/ranking.py; r211): inclusive
+    cumulative-share boundaries — the row that lands exactly ON the
+    a_pct line is still A."""
+    from datalake_backend_spark.operators.ranking import abc_classification
+
+    # values 50,30,15,5 (total 100): cum 50,80,95,100 -> A,A,B,C
+    df = spark.createDataFrame(
+        [(1, 50), (2, 30), (3, 15), (4, 5)], "id bigint, value bigint"
+    )
+    got = {r.id: r.abc_class for r in abc_classification(df, "id", "value").collect()}
+    assert got == {1: "A", 2: "A", 3: "B", 4: "C"}
+
+
+def test_score_deciles_capture(spark):
+    """score_deciles (operators/ranking.py; r212): with all positives
+    in the top bucket, decile 1 captures 1000 permille; counts follow
+    the SQL NTILE fat-bucket rule."""
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.operators.ranking import score_deciles
+
+    rows = [(i, float(100 - i), i <= 5) for i in range(1, 22)]  # 21 rows
+    df = spark.createDataFrame(rows, "id bigint, score double, label boolean")
+    got = {r.decile: r for r in score_deciles(df, "score", "label", "id", n=10).collect()}
+    # 21 rows into 10 buckets: first bucket has 3 rows, rest 2
+    assert got[1].n_rows == 3 and got[10].n_rows == 2
+    assert got[1].n_pos == 3 and got[2].n_pos == 2
+    assert got[2].cum_pos == 5
+    assert got[2].cum_capture_permille == 1000
+    assert got[3].n_pos == 0

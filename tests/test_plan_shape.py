@@ -309,3 +309,24 @@ def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_global_running_sum_no_unpartitioned_data_window(spark):
+    """global_running_sum / abc_classification (operators/ranking.py;
+    r211): the cumulative sum must come from per-partition windows +
+    a metadata-row offset prefix sum — an unpartitioned WindowExec
+    over the DATA (rows >> #partitions) would be the single-reducer
+    sort the two-phase idiom exists to avoid. The offsets window IS
+    unpartitioned, but runs over #shuffle-partitions rows; assert the
+    data-side window keeps its _p partition key."""
+    from datalake_backend_spark.operators.ranking import abc_classification
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100 + 1) for i in range(200)], "id bigint, value bigint"
+    )
+    out = abc_classification(df, "id", "value")
+    plan = plan_of(out)
+    assert "windowspecdefinition(_p" in plan or "partitionBy" not in plan, plan
+    # and the result is correct end-to-end: cum of the top row == its value
+    top = out.orderBy("cum_value").limit(1).collect()[0]
+    assert top.cum_value == top.value
