@@ -998,3 +998,54 @@ def gini_concentration(
             )
         ).alias("gini"),
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    scale: int = 4,
+) -> DataFrame:
+    """Exact per-group WEIGHTED median — "the price point where half
+    the UNITS (not half the rows) sit below": the lower weighted
+    median, i.e. the smallest value whose INCLUSIVE cumulative weight
+    reaches half the group's total, decided by the integer
+    cross-multiplication ``2·cumw ≥ totw`` (no float shares, no
+    midpoint interpolation policy to disagree on). Values floor-scale
+    to BIGINT; weights must already be integral.
+
+    Scale shape: ONE per-group sort window carries the cumulative
+    weight and the unbounded-frame total (the quality_budget_keep
+    idiom); a min aggregate then picks each group's crossing row.
+    Per-group, hash-partitioned — no global sort. For a single global
+    group, compose ``ranking.global_running_sum`` instead.
+    """
+    mult = 10**scale
+    w = Window.partitionBy(*key_cols).orderBy(value_col, weight_col)
+    d = (
+        df.withColumn(
+            "_v", F.floor(F.col(value_col) * mult).cast("bigint")
+        )
+        .withColumn("_w", F.col(weight_col).cast("bigint"))
+        .withColumn(
+            "_cumw",
+            F.sum("_w").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "_totw",
+            F.sum("_w").over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    return (
+        d.where(F.col("_cumw") * 2 >= F.col("_totw"))
+        .groupBy(*key_cols)
+        .agg(
+            F.min("_v").alias("weighted_median_scaled"),
+            F.max("_totw").alias("total_weight"),
+        )
+    )

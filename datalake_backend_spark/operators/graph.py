@@ -521,3 +521,36 @@ def bounded_sssp(
         best = merged
         frontier = improved
     return _finish(best, cached, materialize)
+
+
+def subtree_rollup(
+    parents: DataFrame,
+    values: DataFrame,
+    max_depth: int = 32,
+    materialize: bool = True,
+) -> DataFrame:
+    """Hierarchical roll-up: aggregate a per-node measure to each
+    tree's ROOT — org-chart headcount, BOM cost roll-up, category
+    revenue totals. Composes :func:`pointer_jump_roots` (O(log depth)
+    flattening) with one hash aggregate: node → root resolution, join
+    the measures, groupBy(root). Where a per-LEVEL walk pays depth
+    shuffles then re-aggregates, this pays ceil(log2(depth)) + 2.
+
+    ``parents``: ``(node, parent)`` closed forest (see
+    :func:`pointer_jump_roots`); ``values``: ``(node, value)`` with
+    BIGINT values (floor-scale floats upstream). Output per root:
+    member count, value total, and the subtree's maximum depth —
+    all-integer, engine-exact.
+    """
+    resolved = pointer_jump_roots(
+        parents, max_depth=max_depth, materialize=materialize
+    )
+    return (
+        resolved.join(values, "node")
+        .groupBy("root")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("value").alias("subtree_total"),
+            F.max("depth").alias("max_depth"),
+        )
+    )

@@ -695,3 +695,54 @@ def activity_streaks(
         "longest_streak",
         "longest_start_day",
     )
+
+
+def rolling_range_sum(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: list[str] | None = None,
+    window_days: int = 7,
+    scale: int = 4,
+) -> DataFrame:
+    """Trailing N-day rolling sum per key — the RANGE-frame moving
+    aggregate (7-day revenue, 28-day actives) that ROWS frames get
+    WRONG whenever days are missing: the frame must span a VALUE
+    range of the day number, not a row count, so a gap narrows the
+    window instead of silently reaching further back. Spark
+    ``rangeBetween(-(N-1), 0)`` over the integer day; the r213 DuckDB
+    twin uses ``RANGE BETWEEN N-1 PRECEDING AND CURRENT ROW`` — both
+    SQL-standard, so the frame semantics themselves are what the hash
+    compares. Also emits ``n_days_in_window`` (count over the same
+    frame) so a silent frame slip shows twice.
+
+    Scale shape: ONE groupBy to (keys, day) floor-scaled partial sums
+    — the only pass over the data — then the RANGE window runs over
+    per-key DAY rows (metadata-sized). All-BIGINT.
+    """
+    keys = keys or []
+    mult = 10**scale
+    day = (F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000)).cast(
+        "bigint"
+    )
+    daily = (
+        df.select(
+            *keys,
+            day.alias("day"),
+            F.floor(F.col(value_col) * mult).cast("bigint").alias("_v"),
+        )
+        .groupBy(*keys, "day")
+        .agg(F.sum("_v").alias("day_sum"))
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("day")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return daily.select(
+        *keys,
+        "day",
+        "day_sum",
+        F.sum("day_sum").over(w).alias("rolling_sum"),
+        F.count("*").over(w).alias("n_days_in_window"),
+    )

@@ -8196,6 +8196,152 @@ SELECT CAST(decile AS BIGINT) AS decile, n_rows, n_pos,
 FROM c
 """
 
+# --- round-11 additions, batch 3 (r213-r215) -------------------------------
+
+
+def r213_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling aggregate driver check (`dbs.operators
+    .timeseries.rolling_range_sum`): trailing 7-day revenue per event
+    type where the frame spans a DAY-VALUE range, not a row count —
+    on sparse days a ROWS frame silently reaches further back; RANGE
+    narrows. Both engines use their native SQL-standard RANGE frame
+    over integer days (Spark rangeBetween, DuckDB RANGE BETWEEN 6
+    PRECEDING), so the frame semantics themselves are what the hash
+    compares; n_days_in_window makes a frame slip show twice."""
+    from datalake_backend_spark.operators.timeseries import (
+        rolling_range_sum,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return rolling_range_sum(
+        ev, "ts", "value", keys=["event_type"], window_days=7
+    )
+
+
+R213_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT))
+              AS BIGINT) AS day_sum
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(day AS BIGINT) AS day, day_sum,
+       CAST(SUM(day_sum) OVER w AS BIGINT) AS rolling_sum,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_days_in_window
+FROM daily WINDOW w AS (
+  PARTITION BY event_type ORDER BY day
+  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+def r214_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical roll-up driver check (`dbs.operators.graph
+    .subtree_rollup`): r205's customer forest aggregated to its roots
+    — member count, scaled account-balance total, and max depth per
+    subtree — via pointer-jumping flattening (O(log depth) rounds)
+    plus ONE hash aggregate. The twin walks the hierarchy level by
+    level with a recursive CTE and groups by root, so a resolution
+    bug, a dropped member, or a depth slip shifts a root's totals and
+    breaks the hash."""
+    from datalake_backend_spark.operators.graph import subtree_rollup
+
+    cust = table(spark, sf_dir, "customer")
+    parents = cust.select(
+        F.col("c_custkey").alias("node"),
+        F.when(F.col("c_custkey") <= 9, F.col("c_custkey"))
+        .otherwise(F.expr("c_custkey div 10"))
+        .alias("parent"),
+    )
+    values = cust.select(
+        F.col("c_custkey").alias("node"),
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("value"),
+    )
+    return subtree_rollup(parents, values, max_depth=16)
+
+
+R214_SQL = """
+WITH RECURSIVE f AS (
+  SELECT c_custkey AS node,
+         CASE WHEN c_custkey <= 9 THEN c_custkey
+              ELSE c_custkey // 10 END AS parent
+  FROM customer
+),
+walk(node, anc, d) AS (
+  SELECT node, node, 0 FROM f
+  UNION ALL
+  SELECT w.node, p.parent, w.d + 1
+  FROM walk w JOIN f p ON p.node = w.anc
+  WHERE p.parent <> w.anc
+),
+res AS (
+  SELECT w.node, CAST(w.anc AS BIGINT) AS root, w.d AS depth
+  FROM walk w JOIN f r ON r.node = w.anc AND r.parent = r.node
+),
+v AS (
+  SELECT c_custkey AS node,
+         CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS value
+  FROM customer
+)
+SELECT root, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(value) AS BIGINT) AS subtree_total,
+       CAST(MAX(depth) AS BIGINT) AS max_depth
+FROM res JOIN v USING (node) GROUP BY root
+"""
+
+
+def r215_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted-median driver check (`dbs.operators
+    .distributions.weighted_median`): per order priority, the order
+    price below which half the UNITS sit — values weighted by each
+    order's lineitem count, the lower weighted median picked by the
+    integer crossing rule 2·cumw ≥ totw (no float shares, no
+    interpolation policy). The twin re-derives it with a cumulative
+    window + filtered MIN, so a crossing-rule flip (> vs ≥), a weight
+    join slip, or a scale drift breaks the hash."""
+    from datalake_backend_spark.operators.distributions import (
+        weighted_median,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    li_cnt = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count("*").alias("n_lines")
+    )
+    jo = orders.join(li_cnt, "o_orderkey")
+    return weighted_median(
+        jo, ["o_orderpriority"], "o_totalprice", "n_lines"
+    )
+
+
+R215_SQL = """
+WITH lc AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(o_totalprice * 10000) AS BIGINT) AS v,
+         n_lines AS wt
+  FROM orders JOIN lc ON o_orderkey = l_orderkey
+),
+c AS (
+  SELECT o_orderpriority, v, wt,
+         SUM(wt) OVER (
+           PARTITION BY o_orderpriority ORDER BY v, wt
+           ROWS UNBOUNDED PRECEDING
+         ) AS cumw,
+         SUM(wt) OVER (PARTITION BY o_orderpriority) AS totw
+  FROM j
+)
+SELECT o_orderpriority,
+       CAST(MIN(CASE WHEN cumw * 2 >= totw THEN v END) AS BIGINT)
+         AS weighted_median_scaled,
+       CAST(MAX(totw) AS BIGINT) AS total_weight
+FROM c GROUP BY 1
+"""
+
 
 
 def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11320,6 +11466,15 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r212_score_deciles": QuerySpec(
         r212_score_deciles, R212_SQL, "evaluation-lift-gains,decile-capture"
+    ),
+    "r213_range_frame_sum": QuerySpec(
+        r213_range_frame_sum, R213_SQL, "window-range-frame,rolling"
+    ),
+    "r214_subtree_rollup": QuerySpec(
+        r214_subtree_rollup, R214_SQL, "graph-subtree-rollup,hierarchy"
+    ),
+    "r215_weighted_median": QuerySpec(
+        r215_weighted_median, R215_SQL, "stats-weighted-median,exact-quantile"
     ),
     "r20_exact_dedup": QuerySpec(q20_exact_dedup, Q20_SQL, "dedup-exact,U3"),
     "r21_doc_fingerprint": QuerySpec(q21_doc_fingerprint, Q21_SQL, "text-fingerprint"),

@@ -1483,3 +1483,70 @@ def test_score_deciles_capture(spark):
     assert got[2].cum_pos == 5
     assert got[2].cum_capture_permille == 1000
     assert got[3].n_pos == 0
+
+
+def test_rolling_range_sum_gap_semantics(spark):
+    """rolling_range_sum (operators/timeseries.py; r213): a day gap
+    NARROWS the window (RANGE frame) instead of reaching further back
+    (ROWS frame would)."""
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.operators.timeseries import (
+        rolling_range_sum,
+    )
+
+    rows = [("2024-01-01", 1.0), ("2024-01-02", 2.0), ("2024-01-10", 4.0)]
+    df = spark.createDataFrame(rows, "s string, v double").select(
+        F.col("s").cast("timestamp").alias("ts"), "v"
+    )
+    got = sorted(
+        rolling_range_sum(df, "ts", "v", window_days=3).collect(),
+        key=lambda r: r.day,
+    )
+    assert [r.rolling_sum for r in got] == [10000, 30000, 40000]
+    # Jan 10 is alone in its 3-day range — Jan 2 is 8 days back
+    assert [r.n_days_in_window for r in got] == [1, 2, 1]
+
+
+def test_subtree_rollup_totals(spark):
+    """subtree_rollup (operators/graph.py; r214): members, totals and
+    max depth aggregate to the right root across a two-tree forest."""
+    from datalake_backend_spark.operators.graph import subtree_rollup
+
+    parents = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2), (10, 10), (11, 10)],
+        "node bigint, parent bigint",
+    )
+    values = spark.createDataFrame(
+        [(1, 100), (2, 10), (3, 1), (10, 5), (11, 7)],
+        "node bigint, value bigint",
+    )
+    got = {r.root: r for r in subtree_rollup(parents, values, max_depth=8).collect()}
+    assert got[1].n_nodes == 3 and got[1].subtree_total == 111
+    assert got[1].max_depth == 2
+    assert got[10].n_nodes == 2 and got[10].subtree_total == 12
+    assert got[10].max_depth == 1
+
+
+def test_weighted_median_crossing_rule(spark):
+    """weighted_median (operators/distributions.py; r215): the lower
+    weighted median — smallest value whose inclusive cumulative weight
+    reaches half the total — NOT the row median."""
+    from datalake_backend_spark.operators.distributions import (
+        weighted_median,
+    )
+
+    # values 1,2,3 with weights 1,1,6: total 8, half 4 -> crossing at 3
+    df = spark.createDataFrame(
+        [("g", 1.0, 1), ("g", 2.0, 1), ("g", 3.0, 6)],
+        "k string, v double, w bigint",
+    )
+    [r] = weighted_median(df, ["k"], "v", "w").collect()
+    assert r.weighted_median_scaled == 30000
+    assert r.total_weight == 8
+    # exact half lands ON a row: 2*cumw == totw keeps that row (>=)
+    df2 = spark.createDataFrame(
+        [("g", 1.0, 2), ("g", 5.0, 2)], "k string, v double, w bigint"
+    )
+    [r2] = weighted_median(df2, ["k"], "v", "w").collect()
+    assert r2.weighted_median_scaled == 10000
