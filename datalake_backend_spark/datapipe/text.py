@@ -1037,3 +1037,54 @@ def bm25_search_from_index(
     return pruned.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= top_k
     )
+
+
+def phrase_occurrences(
+    df: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional-index phrase search: documents containing the exact
+    token sequence ``phrase`` (whitespace-tokenized), with the exact
+    occurrence count — the n-token generalization of the inverted
+    index (r134) that "bag of tokens" postings cannot answer.
+
+    Scale shape: the classic positional-postings plan — posexplode to
+    (doc, pos, token) postings FILTERED to the phrase's tokens before
+    any shuffle (the filter is the phrase's selectivity; everything
+    else never leaves the map stage), then one self-equi-join per gap
+    on (doc, pos + k). At 100 TB the postings table is the
+    precomputed index a search tier would store; this operator IS its
+    build + probe. The r216 DuckDB twin scans token ARRAYS per
+    document instead (list_filter over positions — a different
+    algorithm with no join at all), so an off-by-one in the position
+    arithmetic, a boundary token miss, or an overlap miscount breaks
+    the hash.
+    """
+    terms = phrase.strip().split()
+    if len(terms) < 2:
+        raise ValueError("phrase needs >= 2 tokens (use LIKE for one)")
+    toks = F.split(F.trim(F.col(text_col)), TOKEN_RE)
+    postings = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(toks).alias("pos", "tok"),
+        )
+        .where(F.col("tok").isin(terms))
+    )
+    first = postings.where(F.col("tok") == terms[0]).select(
+        id_col, F.col("pos").alias("p0")
+    )
+    cur = first
+    for k, t in enumerate(terms[1:], start=1):
+        # aliasing pos - k to p0 makes each gap an explicit two-key
+        # equi-join on (doc, position) — never a doc-only join with a
+        # post-filter over the per-doc position cross
+        nxt = postings.where(F.col("tok") == t).select(
+            id_col, (F.col("pos") - k).alias("p0")
+        )
+        cur = cur.join(nxt, on=[id_col, "p0"], how="inner")
+    return cur.groupBy(id_col).agg(
+        F.count("*").alias("n_occurrences")
+    )

@@ -8342,6 +8342,106 @@ SELECT o_orderpriority,
 FROM c GROUP BY 1
 """
 
+# --- round-11 additions, batch 4 (r216-r217) -------------------------------
+
+
+def r216_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase-search driver check (`dbs.datapipe.text
+    .phrase_occurrences`): documents containing the exact token
+    sequence "table hash", with exact occurrence counts, via the
+    positional-postings plan — posexplode filtered to the phrase's
+    tokens BEFORE any shuffle, one (doc, position) equi-join per gap.
+    The twin scans token ARRAYS per document (list_filter over
+    positions — no join at all), so the two engines agree only if the
+    position arithmetic, boundary handling, and overlap counting are
+    all right."""
+    from datalake_backend_spark.datapipe.text import phrase_occurrences
+
+    docs = table(spark, sf_dir, "documents")
+    return phrase_occurrences(docs, "table hash")
+
+
+R216_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(l)),
+             i -> l[i] = 'table' AND l[i + 1] = 'hash')) AS n_occ
+  FROM t
+)
+SELECT doc_id, CAST(n_occ AS BIGINT) AS n_occurrences
+FROM m WHERE n_occ > 0
+"""
+
+
+def r217_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO allocation driver check (`dbs.operators.allocation
+    .fifo_allocate`): per user, purchase amounts (demand) allocate
+    against click amounts (supply lots) in timestamp order — the
+    payment-application / FIFO-COGS matcher. The engine computes it
+    SET-WISE (two per-key cumulative sums turn both streams into
+    intervals on a shared axis; allocations are interval overlaps),
+    the opposite of the sequential matcher the twin also avoids — the
+    twin re-derives the same overlap algebra independently, so a
+    cumsum order slip, an off-by-one at an exactly-exhausted lot
+    boundary (strict < both ends), or a quantity-scale drift breaks
+    the hash."""
+    from datalake_backend_spark.operators.allocation import fifo_allocate
+
+    ev = table(spark, sf_dir, "events")
+    qty = F.floor(F.col("value") * 10000).cast("bigint")
+    base = ev.select(
+        "user_id", "event_id", "event_type", "ts", qty.alias("qty")
+    ).where(F.col("qty") > 0)
+    supply = base.where(F.col("event_type") == "click")
+    demand = base.where(F.col("event_type") == "purchase")
+    return fifo_allocate(
+        supply,
+        demand,
+        keys=["user_id"],
+        qty_col="qty",
+        order_cols=["ts", "event_id"],
+        id_col="event_id",
+    )
+
+
+R217_SQL = """
+WITH b AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CAST(FLOOR(value * 10000) AS BIGINT) AS qty
+  FROM events
+  WHERE CAST(FLOOR(value * 10000) AS BIGINT) > 0
+),
+sc AS (
+  SELECT user_id, event_id AS supply_id, qty AS supply_qty,
+         CAST(SUM(qty) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS supply_cum
+  FROM b WHERE event_type = 'click'
+),
+dc AS (
+  SELECT user_id, event_id AS demand_id, qty AS demand_qty,
+         CAST(SUM(qty) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS demand_cum
+  FROM b WHERE event_type = 'purchase'
+)
+SELECT sc.user_id, supply_id, demand_id,
+       CAST(LEAST(supply_cum, demand_cum)
+            - GREATEST(supply_cum - supply_qty, demand_cum - demand_qty)
+         AS BIGINT) AS alloc_qty
+FROM sc JOIN dc ON sc.user_id = dc.user_id
+WHERE supply_cum - supply_qty < demand_cum
+  AND demand_cum - demand_qty < supply_cum
+"""
+
 
 
 def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11458,6 +11558,7 @@ QUERIES: dict[str, QuerySpec] = {
     "r209_cramers_v": QuerySpec(
         r209_cramers_v, R209_SQL, "stats-cramers-v,association-strength"
     ),
+    "r20_exact_dedup": QuerySpec(q20_exact_dedup, Q20_SQL, "dedup-exact,U3"),
     "r210_gini_concentration": QuerySpec(
         r210_gini_concentration, R210_SQL, "analytics-gini,concentration"
     ),
@@ -11476,7 +11577,12 @@ QUERIES: dict[str, QuerySpec] = {
     "r215_weighted_median": QuerySpec(
         r215_weighted_median, R215_SQL, "stats-weighted-median,exact-quantile"
     ),
-    "r20_exact_dedup": QuerySpec(q20_exact_dedup, Q20_SQL, "dedup-exact,U3"),
+    "r216_phrase_search": QuerySpec(
+        r216_phrase_search, R216_SQL, "search-phrase,positional-index"
+    ),
+    "r217_fifo_allocation": QuerySpec(
+        r217_fifo_allocation, R217_SQL, "allocation-fifo,interval-overlap"
+    ),
     "r21_doc_fingerprint": QuerySpec(q21_doc_fingerprint, Q21_SQL, "text-fingerprint"),
     "r22_text_quality": QuerySpec(q22_text_quality, Q22_SQL, "text-quality"),
     "r23_lang_distribution": QuerySpec(q23_lang_distribution, Q23_SQL, "text-langid,A13"),

@@ -1828,3 +1828,31 @@ def test_quality_budget_keep_boundary_semantics(spark):
     assert all_kept == 5
     with pytest.raises(ValueError, match="budget_pct"):
         quality_budget_keep(df, "grp", "score", "id", 0)
+
+
+def test_phrase_occurrences_overlaps_and_boundaries(spark):
+    """phrase_occurrences (datapipe/text.py; r216): counts overlapping
+    occurrences, respects token boundaries (no substring matches), and
+    drops docs without the phrase."""
+    from datalake_backend_spark.datapipe.text import phrase_occurrences
+
+    rows = [
+        (1, "a b a b a"),      # "a b" twice
+        (2, "aa b a bb"),      # substrings only -> no match
+        (3, "a a b"),          # once
+        (4, "b a"),            # wrong order
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r.n_occurrences for r in phrase_occurrences(df, "a b").collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_phrase_occurrences_three_tokens(spark):
+    """Three-token phrase joins two gaps; 'a a a a' contains 'a a a' twice."""
+    from datalake_backend_spark.datapipe.text import phrase_occurrences
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a a b a")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r.n_occurrences for r in phrase_occurrences(df, "a a a").collect()}
+    assert got == {1: 2}

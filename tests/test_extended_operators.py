@@ -1550,3 +1550,29 @@ def test_weighted_median_crossing_rule(spark):
     )
     [r2] = weighted_median(df2, ["k"], "v", "w").collect()
     assert r2.weighted_median_scaled == 10000
+
+
+def test_fifo_allocate_splits_and_exhausts(spark):
+    """fifo_allocate (operators/allocation.py; r217): a demand spans
+    two lots, a later demand takes the remainder, zero-length
+    boundary overlaps allocate nothing, and per-demand allocations
+    sum to the demand while supply lasts."""
+    from datalake_backend_spark.operators.allocation import fifo_allocate
+
+    supply = spark.createDataFrame(
+        [("u", 1, 10, 1), ("u", 2, 5, 2)],
+        "k string, id bigint, qty bigint, o bigint",
+    )
+    demand = spark.createDataFrame(
+        [("u", 101, 4, 1), ("u", 102, 6, 2), ("u", 103, 9, 3)],
+        "k string, id bigint, qty bigint, o bigint",
+    )
+    rows = fifo_allocate(
+        supply, demand, keys=["k"], qty_col="qty",
+        order_cols=["o", "id"], id_col="id",
+    ).collect()
+    got = {(r.supply_id, r.demand_id): r.alloc_qty for r in rows}
+    # lot1 covers d101 (4) and d102 (6) exactly -> lot1 exhausted at
+    # the d102 boundary: NO zero-length (1,103) row; lot2 covers 5 of
+    # d103's 9, the rest is unallocated (supply exhausted)
+    assert got == {(1, 101): 4, (1, 102): 6, (2, 103): 5}
