@@ -746,3 +746,71 @@ def rolling_range_sum(
         F.sum("day_sum").over(w).alias("rolling_sum"),
         F.count("*").over(w).alias("n_days_in_window"),
     )
+
+
+def sliding_distinct(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    keys: list[str] | None = None,
+    window_days: int = 7,
+    word_bits: int = 32,
+) -> DataFrame:
+    """EXACT trailing-N-day distinct count per day — the WAU/MAU
+    family ("distinct users in the last 7 days, every day"), which
+    COUNT(DISTINCT) can only answer by re-scanning N days of raw
+    events PER OUTPUT DAY. Bitmap words make the window mergeable
+    (r192/r203's structure): ids fold once into per-(keys, day,
+    bucket) words, each word PROPAGATES to the ≤ N−1 following days
+    it should count toward (an explode by the window length —
+    metadata-sized rows, bounded fan-out), a bit_or merges per
+    (keys, day, bucket), and bit_count sums to the exact sliding
+    distinct. Output days are clamped to days the key actually has
+    events (the twin's day spine).
+
+    The r219 DuckDB twin computes the SAME numbers by the opposite
+    plan — a days×events BETWEEN join + COUNT(DISTINCT) — so a
+    propagation off-by-one, a word-boundary error, or a spine drift
+    breaks the hash.
+
+    Scale shape: ONE groupBy over the data (the word fold); the
+    propagate-merge-count stages all run over (keys × buckets × days)
+    word rows — at 100 TB that is megabytes, and each day's WAU is an
+    incremental merge away, never a 7-day rescan.
+    """
+    keys = keys or []
+    day = (F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000)).cast(
+        "bigint"
+    )
+    words = (
+        df.select(
+            *keys,
+            day.alias("day"),
+            F.expr(f"{id_col} div {word_bits}").alias("bucket"),
+            F.expr(
+                f"shiftleft(1L, CAST(pmod({id_col}, {word_bits}) AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy(*keys, "day", "bucket")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    targets = words.select(
+        *keys,
+        F.explode(
+            F.sequence(
+                F.col("day"), F.col("day") + F.lit(window_days - 1)
+            )
+        ).alias("day_t"),
+        "bucket",
+        "word",
+    )
+    merged = targets.groupBy(*keys, "day_t", "bucket").agg(
+        F.expr("bit_or(word)").alias("w")
+    )
+    per_day = merged.groupBy(*keys, "day_t").agg(
+        F.sum(F.bit_count("w")).alias("n_active")
+    )
+    spine = df.select(*keys, day.alias("day_t")).distinct()
+    return per_day.join(
+        spine, on=[*keys, "day_t"], how="left_semi"
+    ).select(*keys, F.col("day_t").alias("day"), "n_active")

@@ -8442,6 +8442,131 @@ WHERE supply_cum - supply_qty < demand_cum
   AND demand_cum - demand_qty < supply_cum
 """
 
+# --- round-11 additions, batch 5 (r218-r219) -------------------------------
+
+
+def r218_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (SCD2-style) enrichment driver check: each user's
+    signup events define validity versions ([signup, next signup), the
+    last open until corpus end), and every purchase joins to the
+    version VALID AT ITS TIMESTAMP via the bucketized range join
+    (`dbs.operators.range_join.range_join` — q45's audited operator on
+    lakehouse PIT semantics). Per (user, version): purchase count and
+    scaled spend. The twin uses a plain inequality join + windows, so
+    a bucket-boundary leak, an open-interval end slip, or a version
+    misorder breaks the hash."""
+    from datalake_backend_spark.operators.range_join import range_join
+
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("vstart", "event_id")
+    mx = ev.agg(F.max(us).alias("_mx"))
+    dim = (
+        ev.where(F.col("event_type") == "signup")
+        .select("user_id", us.alias("vstart"), "event_id")
+        .withColumn("version", F.row_number().over(w).cast("bigint"))
+        .withColumn("_vend0", F.lead("vstart").over(w))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            "version",
+            "vstart",
+            F.coalesce(F.col("_vend0"), F.col("_mx") + 1).alias("vend"),
+        )
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        us.alias("pt"),
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v"),
+    )
+    j = range_join(
+        pur,
+        dim,
+        on="user_id",
+        point_time="pt",
+        start_col="vstart",
+        end_col="vend",
+        bucket_width=4 * 86_400_000_000.0,
+    )
+    return j.groupBy("user_id", "version").agg(
+        F.min("vstart").alias("valid_from_us"),
+        F.count("*").alias("n_purchases"),
+        F.sum("v").alias("spend_scaled"),
+    )
+
+
+R218_SQL = """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS vstart,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS version,
+         LEAD(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS vend0
+  FROM events WHERE event_type = 'signup'
+),
+mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+d AS (
+  SELECT user_id, version, vstart,
+         COALESCE(vend0, (SELECT m FROM mx) + 1) AS vend
+  FROM s
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS pt,
+         CAST(FLOOR(value * 10000) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT d.user_id, CAST(version AS BIGINT) AS version,
+       CAST(vstart AS BIGINT) AS valid_from_us,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(v) AS BIGINT) AS spend_scaled
+FROM d JOIN p ON p.user_id = d.user_id
+             AND p.pt >= d.vstart AND p.pt < d.vend
+GROUP BY 1, 2, 3
+"""
+
+
+def r219_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct driver check (`dbs.operators.timeseries
+    .sliding_distinct`): exact 7-day trailing active users per event
+    type, every active day — the WAU curve. The engine folds ids into
+    mergeable bitmap words ONCE and propagates each word to the days
+    it counts toward (explode by window length over metadata-sized
+    word rows); the twin recomputes the same numbers with the opposite
+    plan (days x events BETWEEN join + COUNT DISTINCT), so a
+    propagation off-by-one, a word-boundary error, or a day-spine
+    drift breaks the hash."""
+    from datalake_backend_spark.operators.timeseries import (
+        sliding_distinct,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return sliding_distinct(
+        ev, "ts", "user_id", keys=["event_type"], window_days=7
+    )
+
+
+R219_SQL = """
+WITH days AS (
+  SELECT DISTINCT event_type,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+acts AS (
+  SELECT DISTINCT event_type,
+         epoch_us(ts) // 86400000000 AS aday,
+         user_id
+  FROM events
+)
+SELECT d.event_type, CAST(d.day AS BIGINT) AS day,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM days d
+JOIN acts a ON a.event_type = d.event_type
+           AND a.aday BETWEEN d.day - 6 AND d.day
+GROUP BY 1, 2
+"""
+
 
 
 def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11582,6 +11707,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r217_fifo_allocation": QuerySpec(
         r217_fifo_allocation, R217_SQL, "allocation-fifo,interval-overlap"
+    ),
+    "r218_pit_enrich": QuerySpec(
+        r218_pit_enrich, R218_SQL, "lakehouse-pit-join,scd2-enrich"
+    ),
+    "r219_sliding_distinct": QuerySpec(
+        r219_sliding_distinct, R219_SQL, "timeseries-sliding-distinct,wau"
     ),
     "r21_doc_fingerprint": QuerySpec(q21_doc_fingerprint, Q21_SQL, "text-fingerprint"),
     "r22_text_quality": QuerySpec(q22_text_quality, Q22_SQL, "text-quality"),

@@ -1576,3 +1576,29 @@ def test_fifo_allocate_splits_and_exhausts(spark):
     # the d102 boundary: NO zero-length (1,103) row; lot2 covers 5 of
     # d103's 9, the rest is unallocated (supply exhausted)
     assert got == {(1, 101): 4, (1, 102): 6, (2, 103): 5}
+
+
+def test_sliding_distinct_window_semantics(spark):
+    """sliding_distinct (operators/timeseries.py; r219): ids count for
+    window_days days then age out; re-appearing ids never double-count
+    within a window; output days clamp to the key's active days."""
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.operators.timeseries import (
+        sliding_distinct,
+    )
+
+    rows = [
+        ("2024-01-01 01:00:00", 1),
+        ("2024-01-01 02:00:00", 2),
+        ("2024-01-03 01:00:00", 1),   # repeat inside window
+        ("2024-01-05 01:00:00", 33),  # same bucket as 1
+    ]
+    df = spark.createDataFrame(rows, "s string, user_id bigint").select(
+        F.col("s").cast("timestamp").alias("ts"), "user_id"
+    )
+    got = {r.day: r.n_active for r in sliding_distinct(df, "ts", "user_id", window_days=3).collect()}
+    days = sorted(got)
+    assert len(days) == 3  # only active days emitted (1, 3, 5)
+    # day1: {1,2}; day3: {1,2(from d1),1(dup)} = {1,2}; day5: {1(d3),33}
+    assert [got[d] for d in days] == [2, 2, 2]
