@@ -632,3 +632,72 @@ def random_projection(
             ).alias(f"y{j}")
         )
     return df.select(*keep, *outs)
+
+
+def dot_cols(a: Column, b: Column) -> Column:
+    """Column-to-column dot product as the same sequential left fold
+    :func:`dot` uses — bit-exact in any engine that folds left."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def maxsim_scores(
+    queries: DataFrame,
+    docs: DataFrame,
+    vec_col: str = "embedding",
+    query_id: str = "vec_id",
+    doc_key: str = "label",
+    max_query_tokens: int = 256,
+) -> DataFrame:
+    """Late-interaction (ColBERT-style) MaxSim scoring: the query is a
+    SET of token vectors, each document a SET of token vectors, and
+
+        score(doc) = Σ_{q ∈ query} max_{v ∈ doc} ⟨q, v⟩
+
+    — the retrieval scorer single-vector cosine (q24/q28) cannot
+    express (Khattab & Zaharia, ColBERT, SIGIR 2020). Returns one row
+    per ``doc_key``: ``(doc_key, n_query_tokens, maxsim)``.
+
+    The query set is a bounded CONSTANT (ColBERT ~32 tokens), so it is
+    collected (guarded by ``max_query_tokens``) and inlined as literal
+    vectors — the q24 idiom scaled to k vectors. That makes the whole
+    scorer ONE whole-stage-codegen aggregate over the doc vectors:
+    k dot products per row, k ``max`` aggregates per key, and a
+    FIXED-ORDER sum of the k maxes (query-id order, never
+    partition-ordered float summation) — no join, no shuffle beyond
+    the groupBy, bit-exact in any left-folding engine.
+
+    Scale shape: the doc-vector table is scanned ONCE and only
+    (doc_key, k scalars) leave the map stage. For re-ranking, feed
+    ``docs`` the ANN candidate set (q63/q28), not the corpus.
+    """
+    qrows = (
+        queries.select(query_id, vec_col)
+        .orderBy(query_id)
+        .limit(max_query_tokens + 1)
+        .collect()
+    )
+    if len(qrows) > max_query_tokens:
+        raise ValueError(
+            f"maxsim query set exceeds max_query_tokens={max_query_tokens}; "
+            "late interaction wants a token-bounded QUERY, not a corpus"
+        )
+    if not qrows:
+        raise ValueError("empty query set")
+    v = _as_double_array(vec_col)
+    aggs = [
+        F.max(dot(v, [float(x) for x in row[1]])).alias(f"_m{i}")
+        for i, row in enumerate(qrows)
+    ]
+    agg = docs.groupBy(F.col(doc_key).alias("doc_key")).agg(*aggs)
+    total = F.col("_m0")
+    for i in range(1, len(qrows)):
+        total = total + F.col(f"_m{i}")
+    return agg.select(
+        "doc_key",
+        F.lit(len(qrows)).cast("bigint").alias("n_query_tokens"),
+        total.alias("maxsim"),
+    )

@@ -8567,6 +8567,98 @@ JOIN acts a ON a.event_type = d.event_type
 GROUP BY 1, 2
 """
 
+# --- round-11 additions, batch 6 (r220-r221) -------------------------------
+
+
+def r220_maxsim_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction MaxSim driver check (`dbs.datapipe.similarity
+    .maxsim_scores`): vectors with vec_id < 8 act as the query's token
+    set, each label's vectors as a document's token set, and every
+    label scores Σ_q max_v ⟨q,v⟩ — the ColBERT re-ranking scorer. The
+    twin recomputes it relationally (cross join, MAX per (label, q),
+    ordered-list fold for the final sum), so a fold-order float drift,
+    a lost query token, or a max/sum transposition breaks the
+    bit-exact hash."""
+    from datalake_backend_spark.datapipe.similarity import maxsim_scores
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    return maxsim_scores(queries, emb)
+
+
+R220_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 8
+),
+dots AS (
+  SELECT e.label AS doc_key, q.qid,
+         MAX(list_reduce(
+           list_transform(
+             list_zip(CAST(e.embedding AS DOUBLE[]), q.qv),
+             x -> x[1] * x[2]),
+           (a, b) -> a + b)) AS m
+  FROM embeddings e, q
+  GROUP BY 1, 2
+)
+SELECT doc_key, CAST(COUNT(*) AS BIGINT) AS n_query_tokens,
+       list_reduce(list(m ORDER BY qid), (a, b) -> a + b) AS maxsim
+FROM dots GROUP BY doc_key
+"""
+
+
+def r221_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency driver check (`dbs.operators.timeseries
+    .interval_concurrency`): each order is in flight from its order
+    day to its latest lineitem ship day; the engine computes the
+    per-boundary-day in-flight count with the Θ(n) sweep (+1/−1
+    deltas + the two-phase global prefix sum), while the twin pays
+    the days×intervals inequality join and counts directly — two
+    OPPOSITE algorithms whose agreement pins boundary arithmetic
+    (end+1 exclusivity), delta aggregation, and the distributed
+    prefix sum at once."""
+    from datalake_backend_spark.operators.timeseries import (
+        interval_concurrency,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    day = lambda c: (F.unix_micros(F.col(c)) / F.lit(86_400_000_000)).cast(
+        "bigint"
+    )
+    iv = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", day("o_orderdate").alias("sd"))
+        .agg(F.max(day("l_shipdate")).alias("ed"))
+        # the synthetic l_shipdate is INDEPENDENT of o_orderdate, so
+        # some intervals come out backwards (ed < sd) — drop them in
+        # BOTH dialects: a backwards interval is an empty one to the
+        # twin's BETWEEN join but a negative dip to the sweep
+        .where(F.col("ed") >= F.col("sd"))
+    )
+    return interval_concurrency(iv, "sd", "ed")
+
+
+R221_SQL = """
+WITH iv AS (
+  SELECT o_orderkey,
+         epoch_us(o_orderdate) // 86400000000 AS sd,
+         MAX(epoch_us(l_shipdate) // 86400000000) AS ed
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+  HAVING MAX(epoch_us(l_shipdate) // 86400000000) >= sd
+),
+days AS (
+  SELECT DISTINCT d FROM (
+    SELECT sd AS d FROM iv UNION ALL SELECT ed + 1 FROM iv
+  )
+)
+SELECT CAST(days.d AS BIGINT) AS day,
+       CAST(COUNT(iv.o_orderkey) AS BIGINT) AS n_open
+FROM days LEFT JOIN iv ON iv.sd <= days.d AND iv.ed >= days.d
+GROUP BY 1
+"""
+
 
 
 def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11715,6 +11807,12 @@ QUERIES: dict[str, QuerySpec] = {
         r219_sliding_distinct, R219_SQL, "timeseries-sliding-distinct,wau"
     ),
     "r21_doc_fingerprint": QuerySpec(q21_doc_fingerprint, Q21_SQL, "text-fingerprint"),
+    "r220_maxsim_scoring": QuerySpec(
+        r220_maxsim_scoring, R220_SQL, "similarity-maxsim,late-interaction"
+    ),
+    "r221_concurrency_sweep": QuerySpec(
+        r221_concurrency_sweep, R221_SQL, "analytics-concurrency,sweep-line"
+    ),
     "r22_text_quality": QuerySpec(q22_text_quality, Q22_SQL, "text-quality"),
     "r23_lang_distribution": QuerySpec(q23_lang_distribution, Q23_SQL, "text-langid,A13"),
     "r24_cosine_threshold": QuerySpec(q24_cosine_threshold, Q24_SQL, "similarity-cosine"),

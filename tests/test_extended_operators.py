@@ -1602,3 +1602,42 @@ def test_sliding_distinct_window_semantics(spark):
     assert len(days) == 3  # only active days emitted (1, 3, 5)
     # day1: {1,2}; day3: {1,2(from d1),1(dup)} = {1,2}; day5: {1(d3),33}
     assert [got[d] for d in days] == [2, 2, 2]
+
+
+def test_interval_concurrency_step_function(spark):
+    """interval_concurrency (operators/timeseries.py; r221): +1/-1
+    sweep with end+1 exclusivity — overlapping, touching, and nested
+    intervals produce the exact step function."""
+    from datalake_backend_spark.operators.timeseries import (
+        interval_concurrency,
+    )
+
+    iv = spark.createDataFrame(
+        [(1, 1, 3), (2, 2, 2), (3, 5, 6)], "id bigint, s bigint, e bigint"
+    )
+    got = {r.day: r.n_open for r in interval_concurrency(iv, "s", "e").collect()}
+    # day1: {1}; day2: {1,2}; day3: {1}; day4: {}; day5-6: {3}; day7: {}
+    assert got == {1: 1, 2: 2, 3: 1, 4: 0, 5: 1, 7: 0}
+
+
+def test_maxsim_scores_known_geometry(spark):
+    """maxsim_scores (datapipe/similarity.py; r220): axis-aligned unit
+    vectors make MaxSim exactly countable — each query token scores 1
+    when the doc set contains its axis, 0 otherwise."""
+    from datalake_backend_spark.datapipe.similarity import maxsim_scores
+
+    def vec(i):
+        v = [0.0] * 4
+        v[i] = 1.0
+        return v
+
+    queries = spark.createDataFrame(
+        [(0, vec(0)), (1, vec(1))], "vec_id bigint, embedding array<float>"
+    )
+    docs = spark.createDataFrame(
+        [("a", vec(0)), ("a", vec(1)), ("b", vec(0)), ("b", vec(3))],
+        "label string, embedding array<float>",
+    )
+    got = {r.doc_key: r for r in maxsim_scores(queries, docs).collect()}
+    assert got["a"].maxsim == 2.0 and got["a"].n_query_tokens == 2
+    assert got["b"].maxsim == 1.0  # axis 1 missing -> max dot 0
