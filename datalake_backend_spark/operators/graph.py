@@ -496,30 +496,34 @@ def bounded_sssp(
             frontier.join(edges, frontier.node == edges.src)
             .groupBy("dst")
             .agg(F.min(F.col("dist") + F.col("cost")).alias("cand"))
-            .select(F.col("dst").alias("node"), F.col("cand").alias("dist"))
         )
+        # ONE full-outer join merges the relaxation into the distance
+        # table AND tags the improved rows — the separate
+        # merged-then-rejoin-best formulation pays a second node-keyed
+        # shuffle per round for the same information
         merged = (
-            best.select("node", "dist")
-            .unionByName(relaxed)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+            best.alias("b")
+            .join(relaxed.alias("r"), F.col("b.node") == F.col("r.dst"), "full_outer")
+            .select(
+                F.coalesce(F.col("b.node"), F.col("r.dst")).alias("node"),
+                F.when(
+                    F.col("r.cand").isNull()
+                    | (F.col("b.dist") <= F.col("r.cand")),
+                    F.col("b.dist"),
+                )
+                .otherwise(F.col("r.cand"))
+                .alias("dist"),
+                (
+                    F.col("b.dist").isNull()
+                    | (F.col("r.cand") < F.col("b.dist"))
+                ).alias("_improved"),
+            )
             .persist()
         )
         cached.append(merged)
-        # frontier = nodes whose best improved this round (new nodes or
-        # strictly smaller dist) — only they can relax their neighbors
-        improved = (
-            merged.alias("m")
-            .join(best.alias("b"), "node", "left_outer")
-            .where(
-                F.col("b.dist").isNull() | (F.col("m.dist") < F.col("b.dist"))
-            )
-            .select("node", F.col("m.dist").alias("dist"))
-            .persist()
-        )
-        cached.append(improved)
-        best = merged
-        frontier = improved
+        best = merged.select("node", "dist")
+        # only rows whose best improved can relax their neighbors
+        frontier = merged.where("_improved").select("node", "dist")
     return _finish(best, cached, materialize)
 
 
