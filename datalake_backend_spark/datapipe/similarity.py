@@ -701,3 +701,46 @@ def maxsim_scores(
         F.lit(len(qrows)).cast("bigint").alias("n_query_tokens"),
         total.alias("maxsim"),
     )
+
+
+def centroid_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic nearest-centroid assignment — the k-means E-step
+    (and the serving-time cluster router) as ONE codegen map stage:
+    centroids are literal vectors (the q24/maxsim idiom), each row
+    computes k exact left-fold squared-L2 distances, and argmin ties
+    break to the LOWEST centroid id (first index of the array min —
+    pinned, so the assignment is a pure function any engine
+    reproduces). Training loops (pyspark.ml KMeans, A15) own the
+    float-iteration nondeterminism; THIS step is the part a 100 TB
+    pipeline re-runs per batch and the part an oracle can pin.
+
+    Returns the input plus ``centroid_id`` and ``dist_sq``.
+    """
+    if not centroids:
+        raise ValueError("centroid_assign needs >= 1 centroid")
+    v = _as_double_array(vec_col)
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for _, c in centroids
+        ]
+    )
+    ids = F.array(*[F.lit(int(i)).cast("bigint") for i, _ in centroids])
+    pos = F.array_position(dists, F.array_min(dists))
+    return df.withColumn("_d", dists).withColumn(
+        "centroid_id", F.element_at(ids, pos.cast("int"))
+    ).withColumn(
+        "dist_sq", F.array_min(F.col("_d"))
+    ).drop("_d")

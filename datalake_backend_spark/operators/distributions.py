@@ -1013,7 +1013,10 @@ def weighted_median(
     reaches half the group's total, decided by the integer
     cross-multiplication ``2·cumw ≥ totw`` (no float shares, no
     midpoint interpolation policy to disagree on). Values floor-scale
-    to BIGINT; weights must already be integral.
+    to BIGINT; weights must already be integral AND positive — a
+    zero/negative weight breaks the monotone cumulative the crossing
+    rule needs (filter or abs upstream; the same contract as
+    ``allocation.fifo_allocate``).
 
     Scale shape: ONE per-group sort window carries the cumulative
     weight and the unbounded-frame total (the quality_budget_keep
@@ -1047,5 +1050,42 @@ def weighted_median(
         .agg(
             F.min("_v").alias("weighted_median_scaled"),
             F.max("_totw").alias("total_weight"),
+        )
+    )
+
+
+def topn_with_other(
+    df: DataFrame,
+    key_cols: list[str],
+    label_col: str,
+    value_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Top-N labels per key with the tail rolled into ``__other__`` —
+    the dashboard pie/bar contract (top 3 products per region, rest as
+    "other") that a plain top-k truncates dishonestly: the tail's mass
+    must stay visible, just not itemized. Input is pre-aggregated
+    ``(keys, label, integral value)``; ranking is (value desc, label)
+    — deterministic — and the output per (keys, bucket) carries both
+    the value total and the member count (``__other__`` says how many
+    labels it swallowed).
+
+    Scale shape: ONE per-key rank window over (keys × labels) rows —
+    already aggregated, metadata-sized per key — and one re-aggregate.
+    All-integer, engine-exact.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(value_col), F.col(label_col)
+    )
+    ranked = df.withColumn("_rk", F.row_number().over(w))
+    bucket = F.when(
+        F.col("_rk") <= n, F.col(label_col).cast("string")
+    ).otherwise(F.lit("__other__"))
+    return (
+        ranked.withColumn("bucket", bucket)
+        .groupBy(*key_cols, "bucket")
+        .agg(
+            F.sum(value_col).alias("total_value"),
+            F.count("*").alias("n_labels"),
         )
     )

@@ -8659,6 +8659,186 @@ FROM days LEFT JOIN iv ON iv.sd <= days.d AND iv.ed >= days.d
 GROUP BY 1
 """
 
+# --- round-11 additions, batch 7 (r222-r224) -------------------------------
+
+
+def r222_topn_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N-with-other driver check (`dbs.operators.distributions
+    .topn_with_other`): per order priority, the 3 highest-revenue
+    parts itemized and the ENTIRE tail rolled into `__other__` with
+    its mass and label count — the honest dashboard pie. Deterministic
+    (value desc, label) ranking; the twin rebuilds it with ROW_NUMBER
+    + CASE, so a rank tie-break flip, a lost tail label, or an
+    off-by-one at the N boundary breaks the hash."""
+    from datalake_backend_spark.operators.distributions import (
+        topn_with_other,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    rev = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority", "l_partkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 10000).cast("long")
+            ).alias("value")
+        )
+    )
+    return topn_with_other(
+        rev, ["o_orderpriority"], "l_partkey", "value", n=3
+    )
+
+
+R222_SQL = """
+WITH rev AS (
+  SELECT o_orderpriority, l_partkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 10000) AS BIGINT))
+              AS BIGINT) AS value
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY o_orderpriority ORDER BY value DESC, l_partkey
+  ) AS r
+  FROM rev
+)
+SELECT o_orderpriority,
+       CASE WHEN r <= 3 THEN CAST(l_partkey AS VARCHAR)
+            ELSE '__other__' END AS bucket,
+       CAST(SUM(value) AS BIGINT) AS total_value,
+       CAST(COUNT(*) AS BIGINT) AS n_labels
+FROM rk GROUP BY 1, 2
+"""
+
+
+def r223_share_of_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy share-of-root driver check — the composition row for
+    the graph tier: r205's pointer-jump resolution joins r214's
+    subtree totals and every customer reports its scaled account
+    balance as an exact permille of its ROOT's subtree total
+    (integer cross-multiplied, value·1000 div subtree_total). The
+    twin walks the hierarchy recursively and windows the totals, so a
+    root misresolution, a totals drift, or a permille floor slip
+    breaks the hash on every node."""
+    from datalake_backend_spark.operators.graph import pointer_jump_roots
+
+    cust = table(spark, sf_dir, "customer")
+    parents = cust.select(
+        F.col("c_custkey").alias("node"),
+        F.when(F.col("c_custkey") <= 9, F.col("c_custkey"))
+        .otherwise(F.expr("c_custkey div 10"))
+        .alias("parent"),
+    )
+    values = cust.select(
+        F.col("c_custkey").alias("node"),
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("value"),
+    )
+    resolved = pointer_jump_roots(parents, max_depth=16).join(values, "node")
+    totals = resolved.groupBy("root").agg(
+        F.sum("value").alias("_tot")
+    )
+    return resolved.join(F.broadcast(totals), "root").select(
+        "node",
+        "root",
+        "value",
+        F.expr("value * 1000 div _tot").alias("share_permille"),
+    )
+
+
+R223_SQL = """
+WITH RECURSIVE f AS (
+  SELECT c_custkey AS node,
+         CASE WHEN c_custkey <= 9 THEN c_custkey
+              ELSE c_custkey // 10 END AS parent
+  FROM customer
+),
+walk(node, anc, d) AS (
+  SELECT node, node, 0 FROM f
+  UNION ALL
+  SELECT w.node, p.parent, w.d + 1
+  FROM walk w JOIN f p ON p.node = w.anc
+  WHERE p.parent <> w.anc
+),
+res AS (
+  SELECT w.node, CAST(w.anc AS BIGINT) AS root
+  FROM walk w JOIN f r ON r.node = w.anc AND r.parent = r.node
+),
+v AS (
+  SELECT c_custkey AS node,
+         CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS value
+  FROM customer
+),
+j AS (SELECT res.node, root, value FROM res JOIN v USING (node))
+SELECT node, root, value,
+       CAST(value * 1000 // SUM(value) OVER (PARTITION BY root)
+         AS BIGINT) AS share_permille
+FROM j
+"""
+
+
+def r224_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment driver check (`dbs.datapipe
+    .similarity.centroid_assign`): vectors with vec_id < 4 act as
+    literal centroids and every embedding routes to its nearest by
+    exact left-fold squared L2, ties to the lowest centroid id — the
+    k-means E-step / cluster router as one codegen map stage, and the
+    CLUSTERING family's first value-hashed oracle row (A15's training
+    loop is float-iterative; the assignment step is the deterministic
+    part). Per centroid: member count, id checksum, and the scaled
+    integer sum of distances. A distance-fold drift, an argmin
+    tie-break flip, or a literal-order slip breaks the hash."""
+    from datalake_backend_spark.datapipe.similarity import centroid_assign
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.where(F.col("vec_id") < 4)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    assigned = centroid_assign(emb, cents)
+    return assigned.groupBy("centroid_id").agg(
+        F.count("*").alias("n_members"),
+        F.sum("vec_id").alias("id_checksum"),
+        F.sum(F.floor(F.col("dist_sq") * 10**6).cast("long")).alias(
+            "dist_sum_scaled"
+        ),
+    )
+
+
+R224_SQL = """
+WITH c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 4
+),
+d AS (
+  SELECT e.vec_id, c.cid,
+         list_reduce(
+           list_transform(
+             list_zip(CAST(e.embedding AS DOUBLE[]), c.cv),
+             x -> (x[1] - x[2]) * (x[1] - x[2])),
+           (a, b) -> a + b) AS dist
+  FROM embeddings e, c
+),
+best AS (
+  SELECT vec_id, cid, dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id ORDER BY dist, cid
+         ) AS rn
+  FROM d
+)
+SELECT cid AS centroid_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(vec_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(CAST(FLOOR(dist * 1000000) AS BIGINT)) AS BIGINT)
+         AS dist_sum_scaled
+FROM best WHERE rn = 1
+GROUP BY 1
+"""
+
 
 
 def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11812,6 +11992,15 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r221_concurrency_sweep": QuerySpec(
         r221_concurrency_sweep, R221_SQL, "analytics-concurrency,sweep-line"
+    ),
+    "r222_topn_with_other": QuerySpec(
+        r222_topn_with_other, R222_SQL, "olap-topn-other,dashboard"
+    ),
+    "r223_share_of_root": QuerySpec(
+        r223_share_of_root, R223_SQL, "graph-share-of-root,hierarchy-compose"
+    ),
+    "r224_centroid_assign": QuerySpec(
+        r224_centroid_assign, R224_SQL, "clustering-centroid-assign,kmeans-estep"
     ),
     "r22_text_quality": QuerySpec(q22_text_quality, Q22_SQL, "text-quality"),
     "r23_lang_distribution": QuerySpec(q23_lang_distribution, Q23_SQL, "text-langid,A13"),

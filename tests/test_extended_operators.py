@@ -1641,3 +1641,37 @@ def test_maxsim_scores_known_geometry(spark):
     got = {r.doc_key: r for r in maxsim_scores(queries, docs).collect()}
     assert got["a"].maxsim == 2.0 and got["a"].n_query_tokens == 2
     assert got["b"].maxsim == 1.0  # axis 1 missing -> max dot 0
+
+
+def test_topn_with_other_tail_rollup(spark):
+    """topn_with_other (operators/distributions.py; r222): top-N keep
+    their labels, the tail keeps its mass and label count, ties break
+    by label ascending."""
+    from datalake_backend_spark.operators.distributions import (
+        topn_with_other,
+    )
+
+    rows = [("g", "a", 10), ("g", "b", 5), ("g", "c", 5), ("g", "d", 1)]
+    df = spark.createDataFrame(rows, "k string, label string, value bigint")
+    got = {r.bucket: r for r in topn_with_other(df, ["k"], "label", "value", n=2).collect()}
+    assert got["a"].total_value == 10
+    assert got["b"].total_value == 5  # tie at 5 -> 'b' before 'c'
+    assert got["__other__"].total_value == 6
+    assert got["__other__"].n_labels == 2
+
+
+def test_centroid_assign_routing(spark):
+    """centroid_assign (datapipe/similarity.py; r224): rows route to
+    the nearest centroid; exact-tie routes to the LOWEST centroid id."""
+    from datalake_backend_spark.datapipe.similarity import centroid_assign
+
+    cents = [(0, [0.0, 0.0]), (1, [4.0, 0.0])]
+    df = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [3.5, 0.0]), (12, [2.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in centroid_assign(df, cents).collect()}
+    assert got[10].centroid_id == 0 and got[10].dist_sq == 1.0
+    assert got[11].centroid_id == 1
+    assert got[12].centroid_id == 0  # equidistant (4.0) -> lowest id
+    assert got[12].dist_sq == 4.0

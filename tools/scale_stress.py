@@ -508,6 +508,76 @@ def run_ops(spark, docs_path: str, events_path: str) -> dict[str, float]:
         _force(cluster_near_dups(matches))
 
     timed("entity_resolution", _er)
+
+    # round-11 additions: the iterative/prefix-sum operators the new
+    # registry rows exercise (events-derived so they ride the same
+    # 1x/10x corpus)
+    from datalake_backend_spark.operators.allocation import fifo_allocate
+    from datalake_backend_spark.operators.graph import bounded_sssp
+    from datalake_backend_spark.operators.timeseries import (
+        interval_concurrency,
+        sliding_distinct,
+    )
+
+    # the stress events schema is (event_id, t micros, user_id, value);
+    # derive the registry shapes from it: a 5-way synthetic type and a
+    # real timestamp column
+    ev = (
+        spark.read.parquet(events_path)
+        .withColumn("ts", F.timestamp_micros(F.col("t")))
+        .withColumn("etype", F.pmod(F.col("event_id"), F.lit(5)))
+    )
+    qty = F.floor(F.col("value") * 10000).cast("bigint")
+    base = ev.select(
+        "user_id", "event_id", "etype", "ts", qty.alias("qty")
+    ).where(F.col("qty") > 0)
+    timed(
+        "fifo_alloc",
+        lambda: _force(
+            fifo_allocate(
+                base.where(F.col("etype") == 0),
+                base.where(F.col("etype") == 1),
+                keys=["user_id"],
+                qty_col="qty",
+                order_cols=["ts", "event_id"],
+                id_col="event_id",
+            )
+        ),
+    )
+    timed(
+        "sliding_wau",
+        lambda: _force(
+            sliding_distinct(ev, "ts", "user_id", keys=["etype"])
+        ),
+    )
+    day = (F.col("t") / F.lit(86_400_000_000)).cast("bigint")
+    iv = (
+        ev.groupBy("user_id", "etype")
+        .agg(F.min(day).alias("sd"), F.max(day).alias("ed"))
+        .where(F.col("ed") >= F.col("sd"))
+    )
+    timed("concurrency", lambda: _force(interval_concurrency(iv, "sd", "ed")))
+    # weighted SSSP over a DEGREE-BOUNDED synthetic graph (8-regular:
+    # dst = (src*7 + k) mod n_users) so edges grow LINEARLY with users
+    # and the exponent measures the OPERATOR. (A first cut derived
+    # edges from a day-keyed user self-join — that join is quadratic
+    # in per-day active users and measured the data, exponent 1.19.)
+    users = ev.select("user_id").distinct()
+    n_users = users.count()
+    edges = users.select(
+        F.col("user_id").alias("src"),
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, 9)])
+        ).alias("_k"),
+    ).select(
+        "src",
+        F.pmod(F.col("src") * 7 + F.col("_k"), F.lit(n_users)).alias("dst"),
+        (F.lit(1000) + F.pmod(F.col("src") * 31 + F.col("_k"), F.lit(100))).alias(
+            "cost"
+        ),
+    )
+    seeds = users.select(F.col("user_id").alias("node")).orderBy("node").limit(1)
+    timed("sssp", lambda: _force(bounded_sssp(edges, seeds, max_hops=3)))
     return out
 
 
@@ -538,6 +608,7 @@ def main() -> int:
         "cdc_chunks", "media_lifecycle", "ssj_exact",
         "sn_blocking", "cooccur",
         "ecdf", "star_join", "entity_resolution",
+        "fifo_alloc", "sliding_wau", "concurrency", "sssp",
     ]
     lines = [
         "| op | 1x sec | 10x sec | ratio | exponent |",
