@@ -194,3 +194,54 @@ def radius_join(
         .where(F.col("dist2") <= F.lit(r2))
         .drop("_cx", "_cy")
     )
+
+
+def bbox_join(
+    points: DataFrame,
+    boxes: DataFrame,
+    cell: int,
+    point_xy: tuple[str, str] = ("x", "y"),
+    box_bounds: tuple[str, str, str, str] = ("x_min", "y_min", "x_max", "y_max"),
+) -> DataFrame:
+    """Point-in-rectangle containment join on INTEGER coordinates —
+    the 2D generalization of ``operators/range_join.py``'s 1D
+    point-in-interval plan, and the complement of :func:`radius_join`
+    (distance): geofences, map-tile assignment, detection-in-zone
+    audits. Each BOX explodes to every grid cell it covers
+    (explosion = area/cell² — pick ``cell`` ≈ the median box extent so
+    it stays O(1)); each POINT maps to exactly ONE cell; the (cx, cy)
+    equi-join prunes space and the exact closed-interval predicate
+    ``x_min ≤ x ≤ x_max AND y_min ≤ y ≤ y_max`` refines — all BIGINT,
+    never a cross join, engine-exact.
+
+    Box coordinate columns colliding with point columns get the
+    ``_r`` suffix, mirroring :func:`radius_join`'s rule.
+    """
+    if cell < 1:
+        raise ValueError("cell must be >= 1")
+    px, py = point_xy
+    cols = set(points.columns)
+    renames = {}
+    for c in box_bounds:
+        if c in cols:
+            renames[c] = f"{c}_r"
+    boxes = boxes.withColumnsRenamed(renames)
+    x0, y0, x1, y1 = (renames.get(c, c) for c in box_bounds)
+    b = boxes.withColumn(
+        "_cx", F.explode(F.sequence(F.expr(f"{x0} div {cell}"), F.expr(f"{x1} div {cell}")))
+    ).withColumn(
+        "_cy", F.explode(F.sequence(F.expr(f"{y0} div {cell}"), F.expr(f"{y1} div {cell}")))
+    )
+    p = points.withColumn("_cx", F.expr(f"{px} div {cell}")).withColumn(
+        "_cy", F.expr(f"{py} div {cell}")
+    )
+    return (
+        p.join(b, ["_cx", "_cy"])
+        .where(
+            (F.col(px) >= F.col(x0))
+            & (F.col(px) <= F.col(x1))
+            & (F.col(py) >= F.col(y0))
+            & (F.col(py) <= F.col(y1))
+        )
+        .drop("_cx", "_cy")
+    )

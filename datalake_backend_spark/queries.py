@@ -8839,6 +8839,117 @@ FROM best WHERE rn = 1
 GROUP BY 1
 """
 
+# --- round-11 additions, batch 8 (r225-r226) -------------------------------
+
+
+def r225_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sweep confusion-matrix driver check (`dbs.operators
+    .evaluation.confusion_at_thresholds`): n_chars as the score,
+    lang='en' as the label, exact TP/FP/FN/TN at three operating
+    points plus integer-permille precision/recall/accuracy (NULL
+    precision where nothing clears the bar) — the PR-curve report in
+    one pass. The twin rebuilds it with a VALUES cross join, so a
+    prediction-strictness flip (≥ vs >), a swapped matrix cell, or a
+    permille floor drift breaks the hash."""
+    from datalake_backend_spark.operators.evaluation import (
+        confusion_at_thresholds,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return confusion_at_thresholds(
+        docs, "n_chars", F.col("lang") == "en", [200, 400, 600]
+    )
+
+
+R225_SQL = """
+WITH t(threshold) AS (VALUES (200), (400), (600)),
+d AS (
+  SELECT CAST(t.threshold AS BIGINT) AS threshold,
+         (n_chars >= t.threshold) AS p,
+         (lang = 'en') AS y
+  FROM documents, t
+),
+per AS (
+  SELECT threshold,
+         CAST(COUNT(*) FILTER (WHERE p AND y) AS BIGINT) AS tp,
+         CAST(COUNT(*) FILTER (WHERE p AND NOT y) AS BIGINT) AS fp,
+         CAST(COUNT(*) FILTER (WHERE NOT p AND y) AS BIGINT) AS fn,
+         CAST(COUNT(*) FILTER (WHERE NOT p AND NOT y) AS BIGINT) AS tn
+  FROM d GROUP BY 1
+)
+SELECT threshold, tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0
+            THEN CAST(tp * 1000 // (tp + fp) AS BIGINT) END
+         AS precision_permille,
+       CASE WHEN tp + fn > 0
+            THEN CAST(tp * 1000 // (tp + fn) AS BIGINT) END
+         AS recall_permille,
+       CAST((tp + tn) * 1000 // (tp + fp + fn + tn) AS BIGINT)
+         AS accuracy_permille
+FROM per
+"""
+
+
+def r226_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-rectangle containment driver check (`dbs.core.geometry
+    .bbox_join`): customers are multiplicative-hash points (the r196
+    coordinate recipe), suppliers are hash-derived rectangles (center
+    ± per-axis half-extents ≤ 40k), and the grid plan — box explodes
+    to covered cells, point maps to one, exact closed-interval refine
+    — must produce the IDENTICAL pair set as the twin's brute-force
+    quadratic filter. A cell off-by-one at a rectangle edge, a lost
+    explode cell, or an open/closed boundary flip breaks the hash."""
+    from datalake_backend_spark.core.geometry import bbox_join
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr("(c_custkey * 2654435761L) % 1000000").alias("x"),
+        F.expr("(c_custkey * 40503L) % 1000000").alias("y"),
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.expr("(s_suppkey * 2654435761L) % 1000000").alias("cx0"),
+        F.expr("(s_suppkey * 40503L) % 1000000").alias("cy0"),
+        F.expr("1 + (s_suppkey * 69069L) % 40000").alias("hw"),
+        F.expr("1 + (s_suppkey * 99991L) % 40000").alias("hh"),
+    ).select(
+        "s_suppkey",
+        F.expr("greatest(cx0 - hw, 0L)").alias("x_min"),
+        F.expr("greatest(cy0 - hh, 0L)").alias("y_min"),
+        F.expr("least(cx0 + hw, 999999L)").alias("x_max"),
+        F.expr("least(cy0 + hh, 999999L)").alias("y_max"),
+    )
+    return bbox_join(cust, supp, cell=40000).select(
+        "c_custkey", "s_suppkey"
+    )
+
+
+R226_SQL = """
+WITH c AS (
+  SELECT c_custkey,
+         (c_custkey * 2654435761) % 1000000 AS x,
+         (c_custkey * 40503) % 1000000 AS y
+  FROM customer
+),
+s0 AS (
+  SELECT s_suppkey,
+         (s_suppkey * 2654435761) % 1000000 AS cx0,
+         (s_suppkey * 40503) % 1000000 AS cy0,
+         1 + (s_suppkey * 69069) % 40000 AS hw,
+         1 + (s_suppkey * 99991) % 40000 AS hh
+  FROM supplier
+),
+s AS (
+  SELECT s_suppkey,
+         GREATEST(cx0 - hw, 0) AS x_min, GREATEST(cy0 - hh, 0) AS y_min,
+         LEAST(cx0 + hw, 999999) AS x_max, LEAST(cy0 + hh, 999999) AS y_max
+  FROM s0
+)
+SELECT c_custkey, s_suppkey
+FROM c JOIN s ON c.x >= s.x_min AND c.x <= s.x_max
+             AND c.y >= s.y_min AND c.y <= s.y_max
+"""
+
 
 
 def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12001,6 +12112,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r224_centroid_assign": QuerySpec(
         r224_centroid_assign, R224_SQL, "clustering-centroid-assign,kmeans-estep"
+    ),
+    "r225_confusion_matrix": QuerySpec(
+        r225_confusion_matrix, R225_SQL, "evaluation-confusion,threshold-sweep"
+    ),
+    "r226_bbox_join": QuerySpec(
+        r226_bbox_join, R226_SQL, "geo-bbox-containment,grid-join"
     ),
     "r22_text_quality": QuerySpec(q22_text_quality, Q22_SQL, "text-quality"),
     "r23_lang_distribution": QuerySpec(q23_lang_distribution, Q23_SQL, "text-langid,A13"),

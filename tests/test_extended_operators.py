@@ -1675,3 +1675,44 @@ def test_centroid_assign_routing(spark):
     assert got[11].centroid_id == 1
     assert got[12].centroid_id == 0  # equidistant (4.0) -> lowest id
     assert got[12].dist_sq == 4.0
+
+
+def test_confusion_at_thresholds_cells(spark):
+    """confusion_at_thresholds (operators/evaluation.py; r225): exact
+    cells; precision NULL when nothing clears the bar; >= strictness."""
+    from datalake_backend_spark.operators.evaluation import (
+        confusion_at_thresholds,
+    )
+
+    rows = [(10, True), (10, False), (5, True), (1, False)]
+    df = spark.createDataFrame(rows, "score bigint, y boolean")
+    got = {r.threshold: r for r in confusion_at_thresholds(df, "score", "y", [5, 100]).collect()}
+    r5 = got[5]
+    assert (r5.tp, r5.fp, r5.fn, r5.tn) == (2, 1, 0, 1)
+    assert r5.precision_permille == 666 and r5.recall_permille == 1000
+    r100 = got[100]
+    assert (r100.tp, r100.fp) == (0, 0)
+    assert r100.precision_permille is None
+    assert r100.recall_permille == 0
+
+
+def test_bbox_join_boundaries(spark):
+    """bbox_join (core/geometry.py; r226): closed intervals on all
+    four edges; a box spanning multiple grid cells still finds every
+    point exactly once."""
+    from datalake_backend_spark.core.geometry import bbox_join
+
+    points = spark.createDataFrame(
+        [(1, 0, 0), (2, 10, 10), (3, 11, 10), (4, 25, 25)],
+        "pid bigint, x bigint, y bigint",
+    )
+    boxes = spark.createDataFrame(
+        [(100, 0, 0, 10, 10), (200, 5, 5, 30, 30)],
+        "bid bigint, x_min bigint, y_min bigint, x_max bigint, y_max bigint",
+    )
+    got = sorted(
+        (r.pid, r.bid) for r in bbox_join(points, boxes, cell=7).collect()
+    )
+    # p1 on box100's min corner; p2 on its max corner AND inside 200;
+    # p3 just outside 100 (x=11) but inside 200; p4 only in 200
+    assert got == [(1, 100), (2, 100), (2, 200), (3, 200), (4, 200)]
