@@ -90,3 +90,49 @@ def finalize_rollup(state: DataFrame, value_cols: list[str]) -> DataFrame:
             F.col(f"{v}_sum").cast("double") / F.col(f"{v}_n"),
         )
     return out
+
+
+def bitmap_state(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    word_bits: int = 32,
+) -> DataFrame:
+    """Mergeable DISTINCT-COUNT state: fold ids into per-(keys, bucket)
+    bitmap words (r192/r203/r219's structure). Unlike count/sum state
+    (:func:`rollup_state`), a distinct count is NOT mergeable as a
+    scalar — but its BITMAP is: ``bit_or`` is idempotent, commutative,
+    and associative, so batches merge in any order and replays are
+    harmless. THE incremental form of COUNT(DISTINCT) (exact reach /
+    unique visitors under streaming ingest)."""
+    return (
+        df.select(
+            *keys,
+            F.expr(f"{id_col} div {word_bits}").alias("bucket"),
+            F.expr(
+                f"shiftleft(1L, CAST(pmod({id_col}, {word_bits}) AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy(*keys, "bucket")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+
+
+def merge_bitmap_state(
+    current: DataFrame, batch: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Merge bitmap states: union + per-(keys, bucket) ``bit_or`` —
+    one shuffle on metadata-sized word rows, never the raw ids."""
+    return (
+        current.unionByName(batch)
+        .groupBy(*keys, "bucket")
+        .agg(F.expr("bit_or(word)").alias("word"))
+    )
+
+
+def finalize_bitmap(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Exact distinct count per key from bitmap state: sum of
+    ``bit_count`` over the key's words."""
+    return state.groupBy(*keys).agg(
+        F.sum(F.bit_count("word")).alias("n_distinct")
+    )

@@ -8950,6 +8950,78 @@ FROM c JOIN s ON c.x >= s.x_min AND c.x <= s.x_max
              AND c.y >= s.y_min AND c.y <= s.y_max
 """
 
+# --- round-11 additions, batch 9 (r227) ------------------------------------
+
+
+def r227_streaming_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-reach driver check (`dbs.streaming.pipeline
+    .start_bitmap_reach_sink`): the events feed drains in two
+    micro-batches, each folding user ids into mergeable bitmap words
+    and bit_or-merging into a versioned state table (epoch-tagged
+    exactly-once; bit_or is also idempotent, so even a replayed merge
+    is harmless). The finalized snapshot — exact distinct users per
+    event type — must be bit-identical to the twin's single-pass
+    COUNT(DISTINCT): the streaming counter that scalar aggregate
+    state cannot maintain, r219's bitmap mechanism under ingest."""
+    import glob as globmod
+    import shutil
+
+    from datalake_backend_spark.operators.incremental import (
+        finalize_bitmap,
+    )
+    from datalake_backend_spark.sources.versioned import VersionedTable
+    from datalake_backend_spark.streaming.pipeline import (
+        start_bitmap_reach_sink,
+        streaming_session,
+    )
+
+    spark = streaming_session(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    warehouse = os.path.join(repo_root, "spark-warehouse")
+    base = os.path.join(
+        warehouse,
+        f"r227_reach_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    _sweep_stale_fixtures(warehouse, "r227_reach_")
+    shutil.rmtree(base, ignore_errors=True)
+    try:
+        ev.where(F.col("event_id") <= mid).coalesce(1).write.parquet(
+            f"{base}/src/b1"
+        )
+        ev.where(F.col("event_id") > mid).coalesce(1).write.parquet(
+            f"{base}/src/b2"
+        )
+        for i, d in enumerate(["b1", "b2"]):
+            for f in globmod.glob(f"{base}/src/{d}/part-*.parquet"):
+                os.utime(f, (1_000_000_000 + i * 100,) * 2)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/src/b*")
+        )
+        q = start_bitmap_reach_sink(
+            stream, f"{base}/tbl", f"{base}/ck", ["event_type"], "user_id"
+        )
+        q.awaitTermination()
+        tbl = VersionedTable(f"{base}/tbl")
+        assert [m["op"] for m in tbl.history()] == ["bitmap-merge"] * 2
+        out = finalize_bitmap(tbl.read(spark), ["event_type"])
+        out = out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+R227_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY 1
+"""
+
 
 
 def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12118,6 +12190,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r226_bbox_join": QuerySpec(
         r226_bbox_join, R226_SQL, "geo-bbox-containment,grid-join"
+    ),
+    "r227_streaming_reach": QuerySpec(
+        r227_streaming_reach, R227_SQL, "streaming-bitmap-reach,exact-distinct"
     ),
     "r22_text_quality": QuerySpec(q22_text_quality, Q22_SQL, "text-quality"),
     "r23_lang_distribution": QuerySpec(q23_lang_distribution, Q23_SQL, "text-langid,A13"),

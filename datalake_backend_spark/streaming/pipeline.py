@@ -546,3 +546,65 @@ def stream_stream_interval_join(
         & (F.col("r_ts") > F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}")),
     )
+
+
+def start_bitmap_reach_sink(
+    df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    keys: list[str],
+    id_col: str,
+) -> StreamingQuery:
+    """Streaming EXACT-DISTINCT materialized view: maintain per-key
+    bitmap-word state (`operators/incremental.py:bitmap_state`) under
+    a stream — the unique-visitors / reach counter that plain
+    aggregate state cannot maintain because distinct counts don't
+    merge as scalars, while their bitmaps merge with an idempotent
+    ``bit_or`` (a replayed batch changes NOTHING, which composes with
+    the epoch-commit-log exactly-once into belt-and-suspenders).
+    Per micro-batch: fold the batch's ids to words, ``bit_or``-merge
+    into the snapshot, commit epoch-tagged with expected-head RMW —
+    only word rows (metadata-sized) ever shuffle; stream history is
+    never re-scanned. Same commit discipline as
+    :func:`start_incremental_rollup_sink`."""
+    from datalake_backend_spark.operators.incremental import (
+        bitmap_state,
+        merge_bitmap_state,
+    )
+    from datalake_backend_spark.sources.versioned import VersionedTable
+
+    tbl = VersionedTable(table_path)
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        from datalake_backend_spark.sources.versioned import CommitConflict
+
+        bstate = bitmap_state(batch, keys, id_col)
+        last: CommitConflict | None = None
+        for _ in range(5):
+            head = tbl.latest_version()
+            committed = tbl.committed_epochs()
+            if epoch_id in committed:
+                return
+            merged = bstate
+            if head is not None:
+                merged = merge_bitmap_state(
+                    tbl.read(batch.sparkSession, head), bstate, keys
+                )
+            try:
+                tbl.commit(
+                    merged, mode="overwrite", op="bitmap-merge",
+                    metadata={"epoch": epoch_id},
+                    expected_head=head or 0,
+                )
+                return
+            except CommitConflict as e:
+                last = e
+                continue
+        raise last
+
+    return (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

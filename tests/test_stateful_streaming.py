@@ -298,3 +298,23 @@ def test_transform_with_state_user_profile(spark, tmp_path):
     assert final[2].n_events == 3
     assert final[2].s.n_types == 2  # a, c
     assert final[2].s.top_type_cnt == 2  # 'c' twice
+
+
+def test_bitmap_state_merge_idempotent(spark):
+    """bitmap_state / merge_bitmap_state (operators/incremental.py;
+    r227): merging the SAME batch twice changes nothing (bit_or
+    idempotence — the replay-safety the streaming reach sink leans
+    on), and the finalized count is the exact distinct."""
+    from datalake_backend_spark.operators.incremental import (
+        bitmap_state,
+        finalize_bitmap,
+        merge_bitmap_state,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 33), ("a", 1), ("b", 2)], "k string, uid bigint"
+    )
+    st = bitmap_state(df, ["k"], "uid")
+    twice = merge_bitmap_state(st, st, ["k"])
+    got = {r.k: r.n_distinct for r in finalize_bitmap(twice, ["k"]).collect()}
+    assert got == {"a": 2, "b": 1}  # 1 and 33 share a bucket word
