@@ -9022,6 +9022,52 @@ SELECT event_type,
 FROM events GROUP BY 1
 """
 
+# --- round-11 additions, batch 10 (r228) -----------------------------------
+
+
+def r228_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set-operation driver check (§2.9 completion
+    beyond U1-U3's DISTINCT forms): two overlapping MULTISETS of
+    order keys (lineitems with linenumber ≤ 4 vs ≥ 2, so each key
+    appears with different multiplicities on each side) flow through
+    native ``intersectAll`` and ``exceptAll`` — the duplicate-
+    PRESERVING forms where intersect keeps min(m_a, m_b) copies and
+    except keeps m_a − m_b. The result folds to per-key multiplicity
+    counts so the hash pins the bag arithmetic; the twin uses SQL
+    INTERSECT ALL / EXCEPT ALL. A distinct-vs-all mixup or a
+    multiplicity off-by-one shifts every count."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_linenumber") <= 4).select("l_orderkey")
+    b = li.where(F.col("l_linenumber") >= 2).select("l_orderkey")
+    both = (
+        a.intersectAll(b)
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n"))
+        .select("l_orderkey", "n", F.lit("intersect_all").alias("op"))
+    )
+    only_a = (
+        a.exceptAll(b)
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n"))
+        .select("l_orderkey", "n", F.lit("except_all").alias("op"))
+    )
+    return both.unionByName(only_a)
+
+
+R228_SQL = """
+WITH a AS (SELECT l_orderkey FROM lineitem WHERE l_linenumber <= 4),
+b AS (SELECT l_orderkey FROM lineitem WHERE l_linenumber >= 2),
+i AS (SELECT l_orderkey FROM a INTERSECT ALL SELECT l_orderkey FROM b),
+e AS (SELECT l_orderkey FROM a EXCEPT ALL SELECT l_orderkey FROM b)
+SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n,
+       'intersect_all' AS op
+FROM i GROUP BY 1
+UNION ALL
+SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n,
+       'except_all' AS op
+FROM e GROUP BY 1
+"""
+
 
 
 def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12193,6 +12239,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r227_streaming_reach": QuerySpec(
         r227_streaming_reach, R227_SQL, "streaming-bitmap-reach,exact-distinct"
+    ),
+    "r228_bag_set_ops": QuerySpec(
+        r228_bag_set_ops, R228_SQL, "U-bag-set-ops,intersect-except-all"
     ),
     "r22_text_quality": QuerySpec(q22_text_quality, Q22_SQL, "text-quality"),
     "r23_lang_distribution": QuerySpec(q23_lang_distribution, Q23_SQL, "text-langid,A13"),
