@@ -245,3 +245,67 @@ def bbox_join(
         )
         .drop("_cx", "_cy")
     )
+
+
+def nearest_within_radius(
+    left: DataFrame,
+    right: DataFrame,
+    radius: int,
+    left_id: str,
+    right_id: str,
+    left_xy: tuple[str, str] = ("x", "y"),
+    right_xy: tuple[str, str] = ("x", "y"),
+) -> DataFrame:
+    """Nearest-neighbor join with a radius bound: for every left
+    point, the single closest right point within Euclidean distance
+    ``radius`` (ties broken by smallest ``right_id``), or no row if
+    none is in range — "nearest depot to each customer", "closest
+    sensor to each detection". The radius bound is what makes the
+    problem blockable: the true nearest neighbor within ``radius``
+    provably lives in the 3×3 grid neighborhood :func:`radius_join`
+    probes (cell width = radius), so candidate generation is an
+    equi-join, NEVER a cross product, and the argmin refine is one
+    hash aggregate over candidates with an integer ``dist2`` key —
+    fully deterministic, no floats until nothing is left to compare.
+
+    Output: ``left_id``, ``nearest_<right_id>``, ``dist2``.
+    """
+    cand = radius_join(left, right, radius, left_xy, right_xy)
+    out_rid = right_id if right_id not in set(left.columns) else f"{right_id}_r"
+    best = F.min(F.struct(F.col("dist2"), F.col(out_rid))).alias("_best")
+    return (
+        cand.groupBy(left_id)
+        .agg(best)
+        .select(
+            left_id,
+            F.col("_best").getField(out_rid).alias(f"nearest_{right_id}"),
+            F.col("_best").getField("dist2").alias("dist2"),
+        )
+    )
+
+
+def point_in_convex_polygon(
+    x: Column, y: Column, vertices: list[tuple[int, int]]
+) -> Column:
+    """Boolean containment test of integer point (x, y) in a CLOSED
+    convex polygon given as counter-clockwise integer ``vertices``
+    (boundary counts as inside): the half-plane test — the point is
+    inside iff the cross product ``(v2−v1) × (p−v1)`` is ≥ 0 for
+    every edge. Pure integer arithmetic (BIGINT products), so the
+    predicate is engine-exact; as a Column expression it inlines
+    into whole-stage codegen and pushes through any filter — no UDF,
+    no geometry library. Convexity is the caller's contract (a
+    concave ring needs the ray-cast variant); ≥3 vertices required.
+    """
+    if len(vertices) < 3:
+        raise ValueError("polygon needs at least 3 vertices")
+    cond = F.lit(True)
+    n = len(vertices)
+    for i in range(n):
+        x1, y1 = vertices[i]
+        x2, y2 = vertices[(i + 1) % n]
+        cross = F.lit(x2 - x1) * (y - F.lit(y1)) - F.lit(y2 - y1) * (
+            x - F.lit(x1)
+        )
+        cond = cond & (cross >= 0)
+    return cond

@@ -78,3 +78,58 @@ def fifo_allocate(
         .where((s_cb < F.col("demand_cum")) & (d_cb < F.col("supply_cum")))
         .select(*keys, "supply_id", "demand_id", alloc.alias("alloc_qty"))
     )
+
+
+def apportion_largest_remainder(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    seats: int,
+) -> DataFrame:
+    """Integer apportionment by the largest-remainder (Hamilton)
+    method: split ``seats`` indivisible units across keys
+    proportionally to integer weights — seat allocation, fixed
+    sampling budgets per source, shard quota assignment. Every key
+    gets ``floor(seats·w / W)``; the ``seats − Σ floor`` leftover
+    units go to the largest fractional remainders, ties broken by
+    key ascending — fully deterministic, all-integer (the remainder
+    comparison uses the exact integer ``(seats·w) mod W``, never a
+    float fraction).
+
+    Scale shape: one hash aggregate collapses the data to one row
+    per key; the two scalar totals (W and Σ floor) broadcast back;
+    the only window ranks the per-key rows — metadata-sized, the
+    same contract as ``topn_with_other``. Guard: Σ w must be > 0.
+    """
+    if seats < 0:
+        raise ValueError("seats must be >= 0")
+    w = df.groupBy(key_col).agg(
+        F.sum(F.col(weight_col)).cast("long").alias("w")
+    )
+    total = w.agg(F.sum("w").alias("_tw"))
+    j = w.crossJoin(F.broadcast(total)).select(
+        key_col,
+        "w",
+        (F.lit(seats) * F.col("w")).alias("_num"),
+        F.col("_tw"),
+    )
+    j = j.select(
+        key_col,
+        "w",
+        F.expr("_num div _tw").alias("base"),
+        (F.col("_num") % F.col("_tw")).alias("_rem"),
+    )
+    leftover = j.agg((F.lit(seats) - F.sum("base")).alias("_left"))
+    rk = Window.orderBy(F.desc("_rem"), F.col(key_col))
+    return (
+        j.crossJoin(F.broadcast(leftover))
+        .withColumn("_rk", F.row_number().over(rk))
+        .select(
+            key_col,
+            "w",
+            (
+                F.col("base")
+                + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0)
+            ).alias("seats_alloc"),
+        )
+    )

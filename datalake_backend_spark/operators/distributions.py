@@ -1089,3 +1089,141 @@ def topn_with_other(
             F.count("*").alias("n_labels"),
         )
     )
+
+
+def _doubled_ranks(
+    df: DataFrame, value_col: str, keys: list[str]
+) -> DataFrame:
+    """Per distinct value of ``value_col`` (within ``keys``), the
+    DOUBLED mid-rank ``2·avg_rank`` of that value in the pooled
+    ordering — an INTEGER even under ties (avg rank of a tie group is
+    a half-integer, so twice it is exact BIGINT arithmetic): with
+    ``c<`` values strictly below and ``c=`` tied, ``2·avg_rank =
+    2·c< + c= + 1``. The window runs over the GROUPED distinct-value
+    rows (not raw data), so its per-key size is the value cardinality
+    — the same aggregate-first shape as ``weighted_median``.
+    Returns ``keys + [value_col, _cnt, _rank2]``."""
+    g = df.groupBy(*keys, value_col).agg(F.count("*").alias("_cnt"))
+    w = Window.partitionBy(*keys).orderBy(value_col)
+    below = F.coalesce(
+        F.sum("_cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("bigint"),
+    )
+    return g.withColumn("_rank2", 2 * below + F.col("_cnt") + 1)
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test statistic between two arms —
+    the nonparametric A/B companion to :func:`welch_ttest` (which the
+    reference's splitters would need for any non-normal engagement
+    metric). ALL-INTEGER and therefore engine-exact: mid-ranks are
+    kept doubled (see :func:`_doubled_ranks`), so the doubled rank
+    sum ``r2_a = Σ n_a(v)·rank2(v)``, the doubled statistic
+    ``u2_a = r2_a − n_a(n_a+1)`` and its mirror
+    ``u2_b = 2·n_a·n_b − u2_a`` are BIGINT; ``u_a = u2_a / 2`` is an
+    exact dyadic double. The tie-correction term ``Σ (t³ − t)``
+    (needed for the normal-approximation variance) is emitted as an
+    exact integer so callers can finish the z-score in one division.
+
+    Scale shape: one hash aggregate over raw data, one window over
+    the per-key DISTINCT-VALUE rows only, one re-aggregate — no raw
+    row ever passes through a window."""
+    keys = keys or []
+    d = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        *keys,
+        value_col,
+        F.when(F.col(group_col) == group_a, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("_is_a"),
+    )
+    g = d.groupBy(*keys, value_col).agg(
+        F.count("*").alias("_cnt"), F.sum("_is_a").alias("_na")
+    )
+    w = Window.partitionBy(*keys).orderBy(value_col)
+    below = F.coalesce(
+        F.sum("_cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("bigint"),
+    )
+    ranked = g.withColumn("_rank2", 2 * below + F.col("_cnt") + 1)
+    # rank sums reach 2n² and the tie term n³ — past BIGINT at
+    # n ≳ 1.3M rows, so accumulate in decimal(38,0) (DuckDB HUGEINT)
+    # and only the final dyadic halving runs in doubles
+    dec = "decimal(38,0)"
+    out = ranked.groupBy(*keys).agg(
+        F.sum("_na").alias("n_a"),
+        F.sum(F.col("_cnt") - F.col("_na")).alias("n_b"),
+        F.sum(F.col("_na").cast(dec) * F.col("_rank2")).alias("_r2a"),
+        F.sum(
+            F.col("_cnt").cast(dec) * F.col("_cnt") * F.col("_cnt")
+            - F.col("_cnt").cast(dec)
+        ).alias("_tie"),
+    )
+    na = F.col("n_a").cast(dec)
+    nb = F.col("n_b").cast(dec)
+    u2a = F.col("_r2a") - na * (na + F.lit(1).cast(dec))
+    return out.select(
+        *keys,
+        "n_a",
+        "n_b",
+        (u2a.cast("double") / F.lit(2.0)).alias("u_a"),
+        (
+            (F.lit(2).cast(dec) * na * nb - u2a).cast("double") / F.lit(2.0)
+        ).alias("u_b"),
+        F.col("_tie").cast("double").alias("tie_term"),
+    )
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Spearman rank correlation (mid-rank tie handling) per key —
+    the monotonic-association companion to :func:`exact_corr`'s
+    Pearson. Engine-exact by the same construction as r123/r159:
+    both variables map to INTEGER doubled mid-ranks
+    (:func:`_doubled_ranks`), the five moment sums over those
+    integers accumulate in decimal(38,0) (DuckDB HUGEINT — doubled
+    rank products reach 4n³, past BIGINT at n ≳ 1.3M rows), and only
+    the final closed form runs in doubles with the IDENTICAL
+    expression shape on both engines, so rho compares bit-exactly.
+
+    Scale shape: two aggregate-first rank maps (window over distinct
+    values only) hash-joined back to the fact rows on (keys, value) —
+    the standard distributed Spearman; no raw-data window, no sort
+    through one reducer."""
+    keys = keys or []
+    rx = _doubled_ranks(df, x_col, keys).withColumnRenamed("_rank2", "_rx2")
+    ry = _doubled_ranks(df, y_col, keys).withColumnRenamed("_rank2", "_ry2")
+    joined = (
+        df.select(*keys, x_col, y_col)
+        .join(rx.drop("_cnt"), [*keys, x_col])
+        .join(ry.drop("_cnt"), [*keys, y_col])
+    )
+    dec = "decimal(38,0)"
+    m = joined.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("_rx2").cast(dec)).alias("sx"),
+        F.sum(F.col("_ry2").cast(dec)).alias("sy"),
+        F.sum(F.col("_rx2").cast(dec) * F.col("_ry2")).alias("sxy"),
+        F.sum(F.col("_rx2").cast(dec) * F.col("_rx2")).alias("sxx"),
+        F.sum(F.col("_ry2").cast(dec) * F.col("_ry2")).alias("syy"),
+    )
+    n = F.col("n").cast(dec)
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        *keys,
+        "n",
+        (num / (F.sqrt(dx) * F.sqrt(dy))).alias("rho"),
+    )

@@ -857,3 +857,95 @@ def interval_concurrency(
     return global_running_sum(deltas, ["day"], "delta", out_col="n_open").select(
         "day", "n_open"
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    seq_col: str,
+    keys: list[str] | None = None,
+    bucket: str = "day",
+    scale: int = 4,
+) -> DataFrame:
+    """OHLC candlestick bars: per key and time bucket, the open
+    (first value), high, low, close (last value), tick count, and
+    exact turnover — the market-data / sensor-telemetry rollup that
+    turns a raw tick stream into charting bars.
+
+    ONE hash aggregate, zero windows, zero shuffles beyond the
+    groupBy: open/close use ``min_by`` / ``max_by`` over the
+    composite ``struct(ts, seq)`` ordering key, so ties at the same
+    timestamp resolve deterministically by ``seq_col`` (any unique
+    id). Turnover sums ``floor(value·10^scale)`` BIGINTs — exact and
+    engine-independent, the repo's scaled_sum idiom. Map-side
+    partial aggregation applies (plain hash agg), so at 100 TB each
+    executor pre-folds its ticks before the single shuffle on
+    (keys, bucket)."""
+    keys = keys or []
+    order = F.struct(F.col(ts_col), F.col(seq_col))
+    factor = 10**scale
+    scaled = F.floor(F.col(value_col) * F.lit(factor)).cast("long")
+    return df.groupBy(
+        *keys, F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
+    ).agg(
+        F.min_by(F.col(value_col), order).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(F.col(value_col), order).alias("close"),
+        F.count("*").alias("n_ticks"),
+        (F.sum(scaled).cast("double") / F.lit(float(factor))).alias(
+            "turnover"
+        ),
+    )
+
+
+def max_drawdown(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    seq_col: str,
+    keys: list[str] | None = None,
+    scale: int = 4,
+) -> DataFrame:
+    """Maximum drawdown of the running cumulative sum of
+    ``value_col`` per key: the largest peak-to-trough decline of the
+    equity curve — the standard risk metric for any cumulative
+    series (P&L, battery charge, reservoir level).
+
+    All-integer and engine-exact: values scale to
+    ``floor(v·10^scale)`` BIGINTs, the cumulative sum and its
+    running maximum are integer window folds, and the drawdown
+    ``peak − cum`` stays integer until the final exact division.
+    Emits per key: ``max_drawdown``, the final cumulative value,
+    the number of new-high ticks, and n.
+
+    Scale shape: the running-max-of-cumsum recurrence is inherently
+    sequential PER KEY (two ordered window folds over the key's
+    ticks); parallelism comes from the key dimension, the same
+    contract as ``running_total`` / ``activity_streaks``. For a
+    single global series at extreme scale the two-phase
+    per-partition prefix idiom (``packing.py``) applies to both
+    folds; keyed telemetry never needs it."""
+    keys = keys or []
+    factor = 10**scale
+    w = Window.partitionBy(*keys).orderBy(ts_col, seq_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    scaled = F.floor(F.col(value_col) * F.lit(factor)).cast("long")
+    cum = df.withColumn("_cum", F.sum(scaled).over(run))
+    peaked = cum.withColumn("_peak", F.max("_cum").over(run))
+    return peaked.groupBy(*keys).agg(
+        (
+            F.max(F.col("_peak") - F.col("_cum")).cast("double")
+            / F.lit(float(factor))
+        ).alias("max_drawdown"),
+        (
+            F.max_by(F.col("_cum"), F.struct(F.col(ts_col), F.col(seq_col)))
+            .cast("double")
+            / F.lit(float(factor))
+        ).alias("final_value"),
+        F.sum(
+            F.when(F.col("_cum") == F.col("_peak"), 1).otherwise(0)
+        ).alias("n_new_highs"),
+        F.count("*").alias("n"),
+    )

@@ -9068,6 +9068,611 @@ SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n,
 FROM e GROUP BY 1
 """
 
+# --- round-11 additions, batch 11 (r229-r239) -------------------------------
+# Rank statistics, survival curves, market bars, blocked spatial NN,
+# calendar arithmetic, apportionment, UNPIVOT and graph node similarity
+# — each one hash-aggregate-first, window-over-grouped-rows-only, and
+# integer-exact wherever a product/ratio feeds the hash compare.
+
+
+def r229_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum driver check (`dbs.operators
+    .distributions.mann_whitney_u`): returned-vs-accepted lineitems
+    compared on quantity per linestatus. All-integer doubled
+    mid-ranks make U and the tie-correction term engine-exact; the
+    twin replicates the grouped-rank window in SQL."""
+    from datalake_backend_spark.operators.distributions import mann_whitney_u
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_linestatus", "l_returnflag", "l_quantity"
+    )
+    return mann_whitney_u(
+        li, "l_quantity", "l_returnflag", "R", "A", keys=["l_linestatus"]
+    )
+
+
+R229_SQL = """
+WITH d AS (
+  SELECT l_linestatus, l_quantity AS v,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ia
+  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+),
+g AS (
+  SELECT l_linestatus, v, COUNT(*) AS c, SUM(ia) AS na
+  FROM d GROUP BY 1, 2
+),
+r AS (
+  SELECT l_linestatus, c, na,
+         2 * COALESCE(SUM(c) OVER (PARTITION BY l_linestatus ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS rank2
+  FROM g
+),
+s AS (
+  SELECT l_linestatus,
+         CAST(SUM(na) AS BIGINT) AS n_a,
+         CAST(SUM(c - na) AS BIGINT) AS n_b,
+         SUM(CAST(na AS HUGEINT) * rank2) AS r2a,
+         SUM(CAST(c AS HUGEINT) * c * c - CAST(c AS HUGEINT)) AS tie
+  FROM r GROUP BY 1
+)
+SELECT l_linestatus, n_a, n_b,
+  CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+  CAST(2 * CAST(n_a AS HUGEINT) * n_b
+       - (r2a - CAST(n_a AS HUGEINT) * (n_a + 1)) AS DOUBLE) / 2.0 AS u_b,
+  CAST(tie AS DOUBLE) AS tie_term
+FROM s
+"""
+
+
+def r230_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation driver check (`dbs.operators
+    .distributions.spearman_rho`): quantity-vs-price monotonic
+    association per return flag. Doubled integer mid-ranks +
+    decimal(38,0)/HUGEINT moment sums + one shared closed form in
+    doubles — rho compares bit-exactly, no tolerance."""
+    from datalake_backend_spark.operators.distributions import spearman_rho
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return spearman_rho(
+        li, "l_quantity", "l_extendedprice", keys=["l_returnflag"]
+    )
+
+
+R230_SQL = """
+WITH rx AS (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS c,
+         2 * COALESCE(SUM(COUNT(*)) OVER (PARTITION BY l_returnflag
+             ORDER BY l_quantity
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + COUNT(*) + 1 AS rx2
+  FROM lineitem GROUP BY 1, 2
+),
+ry AS (
+  SELECT l_returnflag, l_extendedprice, COUNT(*) AS c,
+         2 * COALESCE(SUM(COUNT(*)) OVER (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + COUNT(*) + 1 AS ry2
+  FROM lineitem GROUP BY 1, 2
+),
+j AS (
+  SELECT l.l_returnflag, rx.rx2, ry.ry2
+  FROM lineitem l
+  JOIN rx ON l.l_returnflag = rx.l_returnflag
+         AND l.l_quantity = rx.l_quantity
+  JOIN ry ON l.l_returnflag = ry.l_returnflag
+         AND l.l_extendedprice = ry.l_extendedprice
+),
+m AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(rx2 AS HUGEINT)) AS sx,
+         SUM(CAST(ry2 AS HUGEINT)) AS sy,
+         SUM(CAST(rx2 AS HUGEINT) * ry2) AS sxy,
+         SUM(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+         SUM(CAST(ry2 AS HUGEINT) * ry2) AS syy
+  FROM j GROUP BY 1
+)
+SELECT l_returnflag, n,
+  CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+  / (SQRT(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+     * SQRT(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))) AS rho
+FROM m
+"""
+
+
+def r231_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival driver check (`dbs.operators.survival
+    .kaplan_meier`): per-user activity span (first→last event, days)
+    with conversion-to-purchase as the event and no-purchase users
+    right-censored, keyed by a weekday/weekend first-seen cohort
+    (computed via the engine-neutral Monday-anchor mod-7, NOT
+    dayofweek — Spark and DuckDB disagree on week-start numbering).
+    d and at-risk are exact BIGINTs; the product-limit estimate is
+    exp-sum-of-logs rounded to 6dp, the repo's convention for libm
+    surfaces."""
+    from datalake_backend_spark.operators.survival import kaplan_meier
+
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("first_d"),
+        F.to_date(F.max("ts")).alias("last_d"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "event"
+        ),
+    )
+    obs = per_user.select(
+        F.when(
+            F.datediff(F.col("first_d"), F.lit("1970-01-05").cast("date"))
+            % 7
+            >= 5,
+            F.lit("weekend"),
+        )
+        .otherwise(F.lit("weekday"))
+        .alias("cohort"),
+        F.datediff("last_d", "first_d").alias("duration"),
+        "event",
+    )
+    return kaplan_meier(obs, "duration", "event", keys=["cohort"])
+
+
+R231_SQL = """
+WITH pu AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS fd, CAST(MAX(ts) AS DATE) AS ld,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ev
+  FROM events GROUP BY 1
+),
+obs AS (
+  SELECT CASE WHEN date_diff('day', DATE '1970-01-05', fd) % 7 >= 5
+              THEN 'weekend' ELSE 'weekday' END AS cohort,
+         date_diff('day', fd, ld) AS duration, ev
+  FROM pu
+),
+g AS (
+  SELECT cohort, duration, CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM obs GROUP BY 1, 2
+),
+s AS (
+  SELECT cohort, duration, d,
+         CAST(SUM(obs) OVER (PARTITION BY cohort)
+              - COALESCE(SUM(obs) OVER (PARTITION BY cohort
+                  ORDER BY duration
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS at_risk
+  FROM g
+),
+l AS (
+  SELECT cohort, duration, d, at_risk,
+         CASE WHEN d >= at_risk THEN -1e9
+              WHEN d > 0 THEN ln(CAST(at_risk - d AS DOUBLE)
+                                 / CAST(at_risk AS DOUBLE))
+              ELSE 0.0 END AS lf
+  FROM s
+),
+c AS (
+  SELECT cohort, duration, d, at_risk,
+         EXP(SUM(lf) OVER (PARTITION BY cohort ORDER BY duration
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS sv
+  FROM l
+)
+SELECT cohort, CAST(duration AS INT) AS duration, at_risk, d,
+       ROUND(sv, 6) AS survival
+FROM c WHERE d > 0
+"""
+
+
+def r232_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar rollup driver check (`dbs.operators.timeseries
+    .ohlc_bars`): daily candlesticks of the events value stream per
+    event type — ONE hash aggregate, open/close via min_by/max_by
+    over the (ts, event_id) composite so timestamp ties are
+    deterministic; the twin picks the same rows with row_number.
+    Turnover uses the scaled-integer sum idiom."""
+    from datalake_backend_spark.operators.timeseries import ohlc_bars
+
+    ev = table(spark, sf_dir, "events")
+    return ohlc_bars(
+        ev, "ts", "value", "event_id", keys=["event_type"], bucket="day"
+    )
+
+
+R232_SQL = """
+WITH b AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+           AS bucket_ts, value, ts, event_id
+  FROM events
+),
+o AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY event_type, bucket_ts
+                       ORDER BY ts, event_id) AS rn_a,
+    row_number() OVER (PARTITION BY event_type, bucket_ts
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM b
+)
+SELECT event_type, bucket_ts,
+  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+  MAX(value) AS high,
+  MIN(value) AS low,
+  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+  CAST(COUNT(*) AS BIGINT) AS n_ticks,
+  CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0
+    AS turnover
+FROM o GROUP BY 1, 2
+"""
+
+
+def r233_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown driver check (`dbs.operators.timeseries
+    .max_drawdown`): a signed synthetic flow (event value, direction
+    by user parity — deterministic) accumulated per event type; the
+    running cumsum, running peak and max peak-to-trough decline are
+    all scaled-integer window folds, engine-exact."""
+    from datalake_backend_spark.operators.timeseries import max_drawdown
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "flow",
+        F.col("value")
+        * F.when(F.col("user_id") % 2 == 0, F.lit(1.0)).otherwise(
+            F.lit(-1.0)
+        ),
+    )
+    return max_drawdown(
+        ev, "ts", "flow", "event_id", keys=["event_type"]
+    )
+
+
+R233_SQL = """
+WITH f AS (
+  SELECT event_type, ts, event_id,
+         CAST(FLOOR(value * (CASE WHEN user_id % 2 = 0 THEN 1.0
+                                  ELSE -1.0 END) * 10000) AS BIGINT)
+           AS sv,
+         value * (CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE -1.0 END)
+           AS flow
+  FROM events
+),
+c AS (
+  SELECT event_type, ts, event_id,
+         SUM(sv) OVER (PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM f
+),
+p AS (
+  SELECT event_type, ts, event_id, cum,
+         MAX(cum) OVER (PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM c
+),
+lastrow AS (
+  SELECT event_type, cum,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM p
+)
+SELECT p.event_type,
+  CAST(MAX(p.peak - p.cum) AS DOUBLE) / 10000.0 AS max_drawdown,
+  CAST(MAX(CASE WHEN l.rn = 1 THEN l.cum END) AS DOUBLE) / 10000.0
+    AS final_value,
+  CAST(SUM(CASE WHEN p.cum = p.peak THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_new_highs,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM p JOIN lastrow l
+  ON p.event_type = l.event_type AND l.rn = 1
+GROUP BY 1
+"""
+
+
+def r234_nearest_depot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-bounded nearest-neighbor join driver check
+    (`dbs.core.geometry.nearest_within_radius`): each customer
+    (deterministic integer coordinates from its key) matched to its
+    closest supplier depot within Euclidean radius 40 — grid-blocked
+    candidates + integer argmin refine on the engine side; the twin
+    brute-forces the cross product, proving the blocking loses no
+    pair. Ties break by smallest depot id."""
+    from datalake_backend_spark.core.geometry import nearest_within_radius
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") * 37 % 1000).alias("x"),
+        (F.col("c_custkey") * 91 % 1000).alias("y"),
+    )
+    sup = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_suppkey") * 53 % 1000).alias("x"),
+        (F.col("s_suppkey") * 17 % 1000).alias("y"),
+    )
+    return nearest_within_radius(
+        cust, sup, 40, "c_custkey", "s_suppkey"
+    )
+
+
+R234_SQL = """
+WITH c AS (
+  SELECT c_custkey, (c_custkey * 37) % 1000 AS x,
+         (c_custkey * 91) % 1000 AS y
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey, (s_suppkey * 53) % 1000 AS x,
+         (s_suppkey * 17) % 1000 AS y
+  FROM supplier
+),
+p AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS d2
+  FROM c CROSS JOIN s
+  WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 1600
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY c_custkey
+                               ORDER BY d2, s_suppkey) AS rn
+  FROM p
+)
+SELECT c_custkey, s_suppkey AS nearest_s_suppkey,
+       CAST(d2 AS BIGINT) AS dist2
+FROM r WHERE rn = 1
+"""
+
+
+# CCW convex pentagon used by r235 (verified convex: every edge cross
+# product against the next vertex chain is positive)
+_R235_PENTAGON = [(200, 100), (800, 150), (900, 600), (500, 950), (120, 700)]
+
+
+def r235_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-convex-polygon driver check (`dbs.core.geometry
+    .point_in_convex_polygon`): customers at deterministic integer
+    coordinates tested against a literal CCW pentagon via the
+    half-plane cross-product conjunction — pure BIGINT predicates
+    inside codegen, no geometry lib — rolled up per market segment.
+    The twin inlines the identical five-term conjunction."""
+    from datalake_backend_spark.core.geometry import point_in_convex_polygon
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_custkey") * 37 % 1000).alias("x"),
+        (F.col("c_custkey") * 91 % 1000).alias("y"),
+    )
+    inside = point_in_convex_polygon(
+        F.col("x"), F.col("y"), _R235_PENTAGON
+    )
+    return (
+        cust.withColumn("_in", inside.cast("int"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("_in").cast("long").alias("n_inside"),
+            F.count("*").alias("n_total"),
+            F.sum(
+                F.when(F.col("_in") == 1, F.col("c_custkey")).otherwise(0)
+            ).alias("key_checksum"),
+        )
+    )
+
+
+def _r235_sql() -> str:
+    verts = _R235_PENTAGON
+    terms = []
+    n = len(verts)
+    for i in range(n):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % n]
+        terms.append(
+            f"(({x2 - x1}) * (y - ({y1})) - ({y2 - y1}) * (x - ({x1}))"
+            f" >= 0)"
+        )
+    cond = " AND ".join(terms)
+    return f"""
+WITH c AS (
+  SELECT c_custkey, c_mktsegment, (c_custkey * 37) % 1000 AS x,
+         (c_custkey * 91) % 1000 AS y
+  FROM customer
+),
+t AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN {cond} THEN 1 ELSE 0 END AS inp
+  FROM c
+)
+SELECT c_mktsegment,
+  CAST(SUM(inp) AS BIGINT) AS n_inside,
+  CAST(COUNT(*) AS BIGINT) AS n_total,
+  CAST(SUM(CASE WHEN inp = 1 THEN c_custkey ELSE 0 END) AS BIGINT)
+    AS key_checksum
+FROM t GROUP BY 1
+"""
+
+
+R235_SQL = _r235_sql()
+
+
+def r236_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day lead-time driver check (`dbs.core.calendar
+    .business_days_between`): weekdays between order date and each
+    line's ship date, O(1) closed form (Monday-anchor integer
+    arithmetic — never an exploded per-day sequence), rolled up per
+    order priority. All-integer, engine-exact; the twin repeats the
+    same two-anchor formula."""
+    from datalake_backend_spark.core.calendar import business_days_between
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lead = business_days_between(
+        F.to_date("o_orderdate"), F.to_date("l_shipdate")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn("lead_bd", lead)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("lead_bd").alias("sum_lead"),
+            (F.sum("lead_bd").cast("double") / F.count("*")).alias(
+                "avg_lead"
+            ),
+            F.min("lead_bd").alias("min_lead"),
+            F.max("lead_bd").alias("max_lead"),
+        )
+    )
+
+
+R236_SQL = """
+WITH j AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', DATE '1970-01-05',
+                   CAST(l.l_shipdate AS DATE) + 1) AS ke,
+         date_diff('day', DATE '1970-01-05',
+                   CAST(o.o_orderdate AS DATE) + 1) AS ks
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+b AS (
+  SELECT o_orderpriority,
+         (5 * ((ke - ke % 7) // 7) + LEAST(ke % 7, 5))
+         - (5 * ((ks - ks % 7) // 7) + LEAST(ks % 7, 5)) AS lead_bd
+  FROM j
+)
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(lead_bd) AS BIGINT) AS sum_lead,
+  CAST(SUM(lead_bd) AS DOUBLE) / COUNT(*) AS avg_lead,
+  CAST(MIN(lead_bd) AS BIGINT) AS min_lead,
+  CAST(MAX(lead_bd) AS BIGINT) AS max_lead
+FROM b GROUP BY 1
+"""
+
+
+def r237_seat_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder apportionment driver check (`dbs.operators
+    .allocation.apportion_largest_remainder`): 1000 indivisible
+    budget units split across market segments proportionally to
+    customer counts — floor shares plus exact integer-remainder
+    ranking (ties by key), deterministic and engine-exact."""
+    from datalake_backend_spark.operators.allocation import (
+        apportion_largest_remainder,
+    )
+
+    cust = (
+        table(spark, sf_dir, "customer")
+        .select("c_mktsegment")
+        .withColumn("wt", F.lit(1))
+    )
+    return apportion_largest_remainder(cust, "c_mktsegment", "wt", 1000)
+
+
+R237_SQL = """
+WITH w AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS w
+  FROM customer GROUP BY 1
+),
+t AS (SELECT SUM(w) AS tw FROM w),
+j AS (
+  SELECT c_mktsegment, w,
+         (1000 * w) // tw AS base, (1000 * w) % tw AS rem
+  FROM w, t
+),
+l AS (SELECT 1000 - SUM(base) AS lo FROM j),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, c_mktsegment) AS rk
+  FROM j
+)
+SELECT c_mktsegment, w,
+  CAST(base + CASE WHEN rk <= lo THEN 1 ELSE 0 END AS BIGINT)
+    AS seats_alloc
+FROM r, l
+"""
+
+
+def r238_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT driver check (§2.8 wide→long reshaping, the inverse
+    of r31/r164's pivot): per-returnflag exact decimal sums melt
+    from three metric COLUMNS into (metric, amount) ROWS via native
+    ``DataFrame.unpivot`` — no explode-of-structs hand-rolling; the
+    twin uses SQL UNPIVOT. Metric names come from the column names
+    on both engines, so a drift in either side's aliases fails the
+    hash."""
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        dec_sum("l_quantity").alias("sum_qty"),
+        dec_sum("l_extendedprice").alias("sum_price"),
+        dec_sum("l_discount").alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "metric",
+        "amount",
+    )
+
+
+R238_SQL = """
+WITH a AS (
+  SELECT l_returnflag,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+      AS sum_price,
+    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, metric, amount
+FROM (UNPIVOT a ON sum_qty, sum_price, sum_disc
+      INTO NAME metric VALUE amount)
+"""
+
+
+def r239_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph node-similarity driver check (`dbs.operators.graph
+    .neighborhood_jaccard`): size-1 parts compared by the supplier
+    sets that ship them — wedge self-join under each shared supplier
+    (never all-pairs; the hub cap guards fan-out at scale), exact
+    BIGINT intersection/union counts, and an IEEE-exact Jaccard
+    division. The twin recomputes wedges relationally."""
+    from datalake_backend_spark.operators.graph import neighborhood_jaccard
+
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = table(spark, sf_dir, "part").where(F.col("p_size") == 1).select(
+        "p_partkey"
+    )
+    edges = li.join(
+        F.broadcast(p), li.l_partkey == p.p_partkey
+    ).select("l_partkey", "l_suppkey")
+    return neighborhood_jaccard(
+        edges, "l_partkey", "l_suppkey", min_common=2
+    )
+
+
+R239_SQL = """
+WITH e AS (
+  SELECT DISTINCT l.l_partkey, l.l_suppkey
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_size = 1
+),
+deg AS (SELECT l_partkey, COUNT(*) AS d FROM e GROUP BY 1),
+c AS (
+  SELECT a.l_partkey AS node_a, b.l_partkey AS node_b,
+         CAST(COUNT(*) AS BIGINT) AS common
+  FROM e a JOIN e b ON a.l_suppkey = b.l_suppkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT c.node_a, c.node_b, c.common,
+  CAST(da.d + db.d - c.common AS BIGINT) AS union_size,
+  CAST(c.common AS DOUBLE) / (da.d + db.d - c.common) AS jaccard
+FROM c
+JOIN deg da ON c.node_a = da.l_partkey
+JOIN deg db ON c.node_b = db.l_partkey
+"""
+
+
+
 
 
 def r159_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12243,7 +12848,38 @@ QUERIES: dict[str, QuerySpec] = {
     "r228_bag_set_ops": QuerySpec(
         r228_bag_set_ops, R228_SQL, "U-bag-set-ops,intersect-except-all"
     ),
+    "r229_mann_whitney": QuerySpec(
+        r229_mann_whitney, R229_SQL, "stats-rank-sum,mann-whitney"
+    ),
     "r22_text_quality": QuerySpec(q22_text_quality, Q22_SQL, "text-quality"),
+    "r230_spearman_rho": QuerySpec(
+        r230_spearman_rho, R230_SQL, "stats-spearman,rank-correlation"
+    ),
+    "r231_kaplan_meier": QuerySpec(
+        r231_kaplan_meier, R231_SQL, "survival-kaplan-meier,censoring"
+    ),
+    "r232_ohlc_bars": QuerySpec(
+        r232_ohlc_bars, R232_SQL, "timeseries-ohlc,W6-minby-maxby"
+    ),
+    "r233_max_drawdown": QuerySpec(
+        r233_max_drawdown, R233_SQL, "timeseries-drawdown,W-running-max"
+    ),
+    "r234_nearest_depot": QuerySpec(
+        r234_nearest_depot, R234_SQL, "geo-nearest-neighbor,grid-blocked"
+    ),
+    "r235_point_in_polygon": QuerySpec(
+        r235_point_in_polygon, R235_SQL, "geo-point-in-polygon,F8"
+    ),
+    "r236_business_days": QuerySpec(
+        r236_business_days, R236_SQL, "calendar-business-days,F18"
+    ),
+    "r237_seat_apportionment": QuerySpec(
+        r237_seat_apportionment, R237_SQL, "allocation-largest-remainder"
+    ),
+    "r238_unpivot": QuerySpec(r238_unpivot, R238_SQL, "olap-unpivot,E-melt"),
+    "r239_node_jaccard": QuerySpec(
+        r239_node_jaccard, R239_SQL, "graph-node-similarity,wedge-join"
+    ),
     "r23_lang_distribution": QuerySpec(q23_lang_distribution, Q23_SQL, "text-langid,A13"),
     "r24_cosine_threshold": QuerySpec(q24_cosine_threshold, Q24_SQL, "similarity-cosine"),
     "r25_jaccard_pairs": QuerySpec(q25_jaccard_pairs, Q25_SQL, "dedup-ngram-jaccard"),

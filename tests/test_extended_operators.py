@@ -1716,3 +1716,235 @@ def test_bbox_join_boundaries(spark):
     # p1 on box100's min corner; p2 on its max corner AND inside 200;
     # p3 just outside 100 (x=11) but inside 200; p4 only in 200
     assert got == [(1, 100), (2, 100), (2, 200), (3, 200), (4, 200)]
+
+
+def test_mann_whitney_ties_and_exactness(spark):
+    """mann_whitney_u (operators/distributions.py; r229): hand-
+    computed U on a tied pooled sample — A=[1,2,3] vs B=[2,3,4]:
+    mid-ranks 1, 2.5, 2.5, 4.5, 4.5, 6 give R_A=8, U_A=2, U_B=7,
+    tie term (2³−2)·2 = 12; U_A + U_B must equal n_a·n_b."""
+    from datalake_backend_spark.operators.distributions import mann_whitney_u
+
+    d = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 2.0), ("B", 3.0), ("B", 4.0)],
+        "g string, v double",
+    )
+    r = mann_whitney_u(d, "v", "g", "A", "B").collect()[0]
+    assert (r.n_a, r.n_b, r.u_a, r.u_b, r.tie_term) == (3, 3, 2.0, 7.0, 12.0)
+    assert r.u_a + r.u_b == r.n_a * r.n_b
+
+
+def test_spearman_rho_monotone_and_ties(spark):
+    """spearman_rho (operators/distributions.py; r230): ±1 on
+    perfectly monotone data (up to sqrt(a)·sqrt(a) ulps); a tied x
+    value pulls |rho| below 1 via mid-ranks."""
+    from datalake_backend_spark.operators.distributions import spearman_rho
+
+    up = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (3.0, 25.0), (4.0, 40.0)],
+        "x double, y double",
+    )
+    assert abs(spearman_rho(up, "x", "y").collect()[0].rho - 1.0) < 1e-12
+    down = spark.createDataFrame(
+        [(1.0, 40.0), (2.0, 30.0), (3.0, 20.0), (4.0, 10.0)],
+        "x double, y double",
+    )
+    assert abs(spearman_rho(down, "x", "y").collect()[0].rho + 1.0) < 1e-12
+    tied = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (2.0, 30.0), (4.0, 40.0)],
+        "x double, y double",
+    )
+    rho = spearman_rho(tied, "x", "y").collect()[0].rho
+    assert 0.9 < rho < 1.0
+
+
+def test_kaplan_meier_censoring_and_full_death(spark):
+    """kaplan_meier (operators/survival.py; r231): censored rows
+    shrink the risk set without stepping the curve, and a final
+    step where the whole risk set dies lands survival EXACTLY 0.0
+    (the log(0)→NULL window-skip hazard)."""
+    from datalake_backend_spark.operators.survival import kaplan_meier
+
+    d = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (3, 1)], "dur int, ev int"
+    )
+    got = {
+        r.dur: (r.at_risk, r.d, r.survival)
+        for r in kaplan_meier(d, "dur", "ev").collect()
+    }
+    assert got == {1: (4, 1, 0.75), 3: (2, 2, 0.0)}
+
+
+def test_ohlc_bars_tie_break_and_turnover(spark):
+    """ohlc_bars (operators/timeseries.py; r232): same-timestamp
+    ticks resolve open/close by seq id; turnover is the exact
+    scaled-integer sum."""
+    import datetime as dt
+
+    from datalake_backend_spark.operators.timeseries import ohlc_bars
+
+    rows = [
+        ("s", dt.datetime(2024, 1, 1, 9), 10.0, 1),
+        ("s", dt.datetime(2024, 1, 1, 9), 11.0, 2),
+        ("s", dt.datetime(2024, 1, 1, 15), 5.0, 3),
+        ("s", dt.datetime(2024, 1, 2, 9), 7.0, 4),
+    ]
+    d = spark.createDataFrame(rows, "k string, ts timestamp, v double, id long")
+    got = sorted(
+        ohlc_bars(d, "ts", "v", "id", ["k"]).collect(),
+        key=lambda r: r.bucket_ts,
+    )
+    first = got[0]
+    assert (
+        first.open, first.high, first.low, first.close, first.n_ticks,
+        first.turnover,
+    ) == (10.0, 11.0, 5.0, 5.0, 3, 26.0)
+    assert got[1].open == 7.0 and got[1].close == 7.0
+
+
+def test_max_drawdown_peak_trough(spark):
+    """max_drawdown (operators/timeseries.py; r233): flows
+    5,−3,1,−4,10 → equity 5,2,3,−1,9 → peak 5 trough −1 → dd 6;
+    two new-high ticks (the first and the last)."""
+    import datetime as dt
+
+    from datalake_backend_spark.operators.timeseries import max_drawdown
+
+    rows = [
+        ("k", dt.datetime(2024, 1, 1, i), v, i)
+        for i, v in enumerate([5.0, -3.0, 1.0, -4.0, 10.0])
+    ]
+    d = spark.createDataFrame(rows, "k string, ts timestamp, v double, id long")
+    r = max_drawdown(d, "ts", "v", "id", ["k"]).collect()[0]
+    assert (r.max_drawdown, r.final_value, r.n_new_highs, r.n) == (
+        6.0, 9.0, 2, 5,
+    )
+
+
+def test_nearest_within_radius_blocking(spark):
+    """nearest_within_radius (core/geometry.py; r234): picks the
+    argmin inside the radius (not just any candidate), drops points
+    with no neighbor in range, breaks distance ties by smallest
+    right id."""
+    from datalake_backend_spark.core.geometry import nearest_within_radius
+
+    left = spark.createDataFrame(
+        [(1, 10, 10), (2, 100, 100)], "lid long, x long, y long"
+    )
+    right = spark.createDataFrame(
+        [(7, 12, 10), (8, 10, 13), (9, 500, 500), (6, 8, 10)],
+        "rid long, x long, y long",
+    )
+    got = {
+        r.lid: (r.nearest_rid, r.dist2)
+        for r in nearest_within_radius(left, right, 5, "lid", "rid").collect()
+    }
+    # rid 6 and 7 both at dist2=4 → tie goes to rid 6; lid 2 unmatched
+    assert got == {1: (6, 4)}
+
+
+def test_point_in_convex_polygon_boundary(spark):
+    """point_in_convex_polygon (core/geometry.py; r235): interior,
+    exterior, edge and vertex cases on a CCW square — boundary is
+    INSIDE (closed polygon)."""
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.core.geometry import point_in_convex_polygon
+
+    pts = spark.createDataFrame(
+        [(5, 5), (11, 5), (0, 5), (10, 10), (-1, -1)], "x long, y long"
+    )
+    square = [(0, 0), (10, 0), (10, 10), (0, 10)]
+    got = [
+        r[0]
+        for r in pts.select(
+            point_in_convex_polygon(F.col("x"), F.col("y"), square)
+        ).collect()
+    ]
+    assert got == [True, False, True, True, False]
+
+
+def test_business_days_weekend_spans(spark):
+    """business_days_between (core/calendar.py; r236): the
+    (start, end] convention — Fri→Mon is 1, Mon→Fri is 4, same-day
+    0, weekend-only spans 0 — with no engine dayofweek dependence."""
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.core.calendar import business_days_between
+
+    d = spark.createDataFrame(
+        [
+            ("2026-08-14", "2026-08-17"),
+            ("2026-08-10", "2026-08-14"),
+            ("2026-08-14", "2026-08-14"),
+            ("2026-08-15", "2026-08-16"),
+            ("2026-08-14", "2026-08-16"),
+        ],
+        "a string, b string",
+    )
+    got = [
+        r[0]
+        for r in d.select(
+            business_days_between(
+                F.col("a").cast("date"), F.col("b").cast("date")
+            )
+        ).collect()
+    ]
+    assert got == [1, 4, 0, 0, 0]
+
+
+def test_apportion_largest_remainder(spark):
+    """apportion_largest_remainder (operators/allocation.py; r237):
+    exact proportions allocate exactly; a 3-way tie on remainders
+    gives the spare seat to the lexicographically first key; total
+    always equals the seat count."""
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.operators.allocation import (
+        apportion_largest_remainder,
+    )
+
+    even = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "k string"
+    ).withColumn("w", F.lit(1))
+    got = {
+        r.k: r.seats_alloc
+        for r in apportion_largest_remainder(even, "k", "w", 10).collect()
+    }
+    assert got == {"a": 4, "b": 3, "c": 3}
+    prop = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 2)], "k string, w int"
+    )
+    got2 = {
+        r.k: r.seats_alloc
+        for r in apportion_largest_remainder(prop, "k", "w", 10).collect()
+    }
+    assert got2 == {"a": 5, "b": 3, "c": 2}
+
+
+def test_neighborhood_jaccard_wedge_and_hub_cap(spark):
+    """neighborhood_jaccard (operators/graph.py; r239): only pairs
+    sharing a neighbor appear; the hub cap drops a high-fanout dst
+    and with it the pairs it would have generated."""
+    from datalake_backend_spark.operators.graph import neighborhood_jaccard
+
+    e = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 2), ("b", 3), ("c", 9)],
+        "src string, dst int",
+    )
+    got = {
+        (r.node_a, r.node_b): (r.common, r.union_size, r.jaccard)
+        for r in neighborhood_jaccard(e).collect()
+    }
+    assert got == {("a", "b"): (2, 3, 2 / 3)}
+    # hub: dst 0 shared by everyone; cap 2 drops it entirely
+    hub = e.union(
+        spark.createDataFrame(
+            [("a", 0), ("b", 0), ("c", 0)], "src string, dst int"
+        )
+    )
+    capped = {
+        (r.node_a, r.node_b): r.common
+        for r in neighborhood_jaccard(hub, max_degree=2).collect()
+    }
+    assert capped == {("a", "b"): 2}
