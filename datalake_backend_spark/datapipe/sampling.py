@@ -395,3 +395,50 @@ def quality_budget_keep(
     return d.where(
         F.col("_cum_before") * 100 < F.lit(budget_pct) * F.col("_total")
     ).drop("_s", "_cum_before", "_total")
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str | Column,
+    key_col: str,
+    k: int,
+    group_col: str | None = None,
+    salt: str = "",
+    buckets: int = 16,
+) -> DataFrame:
+    """Fixed-size weight-proportional sample WITHOUT replacement:
+    priority sampling (Duffield, Lund & Thorup 2007) — each row gets
+    priority ``w / u`` with ``u`` a deterministic uniform in (0, 1]
+    from the portable (key, salt) hash, and the k highest priorities
+    win. Complements :func:`weighted_sample` (Bernoulli, variable
+    size): use this when the budget is "exactly k documents, favor
+    high quality", e.g. eval-set carving or per-source vignettes.
+    Deterministic across runs, partitionings, and engines: ``u`` is a
+    correctly-rounded IEEE division of the same integers everywhere,
+    and ``w / u`` of identical doubles is identical, so the selected
+    SET (not just its size) is reproducible and oracle-checkable.
+
+    Scale shape: same skew-safe two-phase top-k as
+    :func:`cap_per_group` — phase 1 ranks within (group, hash
+    bucket), phase 2 re-ranks the ≤ k·buckets survivors. Ties (equal
+    priority) break by key ascending."""
+    from datalake_backend_spark.datapipe.dedup import portable_hash60
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = portable_hash60(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    prio = w.cast("double") / u
+    groups = [group_col] if group_col else []
+    bucket = F.pmod(h, F.lit(buckets))
+    tagged = df.withColumn("_prio", prio)
+    w1 = Window.partitionBy(*groups, bucket).orderBy(
+        F.desc("_prio"), F.col(key_col)
+    )
+    w2 = Window.partitionBy(*groups).orderBy(F.desc("_prio"), F.col(key_col))
+    return (
+        tagged.withColumn("_rn1", F.row_number().over(w1))
+        .where(F.col("_rn1") <= k)
+        .withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= k)
+        .drop("_rn1", "_rn")
+    )

@@ -1088,3 +1088,66 @@ def phrase_occurrences(
     return cur.groupBy(id_col).agg(
         F.count("*").alias("n_occurrences")
     )
+
+
+def bigram_lift(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation mining: for every adjacent token pair occurring
+    ≥ ``min_count`` times, the association lift
+    ``P(w1,w2) / (P(w1)·P(w2)) = n12 · N_tok / (n1 · n2)`` — the
+    log-free PMI core (phrase/MWE detection, stopword-chain
+    diagnostics before dedup shingling). Unigram probabilities use
+    token occurrences, bigram counts use adjacent positions within a
+    document (no cross-document pairs).
+
+    Exactness: counts are BIGINTs; the lift numerator/denominator
+    accumulate in decimal(38,0) (DuckDB HUGEINT — n12·N_tok passes
+    2^63 once the corpus passes ~10¹⁰ tokens) and convert to double
+    only for the single final division — identical on both engines.
+
+    Scale shape: one explode + two hash aggregates + one join of the
+    bigram counts against the (much smaller) unigram table twice.
+    The bigram table is the big intermediate; min_count prunes it
+    INSIDE the first aggregate's HAVING, before any join."""
+    toks = df.select(tokens(text_col).alias("_t")).where(
+        F.size("_t") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("_t"), 1, F.size("_t") - 1).alias("w1"),
+                F.slice(F.col("_t"), 2, F.size("_t") - 1).alias("w2"),
+            )
+        ).alias("_p")
+    ).select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n12"))
+        .where(F.col("n12") >= min_count)
+    )
+    uni = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    total = uni.agg(F.sum("n").alias("_ntok"))
+    dec = "decimal(38,0)"
+    return (
+        big.join(uni.select(F.col("w").alias("w1"), F.col("n").alias("n1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n").alias("n2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            "n1",
+            "n2",
+            (
+                (F.col("n12").cast(dec) * F.col("_ntok")).cast("double")
+                / (F.col("n1").cast(dec) * F.col("n2")).cast("double")
+            ).alias("lift"),
+        )
+    )

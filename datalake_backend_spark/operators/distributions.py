@@ -1227,3 +1227,106 @@ def spearman_rho(
         "n",
         (num / (F.sqrt(dx) * F.sqrt(dy))).alias("rho"),
     )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    k: int = 256,
+    buckets: int = 16,
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per key — the
+    DETERMINISTIC, cross-engine-reproducible companion to
+    :func:`approx_distinct_rollup`'s HLL++ (whose register state is
+    engine-specific and can only be oracle-checked by accuracy band):
+    hash every value with the portable 60-bit md5 hash, keep the k
+    smallest distinct hashes, estimate
+    ``(k−1) · 2^60 / h_k`` (Bar-Yossef et al. 2002). Every output —
+    the kth hash, the kept count, the estimate — is bit-identical on
+    any engine that can md5, so the twin pins EXACT values, not a
+    tolerance. When a key has fewer than k distinct values the sketch
+    is exact and the estimate is the kept count itself.
+
+    Scale shape: hash + distinct is one hash aggregate; the top-k
+    uses the same skew-safe two-phase rank as ``cap_per_group``
+    (phase 1 within (key, hash-bucket), phase 2 over the ≤ k·buckets
+    survivors), so a billion-distinct key never sorts through one
+    task. The sketch is mergeable by construction (union the kept
+    hashes, re-take the k smallest)."""
+    from datalake_backend_spark.datapipe.dedup import portable_hash60
+
+    keys = keys or []
+    dh = df.select(
+        *keys,
+        portable_hash60(F.col(value_col).cast("string")).alias("_h"),
+    ).distinct()
+    bucket = F.pmod(F.col("_h"), F.lit(buckets))
+    w1 = Window.partitionBy(*keys, bucket).orderBy("_h")
+    w2 = Window.partitionBy(*keys).orderBy("_h")
+    topk = (
+        dh.withColumn("_rn1", F.row_number().over(w1))
+        .where(F.col("_rn1") <= k)
+        .withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= k)
+    )
+    agg = topk.groupBy(*keys).agg(
+        F.count("*").alias("n_kept"), F.max("_h").alias("kth_hash")
+    )
+    numerator = float((k - 1) * (1 << 60))
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(numerator) / F.col("kth_hash").cast("double"))
+    return agg.select(*keys, "n_kept", "kth_hash", est.alias("estimate"))
+
+
+def key_skew_profile(
+    df: DataFrame, keys: list[str], top: int = 3
+) -> DataFrame:
+    """Group-size skew diagnostic: the distribution of per-key row
+    counts — key cardinality, max/mean/lower-median group size, the
+    max/mean skew factor, and the heaviest key — the first question
+    to ask before choosing a shuffle key at 100 TB (a skew factor of
+    40 on the intended join key means salting or AQE skew handling,
+    measured instead of discovered in a straggler task).
+
+    Scale shape: ONE hash aggregate collapses data to (key, n); every
+    window after that runs over key-cardinality metadata rows. The
+    lower median is positional (row ``(cnt+1) div 2`` in n-order,
+    ties by key) — deterministic, no interpolation, so the twin
+    matches exactly. Heaviest key ties break toward the smaller key
+    string."""
+    sizes = df.groupBy(*keys).agg(F.count("*").alias("n"))
+    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in keys])
+    s = sizes.select(key_str.alias("_key"), "n")
+    w_med = Window.orderBy(F.col("n"), F.col("_key"))
+    w_top = Window.orderBy(F.desc("n"), F.col("_key"))
+    ranked = s.withColumn("_rm", F.row_number().over(w_med)).withColumn(
+        "_rt", F.row_number().over(w_top)
+    )
+    stats = s.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        (F.sum("n").cast("double") / F.count("*")).alias("mean_n"),
+        (
+            F.max("n").cast("double")
+            / (F.sum("n").cast("double") / F.count("*"))
+        ).alias("skew_factor"),
+    )
+    # each selection yields exactly one row; the trailing GLOBAL
+    # aggregate (max of one row = that row) makes the single-row
+    # shape PROVABLE in the plan, so the broadcast joins classify as
+    # the scalar idiom (HashAggregate Keys: []) rather than tripping
+    # the nested-loop alarm in tools/plan_report.py
+    median = (
+        ranked.crossJoin(F.broadcast(stats.select("n_keys")))
+        .where(F.col("_rm") == F.expr("(n_keys + 1) div 2"))
+        .agg(F.max("n").alias("median_n"))
+    )
+    heaviest = ranked.where(F.col("_rt") == 1).agg(
+        F.max("_key").alias("heaviest_key")
+    )
+    return stats.crossJoin(F.broadcast(median)).crossJoin(
+        F.broadcast(heaviest)
+    )

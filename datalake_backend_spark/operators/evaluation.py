@@ -70,3 +70,39 @@ def confusion_at_thresholds(
             "accuracy_permille"
         ),
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """EXACT area under the ROC curve per key, tie-aware — the
+    threshold-free companion to :func:`confusion_at_thresholds`:
+    AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻), which is
+    precisely the normalized Mann-Whitney statistic
+    ``U⁺ / (n⁺ · n⁻)``. Reuses ``distributions.mann_whitney_u``'s
+    all-integer doubled mid-ranks, so ties contribute exactly ½ and
+    the final value is one IEEE division of engine-identical
+    numbers — no sampling, no trapezoid approximation, no tolerance.
+
+    ``label_col`` must be 1 (positive) / 0 (negative). Scale shape
+    inherits from mann_whitney_u: one hash aggregate, one window
+    over per-key DISTINCT scores, one re-aggregate."""
+    from datalake_backend_spark.operators.distributions import mann_whitney_u
+
+    keys = keys or []
+    mw = mann_whitney_u(df, score_col, label_col, 1, 0, keys=keys)
+    return mw.select(
+        *keys,
+        F.col("n_a").alias("n_pos"),
+        F.col("n_b").alias("n_neg"),
+        # n⁺·n⁻ as a double PRODUCT (not a bigint product cast): the
+        # bigint multiply overflows first at extreme n; double·double
+        # is correctly rounded and engine-identical
+        (
+            F.col("u_a")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ).alias("auc"),
+    )

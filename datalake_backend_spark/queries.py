@@ -9671,6 +9671,227 @@ JOIN deg da ON c.node_a = da.l_partkey
 JOIN deg db ON c.node_b = db.l_partkey
 """
 
+# --- round-11 additions, batch 12 (r240-r244) -------------------------------
+# Deterministic sketching/sampling (KMV, priority), shuffle-planning
+# diagnostics (key skew), threshold-free model evaluation (exact AUC)
+# and corpus collocation mining (bigram lift).
+
+
+def r240_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch driver check (`dbs.operators
+    .distributions.kmv_distinct`): per-event-type distinct users via
+    the k-minimum-values estimator over the portable md5 hash —
+    unlike r99's HLL (engine-opaque registers, accuracy-band
+    oracle), every KMV output is deterministic, so the twin pins the
+    kth hash and the estimate EXACTLY. k=256; estimate
+    (k−1)·2^60 / h_k."""
+    from datalake_backend_spark.operators.distributions import kmv_distinct
+
+    ev = table(spark, sf_dir, "events")
+    return kmv_distinct(ev, "user_id", keys=["event_type"], k=256)
+
+
+R240_SQL = """
+WITH dh AS (
+  SELECT DISTINCT event_type,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         AS BIGINT) AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM dh
+),
+t AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         MAX(h) AS kth_hash
+  FROM r WHERE rn <= 256 GROUP BY 1
+)
+SELECT event_type, n_kept, kth_hash,
+  CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+       ELSE (255.0 * 1152921504606846976.0) / CAST(kth_hash AS DOUBLE)
+  END AS estimate
+FROM t
+"""
+
+
+def r241_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-sampling driver check (`dbs.datapipe.sampling
+    .priority_sample`): exactly 20 orders per priority class, chosen
+    weight-proportionally by total price via Duffield-Lund-Thorup
+    priorities w/u with the deterministic portable-hash uniform —
+    the fixed-budget companion to q78's caps and r125's Bernoulli
+    weighting. The selected SET is engine-exact (IEEE divisions of
+    identical numbers), so the twin reproduces it row for row."""
+    from datalake_backend_spark.datapipe.sampling import priority_sample
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    out = priority_sample(
+        o, "o_totalprice", "o_orderkey", 20, group_col="o_orderpriority"
+    )
+    return out.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("_prio").alias("prio"),
+    )
+
+
+R241_SQL = """
+WITH p AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+    o_totalprice /
+      (CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                 AS BIGINT) + 1 AS DOUBLE)
+       / 1152921504606846976.0) AS prio
+  FROM orders
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY prio DESC, o_orderkey) AS rn
+  FROM p
+)
+SELECT o_orderpriority, o_orderkey, o_totalprice, prio
+FROM r WHERE rn <= 20
+"""
+
+
+def r242_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic driver check (`dbs.operators
+    .distributions.key_skew_profile`): the orders-per-customer size
+    distribution — cardinality, max/mean/positional-median group
+    size, skew factor, heaviest key — the measurement that decides
+    salting vs AQE skew-join before a 100 TB shuffle. One hash
+    aggregate; every window runs over key-cardinality metadata
+    rows."""
+    from datalake_backend_spark.operators.distributions import (
+        key_skew_profile,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    return key_skew_profile(o, ["o_custkey"])
+
+
+R242_SQL = """
+WITH s AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS k, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
+         MAX(n) AS max_n,
+         CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_n,
+         CAST(MAX(n) AS DOUBLE) / (CAST(SUM(n) AS DOUBLE) / COUNT(*))
+           AS skew_factor
+  FROM s
+),
+r AS (
+  SELECT k, n,
+         row_number() OVER (ORDER BY n, k) AS rm,
+         row_number() OVER (ORDER BY n DESC, k) AS rt
+  FROM s
+)
+SELECT st.n_keys, st.n_rows, st.max_n, st.mean_n, st.skew_factor,
+  (SELECT r.n FROM r, st WHERE r.rm = (st.n_keys + 1) // 2) AS median_n,
+  (SELECT r.k FROM r WHERE r.rt = 1) AS heaviest_key
+FROM st
+"""
+
+
+def r243_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC driver check (`dbs.operators.evaluation
+    .roc_auc`): does extended price separate returned lineitems from
+    the rest, per linestatus — AUC as the normalized Mann-Whitney
+    statistic over all-integer doubled mid-ranks, tie-aware, no
+    trapezoid approximation, engine-exact to the last bit."""
+    from datalake_backend_spark.operators.evaluation import roc_auc
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_linestatus",
+        "l_extendedprice",
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+    )
+    return roc_auc(
+        li, "l_extendedprice", "label", keys=["l_linestatus"]
+    )
+
+
+R243_SQL = """
+WITH d AS (
+  SELECT l_linestatus, l_extendedprice AS v,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ia
+  FROM lineitem
+),
+g AS (
+  SELECT l_linestatus, v, COUNT(*) AS c, SUM(ia) AS na
+  FROM d GROUP BY 1, 2
+),
+r AS (
+  SELECT l_linestatus, c, na,
+         2 * COALESCE(SUM(c) OVER (PARTITION BY l_linestatus ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS rank2
+  FROM g
+),
+s AS (
+  SELECT l_linestatus,
+         CAST(SUM(na) AS BIGINT) AS n_pos,
+         CAST(SUM(c - na) AS BIGINT) AS n_neg,
+         SUM(CAST(na AS HUGEINT) * rank2) AS r2a
+  FROM r GROUP BY 1
+)
+SELECT l_linestatus, n_pos, n_neg,
+  (CAST(r2a - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE) / 2.0)
+  / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+FROM s
+"""
+
+
+def r244_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation-mining driver check (`dbs.datapipe.text
+    .bigram_lift`): adjacent-token association lift over the
+    documents corpus (the log-free PMI core — phrase/MWE detection
+    before shingling). Counts are BIGINT, the lift ratio accumulates
+    in decimal(38,0)/HUGEINT and divides once in doubles —
+    engine-exact; min_count prunes inside the first aggregate."""
+    from datalake_backend_spark.datapipe.text import bigram_lift
+
+    docs = table(spark, sf_dir, "documents")
+    return bigram_lift(docs, "text", min_count=5)
+
+
+R244_SQL = r"""
+WITH arr AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+pairs AS (
+  SELECT unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM arr WHERE len(t) >= 2
+),
+big AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
+  FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 5
+),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(t) AS w FROM arr) GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS ntok FROM uni)
+SELECT b.w1, b.w2, b.n12, u1.n AS n1, u2.n AS n2,
+  CAST(CAST(b.n12 AS HUGEINT) * tot.ntok AS DOUBLE)
+  / CAST(CAST(u1.n AS HUGEINT) * u2.n AS DOUBLE) AS lift
+FROM big b
+JOIN uni u1 ON b.w1 = u1.w
+JOIN uni u2 ON b.w2 = u2.w
+CROSS JOIN tot
+"""
+
+
+
 
 
 
@@ -12881,6 +13102,21 @@ QUERIES: dict[str, QuerySpec] = {
         r239_node_jaccard, R239_SQL, "graph-node-similarity,wedge-join"
     ),
     "r23_lang_distribution": QuerySpec(q23_lang_distribution, Q23_SQL, "text-langid,A13"),
+    "r240_kmv_distinct": QuerySpec(
+        r240_kmv_distinct, R240_SQL, "sketch-kmv,distinct-estimate"
+    ),
+    "r241_priority_sample": QuerySpec(
+        r241_priority_sample, R241_SQL, "sampling-priority,fixed-k-weighted"
+    ),
+    "r242_key_skew_profile": QuerySpec(
+        r242_key_skew_profile, R242_SQL, "profile-key-skew,shuffle-planning"
+    ),
+    "r243_roc_auc": QuerySpec(
+        r243_roc_auc, R243_SQL, "evaluation-roc-auc,rank-sum"
+    ),
+    "r244_bigram_lift": QuerySpec(
+        r244_bigram_lift, R244_SQL, "text-collocation,bigram-lift"
+    ),
     "r24_cosine_threshold": QuerySpec(q24_cosine_threshold, Q24_SQL, "similarity-cosine"),
     "r25_jaccard_pairs": QuerySpec(q25_jaccard_pairs, Q25_SQL, "dedup-ngram-jaccard"),
     "r27_simhash_near_dup": QuerySpec(q27_simhash_near_dup, Q27_SQL, "dedup-simhash"),

@@ -1948,3 +1948,108 @@ def test_neighborhood_jaccard_wedge_and_hub_cap(spark):
         for r in neighborhood_jaccard(hub, max_degree=2).collect()
     }
     assert capped == {("a", "b"): 2}
+
+
+def test_kmv_distinct_exact_and_estimate(spark):
+    """kmv_distinct (operators/distributions.py; r240): below k the
+    sketch is exact (estimate == kept count); above k the estimate
+    lands within the expected ~1/sqrt(k) band and the two-phase rank
+    equals the single-window form."""
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.operators.distributions import kmv_distinct
+
+    small = spark.range(0, 10).select(F.col("id").alias("v"))
+    r = kmv_distinct(small, "v", k=64).collect()[0]
+    assert r.n_kept == 10 and r.estimate == 10.0
+    big = spark.range(0, 5000).select((F.col("id") % 2000).alias("v"))
+    r2 = kmv_distinct(big, "v", k=256).collect()[0]
+    assert r2.n_kept == 256
+    assert 2000 * 0.8 < r2.estimate < 2000 * 1.25
+
+
+def test_priority_sample_deterministic_topk(spark):
+    """priority_sample (datapipe/sampling.py; r241): exactly k per
+    group, identical to the single-window reference despite the
+    two-phase bucketed rank, and stable across reruns."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.datapipe.dedup import portable_hash60
+    from datalake_backend_spark.datapipe.sampling import priority_sample
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("key"),
+        (F.col("id") % 3).alias("grp"),
+        (F.col("id") % 7 + 1).cast("double").alias("w"),
+    )
+    got = sorted(
+        (r.grp, r.key)
+        for r in priority_sample(df, "w", "key", 5, group_col="grp").collect()
+    )
+    assert len(got) == 15
+    h = portable_hash60(F.concat(F.col("key").cast("string"), F.lit("")))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    ref = df.withColumn("_p", F.col("w") / u)
+    w_ref = Window.partitionBy("grp").orderBy(F.desc("_p"), F.col("key"))
+    want = sorted(
+        (r.grp, r.key)
+        for r in ref.withColumn("rn", F.row_number().over(w_ref))
+        .where("rn <= 5")
+        .collect()
+    )
+    assert got == want
+
+
+def test_key_skew_profile_positional_median(spark):
+    """key_skew_profile (operators/distributions.py; r242): lower
+    positional median (no interpolation), max/mean skew factor, and
+    deterministic heaviest key."""
+    from datalake_backend_spark.operators.distributions import (
+        key_skew_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1,)] * 10 + [(2,)] * 3 + [(3,)] * 1, "k int"
+    )
+    r = key_skew_profile(df, ["k"]).collect()[0]
+    assert (r.n_keys, r.n_rows, r.max_n, r.median_n) == (3, 14, 10, 3)
+    assert r.heaviest_key == "1"
+    assert abs(r.skew_factor - 10 / (14 / 3)) < 1e-12
+
+
+def test_roc_auc_separation_and_ties(spark):
+    """roc_auc (operators/evaluation.py; r243): perfect separation
+    → 1.0; all-tied scores → exactly 0.5; reversed separation → 0."""
+    from datalake_backend_spark.operators.evaluation import roc_auc
+
+    sep = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)], "s double, y int"
+    )
+    assert roc_auc(sep, "s", "y").collect()[0].auc == 1.0
+    tied = spark.createDataFrame(
+        [(1.0, 0), (1.0, 1), (1.0, 0), (1.0, 1)], "s double, y int"
+    )
+    assert roc_auc(tied, "s", "y").collect()[0].auc == 0.5
+    rev = spark.createDataFrame(
+        [(4.0, 0), (3.0, 0), (2.0, 1), (1.0, 1)], "s double, y int"
+    )
+    assert roc_auc(rev, "s", "y").collect()[0].auc == 0.0
+
+
+def test_bigram_lift_counts(spark):
+    """bigram_lift (datapipe/text.py; r244): bigrams stay within
+    documents, unigram totals include sub-bigram docs, lift is the
+    exact count ratio."""
+    from datalake_backend_spark.datapipe.text import bigram_lift
+
+    docs = spark.createDataFrame(
+        [("a b a b",), ("a b c",), ("",)], "text string"
+    )
+    got = {
+        (r.w1, r.w2): (r.n12, r.n1, r.n2, r.lift)
+        for r in bigram_lift(docs, "text", min_count=2).collect()
+    }
+    # bigrams: doc1 (a,b)x2 (b,a)x1; doc2 (a,b) (b,c) → only (a,b)≥2
+    # unigrams a:3 b:3 c:1 '':1, N=8 → lift = 3·8/(3·3)
+    assert got == {("a", "b"): (3, 3, 3, 24 / 9)}
