@@ -131,3 +131,70 @@ def asof_join(
     out_cols = [F.col(f"_left.{c}").alias(c) for c in left.columns]
     out_cols += [F.col(f"_asof.{c}").alias(c) for c in payload_cols]
     return matched.select(*out_cols)
+
+
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    tolerance: int,
+    right_id: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Nearest-neighbor as-of join in TIME: each left row matches the
+    right row with the smallest |Δt| within ``tolerance`` seconds —
+    pandas ``merge_asof(direction='nearest')`` semantics, the sensor-
+    fusion / quote-to-trade alignment primitive that the pure
+    backward (:func:`asof_join`) and forward (r115) directions can't
+    express. Ties (equal |Δt| on both sides) prefer the EARLIER right
+    row, then the smaller ``right_id``.
+
+    Scale shape: the tolerance bound makes nearest blockable exactly
+    like `geometry.nearest_within_radius` does in space — left probes
+    the 3 adjacent ``tolerance``-wide epoch buckets, the (by, bucket)
+    equi-join prunes, and one hash-aggregate argmin refines on the
+    integer composite (|Δt|, sign-preference, id). Never a cross
+    join, never a raw-data window; unmatched left rows drop (inner
+    semantics).
+
+    Output: every left column plus ``nearest_<right_id>``, ``delta_s``
+    (signed: right − left, negative = right earlier)."""
+    if tolerance < 1:
+        raise ValueError("tolerance must be >= 1 second")
+    by = by or []
+    lsec = F.unix_timestamp(F.col(left_ts))
+    rsec = F.unix_timestamp(F.col(right_ts))
+    out_rid = right_id if right_id not in set(left.columns) else f"{right_id}_r"
+    r = right.select(
+        *by,
+        F.col(right_id).alias(out_rid),
+        rsec.alias("_rs"),
+    )
+    neigh = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    lhs = (
+        left.withColumn("_ls", lsec)
+        .withColumn("_db", F.explode(neigh))
+        .withColumn("_bk", F.expr(f"_ls div {tolerance}") + F.col("_db"))
+        .drop("_db")
+    )
+    rhs = r.withColumn("_bk", F.expr(f"_rs div {tolerance}"))
+    cand = (
+        lhs.join(rhs, [*by, "_bk"])
+        .withColumn("_dt", F.col("_rs") - F.col("_ls"))
+        .where(F.abs(F.col("_dt")) <= tolerance)
+    )
+    # argmin composite: |Δt| first, then prefer the earlier right row
+    # (negative Δt) on a tie, then the smaller id — all integers
+    pick = F.struct(
+        F.abs(F.col("_dt")).alias("a"),
+        F.when(F.col("_dt") < 0, F.lit(0)).otherwise(F.lit(1)).alias("s"),
+        F.col(out_rid).alias("i"),
+        F.col("_dt").alias("d"),
+    )
+    grouped = cand.groupBy(*left.columns).agg(F.min(pick).alias("_m"))
+    return grouped.select(
+        *left.columns,
+        F.col("_m.i").alias(f"nearest_{right_id}"),
+        F.col("_m.d").alias("delta_s"),
+    )

@@ -44,3 +44,75 @@ def cluster_summary(
     for c in feature_cols:
         aggs.append(F.avg(c).alias(f"centroid_{c}"))
     return clustered.groupBy(cluster_col).agg(*aggs)
+
+
+def grid_density_clusters(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    cell: int,
+    min_pts: int,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Density-based spatial clustering on a grid (the GriDBSCAN
+    family's distributed core): bucket points into ``cell``-wide
+    integer grid cells, keep cells holding ≥ ``min_pts`` points
+    (density filter), connect dense cells that touch in the
+    8-neighborhood, and label connected components — clusters emerge
+    without choosing k, and sparse cells drop as noise. Deterministic
+    end to end: cluster id = the component's minimum encoded cell id.
+
+    Scale shape: the density filter is one hash aggregate (points
+    never pairwise-compare — the cell histogram replaces DBSCAN's
+    ε-neighbor probes); adjacency is a self-equi-join of the DENSE
+    cell table against its 9 neighbor offsets (dense cells ≪ points);
+    components reuse ``datapipe.dedup.cluster_near_dups`` (min-label
+    propagation with the large-star/small-star fallback, O(log²)
+    rounds). Returns one row per dense cell:
+    ``(cx, cy, n_points, cluster_id)``.
+
+    Coordinates must be non-negative integers (the encoded cell id
+    packs cx·2²¹ + cy; 2M cells per axis — raise ``cell`` before a
+    coordinate overflows that)."""
+    if cell < 1 or min_pts < 1:
+        raise ValueError("cell and min_pts must be >= 1")
+    dense = (
+        df.select(
+            F.expr(f"{x_col} div {cell}").alias("cx"),
+            F.expr(f"{y_col} div {cell}").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("n_points"))
+        .where(F.col("n_points") >= min_pts)
+    )
+    enc = (F.col("cx") * F.lit(1 << 21) + F.col("cy")).alias("cid")
+    nodes = dense.select(enc, "cx", "cy", "n_points")
+    neigh = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    probes = (
+        nodes.withColumn("_dx", F.explode(neigh))
+        .withColumn("_dy", F.explode(neigh))
+        .select(
+            F.col("cid").alias("id_a"),
+            (F.col("cx") + F.col("_dx")).alias("cx"),
+            (F.col("cy") + F.col("_dy")).alias("cy"),
+        )
+    )
+    edges = probes.join(
+        nodes.select(F.col("cid").alias("id_b"), "cx", "cy"), ["cx", "cy"]
+    ).where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    from datalake_backend_spark.datapipe.dedup import cluster_near_dups
+
+    labels = cluster_near_dups(edges, "id_a", "id_b", max_iter=max_iter)
+    return (
+        nodes.join(labels, nodes.cid == labels.node, "left")
+        .select(
+            "cx",
+            "cy",
+            "n_points",
+            # singleton dense cells never appear in an edge — they are
+            # their own cluster
+            F.coalesce(F.col("cluster_id"), F.col("cid")).alias(
+                "cluster_id"
+            ),
+        )
+    )

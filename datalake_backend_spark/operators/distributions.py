@@ -1196,6 +1196,10 @@ def spearman_rho(
     rank products reach 4n³, past BIGINT at n ≳ 1.3M rows), and only
     the final closed form runs in doubles with the IDENTICAL
     expression shape on both engines, so rho compares bit-exactly.
+    Cross-engine caveat past ~2M rows per key: once a MOMENT exceeds
+    2^64, DuckDB's HUGEINT→double cast composes two roundings and can
+    land 1 ulp off Spark's decimal cast (observed in r245's first
+    draft) — at that size compare rho at 12dp instead of by hash.
 
     Scale shape: two aggregate-first rank maps (window over distinct
     values only) hash-joined back to the fact rows on (keys, value) —
@@ -1330,3 +1334,98 @@ def key_skew_profile(
     return stats.crossJoin(F.broadcast(median)).crossJoin(
         F.broadcast(heaviest)
     )
+
+
+def block_jackknife(
+    df: DataFrame,
+    value_col: str,
+    unit_col: str,
+    keys: list[str] | None = None,
+    blocks: int = 16,
+    scale: int = 4,
+    mean_scale: int = 9,
+) -> DataFrame:
+    """Delete-one-block jackknife standard error of the mean per key
+    — the deterministic uncertainty estimate for pipeline metrics
+    (no bootstrap RNG, no resampling passes): units hash into
+    ``blocks`` deterministic blocks, each leave-one-block-out mean is
+    an exact ratio of scaled-integer sums, and the jackknife variance
+    ``(B−1)/B · Σ(m_i − m̄)²`` assembles from those.
+
+    Determinism detail: the B leave-one-out means are doubles, and a
+    float SUM over them would be partition-order-dependent — so each
+    mean quantizes to ``floor(m_i · 10^mean_scale)`` (identical
+    doubles floor identically) and the variance closed form runs
+    over EXACT integer sums of those, engine-identical. The
+    10^-mean_scale quantization is documented bias, far below any
+    real metric noise.
+
+    Scale shape: one hash aggregate to (keys, block) — B rows per
+    key — then metadata-sized arithmetic; the scalar totals broadcast
+    back. Same contract as ``cuped_adjusted``: raw rows are touched
+    exactly once."""
+    from datalake_backend_spark.datapipe.dedup import portable_hash60
+
+    keys = keys or []
+    factor = 10**scale
+    b = F.pmod(portable_hash60(F.col(unit_col).cast("string")), F.lit(blocks))
+    per_block = (
+        df.withColumn("_b", b)
+        .groupBy(*keys, "_b")
+        .agg(
+            F.sum(
+                F.floor(F.col(value_col) * F.lit(factor)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("_s"),
+            F.count("*").alias("_n"),
+        )
+    )
+    totals = per_block.groupBy(*keys).agg(
+        F.sum("_s").alias("_st"),
+        F.sum("_n").alias("_nt"),
+        F.count("*").alias("n_blocks"),
+    )
+    loo = per_block.join(totals, keys if keys else None, "inner") if keys else (
+        per_block.crossJoin(F.broadcast(totals))
+    )
+    mean_i = (F.col("_st") - F.col("_s")).cast("double") / (
+        F.col("_nt") - F.col("_n")
+    ).cast("double")
+    mfac = 10**mean_scale
+    # quantize DEVIATIONS from the (scaled) grand mean, not the raw
+    # leave-one-out means: deviations are se-sized, so their squares
+    # stay far inside int64 where both engines' int→double casts are
+    # correctly rounded (a raw Σm_i² passes 2^64 and trips DuckDB's
+    # two-rounding HUGEINT→double cast — the r245 hazard). Shifting
+    # by a constant leaves the variance untouched.
+    # A key whose rows all hash into ONE block has no leave-one-out
+    # sample (0/0): emit NULL instead of NaN — floor(NaN) casts to
+    # NULL on Spark but ERRORS in a DuckDB HUGEINT cast.
+    center = F.col("_st").cast("double") / F.col("_nt").cast("double")
+    mi = F.when(
+        F.col("_nt") > F.col("_n"),
+        F.floor((mean_i - center) * F.lit(float(mfac))).cast(
+            "decimal(38,0)"
+        ),
+    )
+    agg = loo.withColumn("_mi", mi).groupBy(*keys).agg(
+        F.max("n_blocks").alias("n_blocks"),
+        F.max("_nt").alias("n"),
+        (
+            (F.max("_st").cast("double") / F.lit(float(factor)))
+            / F.max("_nt").cast("double")
+        ).alias("mean"),
+        F.sum("_mi").alias("_smi"),
+        F.sum(F.col("_mi") * F.col("_mi")).alias("_smi2"),
+    )
+    bb = F.col("n_blocks").cast("double")
+    smi = F.col("_smi").cast("double")
+    smi2 = F.col("_smi2").cast("double")
+    # Σ(m_i − m̄)² = Σm_i² − (Σm_i)²/B over the scaled integers; the
+    # m_i carried BOTH the 10^mean_scale quantization factor and the
+    # 10^scale value scaling (the leave-one-out ratio was over scaled
+    # sums), so the SE unscales by both
+    var_scaled = (smi2 - smi * smi / bb) * (bb - F.lit(1.0)) / bb
+    se = F.sqrt(var_scaled) / F.lit(float(mfac)) / F.lit(float(factor))
+    return agg.select(*keys, "n", "n_blocks", "mean", se.alias("jackknife_se"))

@@ -949,3 +949,85 @@ def max_drawdown(
         ).alias("n_new_highs"),
         F.count("*").alias("n"),
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: list[str] | None = None,
+    lags: tuple[int, ...] = (1, 7),
+    bucket: str = "day",
+    scale: int = 4,
+) -> DataFrame:
+    """Lag-k autocorrelation of a bucketed series per key: aggregate
+    to one exact scaled-integer value per (key, bucket), pair each
+    bucket with the bucket ``lag`` periods earlier (pairs form only
+    where BOTH exist — missing buckets drop the pair, the standard
+    sample-ACF-on-observed convention), then Pearson over the integer
+    pairs via the r123 closed form — decimal(38,0) moment sums, one
+    shared double expression, bit-exact on any engine.
+
+    Scale shape: one hash aggregate collapses raw rows to the series;
+    each lag is ONE equi-join of the series with itself on the
+    shifted bucket date (no window over raw data, no per-key sort);
+    moments are a second hash aggregate. Series length per key is
+    bucket-granularity bounded, so the join input is metadata-sized
+    relative to the raw table."""
+    keys = keys or []
+    factor = 10**scale
+    daily = df.groupBy(
+        *keys, F.to_date(F.date_trunc(bucket, F.col(ts_col))).alias("_d")
+    ).agg(
+        F.sum(F.floor(F.col(value_col) * F.lit(factor)).cast("long")).alias(
+            "_v"
+        )
+    )
+    dec = "decimal(38,0)"
+    outs = []
+    for lag in lags:
+        prev = daily.select(
+            *keys,
+            F.date_add(F.col("_d"), lag).alias("_d"),
+            F.col("_v").alias("_x"),
+        )
+        cur = daily.select(*keys, "_d", F.col("_v").alias("_y"))
+        m = (
+            cur.join(prev, [*keys, "_d"])
+            .groupBy(*keys)
+            .agg(
+                F.count("*").alias("n_pairs"),
+                F.sum(F.col("_x").cast(dec)).alias("sx"),
+                F.sum(F.col("_y").cast(dec)).alias("sy"),
+                F.sum(F.col("_x").cast(dec) * F.col("_y")).alias("sxy"),
+                F.sum(F.col("_x").cast(dec) * F.col("_x")).alias("sxx"),
+                F.sum(F.col("_y").cast(dec) * F.col("_y")).alias("syy"),
+            )
+        )
+        # combine in DOUBLES from per-moment casts (exact_corr's
+        # discipline), NOT in decimal with one giant final cast: a
+        # >2^64 exact integer converts to double differently across
+        # engines (DuckDB's HUGEINT→double composes two roundings),
+        # observed as a 1-ulp acf drift at sf0.1. Each moment must
+        # stay within int64 for the casts to be correctly rounded on
+        # both sides — pick ``scale`` so Σ(v²·10^2s) < 2^63.
+        n = F.col("n_pairs").cast("double")
+        sx = F.col("sx").cast("double")
+        sy = F.col("sy").cast("double")
+        sxy = F.col("sxy").cast("double")
+        sxx = F.col("sxx").cast("double")
+        syy = F.col("syy").cast("double")
+        num = n * sxy - sx * sy
+        den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+        outs.append(
+            m.select(
+                *keys,
+                F.lit(lag).alias("lag"),
+                "n_pairs",
+                (num / den).alias("acf"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

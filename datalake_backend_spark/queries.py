@@ -9890,6 +9890,162 @@ JOIN uni u2 ON b.w2 = u2.w
 CROSS JOIN tot
 """
 
+# --- round-11 additions, batch 13 (r245-r247) -------------------------------
+# Series memory (exact ACF), time-nearest alignment, and density-based
+# spatial clustering — the grid/argmin blocking idioms carried into
+# three more surfaces.
+
+
+def r245_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation driver check (`dbs.operators.timeseries
+    .autocorrelation`): day-over-day and week-over-week memory of the
+    daily event-value series per event type — exact scaled-integer
+    series, one self equi-join per lag on the shifted date (pairs
+    only where both buckets exist), r123's decimal-moment closed
+    form with per-moment double casts (scale=2 keeps every moment
+    inside int64, where both engines' int->double casts are correctly
+    rounded); acf compares bit-exactly."""
+    from datalake_backend_spark.operators.timeseries import autocorrelation
+
+    ev = table(spark, sf_dir, "events")
+    return autocorrelation(
+        ev, "ts", "value", keys=["event_type"], lags=(1, 7), scale=2
+    )
+
+
+R245_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+),
+lags AS (SELECT unnest([1, 7]) AS lag),
+j AS (
+  SELECT c.event_type, l.lag, p.v AS x, c.v AS y
+  FROM daily c
+  CROSS JOIN lags l
+  JOIN daily p ON p.event_type = c.event_type AND p.d + l.lag = c.d
+),
+m AS (
+  SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+    SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM j GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag AS INT) AS lag, n_pairs,
+  (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+  / (SQRT(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+     * SQRT(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+FROM m
+"""
+
+
+def r246_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of driver check (`dbs.operators.asof
+    .asof_nearest`): each click matched to the same user's closest
+    purchase within ±1 hour (pandas merge_asof 'nearest' semantics —
+    neither pure-backward r34 nor pure-forward r115 can express it).
+    Epoch-bucket blocking (the 1D twin of r234's spatial grid), exact
+    integer |Δt| argmin, earlier-row preference on ties; the twin
+    brute-forces the per-user cross product."""
+    from datalake_backend_spark.operators.asof import asof_nearest
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    out = asof_nearest(
+        clicks, purchases, "ts", "pts", 3600, "pid", by=["user_id"]
+    )
+    return out.select("event_id", "user_id", "nearest_pid", "delta_s")
+
+
+R246_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id AS pid, user_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+cand AS (
+  SELECT c.event_id, c.user_id, p.pid,
+         CAST(date_diff('second', c.ts, p.pts) AS BIGINT) AS dt
+  FROM c JOIN p ON c.user_id = p.user_id
+  WHERE ABS(date_diff('second', c.ts, p.pts)) <= 3600
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_id
+             ORDER BY ABS(dt),
+                      CASE WHEN dt < 0 THEN 0 ELSE 1 END, pid) AS rn
+  FROM cand
+)
+SELECT event_id, user_id, pid AS nearest_pid, dt AS delta_s
+FROM r WHERE rn = 1
+"""
+
+
+def r247_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based clustering driver check (`dbs.operators
+    .clustering.grid_density_clusters`): customers mapped onto seven
+    deterministic diagonal blobs; dense grid cells (≥3 points)
+    connect through the 8-neighborhood and label by connected
+    component (GriDBSCAN-style — no k, sparse cells are noise).
+    Components reuse the dedup min-label/star machinery; the twin
+    recomputes reachability with a recursive CTE over the (fixed-
+    size, SF-independent) dense-cell graph."""
+    from datalake_backend_spark.operators.clustering import (
+        grid_density_clusters,
+    )
+
+    cust = table(spark, sf_dir, "customer").select(
+        (
+            (F.col("c_custkey") % 7) * 140 + (F.col("c_custkey") * 37) % 50
+        ).alias("x"),
+        (
+            (F.col("c_custkey") % 7) * 140 + (F.col("c_custkey") * 91) % 50
+        ).alias("y"),
+    )
+    return grid_density_clusters(cust, "x", "y", cell=25, min_pts=3)
+
+
+R247_SQL = """
+WITH RECURSIVE pts AS (
+  SELECT (c_custkey % 7) * 140 + (c_custkey * 37) % 50 AS x,
+         (c_custkey % 7) * 140 + (c_custkey * 91) % 50 AS y
+  FROM customer
+),
+cells AS (
+  SELECT x // 25 AS cx, y // 25 AS cy, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+nodes AS (SELECT cx * 2097152 + cy AS cid, cx, cy, n FROM cells),
+edges AS (
+  SELECT a.cid AS src, b.cid AS dst
+  FROM nodes a JOIN nodes b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+   AND a.cid <> b.cid
+),
+reach(node, r) AS (
+  SELECT cid, cid FROM nodes
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+)
+SELECT n.cx, n.cy, n.n AS n_points, MIN(reach.r) AS cluster_id
+FROM nodes n JOIN reach ON reach.node = n.cid
+GROUP BY 1, 2, 3
+"""
+
+
+
 
 
 
@@ -13116,6 +13272,15 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r244_bigram_lift": QuerySpec(
         r244_bigram_lift, R244_SQL, "text-collocation,bigram-lift"
+    ),
+    "r245_autocorrelation": QuerySpec(
+        r245_autocorrelation, R245_SQL, "timeseries-acf,exact-corr"
+    ),
+    "r246_asof_nearest": QuerySpec(
+        r246_asof_nearest, R246_SQL, "J-asof-nearest,time-blocked"
+    ),
+    "r247_grid_density_clusters": QuerySpec(
+        r247_grid_density_clusters, R247_SQL, "clustering-density,grid-cc"
     ),
     "r24_cosine_threshold": QuerySpec(q24_cosine_threshold, Q24_SQL, "similarity-cosine"),
     "r25_jaccard_pairs": QuerySpec(q25_jaccard_pairs, Q25_SQL, "dedup-ngram-jaccard"),

@@ -2053,3 +2053,94 @@ def test_bigram_lift_counts(spark):
     # bigrams: doc1 (a,b)x2 (b,a)x1; doc2 (a,b) (b,c) → only (a,b)≥2
     # unigrams a:3 b:3 c:1 '':1, N=8 → lift = 3·8/(3·3)
     assert got == {("a", "b"): (3, 3, 3, 24 / 9)}
+
+
+def test_autocorrelation_exact_series(spark):
+    """autocorrelation (operators/timeseries.py; r245): a strictly
+    linear daily series gives acf=1 at every lag (pairs shrink by
+    lag); a perfect alternation gives lag-1 acf = −1."""
+    import datetime as dt
+
+    from datalake_backend_spark.operators.timeseries import autocorrelation
+
+    lin = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1 + i), float(i + 1)) for i in range(6)],
+        "k string, ts timestamp, v double",
+    )
+    got = {
+        r.lag: (r.n_pairs, r.acf)
+        for r in autocorrelation(lin, "ts", "v", ["k"], lags=(1, 2)).collect()
+    }
+    assert got[1][0] == 5 and abs(got[1][1] - 1.0) < 1e-12
+    assert got[2][0] == 4 and abs(got[2][1] - 1.0) < 1e-12
+    alt = spark.createDataFrame(
+        [
+            ("k", dt.datetime(2024, 1, 1 + i), float(1 if i % 2 else 5))
+            for i in range(6)
+        ],
+        "k string, ts timestamp, v double",
+    )
+    r1 = {
+        r.lag: r.acf
+        for r in autocorrelation(alt, "ts", "v", ["k"], lags=(1,)).collect()
+    }
+    assert abs(r1[1] + 1.0) < 1e-12
+
+
+def test_asof_nearest_tie_and_tolerance(spark):
+    """asof_nearest (operators/asof.py; r246): equal |Δt| prefers the
+    EARLIER right row; rows with nothing inside the tolerance drop;
+    the bucketed plan finds matches that straddle bucket borders."""
+    import datetime as dt
+
+    from datalake_backend_spark.operators.asof import asof_nearest
+
+    left = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 10)),
+            (2, dt.datetime(2024, 1, 1, 0, 5, 0)),
+            (3, dt.datetime(2024, 1, 1, 2, 0, 1)),
+        ],
+        "eid long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, dt.datetime(2024, 1, 1, 0, 0, 7)),
+            (101, dt.datetime(2024, 1, 1, 0, 0, 13)),
+            (102, dt.datetime(2024, 1, 1, 1, 59, 32)),
+        ],
+        "rid long, rts timestamp",
+    )
+    got = {
+        r.eid: (r.nearest_rid, r.delta_s)
+        for r in asof_nearest(left, right, "ts", "rts", 30, "rid").collect()
+    }
+    # eid1: ±3 s tie → earlier row 100; eid2: nothing within 30 s;
+    # eid3: match 29 s back across a bucket boundary
+    assert got == {1: (100, -3), 3: (102, -29)}
+
+
+def test_grid_density_clusters_components(spark):
+    """grid_density_clusters (operators/clustering.py; r247): two
+    adjacent dense cells share a component, a distant blob gets its
+    own, sparse cells vanish as noise, and a singleton dense cell
+    labels itself."""
+    from datalake_backend_spark.operators.clustering import (
+        grid_density_clusters,
+    )
+
+    pts = (
+        [(10 + i, 10) for i in range(5)]
+        + [(18 + i, 10) for i in range(5)]
+        + [(100, 100)]
+        + [(200 + i, 200) for i in range(4)]
+    )
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.cx, r.cy): (r.n_points, r.cluster_id)
+        for r in grid_density_clusters(df, "x", "y", cell=8, min_pts=3).collect()
+    }
+    assert set(got) == {(1, 1), (2, 1), (25, 25)}
+    assert got[(1, 1)][1] == got[(2, 1)][1]
+    assert got[(25, 25)][1] != got[(1, 1)][1]
+    assert got[(25, 25)][0] == 4
