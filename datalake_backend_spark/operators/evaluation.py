@@ -106,3 +106,103 @@ def roc_auc(
             / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
         ).alias("auc"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    value_col: str,
+    treat_value: str = "treat",
+    post_value: str = "post",
+    scale: int = 4,
+) -> DataFrame:
+    """Difference-in-differences estimator from the 2×2 cell means:
+    ``(T_post − T_pre) − (C_post − C_pre)`` — the quasi-experimental
+    companion to ``distributions.cuped_adjusted`` when assignment
+    isn't randomized (a rollout hit one cohort, the other is the
+    counterfactual trend). ONE hash aggregate computes all four cell
+    sums/counts via conditional aggregation (no pivot shuffle, no
+    self-joins); each mean is an exact scaled-integer sum over an
+    IEEE division, and the estimator combines identically-shaped
+    doubles — engine-exact. Output: one row with the four means,
+    four counts, and ``did``."""
+    factor = 10**scale
+    is_t = F.col(group_col) == treat_value
+    is_p = F.col(period_col) == post_value
+    sv = F.floor(F.col(value_col) * F.lit(factor)).cast("decimal(38,0)")
+
+    def cell(t: bool, p: bool, tag: str) -> list:
+        m = (is_t if t else ~is_t) & (is_p if p else ~is_p)
+        return [
+            F.sum(F.when(m, sv)).alias(f"_s_{tag}"),
+            F.count(F.when(m, F.lit(1))).alias(f"n_{tag}"),
+        ]
+
+    agg = df.agg(
+        *cell(True, False, "t_pre"),
+        *cell(True, True, "t_post"),
+        *cell(False, False, "c_pre"),
+        *cell(False, True, "c_post"),
+    )
+
+    def mean(tag: str):
+        return (
+            F.col(f"_s_{tag}").cast("double") / F.lit(float(factor))
+        ) / F.col(f"n_{tag}").cast("double")
+
+    m_tpre, m_tpost = mean("t_pre"), mean("t_post")
+    m_cpre, m_cpost = mean("c_pre"), mean("c_post")
+    return agg.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        m_tpre.alias("mean_t_pre"),
+        m_tpost.alias("mean_t_post"),
+        m_cpre.alias("mean_c_pre"),
+        m_cpost.alias("mean_c_post"),
+        ((m_tpost - m_tpre) - (m_cpost - m_cpre)).alias("did"),
+    )
+
+
+def reliability_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    scale: int = 6,
+) -> DataFrame:
+    """Calibration reliability diagram: scores in [0, 1] bucket into
+    ``n_bins`` equal-width bins; each bin reports its size, exact
+    mean predicted score, and observed positive rate — the "is 0.8
+    really 80%?" diagnostic behind Platt/isotonic recalibration, and
+    the binned companion to r183's exact ECDF percentile.
+
+    ONE hash aggregate; the mean score uses the scaled-integer-sum
+    idiom, the rate is an IEEE division of BIGINTs — engine-exact.
+    The top edge closes into the last bin (score = 1.0 is bin
+    n_bins−1), matching every sklearn-style binning."""
+    factor = 10**scale
+    b = F.least(
+        F.floor(F.col(score_col) * F.lit(n_bins)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    return (
+        df.withColumn("_b", b)
+        .groupBy(F.col("_b").alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(
+                    F.floor(F.col(score_col) * F.lit(factor)).cast("long")
+                ).cast("double")
+                / F.lit(float(factor))
+                / F.count("*").cast("double")
+            ).alias("mean_score"),
+            (
+                F.sum(F.col(label_col).cast("bigint")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("pos_rate"),
+        )
+    )

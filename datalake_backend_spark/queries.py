@@ -10044,6 +10044,172 @@ FROM nodes n JOIN reach ON reach.node = n.cid
 GROUP BY 1, 2, 3
 """
 
+# --- round-11 additions, batch 14 (r248-r250) -------------------------------
+# Uncertainty, causal contrast, and calibration — the measurement tier
+# over the same event stream the splitters aggregate.
+
+
+def r248_block_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-block jackknife driver check (`dbs.operators
+    .distributions.block_jackknife`): standard error of the mean
+    event value per type, units = users hashed into 16 deterministic
+    blocks (no bootstrap RNG). Leave-one-out means are exact ratios
+    of scaled-integer sums; deviations from the grand mean quantize
+    at 10^-9 so every moment stays inside int64 (the r245 cast
+    hazard, designed out); the twin reruns the identical closed
+    form."""
+    from datalake_backend_spark.operators.distributions import (
+        block_jackknife,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return block_jackknife(
+        ev, "value", "user_id", keys=["event_type"], blocks=16
+    )
+
+
+R248_SQL = """
+WITH pb AS (
+  SELECT event_type,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         AS BIGINT) % 16 AS b,
+    SUM(CAST(FLOOR(value * 10000) AS HUGEINT)) AS s,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, SUM(s) AS st, CAST(SUM(n) AS BIGINT) AS nt,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks
+  FROM pb GROUP BY 1
+),
+l AS (
+  SELECT pb.event_type, t.n_blocks, t.nt, t.st,
+    CASE WHEN t.nt > pb.n THEN
+      CAST(FLOOR((CAST(t.st - pb.s AS DOUBLE) / CAST(t.nt - pb.n AS DOUBLE)
+                  - CAST(t.st AS DOUBLE) / CAST(t.nt AS DOUBLE))
+                 * 1000000000.0) AS HUGEINT)
+    END AS mi
+  FROM pb JOIN t USING (event_type)
+),
+a AS (
+  SELECT event_type,
+    MAX(n_blocks) AS n_blocks, MAX(nt) AS n,
+    (CAST(MAX(st) AS DOUBLE) / 10000.0) / CAST(MAX(nt) AS DOUBLE)
+      AS mean,
+    SUM(mi) AS smi, SUM(mi * mi) AS smi2
+  FROM l GROUP BY 1
+)
+SELECT event_type, n, n_blocks, mean,
+  SQRT((CAST(smi2 AS DOUBLE)
+        - CAST(smi AS DOUBLE) * CAST(smi AS DOUBLE)
+          / CAST(n_blocks AS DOUBLE))
+       * (CAST(n_blocks AS DOUBLE) - 1.0) / CAST(n_blocks AS DOUBLE))
+  / 1000000000.0 / 10000.0 AS jackknife_se
+FROM a
+"""
+
+
+def r249_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences driver check (`dbs.operators
+    .evaluation.diff_in_diff`): even-user cohort as the rollout arm,
+    odd users as the counterfactual, periods split mid-January — one
+    conditional-aggregation pass computes the 2×2 cell means (exact
+    scaled sums) and the DiD contrast, engine-exact."""
+    from datalake_backend_spark.operators.evaluation import diff_in_diff
+
+    ev = table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("treat"))
+        .otherwise(F.lit("ctl"))
+        .alias("grp"),
+        F.when(
+            F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
+            F.lit("post"),
+        )
+        .otherwise(F.lit("pre"))
+        .alias("period"),
+        "value",
+    )
+    return diff_in_diff(ev, "grp", "period", "value", "treat", "post")
+
+
+R249_SQL = """
+WITH d AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'ctl' END AS grp,
+         CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 'post'
+              ELSE 'pre' END AS period,
+         CAST(FLOOR(value * 10000) AS HUGEINT) AS sv
+  FROM events
+),
+a AS (
+  SELECT
+    SUM(CASE WHEN grp = 'treat' AND period = 'pre' THEN sv END) AS s_t_pre,
+    CAST(COUNT(CASE WHEN grp = 'treat' AND period = 'pre' THEN 1 END)
+         AS BIGINT) AS n_t_pre,
+    SUM(CASE WHEN grp = 'treat' AND period = 'post' THEN sv END) AS s_t_post,
+    CAST(COUNT(CASE WHEN grp = 'treat' AND period = 'post' THEN 1 END)
+         AS BIGINT) AS n_t_post,
+    SUM(CASE WHEN grp = 'ctl' AND period = 'pre' THEN sv END) AS s_c_pre,
+    CAST(COUNT(CASE WHEN grp = 'ctl' AND period = 'pre' THEN 1 END)
+         AS BIGINT) AS n_c_pre,
+    SUM(CASE WHEN grp = 'ctl' AND period = 'post' THEN sv END) AS s_c_post,
+    CAST(COUNT(CASE WHEN grp = 'ctl' AND period = 'post' THEN 1 END)
+         AS BIGINT) AS n_c_post
+  FROM d
+)
+SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+  (CAST(s_t_pre AS DOUBLE) / 10000.0) / CAST(n_t_pre AS DOUBLE)
+    AS mean_t_pre,
+  (CAST(s_t_post AS DOUBLE) / 10000.0) / CAST(n_t_post AS DOUBLE)
+    AS mean_t_post,
+  (CAST(s_c_pre AS DOUBLE) / 10000.0) / CAST(n_c_pre AS DOUBLE)
+    AS mean_c_pre,
+  (CAST(s_c_post AS DOUBLE) / 10000.0) / CAST(n_c_post AS DOUBLE)
+    AS mean_c_post,
+  ((CAST(s_t_post AS DOUBLE) / 10000.0) / CAST(n_t_post AS DOUBLE)
+   - (CAST(s_t_pre AS DOUBLE) / 10000.0) / CAST(n_t_pre AS DOUBLE))
+  - ((CAST(s_c_post AS DOUBLE) / 10000.0) / CAST(n_c_post AS DOUBLE)
+     - (CAST(s_c_pre AS DOUBLE) / 10000.0) / CAST(n_c_pre AS DOUBLE))
+    AS did
+FROM a
+"""
+
+
+def r250_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration reliability-diagram driver check (`dbs.operators
+    .evaluation.reliability_bins`): event value rescaled to a [0, 1]
+    score vs the is-purchase label, ten equal-width bins, exact mean
+    score and positive rate per bin — the recalibration input. Top
+    edge closes into the last bin."""
+    from datalake_backend_spark.operators.evaluation import (
+        reliability_bins,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        F.least(F.col("value") / F.lit(500.0), F.lit(1.0)).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return reliability_bins(ev, "score", "label", n_bins=10)
+
+
+R250_SQL = """
+WITH d AS (
+  SELECT LEAST(value / 500.0, 1.0) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+),
+b AS (
+  SELECT LEAST(CAST(FLOOR(score * 10) AS INT), 9) AS bin, score, label
+  FROM d
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(FLOOR(score * 1000000) AS BIGINT)) AS DOUBLE)
+    / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_score,
+  CAST(SUM(label) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+FROM b GROUP BY 1
+"""
+
+
+
 
 
 
@@ -13282,7 +13448,16 @@ QUERIES: dict[str, QuerySpec] = {
     "r247_grid_density_clusters": QuerySpec(
         r247_grid_density_clusters, R247_SQL, "clustering-density,grid-cc"
     ),
+    "r248_block_jackknife": QuerySpec(
+        r248_block_jackknife, R248_SQL, "stats-jackknife,uncertainty"
+    ),
+    "r249_diff_in_diff": QuerySpec(
+        r249_diff_in_diff, R249_SQL, "experiment-did,causal-contrast"
+    ),
     "r24_cosine_threshold": QuerySpec(q24_cosine_threshold, Q24_SQL, "similarity-cosine"),
+    "r250_reliability_bins": QuerySpec(
+        r250_reliability_bins, R250_SQL, "calibration-reliability,binning"
+    ),
     "r25_jaccard_pairs": QuerySpec(q25_jaccard_pairs, Q25_SQL, "dedup-ngram-jaccard"),
     "r27_simhash_near_dup": QuerySpec(q27_simhash_near_dup, Q27_SQL, "dedup-simhash"),
     "r28_ann_topk": QuerySpec(q28_ann_topk, Q28_SQL, "similarity-topk"),

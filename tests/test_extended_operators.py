@@ -2144,3 +2144,80 @@ def test_grid_density_clusters_components(spark):
     assert got[(1, 1)][1] == got[(2, 1)][1]
     assert got[(25, 25)][1] != got[(1, 1)][1]
     assert got[(25, 25)][0] == 4
+
+
+def test_block_jackknife_matches_replication(spark):
+    """block_jackknife (operators/distributions.py; r248): constant
+    values give se = 0; a varied series matches an independent
+    Python replication of the same hash blocks and closed form."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.operators.distributions import (
+        block_jackknife,
+    )
+
+    const = spark.range(0, 100).select(
+        F.col("id").alias("u"), F.lit(5.0).alias("v")
+    )
+    r0 = block_jackknife(const, "v", "u", blocks=8).collect()[0]
+    assert r0.jackknife_se == 0.0 and r0.mean == 5.0
+    vals = [(i, float(i % 13)) for i in range(200)]
+    blocks: dict = {}
+    for u, v in vals:
+        h = int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 8
+        s, n = blocks.get(h, (0, 0))
+        blocks[h] = (s + math.floor(v * 10**4), n + 1)
+    st = sum(s for s, _ in blocks.values())
+    nt = sum(n for _, n in blocks.values())
+    center = st / nt
+    mis = [
+        math.floor(((st - s) / (nt - n) - center) * 1e9)
+        for s, n in blocks.values()
+    ]
+    bb = len(mis)
+    var = (sum(m * m for m in mis) - sum(mis) ** 2 / bb) * (bb - 1) / bb
+    want = math.sqrt(var) / 1e9 / 1e4
+    d = spark.createDataFrame(vals, "u long, v double")
+    got = block_jackknife(d, "v", "u", blocks=8).collect()[0]
+    assert abs(got.jackknife_se - want) < 1e-18
+
+
+def test_diff_in_diff_cells(spark):
+    """diff_in_diff (operators/evaluation.py; r249): hand-computed
+    2×2 — (20−10) − (7−5) = 8 — with per-cell counts and means."""
+    from datalake_backend_spark.operators.evaluation import diff_in_diff
+
+    rows = (
+        [("treat", "pre", 10.0)] * 2
+        + [("treat", "post", 20.0)] * 2
+        + [("ctl", "pre", 5.0)] * 2
+        + [("ctl", "post", 7.0)] * 2
+    )
+    d = spark.createDataFrame(rows, "g string, p string, v double")
+    r = diff_in_diff(d, "g", "p", "v", "treat", "post").collect()[0]
+    assert r.did == 8.0
+    assert (r.n_t_pre, r.mean_c_post, r.mean_t_post) == (2, 7.0, 20.0)
+
+
+def test_reliability_bins_edges(spark):
+    """reliability_bins (operators/evaluation.py; r250): score 1.0
+    closes into the last bin; per-bin mean score and positive rate
+    are exact."""
+    from datalake_backend_spark.operators.evaluation import (
+        reliability_bins,
+    )
+
+    rows = [
+        (0.05, 0), (0.05, 1), (0.95, 1), (0.95, 1), (1.0, 1), (0.55, 0),
+    ]
+    d = spark.createDataFrame(rows, "s double, y int")
+    got = {
+        r.bin: (r.n, r.mean_score, r.pos_rate)
+        for r in reliability_bins(d, "s", "y", 10).collect()
+    }
+    assert got[0] == (2, 0.05, 0.5)
+    assert got[9] == (3, (0.95 + 0.95 + 1.0) / 3, 1.0)
+    assert got[5] == (1, 0.55, 0.0)

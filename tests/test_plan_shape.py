@@ -330,3 +330,69 @@ def test_global_running_sum_no_unpartitioned_data_window(spark):
     # and the result is correct end-to-end: cum of the top row == its value
     top = out.orderBy("cum_value").limit(1).collect()[0]
     assert top.cum_value == top.value
+
+
+def test_nearest_neighbor_join_no_cartesian(spark):
+    """nearest_within_radius (r234): the radius bound must turn NN
+    into a grid equi-join — no CartesianProduct, no
+    BroadcastNestedLoopJoin — with the argmin as one hash aggregate
+    over candidates."""
+    from datalake_backend_spark.core.geometry import nearest_within_radius
+
+    left = spark.range(100).select(
+        F.col("id").alias("lid"),
+        (F.col("id") * 37 % 1000).alias("x"),
+        (F.col("id") * 91 % 1000).alias("y"),
+    )
+    right = spark.range(20).select(
+        F.col("id").alias("rid"),
+        (F.col("id") * 53 % 1000).alias("x"),
+        (F.col("id") * 17 % 1000).alias("y"),
+    )
+    plan = plan_of(nearest_within_radius(left, right, 40, "lid", "rid"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_asof_nearest_no_cartesian(spark):
+    """asof_nearest (r246): the tolerance bound must make time-NN an
+    epoch-bucket equi-join, never an inequality-only join (which
+    Spark would plan as a nested loop)."""
+    import datetime as dt
+
+    from datalake_backend_spark.operators.asof import asof_nearest
+
+    left = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, 0, i % 60)) for i in range(60)],
+        "eid long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100 + i, dt.datetime(2024, 1, 1, 0, (i * 7) % 60)) for i in range(20)],
+        "rid long, rts timestamp",
+    )
+    plan = plan_of(asof_nearest(left, right, "ts", "rts", 300, "rid"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_kmv_and_priority_two_phase_rank(spark):
+    """kmv_distinct / priority_sample (r240/r241): the first rank
+    window must partition by (keys..., bucket) — the skew-safe
+    two-phase shape — never a single global sort of the raw rows."""
+    from datalake_backend_spark.datapipe.sampling import priority_sample
+    from datalake_backend_spark.operators.distributions import kmv_distinct
+
+    df = spark.range(1000).select(
+        F.col("id").alias("v"), (F.col("id") % 3).alias("g")
+    )
+    plan = plan_of(kmv_distinct(df, "v", ["g"], k=16))
+    # two rank windows = two sorts, each hash-partitioned (no global
+    # "Sort [**]" without partitioning over raw data)
+    assert plan.count("Window") >= 2, plan
+    samp = spark.range(1000).select(
+        F.col("id").alias("key"),
+        (F.col("id") % 3).alias("grp"),
+        (F.col("id") % 7 + 1).cast("double").alias("w"),
+    )
+    plan2 = plan_of(priority_sample(samp, "w", "key", 5, group_col="grp"))
+    assert plan2.count("Window") >= 2, plan2

@@ -578,7 +578,56 @@ def run_ops(spark, docs_path: str, events_path: str) -> dict[str, float]:
     )
     seeds = users.select(F.col("user_id").alias("node")).orderBy("node").limit(1)
     timed("sssp", lambda: _force(bounded_sssp(edges, seeds, max_hops=3)))
+
+    # round-11 continuation additions: wedge-join node similarity (the
+    # hub side flipped so wedges stay LINEAR in users — day-day overlap
+    # through shared users, Σ_user deg² ≤ users·30²), corpus bigram
+    # lift (explode + two joins), time-nearest band join (per-user
+    # ±1h candidates, density-constant at 10x), grid-density
+    # clustering (fixed 6400-cell histogram + bounded CC), and the KMV
+    # two-phase top-k
+    from datalake_backend_spark.datapipe.text import bigram_lift
+    from datalake_backend_spark.operators.asof import asof_nearest
+    from datalake_backend_spark.operators.clustering import (
+        grid_density_clusters,
+    )
+    from datalake_backend_spark.operators.distributions import kmv_distinct
+    from datalake_backend_spark.operators.graph import neighborhood_jaccard
+
+    ud = baskets.distinct()
+    timed(
+        "node_jaccard",
+        lambda: _force(
+            neighborhood_jaccard(ud, src="day", dst="user_id", min_common=2)
+        ),
+    )
+    timed("bigram_lift", lambda: _force(bigram_lift(docs, "text", min_count=5)))
+    left_ev = ev.where(F.col("etype") == 0).select("event_id", "user_id", "ts")
+    right_ev = ev.where(F.col("etype") == 1).select(
+        F.col("event_id").alias("rid"), "user_id", F.col("ts").alias("rts")
+    )
+    timed(
+        "asof_nearest",
+        lambda: _force(
+            asof_nearest(
+                left_ev, right_ev, "ts", "rts", 3600, "rid", by=["user_id"]
+            )
+        ),
+    )
+    pts = ev.select(
+        F.pmod(F.col("user_id") * 37, F.lit(2000)).alias("px"),
+        F.pmod(F.col("event_id") * 91, F.lit(2000)).alias("py"),
+    )
+    timed(
+        "grid_density",
+        lambda: _force(grid_density_clusters(pts, "px", "py", cell=25, min_pts=5)),
+    )
+    timed(
+        "kmv",
+        lambda: _force(kmv_distinct(ev, "user_id", keys=["etype"], k=256)),
+    )
     return out
+
 
 
 def main() -> int:
@@ -609,6 +658,8 @@ def main() -> int:
         "sn_blocking", "cooccur",
         "ecdf", "star_join", "entity_resolution",
         "fifo_alloc", "sliding_wau", "concurrency", "sssp",
+        "node_jaccard", "bigram_lift", "asof_nearest", "grid_density",
+        "kmv",
     ]
     lines = [
         "| op | 1x sec | 10x sec | ratio | exponent |",
