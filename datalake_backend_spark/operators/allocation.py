@@ -133,3 +133,50 @@ def apportion_largest_remainder(
             ).alias("seats_alloc"),
         )
     )
+
+
+def apportion_dhondt(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    seats: int,
+) -> DataFrame:
+    """D'Hondt (Jefferson) divisor apportionment — the
+    largest-remainder method's (:func:`apportion_largest_remainder`)
+    major-party-favoring counterpart, and the standard when quota
+    violations must be impossible: every key generates quotients
+    ``w/1, w/2, …, w/seats`` and the ``seats`` largest quotients win
+    one unit each. Deterministic: quotients are IEEE divisions of
+    exact integers (identical on any engine), ties break by (key,
+    divisor).
+
+    Scale shape: one hash aggregate to a row per key, a ``sequence``
+    explode to key-count·seats quotient rows (metadata-sized), one
+    top-``seats`` rank window, one re-aggregate. Keys winning zero
+    seats still emit (seats_alloc = 0) via the left join back."""
+    if seats < 1:
+        raise ValueError("seats must be >= 1")
+    w = df.groupBy(key_col).agg(
+        F.sum(F.col(weight_col)).cast("long").alias("w")
+    )
+    quot = w.select(
+        key_col,
+        "w",
+        F.explode(F.sequence(F.lit(1), F.lit(seats))).alias("_k"),
+    ).withColumn(
+        "_q", F.col("w").cast("double") / F.col("_k").cast("double")
+    )
+    rk = Window.orderBy(F.desc("_q"), F.col(key_col), F.col("_k"))
+    won = (
+        quot.withColumn("_rn", F.row_number().over(rk))
+        .where(F.col("_rn") <= seats)
+        .groupBy(key_col)
+        .agg(F.count("*").alias("_won"))
+    )
+    return w.join(won, key_col, "left").select(
+        key_col,
+        "w",
+        F.coalesce(F.col("_won"), F.lit(0)).cast("long").alias(
+            "seats_alloc"
+        ),
+    )

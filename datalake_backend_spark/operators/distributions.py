@@ -1429,3 +1429,79 @@ def block_jackknife(
     var_scaled = (smi2 - smi * smi / bb) * (bb - F.lit(1.0)) / bb
     se = F.sqrt(var_scaled) / F.lit(float(mfac)) / F.lit(float(factor))
     return agg.select(*keys, "n", "n_blocks", "mean", se.alias("jackknife_se"))
+
+
+def categorical_mi(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+    term_scale: int = 12,
+) -> DataFrame:
+    """Mutual information between two categorical columns, with the
+    marginal entropies and the normalized MI — "which metadata field
+    actually predicts the label" screening, the information-theoretic
+    companion to :func:`cramers_v` (which measures the same table
+    through the χ² lens). Natural-log units.
+
+    Determinism: counts are exact BIGINTs and every probability is an
+    IEEE division, but Σ p·ln(…) over cells would be a FLOAT SUM in
+    partition order — so each cell's term quantizes to
+    ``floor(term·10^term_scale)`` and the sums run over exact
+    integers (the block_jackknife discipline); the final entropies /
+    MI round to ``round_to`` dp, the repo's libm convention.
+
+    Scale shape: ONE hash aggregate to the contingency cells, two
+    metadata-sized re-aggregates for the marginals, broadcast total;
+    everything after the first groupBy is cell-cardinality-sized."""
+    cells = df.groupBy(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    ).agg(F.count("*").alias("_nxy"))
+    mx = cells.groupBy("_x").agg(F.sum("_nxy").alias("_nx"))
+    my = cells.groupBy("_y").agg(F.sum("_nxy").alias("_ny"))
+    total = cells.agg(F.sum("_nxy").alias("_n"))
+    j = (
+        cells.join(mx, "_x")
+        .join(my, "_y")
+        .crossJoin(F.broadcast(total))
+    )
+    tfac = float(10**term_scale)
+    nd = F.col("_n").cast("double")
+    pxy = F.col("_nxy").cast("double") / nd
+    px = F.col("_nx").cast("double") / nd
+    py = F.col("_ny").cast("double") / nd
+    mi_term = F.floor(pxy * F.log(pxy / (px * py)) * F.lit(tfac)).cast(
+        "long"
+    )
+    # marginal entropy terms must count each margin ONCE, not once
+    # per cell: weight by the cell's share of its margin so the
+    # per-cell pieces sum to the margin's term exactly in the integer
+    # domain is impossible — instead sum over DISTINCT margins via
+    # min-tagging: only the lexicographically first cell of each
+    # margin contributes its full term
+    wx = Window.partitionBy("_x").orderBy("_y")
+    wy = Window.partitionBy("_y").orderBy("_x")
+    hx_term = F.when(
+        F.row_number().over(wx) == 1,
+        F.floor(-px * F.log(px) * F.lit(tfac)).cast("long"),
+    ).otherwise(F.lit(0))
+    hy_term = F.when(
+        F.row_number().over(wy) == 1,
+        F.floor(-py * F.log(py) * F.lit(tfac)).cast("long"),
+    ).otherwise(F.lit(0))
+    agg = j.select(
+        mi_term.alias("_mi"), hx_term.alias("_hx"), hy_term.alias("_hy")
+    ).agg(
+        F.sum("_mi").alias("_smi"),
+        F.sum("_hx").alias("_shx"),
+        F.sum("_hy").alias("_shy"),
+    )
+    mi = F.col("_smi").cast("double") / F.lit(tfac)
+    hx = F.col("_shx").cast("double") / F.lit(tfac)
+    hy = F.col("_shy").cast("double") / F.lit(tfac)
+    return agg.select(
+        F.round(hx, round_to).alias("h_x"),
+        F.round(hy, round_to).alias("h_y"),
+        F.round(mi, round_to).alias("mi"),
+        F.round(mi / F.sqrt(hx * hy), round_to).alias("nmi"),
+    )

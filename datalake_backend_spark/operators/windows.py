@@ -290,3 +290,62 @@ def markov_transitions(
             "prob_scaled"
         ),
     )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_days: int = 7,
+    scale: int = 4,
+) -> DataFrame:
+    """Cohort lifetime-value curve: users cohort by first-active
+    period (``bucket_days``-wide, integer epoch arithmetic like
+    :func:`retention_cohorts`), and every period-age reports the
+    cohort's CUMULATIVE value per cohort member — the revenue
+    counterpart of the retention triangle (the "when does a cohort
+    pay back" curve).
+
+    Exactness: per-(cohort, age) sums are scaled integers; the
+    cumulative fold is an integer window over the per-cohort AGE rows
+    (metadata-sized — ages, not events); LTV is one IEEE division by
+    the cohort's fixed member count. Engine-exact.
+
+    Scale shape: distinct + two groupBys reuse one exchange on
+    ``user_col``; the only window runs over (cohorts × ages) rows."""
+    period = F.expr(
+        f"unix_micros({ts_col}) div {86_400_000_000 * bucket_days}"
+    )
+    factor = 10**scale
+    ev = df.select(
+        F.col(user_col).alias("_u"),
+        period.cast("long").alias("_p"),
+        F.floor(F.col(value_col) * F.lit(factor)).cast("long").alias("_v"),
+    )
+    first = ev.groupBy("_u").agg(F.min("_p").alias("_cohort"))
+    sized = first.groupBy("_cohort").agg(F.count("*").alias("n_users"))
+    per_age = (
+        ev.join(first, "_u")
+        .groupBy(
+            "_cohort", (F.col("_p") - F.col("_cohort")).alias("age")
+        )
+        .agg(F.sum("_v").alias("_s"))
+    )
+    w = Window.partitionBy("_cohort").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_age.withColumn("_cum", F.sum("_s").over(w))
+        .join(sized, "_cohort")
+        .select(
+            F.col("_cohort").alias("cohort_period"),
+            "age",
+            "n_users",
+            (
+                F.col("_cum").cast("double")
+                / F.lit(float(factor))
+                / F.col("n_users").cast("double")
+            ).alias("ltv_per_user"),
+        )
+    )

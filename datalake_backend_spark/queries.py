@@ -10208,6 +10208,164 @@ SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
 FROM b GROUP BY 1
 """
 
+# --- round-11 additions, batch 15 (r251-r253) -------------------------------
+# Divisor apportionment, information-theoretic association, and the
+# cohort value curve.
+
+
+def r251_dhondt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Hondt divisor apportionment driver check (`dbs.operators
+    .allocation.apportion_dhondt`): 50 units across market segments —
+    the quota-violation-free counterpart to r237's largest-remainder
+    method; top-50 quotients w/k with deterministic (key, divisor)
+    tie-breaks, zero-seat keys included."""
+    from datalake_backend_spark.operators.allocation import apportion_dhondt
+
+    cust = (
+        table(spark, sf_dir, "customer")
+        .select("c_mktsegment")
+        .withColumn("wt", F.lit(1))
+    )
+    return apportion_dhondt(cust, "c_mktsegment", "wt", 50)
+
+
+R251_SQL = """
+WITH w AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS w
+  FROM customer GROUP BY 1
+),
+q AS (
+  SELECT c_mktsegment, w, unnest(range(1, 51)) AS dk FROM w
+),
+q2 AS (
+  SELECT c_mktsegment, w, dk,
+         CAST(w AS DOUBLE) / CAST(dk AS DOUBLE) AS quo
+  FROM q
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY quo DESC, c_mktsegment, dk)
+         AS rn
+  FROM q2
+),
+won AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_won
+  FROM r WHERE rn <= 50 GROUP BY 1
+)
+SELECT w.c_mktsegment, w.w,
+       CAST(COALESCE(won.n_won, 0) AS BIGINT) AS seats_alloc
+FROM w LEFT JOIN won USING (c_mktsegment)
+"""
+
+
+def r252_categorical_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information driver check (`dbs.operators.distributions
+    .categorical_mi`): does the user's hash cohort carry information
+    about the event type (it shouldn't — the synthetic data is
+    independent, so MI ≈ 0 while both entropies are near-maximal).
+    Per-cell p·ln terms quantize at 10^-12 before summation so the
+    float sum is order-independent; entropies/MI/NMI round to 6dp,
+    the libm convention."""
+    from datalake_backend_spark.operators.distributions import (
+        categorical_mi,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 5).alias("cohort")
+    )
+    return categorical_mi(ev, "event_type", "cohort")
+
+
+R252_SQL = """
+WITH cells AS (
+  SELECT event_type AS x, user_id % 5 AS y,
+         CAST(COUNT(*) AS BIGINT) AS nxy
+  FROM events GROUP BY 1, 2
+),
+mx AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM cells GROUP BY 1),
+my AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM cells GROUP BY 1),
+t AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM cells),
+j AS (
+  SELECT c.x, c.y, c.nxy, mx.nx, my.ny, t.n,
+         row_number() OVER (PARTITION BY c.x ORDER BY c.y) AS rx,
+         row_number() OVER (PARTITION BY c.y ORDER BY c.x) AS ry
+  FROM cells c JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t
+),
+terms AS (
+  SELECT
+    CAST(FLOOR((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+         * ln((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+              / ((CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))))
+         * 1000000000000.0) AS BIGINT) AS mi_t,
+    CASE WHEN rx = 1 THEN
+      CAST(FLOOR(-(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
+           * ln(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
+           * 1000000000000.0) AS BIGINT)
+    ELSE 0 END AS hx_t,
+    CASE WHEN ry = 1 THEN
+      CAST(FLOOR(-(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+           * ln(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+           * 1000000000000.0) AS BIGINT)
+    ELSE 0 END AS hy_t
+  FROM j
+),
+a AS (
+  SELECT SUM(mi_t) AS smi, SUM(hx_t) AS shx, SUM(hy_t) AS shy FROM terms
+)
+SELECT
+  ROUND(CAST(shx AS DOUBLE) / 1000000000000.0, 6) AS h_x,
+  ROUND(CAST(shy AS DOUBLE) / 1000000000000.0, 6) AS h_y,
+  ROUND(CAST(smi AS DOUBLE) / 1000000000000.0, 6) AS mi,
+  ROUND((CAST(smi AS DOUBLE) / 1000000000000.0)
+        / SQRT((CAST(shx AS DOUBLE) / 1000000000000.0)
+               * (CAST(shy AS DOUBLE) / 1000000000000.0)), 6) AS nmi
+FROM a
+"""
+
+
+def r253_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value driver check (`dbs.operators.windows
+    .cohort_ltv`): weekly first-active cohorts, cumulative event
+    value per cohort member by cohort age — the revenue counterpart
+    of r168's retention triangle; scaled-integer sums, a cumulative
+    window over (cohort × age) metadata rows only, one IEEE division
+    per row."""
+    from datalake_backend_spark.operators.windows import cohort_ltv
+
+    ev = table(spark, sf_dir, "events")
+    return cohort_ltv(ev, "user_id", "ts", "value", bucket_days=7)
+
+
+R253_SQL = """
+WITH ev AS (
+  SELECT user_id AS u, epoch_us(ts) // 604800000000 AS p,
+         CAST(FLOOR(value * 10000) AS BIGINT) AS v
+  FROM events
+),
+first AS (SELECT u, MIN(p) AS cohort FROM ev GROUP BY 1),
+sized AS (
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM first GROUP BY 1
+),
+pa AS (
+  SELECT f.cohort, e.p - f.cohort AS age, SUM(e.v) AS s
+  FROM ev e JOIN first f ON e.u = f.u GROUP BY 1, 2
+),
+c AS (
+  SELECT cohort, age,
+         SUM(s) OVER (PARTITION BY cohort ORDER BY age
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM pa
+)
+SELECT c.cohort AS cohort_period, CAST(c.age AS BIGINT) AS age,
+       s.n_users,
+       CAST(c.cum AS DOUBLE) / 10000.0 / CAST(s.n_users AS DOUBLE)
+         AS ltv_per_user
+FROM c JOIN sized s ON c.cohort = s.cohort
+"""
+
+
+
 
 
 
@@ -13457,6 +13615,15 @@ QUERIES: dict[str, QuerySpec] = {
     "r24_cosine_threshold": QuerySpec(q24_cosine_threshold, Q24_SQL, "similarity-cosine"),
     "r250_reliability_bins": QuerySpec(
         r250_reliability_bins, R250_SQL, "calibration-reliability,binning"
+    ),
+    "r251_dhondt": QuerySpec(
+        r251_dhondt, R251_SQL, "allocation-dhondt,divisor-method"
+    ),
+    "r252_categorical_mi": QuerySpec(
+        r252_categorical_mi, R252_SQL, "stats-mutual-information,entropy"
+    ),
+    "r253_cohort_ltv": QuerySpec(
+        r253_cohort_ltv, R253_SQL, "analytics-cohort-ltv,W-cumulative"
     ),
     "r25_jaccard_pairs": QuerySpec(q25_jaccard_pairs, Q25_SQL, "dedup-ngram-jaccard"),
     "r27_simhash_near_dup": QuerySpec(q27_simhash_near_dup, Q27_SQL, "dedup-simhash"),

@@ -2221,3 +2221,54 @@ def test_reliability_bins_edges(spark):
     assert got[0] == (2, 0.05, 0.5)
     assert got[9] == (3, (0.95 + 0.95 + 1.0) / 3, 1.0)
     assert got[5] == (1, 0.55, 0.0)
+
+
+def test_dhondt_classic_example(spark):
+    """apportion_dhondt (operators/allocation.py; r251): the
+    textbook 100/80/30/20 with 8 seats gives 4/3/1/0; totals always
+    equal the seat count and zero-seat keys still appear."""
+    from datalake_backend_spark.operators.allocation import apportion_dhondt
+
+    w = spark.createDataFrame(
+        [("A", 100), ("B", 80), ("C", 30), ("D", 20)], "k string, wt int"
+    )
+    got = {r.k: r.seats_alloc for r in apportion_dhondt(w, "k", "wt", 8).collect()}
+    assert got == {"A": 4, "B": 3, "C": 1, "D": 0}
+    assert sum(got.values()) == 8
+
+
+def test_categorical_mi_anchors(spark):
+    """categorical_mi (operators/distributions.py; r252):
+    independent columns give MI ≈ 0 with H = ln 2; identical columns
+    give MI = H and NMI = 1."""
+    import math
+
+    from datalake_backend_spark.operators.distributions import categorical_mi
+
+    rows = [(x, y) for x in "ab" for y in "cd" for _ in range(10)]
+    ind = spark.createDataFrame(rows, "x string, y string")
+    r = categorical_mi(ind, "x", "y").collect()[0]
+    assert abs(r.mi) < 1e-6 and abs(r.h_x - math.log(2)) < 1e-6
+    same = spark.createDataFrame([(c, c) for c in "aabb"], "x string, y string")
+    r2 = categorical_mi(same, "x", "y").collect()[0]
+    assert abs(r2.nmi - 1.0) < 1e-6 and abs(r2.mi - r2.h_x) < 1e-6
+
+
+def test_cohort_ltv_cumulative(spark):
+    """cohort_ltv (operators/windows.py; r253): a two-user week-0
+    cohort accumulates 40 then 60 total → 20 then 30 per user."""
+    import datetime as dt
+
+    from datalake_backend_spark.operators.windows import cohort_ltv
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 10.0),
+        (1, dt.datetime(2024, 1, 9), 20.0),
+        (2, dt.datetime(2024, 1, 2), 30.0),
+    ]
+    d = spark.createDataFrame(rows, "u long, ts timestamp, v double")
+    got = sorted(
+        (r.age, r.n_users, r.ltv_per_user)
+        for r in cohort_ltv(d, "u", "ts", "v").collect()
+    )
+    assert got == [(0, 2, 20.0), (1, 2, 30.0)]
