@@ -1505,3 +1505,52 @@ def categorical_mi(
         F.round(mi, round_to).alias("mi"),
         F.round(mi / F.sqrt(hx * hy), round_to).alias("nmi"),
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    quantiles: list[tuple[int, int]] | None = None,
+    scale: int = 4,
+) -> DataFrame:
+    """Exact per-group weighted quantiles at RATIONAL probabilities —
+    :func:`weighted_median` generalized from 1/2 to any q = num/den:
+    each quantile is the smallest value whose inclusive cumulative
+    weight satisfies the integer cross-multiplication
+    ``cumw·den ≥ totw·num`` (no float shares, no interpolation
+    policy). Same contract: weights integral and positive.
+
+    ONE per-group sort window serves every requested quantile (each
+    is just another conditional min over the same cumulative), so
+    asking for the 25/50/75/95 band costs the same shuffle as the
+    median alone. Output: one row per key with a column per
+    quantile, named ``q_<num>_<den>``."""
+    quantiles = quantiles or [(1, 4), (1, 2), (3, 4)]
+    mult = 10**scale
+    sv = F.floor(F.col(value_col) * F.lit(mult)).cast("long")
+    iw = F.col(weight_col).cast("long")
+    g = (
+        df.select(*key_cols, sv.alias("_v"), iw.alias("_w"))
+        .withColumn("_cum", F.sum("_w").over(
+            Window.partitionBy(*key_cols).orderBy("_v", "_w").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ))
+        .withColumn("_tot", F.sum("_w").over(
+            Window.partitionBy(*key_cols).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ))
+    )
+    aggs = []
+    for num, den in quantiles:
+        crossed = F.col("_cum") * F.lit(den) >= F.col("_tot") * F.lit(num)
+        aggs.append(
+            (
+                F.min(F.when(crossed, F.col("_v"))).cast("double")
+                / F.lit(float(mult))
+            ).alias(f"q_{num}_{den}")
+        )
+    return g.groupBy(*key_cols).agg(*aggs)

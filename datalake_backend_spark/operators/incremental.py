@@ -25,7 +25,7 @@ rest of the repo uses (queries.py module docstring).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: state columns appended per value column
@@ -135,4 +135,81 @@ def finalize_bitmap(state: DataFrame, keys: list[str]) -> DataFrame:
     ``bit_count`` over the key's words."""
     return state.groupBy(*keys).agg(
         F.sum(F.bit_count("word")).alias("n_distinct")
+    )
+
+
+def kmv_state(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    k: int = 256,
+    buckets: int = 16,
+) -> DataFrame:
+    """Mergeable KMV sketch state: per key, the k smallest DISTINCT
+    portable-md5 hashes of ``id_col`` as one sorted array — the
+    bounded-size companion to :func:`bitmap_state` (exact but O(id
+    range) words) for distinct counts under streaming ingest: a KMV
+    union is just "union the hash sets, re-take the k smallest", so
+    the state is idempotent / commutative / associative like bit_or,
+    at a FIXED k·8-byte budget per key no matter the cardinality.
+
+    The batch fold uses the same skew-safe two-phase rank as
+    ``distributions.kmv_distinct`` (whose finalize this state must
+    reproduce bit-for-bit); only the ≤ k survivors per key collect
+    into the array."""
+    from datalake_backend_spark.datapipe.dedup import portable_hash60
+
+    dh = df.select(
+        *keys, portable_hash60(F.col(id_col).cast("string")).alias("_h")
+    ).distinct()
+    bucket = F.pmod(F.col("_h"), F.lit(buckets))
+    w1 = Window.partitionBy(*keys, bucket).orderBy("_h")
+    w2 = Window.partitionBy(*keys).orderBy("_h")
+    topk = (
+        dh.withColumn("_rn1", F.row_number().over(w1))
+        .where(F.col("_rn1") <= k)
+        .withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= k)
+    )
+    return topk.groupBy(*keys).agg(
+        F.array_sort(F.collect_list("_h")).alias("hashes")
+    )
+
+
+def merge_kmv_state(
+    current: DataFrame, batch: DataFrame, keys: list[str], k: int = 256
+) -> DataFrame:
+    """Merge KMV states: explode both sides' arrays, dedupe, re-take
+    the k smallest per key. State rows carry ≤ 2k hashes per key, so
+    the single rank window runs over metadata-sized input — raw ids
+    never reappear."""
+    u = current.unionByName(batch).select(
+        *keys, F.explode("hashes").alias("_h")
+    ).distinct()
+    w = Window.partitionBy(*keys).orderBy("_h")
+    return (
+        u.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy(*keys)
+        .agg(F.array_sort(F.collect_list("_h")).alias("hashes"))
+    )
+
+
+def finalize_kmv(state: DataFrame, keys: list[str], k: int = 256) -> DataFrame:
+    """Distinct-count estimate from KMV state — IDENTICAL output
+    contract to ``distributions.kmv_distinct`` (n_kept, kth_hash,
+    estimate), because a merge of per-batch k-minima IS the global
+    k-minimum: the streaming path and the one-shot batch path must
+    produce the same bytes."""
+    n_kept = F.size("hashes").cast("long")
+    kth = F.element_at(F.col("hashes"), F.size("hashes"))
+    numerator = float((k - 1) * (1 << 60))
+    est = F.when(n_kept < k, n_kept.cast("double")).otherwise(
+        F.lit(numerator) / kth.cast("double")
+    )
+    return state.select(
+        *keys,
+        n_kept.alias("n_kept"),
+        kth.alias("kth_hash"),
+        est.alias("estimate"),
     )

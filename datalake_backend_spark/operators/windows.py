@@ -349,3 +349,44 @@ def cohort_ltv(
             ).alias("ltv_per_user"),
         )
     )
+
+
+def contiguous_islands(
+    df: DataFrame,
+    id_col: str,
+    bucket: int = 100_000,
+) -> DataFrame:
+    """Gaps-and-islands audit of an integer id column, summarized per
+    ``bucket``-wide id range: how many ids are present, how many
+    contiguous runs (islands) they form, the longest run, and the
+    span's missing count — the sequence-integrity check behind "did
+    the upstream exporter drop a chunk" (a healthy dense sequence is
+    ONE island per bucket; fragmentation localizes the loss).
+
+    The island id is the classic ``id − row_number()`` constant-per-
+    run trick, but ranked WITHIN each bucket so the sort window is
+    per-bucket (hash-partitioned, never a global sort); runs that
+    cross a bucket border count once in each bucket — a deliberate
+    per-bucket-local definition, identical in the twin. All-integer.
+    """
+    d = df.select(F.col(id_col).alias("_id")).distinct().withColumn(
+        "_b", F.expr(f"_id div {bucket}")
+    )
+    w = Window.partitionBy("_b").orderBy("_id")
+    runs = (
+        d.withColumn("_grp", F.col("_id") - F.row_number().over(w))
+        .groupBy("_b", "_grp")
+        .agg(
+            F.count("*").alias("_len"),
+            F.min("_id").alias("_lo"),
+            F.max("_id").alias("_hi"),
+        )
+    )
+    return runs.groupBy(F.col("_b").alias("id_bucket")).agg(
+        F.sum("_len").alias("n_present"),
+        F.count("*").alias("n_islands"),
+        F.max("_len").alias("longest_run"),
+        (
+            F.max("_hi") - F.min("_lo") + 1 - F.sum("_len")
+        ).alias("n_missing_in_span"),
+    )

@@ -10364,6 +10364,213 @@ SELECT c.cohort AS cohort_period, CAST(c.age AS BIGINT) AS age,
 FROM c JOIN sized s ON c.cohort = s.cohort
 """
 
+# --- round-11 additions, batch 16 (r254) ------------------------------------
+
+
+def r254_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming BOUNDED-STATE distinct-count driver check
+    (`dbs.streaming.pipeline.start_kmv_reach_sink`): the events feed
+    drains in two micro-batches, each folding user ids into per-type
+    KMV k-minima (k=128) that merge into a versioned state table —
+    r227's bitmap holds exact reach at O(id-range) words, this holds
+    a FIXED 128 hashes per key at ANY cardinality, the sketch you
+    deploy when ids are unbounded. The union of k-minima IS the
+    global k-minimum, so the finalized snapshot must be BIT-IDENTICAL
+    to the one-shot KMV over all data — which is what the twin
+    computes relationally (no tolerance, unlike HLL)."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from datalake_backend_spark.operators.incremental import finalize_kmv
+    from datalake_backend_spark.sources.versioned import VersionedTable
+    from datalake_backend_spark.streaming.pipeline import (
+        start_kmv_reach_sink,
+        streaming_session,
+    )
+
+    spark = streaming_session(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    warehouse = os.path.join(repo_root, "spark-warehouse")
+    base = os.path.join(
+        warehouse,
+        f"r254_kmv_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    _sweep_stale_fixtures(warehouse, "r254_kmv_")
+    shutil.rmtree(base, ignore_errors=True)
+    try:
+        ev.where(F.col("event_id") <= mid).coalesce(1).write.parquet(
+            f"{base}/src/b1"
+        )
+        ev.where(F.col("event_id") > mid).coalesce(1).write.parquet(
+            f"{base}/src/b2"
+        )
+        for i, d in enumerate(["b1", "b2"]):
+            for f in globmod.glob(f"{base}/src/{d}/part-*.parquet"):
+                os.utime(f, (1_000_000_000 + i * 100,) * 2)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/src/b*")
+        )
+        q = start_kmv_reach_sink(
+            stream, f"{base}/tbl", f"{base}/ck", ["event_type"],
+            "user_id", k=128,
+        )
+        q.awaitTermination()
+        tbl = VersionedTable(f"{base}/tbl")
+        assert [m["op"] for m in tbl.history()] == ["kmv-merge"] * 2
+        out = finalize_kmv(tbl.read(spark), ["event_type"], k=128)
+        out = out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+R254_SQL = """
+WITH dh AS (
+  SELECT DISTINCT event_type,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         AS BIGINT) AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM dh
+),
+t AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         MAX(h) AS kth_hash
+  FROM r WHERE rn <= 128 GROUP BY 1
+)
+SELECT event_type, n_kept, kth_hash,
+  CASE WHEN n_kept < 128 THEN CAST(n_kept AS DOUBLE)
+       ELSE (127.0 * 1152921504606846976.0) / CAST(kth_hash AS DOUBLE)
+  END AS estimate
+FROM t
+"""
+
+# --- round-11 additions, batch 17 (r255-r257) -------------------------------
+
+
+def r255_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-quantile band driver check (`dbs.operators
+    .distributions.weighted_quantiles`): the 25/50/75 price points
+    by UNITS (quantity-weighted) per return flag — weighted_median
+    generalized to rational q via the integer cross-multiplication
+    crossing rule; one sort window serves all three quantiles."""
+    from datalake_backend_spark.operators.distributions import (
+        weighted_quantiles,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    return weighted_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity"
+    )
+
+
+R255_SQL = """
+WITH g AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice * 10000) AS BIGINT) AS v,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+),
+c AS (
+  SELECT l_returnflag, v, w,
+    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v, w
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cum,
+    SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM g
+)
+SELECT l_returnflag,
+  CAST(MIN(CASE WHEN cum * 4 >= tot * 1 THEN v END) AS DOUBLE)
+    / 10000.0 AS q_1_4,
+  CAST(MIN(CASE WHEN cum * 2 >= tot * 1 THEN v END) AS DOUBLE)
+    / 10000.0 AS q_1_2,
+  CAST(MIN(CASE WHEN cum * 4 >= tot * 3 THEN v END) AS DOUBLE)
+    / 10000.0 AS q_3_4
+FROM c GROUP BY 1
+"""
+
+
+def r256_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered string aggregation driver check (§2.8
+    O-surface + the reference's delimited-sink shape): nation names
+    per region as ONE sorted comma-joined string —
+    ``array_join(array_sort(collect_list(…)))``, the
+    order-independent form of SQL STRING_AGG (a bare collect_list
+    concat would hash-diverge run to run; the sort pins it)."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return j.groupBy("r_name").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+            "nations"
+        ),
+        F.count("*").alias("n_nations"),
+    )
+
+
+R256_SQL = """
+SELECT r.r_name,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+       CAST(COUNT(*) AS BIGINT) AS n_nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1
+"""
+
+
+def r257_id_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sequence audit driver check (`dbs.operators
+    .windows.contiguous_islands`): the surviving order keys after a
+    status filter form islands whose per-bucket count / longest run /
+    missing-in-span localize upstream data loss — the id − row_number
+    constant-per-run trick, ranked per bucket so no global sort."""
+    from datalake_backend_spark.operators.windows import contiguous_islands
+
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    return contiguous_islands(o, "o_orderkey", bucket=10_000)
+
+
+R257_SQL = """
+WITH d AS (
+  SELECT DISTINCT o_orderkey AS id, o_orderkey // 10000 AS b
+  FROM orders WHERE o_orderstatus = 'F'
+),
+runs AS (
+  SELECT b, id - row_number() OVER (PARTITION BY b ORDER BY id) AS grp,
+         id
+  FROM d
+),
+agg AS (
+  SELECT b, grp, CAST(COUNT(*) AS BIGINT) AS len,
+         MIN(id) AS lo, MAX(id) AS hi
+  FROM runs GROUP BY 1, 2
+)
+SELECT b AS id_bucket,
+  CAST(SUM(len) AS BIGINT) AS n_present,
+  CAST(COUNT(*) AS BIGINT) AS n_islands,
+  MAX(len) AS longest_run,
+  CAST(MAX(hi) - MIN(lo) + 1 - SUM(len) AS BIGINT)
+    AS n_missing_in_span
+FROM agg GROUP BY 1
+"""
+
+
+
+
+
 
 
 
@@ -13624,6 +13831,18 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r253_cohort_ltv": QuerySpec(
         r253_cohort_ltv, R253_SQL, "analytics-cohort-ltv,W-cumulative"
+    ),
+    "r254_streaming_kmv": QuerySpec(
+        r254_streaming_kmv, R254_SQL, "incremental-kmv,streaming-sketch"
+    ),
+    "r255_weighted_quantiles": QuerySpec(
+        r255_weighted_quantiles, R255_SQL, "stats-weighted-quantiles,A13"
+    ),
+    "r256_ordered_string_agg": QuerySpec(
+        r256_ordered_string_agg, R256_SQL, "O-string-agg,deterministic"
+    ),
+    "r257_id_islands": QuerySpec(
+        r257_id_islands, R257_SQL, "data-gaps-islands,sequence-audit"
     ),
     "r25_jaccard_pairs": QuerySpec(q25_jaccard_pairs, Q25_SQL, "dedup-ngram-jaccard"),
     "r27_simhash_near_dup": QuerySpec(q27_simhash_near_dup, Q27_SQL, "dedup-simhash"),

@@ -608,3 +608,65 @@ def start_bitmap_reach_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_kmv_reach_sink(
+    df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    keys: list[str],
+    id_col: str,
+    k: int = 256,
+) -> StreamingQuery:
+    """Streaming BOUNDED-STATE distinct-count materialized view: the
+    KMV companion to :func:`start_bitmap_reach_sink` — the bitmap is
+    exact but its word count grows with the id range, while the KMV
+    sketch holds a FIXED k hashes per key at any cardinality, and its
+    union (re-take the k smallest) is just as idempotent, so replays
+    remain harmless on top of the epoch commit log. Per micro-batch:
+    fold the batch to per-key k-minima (two-phase rank), merge with
+    the snapshot over ≤ 2k metadata rows per key, commit epoch-tagged
+    with expected-head RMW. The finalized estimate is bit-identical
+    to the one-shot ``distributions.kmv_distinct`` over the union of
+    all batches — merging k-minima IS the global k-minimum."""
+    from datalake_backend_spark.operators.incremental import (
+        kmv_state,
+        merge_kmv_state,
+    )
+    from datalake_backend_spark.sources.versioned import VersionedTable
+
+    tbl = VersionedTable(table_path)
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        from datalake_backend_spark.sources.versioned import CommitConflict
+
+        bstate = kmv_state(batch, keys, id_col, k=k)
+        last: CommitConflict | None = None
+        for _ in range(5):
+            head = tbl.latest_version()
+            committed = tbl.committed_epochs()
+            if epoch_id in committed:
+                return
+            merged = bstate
+            if head is not None:
+                merged = merge_kmv_state(
+                    tbl.read(batch.sparkSession, head), bstate, keys, k=k
+                )
+            try:
+                tbl.commit(
+                    merged, mode="overwrite", op="kmv-merge",
+                    metadata={"epoch": epoch_id},
+                    expected_head=head or 0,
+                )
+                return
+            except CommitConflict as e:
+                last = e
+                continue
+        raise last
+
+    return (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -2272,3 +2272,45 @@ def test_cohort_ltv_cumulative(spark):
         for r in cohort_ltv(d, "u", "ts", "v").collect()
     )
     assert got == [(0, 2, 20.0), (1, 2, 30.0)]
+
+
+def test_weighted_quantiles_crossing_rule(spark):
+    """weighted_quantiles (operators/distributions.py; r255): equal
+    unit weights reproduce positional quartiles; a dominant weight
+    drags every quantile to its value; q_1_2 agrees with
+    weighted_median."""
+    from datalake_backend_spark.operators.distributions import (
+        weighted_median,
+        weighted_quantiles,
+    )
+
+    d = spark.createDataFrame(
+        [("k", float(v), 1) for v in [1, 2, 3, 4]],
+        "k string, v double, w int",
+    )
+    r = weighted_quantiles(d, ["k"], "v", "w").collect()[0]
+    assert (r.q_1_4, r.q_1_2, r.q_3_4) == (1.0, 2.0, 3.0)
+    d2 = spark.createDataFrame(
+        [("k", 10.0, 1), ("k", 20.0, 9)], "k string, v double, w int"
+    )
+    wq = weighted_quantiles(d2, ["k"], "v", "w").collect()[0]
+    wm = weighted_median(d2, ["k"], "v", "w").collect()[0]
+    assert wq.q_1_4 == wq.q_1_2 == wq.q_3_4 == 20.0
+    assert wq.q_1_2 == wm.weighted_median_scaled / 1e4
+
+
+def test_contiguous_islands_runs(spark):
+    """contiguous_islands (operators/windows.py; r257): runs split
+    at gaps, missing-in-span counts interior holes only, buckets
+    separate."""
+    from datalake_backend_spark.operators.windows import contiguous_islands
+
+    ids = [1, 2, 3, 7, 8, 10, 100001]
+    d = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {
+        r.id_bucket: (
+            r.n_present, r.n_islands, r.longest_run, r.n_missing_in_span
+        )
+        for r in contiguous_islands(d, "id").collect()
+    }
+    assert got == {0: (6, 3, 3, 4), 1: (1, 1, 1, 0)}

@@ -7,6 +7,8 @@ conservation laws.
 
 from __future__ import annotations
 
+import math
+
 from hypothesis import example, given, settings, strategies as st
 
 from pyspark.sql import functions as F
@@ -687,3 +689,137 @@ def test_ppjoin_filters_never_lose_a_true_pair(corpus, tau):
                 for t in shared
             )
             assert ok, "positional filter dropped a qualifying pair"
+
+
+@given(
+    st.lists(st.integers(0, 1000), min_size=1, max_size=8),
+    st.integers(1, 50),
+)
+@settings(max_examples=15, deadline=None)
+def test_apportionment_invariants(spark, weights, seats):
+    """Both apportionment methods (r237/r251): totals equal the seat
+    count exactly, every key appears, and largest-remainder respects
+    quota (each key within 1 of its exact proportional share) —
+    for ANY weights with a positive total."""
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.operators.allocation import (
+        apportion_dhondt,
+        apportion_largest_remainder,
+    )
+
+    if sum(weights) == 0:
+        weights = [w + 1 for w in weights]
+    rows = [(f"k{i:02d}", w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "k string, wt int")
+    total = sum(weights)
+    lr = {r.k: r.seats_alloc for r in
+          apportion_largest_remainder(df, "k", "wt", seats).collect()}
+    assert sum(lr.values()) == seats and len(lr) == len(rows)
+    for (k, w) in rows:
+        quota = seats * w / total
+        assert math.floor(quota) <= lr[k] <= math.ceil(quota), (k, quota, lr)
+    dh = {r.k: r.seats_alloc for r in
+          apportion_dhondt(df, "k", "wt", seats).collect()}
+    assert sum(dh.values()) == seats and len(dh) == len(rows)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.booleans()),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_kaplan_meier_monotone_and_counts(spark, obs):
+    """kaplan_meier (operators/survival.py; r231): survival is
+    non-increasing in t, starts ≤ 1, event counts sum to the input's
+    event total, and at_risk at the first step equals n."""
+    from datalake_backend_spark.operators.survival import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(d, int(e)) for d, e in obs], "dur int, ev int"
+    )
+    rows = sorted(kaplan_meier(df, "dur", "ev").collect(),
+                  key=lambda r: r.dur)
+    n_events = sum(1 for _, e in obs if e)
+    assert sum(r.d for r in rows) == n_events
+    if rows:
+        assert rows[0].at_risk <= len(obs)
+        last = 1.0 + 1e-9
+        for r in rows:
+            assert r.survival <= last + 1e-9, rows
+            last = r.survival
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(1, 10),
+)
+@settings(max_examples=15, deadline=None)
+def test_nearest_within_radius_equals_brute_force(spark, pts, radius):
+    """nearest_within_radius (core/geometry.py; r234): the grid-
+    blocked plan returns EXACTLY the brute-force argmin within the
+    radius, for any point cloud — the blocking loses no pair."""
+    from datalake_backend_spark.core.geometry import nearest_within_radius
+
+    left = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)],
+        "lid long, x long, y long",
+    )
+    right = spark.createDataFrame(
+        [(1000 + i, y, x) for i, (x, y) in enumerate(pts)],
+        "rid long, x long, y long",
+    )
+    got = {
+        r.lid: (r.nearest_rid, r.dist2)
+        for r in nearest_within_radius(
+            left, right, radius, "lid", "rid"
+        ).collect()
+    }
+    want = {}
+    r2 = radius * radius
+    for i, (x, y) in enumerate(pts):
+        best = None
+        for j, (xx, yy) in enumerate(pts):
+            rx, ry = yy, xx
+            d2 = (x - rx) ** 2 + (y - ry) ** 2
+            if d2 <= r2 and (best is None or (d2, 1000 + j) < best):
+                best = (d2, 1000 + j)
+        if best is not None:
+            want[i] = (best[1], best[0])
+    assert got == want
+
+
+@given(st.lists(st.integers(0, 500), min_size=1, max_size=60))
+@settings(max_examples=10, deadline=None)
+def test_kmv_merge_equals_oneshot(spark, ids):
+    """kmv_state merge (operators/incremental.py; r254): splitting
+    the ids into any two batches and merging the sketches equals the
+    one-shot sketch — k-min mergeability for arbitrary inputs."""
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.operators.distributions import kmv_distinct
+    from datalake_backend_spark.operators.incremental import (
+        finalize_kmv,
+        kmv_state,
+        merge_kmv_state,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "uid bigint")
+    half = ids[len(ids) // 2] if ids else 0
+    b1 = df.where(F.col("uid") <= half)
+    b2 = df.where(F.col("uid") > half)
+    k = 8
+    parts = [b for b in (b1, b2) if not b.isEmpty()]
+    state = kmv_state(parts[0], [], "uid", k=k)
+    for b in parts[1:]:
+        state = merge_kmv_state(state, kmv_state(b, [], "uid", k=k), [], k=k)
+    merged = {tuple(r) for r in finalize_kmv(state, [], k=k).collect()}
+    oneshot = {tuple(r) for r in kmv_distinct(df, "uid", k=k).collect()}
+    assert merged == oneshot

@@ -318,3 +318,44 @@ def test_bitmap_state_merge_idempotent(spark):
     twice = merge_bitmap_state(st, st, ["k"])
     got = {r.k: r.n_distinct for r in finalize_bitmap(twice, ["k"]).collect()}
     assert got == {"a": 2, "b": 1}  # 1 and 33 share a bucket word
+
+
+def test_kmv_state_merge_idempotent_and_exact_below_k(spark):
+    """kmv_state / merge_kmv_state / finalize_kmv
+    (operators/incremental.py; r254): merging the SAME state twice
+    changes nothing (k-min union idempotence — the replay safety the
+    streaming KMV sink leans on); below k the sketch is exact and
+    equals the one-shot kmv_distinct; a two-batch merge equals the
+    one-shot sketch over the union (k-min mergeability)."""
+    from pyspark.sql import functions as F
+
+    from datalake_backend_spark.operators.distributions import kmv_distinct
+    from datalake_backend_spark.operators.incremental import (
+        finalize_kmv,
+        kmv_state,
+        merge_kmv_state,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("b", 5)], "k string, uid bigint"
+    )
+    st = kmv_state(df, ["k"], "uid", k=4)
+    twice = merge_kmv_state(st, st, ["k"], k=4)
+    once = {tuple(r) for r in finalize_kmv(st, ["k"], k=4).collect()}
+    again = {tuple(r) for r in finalize_kmv(twice, ["k"], k=4).collect()}
+    assert once == again
+    got_b = [r for r in once if r[0] == "b"][0]
+    assert got_b[1] == 1 and got_b[3] == 1.0  # below k → exact
+    # two-batch merge == one-shot over the union
+    b1 = df.where(F.col("uid") < 5)
+    b2 = df.where(F.col("uid") >= 5)
+    merged = merge_kmv_state(
+        kmv_state(b1, ["k"], "uid", k=4),
+        kmv_state(b2, ["k"], "uid", k=4),
+        ["k"],
+        k=4,
+    )
+    one_shot = kmv_distinct(df, "uid", ["k"], k=4)
+    assert {tuple(r) for r in finalize_kmv(merged, ["k"], k=4).collect()} == {
+        tuple(r) for r in one_shot.collect()
+    }
