@@ -309,3 +309,71 @@ def point_in_convex_polygon(
         )
         cond = cond & (cross >= 0)
     return cond
+
+
+def with_hilbert_key(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    order: int = 8,
+    out_col: str = "hkey",
+) -> DataFrame:
+    """Hilbert-curve index of integer points in [0, 2^order)² — the
+    locality-preserving layout key that beats :func:`zorder_key`'s
+    Morton interleave on range-scan locality (no quadrant jumps):
+    sort/cluster a 100 TB table by this and nearby points land in the
+    same files, so spatial predicates prune. Standard quadrant-
+    rotation recurrence (Hamilton's d2xy family, public domain);
+    ``order`` rounds, each one PROJECTED as real columns — building
+    it as one nested Column would duplicate the subtree ~3× per
+    round (3^order nodes), while the chained select keeps the plan
+    linear. All-integer and engine-exact; the r258 twin walks the
+    identical per-round CTE chain."""
+    if not 1 <= order <= 31:
+        raise ValueError("order must be in [1, 31]")
+    out = df.withColumn("_hx", F.col(x_col).cast("long")).withColumn(
+        "_hy", F.col(y_col).cast("long")
+    ).withColumn("_hd", F.lit(0).cast("long"))
+    for i in range(order - 1, -1, -1):
+        s = 1 << i
+        rx = F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        ry = F.when(F.col("_hy").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        out = (
+            out.withColumn("_rx", rx)
+            .withColumn("_ry", ry)
+            # (3·rx) XOR ry spelled as a CASE so both engines share
+            # one arithmetic dialect: (0,0)→0 (0,1)→1 (1,1)→2 (1,0)→3
+            .withColumn(
+                "_hd",
+                F.col("_hd")
+                + F.lit(s) * F.lit(s) * (
+                    F.when((F.col("_rx") == 0) & (F.col("_ry") == 0), 0)
+                    .when((F.col("_rx") == 0) & (F.col("_ry") == 1), 1)
+                    .when((F.col("_rx") == 1) & (F.col("_ry") == 1), 2)
+                    .otherwise(3)
+                ),
+            )
+            # rotate: if ry=0 {if rx=1 {x,y = s-1-x, s-1-y}; swap}
+            .withColumn(
+                "_nx",
+                F.when(
+                    F.col("_ry") == 0,
+                    F.when(
+                        F.col("_rx") == 1, F.lit(s - 1) - F.col("_hy")
+                    ).otherwise(F.col("_hy")),
+                ).otherwise(F.col("_hx")),
+            )
+            .withColumn(
+                "_ny",
+                F.when(
+                    F.col("_ry") == 0,
+                    F.when(
+                        F.col("_rx") == 1, F.lit(s - 1) - F.col("_hx")
+                    ).otherwise(F.col("_hx")),
+                ).otherwise(F.col("_hy")),
+            )
+            .withColumn("_hx", F.col("_nx"))
+            .withColumn("_hy", F.col("_ny"))
+            .drop("_nx", "_ny", "_rx", "_ry")
+        )
+    return out.withColumn(out_col, F.col("_hd")).drop("_hx", "_hy", "_hd")

@@ -10567,6 +10567,87 @@ SELECT b AS id_bucket,
 FROM agg GROUP BY 1
 """
 
+# --- round-11 additions, batch 18 (r258) ------------------------------------
+
+
+def r258_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout-key driver check (`dbs.core.geometry
+    .with_hilbert_key`): customers at deterministic 8-bit integer
+    coordinates get their Hilbert index (the locality-preserving
+    upgrade over r89's Morton/Z-order — no quadrant jumps, so
+    range-clustered files prune better), rolled up per 1024-wide key
+    bucket with a key checksum — ANY single wrong index moves a
+    bucket's count/checksum. The twin replays the identical
+    quadrant-rotation rounds as a generated CTE chain
+    (:func:`_r258_sql`); all-integer, engine-exact. Unit test pins
+    the operator against a reference implementation, full-grid
+    bijectivity, and the unit-adjacency property."""
+    from datalake_backend_spark.core.geometry import with_hilbert_key
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") * 37 % 256).alias("x"),
+        (F.col("c_custkey") * 91 % 256).alias("y"),
+    )
+    keyed = with_hilbert_key(cust, "x", "y", order=8)
+    return keyed.groupBy(
+        F.expr("hkey div 1024").alias("key_bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("c_custkey").alias("key_checksum"),
+    )
+
+
+def _r258_sql(order: int = 8) -> str:
+    """Generate the DuckDB twin's per-round CTE chain from the SAME
+    round recipe the operator uses — one generator, two dialects."""
+    parts = [
+        "WITH h0 AS (\n"
+        "  SELECT c_custkey, (c_custkey * 37) % 256 AS hx,\n"
+        "         (c_custkey * 91) % 256 AS hy,\n"
+        "         CAST(0 AS BIGINT) AS hd\n"
+        "  FROM customer\n)"
+    ]
+    step = 0
+    for i in range(order - 1, -1, -1):
+        s = 1 << i
+        step += 1
+        parts.append(
+            f"h{step} AS (\n"
+            "  SELECT c_custkey,\n"
+            "    CASE WHEN ry = 0 THEN\n"
+            f"      CASE WHEN rx = 1 THEN {s - 1} - hy ELSE hy END\n"
+            "    ELSE hx END AS hx,\n"
+            "    CASE WHEN ry = 0 THEN\n"
+            f"      CASE WHEN rx = 1 THEN {s - 1} - hx ELSE hx END\n"
+            "    ELSE hy END AS hy,\n"
+            f"    hd + {s * s} * (\n"
+            "      CASE WHEN rx = 0 AND ry = 0 THEN 0\n"
+            "           WHEN rx = 0 AND ry = 1 THEN 1\n"
+            "           WHEN rx = 1 AND ry = 1 THEN 2\n"
+            "           ELSE 3 END) AS hd\n"
+            "  FROM (\n"
+            f"    SELECT *, CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END"
+            " AS rx,\n"
+            f"              CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END"
+            " AS ry\n"
+            f"    FROM h{step - 1}\n  ) t\n)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT hd // 1024 AS key_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_checksum
+FROM h{step} GROUP BY 1
+"""
+    )
+
+
+R258_SQL = _r258_sql()
+
+
+
 
 
 
@@ -13843,6 +13924,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r257_id_islands": QuerySpec(
         r257_id_islands, R257_SQL, "data-gaps-islands,sequence-audit"
+    ),
+    "r258_hilbert_key": QuerySpec(
+        r258_hilbert_key, R258_SQL, "zorder-hilbert,layout-key"
     ),
     "r25_jaccard_pairs": QuerySpec(q25_jaccard_pairs, Q25_SQL, "dedup-ngram-jaccard"),
     "r27_simhash_near_dup": QuerySpec(q27_simhash_near_dup, Q27_SQL, "dedup-simhash"),

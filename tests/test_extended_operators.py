@@ -2314,3 +2314,41 @@ def test_contiguous_islands_runs(spark):
         for r in contiguous_islands(d, "id").collect()
     }
     assert got == {0: (6, 3, 3, 4), 1: (1, 1, 1, 0)}
+
+
+def test_hilbert_key_reference_bijective_adjacent(spark):
+    """with_hilbert_key (core/geometry.py; r258): matches the
+    textbook d2xy reference on the full 64×64 grid, is bijective
+    onto [0, 4096), and consecutive indices are unit-adjacent points
+    — the locality property that makes it a layout key."""
+    from datalake_backend_spark.core.geometry import with_hilbert_key
+
+    def xy2d(order, x, y):
+        d = 0
+        s = 1 << (order - 1)
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    order, n = 6, 64
+    df = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    got = {
+        (r.x, r.y): r.hkey
+        for r in with_hilbert_key(df, "x", "y", order).collect()
+    }
+    assert all(d == xy2d(order, x, y) for (x, y), d in got.items())
+    assert sorted(got.values()) == list(range(n * n))
+    inv = {d: p for p, d in got.items()}
+    assert all(
+        abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
+        for d in range(n * n - 1)
+    )
