@@ -270,8 +270,16 @@ def nearest_within_radius(
 
     Output: ``left_id``, ``nearest_<right_id>``, ``dist2``.
     """
+    # radius_join only disambiguates the coordinate columns; the id
+    # column must be aliased HERE when it collides with a left column,
+    # or the argmin below would reference a non-existent (or
+    # ambiguous) name (same discipline as asof_nearest's explicit
+    # right-side aliasing).
+    out_rid = right_id
+    if right_id in set(left.columns):
+        out_rid = f"{right_id}_r"
+        right = right.withColumnRenamed(right_id, out_rid)
     cand = radius_join(left, right, radius, left_xy, right_xy)
-    out_rid = right_id if right_id not in set(left.columns) else f"{right_id}_r"
     best = F.min(F.struct(F.col("dist2"), F.col(out_rid))).alias("_best")
     return (
         cand.groupBy(left_id)

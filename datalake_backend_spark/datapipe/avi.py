@@ -1,0 +1,335 @@
+"""MJPEG-in-AVI: REAL compressed-video decode with zero external libs.
+
+The reference engine ingests the output of CV services that read real
+compressed video (``Create_Json_Data/vehicle_service/main.py:394-691``
+reads mp4/h264 through OpenCV). This sandbox has no codec libraries,
+but the repo already carries a working baseline-JPEG decoder
+(``dbs.datapipe.jpeg``) — and Motion-JPEG inside an AVI RIFF container
+is a *bona fide* compressed-video format (the classic camera/webcam
+output shape) that is exactly "a demuxer + that JPEG decoder". This
+module supplies the demuxer side:
+
+- :func:`encode_avi_mjpeg` — a standards-shaped AVI writer (RIFF /
+  ``hdrl`` (``avih`` + ``strl``) / ``movi`` ``00dc`` chunks / ``idx1``
+  index, word-aligned chunks, ``MJPG`` fourcc) so the decoder is
+  exercised against genuine container bytes, not a private blob.
+- :func:`parse_avi_meta` / :func:`avi_frame_jpeg` — index-seeking
+  demux: one frame's JPEG bytes come straight from its ``idx1`` entry
+  without touching any other frame, the same O(1)-per-frame seek
+  contract as the RAWV path (``multimodal.decode_video_frame``).
+- :func:`mjpeg_frame_stats` — the Spark surface: an Arrow
+  ``mapInPandas`` stage that demuxes each payload, baseline-JPEG-
+  decodes every ``every_n``-th frame, and emits exact pixel sums.
+  Map-only, no shuffle: the 100 TB shape is "frames never leave the
+  executor that holds their container bytes".
+- :func:`synthetic_mjpeg_avi_table` — deterministic fixtures on the
+  block-constant-grayscale family where the quality-75 4:4:4 JPEG
+  round-trip is mathematically EXACT (see ``synthetic_jpeg_table``),
+  so a DuckDB twin can recompute the decoded sums in closed form
+  while the bytes still travel through real Huffman/DPCM/marker/RIFF
+  machinery.
+
+Container layout follows the public AVI RIFF specification
+(msdn AVIMAINHEADER/AVISTREAMHEADER; OpenDML AVI file format): all
+sizes little-endian, chunks padded to WORD boundaries, ``idx1``
+offsets relative to the ``movi`` fourcc.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+from pyspark.sql import DataFrame, functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+_AVIF_HASINDEX = 0x00000010
+_AVIIF_KEYFRAME = 0x00000010
+
+
+def _le32(v: int) -> bytes:
+    return struct.pack("<I", v)
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    """A RIFF chunk: fourcc + size + payload, padded to WORD."""
+    pad = b"\x00" if len(payload) % 2 else b""
+    return tag + _le32(len(payload)) + payload + pad
+
+
+def _list(tag: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", tag + payload)
+
+
+def encode_avi_mjpeg(
+    jpeg_frames: list[bytes], width: int, height: int, fps: int
+) -> bytes:
+    """Write a minimal standards-shaped MJPEG AVI: one ``vids/MJPG``
+    stream whose ``00dc`` chunks are the given JPEG bitstreams, plus
+    the ``idx1`` keyframe index (every MJPEG frame is independently
+    decodable — that is the format's whole appeal and what makes it
+    seekable without inter-frame state)."""
+    if fps < 1:
+        raise ValueError("fps must be >= 1")
+    n = len(jpeg_frames)
+    max_size = max((len(f) for f in jpeg_frames), default=0)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max_size * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        _AVIF_HASINDEX,  # dwFlags
+        n,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        max_size,  # dwSuggestedBufferSize
+        width,
+        height,
+        0,
+        0,
+        0,
+        0,  # dwReserved[4]
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids",
+        b"MJPG",
+        0,  # dwFlags
+        0,  # wPriority
+        0,  # wLanguage
+        0,  # dwInitialFrames
+        1,  # dwScale
+        fps,  # dwRate (rate/scale = fps)
+        0,  # dwStart
+        n,  # dwLength (frames)
+        max_size,  # dwSuggestedBufferSize
+        0,  # dwQuality
+        0,  # dwSampleSize (0 = variable)
+        0,
+        0,
+        width,
+        height,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40,  # biSize
+        width,
+        height,
+        1,  # biPlanes
+        24,  # biBitCount
+        b"MJPG",  # biCompression
+        width * height * 3,  # biSizeImage
+        0,
+        0,
+        0,
+        0,
+    )
+    strl = _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih) + strl)
+    # movi payload + idx1 offsets (relative to the 'movi' fourcc,
+    # the canonical idx1 convention: entry offset points at the
+    # chunk's fourcc, so fourcc-at-offset is a checkable invariant)
+    movi_body = b""
+    idx_entries = []
+    for f in jpeg_frames:
+        off = 4 + len(movi_body)  # 4 = the 'movi' fourcc itself
+        idx_entries.append(
+            b"00dc" + _le32(_AVIIF_KEYFRAME) + _le32(off) + _le32(len(f))
+        )
+        movi_body += _chunk(b"00dc", f)
+    movi = _list(b"movi", movi_body)
+    idx1 = _chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + _le32(len(body)) + body
+
+
+def _walk(buf: bytes, start: int, end: int) -> Iterator[tuple[bytes, int, int]]:
+    """Yield (fourcc, body_start, body_size) for each chunk in
+    [start, end), honoring WORD padding."""
+    pos = start
+    while pos + 8 <= end:
+        tag = buf[pos : pos + 4]
+        size = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+        body = pos + 8
+        if body + size > end:
+            raise ValueError("AVI chunk overruns container")
+        yield tag, body, size
+        pos = body + size + (size % 2)
+
+
+def parse_avi_meta(payload: bytes) -> dict:
+    """Demux: header fields + the seek index. Returns ``n_frames``,
+    ``width``, ``height``, ``fps``, ``movi_fcc`` (absolute offset of
+    the movi fourcc) and ``index`` as a list of (absolute_chunk_pos,
+    jpeg_size) — everything :func:`avi_frame_jpeg` needs for O(1)
+    frame extraction. Raises ValueError on malformed input (wrong
+    magic, truncated chunks, missing hdrl/movi/idx1)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI RIFF container")
+    riff_size = struct.unpack("<I", payload[4:8])[0]
+    end = min(8 + riff_size, len(payload))
+    n = width = height = fps = None
+    movi_fcc = None
+    index: list[tuple[int, int]] = []
+    for tag, body, size in _walk(payload, 12, end):
+        if tag == b"LIST":
+            ltype = payload[body : body + 4]
+            if ltype == b"hdrl":
+                for t2, b2, s2 in _walk(payload, body + 4, body + size):
+                    if t2 == b"avih":
+                        fields = struct.unpack("<14I", payload[b2 : b2 + 56])
+                        n, width, height = fields[4], fields[8], fields[9]
+                    elif t2 == b"LIST" and payload[b2 : b2 + 4] == b"strl":
+                        for t3, b3, s3 in _walk(payload, b2 + 4, b2 + s2):
+                            if t3 == b"strh":
+                                (ftype, handler, _, _, _, _, scale, rate) = (
+                                    struct.unpack(
+                                        "<4s4sIHHIII", payload[b3 : b3 + 28]
+                                    )
+                                )
+                                if ftype == b"vids":
+                                    if handler != b"MJPG":
+                                        raise ValueError(
+                                            "not an MJPEG video stream: "
+                                            f"{handler!r}"
+                                        )
+                                    fps = rate // max(scale, 1)
+            elif ltype == b"movi":
+                movi_fcc = body
+        elif tag == b"idx1":
+            for off in range(body, body + size, 16):
+                ckid, _flags, rel, csize = struct.unpack(
+                    "<4sIII", payload[off : off + 16]
+                )
+                if ckid == b"00dc":
+                    index.append((rel, csize))
+    if n is None or movi_fcc is None:
+        raise ValueError("AVI missing hdrl or movi list")
+    if not index:
+        raise ValueError("AVI missing idx1 index (unseekable)")
+    abs_index = []
+    for rel, csize in index:
+        pos = movi_fcc + rel
+        if payload[pos : pos + 4] != b"00dc":
+            raise ValueError("idx1 offset does not land on a 00dc chunk")
+        abs_index.append((pos, csize))
+    return {
+        "n_frames": int(n),
+        "width": int(width),
+        "height": int(height),
+        "fps": int(fps or 0),
+        "movi_fcc": movi_fcc,
+        "index": abs_index,
+    }
+
+
+def avi_frame_jpeg(payload: bytes, frame_idx: int, meta: dict | None = None) -> bytes:
+    """The JPEG bitstream of ONE frame via the idx1 index — no other
+    frame's bytes are examined (the seek contract that keeps per-frame
+    work O(frame), not O(container), on long videos)."""
+    meta = meta or parse_avi_meta(payload)
+    index = meta["index"]
+    if not 0 <= frame_idx < len(index):
+        raise IndexError(f"frame {frame_idx} out of range 0..{len(index) - 1}")
+    pos, csize = index[frame_idx]
+    declared = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+    if declared != csize:
+        raise ValueError("idx1 size disagrees with 00dc chunk header")
+    return payload[pos + 8 : pos + 8 + csize]
+
+
+def mjpeg_frame_stats(
+    df: DataFrame,
+    every_n: int = 1,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL compressed-video decode path: demux the AVI, baseline-
+    JPEG-decode every ``every_n``-th frame (`dbs.datapipe.jpeg`
+    huffman + dequant + IDCT + YCbCr→RGB), emit exact pixel sums.
+    One Arrow map stage, no shuffle; unsampled frames' bytes are
+    skipped via the idx1 index, never decoded."""
+    from datalake_backend_spark.datapipe.jpeg import decode_jpeg
+    from datalake_backend_spark.datapipe.multimodal import FRAME_STATS_SCHEMA
+
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            recs = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(p)
+                meta = parse_avi_meta(b)
+                for fi in range(0, meta["n_frames"], every_n):
+                    img = decode_jpeg(avi_frame_jpeg(b, fi, meta))
+                    s = int(img.sum(dtype=np.int64))
+                    recs.append(
+                        {
+                            "media_id": int(i),
+                            "frame_idx": fi,
+                            "n_frames": meta["n_frames"],
+                            "fps": meta["fps"],
+                            "sum_rgb": s,
+                            "mean_rgb": s / (img.shape[0] * img.shape[1] * 3),
+                        }
+                    )
+            yield pd.DataFrame(recs)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, FRAME_STATS_SCHEMA)
+
+
+def synthetic_mjpeg_avi_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL MJPEG-AVI table for the oracle: row ``id``
+    becomes an AVI of ``n = 2 + id%3`` frames at ``fps = 5 + id%3``,
+    each frame a block-constant grayscale image (``w = 8*(1+id%3)``,
+    ``h = 8*(1+id%2)``, block value ``v = (id*37 + fi*13 + br*17 +
+    bc*29) % 256``) encoded as genuine quality-75 4:4:4 baseline JPEG
+    — the family where the JPEG round-trip is EXACT (pure-DC blocks;
+    DC quant step 8 divides the 8v DC; equal channels pin chroma at
+    128 — the ``synthetic_jpeg_table`` argument), so DuckDB recomputes
+    every decoded frame sum in closed form while the bytes cross the
+    full RIFF/idx1/Huffman/DPCM machinery."""
+    from datalake_backend_spark.datapipe.jpeg import encode_jpeg as _enc
+    from datalake_backend_spark.datapipe.multimodal import MEDIA_SCHEMA
+
+    import pandas as pd
+
+    def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            ids = pdf["media_id"].to_numpy()
+            payloads, metas = [], []
+            for i in ids:
+                i = int(i)
+                w, h = 8 * (1 + i % 3), 8 * (1 + i % 2)
+                n, fps = 2 + i % 3, 5 + i % 3
+                frames = []
+                br = np.arange(h // 8).reshape(-1, 1)
+                bc = np.arange(w // 8).reshape(1, -1)
+                for fi in range(n):
+                    vals = (
+                        (i * 37 + fi * 13 + br * 17 + bc * 29) % 256
+                    ).astype(np.uint8)
+                    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                    frames.append(_enc(img, quality=75))
+                payloads.append(encode_avi_mjpeg(frames, w, h, fps))
+                metas.append(
+                    {
+                        "mime": "video/x-msvideo",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": int(n * 1000 / fps),
+                        "codec": "mjpeg",
+                    }
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        gen, MEDIA_SCHEMA
+    )

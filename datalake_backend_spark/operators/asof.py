@@ -172,8 +172,13 @@ def asof_nearest(
         rsec.alias("_rs"),
     )
     neigh = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    # per-row tag so the argmin groupBy preserves LEFT ROW
+    # MULTIPLICITY (pandas merge_asof keeps duplicate left rows;
+    # grouping on *left.columns alone would collapse them) — the tag
+    # never reaches the output
     lhs = (
-        left.withColumn("_ls", lsec)
+        left.withColumn("_lrow", F.monotonically_increasing_id())
+        .withColumn("_ls", lsec)
         .withColumn("_db", F.explode(neigh))
         .withColumn("_bk", F.expr(f"_ls div {tolerance}") + F.col("_db"))
         .drop("_db")
@@ -192,7 +197,7 @@ def asof_nearest(
         F.col(out_rid).alias("i"),
         F.col("_dt").alias("d"),
     )
-    grouped = cand.groupBy(*left.columns).agg(F.min(pick).alias("_m"))
+    grouped = cand.groupBy("_lrow", *left.columns).agg(F.min(pick).alias("_m"))
     return grouped.select(
         *left.columns,
         F.col("_m.i").alias(f"nearest_{right_id}"),

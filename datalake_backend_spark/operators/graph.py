@@ -33,8 +33,6 @@ simplification.
 
 from __future__ import annotations
 
-import logging
-
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -582,24 +580,18 @@ def neighborhood_jaccard(
     product: the wedge count is Σ_dst deg(dst)², so hub dsts are the
     scale hazard — ``max_degree`` drops dsts whose fan-out exceeds
     the cap (a hub shared by everyone carries no similarity signal
-    anyway, the same rationale as the LSH hot-bucket cap) and logs
-    how many were dropped. Jaccard = exact division of BIGINTs —
+    anyway, the same rationale as the LSH hot-bucket cap). The drop
+    is a lazy anti-join — NO eager count inside the plan builder (an
+    eager ``hubs.count()`` would run the full edge scan + dedup +
+    degree aggregate once just to log, then recompute the subtree at
+    execution); callers who need the dropped-hub count can aggregate
+    ``edges`` themselves. Jaccard = exact division of BIGINTs —
     bit-identical on any engine.
     """
     e = edges.select(src, dst).distinct()
     if max_degree is not None:
         fan = e.groupBy(dst).agg(F.count("*").alias("_fan"))
         hubs = fan.where(F.col("_fan") > max_degree)
-        n_hubs = hubs.count()
-        if n_hubs:
-            log = logging.getLogger(__name__)
-            log.warning(
-                "neighborhood_jaccard: dropping %d hub %s nodes with "
-                "degree > %d",
-                n_hubs,
-                dst,
-                max_degree,
-            )
         e = e.join(hubs.select(dst), dst, "left_anti")
     deg = e.groupBy(src).agg(F.count("*").alias("_deg"))
     a = e.select(F.col(src).alias("_a"), dst)

@@ -973,8 +973,27 @@ def autocorrelation(
     shifted bucket date (no window over raw data, no per-key sort);
     moments are a second hash aggregate. Series length per key is
     bucket-granularity bounded, so the join input is metadata-sized
-    relative to the raw table."""
+    relative to the raw table.
+
+    ``bucket`` must be a calendar-date unit (day/week/month/quarter/
+    year): the lag shift moves by ``lag`` BUCKETS (7·lag days for
+    week, add_months for month/quarter/year), so lag-k always means
+    k periods regardless of unit. Sub-day units are rejected — the
+    bucket key is a DATE, which would silently merge hours."""
     keys = keys or []
+    bucket_shift = {
+        "day": lambda d, k: F.date_add(d, k),
+        "week": lambda d, k: F.date_add(d, 7 * k),
+        "month": lambda d, k: F.add_months(d, k),
+        "quarter": lambda d, k: F.add_months(d, 3 * k),
+        "year": lambda d, k: F.add_months(d, 12 * k),
+    }
+    if bucket not in bucket_shift:
+        raise ValueError(
+            f"autocorrelation bucket must be one of {sorted(bucket_shift)}, "
+            f"got {bucket!r}"
+        )
+    shift = bucket_shift[bucket]
     factor = 10**scale
     daily = df.groupBy(
         *keys, F.to_date(F.date_trunc(bucket, F.col(ts_col))).alias("_d")
@@ -988,7 +1007,7 @@ def autocorrelation(
     for lag in lags:
         prev = daily.select(
             *keys,
-            F.date_add(F.col("_d"), lag).alias("_d"),
+            shift(F.col("_d"), lag).alias("_d"),
             F.col("_v").alias("_x"),
         )
         cur = daily.select(*keys, "_d", F.col("_v").alias("_y"))

@@ -38,10 +38,13 @@ def test_primary_tier_fills_driver_window():
         + ["q47", "q66", "q73", "q74"]
         # round-5 rotation survivors (q75/q82/q86 demoted round 7;
         # q77/q85/q94/q96 demoted round 8; q34/q76/q83/q120 demoted
-        # round 9 with family cover; q84 demoted round 11)
-        + [f"q{n}" for n in (78, 79, 80, 81)]
-        # second round-5 rotation: lakehouse + streaming dedup
-        + ["q91", "q95"]
+        # round 9 with family cover; q84 demoted round 11; q79/q81
+        # demoted round 12 — streaming keeps q66/q74/q80/q95/q111,
+        # dedup keeps q62/q71/q141/q166)
+        + [f"q{n}" for n in (78, 80)]
+        # second round-5 rotation survivors (q91 demoted round 12 —
+        # lakehouse keeps q109/q150)
+        + ["q95"]
         # round-7 rotation survivors: source-API / graph families
         # (q127/q135 demoted round 11 — codec cover via q131,
         # lakehouse cover via q91/q150/q109)
@@ -58,6 +61,11 @@ def test_primary_tier_fills_driver_window():
         # round-11 rotation: Hampel timeseries, OLAP grouping sets,
         # attribution, entity resolution — the never-driver families
         + ["q149", "q163", "q167", "q178"]
+        # round-12 rotation: the five largest remaining never-driver
+        # families (stats OLS, window-rank suite, geo radius join,
+        # survival Kaplan-Meier, incremental streaming KMV); q15/q26/
+        # q79/q81/q91 demoted with family cover
+        + ["q159", "q172", "q196", "q231", "q254"]
     )
     for prefix in must_have:
         assert any(k.startswith(prefix + "_") for k in primary), prefix

@@ -1843,6 +1843,28 @@ def test_nearest_within_radius_blocking(spark):
     assert got == {1: (6, 4)}
 
 
+def test_nearest_within_radius_colliding_right_id(spark):
+    """Advisor fix (round 12): when the right id column name also
+    exists on the left, the right side must be aliased BEFORE
+    radius_join (which only renames the coordinate columns) — the
+    argmin previously referenced a non-existent '<id>_r' column and
+    raised AnalysisException."""
+    from datalake_backend_spark.core.geometry import nearest_within_radius
+
+    left = spark.createDataFrame(
+        [(1, 10, 10), (2, 100, 100)], "lid long, x long, y long"
+    )
+    # right reuses the LEFT's id column name 'lid'
+    right = spark.createDataFrame(
+        [(7, 12, 10), (6, 8, 10)], "lid long, x long, y long"
+    )
+    got = {
+        r.lid: (r.nearest_lid, r.dist2)
+        for r in nearest_within_radius(left, right, 5, "lid", "lid").collect()
+    }
+    assert got == {1: (6, 4)}
+
+
 def test_point_in_convex_polygon_boundary(spark):
     """point_in_convex_polygon (core/geometry.py; r235): interior,
     exterior, edge and vertex cases on a CCW square — boundary is
@@ -2087,6 +2109,48 @@ def test_autocorrelation_exact_series(spark):
     assert abs(r1[1] + 1.0) < 1e-12
 
 
+def test_autocorrelation_non_day_buckets(spark):
+    """Advisor fix (round 12): the lag shift must move by lag BUCKETS,
+    not lag days — with bucket='week' a date_add(lag)-shifted date
+    never hits another week start, silently yielding zero pairs. A
+    linear weekly/monthly series must give acf=1 with n-lag pairs;
+    sub-day buckets raise (the DATE key would merge hours)."""
+    import datetime as dt
+
+    import pytest
+
+    from datalake_backend_spark.operators.timeseries import autocorrelation
+
+    weekly = spark.createDataFrame(
+        [
+            ("k", dt.datetime(2024, 1, 1) + dt.timedelta(weeks=i), float(i + 1))
+            for i in range(6)
+        ],
+        "k string, ts timestamp, v double",
+    )
+    got = {
+        r.lag: (r.n_pairs, r.acf)
+        for r in autocorrelation(
+            weekly, "ts", "v", ["k"], lags=(1, 2), bucket="week"
+        ).collect()
+    }
+    assert got[1][0] == 5 and abs(got[1][1] - 1.0) < 1e-12
+    assert got[2][0] == 4 and abs(got[2][1] - 1.0) < 1e-12
+    monthly = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1 + i, 15), float(i + 1)) for i in range(6)],
+        "k string, ts timestamp, v double",
+    )
+    gm = {
+        r.lag: (r.n_pairs, r.acf)
+        for r in autocorrelation(
+            monthly, "ts", "v", ["k"], lags=(1,), bucket="month"
+        ).collect()
+    }
+    assert gm[1][0] == 5 and abs(gm[1][1] - 1.0) < 1e-12
+    with pytest.raises(ValueError, match="bucket"):
+        autocorrelation(weekly, "ts", "v", ["k"], bucket="hour")
+
+
 def test_asof_nearest_tie_and_tolerance(spark):
     """asof_nearest (operators/asof.py; r246): equal |Δt| prefers the
     EARLIER right row; rows with nothing inside the tolerance drop;
@@ -2118,6 +2182,27 @@ def test_asof_nearest_tie_and_tolerance(spark):
     # eid1: ±3 s tie → earlier row 100; eid2: nothing within 30 s;
     # eid3: match 29 s back across a bucket boundary
     assert got == {1: (100, -3), 3: (102, -29)}
+
+
+def test_asof_nearest_preserves_duplicate_left_rows(spark):
+    """Advisor fix (round 12): pandas merge_asof(direction='nearest')
+    preserves left-row multiplicity — two identical left rows must
+    produce two output rows, not collapse in the argmin groupBy."""
+    import datetime as dt
+
+    from datalake_backend_spark.operators.asof import asof_nearest
+
+    t = dt.datetime(2024, 1, 1, 0, 0, 10)
+    left = spark.createDataFrame(
+        [("dup", t), ("dup", t), ("solo", t)], "tag string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, dt.datetime(2024, 1, 1, 0, 0, 7))], "rid long, rts timestamp"
+    )
+    rows = asof_nearest(left, right, "ts", "rts", 30, "rid").collect()
+    assert len(rows) == 3
+    assert sorted(r.tag for r in rows) == ["dup", "dup", "solo"]
+    assert all(r.nearest_rid == 100 and r.delta_s == -3 for r in rows)
 
 
 def test_grid_density_clusters_components(spark):

@@ -24,8 +24,11 @@ Measured shape (sf0.1 ground truth):
 - orders: status P/O/F uniform, 5 priorities uniform, dates uniform
   1995-01-01..2001-08-01; l_shipdate independent over the same range.
 
-Usage: python tools/gen_sf.py [sf] [outdir]
-       (defaults: 1.0  /tmp/sfgen/sf1.0)
+Usage: python tools/gen_sf.py [sf] [outdir] [--zipf A]
+       (defaults: 1.0  /tmp/sfgen/sf1.0  uniform keys)
+       --zipf 1.2 skews the fact-side join keys (o_custkey,
+       l_partkey, l_suppkey, user_id, doc tokens) for skew-stress
+       runs; dimensions and row counts stay identical.
 """
 
 from __future__ import annotations
@@ -63,8 +66,32 @@ def _write(outdir: str, name: str, table: pa.Table) -> None:
     print(f"  {name:10} {table.num_rows:>10,} rows")
 
 
-def generate(sf: float, outdir: str, seed: int = 42) -> None:
+def _zipf_keys(rng, n: int, size: int, a: float) -> np.ndarray:
+    """Zipf(a)-distributed keys over [0, n): P(k) ∝ 1/(k+1)^a via
+    inverse-CDF over the exact normalized weights — key 0 is the
+    hottest (at a=1.2, n=150k it draws ~2% of all rows vs 1/n=7e-6
+    uniform, the 'one celebrity customer' shape a real 100 TB join
+    sees)."""
+    w = 1.0 / np.power(np.arange(1, n + 1, dtype="float64"), a)
+    cdf = np.cumsum(w)
+    cdf /= cdf[-1]
+    return np.searchsorted(cdf, rng.random(size)).astype("int64")
+
+
+def generate(sf: float, outdir: str, seed: int = 42, zipf: float = 0.0) -> None:
+    """``zipf`` > 0 skews every fact-side JOIN/GROUP-BY key —
+    o_custkey, l_partkey, l_suppkey, events.user_id, and the document
+    token draws — with exponent ``zipf`` while keeping dimensions and
+    row counts identical, so skewed-vs-uniform timing ratios isolate
+    the effect of hot keys on the blocked/salted join paths
+    (round-11 VERDICT ask #6)."""
     rng = np.random.default_rng(seed)
+
+    def keys(n: int, size: int) -> np.ndarray:
+        if zipf > 0:
+            return _zipf_keys(rng, n, size, zipf)
+        return rng.integers(0, n, size)
+
     os.makedirs(outdir, exist_ok=True)
     n_cust = int(150_000 * sf)
     n_supp = int(10_000 * sf)
@@ -116,7 +143,7 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
     )
     _write(outdir, "orders", pa.table({
         "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
-        "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
+        "o_custkey": pa.array(keys(n_cust, n_ord), pa.int64()),
         "o_orderstatus": np.array(["P", "O", "F"])[rng.integers(0, 3, n_ord)],
         "o_totalprice": np.round(rng.uniform(1000, 500_000, n_ord), 2),
         "o_orderdate": pa.array(
@@ -136,8 +163,8 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
     )
     _write(outdir, "lineitem", pa.table({
         "l_orderkey": pa.array(lkey, pa.int64()),
-        "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
-        "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
+        "l_partkey": pa.array(keys(n_part, n_li), pa.int64()),
+        "l_suppkey": pa.array(keys(n_supp, n_li), pa.int64()),
         "l_linenumber": pa.array(lnum, pa.int32()),
         "l_quantity": rng.integers(1, 51, n_li).astype("float64"),
         "l_extendedprice": np.round(rng.uniform(900, 105_000, n_li), 2),
@@ -156,7 +183,7 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
     _write(outdir, "events", pa.table({
         "event_id": pa.array(np.arange(n_ev), pa.int64()),
         "ts": pa.array(ets, pa.timestamp("us")),
-        "user_id": pa.array(rng.integers(0, n_users, n_ev), pa.int64()),
+        "user_id": pa.array(keys(n_users, n_ev), pa.int64()),
         "event_type": np.array(EVENT_TYPES)[rng.integers(0, 5, n_ev)],
         "value": np.round(
             np.minimum(rng.exponential(50.0, n_ev), 600.0) + 0.01, 2
@@ -166,7 +193,7 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
 
     tok = np.array(VOCAB)
     lens = rng.integers(10, 101, n_doc)
-    flat = tok[rng.integers(0, len(tok), int(lens.sum()))]
+    flat = tok[keys(len(tok), int(lens.sum()))]
     texts, pos = [], 0
     for length in lens:
         texts.append(" ".join(flat[pos : pos + length]))
@@ -191,7 +218,13 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
 
 
 if __name__ == "__main__":
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfgen/sf1.0"
-    print(f"generating sf={sf} under {outdir}")
-    generate(sf, outdir)
+    args = sys.argv[1:]
+    zipf = 0.0
+    if "--zipf" in args:
+        i = args.index("--zipf")
+        zipf = float(args[i + 1])
+        del args[i : i + 2]
+    sf = float(args[0]) if args else 1.0
+    outdir = args[1] if len(args) > 1 else "/tmp/sfgen/sf1.0"
+    print(f"generating sf={sf} under {outdir} (zipf={zipf or 'uniform'})")
+    generate(sf, outdir, zipf=zipf)
