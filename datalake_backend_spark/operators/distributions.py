@@ -962,20 +962,25 @@ def gini_concentration(
     n·max_scaled, and its SUM is Θ(n²·x̄) — int64 wraps silently past
     ~10⁵ rows · 10⁹ scaled units.
 
-    Scale shape: ONE hash-partitioned per-group sort window (the
-    row_number + running accumulators share it), one groupBy(keys) —
-    the per-group row counts bound the window, no global sort. Groups
-    must be real partitions of the data (brands, sources); for a
-    single global group reach for the two-phase
-    ``ranking.global_running_sum`` instead.
+    Scale shape: the rank ``i`` is a two-phase keyed running COUNT
+    (``ranking.keyed_running_sum`` over a literal 1 ordered by
+    (value, id)) — never a per-key row_number window, which funnels a
+    whole key through one reducer exactly when the inequality question
+    is interesting (few keys, many rows; the round-12 sf1.0 sweep
+    measured 7.2× on 5 priority keys before this). One groupBy(keys)
+    finishes.
     """
+    from datalake_backend_spark.operators.ranking import keyed_running_sum
+
     mult = 10**scale
     v = F.floor(F.col(value_col) * mult).cast("bigint")
-    w = Window.partitionBy(*key_cols).orderBy(value_col, id_col)
-    d = (
-        df.withColumn("_v", v)
-        .withColumn("_i", F.row_number().over(w).cast("bigint"))
-    )
+    d = keyed_running_sum(
+        df.withColumn("_v", v).withColumn("_one", F.lit(1).cast("bigint")),
+        key_cols,
+        [value_col, id_col],
+        "_one",
+        out_col="_i",
+    ).drop("_one")
     return d.groupBy(*key_cols).agg(
         F.count("*").alias("n_rows"),
         F.sum("_v").alias("sum_scaled"),
@@ -1018,34 +1023,34 @@ def weighted_median(
     rule needs (filter or abs upstream; the same contract as
     ``allocation.fifo_allocate``).
 
-    Scale shape: ONE per-group sort window carries the cumulative
-    weight and the unbounded-frame total (the quality_budget_keep
-    idiom); a min aggregate then picks each group's crossing row.
-    Per-group, hash-partitioned — no global sort. For a single global
-    group, compose ``ranking.global_running_sum`` instead.
+    Scale shape: tie-aggregate to distinct scaled values, then the
+    two-phase keyed prefix sum (``ranking.keyed_running_sum``) carries
+    the cumulative weight; a min aggregate picks each group's crossing
+    row. Fully range-parallel even when the value column is continuous
+    and a key holds most of the data — no per-key single-reducer sort.
     """
+    from datalake_backend_spark.operators.ranking import keyed_running_sum
+
     mult = 10**scale
-    w = Window.partitionBy(*key_cols).orderBy(value_col, weight_col)
-    d = (
-        df.withColumn(
-            "_v", F.floor(F.col(value_col) * mult).cast("bigint")
+    # aggregate ties, then the two-phase keyed prefix sum — same
+    # rationale as weighted_quantiles (a per-key window over a
+    # continuous value column is a single-reducer sort at scale); the
+    # crossing row's VALUE is identical whether the cumulative is
+    # per-row or per-tie-group
+    g = (
+        df.select(
+            *key_cols,
+            F.floor(F.col(value_col) * mult).cast("bigint").alias("_v"),
+            F.col(weight_col).cast("bigint").alias("_w"),
         )
-        .withColumn("_w", F.col(weight_col).cast("bigint"))
-        .withColumn(
-            "_cumw",
-            F.sum("_w").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .withColumn(
-            "_totw",
-            F.sum("_w").over(
-                w.rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            ),
-        )
+        .groupBy(*key_cols, "_v")
+        .agg(F.sum("_w").alias("_w"))
     )
+    cum = keyed_running_sum(g, key_cols, ["_v"], "_w", out_col="_cumw")
+    tot = g.groupBy(*key_cols).agg(F.sum("_w").alias("_totw"))
     return (
-        d.where(F.col("_cumw") * 2 >= F.col("_totw"))
+        cum.join(tot, key_cols)
+        .where(F.col("_cumw") * 2 >= F.col("_totw"))
         .groupBy(*key_cols)
         .agg(
             F.min("_v").alias("weighted_median_scaled"),
@@ -1099,17 +1104,20 @@ def _doubled_ranks(
     ordering — an INTEGER even under ties (avg rank of a tie group is
     a half-integer, so twice it is exact BIGINT arithmetic): with
     ``c<`` values strictly below and ``c=`` tied, ``2·avg_rank =
-    2·c< + c= + 1``. The window runs over the GROUPED distinct-value
-    rows (not raw data), so its per-key size is the value cardinality
-    — the same aggregate-first shape as ``weighted_median``.
-    Returns ``keys + [value_col, _cnt, _rank2]``."""
+    2·c< + c= + 1``. The prefix count runs over the GROUPED
+    distinct-value rows via the two-phase keyed prefix sum
+    (``ranking.keyed_running_sum``) — NOT a per-key window, which
+    degenerates to one reducer per key when the value is continuous
+    (distinct ≈ raw; measured 22.7× at 10× data on r243 before the
+    round-12 fix). Returns ``keys + [value_col, _cnt, _rank2]``."""
+    from datalake_backend_spark.operators.ranking import keyed_running_sum
+
     g = df.groupBy(*keys, value_col).agg(F.count("*").alias("_cnt"))
-    w = Window.partitionBy(*keys).orderBy(value_col)
-    below = F.coalesce(
-        F.sum("_cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0).cast("bigint"),
-    )
-    return g.withColumn("_rank2", 2 * below + F.col("_cnt") + 1)
+    cum = keyed_running_sum(g, keys, [value_col], "_cnt", out_col="_incl")
+    # exclusive prefix = inclusive − own tie-group count
+    return cum.withColumn(
+        "_rank2", 2 * (F.col("_incl") - F.col("_cnt")) + F.col("_cnt") + 1
+    ).drop("_incl")
 
 
 def mann_whitney_u(
@@ -1132,9 +1140,15 @@ def mann_whitney_u(
     (needed for the normal-approximation variance) is emitted as an
     exact integer so callers can finish the z-score in one division.
 
-    Scale shape: one hash aggregate over raw data, one window over
-    the per-key DISTINCT-VALUE rows only, one re-aggregate — no raw
-    row ever passes through a window."""
+    Scale shape: one hash aggregate over raw data, then the TWO-PHASE
+    keyed prefix sum (``ranking.keyed_running_sum``) over the per-key
+    distinct-value rows, one re-aggregate. Distinct-value rows are
+    ~raw-sized when the value is continuous, so a per-key window here
+    was a single-reducer sort (the round-12 sf1.0 spot-sweep caught
+    r243 at 22.7×/exponent 1.36); the range-partitioned prefix sum
+    keeps every stage parallel at any cardinality."""
+    from datalake_backend_spark.operators.ranking import keyed_running_sum
+
     keys = keys or []
     d = df.where(F.col(group_col).isin([group_a, group_b])).select(
         *keys,
@@ -1147,12 +1161,10 @@ def mann_whitney_u(
     g = d.groupBy(*keys, value_col).agg(
         F.count("*").alias("_cnt"), F.sum("_is_a").alias("_na")
     )
-    w = Window.partitionBy(*keys).orderBy(value_col)
-    below = F.coalesce(
-        F.sum("_cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0).cast("bigint"),
+    cum = keyed_running_sum(g, keys, [value_col], "_cnt", out_col="_incl")
+    ranked = cum.withColumn(
+        "_rank2", 2 * (F.col("_incl") - F.col("_cnt")) + F.col("_cnt") + 1
     )
-    ranked = g.withColumn("_rank2", 2 * below + F.col("_cnt") + 1)
     # rank sums reach 2n² and the tie term n³ — past BIGINT at
     # n ≳ 1.3M rows, so accumulate in decimal(38,0) (DuckDB HUGEINT)
     # and only the final dyadic halving runs in doubles
@@ -1522,35 +1534,40 @@ def weighted_quantiles(
     ``cumw·den ≥ totw·num`` (no float shares, no interpolation
     policy). Same contract: weights integral and positive.
 
-    ONE per-group sort window serves every requested quantile (each
-    is just another conditional min over the same cumulative), so
-    asking for the 25/50/75/95 band costs the same shuffle as the
+    ONE two-phase keyed prefix sum serves every requested quantile
+    (each is just another conditional min over the same cumulative),
+    so asking for the 25/50/75/95 band costs the same shuffles as the
     median alone. Output: one row per key with a column per
     quantile, named ``q_<num>_<den>``."""
+    from datalake_backend_spark.operators.ranking import keyed_running_sum
+
     quantiles = quantiles or [(1, 4), (1, 2), (3, 4)]
-    mult = 10**scale
-    sv = F.floor(F.col(value_col) * F.lit(mult)).cast("long")
+    mult_ = 10**scale
+    sv = F.floor(F.col(value_col) * F.lit(mult_)).cast("long")
     iw = F.col(weight_col).cast("long")
+    # aggregate ties first (distinct scaled values), then the
+    # TWO-PHASE keyed prefix sum — a per-key window over continuous
+    # values is a single-reducer sort (round-12 sf1.0 sweep: 20× /
+    # exponent 1.30 on r255 before this); the crossing rule picks the
+    # same value whether the cumulative is per-row or per-tie-group,
+    # because the group's inclusive cumulative equals its last row's
     g = (
         df.select(*key_cols, sv.alias("_v"), iw.alias("_w"))
-        .withColumn("_cum", F.sum("_w").over(
-            Window.partitionBy(*key_cols).orderBy("_v", "_w").rowsBetween(
-                Window.unboundedPreceding, 0
-            )
-        ))
-        .withColumn("_tot", F.sum("_w").over(
-            Window.partitionBy(*key_cols).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ))
+        .groupBy(*key_cols, "_v")
+        .agg(F.sum("_w").alias("_w"))
     )
+    cum = keyed_running_sum(g, key_cols, ["_v"], "_w", out_col="_cum")
+    tot = g.groupBy(*key_cols).agg(F.sum("_w").alias("_tot"))
+    # plain equi-join on keys: one row per key, AQE broadcasts it when
+    # small; forcing broadcast would backfire on high-cardinality keys
+    d = cum.join(tot, key_cols)
     aggs = []
     for num, den in quantiles:
         crossed = F.col("_cum") * F.lit(den) >= F.col("_tot") * F.lit(num)
         aggs.append(
             (
                 F.min(F.when(crossed, F.col("_v"))).cast("double")
-                / F.lit(float(mult))
+                / F.lit(float(mult_))
             ).alias(f"q_{num}_{den}")
         )
-    return g.groupBy(*key_cols).agg(*aggs)
+    return d.groupBy(*key_cols).agg(*aggs)

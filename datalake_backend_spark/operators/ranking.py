@@ -198,6 +198,60 @@ def global_running_sum(
     )
 
 
+def keyed_running_sum(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """:func:`global_running_sum` generalized to PER-KEY prefix sums —
+    the fix for the "window over per-key distinct values" hazard: when
+    the ordered column is continuous (prices, scores), the per-key
+    distinct count approaches the raw row count and a plain
+    ``Window.partitionBy(keys).orderBy(value)`` funnels millions of
+    rows through ONE reducer per key (measured: r243 ROC-AUC 22.7× at
+    10× data before this, 2 keys × ~3M distinct prices each).
+
+    Two phases, never a per-key global sort: range-repartition on
+    (keys + order_cols) so each key's rows are SPLIT across many
+    range partitions in order; cumsum within (partition, key); then
+    add per-(partition, key) offsets computed from #partitions×#keys
+    metadata rows and broadcast back. ``value_col`` must be integral
+    so the sum is order-independent and engine-exact. The inclusive
+    running sum lands in ``out_col``; subtract the row's own value
+    for the exclusive prefix."""
+    range_cols = [*keys, *order_cols]
+    part = Window.partitionBy("_p", *keys).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    base = (
+        df.repartitionByRange(*[F.col(c) for c in range_cols])
+        .withColumn("_p", F.spark_partition_id())
+        # pin partition ids: the offsets branch below re-reads this
+        # frame, and repartitionByRange's boundary sampling must not
+        # re-roll between the two consumers
+        .localCheckpoint(eager=True)
+        .withColumn("_ls", F.sum(value_col).over(part).cast("bigint"))
+    )
+    sizes = base.groupBy("_p", *keys).agg(F.sum(value_col).alias("_pv"))
+    off_w = (
+        Window.partitionBy(*keys)
+        .orderBy("_p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "_p",
+        *keys,
+        F.coalesce(F.sum("_pv").over(off_w), F.lit(0)).alias("_off"),
+    )
+    return (
+        base.join(F.broadcast(offsets), ["_p", *keys])
+        .withColumn(out_col, F.col("_ls") + F.col("_off"))
+        .drop("_p", "_ls", "_off")
+    )
+
+
 def abc_classification(
     df: DataFrame,
     id_col: str,

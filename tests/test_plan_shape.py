@@ -332,6 +332,37 @@ def test_global_running_sum_no_unpartitioned_data_window(spark):
     assert top.cum_value == top.value
 
 
+def test_keyed_running_sum_matches_window_semantics(spark):
+    """keyed_running_sum (operators/ranking.py; round-12 scale fix):
+    the two-phase per-key prefix sum must equal the plain per-key
+    window cumulative on every row — including keys whose rows span
+    multiple range partitions — and its data-side window must keep
+    the _p partition key (the whole point is no per-key single-reducer
+    sort when distinct values ≈ raw rows)."""
+    from pyspark.sql import Window
+
+    from datalake_backend_spark.operators.ranking import keyed_running_sum
+
+    df = spark.createDataFrame(
+        [(f"k{i % 3}", i, (i * 7) % 11 + 1) for i in range(500)],
+        "k string, v bigint, w bigint",
+    )
+    got = {
+        (r.k, r.v): r.cum
+        for r in keyed_running_sum(df, ["k"], ["v"], "w", out_col="cum").collect()
+    }
+    w = Window.partitionBy("k").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        (r.k, r.v): r.cum
+        for r in df.withColumn("cum", F.sum("w").over(w)).collect()
+    }
+    assert got == want
+    plan = plan_of(keyed_running_sum(df, ["k"], ["v"], "w"))
+    assert "windowspecdefinition(_p" in plan, plan
+
+
 def test_nearest_neighbor_join_no_cartesian(spark):
     """nearest_within_radius (r234): the radius bound must turn NN
     into a grid equi-join — no CartesianProduct, no

@@ -78,17 +78,24 @@ def main() -> int:
         verdict = "rows-only"
         if spec.oracle is not None:
             try:
-                odf = con.execute(spec.oracle).df()
+                # fetchall(), NEVER .df(): pandas coerces DATE →
+                # Timestamp and nullable BIGINT → float64, which
+                # false-positives the repr compare (bit us in round 12
+                # on r207's lag NULLs); check_oracle.py's native-type
+                # path is the reference comparator
+                rel = con.sql(spec.oracle)
+                o_cols_raw = rel.columns
+                o_fetched = rel.fetchall()
             except Exception as e:  # noqa: BLE001 — twin infeasible at
                 # this SF (e.g. r146's 80 GB DuckDB spill); the Spark
                 # side's health is still reported, not counted a failure
                 verdict = f"oracle-infeasible ({type(e).__name__}: {e!s:.80})"
-                odf = None
-            if odf is not None:
-                o_cols = sorted(odf.columns)
+                o_fetched = None
+            if o_fetched is not None:
+                o_cols = sorted(o_cols_raw)
+                idx = [o_cols_raw.index(c) for c in o_cols]
                 o_rows = Counter(
-                    tuple(repr(v) for v in row)
-                    for row in odf[o_cols].itertuples(index=False, name=None)
+                    tuple(repr(row[i]) for i in idx) for row in o_fetched
                 )
                 if s_cols != o_cols:
                     verdict, failures = f"COLS {s_cols} vs {o_cols}", failures + 1
