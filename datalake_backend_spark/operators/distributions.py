@@ -686,11 +686,13 @@ def winsorized_mean(
     outliers without dropping rows. Every step is integer arithmetic,
     so the clamped mean reproduces bit-for-bit in any engine.
 
-    Scale shape: one per-group window rank (hash-partitioned by the
-    group — parallel, never a global sort), a group-level bounds
-    aggregate, a broadcast join of the |groups|-row bounds back, and
-    the final partial-aggregable mean."""
-    from pyspark.sql import Window
+    Scale shape: the rank is the two-phase keyed running count
+    (``ranking.keyed_running_sum`` — a per-key row_number window over
+    raw rows would funnel each group through one reducer, the hazard
+    the round-12 sf1.0 sweep exposed in this family), a group-level
+    bounds aggregate, a broadcast join of the |groups|-row bounds
+    back, and the final partial-aggregable mean."""
+    from datalake_backend_spark.operators.ranking import keyed_running_sum
 
     keys = keys or []
     if not keys:
@@ -698,11 +700,15 @@ def winsorized_mean(
     if not 0 <= low_pct < high_pct <= 100:
         raise ValueError("need 0 <= low_pct < high_pct <= 100")
     s = F.floor(F.col(value_col) * F.lit(10**scale)).cast("bigint")
-    w = Window.partitionBy(*keys).orderBy(value_col, id_col)
-    d = df.select(
-        *keys, s.alias("_s"),
-        F.row_number().over(w).cast("bigint").alias("_r"),
-    )
+    d = keyed_running_sum(
+        df.select(*keys, value_col, id_col, s.alias("_s")).withColumn(
+            "_one", F.lit(1).cast("bigint")
+        ),
+        keys,
+        [value_col, id_col],
+        "_one",
+        out_col="_r",
+    ).select(*keys, "_s", "_r")
     # two-step: per-group n first, then the rank-indexed bounds via a
     # conditional aggregate against the broadcast n
     bounds = d.groupBy(*keys).agg(F.count("*").alias("n"))
