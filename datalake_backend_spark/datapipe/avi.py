@@ -206,7 +206,9 @@ def parse_avi_meta(payload: bytes) -> dict:
                 ckid, _flags, rel, csize = struct.unpack(
                     "<4sIII", payload[off : off + 16]
                 )
-                if ckid == b"00dc":
+                # any 'NNdc' compressed-video chunk (stream number is
+                # writer-dependent; audio 'NNwb' entries are skipped)
+                if ckid[2:] == b"dc" and ckid[:2].isdigit():
                     index.append((rel, csize))
     if n is None or movi_fcc is None:
         raise ValueError("AVI missing hdrl or movi list")
@@ -215,8 +217,9 @@ def parse_avi_meta(payload: bytes) -> dict:
     abs_index = []
     for rel, csize in index:
         pos = movi_fcc + rel
-        if payload[pos : pos + 4] != b"00dc":
-            raise ValueError("idx1 offset does not land on a 00dc chunk")
+        ck = payload[pos : pos + 4]
+        if ck[2:] != b"dc" or not ck[:2].isdigit():
+            raise ValueError("idx1 offset does not land on a video chunk")
         abs_index.append((pos, csize))
     return {
         "n_frames": int(n),

@@ -10666,14 +10666,23 @@ def r259_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention error, a WORD-padding slip, or any JPEG decode drift
     breaks the hash. Container edge mechanics (odd-size chunk padding,
     idx1/chunk-header disagreement, truncation, wrong fourcc) are
-    pinned by tests/test_avi.py."""
+    pinned by tests/test_avi.py.
+
+    Cost control: every 2nd doc becomes a container and every 2nd
+    frame decodes (``every_n=2`` ALSO exercises the idx1 seek-skip —
+    unsampled frames' bytes are never touched); the pure-Python
+    baseline decoder is ~ms/frame, so the unfiltered all-frames row
+    was the bench's most expensive query (16 s at sf0.1) for no extra
+    coverage over r127's 5k-image decode."""
     from datalake_backend_spark.datapipe.avi import (
         mjpeg_frame_stats,
         synthetic_mjpeg_avi_table,
     )
 
-    docs = table(spark, sf_dir, "documents")
-    return mjpeg_frame_stats(synthetic_mjpeg_avi_table(docs), every_n=1)
+    docs = table(spark, sf_dir, "documents").where(
+        F.pmod("doc_id", F.lit(2)) == 0
+    )
+    return mjpeg_frame_stats(synthetic_mjpeg_avi_table(docs), every_n=2)
 
 
 R259_SQL = """
@@ -10683,9 +10692,9 @@ WITH dims AS (
          CAST(5 + doc_id % 3 AS INT) AS fps,
          8 * (1 + doc_id % 3) AS w,
          8 * (1 + doc_id % 2) AS h
-  FROM documents
+  FROM documents WHERE doc_id % 2 = 0
 ),
-fr  AS (SELECT media_id, n, fps, w, h, unnest(range(0, n)) AS fi FROM dims),
+fr  AS (SELECT media_id, n, fps, w, h, unnest(range(0, n, 2)) AS fi FROM dims),
 brs AS (SELECT media_id, n, fps, w, h, fi,
                unnest(range(0, h // 8)) AS br FROM fr),
 bcs AS (SELECT media_id, n, fps, w, h, fi, br,
