@@ -213,27 +213,49 @@ def keyed_running_sum(
     rows through ONE reducer per key (measured: r243 ROC-AUC 22.7× at
     10× data before this, 2 keys × ~3M distinct prices each).
 
-    Two phases, never a per-key global sort: range-repartition on
-    (keys + order_cols) so each key's rows are SPLIT across many
-    range partitions in order; cumsum within (partition, key); then
-    add per-(partition, key) offsets computed from #partitions×#keys
-    metadata rows and broadcast back. ``value_col`` must be integral
-    so the sum is order-independent and engine-exact. The inclusive
-    running sum lands in ``out_col``; subtract the row's own value
-    for the exclusive prefix."""
-    range_cols = [*keys, *order_cols]
+    Two phases, never a per-key global sort: bucket each row by
+    DETERMINISTIC quantile boundaries of the first order column (one
+    ``percentile_approx`` aggregate; the bounded B−1-value collect is
+    the audited driver-side pattern), so each key's rows are SPLIT
+    across many ordered buckets; cumsum within (bucket, key); then
+    add per-(bucket, key) offsets computed from #buckets×#keys
+    metadata rows and broadcast back. Value-derived buckets make the
+    plan re-execution-stable with NO ``localCheckpoint``
+    materialization — the spark_partition_id variant had to persist
+    the whole frame to executor disks to pin ids, a real cost at
+    100 TB and ~1-2 s of fixed overhead per call at bench SFs.
+    Boundary ties sink to the lower bucket and NULLs to bucket 0
+    (matching nulls-first ordering), so equal order keys never split.
+    ``value_col`` must be integral so the sum is order-independent
+    and engine-exact. The inclusive running sum lands in ``out_col``;
+    subtract the row's own value for the exclusive prefix."""
+    first = order_cols[0]
+    spark = df.sparkSession
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    # low accuracy on purpose: boundaries only affect bucket BALANCE,
+    # never the result (collected once, frozen as plan literals), and
+    # accuracy=100 is ~4x cheaper than 10k on the boundary pass
+    row = df.select(
+        F.percentile_approx(F.col(first).cast("double"), qs, 100).alias("_b")
+    ).first()
+    bounds = sorted(set(row["_b"] or [])) if row else []
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(
+            F.col(first).cast("double") > F.lit(b), 1
+        ).otherwise(0)
+    # persist the bucketed frame: the offsets branch and the main
+    # window branch would otherwise recompute the upstream subtree
+    # (often a raw-data tie-aggregate) twice. A plain persist — NOT
+    # localCheckpoint — because value-derived buckets are already
+    # re-execution-stable; this is purely a share-the-scan hint that
+    # degrades gracefully under memory pressure.
+    base = df.withColumn("_p", bucket).persist()
     part = Window.partitionBy("_p", *keys).orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    base = (
-        df.repartitionByRange(*[F.col(c) for c in range_cols])
-        .withColumn("_p", F.spark_partition_id())
-        # pin partition ids: the offsets branch below re-reads this
-        # frame, and repartitionByRange's boundary sampling must not
-        # re-roll between the two consumers
-        .localCheckpoint(eager=True)
-        .withColumn("_ls", F.sum(value_col).over(part).cast("bigint"))
-    )
+    base = base.withColumn("_ls", F.sum(value_col).over(part).cast("bigint"))
     sizes = base.groupBy("_p", *keys).agg(F.sum(value_col).alias("_pv"))
     off_w = (
         Window.partitionBy(*keys)
