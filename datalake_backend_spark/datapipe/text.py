@@ -481,7 +481,14 @@ def vocab_coverage(
             "cum_before",
             F.col("_off") + F.coalesce(F.sum("cnt").over(w_local), F.lit(0)),
         )
-        .where(F.col("cum_before") * den < F.lit(int(total)) * num)
+        # the grand total lands as a BIGINT literal: at sf1.0 the
+        # corpus has ~27.5M tokens and total·num overflows int32 when
+        # Spark infers IntegerType for the python int (caught by the
+        # round-12 full-registry sf1.0 sweep)
+        .where(
+            F.col("cum_before") * F.lit(den).cast("bigint")
+            < F.lit(int(total)).cast("bigint") * F.lit(num).cast("bigint")
+        )
         .select("token", "cnt", "cum_before")
     )
 

@@ -3975,7 +3975,15 @@ def r135_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     masquerading as a DV delete fails the hash. Concurrency, appends
     over vectors, compaction materialization, fragmentation fallback,
     and fsck validation are pinned by tests/test_versioned.py.
-    Deterministic pid-scoped fixture, serialized like r91's."""
+    Deterministic pid-scoped fixture, serialized like r91's.
+
+    SF bound (round-12 sf1.0 sweep): at sf1.0 the every-13th delete
+    lands ~115k SINGLETON ranges (hash-shuffled file positions) —
+    past the 100k ``max_range_entries`` cap, so the documented loud
+    copy-on-write fallback fires, `metadata_only_delete` honestly
+    reads False, and the twin's hardcoded True diverges while every
+    aggregate stays exact. Expected behavior, not a bug: the cap IS
+    the contract (an unbounded inline manifest is the real hazard)."""
     import shutil
 
     from datalake_backend_spark.sources.versioned import VersionedTable
@@ -13082,10 +13090,15 @@ def r107_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     must land inside the exact [p45,p55] / [p93,p97] quantile
     brackets; the exact percentiles themselves (interpolated) are
     verified bit-identical against DuckDB's quantile_cont (probed:
-    exact equality holds — both engines interpolate lower +
-    frac·(upper−lower) on doubles). Sketch state is O(1/ε) per group
-    and merges associatively — the exact percentile is a full sort per
-    group, which is the thing you cannot do per-batch at 100 TB."""
+    exact equality holds at the driver SFs — both engines interpolate
+    lower + frac·(upper−lower) on doubles). Cross-engine caveat past
+    ~10⁵ rows per group (same class as spearman_rho's): the
+    interpolation position arithmetic can land 1 ulp apart — observed
+    once at sf1.0 (p95 149.08 vs 149.07999999999998); at that size
+    compare the interpolated columns at 10dp instead of by hash.
+    Sketch state is O(1/ε) per group and merges associatively — the
+    exact percentile is a full sort per group, which is the thing you
+    cannot do per-batch at 100 TB."""
     ev = table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("p50"),
