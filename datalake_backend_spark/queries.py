@@ -1192,7 +1192,10 @@ def q38_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event type (the serving tier's
     latency-quantile shape). Spark ``percentile`` and DuckDB
     ``quantile_cont`` share the linear-interpolation definition; inputs
-    are identical doubles, so outputs match bit-for-bit."""
+    are identical doubles, so outputs match bit-for-bit at the driver
+    SFs. Past ~10⁵ rows/group the position arithmetic can land 1 ulp
+    apart (observed once at sf1.0: p90 114.77 vs 114.77000000000001 —
+    the r107/spearman caveat class); compare at 10dp at that size."""
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("p50"),
@@ -13092,10 +13095,11 @@ def r107_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified bit-identical against DuckDB's quantile_cont (probed:
     exact equality holds at the driver SFs — both engines interpolate
     lower + frac·(upper−lower) on doubles). Cross-engine caveat past
-    ~10⁵ rows per group (same class as spearman_rho's): the
-    interpolation position arithmetic can land 1 ulp apart — observed
-    once at sf1.0 (p95 149.08 vs 149.07999999999998); at that size
-    compare the interpolated columns at 10dp instead of by hash.
+    ~10⁵ rows per group (same class as spearman_rho's; also hits
+    r38_percentiles): the interpolation position arithmetic can land
+    1 ulp apart — observed once at sf1.0 (p95 149.08 vs
+    149.07999999999998); at that size compare the interpolated
+    columns at 10dp instead of by hash.
     Sketch state is O(1/ε) per group and merges associatively — the
     exact percentile is a full sort per group, which is the thing you
     cannot do per-batch at 100 TB."""
