@@ -823,3 +823,45 @@ def test_kmv_merge_equals_oneshot(spark, ids):
     merged = {tuple(r) for r in finalize_kmv(state, [], k=k).collect()}
     oneshot = {tuple(r) for r in kmv_distinct(df, "uid", k=k).collect()}
     assert merged == oneshot
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),  # key
+            st.integers(-50, 50),  # order value (duplicates likely)
+            st.integers(1, 9),  # summand
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_keyed_running_sum_equals_window(spark, rows):
+    """keyed_running_sum (operators/ranking.py; round-12 scale fix,
+    backs the mann-whitney/roc/spearman/median/quantile/gini/winsorize
+    family): for ANY key/value/weight multiset — including duplicate
+    (key, value) pairs, negative values, and single-row keys — the
+    two-phase quantile-bucketed prefix sum must equal the plain
+    per-key window cumulative row-for-row. Duplicate order values
+    make the local window's intra-tie order engine-chosen, so the
+    comparison aggregates to the per-(key, value) FINAL cumulative
+    (the tie group's total), which is order-independent."""
+    from pyspark.sql import Window
+
+    from datalake_backend_spark.operators.ranking import keyed_running_sum
+
+    df = spark.createDataFrame(rows, "k string, v bigint, w bigint")
+    g = df.groupBy("k", "v").agg(F.sum("w").alias("w"))
+    got = {
+        (r.k, r.v): r.cum
+        for r in keyed_running_sum(g, ["k"], ["v"], "w", out_col="cum").collect()
+    }
+    win = Window.partitionBy("k").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        (r.k, r.v): r.cum
+        for r in g.withColumn("cum", F.sum("w").over(win)).collect()
+    }
+    assert got == want
