@@ -626,6 +626,52 @@ def run_ops(spark, docs_path: str, events_path: str) -> dict[str, float]:
         "kmv",
         lambda: _force(kmv_distinct(ev, "user_id", keys=["etype"], k=256)),
     )
+
+    # round-12 additions: the rank/cumulative family over a CONTINUOUS
+    # value column with FEW keys — the exact configuration where the
+    # pre-round-12 per-key distinct-value window collapsed to one
+    # reducer per key (r243 measured 22.7x at 10x before
+    # keyed_running_sum; these rows keep that fix honest)
+    from datalake_backend_spark.operators.distributions import (
+        gini_concentration,
+        mann_whitney_u,
+        weighted_quantiles,
+    )
+    from datalake_backend_spark.operators.evaluation import roc_auc
+
+    labeled = ev.select(
+        "etype",
+        F.col("value").alias("score"),
+        F.pmod("event_id", F.lit(2)).cast("int").alias("label"),
+        "event_id",
+    )
+    timed(
+        "mann_whitney",
+        lambda: _force(
+            mann_whitney_u(labeled, "score", "label", 1, 0, keys=["etype"])
+        ),
+    )
+    timed(
+        "roc_auc",
+        lambda: _force(roc_auc(labeled, "score", "label", keys=["etype"])),
+    )
+    timed(
+        "weighted_quantiles",
+        lambda: _force(
+            weighted_quantiles(
+                labeled.withColumn("w", F.lit(1) + F.pmod("event_id", F.lit(7))),
+                ["etype"],
+                "score",
+                "w",
+            )
+        ),
+    )
+    timed(
+        "gini",
+        lambda: _force(
+            gini_concentration(labeled, ["etype"], "score", "event_id")
+        ),
+    )
     return out
 
 
