@@ -208,6 +208,74 @@ def heavy_hitters(
     )
 
 
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: list[tuple[int, int]],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Per-key EXACT linear-interpolated percentiles from ORDER
+    STATISTICS — the scale-proof, engine-proof replacement for the
+    built-in ``percentile``: Spark's `percentile` and DuckDB's
+    `quantile_cont` share the definition but their internal position
+    arithmetic can land 1 ulp apart past ~10⁵ rows/group (the
+    r38/r107/spearman caveat class this operator closes). Here the
+    position is EXACT RATIONAL arithmetic — for q = num/den over n
+    rows, ``pos = (n−1)·num``; lower rank = ``pos div den + 1``,
+    ``rem = pos mod den`` — the two order statistics are selected by
+    integer rank, and the one interpolation
+    ``lower + (rem/den)·(upper−lower)`` is an identical double
+    expression any engine reproduces bit-for-bit from identical
+    inputs.
+
+    Scale shape: ranks come from the tie-aggregated two-phase keyed
+    prefix sum (``ranking.keyed_running_sum``) — never a per-key sort
+    through one reducer (the built-in `percentile` aggregate
+    materializes each group's values in ONE aggregation buffer, the
+    same single-reducer hazard in different clothes). One conditional
+    aggregate then folds the ≤ 2·|quantiles| selected rows per key.
+    Output: one row per key with a ``p_<num>_<den>`` column per
+    quantile."""
+    from datalake_backend_spark.operators.ranking import keyed_running_sum
+
+    keys = keys or []
+    g = df.groupBy(*keys, value_col).agg(F.count("*").alias("_cnt"))
+    cum = keyed_running_sum(g, keys, [value_col], "_cnt", out_col="_hi")
+    # each distinct value covers 1-based ranks (_hi−_cnt+1 .. _hi)
+    tot = g.groupBy(*keys).agg(F.sum("_cnt").alias("_n")) if keys else (
+        g.agg(F.sum("_cnt").alias("_n"))
+    )
+    d = cum.join(tot, keys) if keys else cum.crossJoin(F.broadcast(tot))
+    aggs = []
+    for num, den in quantiles:
+        pos = (F.col("_n") - 1) * F.lit(num)
+        lo_rank = F.floor(pos / F.lit(den)) + 1
+        rem = pos - (lo_rank - 1) * F.lit(den)
+        lo = F.min(
+            F.when(
+                (lo_rank >= F.col("_hi") - F.col("_cnt") + 1)
+                & (lo_rank <= F.col("_hi")),
+                F.col(value_col),
+            )
+        )
+        hi = F.min(
+            F.when(
+                (lo_rank + 1 >= F.col("_hi") - F.col("_cnt") + 1)
+                & (lo_rank + 1 <= F.col("_hi")),
+                F.col(value_col),
+            )
+        )
+        frac = F.max(rem).cast("double") / F.lit(float(den))
+        aggs.append(
+            (
+                lo.cast("double")
+                + frac
+                * (F.coalesce(hi, lo).cast("double") - lo.cast("double"))
+            ).alias(f"p_{num}_{den}")
+        )
+    return d.groupBy(*keys).agg(*aggs) if keys else d.groupBy().agg(*aggs)
+
+
 def bucketize_by_quantiles(
     df: DataFrame,
     value_col: str,

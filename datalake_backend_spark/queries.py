@@ -1189,27 +1189,62 @@ SELECT COUNT(*) AS n_union_users FROM (
 # q38-q40 — percentiles, time-series bucketing, salted aggregation.
 # ---------------------------------------------------------------------------
 def q38_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per event type (the serving tier's
-    latency-quantile shape). Spark ``percentile`` and DuckDB
-    ``quantile_cont`` share the linear-interpolation definition; inputs
-    are identical doubles, so outputs match bit-for-bit at the driver
-    SFs. Past ~10⁵ rows/group the position arithmetic can land 1 ulp
-    apart (observed once at sf1.0: p90 114.77 vs 114.77000000000001 —
-    the r107/spearman caveat class); compare at 10dp at that size."""
+    """Exact interpolated percentiles per event type (the serving
+    tier's latency-quantile shape) via `dbs.operators.distributions
+    .exact_percentiles` — order statistics selected by EXACT RATIONAL
+    rank arithmetic and ONE shared interpolation expression, so the
+    value is bit-identical in any engine AT ANY SCALE. The previous
+    built-in `percentile` vs `quantile_cont` pairing diverged 1 ulp
+    past ~10⁵ rows/group (caught by the round-12 sf1.0 sweep: p90
+    114.77 vs 114.77000000000001) because each engine's internal
+    position arithmetic differs; it also materializes every group in
+    one aggregation buffer — the single-reducer hazard. The twin
+    rebuilds the identical rank selection with one window over
+    distinct values."""
+    from datalake_backend_spark.operators.distributions import (
+        exact_percentiles,
+    )
+
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("p50"),
-        F.percentile("value", F.lit(0.9)).alias("p90"),
-        F.percentile("value", F.lit(0.99)).alias("p99"),
+    return exact_percentiles(
+        ev, "value", [(1, 2), (9, 10), (99, 100)], ["event_type"]
+    ).select(
+        "event_type",
+        F.col("p_1_2").alias("p50"),
+        F.col("p_9_10").alias("p90"),
+        F.col("p_99_100").alias("p99"),
     )
 
 
 Q38_SQL = """
+WITH g AS (
+  SELECT event_type, value AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, v, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS hi,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM g
+),
+px AS (
+  SELECT event_type,
+    MIN(CASE WHEN (n-1)*1 // 2 + 1 BETWEEN hi-cnt+1 AND hi THEN v END) AS lo50,
+    MIN(CASE WHEN (n-1)*1 // 2 + 2 BETWEEN hi-cnt+1 AND hi THEN v END) AS hi50,
+    MAX((n-1)*1 % 2) AS rem50,
+    MIN(CASE WHEN (n-1)*9 // 10 + 1 BETWEEN hi-cnt+1 AND hi THEN v END) AS lo90,
+    MIN(CASE WHEN (n-1)*9 // 10 + 2 BETWEEN hi-cnt+1 AND hi THEN v END) AS hi90,
+    MAX((n-1)*9 % 10) AS rem90,
+    MIN(CASE WHEN (n-1)*99 // 100 + 1 BETWEEN hi-cnt+1 AND hi THEN v END) AS lo99,
+    MIN(CASE WHEN (n-1)*99 // 100 + 2 BETWEEN hi-cnt+1 AND hi THEN v END) AS hi99,
+    MAX((n-1)*99 % 100) AS rem99
+  FROM c GROUP BY 1
+)
 SELECT event_type,
-  quantile_cont(value, 0.5) AS p50,
-  quantile_cont(value, 0.9) AS p90,
-  quantile_cont(value, 0.99) AS p99
-FROM events GROUP BY event_type
+  lo50 + CAST(rem50 AS DOUBLE) / 2.0 * (COALESCE(hi50, lo50) - lo50) AS p50,
+  lo90 + CAST(rem90 AS DOUBLE) / 10.0 * (COALESCE(hi90, lo90) - lo90) AS p90,
+  lo99 + CAST(rem99 AS DOUBLE) / 100.0 * (COALESCE(hi99, lo99) - lo99) AS p99
+FROM px
 """
 
 
@@ -13091,41 +13126,62 @@ def r107_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-sketch driver check (KLL/GK-style
     ``approx_percentile``): per-type p50/p95 from the mergeable sketch
     must land inside the exact [p45,p55] / [p93,p97] quantile
-    brackets; the exact percentiles themselves (interpolated) are
-    verified bit-identical against DuckDB's quantile_cont (probed:
-    exact equality holds at the driver SFs — both engines interpolate
-    lower + frac·(upper−lower) on doubles). Cross-engine caveat past
-    ~10⁵ rows per group (same class as spearman_rho's; also hits
-    r38_percentiles): the interpolation position arithmetic can land
-    1 ulp apart — observed once at sf1.0 (p95 149.08 vs
-    149.07999999999998); at that size compare the interpolated
-    columns at 10dp instead of by hash.
-    Sketch state is O(1/ε) per group and merges associatively — the
-    exact percentile is a full sort per group, which is the thing you
-    cannot do per-batch at 100 TB."""
+    brackets; the exact reference percentiles come from
+    `dbs.operators.distributions.exact_percentiles` (order statistics
+    at exact rational ranks + one shared interpolation expression —
+    bit-identical in any engine AT ANY SCALE; the former built-in
+    `percentile` vs `quantile_cont` pairing drifted 1 ulp past ~10⁵
+    rows/group, caught at sf1.0: p95 149.08 vs 149.07999999999998).
+    The bracket bounds stay Spark-internal built-ins (the twin
+    hardcodes the ok flags). Sketch state is O(1/ε) per group and
+    merges associatively — the exact percentile is a full sort per
+    group, which is the thing you cannot do per-batch at 100 TB."""
+    from datalake_backend_spark.operators.distributions import (
+        exact_percentiles,
+    )
+
     ev = table(spark, sf_dir, "events")
+    ex = exact_percentiles(ev, "value", [(1, 2), (19, 20)], ["event_type"])
     agg = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("p50"),
-        F.expr("percentile(value, 0.95)").alias("p95"),
         F.expr("percentile(value, array(0.45, 0.55, 0.93, 0.97))").alias("_br"),
         F.expr("approx_percentile(value, 0.5, 10000)").alias("_a50"),
         F.expr("approx_percentile(value, 0.95, 10000)").alias("_a95"),
     )
-    return agg.select(
+    return agg.join(ex, "event_type").select(
         "event_type",
-        "p50",
-        "p95",
+        F.col("p_1_2").alias("p50"),
+        F.col("p_19_20").alias("p95"),
         F.col("_a50").between(F.col("_br")[0], F.col("_br")[1]).alias("p50_ok"),
         F.col("_a95").between(F.col("_br")[2], F.col("_br")[3]).alias("p95_ok"),
     )
 
 
 R107_SQL = """
+WITH g AS (
+  SELECT event_type, value AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, v, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS hi,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM g
+),
+px AS (
+  SELECT event_type,
+    MIN(CASE WHEN (n-1)*1 // 2 + 1 BETWEEN hi-cnt+1 AND hi THEN v END) AS lo50,
+    MIN(CASE WHEN (n-1)*1 // 2 + 2 BETWEEN hi-cnt+1 AND hi THEN v END) AS hi50,
+    MAX((n-1)*1 % 2) AS rem50,
+    MIN(CASE WHEN (n-1)*19 // 20 + 1 BETWEEN hi-cnt+1 AND hi THEN v END) AS lo95,
+    MIN(CASE WHEN (n-1)*19 // 20 + 2 BETWEEN hi-cnt+1 AND hi THEN v END) AS hi95,
+    MAX((n-1)*19 % 20) AS rem95
+  FROM c GROUP BY 1
+)
 SELECT event_type,
-       quantile_cont(value, 0.5) AS p50,
-       quantile_cont(value, 0.95) AS p95,
-       TRUE AS p50_ok, TRUE AS p95_ok
-FROM events GROUP BY event_type
+  lo50 + CAST(rem50 AS DOUBLE) / 2.0 * (COALESCE(hi50, lo50) - lo50) AS p50,
+  lo95 + CAST(rem95 AS DOUBLE) / 20.0 * (COALESCE(hi95, lo95) - lo95) AS p95,
+  TRUE AS p50_ok, TRUE AS p95_ok
+FROM px
 """
 
 

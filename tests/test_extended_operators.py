@@ -2437,3 +2437,44 @@ def test_hilbert_key_reference_bijective_adjacent(spark):
         abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
         for d in range(n * n - 1)
     )
+
+
+def test_exact_percentiles_matches_numpy_linear(spark):
+    """exact_percentiles (operators/distributions.py; round-12, backs
+    r38/r107): order-statistic selection at exact rational ranks +
+    one shared interpolation must equal numpy's 'linear' percentile
+    to 1e-9 — including tie-heavy data, single-row groups (frac
+    interpolates within the only value), and q hitting an exact rank
+    (rem == 0 -> no interpolation). NOT bit-for-bit vs numpy: numpy
+    computes the position as float q·(n−1) and can drift a few ulp
+    (observed 97.72000000000003 where the exact rational answer is
+    97.72) — the operator's position is exact integer arithmetic, and
+    its CROSS-ENGINE bit-exactness is what the r38/r107 oracles pin."""
+    import numpy as np
+
+    from datalake_backend_spark.operators.distributions import (
+        exact_percentiles,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = np.round(rng.uniform(0, 100, 2000), 0)  # heavy ties
+    keys = rng.integers(0, 3, 2000)
+    rows = [(f"k{k}", float(v)) for k, v in zip(keys, vals)]
+    rows.append(("solo", 42.5))  # single-row group
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        r.k: (r.p_1_4, r.p_1_2, r.p_97_100)
+        for r in exact_percentiles(
+            df, "v", [(1, 4), (1, 2), (97, 100)], ["k"]
+        ).collect()
+    }
+    for k in ("k0", "k1", "k2"):
+        sel = vals[np.array([f"k{x}" for x in keys]) == k]
+        want = tuple(
+            float(np.percentile(sel, p, method="linear"))
+            for p in (25, 50, 97)
+        )
+        assert all(
+            abs(a - b) < 1e-9 for a, b in zip(got[k], want)
+        ), (k, got[k], want)
+    assert got["solo"] == (42.5, 42.5, 42.5)
