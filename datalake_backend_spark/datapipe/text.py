@@ -800,19 +800,18 @@ def bm25_scores(
           = 44·L·tf / (20·L·tf + 6·L + 18·dl·N)
 
     — and the idf is Lucene's ``log(1 + (N−df+½)/(df+½))`` quantized
-    to quarter-bits via pure integer ops: for x ≥ y ≥ 1,
-    ``floor(log2(x/y)) = bit_length(x div y) − 1``, so with x=(2N+2)⁴
-    and y=(2df+1)⁴ the expression ``length(bin(x div y)) − 1`` is
-    exactly ``floor(4·log2((2N+2)/(2df+1)))`` in ANY engine that has
+    to HALF-bits via pure integer ops: for x ≥ y ≥ 1,
+    ``floor(log2(x/y)) = bit_length(x div y) − 1``, so with x=(2N+2)²
+    and y=(2df+1)² the expression ``length(bin(x div y)) − 1`` is
+    exactly ``floor(2·log2((2N+2)/(2df+1)))`` in ANY engine that has
     ``bin()`` (Spark and DuckDB both do). Per-term score is then one
-    BIGINT ``div``; integer sums are order-independent, so the ranking
-    is a bit-exact function of the corpus (oracle r154).
-
-    Int64 bound: ``(2N+2)⁴`` wraps signed-64 once the corpus passes
-    N ≈ 27,550 documents (and ``idf·44·L·tf·scale`` approaches it for
-    huge L·tf) — past that, pre-aggregate/shard the corpus or use
-    :func:`bm25_multi_query`, whose half-bit idf squares only once
-    (int64-safe to N ≈ 1.5·10⁹).
+    exact ``div`` with the numerator widened to DECIMAL(38,0); integer
+    sums are order-independent, so the ranking is a bit-exact function
+    of the corpus (oracle r154) — the same algebra as
+    :func:`bm25_multi_query`, int64-safe to N ≈ 1.5·10⁹ documents /
+    L ≈ 10¹³ tokens (round-13: replaced the quarter-bit idf whose
+    ``(2N+2)⁴`` wrapped signed-64 past N ≈ 27,550 — the one sf1.0
+    verdict that was a tolerance instead of a hash).
 
     Scale shape: one explode (O(tokens)), tf restricted to the query
     terms BEFORE any shuffle (the per-doc groupBy aggregates only
@@ -840,15 +839,17 @@ def bm25_scores(
         .withColumn(
             "idf_q",
             F.expr(
-                "length(bin(((2L*_n + 2L) * (2L*_n + 2L) * (2L*_n + 2L)"
-                " * (2L*_n + 2L)) div ((2L*df_t + 1L) * (2L*df_t + 1L)"
-                " * (2L*df_t + 1L) * (2L*df_t + 1L)))) - 1"
+                "length(bin(((2L*_n + 2L) * (2L*_n + 2L))"
+                " div ((2L*df_t + 1L) * (2L*df_t + 1L)))) - 1"
             ).cast("bigint"),
         )
         .withColumn(
             "term_score",
             F.expr(
-                f"(idf_q * 44L * _l * tf * {scale}L)"
+                # exact integer quotient (`div`); decimal(38,0)
+                # numerator so idf·44·L·tf·scale never wraps int64
+                f"(cast(idf_q as decimal(38,0)) * 44 * _l * tf"
+                f" * {scale})"
                 " div (20L * _l * tf + 6L * _l + 18L * dl * _n)"
             ),
         )

@@ -222,11 +222,17 @@ def exact_percentiles(
     r38/r107/spearman caveat class this operator closes). Here the
     position is EXACT RATIONAL arithmetic — for q = num/den over n
     rows, ``pos = (n−1)·num``; lower rank = ``pos div den + 1``,
-    ``rem = pos mod den`` — the two order statistics are selected by
-    integer rank, and the one interpolation
+    ``rem = pos mod den`` — BIGINT ``div``/``%`` all the way (round-12
+    ADVICE: the earlier ``floor(pos / den)`` double division was only
+    provably exact while ``(n−1)·num < 2⁵³``), the two order
+    statistics are selected by integer rank, and the one interpolation
     ``lower + (rem/den)·(upper−lower)`` is an identical double
     expression any engine reproduces bit-for-bit from identical
-    inputs.
+    inputs. NULL values are dropped before the tie-aggregate, matching
+    Spark ``percentile()`` and DuckDB ``quantile_cont`` NULL semantics
+    (round-12 ADVICE: a NULL tie-group would otherwise occupy ranks
+    and silently shift every quantile; the SQL twins mirror the
+    filter).
 
     Scale shape: ranks come from the tie-aggregated two-phase keyed
     prefix sum (``ranking.keyed_running_sum``) — never a per-key sort
@@ -239,18 +245,25 @@ def exact_percentiles(
     from datalake_backend_spark.operators.ranking import keyed_running_sum
 
     keys = keys or []
-    g = df.groupBy(*keys, value_col).agg(F.count("*").alias("_cnt"))
-    cum = keyed_running_sum(g, keys, [value_col], "_cnt", out_col="_hi")
-    # each distinct value covers 1-based ranks (_hi−_cnt+1 .. _hi)
-    tot = g.groupBy(*keys).agg(F.sum("_cnt").alias("_n")) if keys else (
-        g.agg(F.sum("_cnt").alias("_n"))
+    g = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*keys, value_col)
+        .agg(F.count("*").alias("_cnt"))
     )
-    d = cum.join(tot, keys) if keys else cum.crossJoin(F.broadcast(tot))
+    # each distinct value covers 1-based ranks (_hi−_cnt+1 .. _hi);
+    # total_col rides the offsets metadata — no separate tot aggregate
+    d = keyed_running_sum(
+        g, keys, [value_col], "_cnt", out_col="_hi", total_col="_n"
+    )
     aggs = []
-    for num, den in quantiles:
-        pos = (F.col("_n") - 1) * F.lit(num)
-        lo_rank = F.floor(pos / F.lit(den)) + 1
-        rem = pos - (lo_rank - 1) * F.lit(den)
+    for i, (num, den) in enumerate(quantiles):
+        # BIGINT position arithmetic via SQL div/% on a materialized
+        # column (pyspark exposes no integer-div Column op)
+        d = d.withColumn(
+            f"_pos{i}", ((F.col("_n") - 1) * F.lit(num)).cast("bigint")
+        )
+        lo_rank = F.expr(f"_pos{i} div {den}") + 1
+        rem = F.expr(f"_pos{i} % {den}")
         lo = F.min(
             F.when(
                 (lo_rank >= F.col("_hi") - F.col("_cnt") + 1)
@@ -614,14 +627,17 @@ def ecdf_percentile(
 
     Scale shape: no correlated lookups, no global sort through one
     reducer. Reference and probe rows union with a weight tag (ref=1,
-    probe=0), range-repartition by value, and a partition-LOCAL
-    running weight sum plus broadcast per-partition offsets (the
-    two-phase prefix idiom — the only unpartitioned window runs over
-    #partitions metadata rows) yields each probe's exact inclusive
-    rank in ONE range shuffle. Equal values: reference rows order
-    before probe rows within a tie, so ``≤`` is inclusive; probe rows
-    contribute weight 0, so probes never perturb each other. Exact
-    `div` keeps the scaled percentile engine-independent."""
+    probe=0) and the inclusive prefix weight sum comes from the
+    two-phase kernel (``ranking.keyed_running_sum`` — value-derived
+    buckets, per-bucket windows, metadata offsets; round-13 replaced
+    this operator's own ``localCheckpoint`` + ``spark_partition_id``
+    variant, the forced-materialization cost the kernel rework
+    removed everywhere else). Equal values: reference rows order
+    before probe rows within a tie (secondary key −w), so ``≤`` is
+    inclusive; probe rows contribute weight 0, so probes never
+    perturb each other. ``|ref|`` rides the kernel's ``total_col``
+    metadata. Exact `div` keeps the scaled percentile
+    engine-independent."""
     keep = keep_cols or []
     # fail fast on an empty reference: `pct div _nr` with _nr=0 is NULL
     # in Spark, which would quietly yield all-NULL percentiles instead
@@ -640,39 +656,22 @@ def ecdf_percentile(
             *keep,
         )
     )
-    part = Window.partitionBy("_p").orderBy(F.col("_v"), F.desc("_w"))
-    # FREEZE the partitioning before fanning out to the offsets branch
-    # and the data branch: spark_partition_id() is assigned on the
-    # shuffle READ side, where AQE coalescing and range-boundary
-    # RESAMPLING can differ between two consumers of the same subtree
-    # — offsets computed under one partitioning joined to rows under
-    # another silently corrupts or drops rows (observed: a 5-partition
-    # offsets branch inner-joined against a 32-partition data branch).
-    # The eager localCheckpoint pins ONE materialization for both.
-    parted = (
-        u.repartitionByRange(F.col("_v"))
-        .withColumn("_p", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    from datalake_backend_spark.operators.ranking import keyed_running_sum
+
+    # secondary order key −w puts ref rows (w=1) before probe rows
+    # (w=0) inside a value tie, making the prefix count inclusive
+    cum = keyed_running_sum(
+        u.withColumn("_negw", -F.col("_w")),
+        [],
+        ["_v", "_negw"],
+        "_w",
+        out_col="_cnt",
+        total_col="_nr",
     )
-    base = parted.withColumn(
-        "_cnt",
-        F.sum("_w").over(part.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    sizes = parted.groupBy("_p").agg(F.sum("_w").alias("_n"))
-    off_w = Window.orderBy("_p").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sizes.select(
-        "_p", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
-    )
-    nref = ref.agg(F.count("*").alias("_nr"))
-    return (
-        base.where(F.col("_w") == 0)
-        .join(F.broadcast(offsets), "_p")
-        .crossJoin(F.broadcast(nref))
-        .select(
-            *keep,
-            F.col("_v").alias(probe_col),
-            F.expr(f"((_cnt + _off) * {scale}L) div _nr").alias("pct_scaled"),
-        )
+    return cum.where(F.col("_w") == 0).select(
+        *keep,
+        F.col("_v").alias(probe_col),
+        F.expr(f"(_cnt * {scale}L) div _nr").alias("pct_scaled"),
     )
 
 
@@ -768,7 +767,9 @@ def winsorized_mean(
     if not 0 <= low_pct < high_pct <= 100:
         raise ValueError("need 0 <= low_pct < high_pct <= 100")
     s = F.floor(F.col(value_col) * F.lit(10**scale)).cast("bigint")
-    d = keyed_running_sum(
+    # per-group n = grand total of _one, riding the offsets metadata
+    # (total_col) — no separate count aggregate or broadcast join
+    ranked = keyed_running_sum(
         df.select(*keys, value_col, id_col, s.alias("_s")).withColumn(
             "_one", F.lit(1).cast("bigint")
         ),
@@ -776,11 +777,8 @@ def winsorized_mean(
         [value_col, id_col],
         "_one",
         out_col="_r",
-    ).select(*keys, "_s", "_r")
-    # two-step: per-group n first, then the rank-indexed bounds via a
-    # conditional aggregate against the broadcast n
-    bounds = d.groupBy(*keys).agg(F.count("*").alias("n"))
-    ranked = d.join(F.broadcast(bounds), keys)
+        total_col="n",
+    ).select(*keys, "_s", "_r", "n")
     lims = ranked.groupBy(*keys).agg(
         F.max(
             F.when(
@@ -1120,11 +1118,12 @@ def weighted_median(
         .groupBy(*key_cols, "_v")
         .agg(F.sum("_w").alias("_w"))
     )
-    cum = keyed_running_sum(g, key_cols, ["_v"], "_w", out_col="_cumw")
-    tot = g.groupBy(*key_cols).agg(F.sum("_w").alias("_totw"))
+    # _totw rides the offsets metadata — no separate tot aggregate
+    cum = keyed_running_sum(
+        g, key_cols, ["_v"], "_w", out_col="_cumw", total_col="_totw"
+    )
     return (
-        cum.join(tot, key_cols)
-        .where(F.col("_cumw") * 2 >= F.col("_totw"))
+        cum.where(F.col("_cumw") * 2 >= F.col("_totw"))
         .groupBy(*key_cols)
         .agg(
             F.min("_v").alias("weighted_median_scaled"),
@@ -1630,11 +1629,11 @@ def weighted_quantiles(
         .groupBy(*key_cols, "_v")
         .agg(F.sum("_w").alias("_w"))
     )
-    cum = keyed_running_sum(g, key_cols, ["_v"], "_w", out_col="_cum")
-    tot = g.groupBy(*key_cols).agg(F.sum("_w").alias("_tot"))
-    # plain equi-join on keys: one row per key, AQE broadcasts it when
-    # small; forcing broadcast would backfire on high-cardinality keys
-    d = cum.join(tot, key_cols)
+    # _tot rides the offsets metadata — no separate tot aggregate or
+    # join over g (round-13 bench reclaim)
+    d = keyed_running_sum(
+        g, key_cols, ["_v"], "_w", out_col="_cum", total_col="_tot"
+    )
     aggs = []
     for num, den in quantiles:
         crossed = F.col("_cum") * F.lit(den) >= F.col("_tot") * F.lit(num)

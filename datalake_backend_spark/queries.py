@@ -1219,7 +1219,7 @@ def q38_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q38_SQL = """
 WITH g AS (
   SELECT event_type, value AS v, CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ),
 c AS (
   SELECT event_type, v, cnt,
@@ -5357,9 +5357,11 @@ def r154_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k driver check (`dbs.datapipe.text.bm25_scores`): rank
     every document against a 3-term query with integer-rational BM25
     (exact tf-saturation algebra over the common denominator
-    20·L·tf + 6·L + 18·dl·N; Lucene idf quantized to quarter-bits via
-    ``length(bin((2N+2)⁴ div (2df+1)⁴)) − 1`` — pure BIGINT/string ops
-    both engines share) and release the top 20 by (score desc, doc_id).
+    20·L·tf + 6·L + 18·dl·N; Lucene idf quantized to half-bits via
+    ``length(bin((2N+2)² div (2df+1)²)) − 1`` with a DECIMAL(38,0)
+    numerator — pure integer ops both engines share, int64-safe to
+    N ≈ 1.5·10⁹ docs, so the sf1.0 verdict is a hash, not a
+    tolerance) and release the top 20 by (score desc, doc_id).
     The DuckDB twin recomputes every factor from the same tokenizer;
     a tokenizer drift, an avgdl off-by-one, an idf rounding flip, or
     an unstable tie-break all break the hash."""
@@ -5391,12 +5393,13 @@ dft AS (
 ),
 scored AS (
   SELECT q.doc_id,
-         (CAST(length(bin(CAST(
-             ((2*c.n + 2) * (2*c.n + 2) * (2*c.n + 2) * (2*c.n + 2))
-             // ((2*f.df_t + 1) * (2*f.df_t + 1) * (2*f.df_t + 1)
-                 * (2*f.df_t + 1)) AS BIGINT))) - 1 AS BIGINT)
+         CAST((CAST(length(bin(CAST(
+             ((2*c.n + 2) * (2*c.n + 2))
+             // ((2*f.df_t + 1) * (2*f.df_t + 1)) AS BIGINT))) - 1
+             AS HUGEINT)
           * 44 * c.l * q.tf * 1000000)
-         // (20 * c.l * q.tf + 6 * c.l + 18 * d.dl * c.n) AS term_score
+         // (20 * c.l * q.tf + 6 * c.l + 18 * d.dl * c.n) AS BIGINT)
+           AS term_score
   FROM qtf q JOIN dft f USING (term) JOIN dl d USING (doc_id), corpus c
 )
 SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score_scaled
@@ -13159,7 +13162,7 @@ def r107_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 R107_SQL = """
 WITH g AS (
   SELECT event_type, value AS v, CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ),
 c AS (
   SELECT event_type, v, cnt,
@@ -13435,6 +13438,7 @@ GROUP BY d.source
 # by test_entry).
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QuerySpec] = {
+
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_SQL, "A8,A13,F17,S-scan"),
     "q04_order_rollup": QuerySpec(q04_order_rollup, Q04_SQL, "A1,W6"),
     "q08_time_in_state": QuerySpec(q08_time_in_state, Q08_SQL, "W2"),
@@ -13475,12 +13479,6 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q137_media_source": QuerySpec(
         r137_media_source, _r137_sql(), "source-python-datasource,media-files"
-    ),
-    # Round 8 (sixth) rotation survivors: the only text-REWRITING
-    # dedup and the end-to-end media lifecycle (q139 VARIANT and q148
-    # SemDeDup rotated back to reserve in round 10).
-    "q141_span_dedup": QuerySpec(
-        r141_span_dedup, R141_SQL, "dedup-substring-spans,text-rewrite"
     ),
     "q145_pagerank": QuerySpec(
         r145_pagerank, R145_SQL, "graph-pagerank,iterative"
@@ -13529,11 +13527,36 @@ QUERIES: dict[str, QuerySpec] = {
     "q173_search_serving": QuerySpec(
         r173_search_serving, R173_SQL, "search-serving-view,bm25-from-index"
     ),
+    # Round 13 rotation: the six largest remaining never-driver
+    # families earn window rows (association, experiment/CUPED,
+    # sequence/Markov, calibration/ECDF, evaluation/lift-gains,
+    # allocation/FIFO — per tools/driver_window_audit.py);
+    # q57/q58/q59/q66/q80/q141 demoted with family cover
+    # (pipelines keep q47/q51-q56/q60, streaming keeps q74/q95/
+    # q111/q254, dedup keeps q62/q71/q166).
+    "q175_item_cooccurrence": QuerySpec(
+        r175_item_cooccurrence, R175_SQL, "association-cooccurrence,apriori-k2"
+    ),
     "q178_entity_resolution": QuerySpec(
         r178_entity_resolution, R178_SQL, "er-pipeline,block-verify-cluster"
     ),
+    "q181_cuped": QuerySpec(
+        r181_cuped, R181_SQL, "experiment-cuped,variance-reduction"
+    ),
+    "q182_markov_transitions": QuerySpec(
+        r182_markov_transitions, R182_SQL, "sequence-markov-matrix,behavior"
+    ),
+    "q183_ecdf_percentile": QuerySpec(
+        r183_ecdf_percentile, R183_SQL, "calibration-ecdf,quantile-transform"
+    ),
     "q196_radius_join": QuerySpec(
         r196_radius_join, R196_SQL, "geo-radius-join,grid-blocking"
+    ),
+    "q212_score_deciles": QuerySpec(
+        r212_score_deciles, R212_SQL, "evaluation-lift-gains,decile-capture"
+    ),
+    "q217_fifo_allocation": QuerySpec(
+        r217_fifo_allocation, R217_SQL, "allocation-fifo,interval-overlap"
     ),
     "q231_kaplan_meier": QuerySpec(
         r231_kaplan_meier, R231_SQL, "survival-kaplan-meier,censoring"
@@ -13566,23 +13589,11 @@ QUERIES: dict[str, QuerySpec] = {
     "q56_safety_pipeline": QuerySpec(
         q56_safety_pipeline, Q56_SQL, "pipeline-safety,A12,A10,W4,F13"
     ),
-    "q57_pose_pipeline": QuerySpec(
-        q57_pose_pipeline, Q57_SQL, "pipeline-pose,P4,W9,A13"
-    ),
-    "q58_animal_pipeline": QuerySpec(
-        q58_animal_pipeline, Q58_SQL, "pipeline-animal,P8,F7,F8,A4"
-    ),
-    "q59_geolocation_pipeline": QuerySpec(
-        q59_geolocation_pipeline, Q59_SQL, "pipeline-geolocation,P1,P2,P4,A13"
-    ),
     "q60_common_pipeline": QuerySpec(
         q60_common_pipeline, Q60_SQL, "pipeline-common,F8,A4,A1"
     ),
     "q62_embedding_near_dup": QuerySpec(
         q62_embedding_near_dup, _q62_sql(), "dedup-embedding,similarity-lsh"
-    ),
-    "q66_streaming_sessions": QuerySpec(
-        q66_streaming_sessions, Q66_SQL, "streaming-sessions,W7"
     ),
     "q69_repetition_metrics": QuerySpec(
         q69_repetition_metrics, Q69_SQL, "quality-repetition,gopher-filters"
@@ -13608,9 +13619,6 @@ QUERIES: dict[str, QuerySpec] = {
     # r38/r39/r65/r68 below) moved to the reserve tier to make room.
     "q78_source_caps": QuerySpec(
         q78_source_caps, Q78_SQL, "sampling-domain-caps,topk-per-group"
-    ),
-    "q80_streaming_silver_sink": QuerySpec(
-        q80_streaming_silver_sink, Q80_SQL, "streaming-sink,exactly-once-epochs"
     ),
     # Round 5 second rotation: the versioned-lakehouse, audio-codec,
     # and streaming-dedup surfaces earn driver-green rows; q29/q40/
@@ -13741,6 +13749,11 @@ QUERIES: dict[str, QuerySpec] = {
     "r140_dv_skipping": QuerySpec(
         r140_dv_skipping, R140_SQL, "lakehouse-dv-skipping-composition"
     ),
+    # demoted round 13 (dedup keeps q62/q71/q166 in-window; span
+    # rewrite stays oracle-swept as r141)
+    "r141_span_dedup": QuerySpec(
+        r141_span_dedup, R141_SQL, "dedup-substring-spans,text-rewrite"
+    ),
     "r142_ngram_lm_stats": QuerySpec(
         r142_ngram_lm_stats, R142_SQL, "text-lm-counts,kneser-ney"
     ),
@@ -13816,9 +13829,6 @@ QUERIES: dict[str, QuerySpec] = {
     "r174_sorted_neighborhood": QuerySpec(
         r174_sorted_neighborhood, R174_SQL, "er-blocking-sorted-neighborhood"
     ),
-    "r175_item_cooccurrence": QuerySpec(
-        r175_item_cooccurrence, R175_SQL, "association-cooccurrence,apriori-k2"
-    ),
     "r176_star_join": QuerySpec(
         r176_star_join, R176_SQL, "J-star-snowflake,broadcast-dims"
     ),
@@ -13831,15 +13841,6 @@ QUERIES: dict[str, QuerySpec] = {
     "r17_renest_lineitems": QuerySpec(q17_renest_lineitems, Q17_SQL, "E5,A7,O1"),
     "r180_cusum": QuerySpec(
         r180_cusum, R180_SQL, "timeseries-cusum,change-point"
-    ),
-    "r181_cuped": QuerySpec(
-        r181_cuped, R181_SQL, "experiment-cuped,variance-reduction"
-    ),
-    "r182_markov_transitions": QuerySpec(
-        r182_markov_transitions, R182_SQL, "sequence-markov-matrix,behavior"
-    ),
-    "r183_ecdf_percentile": QuerySpec(
-        r183_ecdf_percentile, R183_SQL, "calibration-ecdf,quantile-transform"
     ),
     # byte order: '4' < '_', so r184 sorts after r183_* but before r18_*
     "r184_mp4_metadata": QuerySpec(
@@ -13929,9 +13930,6 @@ QUERIES: dict[str, QuerySpec] = {
     "r211_abc_classification": QuerySpec(
         r211_abc_classification, R211_SQL, "olap-abc,pareto"
     ),
-    "r212_score_deciles": QuerySpec(
-        r212_score_deciles, R212_SQL, "evaluation-lift-gains,decile-capture"
-    ),
     "r213_range_frame_sum": QuerySpec(
         r213_range_frame_sum, R213_SQL, "window-range-frame,rolling"
     ),
@@ -13943,9 +13941,6 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r216_phrase_search": QuerySpec(
         r216_phrase_search, R216_SQL, "search-phrase,positional-index"
-    ),
-    "r217_fifo_allocation": QuerySpec(
-        r217_fifo_allocation, R217_SQL, "allocation-fifo,interval-overlap"
     ),
     "r218_pit_enrich": QuerySpec(
         r218_pit_enrich, R218_SQL, "lakehouse-pit-join,scd2-enrich"
@@ -14110,11 +14105,26 @@ QUERIES: dict[str, QuerySpec] = {
     "r50_state_session_summary": QuerySpec(
         q50_state_session_summary, Q50_SQL, "W7-state,A13"
     ),
+    # demoted round 13 (pipeline family keeps q47/q51-q56/q60
+    # in-window; pose/animal/geolocation stay oracle-swept)
+    "r57_pose_pipeline": QuerySpec(
+        q57_pose_pipeline, Q57_SQL, "pipeline-pose,P4,W9,A13"
+    ),
+    "r58_animal_pipeline": QuerySpec(
+        q58_animal_pipeline, Q58_SQL, "pipeline-animal,P8,F7,F8,A4"
+    ),
+    "r59_geolocation_pipeline": QuerySpec(
+        q59_geolocation_pipeline, Q59_SQL, "pipeline-geolocation,P1,P2,P4,A13"
+    ),
     "r61_scd2_merge": QuerySpec(q61_scd2_merge, Q61_SQL, "merge-scd2"),
     "r63_ivf_ann": QuerySpec(q63_ivf_ann, Q63_SQL, "similarity-ivf,A15"),
     "r64_upsert_merge": QuerySpec(q64_upsert_merge, Q64_SQL, "merge-upsert"),
     "r65_normalized_fingerprint": QuerySpec(
         q65_normalized_fingerprint, Q65_SQL, "text-normalize,text-fingerprint"
+    ),
+    # demoted round 13 (streaming keeps q74/q95/q111/q254)
+    "r66_streaming_sessions": QuerySpec(
+        q66_streaming_sessions, Q66_SQL, "streaming-sessions,W7"
     ),
     "r67_chunk_overlap": QuerySpec(
         q67_chunk_overlap, Q67_SQL, "dedup-containment,text-fingerprint"
@@ -14138,6 +14148,10 @@ QUERIES: dict[str, QuerySpec] = {
     # watermarked tumbling-window shape stays oracle-checked here)
     "r79_streaming_window_counts": QuerySpec(
         q79_streaming_window_counts, Q79_SQL, "streaming-windows,watermark"
+    ),
+    # demoted round 13 (streaming keeps q74/q95/q111/q254)
+    "r80_streaming_silver_sink": QuerySpec(
+        q80_streaming_silver_sink, Q80_SQL, "streaming-sink,exactly-once-epochs"
     ),
     # demoted round 12 (dedup keeps q62/q71/q141/q166 in-window)
     "r81_line_dedup": QuerySpec(

@@ -34,14 +34,16 @@ def test_primary_tier_fills_driver_window():
     # locally (tools/check_oracle.py), not by the driver
     assert all(k.startswith("r") for k in keys[PRIMARY_TIER_SIZE:])
     must_have = (
-        [f"q{n}" for n in range(51, 61)]  # domain pipelines
-        + ["q47", "q66", "q73", "q74"]
+        # domain pipelines (q57/q58/q59 demoted round 13 — pipeline
+        # family keeps q47/q51-q56/q60 in-window)
+        [f"q{n}" for n in (51, 52, 53, 54, 55, 56, 60)]
+        + ["q47", "q73", "q74"]
         # round-5 rotation survivors (q75/q82/q86 demoted round 7;
         # q77/q85/q94/q96 demoted round 8; q34/q76/q83/q120 demoted
         # round 9 with family cover; q84 demoted round 11; q79/q81
-        # demoted round 12 — streaming keeps q66/q74/q80/q95/q111,
-        # dedup keeps q62/q71/q141/q166)
-        + [f"q{n}" for n in (78, 80)]
+        # demoted round 12; q66/q80 demoted round 13 — streaming
+        # keeps q74/q95/q111/q254, dedup keeps q62/q71/q166)
+        + ["q78"]
         # second round-5 rotation survivors (q91 demoted round 12 —
         # lakehouse keeps q109/q150)
         + ["q95"]
@@ -49,9 +51,10 @@ def test_primary_tier_fills_driver_window():
         # (q127/q135 demoted round 11 — codec cover via q131,
         # lakehouse cover via q91/q150/q109)
         + ["q137", "q145"]
-        # round-8 rotation survivors: span-rewrite dedup, media
-        # lifecycle (q139/q148 demoted round 10)
-        + ["q141", "q153"]
+        # round-8 rotation survivors: media lifecycle (q139/q148
+        # demoted round 10; q141 span-rewrite demoted round 13 with
+        # dedup cover via q62/q71/q166)
+        + ["q153"]
         # round-9 rotation survivors: inverted index, exact
         # set-similarity join (q128/q152 demoted round 10)
         + ["q134", "q166"]
@@ -66,6 +69,11 @@ def test_primary_tier_fills_driver_window():
         # survival Kaplan-Meier, incremental streaming KMV); q15/q26/
         # q79/q81/q91 demoted with family cover
         + ["q159", "q172", "q196", "q231", "q254"]
+        # round-13 rotation: the six largest remaining never-driver
+        # families — association co-occurrence, CUPED experiment,
+        # Markov sequence, ECDF calibration, lift-gains evaluation,
+        # FIFO allocation (per tools/driver_window_audit.py)
+        + ["q175", "q181", "q182", "q183", "q212", "q217"]
     )
     for prefix in must_have:
         assert any(k.startswith(prefix + "_") for k in primary), prefix

@@ -332,6 +332,39 @@ def test_global_running_sum_no_unpartitioned_data_window(spark):
     assert top.cum_value == top.value
 
 
+def test_ranking_family_no_checkpoint_scan(spark):
+    """global_rank / ntile_exact / keyed_running_sum (operators/
+    ranking.py; round-12 VERDICT ask #3): the two-phase prefix family
+    must derive its buckets from VALUES (frozen boundary literals) —
+    never from ``localCheckpoint``-pinned ``spark_partition_id``,
+    whose eager materialization writes the whole frame to executor
+    disks (a real cost at 100 TB). A checkpointed frame surfaces in
+    the plan as a ``Scan ExistingRDD`` leaf, so with a parquet input
+    the only leaves must be the parquet scan / its in-memory cache
+    (a createDataFrame input would itself be an ExistingRDD — hence
+    the file source here)."""
+    from datalake_backend_spark.operators.ranking import (
+        keyed_running_sum,
+        ntile_exact,
+    )
+
+    df = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            (F.col("o_totalprice") * 100).cast("bigint").alias("value"),
+        )
+    )
+    n = df.count()
+    for out in (
+        ntile_exact(df, ["value", "id"], 4),
+        keyed_running_sum(df, [], ["value", "id"], "value"),
+    ):
+        plan = plan_of(out)
+        assert "ExistingRDD" not in plan, plan[:2000]
+        assert out.count() == n
+
+
 def test_keyed_running_sum_matches_window_semantics(spark):
     """keyed_running_sum (operators/ranking.py; round-12 scale fix):
     the two-phase per-key prefix sum must equal the plain per-key

@@ -36,7 +36,7 @@ DEFAULT_QUERIES = [
     "q74_stateful_slot_tracker",
     "r76_dedup_clusters",
     "r146_tf_cosine_pairs",
-    "r175_item_cooccurrence",
+    "q175_item_cooccurrence",
 ]
 
 SF01 = "/root/testdata/sf0.1"
