@@ -1598,10 +1598,11 @@ def sorted_neighborhood_pairs(
     :func:`near_dup_minhash`.
 
     Scale shape: the global rank is computed WITHOUT a single-
-    partition window — range-repartition by (key, id), rank within
-    partitions, then add per-partition offsets from a prefix sum over
-    #partitions metadata rows (the same two-phase idiom as
-    packing.py). Neighbor pairs come from an equi-join on rank-block
+    partition window — the shared two-phase kernel
+    (``operators.ranking.global_rank``: sampled full-tuple splitter
+    buckets over (key, id), per-bucket ranks, metadata offsets; round
+    13 replaced this operator's own localCheckpoint +
+    spark_partition_id variant). Neighbor pairs come from an equi-join on rank-block
     ``r div window``: each left row probes its own block and the next
     one, so every qualifying pair joins exactly once and no sort ever
     funnels through one reducer. Output is a deterministic function of
@@ -1615,39 +1616,19 @@ def sorted_neighborhood_pairs(
     ``{col}_b``. Carrying widens the block-join shuffle by the
     payload width, but replaces TWO full shuffled joins back to the
     base table — at 100 TB the joins lose."""
-    from pyspark.sql import Window
+    from datalake_backend_spark.operators.ranking import global_rank
 
     if window < 2:
         raise ValueError("window must be >= 2")
     carry = carry_cols or []
-    part = Window.partitionBy("_p").orderBy("_k", "_id")
-    # FREEZE the partitioning before the offsets branch and the rank
-    # branch both consume it: spark_partition_id() is assigned on the
-    # shuffle READ side, where AQE coalescing and range-boundary
-    # resampling can differ per consumer — offsets from one
-    # partitioning joined to ranks from another corrupt the global
-    # rank. The eager localCheckpoint pins one materialization.
-    base = (
-        df.select(
-            F.col(key_col).alias("_k"),
-            F.col(id_col).alias("_id"),
-            *[F.col(c).alias(f"_c{i}") for i, c in enumerate(carry)],
-        )
-        .repartitionByRange("_k", "_id")
-        .withColumn("_p", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-        .withColumn("_lr", F.row_number().over(part).cast("bigint"))
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(id_col).alias("_id"),
+        *[F.col(c).alias(f"_c{i}") for i, c in enumerate(carry)],
     )
-    # tiny frame: one row per partition — the unpartitioned window
-    # below runs over #partitions rows of metadata, never data
-    sizes = base.groupBy("_p").agg(F.count("*").alias("_n"))
-    off_w = Window.orderBy("_p").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sizes.select(
-        "_p", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
-    )
-    ranked = base.join(F.broadcast(offsets), "_p").select(
+    ranked = global_rank(base, ["_k", "_id"], out_col="_r").select(
         "_id",
-        (F.col("_lr") + F.col("_off")).alias("_r"),
+        "_r",
         *[f"_c{i}" for i in range(len(carry))],
     )
     lhs = ranked.select(

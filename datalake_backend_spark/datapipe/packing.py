@@ -8,24 +8,18 @@ sequence window it starts in, and how many windows it spans.
 
 The global running sum is the scale problem: `SUM() OVER (ORDER BY
 key)` with no PARTITION BY moves the whole corpus through ONE task.
-:func:`token_stream_offsets` computes the identical result with the
-classic two-phase plan instead:
-
-1. range-partition + sort by key (one shuffle of (key, n_tokens)
-   pairs — never text);
-2. per-partition token totals (a handful of rows — one per partition);
-3. exclusive prefix sum over those totals (a window over
-   cluster-parallelism-sized metadata, not data);
-4. broadcast the per-partition offsets back and add a
-   partition-local running sum.
-
-Every step is bounded: the only partition-less window runs over
-``#partitions`` rows, and the data-sized windows are all partitioned.
+:func:`token_stream_offsets` computes the identical result through
+the shared two-phase prefix-sum kernel
+(``operators.ranking.keyed_running_sum``): sampled value-derived
+bucket boundaries, per-bucket windows, and an exclusive prefix over
+``#buckets`` metadata rows — every data-sized window partitioned, no
+``localCheckpoint`` materialization (round 13; the earlier
+spark_partition_id variant froze the whole frame to executor disks).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from datalake_backend_spark.datapipe.text import token_count
@@ -48,40 +42,20 @@ def token_stream_offsets(
     """
     if token_count_col is None:
         d = df.withColumn("_n_tok", token_count(F.col(text_col)).cast("long"))
-        token_count_col = "_n_tok"
     else:
         d = df.withColumn("_n_tok", F.col(token_count_col).cast("long"))
-        token_count_col = "_n_tok"
-    d = d.repartitionByRange(F.col(key_col)).sortWithinPartitions(key_col)
-    # FREEZE the partitioning before the totals branch and the final
-    # join both consume it: spark_partition_id() is assigned on the
-    # shuffle READ side, where AQE coalescing and range-boundary
-    # resampling can differ per consumer — offsets from one
-    # partitioning joined to rows from another corrupt the prefix sum.
-    d = d.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
-        eager=True
-    )
-    totals = d.groupBy("_pid").agg(F.sum("_n_tok").alias("_pt"))
-    # exclusive prefix over per-partition totals: #partitions rows, so
-    # the partition-less window is metadata-sized by construction
-    w_parts = Window.orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = totals.select(
-        "_pid", F.coalesce(F.sum("_pt").over(w_parts), F.lit(0)).alias("_off")
-    )
-    w_local = (
-        Window.partitionBy("_pid")
-        .orderBy(key_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    # inclusive prefix sum from the shared two-phase kernel
+    # (ranking.keyed_running_sum — value-derived buckets, per-bucket
+    # windows, metadata offsets; round-13 replaced this operator's own
+    # localCheckpoint + spark_partition_id variant, the last forced
+    # materialization on a driver-window path), then subtract the
+    # row's own count for the exclusive offset
+    from datalake_backend_spark.operators.ranking import keyed_running_sum
+
+    cum = keyed_running_sum(d, [], [key_col], "_n_tok", out_col="_incl")
     return (
-        d.join(F.broadcast(offsets), "_pid")
-        .withColumn(
-            out_col,
-            F.col("_off") + F.coalesce(F.sum("_n_tok").over(w_local), F.lit(0)),
-        )
-        .drop("_pid", "_off", "_n_tok")
+        cum.withColumn(out_col, F.col("_incl") - F.col("_n_tok"))
+        .drop("_incl", "_n_tok")
     )
 
 

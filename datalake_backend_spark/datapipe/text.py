@@ -435,59 +435,36 @@ def vocab_coverage(
 
     Scale shape: tokens hash-aggregate to (token, cnt) — the only
     corpus-sized shuffle, with map-side partials — then the cumulative
-    rank runs over the VOCABULARY (orders of magnitude smaller) with
-    the same two-phase prefix sum as `packing.token_stream_offsets`:
-    range-repartition by (cnt desc, token), per-partition totals, an
-    exclusive window over #partitions metadata rows, and a broadcast
-    join back. No vocabulary-sized single-partition sort.
+    rank runs over the VOCABULARY (orders of magnitude smaller) via
+    the shared two-phase kernel (``operators.ranking
+    .keyed_running_sum``) ordered by (−cnt, token). Full-tuple
+    splitters, because the zipf tail makes cnt=1 a giant tie group a
+    count-only boundary could never split; the grand total rides the
+    kernel's ``total_col`` metadata (BIGINT end to end — total·num
+    overflowed int32 at sf1.0 before round 12). Round 13 replaced this
+    operator's own localCheckpoint + spark_partition_id prefix sum
+    (which also left a never-unpersisted cache behind). No
+    vocabulary-sized single-partition sort.
     """
-    from pyspark.sql import Window
-
-    from pyspark import StorageLevel
+    from datalake_backend_spark.operators.ranking import keyed_running_sum
 
     num, den = coverage
     toks = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
-    # persisted: the vocabulary feeds three consumers (total, partition
-    # totals, the stitched join) — without it each branch re-aggregates
-    # the corpus
-    counts = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    total = counts.agg(F.sum("cnt")).first()[0] or 0
-    d = (
-        counts.repartitionByRange(F.col("cnt").desc(), F.col("token"))
-        .sortWithinPartitions(F.col("cnt").desc(), F.col("token"))
-        .withColumn("_pid", F.spark_partition_id())
-        # freeze: offsets and the stitched join must read the SAME
-        # partitioning — read-side AQE coalescing / boundary
-        # resampling can differ per consumer (see packing.py)
-        .localCheckpoint(eager=True)
-    )
-    totals = d.groupBy("_pid").agg(F.sum("cnt").alias("_pt"))
-    w_parts = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "_pid", F.coalesce(F.sum("_pt").over(w_parts), F.lit(0)).alias("_off")
-    )
-    w_local = (
-        Window.partitionBy("_pid")
-        .orderBy(F.col("cnt").desc(), F.col("token"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = keyed_running_sum(
+        counts.withColumn("_negcnt", -F.col("cnt")),
+        [],
+        ["_negcnt", "token"],
+        "cnt",
+        out_col="_incl",
+        total_col="_tot",
+        tuple_splitters=True,
     )
     return (
-        d.join(F.broadcast(offsets), "_pid")
-        .withColumn(
-            "cum_before",
-            F.col("_off") + F.coalesce(F.sum("cnt").over(w_local), F.lit(0)),
-        )
-        # the grand total lands as a BIGINT literal: at sf1.0 the
-        # corpus has ~27.5M tokens and total·num overflows int32 when
-        # Spark infers IntegerType for the python int (caught by the
-        # round-12 full-registry sf1.0 sweep)
+        cum.withColumn("cum_before", F.col("_incl") - F.col("cnt"))
         .where(
             F.col("cum_before") * F.lit(den).cast("bigint")
-            < F.lit(int(total)).cast("bigint") * F.lit(num).cast("bigint")
+            < F.col("_tot") * F.lit(num).cast("bigint")
         )
         .select("token", "cnt", "cum_before")
     )

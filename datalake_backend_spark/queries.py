@@ -4810,31 +4810,36 @@ def r145_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=5, checkpoint_every=2)
 
 
+# MATERIALIZED throughout (prefix and each unrolled iteration):
+# inlined, DuckDB re-derived the 6M-row orders x lineitem DISTINCT
+# once per reference at sf1.0 and spilled past the disk ceiling;
+# pinning the shared relations makes the twin finish in ~20 s there
+# (round-13 ask #4)
 _R145_PREFIX = r"""
-WITH e0 AS (
+WITH e0 AS MATERIALIZED (
   SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT c AS src, s AS dst FROM e0
   UNION ALL
   SELECT s AS src, c AS dst FROM e0
 ),
-deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
-nodes AS (
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nodes AS MATERIALIZED (
   SELECT n.node, CAST(COALESCE(deg.deg, 0) AS BIGINT) AS deg
   FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges) n
   LEFT JOIN deg ON n.node = deg.src
 ),
-ncnt AS (SELECT COUNT(*) AS n FROM nodes),
-it0 AS (
+ncnt AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+it0 AS MATERIALIZED (
   SELECT node, deg, 1000000000000 // (SELECT n FROM ncnt) AS r FROM nodes
 )"""
 
 
 def _r145_iter(k: int) -> str:
     return f""",
-it{k} AS (
+it{k} AS MATERIALIZED (
   SELECT nd.node, nd.deg,
          (15 * 1000000000000) // (100 * (SELECT n FROM ncnt))
          + CAST(COALESCE(SUM((85 * p.r) // (100 * p.deg)), 0) AS BIGINT)
@@ -4893,12 +4898,16 @@ fps AS (
       AS fp
   FROM idx
 ),
-kept AS (
+kept AS MATERIALIZED (
   SELECT doc_id, fp FROM fps
   WHERE fp IN (SELECT fp FROM fps GROUP BY fp
                HAVING COUNT(*) BETWEEN 2 AND 50)
 ),
-cand AS (
+-- MATERIALIZED: without pinned cardinalities DuckDB's planner joined
+-- tf x tf on the 31-word vocabulary BEFORE the candidate filter at
+-- sf1.0 (a ~3e11-row intermediate, >80 GB of spill); the 2-row cand
+-- table makes the join order unmistakable (round-13 ask #4)
+cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
 ),

@@ -1640,7 +1640,8 @@ def test_nb_quality_score_generalizes_gate(spark):
 def test_bm25_scores_hand_computed(spark):
     """Integer-rational BM25 (datapipe/text.py:bm25_scores; oracle twin
     r154) on a 3-doc corpus small enough to verify every factor by
-    hand: idf quarter-bit quantization, the 44L/20L/6L/18dlN common-
+    hand: idf half-bit quantization (round 13 — the quarter-bit form
+    wrapped int64 past ~27.5k docs), the 44L/20L/6L/18dlN common-
     denominator tf algebra, and the (score desc, doc_id) tie-break."""
     from datalake_backend_spark.datapipe.text import bm25_scores
 
@@ -1653,11 +1654,11 @@ def test_bm25_scores_hand_computed(spark):
         "doc_id long, text string",
     )
     out = {r.doc_id: r.score_scaled for r in bm25_scores(docs, ["cat"]).collect()}
-    # N=3, L=9, df(cat)=2 -> idf_q = bitlen(8^4 // 5^4) - 1
-    #   = bitlen(4096 // 625) - 1 = bitlen(6) - 1 = 2
+    # N=3, L=9, df(cat)=2 -> idf_q = bitlen(8^2 // 5^2) - 1
+    #   = bitlen(64 // 25) - 1 = bitlen(2) - 1 = 1
     n, length, df = 3, 9, 2
-    idf_q = (((2 * n + 2) ** 4) // ((2 * df + 1) ** 4)).bit_length() - 1
-    assert idf_q == 2
+    idf_q = (((2 * n + 2) ** 2) // ((2 * df + 1) ** 2)).bit_length() - 1
+    assert idf_q == 1
 
     def score(tf, dl):
         return (idf_q * 44 * length * tf * 10**6) // (
@@ -1667,9 +1668,12 @@ def test_bm25_scores_hand_computed(spark):
     assert out == {1: score(2, 3), 2: score(1, 2)}
     # saturation: doubling tf must NOT double the score
     assert out[1] < 2 * out[2]
-    # longer doc with same tf scores lower (length normalization)
+    # longer doc with same tf scores lower (length normalization);
+    # doc 3 keeps df < N — at df = N the half-bit idf correctly
+    # quantizes Lucene's log(1 + 0.5/(N+0.5)) ~ 0.18 bits down to 0
     docs2 = spark.createDataFrame(
-        [(1, "cat a b"), (2, "cat a b c d e")], "doc_id long, text string"
+        [(1, "cat a b"), (2, "cat a b c d e"), (3, "x y z")],
+        "doc_id long, text string",
     )
     o2 = {r.doc_id: r.score_scaled for r in bm25_scores(docs2, ["cat"]).collect()}
     assert o2[1] > o2[2]
