@@ -159,17 +159,19 @@ def test_chunk_overlap_no_cartesian(spark):
 
 
 def test_sequence_packing_no_global_data_window(spark):
-    """The global offset must come from the two-phase plan: the only
-    partition-less window runs over per-partition TOTALS (metadata),
-    the per-row running sum is partitioned by _pid, and the offsets
-    come back via broadcast — never a whole-corpus single-task sort."""
+    """The global offset must come from the two-phase kernel
+    (ranking.keyed_running_sum, round 13): the data-path running sum
+    is partitioned by the value-derived bucket _p, the only
+    partition-less window runs over per-bucket TOTALS (_pv —
+    metadata-sized by construction), and nothing is pinned through a
+    localCheckpoint (no ExistingRDD leaf beyond the createDataFrame
+    input itself) — never a whole-corpus single-task sort."""
     from datalake_backend_spark.datapipe.packing import token_stream_offsets
 
     df = spark.createDataFrame(
         [(i, "a b c") for i in range(100)], ["doc_id", "text"]
     )
     plan = plan_of(token_stream_offsets(df))
-    assert "BroadcastExchange" in plan, plan
     windows = [
         b for b in plan.split("\n\n") if b.strip().startswith("(") and
         b.strip().splitlines()[0].endswith("Window")
@@ -177,10 +179,14 @@ def test_sequence_packing_no_global_data_window(spark):
     assert len(windows) == 2, plan
     for b in windows:
         if "text#" in b:  # the data-path window carries the text column
-            # partitioned spec renders as "..., [_pid#N], [doc_id#N ASC..."
-            assert re.search(r", \[_pid#\d+\], \[doc_id#\d+L? ASC", b), b
-        else:  # totals window: input is (_pid, _pt) only — metadata-sized
-            assert "_pt#" in b, b
+            # partitioned spec renders as "..., [_p#N], [doc_id#N ASC..."
+            assert re.search(r", \[_p#\d+\], \[doc_id#\d+L? ASC", b), b
+        else:  # totals window: input is (_p, _pv) only — metadata-sized
+            assert "_pv#" in b, b
+    # exactly one ExistingRDD NODE: the createDataFrame input (a
+    # localCheckpoint would add a second, distinct leaf node)
+    rdd_nodes = re.findall(r"^\(\d+\) Scan ExistingRDD", plan, re.M)
+    assert len(rdd_nodes) <= 1, plan
 
 
 def test_sessionized_summary_single_shuffle(spark):
