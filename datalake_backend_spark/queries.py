@@ -4948,22 +4948,22 @@ def r147_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 R147_SQL = """
-WITH e0 AS (
+WITH e0 AS MATERIALIZED (
   SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT c AS src, s AS dst FROM e0
   UNION ALL
   SELECT s AS src, c AS dst FROM e0
 ),
-l0 AS (
+l0 AS MATERIALIZED (
   SELECT DISTINCT 's' || s_suppkey AS node FROM supplier WHERE s_nationkey = 0
 ),
-l1 AS (SELECT DISTINCT e.dst AS node FROM l0 JOIN edges e ON e.src = l0.node),
-l2 AS (SELECT DISTINCT e.dst AS node FROM l1 JOIN edges e ON e.src = l1.node),
-l3 AS (SELECT DISTINCT e.dst AS node FROM l2 JOIN edges e ON e.src = l2.node),
-l4 AS (SELECT DISTINCT e.dst AS node FROM l3 JOIN edges e ON e.src = l3.node),
+l1 AS MATERIALIZED (SELECT DISTINCT e.dst AS node FROM l0 JOIN edges e ON e.src = l0.node),
+l2 AS MATERIALIZED (SELECT DISTINCT e.dst AS node FROM l1 JOIN edges e ON e.src = l1.node),
+l3 AS MATERIALIZED (SELECT DISTINCT e.dst AS node FROM l2 JOIN edges e ON e.src = l2.node),
+l4 AS MATERIALIZED (SELECT DISTINCT e.dst AS node FROM l3 JOIN edges e ON e.src = l3.node),
 lvl AS (
   SELECT node, 0 AS hop FROM l0
   UNION ALL SELECT node, 1 FROM l1
@@ -6055,21 +6055,21 @@ def r170_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _R170_PREFIX = r"""
-WITH e0 AS (
+WITH e0 AS MATERIALIZED (
   SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT c AS src, s AS dst FROM e0
   UNION ALL
   SELECT s AS src, c AS dst FROM e0
 ),
-deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
-srcs AS (
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+srcs AS MATERIALIZED (
   SELECT DISTINCT 's' || s_suppkey AS node FROM supplier
   WHERE s_suppkey <= 2
 ),
-nodes AS (
+nodes AS MATERIALIZED (
   SELECT n.node, CAST(COALESCE(deg.deg, 0) AS BIGINT) AS deg,
          CASE WHEN sr.node IS NOT NULL THEN 1 ELSE 0 END AS is_src
   FROM (
@@ -6080,8 +6080,8 @@ nodes AS (
   LEFT JOIN deg ON n.node = deg.src
   LEFT JOIN srcs sr ON sr.node = n.node
 ),
-scnt AS (SELECT COUNT(*) AS s FROM srcs),
-it0 AS (
+scnt AS MATERIALIZED (SELECT COUNT(*) AS s FROM srcs),
+it0 AS MATERIALIZED (
   SELECT node, deg, is_src,
          CASE WHEN is_src = 1
               THEN 1000000000000 // (SELECT s FROM scnt) ELSE 0 END AS r
@@ -6091,7 +6091,7 @@ it0 AS (
 
 def _r170_iter(k: int) -> str:
     return f""",
-it{k} AS (
+it{k} AS MATERIALIZED (
   SELECT nd.node, nd.deg, nd.is_src,
          CASE WHEN nd.is_src = 1
               THEN (15 * 1000000000000) // (100 * (SELECT s FROM scnt))
@@ -6943,11 +6943,11 @@ def r187_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _R187_EDGES = r"""
-WITH e0b AS (
+WITH e0b AS MATERIALIZED (
   SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
-e0 AS (
+e0 AS MATERIALIZED (
   SELECT c AS src, s AS dst FROM e0b
   UNION ALL
   SELECT s AS src, c AS dst FROM e0b
@@ -6956,8 +6956,8 @@ e0 AS (
 
 def _r187_round(i: int, k: int) -> str:
     return f""",
-k{i} AS (SELECT src FROM e{i - 1} GROUP BY src HAVING COUNT(*) >= {k}),
-e{i} AS (
+k{i} AS MATERIALIZED (SELECT src FROM e{i - 1} GROUP BY src HAVING COUNT(*) >= {k}),
+e{i} AS MATERIALIZED (
   SELECT e.src, e.dst
   FROM e{i - 1} e
   JOIN k{i} a ON e.src = a.src
@@ -7950,13 +7950,13 @@ def r206_bounded_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _R206_PREFIX = """
-WITH pair AS (
+WITH pair AS MATERIALIZED (
   SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s,
          CAST(COUNT(*) AS BIGINT) AS cnt
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
   GROUP BY 1, 2
 ),
-e AS (
+e AS MATERIALIZED (
   SELECT c AS src, s AS dst, 1 + 1000000 // cnt AS cost FROM pair
   UNION ALL
   SELECT s, c, 1 + 1000000 // cnt FROM pair
@@ -7966,11 +7966,11 @@ d0 AS (SELECT 'c1' AS node, CAST(0 AS BIGINT) AS dist)"""
 
 def _r206_round(k: int) -> str:
     return f""",
-r{k} AS (
+r{k} AS MATERIALIZED (
   SELECT e.dst AS node, MIN(d{k - 1}.dist + e.cost) AS dist
   FROM d{k - 1} JOIN e ON e.src = d{k - 1}.node GROUP BY 1
 ),
-d{k} AS (
+d{k} AS MATERIALIZED (
   SELECT node, MIN(dist) AS dist
   FROM (SELECT * FROM d{k - 1} UNION ALL SELECT * FROM r{k}) u
   GROUP BY 1

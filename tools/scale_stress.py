@@ -706,6 +706,8 @@ def main() -> int:
         "fifo_alloc", "sliding_wau", "concurrency", "sssp",
         "node_jaccard", "bigram_lift", "asof_nearest", "grid_density",
         "kmv",
+        # round-12/13 rank/cumulative family (keyed_running_sum kernel)
+        "mann_whitney", "roc_auc", "weighted_quantiles", "gini",
     ]
     lines = [
         "| op | 1x sec | 10x sec | ratio | exponent |",
