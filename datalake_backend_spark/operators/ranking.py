@@ -32,11 +32,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# Bucket-count ceiling (round-12 ADVICE): the bucket expression costs
-# O(#splitters) struct comparisons per row (single array expression,
-# depth O(1) — never an N-deep nested CASE), and each bucket is one
-# window task, so 64 balanced buckets is the sweet spot between
-# parallelism and per-row assignment cost. Raise deliberately if a
+# Bucket-count ceiling (round-12 ADVICE): the bucket assignment is a
+# binary-search CASE tree (O(log B) comparisons per row, never an
+# N-deep WHEN chain), and each bucket is one window task, so 64
+# balanced buckets is the sweet spot between parallelism and per-row
+# assignment cost. Raise deliberately if a
 # global ordered op ever needs >64-way parallelism on RAW (non
 # tie-aggregated) data.
 _MAX_BUCKETS = 64
@@ -189,16 +189,39 @@ def _sample_splitters(
     return splitters
 
 
+def _binary_search_bucket(row: Column, lits: list[Column]) -> Column:
+    """#{cut points strictly below ``row``} as a BINARY-SEARCH nested
+    CASE tree over the sorted frozen literals: expression depth
+    O(log B), ≤B−1 literal nodes total, pure comparisons — fully
+    codegen'd and rewrite-safe. (Round-12 ADVICE asked for exactly
+    this over the B−1-deep WHEN chain; a higher-order
+    ``filter(array<...>, s -> s < row)`` form was tried first and hit
+    Spark's lambda-variable rebinding under ReusedExchange —
+    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND — because exchange reuse does
+    not rewrite a lambda's outer references.) NULL rows fail every
+    ``>`` comparison and land in bucket 0, matching NULLS FIRST."""
+
+    def node(lo: int, hi: int) -> Column:
+        # invariant: the answer is in [lo, hi]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(row > lits[mid], node(mid + 1, hi)).otherwise(
+            node(lo, mid)
+        )
+
+    return node(0, len(lits))
+
+
 def _bucket_expr(
     df: DataFrame, order_cols: list[str], splitters: list[tuple]
 ) -> Column:
     """Bucket id = #{splitter tuples strictly below this row's order
-    tuple} — one array expression over ≤63 frozen struct literals
-    (constant expression DEPTH; round-12 ADVICE replaced the
-    B−1-branch nested CASE chain). Strict ``<`` keeps equal order
-    tuples in one bucket, and NULL fields order nulls-first inside the
-    struct comparison, so the assignment is monotone in the window's
-    own NULLS FIRST order — the property the offset arithmetic needs."""
+    tuple} via :func:`_binary_search_bucket` over frozen STRUCT
+    literals. Strict ``<`` keeps equal order tuples in one bucket, and
+    NULL fields order nulls-first inside the struct comparison, so the
+    assignment is monotone in the window's own NULLS FIRST order — the
+    property the offset arithmetic needs."""
     if not splitters:
         return F.lit(0)
     dtypes = [f.dataType for f in df.select(*order_cols).schema.fields]
@@ -214,7 +237,7 @@ def _bucket_expr(
     row = F.struct(
         *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)]
     )
-    return F.size(F.filter(F.array(*lits), lambda s: s < row))
+    return _binary_search_bucket(row, lits)
 
 
 def keyed_running_sum(
@@ -294,13 +317,15 @@ def keyed_running_sum(
             bounds = sorted(set(row["_b"] or [])) if row else []
             _memo_put(memo_key, bounds)
         if bounds:
-            # cut-point count strictly below the value: one array
-            # expression (constant depth; NULL values compare NULL →
-            # bucket 0, matching NULLS FIRST), monotone because
-            # bigint→double casts are monotone even where lossy
-            arr = F.array(*[F.lit(float(b)) for b in bounds])
+            # cut-point count strictly below the value via the
+            # binary-search CASE tree (depth O(log B); NULL values
+            # land in bucket 0, matching NULLS FIRST), monotone
+            # because bigint→double casts are monotone even where
+            # lossy
             v = F.col(first).cast("double")
-            bucket = F.size(F.filter(arr, lambda b: b < v))
+            bucket = _binary_search_bucket(
+                v, [F.lit(float(b)) for b in bounds]
+            )
         else:
             bucket = F.lit(0)
     tagged = src.withColumn("_p", bucket)

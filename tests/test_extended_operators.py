@@ -2478,3 +2478,95 @@ def test_exact_percentiles_matches_numpy_linear(spark):
             abs(a - b) < 1e-9 for a, b in zip(got[k], want)
         ), (k, got[k], want)
     assert got["solo"] == (42.5, 42.5, 42.5)
+
+
+def test_keyed_running_sum_boundary_memo_reuse(spark):
+    """Boundary-cut memo (operators/ranking.py, round 13): cut points
+    are frozen literals that only affect bucket balance, so a repeat
+    call with the SAME analyzed plan must (a) hit the memo and (b)
+    return row-identical results — the steady-state contract the
+    bench's sequential-after-concurrent pass relies on."""
+    from datalake_backend_spark.operators import ranking
+
+    ranking.release_caches()
+    df = spark.createDataFrame(
+        [(f"k{i % 3}", i, (i * 7) % 11 + 1) for i in range(400)],
+        "k string, v bigint, w bigint",
+    )
+    first = {
+        (r.k, r.v): r.cum
+        for r in ranking.keyed_running_sum(
+            df, ["k"], ["v"], "w", out_col="cum"
+        ).collect()
+    }
+    assert len(ranking._BOUNDS_MEMO) == 1
+    memo_bounds = next(iter(ranking._BOUNDS_MEMO.values()))
+    second = {
+        (r.k, r.v): r.cum
+        for r in ranking.keyed_running_sum(
+            df, ["k"], ["v"], "w", out_col="cum"
+        ).collect()
+    }
+    assert first == second
+    # still exactly one entry — the repeat call reused it
+    assert len(ranking._BOUNDS_MEMO) == 1
+    assert next(iter(ranking._BOUNDS_MEMO.values())) == memo_bounds
+    ranking.release_caches()
+    assert not ranking._BOUNDS_MEMO
+
+
+def test_tuple_splitters_split_tie_heavy_leading_metric(spark):
+    """Full-tuple splitter sampler (operators/ranking.py, round 13):
+    when one leading value covers most rows (the RFM-frequency shape),
+    the sampled splitters must cut INSIDE the tie group on the
+    tiebreak column — a first-column-only boundary would funnel the
+    whole group through one window task. Correctness is pinned by the
+    NTILE result; balance by the splitter tuples themselves."""
+    from datalake_backend_spark.operators.ranking import (
+        _sample_splitters,
+        ntile_exact,
+    )
+
+    # 90% of rows share freq=1; ids break the ties
+    rows = [(1 if i % 10 else 2, f"u{i:05d}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "freq int, uid string")
+    sp = _sample_splitters(df, ["freq", "uid"], 16)
+    inside_tie = [t for t in sp if t[0] == 1]
+    assert len(inside_tie) >= 8, sp  # cuts land inside the giant tie group
+    # and the distributed NTILE over that order matches the SQL-standard
+    # closed form computed driver-side
+    got = {
+        r.uid: r.bucket
+        for r in ntile_exact(df, ["freq", "uid"], 4, out_col="bucket").collect()
+    }
+    ordered = sorted(rows)
+    n = len(ordered)
+    base, rem = divmod(n, 4)
+    want = {}
+    pos = 0
+    for b in range(1, 5):
+        size = base + (1 if b <= rem else 0)
+        for _, uid in ordered[pos : pos + size]:
+            want[uid] = b
+        pos += size
+    assert got == want
+
+
+def test_keyed_running_sum_total_col(spark):
+    """total_col (round 13): the per-key grand total must ride the
+    metadata offsets frame and equal a plain groupBy sum — including
+    negative deltas (sweep-line shapes), where a max-based total would
+    be wrong."""
+    from datalake_backend_spark.operators.ranking import keyed_running_sum
+
+    df = spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, -3), ("a", 3, 4), ("b", 1, -2), ("b", 2, -1)],
+        "k string, v int, w bigint",
+    )
+    out = keyed_running_sum(
+        df, ["k"], ["v"], "w", out_col="cum", total_col="tot"
+    ).collect()
+    tots = {r.k: r.tot for r in out}
+    assert tots == {"a": 6, "b": -3}
+    finals = {r.k: r.cum for r in out if (r.k, r.v) in {("a", 3), ("b", 2)}}
+    assert finals == {"a": 6, "b": -3}
