@@ -409,16 +409,16 @@ def test_copurchase_edges_sweeps_dead_pid_dirs(spark):
 
 
 def test_two_phase_checkpoint_storage_released(spark):
-    """The two-phase prefix-sum operators pin their partitioning with
-    an EAGER localCheckpoint (MEMORY_AND_DISK persisted RDD, no public
-    unpersist hook). The release path is Spark's ContextCleaner: when
-    the last reference to the checkpointed RDD is GC'd, the cleaner
-    unpersists it asynchronously (get_spark additionally tightens
-    spark.cleaner.periodicGC.interval to 10min as the no-driver-GC
-    backstop). This proves storage does NOT grow unboundedly across
-    50 repeated two-phase calls on ONE session: after dropping the
-    Python references and forcing a JVM GC, the persisted-RDD count
-    returns to (near) the baseline instead of +50."""
+    """The two-phase prefix-sum operators (all routed through
+    ranking.keyed_running_sum since round 13) hold a share-the-scan
+    persist of their input in a bounded FIFO (`_CACHE_KEEP` entries,
+    explicit unpersist on eviction — no localCheckpoint, no
+    GC-dependent release on the hot path). This proves storage does
+    NOT grow unboundedly across 50 repeated two-phase calls on ONE
+    session: the live persisted-RDD count stays within the FIFO bound
+    of wherever it started (it may DROP below the baseline — the FIFO
+    evicts frames earlier tests left cached), and release_caches() +
+    a GC settle it back to (near) baseline instead of +50."""
     import gc
     import time
 
@@ -457,10 +457,17 @@ def test_two_phase_checkpoint_storage_released(spark):
         assert out.count() > 0
         del out
     grew = n_persistent()
-    # the 50 calls really did checkpoint (sanity: some storage is live
-    # at loop end; the ContextCleaner may already have reclaimed most)
-    assert grew >= baseline
-    # drop Python refs, force a JVM GC, let the ContextCleaner drain
+    # the FIFO bound: 50 calls may not add more than the cache-keep
+    # window (+ slack for async unpersists still draining); a +50
+    # growth would mean the eviction path broke
+    from datalake_backend_spark.operators.ranking import (
+        _CACHE_KEEP,
+        release_caches,
+    )
+
+    assert grew <= baseline + _CACHE_KEEP + 4, (baseline, grew)
+    # release the FIFO + memo, force a JVM GC, let the cleaner drain
+    release_caches()
     gc.collect()
     final = None
     for _ in range(30):
