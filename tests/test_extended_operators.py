@@ -2570,3 +2570,45 @@ def test_keyed_running_sum_total_col(spark):
     assert tots == {"a": 6, "b": -3}
     finals = {r.k: r.cum for r in out if (r.k, r.v) in {("a", 3), ("b", 2)}}
     assert finals == {"a": 6, "b": -3}
+
+
+def test_kernel_empty_input_and_bucket_cap(spark):
+    """Kernel edge cases (operators/ranking.py): (a) empty inputs
+    produce empty results through keyed_running_sum / ntile_exact /
+    rfm_segments instead of a sampler or window crash; (b) at a
+    cluster-realistic spark.sql.shuffle.partitions=2000 the bucket
+    count clamps to _MAX_BUCKETS (the round-12 ADVICE cap) and the
+    result is still exact."""
+    from datalake_backend_spark.operators import ranking
+
+    empty = spark.createDataFrame([], "k string, v bigint, w bigint")
+    assert (
+        ranking.keyed_running_sum(empty, ["k"], ["v"], "w").count() == 0
+    )
+    assert ranking.ntile_exact(empty.select("v", "k"), ["v", "k"], 4).count() == 0
+    ev = spark.createDataFrame(
+        [], "user_id string, ts timestamp, value double"
+    )
+    assert ranking.rfm_segments(ev).count() == 0
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 101) for i in range(300)], "id bigint, value bigint"
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2000")
+        assert ranking._bucket_count(spark) == ranking._MAX_BUCKETS
+        got = {
+            r.id: r.cum
+            for r in ranking.keyed_running_sum(
+                df, [], ["value", "id"], "value", out_col="cum"
+            ).collect()
+        }
+        want = {}
+        run = 0
+        for v, i in sorted((v, i) for i, v in [(r, (r * 37) % 101) for r in range(300)]):
+            run += v
+            want[i] = run
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
