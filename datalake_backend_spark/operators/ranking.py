@@ -288,8 +288,27 @@ def keyed_running_sum(
     ``<`` against the cut points); their intra-tie cumulative order is
     engine-chosen, same as the plain window. Subtract the row's own
     value for the exclusive prefix."""
-    from pyspark.sql.types import NumericType, TimestampNTZType, TimestampType
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        NumericType,
+        ShortType,
+        TimestampNTZType,
+        TimestampType,
+    )
 
+    if not order_cols:
+        raise ValueError("keyed_running_sum needs at least one order column")
+    vtype = df.select(value_col).schema.fields[0].dataType
+    if not isinstance(vtype, (ByteType, ShortType, IntegerType, LongType)):
+        # the internal cast("bigint") would TRUNCATE floats silently and
+        # float partial sums are partition-order-dependent — fail loud
+        # instead (callers floor-scale upstream; see weighted_median)
+        raise ValueError(
+            f"keyed_running_sum needs an integral value column, got "
+            f"{value_col}: {vtype.simpleString()} — floor-scale it first"
+        )
     spark = df.sparkSession
     n_buckets = _bucket_count(spark)
     src = _bounded_persist(df)

@@ -2612,3 +2612,19 @@ def test_kernel_empty_input_and_bucket_cap(spark):
         assert got == want
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_kernel_rejects_float_value_column(spark):
+    """keyed_running_sum (round 13): a float value column must fail
+    LOUD — the internal bigint cast would truncate silently, and float
+    partial sums are partition-order-dependent, breaking the
+    engine-exactness contract every caller relies on."""
+    import pytest
+
+    from datalake_backend_spark.operators.ranking import keyed_running_sum
+
+    df = spark.createDataFrame([("a", 1, 0.5)], "k string, v int, w double")
+    with pytest.raises(ValueError, match="integral value column"):
+        keyed_running_sum(df, ["k"], ["v"], "w")
+    with pytest.raises(ValueError, match="order column"):
+        keyed_running_sum(df.select("k", "v", (df.w * 2).cast("long").alias("w")), ["k"], [], "w")
