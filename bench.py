@@ -1,4 +1,7 @@
-"""Benchmark harness: runs the full query registry and prints ONE JSON line.
+"""Benchmark harness: runs the full query registry and prints, as its
+final two stdout lines, (1) a compact JSON record with every per-query
+time and (2) a <1 KB self-contained totals line — the driver records
+only a ~1 KB tail of stdout, so the LAST line must always parse.
 
 Each query executes to completion via the no-op sink (forces the full
 plan — scan, shuffles, windows — without driver materialization cost).
@@ -142,22 +145,61 @@ def main() -> None:
     # whatever survives tail-truncation is the honest signal; the
     # concurrent map stays in BENCH_FULL.json.
     seq_pass = result.get("queries_sequential")
+    # errors from the SAME map the compact line reports as "queries"
+    # (round-13 ADVICE: deriving errors from the concurrent map while
+    # queries showed the sequential pass made the line internally
+    # inconsistent — a sequential-only failure was absent from errors)
+    reported = seq_pass or timings
+    errors = sorted(k for k, v in reported.items() if isinstance(v, str))
     compact = {
         "metric": result["metric"],
         "value": total,
         "unit": "sec",
         "sf": sf,
         "concurrency": workers,
-        "errors": sorted(k for k, v in timings.items() if isinstance(v, str)),
+        "errors": errors,
         "full": "BENCH_FULL.json",
         "edge_build_seconds": edge_build_seconds,
     }
     if "sequential_seconds" in result:
         compact["sequential_seconds"] = result["sequential_seconds"]
     compact["queries_pass"] = "sequential" if seq_pass else "concurrent"
-    compact["queries"] = shorten(seq_pass or timings)
-    print(json.dumps(compact, separators=(",", ":")))
+    compact["queries"] = shorten(reported)
+
+    # Round-13 VERDICT ask #2: the driver preserves only ~1 KB of
+    # stdout tail, so (a) stop the session FIRST — the Structured
+    # Streaming StateStore maintenance thread was emitting a WARN
+    # after the JSON line, corrupting the captured tail — and (b)
+    # print the full compact line, then a FINAL <1 KB totals line that
+    # parses on its own: contract keys (metric/value/unit/sf/queries)
+    # plus sequential_seconds, with "queries" trimmed to the slowest
+    # entries of the reported pass so the line always fits the tail
+    # window. BENCH_FULL.json keeps every per-query number.
     spark.stop()
+    numeric = sorted(
+        ((k, v) for k, v in reported.items() if isinstance(v, float)),
+        key=lambda kv: -kv[1],
+    )
+    summary = {
+        "metric": result["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "concurrency": workers,
+        "queries_pass": compact["queries_pass"],
+        "queries_count": len(reported),
+        "errors_count": len(errors),
+        "errors": errors[:8],
+        "edge_build_seconds": edge_build_seconds,
+        "full": "BENCH_FULL.json",
+        "queries": shorten(dict(numeric[:12])),
+        "queries_note": "12 slowest; full map in BENCH_FULL.json",
+    }
+    if "sequential_seconds" in result:
+        summary["sequential_seconds"] = result["sequential_seconds"]
+    print(json.dumps(compact, separators=(",", ":")))
+    print(json.dumps(summary, separators=(",", ":")))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -97,6 +97,111 @@ def _merge_word(symbols: list[str], a: str, b: str) -> list[str]:
     return out
 
 
+def _word_syms(col: str = "word"):
+    """``array<string>``: the word's characters + the EOW marker."""
+    return F.concat(F.split(F.col(col), ""), F.array(F.lit(EOW)))
+
+
+def _merge_pair_expr(syms_col: str, a: str, b: str):
+    """Greedy left-to-right merge of adjacent ``(a, b)`` inside an
+    ``array<string>`` column, as a pure fold (``F.aggregate``): walk
+    the symbols; when the accumulator's last element is ``a`` and the
+    incoming symbol is ``b``, replace that last element with ``a+b``.
+    This IS the sequential scan-and-skip-2: a merged token equals
+    ``a+b`` which can never equal ``a`` (``b`` is non-empty), so a
+    freshly merged token can't falsely re-merge with a following
+    ``b`` — the fold and the index loop agree on every input.
+    ``a``/``b`` enter as frozen literals (never outer column refs, so
+    the lambda is rewrite-safe under exchange reuse)."""
+    A, B = F.lit(a), F.lit(b)
+    return F.aggregate(
+        syms_col,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == A) & (s == B),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.concat(A, B))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train_distributed(
+    df: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    top_words: int | None = None,
+    min_pair_count: int = 2,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """BPE training with the WORD TABLE kept distributed (round-13
+    VERDICT ask #6): lifts :func:`bpe_train`'s driver-memory ceiling —
+    the vocab never leaves the executors, so corpora with hundreds of
+    millions of distinct word forms train without a bounded collect.
+
+    Per merge iteration: one distributed pair-count aggregation over
+    the (symbols, count) table (the same aggregation r130 oracle-
+    checks), a 1-ROW ``limit(1)`` collect for the argmax (count desc,
+    pair asc — identical tie-break to the driver loop, so the learned
+    merge list is bit-identical to :func:`bpe_train` on any corpus
+    both can handle), then a native-expression rewrite of the symbol
+    arrays (:func:`_merge_pair_expr` — no Python in the loop). The
+    vocab frame is persisted each round and the lineage cut with an
+    eager ``localCheckpoint`` every ``checkpoint_every`` iterations
+    (the graph tier's iteration pattern, ``operators/graph.py``), so
+    plan depth stays bounded at any ``num_merges``.
+
+    Cost model: ``num_merges`` shuffle jobs over the word table vs the
+    driver loop's zero — use :func:`bpe_train` (which auto-routes
+    here only above ``_MAX_DRIVER_WORDS``) unless the vocab genuinely
+    can't fit on the driver."""
+    wc = word_counts(df, text_col, top_words)
+    vocab = wc.select(
+        _word_syms().alias("syms"), F.col("count")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    pairs = F.expr(
+        "transform(sequence(1, size(syms) - 1), "
+        "i -> struct(syms[i - 1] AS a, syms[i] AS b))"
+    )
+    try:
+        for it in range(num_merges):
+            top = (
+                # fully-merged words (1 symbol) have no pairs — and
+                # sequence(1, 0) runs DESCENDING, which would index
+                # syms[1] out of bounds under ANSI
+                vocab.where(F.size("syms") > 1)
+                .select("count", F.explode(pairs).alias("p"))
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("count").alias("pc"))
+                # TakeOrderedAndProject — partial per-partition top-1,
+                # never a global sort
+                .orderBy(F.desc("pc"), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not top or int(top[0]["pc"]) < min_pair_count:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((a, b))
+            step = vocab.select(
+                _merge_pair_expr("syms", a, b).alias("syms"), "count"
+            )
+            if (it + 1) % max(1, checkpoint_every) == 0:
+                # cut lineage: plan depth stays <= checkpoint_every
+                # selects; the dropped frame's blocks are reclaimed by
+                # the context cleaner once unreferenced
+                new_vocab = step.localCheckpoint(eager=True)
+            else:
+                new_vocab = step.persist()
+                new_vocab.count()  # materialize before dropping the parent
+            vocab.unpersist(False)
+            vocab = new_vocab
+    finally:
+        vocab.unpersist(False)
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     num_merges: int,
@@ -107,19 +212,33 @@ def bpe_train(
     """Learn ``num_merges`` BPE merges from the corpus. Returns the
     ordered merge list (rank = index). See module docstring for the
     distributed/driver split; stops early when no pair reaches
-    ``min_pair_count``."""
+    ``min_pair_count``. Vocabularies past ``_MAX_DRIVER_WORDS`` route
+    to :func:`bpe_train_distributed` instead of failing (round-13
+    VERDICT ask #6) — same merge list, ``num_merges`` distributed
+    jobs instead of a driver loop."""
     wc = word_counts(df, text_col, top_words)
     # the vocab collect is bounded by top_words when set, but
     # top_words=None (or an absurd value) would materialize the whole
     # distinct-word table on the driver — probe the size distributedly
-    # and fail loud instead of OOMing
+    # and route to the distributed trainer instead of OOMing
     if top_words is None or top_words > _MAX_DRIVER_WORDS:
         n_words = wc.count()
         if n_words > _MAX_DRIVER_WORDS:
-            raise ValueError(
-                f"bpe_train would collect {n_words:,} distinct words "
-                f"(> {_MAX_DRIVER_WORDS:,}); pass top_words <= "
-                f"{_MAX_DRIVER_WORDS:,}"
+            import warnings
+
+            warnings.warn(
+                f"bpe_train: {n_words:,} distinct words exceed the "
+                f"driver ceiling ({_MAX_DRIVER_WORDS:,}); routing to "
+                f"bpe_train_distributed ({num_merges} distributed "
+                f"jobs)",
+                stacklevel=2,
+            )
+            return bpe_train_distributed(
+                df,
+                num_merges,
+                text_col=text_col,
+                top_words=top_words,
+                min_pair_count=min_pair_count,
             )
     rows = wc.collect()
     # r["count"], not r.count — Row.count is the tuple method

@@ -52,12 +52,32 @@ _SAMPLE_PER_PARTITION = 64
 
 # Share-the-scan persists from recent keyed_running_sum calls, evicted
 # FIFO (round-12 ADVICE: an unbounded session accumulated one cached
-# frame per call). Size 4 covers the deepest current composition
-# (spearman ranks two columns; exact_percentiles feeds a tie-aggregate
-# that its caller also re-reads) without ever holding more than a few
-# inputs; eviction only costs recompute, never correctness.
+# frame per call). The floor of 4 covers the deepest current
+# composition (spearman ranks two columns; exact_percentiles feeds a
+# tie-aggregate that its caller also re-reads); under a concurrent
+# bench the FIFO additionally scales with
+# SPARK_GRAFT_BENCH_CONCURRENCY (round-13 VERDICT watch-item #1: six
+# concurrent kernel-backed queries could evict a persist another
+# running query still wanted — correctness-safe, but it silently
+# re-executed upstreams), so N concurrent callers each keep their
+# deepest two frames live. Eviction only costs recompute, never
+# correctness. All mutations take _CACHE_LOCK: the bench drives this
+# module from a thread pool, and an unlocked pop/append race could
+# double-unpersist.
+import threading as _threading
+
 _LIVE_CACHE: list[DataFrame] = []
-_CACHE_KEEP = 4
+_CACHE_LOCK = _threading.Lock()
+
+
+def _cache_keep() -> int:
+    import os
+
+    try:
+        conc = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "1"))
+    except ValueError:
+        conc = 1
+    return max(4, 2 * conc)
 
 # Boundary-cut memo keyed by the md5 of the input's ANALYZED plan (+
 # order columns + bucket count): a long-lived engine session calls the
@@ -65,10 +85,54 @@ _CACHE_KEEP = 4
 # concurrent-then-sequential passes), and the cut points are frozen
 # literals that only affect bucket BALANCE — never results — so
 # reusing them is always safe and skips the whole boundary job on a
-# repeat call. Bounded FIFO; stale entries (files changed under the
-# same plan) cost balance only.
+# repeat call. Bounded FIFO. The key folds in a cheap DATA fingerprint
+# (input file count + total bytes + max mtime from df.inputFiles(),
+# round-13 VERDICT ask #3): a long-lived session whose table grows
+# 100x under the same plan string must re-derive cut points, or one
+# hot bucket re-creates the skew the kernel exists to kill. A frame
+# with no file inputs (in-memory fixtures) fingerprints as empty and
+# memoizes on the plan alone — still balance-only, never correctness.
 _BOUNDS_MEMO: dict[str, list] = {}
 _BOUNDS_MEMO_MAX = 256
+# driver-side stat() calls per memo probe are capped; beyond this the
+# count+bytes of the first N files plus the total count still shifts
+# whenever data is appended, which is all invalidation needs
+_FINGERPRINT_MAX_FILES = 4096
+
+
+def _data_fingerprint(df: DataFrame) -> str:
+    """``count|bytes|max_mtime_ns`` over the frame's input files —
+    driver-side metadata only (one ``stat`` per file, capped at
+    ``_FINGERPRINT_MAX_FILES``). Any append/compact/overwrite of a
+    local table shifts at least one component; non-local or
+    non-file-backed inputs degrade to the file-name hash (object
+    stores rewrite names on commit) or empty."""
+    import hashlib
+    import os
+
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:  # noqa: BLE001 — connect-mode or API drift
+        return ""
+    if not files:
+        return ""
+    total, mx, statted = 0, 0, 0
+    for uri in files[:_FINGERPRINT_MAX_FILES]:
+        path = uri[7:] if uri.startswith("file://") else (
+            uri[5:] if uri.startswith("file:") else uri
+        )
+        try:
+            st = os.stat(path)
+        except OSError:
+            continue
+        total += st.st_size
+        mx = max(mx, st.st_mtime_ns)
+        statted += 1
+    if statted == 0:
+        # non-local storage: names change on commit, so hash them
+        names = hashlib.md5("\n".join(files).encode()).hexdigest()
+        return f"{len(files)}|names:{names}"
+    return f"{len(files)}|{total}|{mx}"
 
 
 def _memo_key(df: DataFrame, order_cols: list[str], n_buckets: int) -> str | None:
@@ -78,7 +142,7 @@ def _memo_key(df: DataFrame, order_cols: list[str], n_buckets: int) -> str | Non
         plan = df._jdf.queryExecution().analyzed().toString()
     except Exception:  # noqa: BLE001 — connect-mode or API drift
         return None
-    raw = f"{plan}|{order_cols}|{n_buckets}".encode()
+    raw = f"{plan}|{order_cols}|{n_buckets}|{_data_fingerprint(df)}".encode()
     return hashlib.md5(raw).hexdigest()
 
 
@@ -94,19 +158,26 @@ def release_caches() -> None:
     """Drop every share-the-scan persist this module still holds, and
     the boundary-cut memo with it."""
     _BOUNDS_MEMO.clear()
-    while _LIVE_CACHE:
+    with _CACHE_LOCK:
+        drop, _LIVE_CACHE[:] = _LIVE_CACHE[:], []
+    for df in drop:
         try:
-            _LIVE_CACHE.pop().unpersist(False)
+            df.unpersist(False)
         except Exception:  # noqa: BLE001 — session may already be gone
             pass
 
 
 def _bounded_persist(df: DataFrame) -> DataFrame:
     df.persist()
-    _LIVE_CACHE.append(df)
-    while len(_LIVE_CACHE) > _CACHE_KEEP:
+    keep = _cache_keep()
+    evict: list[DataFrame] = []
+    with _CACHE_LOCK:
+        _LIVE_CACHE.append(df)
+        while len(_LIVE_CACHE) > keep:
+            evict.append(_LIVE_CACHE.pop(0))
+    for old in evict:
         try:
-            _LIVE_CACHE.pop(0).unpersist(False)
+            old.unpersist(False)
         except Exception:  # noqa: BLE001
             pass
     return df
@@ -123,9 +194,19 @@ def _bucket_count(spark) -> int:
     return max(2, min(n, _MAX_BUCKETS))
 
 
+def _is_nan(v) -> bool:
+    return isinstance(v, float) and v != v
+
+
 def _sort_key(tup: tuple) -> tuple:
-    # None-first ordering, matching Spark's default NULLS FIRST
-    return tuple((v is not None, v) for v in tup)
+    # None-first ordering, matching Spark's default NULLS FIRST.
+    # (NaN-bearing tuples never reach this — _sample_splitters drops
+    # them — but guard anyway: Python's NaN comparisons are
+    # inconsistent under sort, which would break the splitters'
+    # sorted-invariant; Spark orders NaN LAST, so mirror that.)
+    return tuple(
+        (v is not None, _is_nan(v), 0.0 if _is_nan(v) else v) for v in tup
+    )
 
 
 def _sample_splitters(
@@ -171,8 +252,22 @@ def _sample_splitters(
     rows = src.mapInPandas(systematic, out_schema).collect()
     if not rows:
         return []
-    cand = sorted(((tuple(r)[:-1], r["_w"]) for r in rows),
-                  key=lambda t: _sort_key(t[0]))
+    # Drop NaN-bearing candidates (round-13 ADVICE): a NaN field makes
+    # the frozen-literal struct comparison and the driver-side sort
+    # disagree on order, losing the binary-search tree's
+    # sorted-invariant and silently corrupting bucket monotonicity.
+    # Splitters only affect BALANCE, so dropping is always safe; NaN
+    # rows themselves sort last (Spark semantics) into the top bucket.
+    cand = sorted(
+        (
+            (tuple(r)[:-1], r["_w"])
+            for r in rows
+            if not any(_is_nan(v) for v in tuple(r)[:-1])
+        ),
+        key=lambda t: _sort_key(t[0]),
+    )
+    if not cand:
+        return []
     total_w = sum(w for _, w in cand)
     splitters: list[tuple] = []
     cum, i = 0, 0
@@ -287,7 +382,16 @@ def keyed_running_sum(
     SUMS, not maxima). Equal order tuples never split buckets (strict
     ``<`` against the cut points); their intra-tie cumulative order is
     engine-chosen, same as the plain window. Subtract the row's own
-    value for the exclusive prefix."""
+    value for the exclusive prefix.
+
+    ``df`` must be DETERMINISTIC under recomputation (round-13
+    ADVICE): the base and offsets branches read the bounded persist,
+    and if that cache is evicted (FIFO overflow, executor memory
+    pressure) each branch recomputes the input from lineage. A
+    nondeterministic upstream — ``rand()``/``sample()`` without a
+    seed, ``row_number`` over a non-total order — could then yield
+    divergent branch values that no longer reconcile. Seed any
+    randomness or materialize such inputs before calling."""
     from pyspark.sql.types import (
         ByteType,
         IntegerType,
@@ -333,7 +437,11 @@ def keyed_running_sum(
                     F.col(first).cast("double"), qs, 100
                 ).alias("_b")
             ).first()
-            bounds = sorted(set(row["_b"] or [])) if row else []
+            # NaN cut points dropped (round-13 ADVICE): NaN breaks the
+            # sorted() invariant the binary-search tree needs; NaN
+            # rows order last (Spark) into the top bucket regardless
+            raw = (row["_b"] or []) if row else []
+            bounds = sorted({b for b in raw if b is not None and b == b})
             _memo_put(memo_key, bounds)
         if bounds:
             # cut-point count strictly below the value via the
@@ -535,10 +643,21 @@ def rfm_segments(
         out_col="m_score",
         tuple_splitters=False,
     ).select(user_col, "m_score")
+    # NULL-safe score reassembly (round-13 ADVICE): groupBy(user_col)
+    # emits ONE group for NULL users, and a plain inner join on the
+    # column name would drop it (NULL = NULL is not true) — a silent
+    # semantic regression vs the pre-round-13 chained form and vs the
+    # DuckDB NTILE twin. <=> is still an equi-join key for Spark's
+    # hash joins, so the plan shape (three AQE-broadcastable joins on
+    # the persisted per-user aggregate) is unchanged.
+    def nullsafe(left: DataFrame, right: DataFrame) -> DataFrame:
+        probe = right.withColumnRenamed(user_col, "_ju")
+        return left.join(
+            probe, F.col(user_col).eqNullSafe(F.col("_ju"))
+        ).drop("_ju")
+
     return (
-        per_user.join(r, user_col)
-        .join(f, user_col)
-        .join(m, user_col)
+        nullsafe(nullsafe(nullsafe(per_user, r), f), m)
         .select(
             user_col,
             "recency_us",

@@ -6,6 +6,8 @@ SQL-expressible)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from datalake_backend_spark.datapipe.bpe import (
     EOW,
     bpe_encode,
@@ -73,22 +75,81 @@ def test_bpe_encode_unknown_words_fall_back_to_chars(spark):
     assert toks == ["z", "z", "q", EOW]
 
 
-def test_bpe_train_word_cap_guard_fires(spark, monkeypatch):
-    """bpe_train must probe the distinct-word count distributedly and
-    refuse the driver collect when it exceeds the cap — a caller
-    passing top_words=10**9 (or None over a huge corpus) must get a
-    loud ValueError, not a driver OOM. The cap is shrunk via the
+def test_bpe_train_word_cap_routes_to_distributed(spark, monkeypatch):
+    """Above the driver-word ceiling bpe_train no longer refuses
+    (round-13 VERDICT ask #6): it probes the distinct-word count
+    distributedly, warns, and routes to bpe_train_distributed — which
+    must return the IDENTICAL merge list. The cap is shrunk via the
     module constant instead of building a 2M-word corpus."""
-    import pytest
+    import warnings
 
     import datalake_backend_spark.datapipe.bpe as bpe_mod
 
     docs = _corpus(spark)  # > 2 distinct words
+    want = bpe_mod.bpe_train(docs, 4, top_words=None)  # driver path
+    assert want
     monkeypatch.setattr(bpe_mod, "_MAX_DRIVER_WORDS", 2)
-    with pytest.raises(ValueError, match="distinct words"):
-        bpe_mod.bpe_train(docs, 1, top_words=10**9)
-    with pytest.raises(ValueError, match="distinct words"):
-        bpe_mod.bpe_train(docs, 1, top_words=None)
-    # under the cap (explicitly or via top_words) still trains
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = bpe_mod.bpe_train(docs, 4, top_words=10**9)
+    assert got == want
+    assert any("bpe_train_distributed" in str(w.message) for w in caught)
+    # under the cap (explicitly or via top_words) still trains driver-side
     monkeypatch.setattr(bpe_mod, "_MAX_DRIVER_WORDS", 2_000_000)
     assert bpe_mod.bpe_train(docs, 1, top_words=None)
+
+
+def test_bpe_train_distributed_matches_driver_loop(spark):
+    """The distributed trainer (vocab table never collected, merges
+    applied as native array folds, 1-row argmax per iteration) is
+    bit-identical to the driver greedy loop — same merges, same order,
+    same early stop — including past a lineage-cut checkpoint
+    boundary (checkpoint_every=2 over 7 merges crosses three)."""
+    from datalake_backend_spark.datapipe.bpe import bpe_train_distributed
+
+    docs = spark.createDataFrame(
+        [
+            ("low low low lower lowest",),
+            ("new newer newest low wide widest",),
+            ("a ab abc abcd abcd abcd",),
+        ],
+        "text string",
+    ).repartition(5)
+    want = bpe_train(docs, 7)
+    got = bpe_train_distributed(docs, 7, checkpoint_every=2)
+    assert got == want
+    # early stop parity: min_pair_count suppresses singleton merges
+    tiny = spark.createDataFrame([("a b",)], "text string")
+    assert bpe_train_distributed(tiny, 10, min_pair_count=2) == []
+
+
+def test_merge_pair_expr_greedy_scan_semantics(spark):
+    """The fold-based merge must equal the sequential scan-and-skip-2
+    on the adversarial shapes: overlapping runs ("xxxx" under (x,x)
+    pairs as [xx, xx], never [xx, x, x] or [xxx, x]) and a merged
+    token immediately followed by the pair's right symbol."""
+    from datalake_backend_spark.datapipe.bpe import (
+        _merge_pair_expr,
+        _merge_word,
+    )
+
+    cases = [
+        (["x", "x", "x", "x"], "x", "x"),
+        (["x", "x", "x"], "x", "x"),
+        (["a", "b", "b", "a", "b"], "a", "b"),
+        (["ab", "b", "b"], "ab", "b"),
+        (["x", "xx", "xx"], "x", "xx"),
+        (["q"], "a", "b"),
+    ]
+    df = spark.createDataFrame(
+        [(i, syms) for i, (syms, _, _) in enumerate(cases)],
+        "i int, syms array<string>",
+    )
+    for i, (syms, a, b) in enumerate(cases):
+        got = (
+            df.where(F.col("i") == i)
+            .select(_merge_pair_expr("syms", a, b).alias("m"))
+            .first()
+            .m
+        )
+        assert got == _merge_word(syms, a, b), (syms, a, b, got)

@@ -411,7 +411,7 @@ def test_copurchase_edges_sweeps_dead_pid_dirs(spark):
 def test_two_phase_checkpoint_storage_released(spark):
     """The two-phase prefix-sum operators (all routed through
     ranking.keyed_running_sum since round 13) hold a share-the-scan
-    persist of their input in a bounded FIFO (`_CACHE_KEEP` entries,
+    persist of their input in a bounded FIFO (`_cache_keep()` entries,
     explicit unpersist on eviction — no localCheckpoint, no
     GC-dependent release on the hot path). This proves storage does
     NOT grow unboundedly across 50 repeated two-phase calls on ONE
@@ -461,11 +461,11 @@ def test_two_phase_checkpoint_storage_released(spark):
     # window (+ slack for async unpersists still draining); a +50
     # growth would mean the eviction path broke
     from datalake_backend_spark.operators.ranking import (
-        _CACHE_KEEP,
+        _cache_keep,
         release_caches,
     )
 
-    assert grew <= baseline + _CACHE_KEEP + 4, (baseline, grew)
+    assert grew <= baseline + _cache_keep() + 4, (baseline, grew)
     # release the FIFO + memo, force a JVM GC, let the cleaner drain
     release_caches()
     gc.collect()

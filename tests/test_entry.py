@@ -34,33 +34,32 @@ def test_primary_tier_fills_driver_window():
     # locally (tools/check_oracle.py), not by the driver
     assert all(k.startswith("r") for k in keys[PRIMARY_TIER_SIZE:])
     must_have = (
-        # domain pipelines (q57/q58/q59 demoted round 13 — pipeline
-        # family keeps q47/q51-q56/q60 in-window)
-        [f"q{n}" for n in (51, 52, 53, 54, 55, 56, 60)]
+        # domain pipelines (q57/q58/q59 demoted round 13; q53/q54/q55
+        # demoted round 14 — pipeline family keeps q47/q51/q52/q56/
+        # q60 in-window)
+        [f"q{n}" for n in (51, 52, 56, 60)]
         + ["q47", "q73", "q74"]
         # round-5 rotation survivors (q75/q82/q86 demoted round 7;
         # q77/q85/q94/q96 demoted round 8; q34/q76/q83/q120 demoted
         # round 9 with family cover; q84 demoted round 11; q79/q81
-        # demoted round 12; q66/q80 demoted round 13 — streaming
-        # keeps q74/q95/q111/q254, dedup keeps q62/q71/q166)
+        # demoted round 12; q66/q80 demoted round 13; q95 demoted
+        # round 14 — streaming keeps q74/q111/q254, dedup keeps
+        # q62/q71)
         + ["q78"]
-        # second round-5 rotation survivors (q91 demoted round 12 —
-        # lakehouse keeps q109/q150)
-        + ["q95"]
         # round-7 rotation survivors: source-API / graph families
         # (q127/q135 demoted round 11 — codec cover via q131,
         # lakehouse cover via q91/q150/q109)
         + ["q137", "q145"]
         # round-8 rotation survivors: media lifecycle (q139/q148
         # demoted round 10; q141 span-rewrite demoted round 13 with
-        # dedup cover via q62/q71/q166)
+        # dedup cover via q62/q71)
         + ["q153"]
-        # round-9 rotation survivors: inverted index, exact
-        # set-similarity join (q128/q152 demoted round 10)
-        + ["q134", "q166"]
-        # round-10 rotation: GIF/LZW codec, BFS, deep clone,
-        # search serving
-        + ["q131", "q147", "q150", "q173"]
+        # round-9 rotation survivors: inverted index (q128/q152
+        # demoted round 10; q166 demoted round 14)
+        + ["q134"]
+        # round-10 rotation: BFS, deep clone, search serving (q131
+        # GIF/LZW demoted round 14 — multimodal keeps q137/q153)
+        + ["q147", "q150", "q173"]
         # round-11 rotation: Hampel timeseries, OLAP grouping sets,
         # attribution, entity resolution — the never-driver families
         + ["q149", "q163", "q167", "q178"]
@@ -74,6 +73,11 @@ def test_primary_tier_fills_driver_window():
         # Markov sequence, ECDF calibration, lift-gains evaluation,
         # FIFO allocation (per tools/driver_window_audit.py)
         + ["q175", "q181", "q182", "q183", "q212", "q217"]
+        # round-14 rotation: cdc snapshot-diff, table profile,
+        # clustering centroid-assign, business-day calendar, ordered
+        # string-agg, Hilbert layout key — the six largest remaining
+        # never-driver families per tools/driver_window_audit.py
+        + ["q87", "q104", "q224", "q236", "q256", "q258"]
     )
     for prefix in must_have:
         assert any(k.startswith(prefix + "_") for k in primary), prefix
@@ -114,20 +118,29 @@ def test_bench_emits_one_json_line():
         timeout=900,
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    line = out.stdout.strip().splitlines()[-1]
-    # the driver captures only the tail of stdout: the LAST line must be
-    # complete JSON and small enough to survive tail-truncation. ~12
-    # bytes per registry query; 4 KB covers ~330 queries (168 now) and
-    # stays inside any plausible tail capture window.
-    assert len(line.encode()) < 4000, len(line.encode())
-    d = json.loads(line)
+    lines = out.stdout.strip().splitlines()
+    # Round-13 VERDICT ask #2: spark.stop() runs BEFORE printing, and
+    # the LAST stdout line is a self-contained <1 KB totals summary
+    # (contract keys + sequential_seconds when the pass ran + the
+    # slowest queries) that survives ANY tail-truncation window; the
+    # line before it is the full compact per-query map; nothing —
+    # no StateStore maintenance WARN — may trail the JSON.
+    last = lines[-1]
+    assert len(last.encode()) < 1000, len(last.encode())
+    d = json.loads(last)
     assert {"metric", "value", "unit", "queries", "sf"} <= set(d)
+    assert d["errors_count"] == 0 and d["errors"] == []
     from datalake_backend_spark.queries import QUERIES
 
-    assert set(d["queries"]) == {k.split("_")[0] for k in QUERIES}
-    errs = {k: v for k, v in d["queries"].items() if isinstance(v, str)}
+    assert d["queries_count"] == len(QUERIES)
+    assert 0 < len(d["queries"]) <= 12
+    assert set(d["queries"]) <= {k.split("_")[0] for k in QUERIES}
+    # the full compact line (every query, shortened keys) precedes it
+    c = json.loads(lines[-2])
+    assert set(c["queries"]) == {k.split("_")[0] for k in QUERIES}
+    errs = {k: v for k, v in c["queries"].items() if isinstance(v, str)}
     assert not errs, errs
-    assert d["errors"] == []
+    assert c["errors"] == []
     # the complete per-query record (full names) is persisted at the
     # redirected path — the committed sf0.1 artifact is untouched
     full = json.load(open(full_path))

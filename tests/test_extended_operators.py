@@ -2628,3 +2628,189 @@ def test_kernel_rejects_float_value_column(spark):
         keyed_running_sum(df, ["k"], ["v"], "w")
     with pytest.raises(ValueError, match="order column"):
         keyed_running_sum(df.select("k", "v", (df.w * 2).cast("long").alias("w")), ["k"], [], "w")
+
+
+def test_splitter_sampler_drops_nan_candidates(spark):
+    """NaN hazard (round-13 ADVICE): float NaN compares inconsistently
+    under Python's sort, so a NaN in a sampled order column could
+    yield splitters that violate the binary-search tree's
+    sorted-invariant and silently corrupt global ranks. The sampler
+    must drop NaN-bearing candidates (splitters only affect balance),
+    and the end-to-end rank must still match Spark's own NaN-last
+    ordering."""
+    import math
+
+    from datalake_backend_spark.operators.ranking import (
+        _sample_splitters,
+        global_rank,
+    )
+
+    nan = float("nan")
+    rows = []
+    for i in range(600):
+        # every third row NaN — a sampler stride is guaranteed to hit them
+        v = nan if i % 3 == 0 else float(i % 50)
+        rows.append((v, f"id{i:04d}"))
+    df = spark.createDataFrame(rows, "v double, uid string").repartition(8)
+    sp = _sample_splitters(df, ["v", "uid"], 16)
+    assert sp, "sampler returned no splitters on 600 rows"
+    # no float NaN survives into the splitter list (the Arrow
+    # round-trip nullifies NaN on this path — from_pandas semantics —
+    # and the explicit filter guards any non-Arrow source; a NULL
+    # splitter is balance-suboptimal but monotone-safe)
+    assert all(t[0] is None or not math.isnan(t[0]) for t in sp), sp
+    # sorted-invariant holds (what the CASE tree requires)
+    from datalake_backend_spark.operators.ranking import _sort_key
+
+    keys = [_sort_key(t) for t in sp]
+    assert keys == sorted(keys), sp
+    got = {
+        r.uid: r.rank
+        for r in global_rank(df, ["v", "uid"], out_col="rank").collect()
+    }
+    # Spark orders NaN LAST: expected rank from a NaN-last driver sort
+    expected_order = sorted(
+        rows, key=lambda t: (math.isnan(t[0]), 0.0 if math.isnan(t[0]) else t[0], t[1])
+    )
+    want = {uid: i + 1 for i, (_, uid) in enumerate(expected_order)}
+    assert got == want
+
+
+def test_percentile_bounds_path_survives_nan(spark):
+    """The numeric (percentile_approx) boundary path must also stay
+    sane when the order column carries NaN: cut points are filtered of
+    NaN before the sorted() the CASE tree requires, and NaN rows land
+    in the top bucket (Spark treats NaN as largest), so the global
+    running sum still reconciles."""
+    nan = float("nan")
+    rows = [(float(i % 100), 1) for i in range(500)] + [(nan, 1)] * 20
+    df = spark.createDataFrame(rows, "v double, w bigint")
+    from datalake_backend_spark.operators import ranking
+
+    ranking.release_caches()
+    out = ranking.global_running_sum(df, ["v"], "w", out_col="cum")
+    cums = [r.cum for r in out.collect()]
+    # 520 rows of weight 1: the inclusive prefix sums must be a
+    # permutation-free 1..520 (any bucket/offset corruption breaks this)
+    assert sorted(cums) == list(range(1, 521))
+    ranking.release_caches()
+
+
+def test_rfm_segments_null_user_preserved(spark):
+    """NULL-user group (round-13 ADVICE): groupBy(user_col) emits one
+    group for NULL users and the score-reassembly joins must be
+    NULL-safe — an inner join on the column name silently dropped that
+    row (and diverged from the DuckDB NTILE twin on NULL-bearing
+    data)."""
+    from datalake_backend_spark.operators.ranking import rfm_segments
+
+    rows = [
+        (f"u{i % 7}" if i % 11 else None, float(i % 5 + 1), i)
+        for i in range(220)
+    ]
+    df = spark.createDataFrame(rows, "user_id string, value double, n int").select(
+        "user_id",
+        F.timestamp_micros(F.col("n") * 1_000_000).alias("ts"),
+        "value",
+    )
+    out = rfm_segments(df, n=3).collect()
+    users = {r.user_id for r in out}
+    assert None in users, "NULL-user group was dropped by the score joins"
+    assert len(out) == 8  # u0..u6 + the NULL group, one row each
+    null_row = next(r for r in out if r.user_id is None)
+    # the NULL group aggregated all 20 NULL events
+    assert null_row.frequency == len([r for r in rows if r[0] is None])
+    assert set("123") >= set(null_row.segment)
+
+
+def test_bounds_memo_invalidates_on_data_growth(spark, tmp_path):
+    """Memo invalidation (round-13 VERDICT ask #3): the boundary-cut
+    memo folds a data fingerprint (file count + bytes + mtime) into
+    its key, so growing the table 10x under an IDENTICAL plan must
+    yield fresh cut points sized to the new distribution — stale
+    bounds would funnel the new mass through one hot bucket."""
+    from datalake_backend_spark.operators import ranking
+
+    path = str(tmp_path / "grow")
+    spark.createDataFrame(
+        [(float(i % 100), 1) for i in range(1000)], "v double, w bigint"
+    ).write.mode("overwrite").parquet(path)
+
+    def run():
+        df = spark.read.parquet(path)
+        return ranking.keyed_running_sum(df, [], ["v"], "w", out_col="cum")
+
+    ranking.release_caches()
+    run().count()
+    assert len(ranking._BOUNDS_MEMO) == 1
+    old_bounds = list(ranking._BOUNDS_MEMO.values())[0]
+    assert old_bounds and max(old_bounds) < 100.0
+
+    # grow 10x into a disjoint, higher value range
+    spark.createDataFrame(
+        [(100.0 + float(i % 900), 1) for i in range(9000)],
+        "v double, w bigint",
+    ).write.mode("append").parquet(path)
+
+    out = run()
+    cums = sorted(r.cum for r in out.collect())
+    assert cums == list(range(1, 10001))  # correctness at the new size
+    # a FRESH memo entry exists whose bounds reflect the new range
+    assert len(ranking._BOUNDS_MEMO) == 2, (
+        "fingerprint did not change -> stale cut points reused"
+    )
+    new_bounds = [b for b in ranking._BOUNDS_MEMO.values() if b != old_bounds][0]
+    assert max(new_bounds) > 100.0, (old_bounds, new_bounds)
+    # balance at the new size: bucket counts from the new cut points
+    # stay within 2x of ideal (the VERDICT's done-bar)
+    values = [float(i % 100) for i in range(1000)] + [
+        100.0 + float(i % 900) for i in range(9000)
+    ]
+    import bisect
+
+    # bucket id = #cut points strictly below v (matches _binary_search_bucket)
+    counts = [0] * (len(new_bounds) + 1)
+    for v in values:
+        counts[bisect.bisect_left(new_bounds, v)] += 1
+    ideal = len(values) / len(counts)
+    assert max(counts) <= 2 * ideal, (counts, new_bounds)
+    ranking.release_caches()
+
+
+def test_concurrent_kernel_cache_sized_by_bench_concurrency(spark, monkeypatch):
+    """Refcount-free fix for round-13 watch-item #1: the share-the-scan
+    FIFO scales with SPARK_GRAFT_BENCH_CONCURRENCY so N concurrent
+    kernel-backed queries never evict each other's persists
+    mid-flight. Six concurrent calls under concurrency=6 must leave
+    ALL six inputs still persisted (keep=12 >= 6); the sequential
+    default (keep=4) is unchanged."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from datalake_backend_spark.operators import ranking
+
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_CONCURRENCY", raising=False)
+    assert ranking._cache_keep() == 4
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_CONCURRENCY", "6")
+    assert ranking._cache_keep() == 12
+
+    ranking.release_caches()
+    frames = [
+        spark.createDataFrame(
+            [(f"k{i % 3}", i * (j + 1), 1) for i in range(200)],
+            "k string, v bigint, w bigint",
+        )
+        for j in range(6)
+    ]
+
+    def work(df):
+        return ranking.keyed_running_sum(df, ["k"], ["v"], "w").count()
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        assert all(c == 200 for c in ex.map(work, frames))
+    with ranking._CACHE_LOCK:
+        live = list(ranking._LIVE_CACHE)
+    assert len(live) == 6
+    assert all(df.storageLevel.useMemory for df in live), (
+        "a concurrent kernel call's persist was evicted mid-suite"
+    )
+    ranking.release_caches()

@@ -36,7 +36,7 @@ ZIPF = "/tmp/sfgen/sf0.1-zipf"
 DEFAULT_QUERIES = [
     "r88_salted_join",
     "r206_bounded_sssp",
-    "q166_set_similarity_join",
+    "r166_set_similarity_join",  # demoted to reserve in round 14
     "q178_entity_resolution",
     "q04_order_rollup",  # control: partial-agg should absorb skew
     "r40_salted_agg",  # control: explicitly salted aggregate
