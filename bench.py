@@ -43,6 +43,10 @@ from datalake_backend_spark.queries import QUERIES
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     workers = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "6"))
+    # publish the effective concurrency so the kernel's share-the-scan
+    # cache sizes itself for it even when the default (6) applied —
+    # the env var is how operators/ranking._cache_keep() learns it
+    os.environ.setdefault("SPARK_GRAFT_BENCH_CONCURRENCY", str(workers))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark("bench")

@@ -645,16 +645,21 @@ def rfm_segments(
     ).select(user_col, "m_score")
     # NULL-safe score reassembly (round-13 ADVICE): groupBy(user_col)
     # emits ONE group for NULL users, and a plain inner join on the
-    # column name would drop it (NULL = NULL is not true) — a silent
-    # semantic regression vs the pre-round-13 chained form and vs the
-    # DuckDB NTILE twin. <=> is still an equi-join key for Spark's
-    # hash joins, so the plan shape (three AQE-broadcastable joins on
-    # the persisted per-user aggregate) is unchanged.
+    # user column name would drop it (NULL = NULL is not true) — a
+    # silent semantic regression vs the pre-round-13 chained form and
+    # vs the DuckDB NTILE twin. The join key is the user WRAPPED IN A
+    # STRUCT: struct equality compares fields null-safely (ordering
+    # semantics), and a name-form using-join on the struct stays an
+    # extractable equi-join — an eqNullSafe EXPRESSION condition was
+    # tried first and fell to BroadcastNestedLoopJoin under the r/f/m
+    # self-join lineage (all three score frames derive from the same
+    # persisted per_user), a 7x bench regression and an O(n*m)
+    # scale-killer.
     def nullsafe(left: DataFrame, right: DataFrame) -> DataFrame:
-        probe = right.withColumnRenamed(user_col, "_ju")
-        return left.join(
-            probe, F.col(user_col).eqNullSafe(F.col("_ju"))
-        ).drop("_ju")
+        return left.withColumn("_jk", F.struct(user_col)).join(
+            right.withColumn("_jk", F.struct(user_col)).drop(user_col),
+            "_jk",
+        ).drop("_jk")
 
     return (
         nullsafe(nullsafe(nullsafe(per_user, r), f), m)
