@@ -466,3 +466,51 @@ def test_kmv_and_priority_two_phase_rank(spark):
     )
     plan2 = plan_of(priority_sample(samp, "w", "key", 5, group_col="grp"))
     assert plan2.count("Window") >= 2, plan2
+
+
+def test_rfm_score_joins_stay_equi_joins(spark):
+    """rfm_segments (round 14): the NULL-safe score reassembly joins
+    on a STRUCT-wrapped user key by NAME — struct equality is
+    null-safe on its fields AND stays an extractable equi-join. The
+    regression this pins: an eqNullSafe EXPRESSION condition under the
+    r/f/m self-join lineage (all three score frames derive from the
+    same persisted per-user frame) planned as BroadcastNestedLoopJoin,
+    an O(n*m) scale-killer. Every _jk join must be a hash/merge join;
+    no nested-loop join may carry the _jk key (the only legitimate
+    BNLJ is the 1-row recency-anchor broadcast, which has no _jk)."""
+    import datetime as dt
+
+    from datalake_backend_spark.operators.ranking import (
+        release_caches,
+        rfm_segments,
+    )
+
+    release_caches()
+    df = spark.createDataFrame(
+        [
+            (f"u{i % 40}", dt.datetime(2024, 1, 1 + i % 27), float(i % 9 + 1))
+            for i in range(400)
+        ],
+        "user_id string, ts timestamp, value double",
+    )
+    # raw executedPlan string: join KEYS print on the node line there
+    # (explain("formatted") moves them to a details section)
+    plan = (
+        rfm_segments(df, n=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    join_lines = [
+        ln for ln in plan.splitlines() if "Join" in ln and "_jk" in ln
+    ]
+    equi = [
+        ln
+        for ln in join_lines
+        if "BroadcastHashJoin" in ln
+        or "SortMergeJoin" in ln
+        or "ShuffledHashJoin" in ln
+    ]
+    assert len(equi) >= 3, plan  # the three score joins
+    assert not any("BroadcastNestedLoopJoin" in ln for ln in join_lines), plan
+    release_caches()
