@@ -12,10 +12,20 @@ per-x maxima (ONE hash aggregate — this is the big-data pass), then
 prunes with a partition-LOCAL running-max sweep (a superset of the
 frontier — local pruning can only keep extra points, never drop a
 frontier point, because dominance within a partition implies global
-dominance), and finishes with a global ordered sweep over the pruned
-remnant. The only unpartitioned window runs over the locally-pruned
-rows — already frontier-dense — never the raw data. All comparisons
-are plain orderings, so the result is engine-independent.
+dominance). The final sweep is the two-phase range-bucket pattern the
+ranking kernel uses (round 14 — previously a plain unpartitioned
+window over the pruned rows, which is single-task and degenerates on
+adversarial data where every point IS frontier): sampled splitters cut
+x into ≤64 order-preserving buckets, the running max runs per-bucket,
+and the cross-bucket carry-in is a prefix max over ≤64 METADATA rows
+(the only unpartitioned window, same as the kernel's offsets pass).
+
+Correctness under recomputation: the local prune keeps a SUPERSET of
+the frontier, and the prefix max of y over any superset of the
+frontier equals the true prefix max (the running max at x is achieved
+by a frontier point), so even if the persisted prune output is
+recomputed with a different partitioning between the window and
+metadata branches, both branches compute identical true values.
 """
 
 from __future__ import annotations
@@ -28,6 +38,8 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     the distinct frontier points ``(x_col, y_col)`` sorted-free (the
     caller orders). Exact: a point survives iff no other point is ≥
     on both axes with one strict."""
+    from datalake_backend_spark.operators import ranking
+
     pts = df.groupBy(x_col).agg(F.max(y_col).alias(y_col))
     prev = Window.unboundedPreceding
     wl = (
@@ -41,9 +53,41 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         .where(F.col("_my").isNull() | (F.col(y_col) > F.col("_my")))
         .drop("_p", "_my")
     )
-    wg = Window.orderBy(F.desc(x_col)).rowsBetween(prev, -1)
+    # two-phase global sweep over the pruned remnant: range buckets
+    # from sampled full-tuple splitters (order-preserving, frozen
+    # literals), per-bucket running max, cross-bucket carry-in from
+    # <=64 metadata rows. NULL x lands in bucket 0 and sorts last
+    # within it under DESC — consistent with a global DESC NULLS LAST
+    # sweep because every non-null bucket is visited "before" it.
+    loc = ranking._bounded_persist(loc)
+    n_buckets = ranking._bucket_count(df.sparkSession)
+    splitters = ranking._sample_splitters(loc, [x_col], n_buckets)
+    tagged = loc.withColumn(
+        "_b", ranking._bucket_expr(loc, [x_col], splitters)
+    )
+    wb = (
+        Window.partitionBy("_b")
+        .orderBy(F.desc(x_col))
+        .rowsBetween(prev, -1)
+    )
+    base = tagged.withColumn("_lm", F.max(y_col).over(wb))
+    # carry-in: max y of every bucket with LARGER x (higher bucket id)
+    off_w = Window.orderBy(F.desc("_b")).rowsBetween(prev, -1)
+    offsets = (
+        tagged.groupBy("_b")
+        .agg(F.max(y_col).alias("_bm"))
+        .select("_b", F.max("_bm").over(off_w).alias("_om"))
+    )
     return (
-        loc.withColumn("_my", F.max(y_col).over(wg))
+        base.join(offsets, "_b")
+        .withColumn(
+            "_my",
+            F.when(
+                F.col("_lm").isNull(), F.col("_om")
+            ).when(
+                F.col("_om").isNull(), F.col("_lm")
+            ).otherwise(F.greatest("_lm", "_om")),
+        )
         .where(F.col("_my").isNull() | (F.col(y_col) > F.col("_my")))
-        .drop("_my")
+        .drop("_b", "_lm", "_om", "_my")
     )

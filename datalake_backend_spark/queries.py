@@ -13479,6 +13479,18 @@ QUERIES: dict[str, QuerySpec] = {
     "q114_constraints": QuerySpec(
         r114_constraints, R114_SQL, "data-quality-constraints,validation"
     ),
+    # Round 14 second wave: with the audit's top six promoted, three
+    # of the four remaining never-driver families (split, fingerprint,
+    # skyline) also earn window rows this round — pipeline is the only
+    # family with demotion slack (q51/q52/q60 out, q47/q56 stay
+    # in-window); tokenizer (r130) waits for round 15, no family has
+    # >=2 spare twins left to free a fourth row.
+    "q126_leakage_safe_split": QuerySpec(
+        r126_leakage_safe_split, _r126_sql(), "split-by-cluster,decontamination"
+    ),
+    "q133_table_fingerprint": QuerySpec(
+        r133_table_fingerprint, R133_SQL, "fingerprint-checksum,replication-verify"
+    ),
     # fifth rotation (round 7): the codec, lakehouse-DV, source-API and
     # graph families earn their first hard driver rows (JPEG decode,
     # deletion vectors, Python DataSource, integer PageRank);
@@ -13552,6 +13564,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q178_entity_resolution": QuerySpec(
         r178_entity_resolution, R178_SQL, "er-pipeline,block-verify-cluster"
     ),
+    "q179_skyline": QuerySpec(
+        r179_skyline, R179_SQL, "skyline-pareto-frontier,dominance"
+    ),
     "q181_cuped": QuerySpec(
         r181_cuped, R181_SQL, "experiment-cuped,variance-reduction"
     ),
@@ -13595,17 +13610,8 @@ QUERIES: dict[str, QuerySpec] = {
         "pipeline-vehicle,E1,P2,F2,F4,F5,F6,F7,A1,A10,A11,W1,W3,W4,W6",
     ),
     "q48_state_sessions": QuerySpec(q48_state_sessions, Q48_SQL, "W7-state"),
-    "q51_people_pipeline": QuerySpec(
-        q51_people_pipeline, Q51_SQL, "pipeline-people,E2,E3,A10,W5,F16"
-    ),
-    "q52_parking_pipeline": QuerySpec(
-        q52_parking_pipeline, Q52_SQL, "pipeline-parking,F10,F11,J2,W7,A9"
-    ),
     "q56_safety_pipeline": QuerySpec(
         q56_safety_pipeline, Q56_SQL, "pipeline-safety,A12,A10,W4,F13"
-    ),
-    "q60_common_pipeline": QuerySpec(
-        q60_common_pipeline, Q60_SQL, "pipeline-common,F8,A4,A1"
     ),
     "q62_embedding_near_dup": QuerySpec(
         q62_embedding_near_dup, _q62_sql(), "dedup-embedding,similarity-lsh"
@@ -13712,9 +13718,6 @@ QUERIES: dict[str, QuerySpec] = {
     "r125_weighted_sample": QuerySpec(
         r125_weighted_sample, R125_SQL, "sampling-weighted,quality-keep"
     ),
-    "r126_leakage_safe_split": QuerySpec(
-        r126_leakage_safe_split, _r126_sql(), "split-by-cluster,decontamination"
-    ),
     # demoted round 11 (codec family keeps q131 GIF/LZW in-window)
     "r127_jpeg_decode_stats": QuerySpec(
         r127_jpeg_decode_stats, R127_SQL, "multimodal-jpeg-codec"
@@ -13736,9 +13739,6 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r132_image_near_dup": QuerySpec(
         r132_image_near_dup, R132_SQL, "dedup-image-perceptual,phash"
-    ),
-    "r133_table_fingerprint": QuerySpec(
-        r133_table_fingerprint, R133_SQL, "fingerprint-checksum,replication-verify"
     ),
     # demoted round 11 (lakehouse family keeps q91/q150/q109 in-window;
     # DV read path still driver-checked via r140's reserve twin)
@@ -13849,9 +13849,6 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r177_random_projection": QuerySpec(
         r177_random_projection, R177_SQL, "embedding-jl-projection,dim-reduce"
-    ),
-    "r179_skyline": QuerySpec(
-        r179_skyline, R179_SQL, "skyline-pareto-frontier,dominance"
     ),
     "r17_renest_lineitems": QuerySpec(q17_renest_lineitems, Q17_SQL, "E5,A7,O1"),
     "r180_cusum": QuerySpec(
@@ -14108,8 +14105,16 @@ QUERIES: dict[str, QuerySpec] = {
     "r50_state_session_summary": QuerySpec(
         q50_state_session_summary, Q50_SQL, "W7-state,A13"
     ),
-    # demoted round 14 (pipeline family keeps q47/q51/q52/q56/q60
-    # in-window; school/retail/tracking stay oracle-swept)
+    # demoted round 14 second wave (pipeline family keeps q47/q56
+    # in-window; people/parking/common stay oracle-swept)
+    "r51_people_pipeline": QuerySpec(
+        q51_people_pipeline, Q51_SQL, "pipeline-people,E2,E3,A10,W5,F16"
+    ),
+    "r52_parking_pipeline": QuerySpec(
+        q52_parking_pipeline, Q52_SQL, "pipeline-parking,F10,F11,J2,W7,A9"
+    ),
+    # demoted round 14 (pipeline family cover above;
+    # school/retail/tracking stay oracle-swept)
     "r53_school_pipeline": QuerySpec(
         q53_school_pipeline, Q53_SQL, "pipeline-school,F13,A10,A11,A14"
     ),
@@ -14129,6 +14134,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "r59_geolocation_pipeline": QuerySpec(
         q59_geolocation_pipeline, Q59_SQL, "pipeline-geolocation,P1,P2,P4,A13"
+    ),
+    # demoted round 14 second wave (pipeline keeps q47/q56 in-window)
+    "r60_common_pipeline": QuerySpec(
+        q60_common_pipeline, Q60_SQL, "pipeline-common,F8,A4,A1"
     ),
     "r61_scd2_merge": QuerySpec(q61_scd2_merge, Q61_SQL, "merge-scd2"),
     "r63_ivf_ann": QuerySpec(q63_ivf_ann, Q63_SQL, "similarity-ivf,A15"),

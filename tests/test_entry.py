@@ -35,10 +35,9 @@ def test_primary_tier_fills_driver_window():
     assert all(k.startswith("r") for k in keys[PRIMARY_TIER_SIZE:])
     must_have = (
         # domain pipelines (q57/q58/q59 demoted round 13; q53/q54/q55
-        # demoted round 14 — pipeline family keeps q47/q51/q52/q56/
-        # q60 in-window)
-        [f"q{n}" for n in (51, 52, 56, 60)]
-        + ["q47", "q73", "q74"]
+        # then q51/q52/q60 demoted round 14 — pipeline family keeps
+        # q47/q56 in-window, the rest stay oracle-swept)
+        ["q56", "q47", "q73", "q74"]
         # round-5 rotation survivors (q75/q82/q86 demoted round 7;
         # q77/q85/q94/q96 demoted round 8; q34/q76/q83/q120 demoted
         # round 9 with family cover; q84 demoted round 11; q79/q81
@@ -78,6 +77,10 @@ def test_primary_tier_fills_driver_window():
         # string-agg, Hilbert layout key — the six largest remaining
         # never-driver families per tools/driver_window_audit.py
         + ["q87", "q104", "q224", "q236", "q256", "q258"]
+        # round-14 second wave: split / fingerprint / skyline also
+        # earn rows (tokenizer r130 waits for round 15 — pipeline was
+        # the only family with demotion slack)
+        + ["q126", "q133", "q179"]
     )
     for prefix in must_have:
         assert any(k.startswith(prefix + "_") for k in primary), prefix

@@ -2814,3 +2814,37 @@ def test_concurrent_kernel_cache_sized_by_bench_concurrency(spark, monkeypatch):
         "a concurrent kernel call's persist was evicted mid-suite"
     )
     ranking.release_caches()
+
+
+def test_skyline_adversarial_all_frontier_two_phase(spark):
+    """Round-14 skyline rework: the final sweep is range-bucketed
+    (sampled splitters + per-bucket window + <=64 metadata carry-in
+    rows), never a data-sized unpartitioned window. The adversarial
+    shape — EVERY point on the frontier (y rises as x falls), so the
+    local prune removes nothing — must still return all points, and
+    the executed plan's only unpartitioned window must be the
+    metadata prefix-max (input: an aggregate over bucket ids, not
+    data rows)."""
+    from datalake_backend_spark.operators import ranking
+    from datalake_backend_spark.operators.skyline import skyline_2d
+
+    ranking.release_caches()
+    n = 5000
+    rows = [(float(i), float(n - i)) for i in range(n)]  # all undominated
+    df = spark.createDataFrame(rows, "x double, y double").repartition(8)
+    out = skyline_2d(df, "x", "y")
+    assert out.count() == n
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    unpart = [
+        m.group(0)
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan)
+        if not m.group(1).split(",")[0].strip().startswith("_b")
+        and "_p" not in m.group(1).split(",")[0]
+    ]
+    # the only unpartitioned spec orders by _b (metadata rows); the
+    # data window leads with the _b partition column
+    for spec in unpart:
+        assert "_b" in spec, plan
+    ranking.release_caches()

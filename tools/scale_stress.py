@@ -230,24 +230,47 @@ def run_ops(spark, docs_path: str, events_path: str) -> dict[str, float]:
         thunk()
         out[name] = round(time.time() - t0, 2)
 
-    # Headline row runs with the hot-bucket cap ON — the 100 TB
-    # configuration (round-13 VERDICT ask #5: the 31-word stress
-    # vocabulary makes every band bucket hot, so UNCAPPED candidates
-    # grow superlinearly — that measures the corpus's quadratic pair
-    # structure, not the operator; cap_hot_buckets is exactly the
-    # guard rail a real deployment runs with). The uncapped run is
-    # kept as its own row, and capped-vs-uncapped recall is recorded:
-    # capped pairs are a subset by construction, so recall =
-    # n_pairs_capped / n_pairs.
-    pairs_capped = near_dup_minhash(docs, max_bucket=64, **kw)
+    # Headline row runs with the hot-bucket cap ON at a BINDING
+    # max_bucket=8 — the 100 TB configuration (round-13 VERDICT ask
+    # #5: the 31-word stress vocabulary's shingle reuse makes the
+    # band-bucket background CANDIDATES grow quadratically — measured
+    # 278 -> 13,864 for 10x docs uncapped — while verified pairs stay
+    # linear; cap_hot_buckets is exactly the guard rail a real
+    # deployment runs with). The uncapped run is kept as its own row.
+    # Wall-clock exponents at this fixture size are dominated by the
+    # linear signature stage plus timer noise, so the noise-free
+    # evidence recorded here is the CANDIDATE count under each
+    # config (n_cands/n_cands_capped) plus capped-vs-uncapped recall
+    # (capped pairs are a subset by construction, so recall =
+    # n_pairs_capped / n_pairs; measured 1.0 at caps 4-64 — injected
+    # near-dups collide in many small buckets, the quadratic
+    # background lives in hot buckets that never verify >= 0.4).
+    from datalake_backend_spark.datapipe.dedup import (
+        lsh_candidates,
+        minhash_of_shingles,
+        shingle_projection,
+    )
+
+    pairs_capped = near_dup_minhash(docs, max_bucket=8, **kw)
     timed("lsh_pairs", lambda: _force(pairs_capped))
-    out["n_pairs_capped"] = near_dup_minhash(docs, max_bucket=64, **kw).count()
+    out["n_pairs_capped"] = near_dup_minhash(docs, max_bucket=8, **kw).count()
     pairs = near_dup_minhash(docs, **kw)
     timed("lsh_pairs_uncapped", lambda: _force(pairs))
     out["n_pairs"] = near_dup_minhash(docs, **kw).count()
     out["lsh_capped_recall"] = round(
         out["n_pairs_capped"] / out["n_pairs"], 4
     ) if out["n_pairs"] else 1.0
+    sh = shingle_projection(docs, "text", "doc_id", kw["n"])
+    sig = sh.select(
+        F.col("doc_id"),
+        minhash_of_shingles("_sh", kw["k"]).alias("minhash"),
+    )
+    out["n_cands"] = lsh_candidates(
+        sig, "doc_id", bands=kw["bands"], k=kw["k"]
+    ).count()
+    out["n_cands_capped"] = lsh_candidates(
+        sig, "doc_id", bands=kw["bands"], k=kw["k"], max_bucket=8
+    ).count()
     timed("clusters", lambda: _force(cluster_near_dups(near_dup_minhash(docs, **kw))))
     n = docs.count()
     half = n // 2
@@ -421,6 +444,16 @@ def run_ops(spark, docs_path: str, events_path: str) -> dict[str, float]:
     wide_path = os.path.join(os.path.dirname(docs_path), "wide_docs.parquet")
     gen_wide_documents(spark, docs.count(), seed=44, path=wide_path)
     wide = spark.read.parquet(wide_path)
+    # round-14: MinHash LSH over the REALISTIC text shape (wide vocab,
+    # ~0 shared shingles between random docs — the round-13 ask's
+    # second prong). Candidates stay linear without any cap here; this
+    # row is the exponent a real corpus sees, while the tiny-vocab
+    # rows above measure the adversarial hot-bucket regime.
+    timed(
+        "lsh_pairs_widevocab",
+        lambda: _force(near_dup_minhash(wide, **kw)),
+    )
+    out["n_pairs_wide"] = near_dup_minhash(wide, **kw).count()
     timed("ssj_exact", lambda: _force(set_similarity_join(wide, 4, 5)))
     out["n_ssj_pairs"] = set_similarity_join(wide, 4, 5).count()
     # candidate-pruning evidence: how many pairs reach exact verify
@@ -718,8 +751,8 @@ def main() -> int:
         print(label, results[label], flush=True)
 
     ops = [
-        "lsh_pairs", "lsh_pairs_uncapped", "clusters",
-        "incr_dedup", "gap_ffill", "gap_linear",
+        "lsh_pairs", "lsh_pairs_uncapped", "lsh_pairs_widevocab",
+        "clusters", "incr_dedup", "gap_ffill", "gap_linear",
         "packing", "span_dedup", "bpe_dist",
         "img_near_dup", "audio_near_dup",
         "video_near_dup", "inverted_index", "fingerprint",
@@ -747,10 +780,13 @@ def main() -> int:
         )
     meta = (
         f"pairs: 1x={results['1x']['n_pairs']} 10x={results['10x']['n_pairs']}; "
-        f"capped pairs (max_bucket=64): 1x={results['1x']['n_pairs_capped']} "
+        f"capped pairs (max_bucket=8): 1x={results['1x']['n_pairs_capped']} "
         f"(recall {results['1x']['lsh_capped_recall']}) "
         f"10x={results['10x']['n_pairs_capped']} "
         f"(recall {results['10x']['lsh_capped_recall']}); "
+        f"lsh candidates uncapped/capped: "
+        f"1x={results['1x']['n_cands']}/{results['1x']['n_cands_capped']} "
+        f"10x={results['10x']['n_cands']}/{results['10x']['n_cands_capped']}; "
         f"grid rows: 1x={results['1x']['n_grid']} 10x={results['10x']['n_grid']}; "
         f"img pairs: 1x={results['1x']['n_img_pairs']} "
         f"10x={results['10x']['n_img_pairs']}; "
