@@ -1379,20 +1379,25 @@ def key_skew_profile(
     40 on the intended join key means salting or AQE skew handling,
     measured instead of discovered in a straggler task).
 
-    Scale shape: ONE hash aggregate collapses data to (key, n); every
-    window after that runs over key-cardinality metadata rows. The
-    lower median is positional (row ``(cnt+1) div 2`` in n-order,
-    ties by key) — deterministic, no interpolation, so the twin
-    matches exactly. Heaviest key ties break toward the smaller key
-    string."""
+    Scale shape: ONE hash aggregate collapses data to (key, n) — but
+    key CARDINALITY is not bounded (a billion customers at 100 TB),
+    so the positional median uses the two-phase global rank kernel
+    (``ranking.global_rank`` — sampled splitters, per-bucket windows,
+    metadata offsets) instead of an unpartitioned ``row_number``
+    window over all keys (round-14 window audit: that was one task
+    over key-cardinality rows), and the heaviest key is a single
+    ``min(struct(-n, key))`` aggregate (max n, smaller key on ties —
+    no window at all). The lower median is positional (row
+    ``(cnt+1) div 2`` in n-order, ties by key) — deterministic, no
+    interpolation, so the twin matches exactly."""
+    from datalake_backend_spark.operators.ranking import global_rank
+
     sizes = df.groupBy(*keys).agg(F.count("*").alias("n"))
     key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in keys])
     s = sizes.select(key_str.alias("_key"), "n")
-    w_med = Window.orderBy(F.col("n"), F.col("_key"))
-    w_top = Window.orderBy(F.desc("n"), F.col("_key"))
-    ranked = s.withColumn("_rm", F.row_number().over(w_med)).withColumn(
-        "_rt", F.row_number().over(w_top)
-    )
+    # n is tie-heavy (many keys share small counts) — full-tuple
+    # splitters keep the buckets balanced on the key tiebreak
+    ranked = global_rank(s, ["n", "_key"], out_col="_rm")
     stats = s.agg(
         F.count("*").alias("n_keys"),
         F.sum("n").alias("n_rows"),
@@ -1413,8 +1418,12 @@ def key_skew_profile(
         .where(F.col("_rm") == F.expr("(n_keys + 1) div 2"))
         .agg(F.max("n").alias("median_n"))
     )
-    heaviest = ranked.where(F.col("_rt") == 1).agg(
-        F.max("_key").alias("heaviest_key")
+    # heaviest key = the (max n, min key) element: min over the
+    # (-n, key) struct ordering — one aggregate, zero windows
+    heaviest = s.agg(
+        F.min(F.struct((-F.col("n")).alias("_negn"), F.col("_key")))[
+            "_key"
+        ].alias("heaviest_key")
     )
     return stats.crossJoin(F.broadcast(median)).crossJoin(
         F.broadcast(heaviest)
