@@ -60,6 +60,14 @@ ENGINE_CONF: dict[str, str] = {
     # measured 6x slower than the expression-codegen fallback this
     # threshold switches to.
     "spark.sql.codegen.hugeMethodLimit": "8000",
+    # TakeOrderedAndProject materializes a k-sized buffer PER PARTITION;
+    # past ~10M rows that buffer (not the sort) is the memory hazard —
+    # k=1e9 allocates gigabytes per task and stalls the whole JVM in
+    # allocation/GC (observed: a 13-minute safepoint stall wedging the
+    # executor heartbeat in local mode). Above this threshold the
+    # planner falls back to Sort + GlobalLimit, which spills gracefully
+    # at any k. Results are identical either way.
+    "spark.sql.execution.topKSortFallbackThreshold": "10000000",
     # Quieter, faster local runs; harmless on a cluster.
     "spark.ui.showConsoleProgress": "false",
     # Storage-release path for the eager-localCheckpoint two-phase

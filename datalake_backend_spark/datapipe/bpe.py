@@ -56,6 +56,20 @@ def word_counts(
         .agg(F.count("*").alias("count"))
     )
     if top_words is not None:
+        if top_words > 10_000_000:
+            # A huge k must NOT plan as TakeOrderedAndProject: its
+            # per-partition k-sized buffer allocates gigabytes per task
+            # and stalls the JVM in allocation/GC (a 1e9 bound wedged
+            # the whole executor for 13+ minutes). The engine session
+            # caps spark.sql.execution.topKSortFallbackThreshold, but
+            # word_counts can run on a PLAIN session (the driver gate)
+            # whose threshold is Int.MaxValue — pin it here so the
+            # planner picks Sort + GlobalLimit (spillable, identical
+            # rows) for absurd bounds on any session.
+            df.sparkSession.conf.set(
+                "spark.sql.execution.topKSortFallbackThreshold",
+                "10000000",
+            )
         # TakeOrderedAndProject: per-partition partial top-k, no full sort
         wc = wc.orderBy(F.desc("count"), "word").limit(top_words)
     return wc

