@@ -43,6 +43,23 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Ceiling for shuffle parallelism; AQE coalesces below it.
     "spark.sql.shuffle.partitions": _DEFAULT_CPUS,
+    # DELIBERATELY LEFT AT DEFAULT (false), with measurements —
+    # spark.sql.optimizer.canChangeCachedPlanOutputPartitioning:
+    # flipping it true lets AQE coalesce the plans feeding .persist(),
+    # which removed the static-task-count overhead on every cached
+    # frame of the iterative operators (graph loops, kernel, CC: q147
+    # 9.3->4.5s, r206 8.2->4.0s, r230 5.2->3.3s min-of-reps at sf0.1)
+    # — but AQE sizes partitions by BYTES, so CPU-dense-but-byte-small
+    # cached frames (minhash shingles, tokenization, PQ codes)
+    # collapsed to 1-2 partitions and serialized their downstream
+    # compute: r116 3.2->24.0s, r112 2.0->12.7s, r115 1.3->7.6s in the
+    # full bench, confirmed directionally by isolated min-of-reps. A
+    # compressed corpus expands ~100x in compute per byte at ANY
+    # scale, so that regression is not a local artifact; the default
+    # also keeps cached hashpartitioning visible to the partition-
+    # reuse operators (sessionize/asof/packing plan-shape contracts).
+    # Net: default wins; the cached-frame task-count overhead is
+    # local-scale scheduling noise.
     # Arrow batch transfer for the few pandas-UDF operators.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Deterministic timestamp semantics vs. oracles and across nodes.
