@@ -38,6 +38,27 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+def doc_lengths(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token count ``(doc_id, dl)`` WITHOUT an explode or
+    a shuffle: ``dl = size(filter(tokens(text), t -> t <> ''))`` is a
+    narrow projection, where the explode→groupBy(doc) formulation it
+    replaces (round-14) shuffled one partially-aggregated row per
+    document and re-tokenized the corpus once per consumer. Documents
+    with zero non-empty tokens are dropped — exactly the rows the old
+    groupBy never produced — so corpus scalars (N docs, Σ dl) derived
+    from this frame match the explode-based ones bit-for-bit."""
+    # array_remove, not a filter() lambda: higher-order-function
+    # lambdas are interpreted per element (no codegen) — measured
+    # ~30% slower on this hot path
+    dl = F.size(F.array_remove(tokens(F.col(text_col)), ""))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), dl.alias("dl"))
+        .where(F.col("dl") > 0)
+    )
+
+
 def bpe_token_count(col: Column | str) -> Column:
     """Approximate subword token count via the BPE-ish regex."""
     c = F.col(col) if isinstance(col, str) else col
@@ -350,7 +371,13 @@ def tfidf_top_terms(
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # persisted: the document-frequency aggregate and the score join
+    # both consume tf — without the persist each use re-runs the full
+    # tokenize→explode→count pass over the corpus (round-14; same
+    # idiom as tf_cosine_near_dups' shared tf frame)
+    tf = (
+        toks.groupBy(id_col, "term").agg(F.count("*").alias("tf")).persist()
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     total = df.select(F.count("*").alias("_n"))
     scored = (
@@ -790,28 +817,46 @@ def bm25_scores(
     ``(2N+2)⁴`` wrapped signed-64 past N ≈ 27,550 — the one sf1.0
     verdict that was a tolerance instead of a hash).
 
-    Scale shape: one explode (O(tokens)), tf restricted to the query
-    terms BEFORE any shuffle (the per-doc groupBy aggregates only
-    matching postings), corpus scalars via the broadcast 1-row-agg
-    idiom, and the top-k is ``orderBy().limit()`` — Spark plans
-    TakeOrderedAndProject, a per-partition heap + driver merge of k
-    rows, never a global sort."""
-    tok = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
-    ).where(F.col("term") != "")
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    corpus = dl.agg(
+    Scale shape (round-14 rework): document length rides the matching
+    rows as ``size(filter(tokens(...)))`` — a narrow projection, so
+    the old full-token-stream ``groupBy(doc)`` shuffle and its join
+    back onto the scored rows are both gone; tf is restricted to the
+    query terms BEFORE any shuffle (the filtered explode ships only
+    matching postings); the tiny (doc, term, dl, tf) frame is
+    persisted so the per-term document frequency re-reads it instead
+    of re-tokenizing the corpus; corpus scalars (N, Σdl) come from
+    one more narrow pass via the broadcast 1-row-agg idiom; the top-k
+    is ``orderBy().limit()`` — Spark plans TakeOrderedAndProject, a
+    per-partition heap + driver merge of k rows, never a global
+    sort."""
+    terms = list(query_terms)
+    qtf = (
+        # inner projection materializes the tokenize ONCE per row; the
+        # outer select references _t twice (dl + the explode child),
+        # which CollapseProject will not inline past (non-cheap expr
+        # referenced twice), so the regex split runs once, not twice.
+        # array_remove + explode + where(isin) stay in codegen; a
+        # filter() lambda here would run interpreted per token.
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_remove(tokens(F.col(text_col)), "").alias("_t"),
+        )
+        .select(
+            "doc_id",
+            F.size("_t").alias("dl"),
+            F.explode("_t").alias("term"),
+        )
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+    corpus = doc_lengths(df, text_col, id_col).agg(
         F.count("*").alias("_n"), F.sum("dl").alias("_l")
     )  # 1 row — broadcast scalar, never a collect
-    qtf = (
-        tok.where(F.col("term").isin(list(query_terms)))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
     dft = qtf.groupBy("term").agg(F.count("*").alias("df_t"))
     scored = (
         qtf.join(F.broadcast(dft), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .withColumn(
             "idf_q",
@@ -862,10 +907,14 @@ def bm25_multi_query(
     int64 to N ≈ 1.5·10⁹ documents (the quarter-bit form wraps at
     N ≈ 27.5 K), and the ``idf·44·L·tf·scale`` numerator accumulates
     in DECIMAL(38,0) (HUGEINT in the DuckDB twin) so token mass
-    L ~ 10¹³ at 100 TB cannot wrap it. One explode, postings
-    restricted to query terms before any shuffle, corpus scalars via
-    the broadcast 1-row-agg idiom; scores are a bit-exact function of
-    the corpus in any engine (oracle r162)."""
+    L ~ 10¹³ at 100 TB cannot wrap it. Round-14 shape (same rework as
+    :func:`bm25_scores`): document length rides the matching rows as
+    a narrow ``size(filter(...))`` projection instead of a
+    full-token-stream groupBy + join-back; the filtered explode ships
+    only query-term postings; the tiny tf frame is persisted so the
+    document-frequency pass re-reads it instead of re-tokenizing;
+    corpus scalars via the broadcast 1-row-agg idiom; scores are a
+    bit-exact function of the corpus in any engine (oracle r162)."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
@@ -873,22 +922,31 @@ def bm25_multi_query(
         (qid, t) for qid, terms in sorted(queries.items()) for t in terms
     ]
     qdf = spark.createDataFrame(qrows, "query_id string, term string")
-    tok = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
-    ).where(F.col("term") != "")
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    corpus = dl.agg(F.count("*").alias("_n"), F.sum("dl").alias("_l"))
     all_terms = sorted({t for ts in queries.values() for t in ts})
     tf = (
-        tok.where(F.col("term").isin(all_terms))
-        .groupBy("doc_id", "term")
+        # two-level projection so the regex split runs once per row;
+        # codegen-friendly array_remove/explode/where (see bm25_scores)
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_remove(tokens(F.col(text_col)), "").alias("_t"),
+        )
+        .select(
+            "doc_id",
+            F.size("_t").alias("dl"),
+            F.explode("_t").alias("term"),
+        )
+        .where(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+    corpus = doc_lengths(df, text_col, id_col).agg(
+        F.count("*").alias("_n"), F.sum("dl").alias("_l")
     )
     dft = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     scored = (
         tf.join(F.broadcast(qdf), "term")
         .join(F.broadcast(dft), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .withColumn(
             "idf_q",

@@ -211,16 +211,18 @@ def register_search_index(
     for this term set" from Elasticsearch; here the pair of views IS
     the index, and :func:`search_top_docs` ranks against it without a
     per-query pass over the raw corpus."""
-    from datalake_backend_spark.datapipe.text import inverted_index, tokens
+    from datalake_backend_spark.datapipe.text import doc_lengths, inverted_index
 
     inverted_index(docs, text_col, id_col, max_df).createOrReplaceTempView(
         "serving_search_index"
     )
-    docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
-    ).where(F.col("term") != "").groupBy("doc_id").agg(
-        F.count("*").alias("dl")
-    ).createOrReplaceTempView("serving_search_doclens")
+    # doc_lengths is a narrow projection (no explode, no shuffle), so
+    # the scorer's two uses of this lazy view (corpus scalars + the
+    # posting join) each cost one cheap scan instead of re-running a
+    # full tokenize→explode→groupBy per use (round-14)
+    doc_lengths(docs, text_col, id_col).createOrReplaceTempView(
+        "serving_search_doclens"
+    )
 
 
 def search_top_docs(

@@ -866,6 +866,40 @@ def test_item_cooccurrence_counts_and_caps(spark):
     assert capped == {("a", "b"): 1, ("a", "c"): 1}
 
 
+def test_item_cooccurrence_null_semantics(spark):
+    """NULL edges of the round-14 single-pass rework must match the
+    original join-based formulation: a NULL basket never pairs
+    (NULL = NULL is not true in the join it replaced), a NULL item
+    never appears in a pair (NULL < x is never true), and a NULL item
+    COUNTS toward the megabasket cap (the size filter ran on the
+    distinct (basket, item) rows, null items included)."""
+    from datalake_backend_spark.operators.association import (
+        item_cooccurrence,
+    )
+
+    rows = [
+        (None, "a"), (None, "b"),          # NULL basket: no pairs
+        (1, "a"), (1, "b"), (1, None),     # null item: no pair, +1 size
+        (2, "a"), (2, "b"),
+    ]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    got = {
+        (r.item_a, r.item_b): r.n_baskets
+        for r in item_cooccurrence(
+            df, "basket", "item", min_support=1, max_basket_items=10
+        ).collect()
+    }
+    assert got == {("a", "b"): 2}
+    # basket 1 holds 3 distinct items incl. NULL -> cap of 2 drops it
+    capped = {
+        (r.item_a, r.item_b): r.n_baskets
+        for r in item_cooccurrence(
+            df, "basket", "item", min_support=1, max_basket_items=2
+        ).collect()
+    }
+    assert capped == {("a", "b"): 1}
+
+
 def test_skyline_2d_matches_brute_force(spark):
     """Pareto frontier (operators/skyline.py:skyline_2d; oracle twin
     r179): exact dominance semantics vs a driver-side brute force —
