@@ -373,6 +373,14 @@ def jaccard_pairs(
         obs = Observation()
         pairs = pairs.observe(obs, F.count(F.lit(1)).alias("n_pairs"))
         _watch_pair_count(obs, PAIR_WARN, "jaccard_pairs")
+    # deliberately NOT persisted (round-14, measured): the verify join
+    # reads sh on both pair sides, but the subtree is a narrow
+    # scan+tokenize with no shuffle — the two sides build in parallel
+    # as independent broadcast stages, while a persist serializes them
+    # behind one materialization (+1.3 s stage wall at sf0.1) and at
+    # scale trades one extra text scan for caching shingle arrays of
+    # comparable size. Contrast near_dup_minhash, whose persisted sh
+    # feeds the k-hash signature pass AND verification.
     sh = shingle_projection(df, text_col, id_col, n)
     return _jaccard_on_shingles(sh, pairs, id_col)
 
@@ -1448,7 +1456,10 @@ def set_similarity_join(
     Returns ``(id_a, id_b, n_inter, n_union)`` with ``id_a < id_b``.
     All-integer — bit-exact in any engine (oracle r166 brute-forces
     the same pairs in DuckDB)."""
-    ordered = _ssj_ordered(df, tau_num, tau_den, text_col, id_col)
+    # persisted: consumed four times (both candidate-join sides + both
+    # verify sides) — each use otherwise re-runs the whole
+    # tokenize → df-rank → rare-first reorder pipeline (round-14)
+    ordered = _ssj_ordered(df, tau_num, tau_den, text_col, id_col).persist()
     cand = _ssj_candidates(ordered, tau_num, tau_den)
     # exact verify: fetch the ordered token arrays for the surviving
     # candidate pairs only (two narrow equi-joins on id)

@@ -1398,6 +1398,10 @@ def key_skew_profile(
     # n is tie-heavy (many keys share small counts) — full-tuple
     # splitters keep the buckets balanced on the key tiebreak
     ranked = global_rank(s, ["n", "_key"], out_col="_rm")
+    # ONE global aggregate carries the moments AND the heaviest key
+    # (min over the (-n, key) struct ordering = max n, smaller key on
+    # ties) — round-14: these were two separate aggregates, each
+    # re-running the raw-data groupBy subtree
     stats = s.agg(
         F.count("*").alias("n_keys"),
         F.sum("n").alias("n_rows"),
@@ -1407,6 +1411,9 @@ def key_skew_profile(
             F.max("n").cast("double")
             / (F.sum("n").cast("double") / F.count("*"))
         ).alias("skew_factor"),
+        F.min(F.struct((-F.col("n")).alias("_negn"), F.col("_key")))[
+            "_key"
+        ].alias("heaviest_key"),
     )
     # each selection yields exactly one row; the trailing GLOBAL
     # aggregate (max of one row = that row) makes the single-row
@@ -1418,15 +1425,14 @@ def key_skew_profile(
         .where(F.col("_rm") == F.expr("(n_keys + 1) div 2"))
         .agg(F.max("n").alias("median_n"))
     )
-    # heaviest key = the (max n, min key) element: min over the
-    # (-n, key) struct ordering — one aggregate, zero windows
-    heaviest = s.agg(
-        F.min(F.struct((-F.col("n")).alias("_negn"), F.col("_key")))[
-            "_key"
-        ].alias("heaviest_key")
-    )
-    return stats.crossJoin(F.broadcast(median)).crossJoin(
-        F.broadcast(heaviest)
+    return stats.crossJoin(F.broadcast(median)).select(
+        "n_keys",
+        "n_rows",
+        "max_n",
+        "mean_n",
+        "skew_factor",
+        "median_n",
+        "heaviest_key",
     )
 
 

@@ -149,25 +149,32 @@ def gap_fill(
     """Regularize an irregular per-key series onto a fixed grid with
     forward fill: bucket observations to ``floor(t/step)*step``
     (``time_col`` is integral epoch micros), aggregate one value per
-    occupied tick (``agg``, default ``max``), generate each key's full
-    tick range with ``sequence()``, left-join observations, and
-    forward-fill misses with ``last(..., ignorenulls)`` over the
-    ordered key window. Output: keys, ``tick``, filled ``value``,
+    occupied tick (``agg``, default ``max``), then generate each
+    OBSERVATION's run of grid ticks up to (exclusive) the next
+    observation from one ``lead()`` window and explode it — the gap's
+    filler value (and, for linear mode, both interpolation neighbors)
+    ride the same row. Output: keys, ``tick``, filled ``value``,
     ``was_observed``.
 
-    Scale shape: the grid explode materializes only (key × ticks) —
-    never data × data; the bucket aggregate, grid join, and fill
-    window all partition on the key, so AQE coalesces them onto one
-    exchange chain. The fill window is per-key ordered — fine as long
-    as a single key's tick span fits a task (time-bound it with a
-    coarser ``step`` or key-splitting for multi-year series).
+    Scale shape (round-14 rework): ONE exchange chain — the bucket
+    aggregate then the per-key lead window; the previous formulation
+    built a separate min/max-span aggregate, exploded a full per-key
+    grid, LEFT-JOINED observations back, and ran fill windows over the
+    joined grid (a second full pass over the aggregated data plus a
+    join, and for linear mode a second descending window — the
+    ascending+descending pair replaced an UnboundedFollowing frame
+    that Spark re-scans per row, O(span²), measured 12.7 s vs 1.9 s at
+    sf0.1). Per-gap sequences also bound the explode arrays by the
+    LARGEST GAP instead of the largest whole key span. The union of
+    gap runs [tick_i, tick_{i+1}) plus each key's last observation is
+    exactly the min..max grid. The per-key window needs a single key's
+    OBSERVATIONS in one task (time-bound it with a coarser ``step`` or
+    key-splitting for multi-year series).
 
     ``mode='linear'`` interpolates misses between the surrounding
     observations instead of repeating the last one (``value`` becomes
-    double): both neighbors come from the SAME ordered key window pass
-    (last/first ignorenulls over preceding/following frames), and every
-    grid tick has both neighbors by construction — the grid spans each
-    key's observed min..max tick.
+    double); generated ticks strictly inside a gap interpolate between
+    the gap's endpoints, which are both on the row already.
     """
     if mode not in ("ffill", "linear"):
         raise ValueError(f"mode must be ffill|linear, got {mode!r}")
@@ -178,60 +185,53 @@ def gap_fill(
         .groupBy(*keys, "tick")
         .agg(agg(value_col).alias("_v"))
     )
-    spans = obs.groupBy(*keys).agg(
-        F.min("tick").alias("_t0"), F.max("tick").alias("_t1")
-    )
-    grid = spans.select(
+    w = Window.partitionBy(*keys).orderBy("tick")
+    runs = obs.select(
         *keys,
+        F.col("tick").alias("_t0"),
+        F.col("_v").alias("_v0"),
+        F.lead("tick").over(w).alias("_t1"),
+        F.lead("_v").over(w).alias("_v1"),
+    )
+    # last observation per key (no next): emit just its own tick;
+    # otherwise every tick in [_t0, _t1) — the next obs row emits _t1
+    gap = runs.select(
+        *keys,
+        "_t0",
+        "_v0",
+        "_t1",
+        "_v1",
         F.explode(
-            F.sequence(F.col("_t0"), F.col("_t1"), F.lit(step).cast("long"))
+            F.sequence(
+                F.col("_t0"),
+                F.coalesce(
+                    F.col("_t1") - F.lit(step).cast("long"), F.col("_t0")
+                ),
+                F.lit(step).cast("long"),
+            )
         ).alias("tick"),
     )
-    joined = grid.join(obs, [*keys, "tick"], "left")
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("tick")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    observed = F.col("tick") == F.col("_t0")
     if mode == "ffill":
-        return joined.select(
+        return gap.select(
             *keys,
             "tick",
-            F.last("_v", ignorenulls=True).over(w).alias("value"),
-            F.col("_v").isNotNull().alias("was_observed"),
+            F.col("_v0").alias("value"),
+            observed.alias("was_observed"),
         )
-    # "next observation" = last-ignorenulls over the DESCENDING order
-    # with an unbounded-preceding frame. The obvious spelling —
-    # first-ignorenulls over (currentRow, unboundedFollowing) — makes
-    # Spark RE-SCAN current→end for every row (UnboundedFollowing
-    # frames are not incrementally maintained): O(span²) per key,
-    # measured 12.7 s vs 1.9 s at sf0.1 on this exact query. Preceding
-    # frames slide in O(1) per row under either sort direction.
-    w_next = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("tick").desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    obs_tick = F.when(F.col("_v").isNotNull(), F.col("tick"))
-    withnb = joined.select(
-        *keys,
-        "tick",
-        "_v",
-        F.last("_v", ignorenulls=True).over(w).alias("_v0"),
-        F.last(obs_tick, ignorenulls=True).over(w).alias("_t0"),
-        F.last("_v", ignorenulls=True).over(w_next).alias("_v1"),
-        F.last(obs_tick, ignorenulls=True).over(w_next).alias("_t1"),
-    )
+    # identical arithmetic to the joined-grid formulation (the r120
+    # oracle compares these doubles bit-exactly): v0 + (v1 − v0) ·
+    # ((tick − t0) / (t1 − t0)), long/long division → double
     interp = F.col("_v0") + (F.col("_v1") - F.col("_v0")) * (
         (F.col("tick") - F.col("_t0")) / (F.col("_t1") - F.col("_t0"))
     )
-    return withnb.select(
+    return gap.select(
         *keys,
         "tick",
-        F.when(F.col("_v").isNotNull(), F.col("_v").cast("double"))
+        F.when(observed, F.col("_v0").cast("double"))
         .otherwise(interp)
         .alias("value"),
-        F.col("_v").isNotNull().alias("was_observed"),
+        observed.alias("was_observed"),
     )
 
 
