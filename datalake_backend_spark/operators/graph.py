@@ -36,6 +36,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+#: target rows per partition for right-sized loop-invariant frames —
+#: the same ~1M-rows heuristic the connected-components loop uses
+#: (datapipe/dedup.py): graphs derived from a corpus are typically
+#: orders of magnitude smaller than the corpus, and every iteration
+#: pays the cached frame's task count as fixed overhead.
+_ROWS_PER_PART = 1_000_000
+
+
+def _right_size(df: DataFrame, key: str) -> DataFrame:
+    """Right-size a PERSISTED loop-invariant frame to the graph, not
+    the upstream partitioning (the CC-loop idiom, round-14): count it
+    (materializing the cache — the loop's first iteration would pay
+    that anyway), and if the frame is far smaller than its inherited
+    partition count, re-persist it hash-clustered on ``key`` at
+    ~``_ROWS_PER_PART`` rows per partition. Every per-iteration stage
+    that maps over the cache then runs |parts| tasks instead of the
+    inherited count. Scale-adaptive by construction: at real data
+    sizes ``n // _ROWS_PER_PART`` exceeds the inherited count and this
+    is a no-op (the count probe is one pass over the cache)."""
+    n = df.count()
+    cur = df.rdd.getNumPartitions()
+    parts = int(max(2, min(cur, n // _ROWS_PER_PART + 2)))
+    if parts >= cur:
+        return df
+    sized = df.repartition(parts, key).persist()
+    sized.count()  # materialize before releasing the oversized copy
+    df.unpersist()
+    return sized
+
+
 def _finish(result: DataFrame, cached: list[DataFrame], materialize: bool) -> DataFrame:
     """Pin-then-release discipline shared by every graph operator: the
     iterative loops persist edge/node/frontier frames (re-derivation
@@ -87,7 +117,11 @@ def pagerank(
     damping = 100 - teleport_pct
     # persist the edge table: callers derive it (join + distinct +
     # symmetrize) and the per-iteration contribution join would
-    # otherwise re-execute that derivation once per iteration
+    # otherwise re-execute that derivation once per iteration.
+    # NOT right-sized (round-14, measured): the node/degree table is
+    # derived FROM this cache, so shrinking it under-parallelizes the
+    # explode+aggregate and the sizing cost outweighs the per-
+    # iteration task savings (min-of-3 x3 A/B: 4.5-4.9 -> 5.2-5.5 s)
     edges = edges.persist()
     # node set + out-degree in ONE aggregate (explode each edge to a
     # src row carrying 1 and a dst row carrying 0, sum per node) —
@@ -163,7 +197,7 @@ def bfs_hops(
     typically derive it (join + distinct + symmetrize), and without the
     cache that derivation re-executes once per level.
     """
-    edges = edges.persist()
+    edges = _right_size(edges.persist(), "src")
     frontier = sources.select("node").distinct().withColumn(
         "hop", F.lit(0).cast("bigint")
     ).persist()
@@ -273,7 +307,7 @@ def personalized_pagerank(
     # error (the eager count is one tiny job over the seed frame)
     if src_set.isEmpty():
         raise ValueError("personalized_pagerank needs a non-empty sources frame")
-    edges = edges.persist()
+    edges = edges.persist()  # not right-sized - see pagerank
     # node set + out-degree in ONE aggregate (see pagerank), then a
     # FULL outer join with the seed set so seeds outside the edge set
     # still rank (teleport-only mass)
@@ -364,6 +398,10 @@ def kcore_peel(
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     cached: list[DataFrame] = []
+    # NOT right-sized (round-14, measured): unlike the other loops'
+    # edge tables, this frame is superseded by a NEW persisted frame
+    # every round, so the sizing pass only added upfront cost
+    # (min-of-3 A/B: 2.1-2.6 s -> 3.5 s with sizing)
     live = edges.select("src", "dst").persist()
     cached.append(live)
     for i in range(rounds):
@@ -482,9 +520,12 @@ def bounded_sssp(
     if max_hops < 1:
         raise ValueError("max_hops must be >= 1")
     cached: list[DataFrame] = []
-    edges = edges.select(
-        "src", "dst", F.col("cost").cast("bigint").alias("cost")
-    ).persist()
+    edges = _right_size(
+        edges.select(
+            "src", "dst", F.col("cost").cast("bigint").alias("cost")
+        ).persist(),
+        "src",
+    )
     cached.append(edges)
     best = sources.select("node").distinct().withColumn(
         "dist", F.lit(0).cast("bigint")
