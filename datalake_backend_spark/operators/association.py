@@ -27,6 +27,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from datalake_backend_spark.core.cache import BoundedFrameCache
+
+_ASSOC_CACHE = BoundedFrameCache(floor=4)
+
 
 def item_cooccurrence(
     df: DataFrame,
@@ -141,7 +145,9 @@ def association_lift(
     arrays (the cap only guards the quadratic pair fan-out), and the
     basket total is a bare count of the grouped frame. Supports join
     back via broadcast (item-support table is |items| rows)."""
-    grouped = _basket_items(df, basket_col, item_col).persist()
+    # bounded-FIFO persist (round-14 VERDICT #4: a bare persist here
+    # leaked one cached frame per call for the session's life)
+    grouped = _ASSOC_CACHE.persist(_basket_items(df, basket_col, item_col))
     pairs = _pairs_from_baskets(grouped, min_support, max_basket_items)
     supp = (
         grouped.select(F.explode("_items").alias("_i"))

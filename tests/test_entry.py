@@ -132,6 +132,12 @@ def test_bench_emits_one_json_line():
     assert len(last.encode()) < 1000, len(last.encode())
     d = json.loads(last)
     assert {"metric", "value", "unit", "queries", "sf"} <= set(d)
+    # Round-14 VERDICT #6: the line carries the EFFECTIVE master and
+    # sc.defaultParallelism so the driver can verify $SPARK_GRAFT_CPUS
+    # was honored rather than inferring it from scaling ratios.
+    assert d["master"].startswith("local["), d["master"]
+    assert isinstance(d["default_parallelism"], int)
+    assert d["default_parallelism"] >= 1
     assert d["errors_count"] == 0 and d["errors"] == []
     from datalake_backend_spark.queries import QUERIES
 

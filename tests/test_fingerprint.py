@@ -83,6 +83,29 @@ def test_fingerprint_diff_localizes(spark):
     assert fingerprint_diff(a, a, ["k", "v"], group_by=["grp"]).count() == 0
 
 
+def test_declared_q133_output_is_driver_hash_safe(spark):
+    """The DECLARED q133 output must not carry DECIMAL(38,0): DuckDB's
+    pandas fetch degrades wide decimals to lossy float64 while Spark
+    collects exact Decimals, so the driver's typed value hash diverges
+    on identical values (round-14 gate failure). content_sum ships as
+    its canonical digit string; the operator keeps the mergeable
+    DECIMAL internally."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import DecimalType, StringType
+
+    from datalake_backend_spark.queries import r133_table_fingerprint
+
+    out = r133_table_fingerprint(spark, "/root/testdata/sf0.001")
+    types = dict(zip(out.schema.names, [f.dataType for f in out.schema.fields]))
+    assert not any(isinstance(t, DecimalType) for t in types.values())
+    assert isinstance(types["content_sum"], StringType)
+    rows = out.collect()
+    for r in rows:
+        # canonical digit string: round-trips exactly through Decimal
+        assert str(Decimal(r["content_sum"])) == r["content_sum"]
+
+
 def test_inverted_index_postings(spark):
     """Hand corpus: posting lists in doc order, tf counts, max_df cap
     (datapipe/text.py:inverted_index; oracle twin is r134)."""

@@ -9,6 +9,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 
 from __future__ import annotations
 
+import re
 import sys
 from collections import Counter
 
@@ -59,17 +60,25 @@ def main() -> int:
                 # Driver-hash trap guard: DuckDB HUGEINT (uncast SUM of an
                 # integer column) fetches into pandas/Arrow as float64, so the
                 # driver's typed hash diverges even when values are identical.
-                # Flag it loudly before the repr-level comparison can mask it.
+                # DECIMAL(p>18,s) is the same trap: DuckDB's pandas fetch
+                # degrades it to a lossy float64 while Spark collects exact
+                # Decimals (bit q133, round 14). Flag both loudly before the
+                # repr-level comparison can mask them.
                 rel = con.sql(sql)
                 hugeints = [
                     (c, str(t))
                     for c, t in zip(rel.columns, rel.types)
                     if "HUGEINT" in str(t).upper()
+                    or (
+                        (m := re.match(r"DECIMAL\((\d+)", str(t).upper()))
+                        and int(m.group(1)) > 18
+                    )
                 ]
                 if hugeints:
                     status, detail = (
                         "FAIL",
-                        f"oracle emits HUGEINT (wrap in CAST(.. AS BIGINT)): {hugeints}",
+                        "oracle emits a driver-hash-unsafe type (cast to "
+                        f"BIGINT or VARCHAR): {hugeints}",
                     )
                 else:
                     duck_cols_raw = rel.columns
