@@ -58,7 +58,15 @@ def doc_lengths(
     document and re-tokenized the corpus once per consumer. Documents
     with zero non-empty tokens are dropped — exactly the rows the old
     groupBy never produced — so corpus scalars (N docs, Σ dl) derived
-    from this frame match the explode-based ones bit-for-bit."""
+    from this frame match the explode-based ones bit-for-bit.
+
+    Precondition (round-14 ADVICE): ``id_col`` must be UNIQUE per row.
+    This emits one row per INPUT row (no groupBy), so duplicate doc
+    ids would inflate corpus N / Σ dl in the bm25 scorers and fan out
+    the serving doclens view — where the old explode+groupBy silently
+    collapsed them. Every corpus in this repo carries unique doc ids
+    (the ingestion layer's dedup owns that invariant); dedupe upstream
+    before calling if yours does not."""
     # array_remove, not a filter() lambda: higher-order-function
     # lambdas are interpreted per element (no codegen) — measured
     # ~30% slower on this hot path

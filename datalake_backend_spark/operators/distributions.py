@@ -1170,7 +1170,11 @@ def topn_with_other(
 
 
 def _doubled_ranks(
-    df: DataFrame, value_col: str, keys: list[str]
+    df: DataFrame,
+    value_col: str,
+    keys: list[str],
+    bounds: list[float] | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Per distinct value of ``value_col`` (within ``keys``), the
     DOUBLED mid-rank ``2·avg_rank`` of that value in the pooled
@@ -1182,11 +1186,17 @@ def _doubled_ranks(
     (``ranking.keyed_running_sum``) — NOT a per-key window, which
     degenerates to one reducer per key when the value is continuous
     (distinct ≈ raw; measured 22.7× at 10× data on r243 before the
-    round-12 fix). Returns ``keys + [value_col, _cnt, _rank2]``."""
+    round-12 fix). Returns ``keys + [value_col, _cnt, _rank2]``.
+    ``bounds``/``n_rows`` pass straight to the kernel — callers that
+    rank several columns of one shared frame (spearman) precompute
+    every column's cut points in ONE job."""
     from datalake_backend_spark.operators.ranking import keyed_running_sum
 
     g = df.groupBy(*keys, value_col).agg(F.count("*").alias("_cnt"))
-    cum = keyed_running_sum(g, keys, [value_col], "_cnt", out_col="_incl")
+    cum = keyed_running_sum(
+        g, keys, [value_col], "_cnt", out_col="_incl",
+        bounds=bounds, n_rows=n_rows,
+    )
     # exclusive prefix = inclusive − own tie-group count
     return cum.withColumn(
         "_rank2", 2 * (F.col("_incl") - F.col("_cnt")) + F.col("_cnt") + 1
@@ -1289,12 +1299,71 @@ def spearman_rho(
     Scale shape: two aggregate-first rank maps (window over distinct
     values only) hash-joined back to the fact rows on (keys, value) —
     the standard distributed Spearman; no raw-data window, no sort
-    through one reducer."""
+    through one reducer.
+
+    Round-15 fixed-cost rework (VERDICT #3): the (keys, x, y)
+    projection is persisted ONCE and shared by both rank passes and
+    the final join (one scan of the fact table instead of three), and
+    when both variables are numeric a SINGLE job computes both
+    columns' bucket cut points + the row/distinct counts, so neither
+    kernel call runs its own boundary job. Cut points move from
+    distinct-value to row-frequency quantiles — bucket BALANCE only,
+    never results (the kernel's contract)."""
+    from pyspark.sql.types import NumericType
+
+    from datalake_backend_spark.operators.ranking import (
+        _BOUNDS_MEMO,
+        _bounded_persist,
+        _bucket_count,
+        _memo_key,
+        _memo_put,
+    )
+
     keys = keys or []
-    rx = _doubled_ranks(df, x_col, keys).withColumnRenamed("_rank2", "_rx2")
-    ry = _doubled_ranks(df, y_col, keys).withColumnRenamed("_rank2", "_ry2")
+    fact = _bounded_persist(df.select(*keys, x_col, y_col))
+    both_numeric = all(
+        isinstance(fact.select(c).schema.fields[0].dataType, NumericType)
+        for c in (x_col, y_col)
+    )
+    bx = by = ndx = ndy = None
+    if both_numeric:
+        n_buckets = _bucket_count(fact.sparkSession)
+        # memoized like the kernel's own boundary cuts (plan +
+        # data-fingerprint key): a repeat call — dashboards, the
+        # bench's concurrent-then-sequential passes — skips the job;
+        # the values only ever steer bucket balance and read sizing
+        memo_key = _memo_key(fact, [x_col, y_col], n_buckets)
+        memoed = _BOUNDS_MEMO.get(memo_key) if memo_key else None
+        if memoed is None:
+            qs = [i / n_buckets for i in range(1, n_buckets)]
+            row = fact.agg(
+                F.percentile_approx(
+                    F.col(x_col).cast("double"), qs, 100
+                ).alias("_bx"),
+                F.percentile_approx(
+                    F.col(y_col).cast("double"), qs, 100
+                ).alias("_by"),
+                # approximate distinct counts size the kernel's
+                # read-side coalesce of the grouped rank frames
+                F.approx_count_distinct(F.struct(*keys, x_col)).alias("_ndx"),
+                F.approx_count_distinct(F.struct(*keys, y_col)).alias("_ndy"),
+            ).first()
+            memoed = (
+                list(row["_bx"] or []),
+                list(row["_by"] or []),
+                int(row["_ndx"]),
+                int(row["_ndy"]),
+            )
+            _memo_put(memo_key, memoed)
+        bx, by, ndx, ndy = memoed
+    rx = _doubled_ranks(
+        fact, x_col, keys, bounds=bx, n_rows=ndx
+    ).withColumnRenamed("_rank2", "_rx2")
+    ry = _doubled_ranks(
+        fact, y_col, keys, bounds=by, n_rows=ndy
+    ).withColumnRenamed("_rank2", "_ry2")
     joined = (
-        df.select(*keys, x_col, y_col)
+        fact
         .join(rx.drop("_cnt"), [*keys, x_col])
         .join(ry.drop("_cnt"), [*keys, y_col])
     )
@@ -1381,23 +1450,31 @@ def key_skew_profile(
 
     Scale shape: ONE hash aggregate collapses data to (key, n) — but
     key CARDINALITY is not bounded (a billion customers at 100 TB),
-    so the positional median uses the two-phase global rank kernel
-    (``ranking.global_rank`` — sampled splitters, per-bucket windows,
-    metadata offsets) instead of an unpartitioned ``row_number``
-    window over all keys (round-14 window audit: that was one task
-    over key-cardinality rows), and the heaviest key is a single
+    so the positional median is read off the SIZE DISTRIBUTION
+    (round-15, VERDICT #4 — the round-14 global-rank kernel kept the
+    scale contract but its fixed boundary-job cost was 5.3× the old
+    local wall): the lower median of per-key counts is the smallest
+    ``n`` whose cumulative key count reaches position
+    ``(n_keys+1) div 2`` in (n, key) order — and because every key
+    tied at the median's ``n`` shares that value, the positional
+    row's ``n`` IS the multiset quantile of the distribution
+    ``(n → #keys)``. That distribution has at most D distinct sizes
+    with D·(D+1)/2 ≤ total rows, i.e. D ≤ √(2·rows) (~450k rows at
+    100 TB input) — metadata-sized by construction, so its one
+    cumulative window is a bounded single task, never
+    key-cardinality-sized. The heaviest key is a single
     ``min(struct(-n, key))`` aggregate (max n, smaller key on ties —
-    no window at all). The lower median is positional (row
-    ``(cnt+1) div 2`` in n-order, ties by key) — deterministic, no
-    interpolation, so the twin matches exactly."""
-    from datalake_backend_spark.operators.ranking import global_rank
+    no window at all). The lower median stays positional (row
+    ``(cnt+1) div 2`` in n-order) — deterministic, no interpolation,
+    so the twin matches exactly."""
+    from datalake_backend_spark.operators.ranking import _bounded_persist
 
     sizes = df.groupBy(*keys).agg(F.count("*").alias("n"))
     key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in keys])
-    s = sizes.select(key_str.alias("_key"), "n")
-    # n is tie-heavy (many keys share small counts) — full-tuple
-    # splitters keep the buckets balanced on the key tiebreak
-    ranked = global_rank(s, ["n", "_key"], out_col="_rm")
+    # persisted: the moments aggregate and the size-distribution
+    # aggregate both consume the per-key counts — one raw-data shuffle
+    # instead of two (bounded FIFO, eviction = recompute)
+    s = _bounded_persist(sizes.select(key_str.alias("_key"), "n"))
     # ONE global aggregate carries the moments AND the heaviest key
     # (min over the (-n, key) struct ordering = max n, smaller key on
     # ties) — round-14: these were two separate aggregates, each
@@ -1420,10 +1497,17 @@ def key_skew_profile(
     # shape PROVABLE in the plan, so the broadcast joins classify as
     # the scalar idiom (HashAggregate Keys: []) rather than tripping
     # the nested-loop alarm in tools/plan_report.py
+    dist = s.groupBy("n").agg(F.count("*").alias("_ck"))
+    cum = dist.withColumn(
+        "_cum",
+        F.sum("_ck").over(
+            Window.orderBy("n").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
     median = (
-        ranked.crossJoin(F.broadcast(stats.select("n_keys")))
-        .where(F.col("_rm") == F.expr("(n_keys + 1) div 2"))
-        .agg(F.max("n").alias("median_n"))
+        cum.crossJoin(F.broadcast(stats.select("n_keys")))
+        .where(F.col("_cum") >= F.expr("(n_keys + 1) div 2"))
+        .agg(F.min("n").alias("median_n"))
     )
     return stats.crossJoin(F.broadcast(median)).select(
         "n_keys",

@@ -50,6 +50,16 @@ _MAX_BUCKETS = 64
 # uses).
 _SAMPLE_PER_PARTITION = 64
 
+# Target rows per task when the kernel's cached input is read back: a
+# grouped frame far smaller than its inherited partition count pays
+# pure scheduling overhead on every branch that maps over the cache.
+# 100k/task (vs the graph loops' 1M) because the kernel's map sides do
+# real per-row work — bucket CASE tree + exchange serialization — and
+# over-coalescing serializes it (measured on r230's 594k-row rank
+# frame: 1M/task lost the win). Sizing only changes task counts,
+# never results.
+_ROWS_PER_PART = 100_000
+
 # Share-the-scan persists from recent keyed_running_sum calls, evicted
 # FIFO (round-12 ADVICE: an unbounded session accumulated one cached
 # frame per call). The floor of 4 covers the deepest current
@@ -189,14 +199,16 @@ def _sort_key(tup: tuple) -> tuple:
 
 def _sample_splitters(
     df: DataFrame, order_cols: list[str], n_buckets: int
-) -> list[tuple]:
+) -> tuple[list[tuple], int]:
     """ONE Arrow-batched pass over ``df`` collecting ≤64 systematic
     sample tuples per partition (each weighted by the rows it stands
     for), then driver-side weighted quantile selection of the
     ``n_buckets−1`` splitter tuples. The collect is bounded by
     partition COUNT, not data size; splitters only affect bucket
     BALANCE, never results, and are frozen into the plan as literals
-    (re-execution-stable — no spark_partition_id, no checkpoint)."""
+    (re-execution-stable — no spark_partition_id, no checkpoint).
+    Returns ``(splitters, approx_row_count)`` — the weights already
+    sum to ~the input size, so the sizing estimate is free."""
     src = df.select(
         *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)]
     )
@@ -229,7 +241,8 @@ def _sample_splitters(
 
     rows = src.mapInPandas(systematic, out_schema).collect()
     if not rows:
-        return []
+        return [], 0
+    n_est = int(sum(r["_w"] for r in rows))
     # Drop NaN-bearing candidates (round-13 ADVICE): a NaN field makes
     # the frozen-literal struct comparison and the driver-side sort
     # disagree on order, losing the binary-search tree's
@@ -245,7 +258,7 @@ def _sample_splitters(
         key=lambda t: _sort_key(t[0]),
     )
     if not cand:
-        return []
+        return [], n_est
     total_w = sum(w for _, w in cand)
     splitters: list[tuple] = []
     cum, i = 0, 0
@@ -259,7 +272,7 @@ def _sample_splitters(
         tup = cand[i][0]
         if not splitters or splitters[-1] != tup:
             splitters.append(tup)
-    return splitters
+    return splitters, n_est
 
 
 def _binary_search_bucket(row: Column, lits: list[Column]) -> Column:
@@ -321,6 +334,8 @@ def keyed_running_sum(
     out_col: str = "running_sum",
     total_col: str | None = None,
     tuple_splitters: bool = False,
+    bounds: list[float] | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """PER-KEY inclusive prefix sum of ``value_col`` over the
     ``order_cols`` total order, without ever sorting a key through one
@@ -369,7 +384,23 @@ def keyed_running_sum(
     nondeterministic upstream — ``rand()``/``sample()`` without a
     seed, ``row_number`` over a non-total order — could then yield
     divergent branch values that no longer reconcile. Seed any
-    randomness or materialize such inputs before calling."""
+    randomness or materialize such inputs before calling.
+
+    ``bounds`` (round-15): caller-precomputed DOUBLE cut points for a
+    numeric leading order column — callers that rank several columns
+    of one shared frame (spearman) compute every column's percentiles
+    in ONE job and skip the kernel's per-call boundary job entirely.
+    Cut points only affect bucket BALANCE, never results. ``n_rows``
+    is an optional row-count hint (exact or approximate) for the
+    read-side coalesce below.
+
+    Read-side right-sizing (round-15, the operator-local form of the
+    rejected AQE-on-cached-plans conf): the boundary job now counts
+    rows in the same pass, and when the cached input is far smaller
+    than its inherited partition count the base/offsets branches read
+    it through a narrow ``coalesce`` — no shuffle, no re-persist, the
+    same cached partitions in fewer tasks. No-op at real scale by
+    construction (rows // ~1M exceeds the inherited count)."""
     from pyspark.sql.types import (
         ByteType,
         IntegerType,
@@ -399,29 +430,53 @@ def keyed_running_sum(
     plain_numeric = isinstance(
         first_type, (NumericType, TimestampType, TimestampNTZType)
     )
-    memo_key = _memo_key(df, order_cols, n_buckets)
-    if tuple_splitters or not plain_numeric:
-        splitters = _BOUNDS_MEMO.get(memo_key) if memo_key else None
-        if splitters is None:
-            splitters = _sample_splitters(src, order_cols, n_buckets)
-            _memo_put(memo_key, splitters)
+    n_est: int | None = n_rows
+    if bounds is not None and plain_numeric and not tuple_splitters:
+        # caller-supplied cut points: no boundary job, no memo
+        bounds = sorted({b for b in bounds if b is not None and b == b})
+        bucket = (
+            _binary_search_bucket(
+                F.col(first).cast("double"),
+                [F.lit(float(b)) for b in bounds],
+            )
+            if bounds
+            else F.lit(0)
+        )
+    elif tuple_splitters or not plain_numeric:
+        memo_key = _memo_key(df, order_cols, n_buckets)
+        memoed = _BOUNDS_MEMO.get(memo_key) if memo_key else None
+        if memoed is None:
+            memoed = _sample_splitters(src, order_cols, n_buckets)
+            _memo_put(memo_key, memoed)
+        splitters, memo_n = memoed
+        n_est = n_est if n_est is not None else memo_n
         bucket = _bucket_expr(src, order_cols, splitters)
     else:
-        bounds = _BOUNDS_MEMO.get(memo_key) if memo_key else None
-        if bounds is None:
+        memo_key = _memo_key(df, order_cols, n_buckets)
+        memoed = _BOUNDS_MEMO.get(memo_key) if memo_key else None
+        if memoed is None:
             qs = [i / n_buckets for i in range(1, n_buckets)]
-            row = src.select(
+            # count folded into the SAME boundary job (round-15): the
+            # pass already scans the cache; the row count feeds the
+            # read-side coalesce below for free
+            row = src.agg(
                 F.percentile_approx(
                     F.col(first).cast("double"), qs, 100
-                ).alias("_b")
+                ).alias("_b"),
+                F.count(F.lit(1)).alias("_n"),
             ).first()
             # NaN cut points dropped (round-13 ADVICE): NaN breaks the
             # sorted() invariant the binary-search tree needs; NaN
             # rows order last (Spark) into the top bucket regardless
             raw = (row["_b"] or []) if row else []
-            bounds = sorted({b for b in raw if b is not None and b == b})
-            _memo_put(memo_key, bounds)
-        if bounds:
+            memoed = (
+                sorted({b for b in raw if b is not None and b == b}),
+                int(row["_n"]) if row else 0,
+            )
+            _memo_put(memo_key, memoed)
+        mbounds, memo_n = memoed
+        n_est = n_est if n_est is not None else memo_n
+        if mbounds:
             # cut-point count strictly below the value via the
             # binary-search CASE tree (depth O(log B); NULL values
             # land in bucket 0, matching NULLS FIRST), monotone
@@ -429,11 +484,23 @@ def keyed_running_sum(
             # lossy
             v = F.col(first).cast("double")
             bucket = _binary_search_bucket(
-                v, [F.lit(float(b)) for b in bounds]
+                v, [F.lit(float(b)) for b in mbounds]
             )
         else:
             bucket = F.lit(0)
-    tagged = src.withColumn("_p", bucket)
+    read = src
+    if n_est is not None:
+        try:
+            cur = src.rdd.getNumPartitions()
+        except Exception:  # noqa: BLE001 — connect-mode or API drift
+            cur = 0
+        parts = max(2, min(cur, int(n_est) // _ROWS_PER_PART + 2))
+        if cur and parts < cur:
+            # narrow coalesce over the SAME cached partitions: the
+            # base and offsets map stages run |parts| tasks instead of
+            # the inherited count; nothing recomputes, nothing shuffles
+            read = src.coalesce(parts)
+    tagged = read.withColumn("_p", bucket)
     part = Window.partitionBy("_p", *keys).orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, 0
     )

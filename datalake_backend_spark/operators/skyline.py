@@ -61,7 +61,7 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     # sweep because every non-null bucket is visited "before" it.
     loc = ranking._bounded_persist(loc)
     n_buckets = ranking._bucket_count(df.sparkSession)
-    splitters = ranking._sample_splitters(loc, [x_col], n_buckets)
+    splitters, _ = ranking._sample_splitters(loc, [x_col], n_buckets)
     tagged = loc.withColumn(
         "_b", ranking._bucket_expr(loc, [x_col], splitters)
     )

@@ -175,6 +175,17 @@ def gap_fill(
     observations instead of repeating the last one (``value`` becomes
     double); generated ticks strictly inside a gap interpolate between
     the gap's endpoints, which are both on the row already.
+
+    Precondition (round-14 ADVICE): ``value_col`` must be non-NULL on
+    observed rows (after ``agg`` — i.e. a bucket whose values are all
+    NULL). The pre-round-14 joined-grid form marked such a tick
+    ``was_observed=false`` and forward-filled PAST it (last_value
+    ignorenulls); this form marks the bucket's own tick observed and
+    propagates NULL through its gap run. Both are defensible
+    semantics, but they differ — coalesce or filter NULL measures
+    upstream if your data has all-NULL buckets (every series in this
+    repo is non-NULL by construction, which is why the oracles cannot
+    distinguish the two).
     """
     if mode not in ("ffill", "linear"):
         raise ValueError(f"mode must be ffill|linear, got {mode!r}")

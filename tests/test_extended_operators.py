@@ -2564,7 +2564,8 @@ def test_tuple_splitters_split_tie_heavy_leading_metric(spark):
     # 90% of rows share freq=1; ids break the ties
     rows = [(1 if i % 10 else 2, f"u{i:05d}") for i in range(3000)]
     df = spark.createDataFrame(rows, "freq int, uid string")
-    sp = _sample_splitters(df, ["freq", "uid"], 16)
+    sp, n_est = _sample_splitters(df, ["freq", "uid"], 16)
+    assert 0 < n_est  # free sizing estimate rides the sampler pass
     inside_tie = [t for t in sp if t[0] == 1]
     assert len(inside_tie) >= 8, sp  # cuts land inside the giant tie group
     # and the distributed NTILE over that order matches the SQL-standard
@@ -2686,7 +2687,7 @@ def test_splitter_sampler_drops_nan_candidates(spark):
         v = nan if i % 3 == 0 else float(i % 50)
         rows.append((v, f"id{i:04d}"))
     df = spark.createDataFrame(rows, "v double, uid string").repartition(8)
-    sp = _sample_splitters(df, ["v", "uid"], 16)
+    sp, _ = _sample_splitters(df, ["v", "uid"], 16)
     assert sp, "sampler returned no splitters on 600 rows"
     # no float NaN survives into the splitter list (the Arrow
     # round-trip nullifies NaN on this path — from_pandas semantics —
@@ -2777,8 +2778,11 @@ def test_bounds_memo_invalidates_on_data_growth(spark, tmp_path):
     ranking.release_caches()
     run().count()
     assert len(ranking._BOUNDS_MEMO) == 1
-    old_bounds = list(ranking._BOUNDS_MEMO.values())[0]
+    # memo entries are (bounds, row_count) since round 15 — the count
+    # rides the boundary job and sizes the read-side coalesce
+    old_bounds, old_n = list(ranking._BOUNDS_MEMO.values())[0]
     assert old_bounds and max(old_bounds) < 100.0
+    assert old_n == 1000
 
     # grow 10x into a disjoint, higher value range
     spark.createDataFrame(
@@ -2793,8 +2797,11 @@ def test_bounds_memo_invalidates_on_data_growth(spark, tmp_path):
     assert len(ranking._BOUNDS_MEMO) == 2, (
         "fingerprint did not change -> stale cut points reused"
     )
-    new_bounds = [b for b in ranking._BOUNDS_MEMO.values() if b != old_bounds][0]
+    new_bounds, new_n = [
+        v for v in ranking._BOUNDS_MEMO.values() if v[0] != old_bounds
+    ][0]
     assert max(new_bounds) > 100.0, (old_bounds, new_bounds)
+    assert new_n == 10000
     # balance at the new size: bucket counts from the new cut points
     # stay within 2x of ideal (the VERDICT's done-bar)
     values = [float(i % 100) for i in range(1000)] + [

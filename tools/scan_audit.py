@@ -51,16 +51,23 @@ def main() -> None:
             print(f"{name}: ERR {type(e).__name__}: {e}", file=sys.stderr)
             continue
         # the details section carries one "(n) Scan parquet" block per
-        # scan with its Location path; the header tree has no paths
-        scans = Counter(
-            m.group(1)
-            for m in re.finditer(
-                r"^\(\d+\) Scan parquet[\s\S]{0,500}?"
-                r"Location:[^\n]*?([a-zA-Z_0-9]+)\.parquet",
-                plan,
-                re.M,
+        # scan with its Location path. Anchor on the Location lines of
+        # those blocks directly (round-14 ADVICE: a bounded
+        # Scan-to-Location span silently dropped scans whose
+        # PushedFilters/ReadSchema ran long — undercounting exactly
+        # the complex plans this audit targets). A block ends at the
+        # next "(n) ..." header, so scope each scan block explicitly.
+        scans: Counter = Counter()
+        for block in re.split(r"^(?=\(\d+\) )", plan, flags=re.M):
+            if not block.startswith("(") or "Scan parquet" not in block.split(
+                "\n", 1
+            )[0]:
+                continue
+            loc = re.search(
+                r"^Location:[^\n]*?([a-zA-Z_0-9]+)\.parquet", block, re.M
             )
-        )
+            if loc:
+                scans[loc.group(1)] += 1
         header = plan.split("\n\n", 1)[0]
         reused = len(re.findall(r"ReusedExchange", header))
         hot = {t: n for t, n in scans.items() if n >= args.threshold}
