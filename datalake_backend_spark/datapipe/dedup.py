@@ -854,7 +854,12 @@ def _cluster_star(und: DataFrame, max_rounds: int = 64) -> DataFrame:
 
     def checksum(df: DataFrame):
         # decimal(38,0) accumulator: a long sum of 64-bit hashes would
-        # overflow under ANSI mode
+        # overflow under ANSI mode. This aggregate is ALSO the action
+        # that materializes each round's lazily checkpointed edge set
+        # (round-15): the former eager small-star checkpoint + separate
+        # checksum job were 2 jobs for one pass — chain-heavy graphs
+        # (sorted-neighborhood candidates) run tens of star rounds, so
+        # the per-round job count is the local wall.
         row = df.agg(
             F.count("*").alias("n"),
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
@@ -880,7 +885,13 @@ def _cluster_star(und: DataFrame, max_rounds: int = 64) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
-        # small-star: link each node and its smaller neighbors to the min
+        # small-star: link each node and its smaller neighbors to the
+        # min. Lazy checkpoint — the checksum below is the action that
+        # materializes it, so the round runs 2 jobs (large-star eager
+        # checkpoint + small-star+checksum), not 3. Large-star stays
+        # eager: small-star consumes it TWICE (join + mins aggregate),
+        # and a lazy checkpoint's first job would race both branches
+        # over the unmaterialized partitions.
         mins = e.groupBy("u").agg(F.min("v").alias("m"))
         e = (
             e.join(mins, "u")
@@ -891,7 +902,7 @@ def _cluster_star(und: DataFrame, max_rounds: int = 64) -> DataFrame:
                 F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
             )
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur = checksum(e)
         if cur == prev:
@@ -960,7 +971,7 @@ def cluster_near_dups(
         .select("node", F.least("node", "nbr_min").alias("cluster_id"))
         .localCheckpoint()
     )
-    for _ in range(min(max_iter, star_after)):
+    for it in range(min(max_iter, star_after)):
         # Convergence detection rides the round's OWN aggregate
         # (round-14 VERDICT #6): the old label flows through the same
         # union→groupBy as a tagged column (neighbor rows carry NULL,
@@ -990,17 +1001,27 @@ def cluster_near_dups(
             )
             .localCheckpoint(eager=False)
         )
-        changed = int(
-            prop.agg(
-                F.sum(
-                    (F.col("cluster_id") != F.col("_old")).cast("long")
-                ).alias("n_changed")
-            ).first()["n_changed"]
-            or 0
-        )
+        row = prop.agg(
+            F.sum(
+                (F.col("cluster_id") != F.col("_old")).cast("long")
+            ).alias("n_changed"),
+            F.count(F.lit(1)).alias("n_nodes"),
+        ).first()
+        changed = int(row["n_changed"] or 0)
         labels = prop.select("node", "cluster_id")
         if changed == 0:
             return labels
+        # Long-diameter early exit (round-15, found via q178's profile:
+        # sorted-neighborhood pair graphs are chains BY CONSTRUCTION,
+        # and min-label propagation burned all star_after rounds before
+        # falling back): when a non-first round still relabels half the
+        # nodes, the component diameter is far beyond the remaining
+        # round budget — switch to large-star/small-star now (O(log² n)
+        # rounds regardless of diameter). Work-only heuristic: both
+        # paths compute the exact same components; the node count rides
+        # the same scalar aggregate for free.
+        if it >= 1 and 2 * changed >= int(row["n_nodes"]):
+            break
     # star labels cover nodes with ≥1 non-self edge; nodes appearing
     # only in self-pairs keep themselves as cluster id
     star = _cluster_star(und)
