@@ -12,6 +12,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from datalake_backend_spark.core.cache import BoundedFrameCache
+
+#: bounded share-the-scan persists for this family's multi-consumer
+#: aggregate frames (round-15 scan audit); eviction = recompute
+_DIST_CACHE = BoundedFrameCache(floor=4)
+
 
 def value_distribution(
     df: DataFrame, attr_col: str, weight_col: str | None = None
@@ -336,13 +342,17 @@ def distribution_shift(
     ``|share_a − share_b|`` over the common denominator ``n_a·n_b``.
     Working in integers keeps every row exact in any engine; divide at
     the end (see :func:`total_variation`). Values absent from one side
-    count as zero. Two hash aggregates + one outer join on the value."""
-    ca = (
+    count as zero. Two hash aggregates + one outer join on the value.
+    Each side's count frame is bounded-persisted (round-15 scan audit:
+    the totals and the join both consume it, and without the cache each
+    consumer re-ran the raw-data groupBy — 4 full input scans for 2
+    aggregates)."""
+    ca = _DIST_CACHE.persist(
         df_a.select(F.col(col).alias("value"))
         .groupBy("value")
         .agg(F.count(F.lit(1)).alias("cnt_a"))
     )
-    cb = (
+    cb = _DIST_CACHE.persist(
         df_b.select(F.col(col).alias("value"))
         .groupBy("value")
         .agg(F.count(F.lit(1)).alias("cnt_b"))
@@ -1637,10 +1647,15 @@ def categorical_mi(
 
     Scale shape: ONE hash aggregate to the contingency cells, two
     metadata-sized re-aggregates for the marginals, broadcast total;
-    everything after the first groupBy is cell-cardinality-sized."""
-    cells = df.groupBy(
-        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
-    ).agg(F.count("*").alias("_nxy"))
+    everything after the first groupBy is cell-cardinality-sized. The
+    cells frame is bounded-persisted (round-15 scan audit: marginals ×2
+    + total + the join = FOUR consumers, each re-running the raw-data
+    groupBy without the cache)."""
+    cells = _DIST_CACHE.persist(
+        df.groupBy(
+            F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+        ).agg(F.count("*").alias("_nxy"))
+    )
     mx = cells.groupBy("_x").agg(F.sum("_nxy").alias("_nx"))
     my = cells.groupBy("_y").agg(F.sum("_nxy").alias("_ny"))
     total = cells.agg(F.sum("_nxy").alias("_n"))

@@ -35,6 +35,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from datalake_backend_spark.core.cache import BoundedFrameCache
+
+#: bounded share-the-scan persists for NON-iterative graph operators
+#: (the iterative loops own their caches via the pin-then-release
+#: _finish discipline below); eviction = recompute
+_GRAPH_CACHE = BoundedFrameCache(floor=4)
+
 
 #: target rows per partition for right-sized loop-invariant frames —
 #: the same ~1M-rows heuristic the connected-components loop uses
@@ -640,12 +647,21 @@ def neighborhood_jaccard(
     ``edges`` themselves. Jaccard = exact division of BIGINTs —
     bit-identical on any engine.
     """
-    e = edges.select(src, dst).distinct()
+    # bounded-persisted (round-15 scan audit): the deduped (optionally
+    # hub-capped) edge set is consumed FOUR times — the degree
+    # aggregate (referenced by both finishing joins) and both wedge
+    # sides — and its subtree shuffles (distinct), so each recompute
+    # was a full edge scan + dedup. deg likewise backs two joins.
+    e = _GRAPH_CACHE.persist(edges.select(src, dst).distinct())
     if max_degree is not None:
         fan = e.groupBy(dst).agg(F.count("*").alias("_fan"))
         hubs = fan.where(F.col("_fan") > max_degree)
-        e = e.join(hubs.select(dst), dst, "left_anti")
-    deg = e.groupBy(src).agg(F.count("*").alias("_deg"))
+        e = _GRAPH_CACHE.persist(
+            e.join(hubs.select(dst), dst, "left_anti")
+        )
+    deg = _GRAPH_CACHE.persist(
+        e.groupBy(src).agg(F.count("*").alias("_deg"))
+    )
     a = e.select(F.col(src).alias("_a"), dst)
     b = e.select(F.col(src).alias("_b"), dst)
     common = (

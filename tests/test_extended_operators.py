@@ -2917,6 +2917,10 @@ def test_family_persist_caches_do_not_grow_monotonically(spark):
     def jvm_persisted() -> int:
         return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
+    # baseline BEFORE the loop: earlier tests may leave localCheckpoint
+    # RDDs in storage (they unpersist on GC, not release_all), so the
+    # assertions below are deltas against this, never absolute zero
+    baseline = jvm_persisted()
     sizes = []
     for _ in range(3):
         textmod.bm25_scores(docs, ["alpha", "beta"]).count()
@@ -2934,4 +2938,4 @@ def test_family_persist_caches_do_not_grow_monotonically(spark):
         <= association._ASSOC_CACHE.keep()
     )
     core_cache.release_all()
-    assert jvm_persisted() == 0
+    assert jvm_persisted() <= baseline
